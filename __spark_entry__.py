@@ -1,38 +1,361 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each SQL-expressible one. Timestamps are
+emitted as epoch-millis bigints (``ts_ms``) on both sides so the
+value-hash comparison is precision- and timezone-proof.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from siddhi_execution_unique_spark import operators as ops  # noqa: E402
+from siddhi_execution_unique_spark.sources import load_table  # noqa: E402
+
+HOUR = 3_600_000
+DAY = 86_400_000
+
+_EVENT_COLS = ["event_id", "ts_ms", "user_id", "event_type", "value", "props"]
+_EVENT_SQL_COLS = "event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _ev_out(df: DataFrame, *extra: str) -> DataFrame:
+    cols = [
+        F.col("event_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    ] + [F.col(c) for c in extra]
+    return df.select(*cols)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ``unique:ever`` — latest event per user over all
+    history (the reference's own flagship example,
+    UniqueEverWindowProcessor.java:84-93)."""
+    events = _events(spark, "/root/testdata/sf0.001")
+    return _ev_out(ops.ever(events, "user_id", ts="ts", tiebreak="event_id"))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_unique_ever(spark, sf_dir):
+    return _ev_out(ops.ever(_events(spark, sf_dir), "user_id", ts="ts", tiebreak="event_id"))
+
+
+def q_unique_ever_multi(spark, sf_dir):
+    return _ev_out(
+        ops.ever(_events(spark, sf_dir), ["user_id", "event_type"], ts="ts", tiebreak="event_id")
+    )
+
+
+def q_unique_first(spark, sf_dir):
+    return _ev_out(ops.first(_events(spark, sf_dir), "user_id", ts="ts", tiebreak="event_id"))
+
+
+def q_unique_ever_expired(spark, sf_dir):
+    return _ev_out(
+        ops.ever_expired(_events(spark, sf_dir), "user_id", ts="ts", tiebreak="event_id")
+    )
+
+
+def q_unique_length(spark, sf_dir):
+    return _ev_out(
+        ops.length_window(_events(spark, sf_dir), "user_id", 100, ts="ts", tiebreak="event_id")
+    )
+
+
+def q_unique_time(spark, sf_dir):
+    return _ev_out(
+        ops.time_window(_events(spark, sf_dir), "user_id", DAY, ts="ts", tiebreak="event_id")
+    )
+
+
+def q_unique_time_batch(spark, sf_dir):
+    return _ev_out(
+        ops.time_batch(_events(spark, sf_dir), "user_id", HOUR, ts="ts", tiebreak="event_id"),
+        "batch_start_ms",
+        "batch_end_ms",
+    )
+
+
+def q_unique_first_time_batch(spark, sf_dir):
+    return _ev_out(
+        ops.first_time_batch(
+            _events(spark, sf_dir), "user_id", HOUR, ts="ts", tiebreak="event_id"
+        ),
+        "batch_start_ms",
+        "batch_end_ms",
+    )
+
+
+def q_unique_external_time_batch(spark, sf_dir):
+    return _ev_out(
+        ops.external_time_batch(
+            _events(spark, sf_dir), "user_id", timestamp="ts", window_time=2 * HOUR,
+            tiebreak="event_id",
+        ),
+        "batch_start_ms",
+        "batch_end_ms",
+    )
+
+
+def q_unique_external_time_batch_end_ts(spark, sf_dir):
+    return _ev_out(
+        ops.external_time_batch(
+            _events(spark, sf_dir), "user_id", timestamp="ts", window_time=2 * HOUR,
+            start_time_ms=0, replace_timestamp_with_batch_end=True, tiebreak="event_id",
+        ),
+        "batch_start_ms",
+        "batch_end_ms",
+    )
+
+
+def q_unique_deduplicate(spark, sf_dir):
+    return _ev_out(
+        ops.deduplicate(_events(spark, sf_dir), "user_id", HOUR, ts="ts", tiebreak="event_id")
+    )
+
+
+def q_ever_count_by_type(spark, sf_dir):
+    # aggregation over window contents (SURVEY §2b)
+    latest = ops.ever(_events(spark, sf_dir), "user_id", ts="ts", tiebreak="event_id")
+    return latest.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_ever_join_customer(spark, sf_dir):
+    # window-contents probed by a dimension join; dimension is broadcast
+    latest = ops.ever(_events(spark, sf_dir), "user_id", ts="ts", tiebreak="event_id")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        _ev_out(latest)
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"), "inner")
+        .select("user_id", "ts_ms", "event_type", "value", "c_name", "c_mktsegment")
+    )
+
+
+def q_first_filtered(spark, sf_dir):
+    # filter-before-window composition (UniqueFirstWindowTestCase.java:158)
+    ev = _events(spark, sf_dir).filter(F.col("value") > 100)
+    return _ev_out(ops.first(ev, "user_id", ts="ts", tiebreak="event_id"))
+
+
+def q_window_join(spark, sf_dir):
+    # window-to-window stream join (UniqueEverWindowTestCase.java:228-233)
+    ev = _events(spark, sf_dir)
+    clicks = _ev_out(
+        ops.ever(ev.filter(F.col("event_type") == "click"), "user_id", ts="ts", tiebreak="event_id")
+    ).select(
+        "user_id",
+        F.col("ts_ms").alias("click_ts_ms"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = _ev_out(
+        ops.ever(
+            ev.filter(F.col("event_type") == "purchase"), "user_id", ts="ts", tiebreak="event_id"
+        )
+    ).select(
+        "user_id",
+        F.col("ts_ms").alias("purchase_ts_ms"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks.join(purchases, "user_id", "inner")
+
+
+def q_length_batch(spark, sf_dir):
+    return ops.length_batch(
+        _events(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
+    ).select("event_id", "user_id", "batch_seq", "fired_at_ms")
+
+
+def q_first_length_batch(spark, sf_dir):
+    return ops.first_length_batch(
+        _events(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
+    ).select("event_id", "user_id", "batch_seq", "fired_at_ms")
+
+
+def q_time_length_batch(spark, sf_dir):
+    return ops.time_length_batch(
+        _events(spark, sf_dir), "user_id", 6 * HOUR, 20, ts="ts", tiebreak="event_id"
+    ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "unique_ever": q_unique_ever,
+        "unique_ever_multi": q_unique_ever_multi,
+        "unique_first": q_unique_first,
+        "unique_ever_expired": q_unique_ever_expired,
+        "unique_length": q_unique_length,
+        "unique_time": q_unique_time,
+        "unique_time_batch": q_unique_time_batch,
+        "unique_first_time_batch": q_unique_first_time_batch,
+        "unique_external_time_batch": q_unique_external_time_batch,
+        "unique_external_time_batch_end_ts": q_unique_external_time_batch_end_ts,
+        "unique_deduplicate": q_unique_deduplicate,
+        "ever_count_by_type": q_ever_count_by_type,
+        "ever_join_customer": q_ever_join_customer,
+        "first_filtered": q_first_filtered,
+        "window_join": q_window_join,
+        # order-dependent replay tier: rows-only checks (no SQL equivalent)
+        "unique_length_batch": q_length_batch,
+        "unique_first_length_batch": q_first_length_batch,
+        "unique_time_length_batch": q_time_length_batch,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_EVER_SQL = f"""
+SELECT {_EVENT_SQL_COLS}
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+_FIRST_SQL = f"""
+SELECT {_EVENT_SQL_COLS}
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "unique_ever": _EVER_SQL,
+        "unique_ever_multi": f"""
+            SELECT {_EVENT_SQL_COLS}
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "unique_first": _FIRST_SQL,
+        "unique_ever_expired": f"""
+            SELECT {_EVENT_SQL_COLS}
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn > 1
+        """,
+        "unique_length": f"""
+            SELECT {_EVENT_SQL_COLS}
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+            ORDER BY ts DESC, event_id DESC
+            LIMIT 100
+        """,
+        "unique_time": f"""
+            SELECT {_EVENT_SQL_COLS}
+            FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events e
+                  WHERE epoch_ms(ts) > (SELECT max(epoch_ms(ts)) FROM events) - 86400000) t
+            WHERE rn = 1
+        """,
+        "unique_time_batch": f"""
+            SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 3600000 AS batch_end_ms
+            FROM (SELECT *, (epoch_ms(ts) // 3600000) * 3600000 AS batch_start_ms,
+                         row_number() OVER (PARTITION BY epoch_ms(ts) // 3600000, user_id
+                                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "unique_first_time_batch": f"""
+            SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 3600000 AS batch_end_ms
+            FROM (SELECT *, (epoch_ms(ts) // 3600000) * 3600000 AS batch_start_ms,
+                         row_number() OVER (PARTITION BY epoch_ms(ts) // 3600000, user_id
+                                            ORDER BY epoch_ms(ts) ASC, event_id ASC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "unique_external_time_batch": f"""
+            WITH a AS (SELECT min(epoch_ms(ts)) AS anchor FROM events),
+            b AS (SELECT e.*, ((epoch_ms(e.ts) - a.anchor) // 7200000) * 7200000 + a.anchor
+                         AS batch_start_ms
+                  FROM events e CROSS JOIN a)
+            SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 7200000 AS batch_end_ms
+            FROM (SELECT *, row_number() OVER (PARTITION BY batch_start_ms, user_id
+                                               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                  FROM b) t
+            WHERE rn = 1
+        """,
+        "unique_external_time_batch_end_ts": """
+            WITH b AS (SELECT e.*, (epoch_ms(e.ts) // 7200000) * 7200000 AS batch_start_ms
+                       FROM events e)
+            SELECT event_id, batch_start_ms + 7200000 AS ts_ms, user_id, event_type, value, props,
+                   batch_start_ms, batch_start_ms + 7200000 AS batch_end_ms
+            FROM (SELECT *, row_number() OVER (PARTITION BY batch_start_ms, user_id
+                                               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                  FROM b) t
+            WHERE rn = 1
+        """,
+        "unique_deduplicate": f"""
+            WITH RECURSIVE kept AS (
+              SELECT user_id, min(epoch_ms(ts)) AS ts_ms FROM events GROUP BY user_id
+              UNION ALL
+              SELECT user_id, next_ms AS ts_ms FROM (
+                SELECT k.user_id,
+                       (SELECT min(epoch_ms(e.ts)) FROM events e
+                        WHERE e.user_id = k.user_id
+                          AND epoch_ms(e.ts) > k.ts_ms + 3600000) AS next_ms
+                FROM kept k) t
+              WHERE next_ms IS NOT NULL
+            )
+            SELECT {_EVENT_SQL_COLS}
+            FROM (SELECT e.*, row_number() OVER (PARTITION BY e.user_id, epoch_ms(e.ts)
+                                                 ORDER BY e.event_id) AS rn
+                  FROM events e
+                  JOIN kept k ON e.user_id = k.user_id AND epoch_ms(e.ts) = k.ts_ms) t
+            WHERE rn = 1
+        """,
+        "ever_count_by_type": """
+            SELECT event_type, count(*) AS n
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+            GROUP BY event_type
+        """,
+        "ever_join_customer": """
+            SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value, c_name, c_mktsegment
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            JOIN customer ON user_id = c_custkey
+            WHERE rn = 1
+        """,
+        "first_filtered": """
+            SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+                  FROM events WHERE value > 100) t
+            WHERE rn = 1
+        """,
+        "window_join": """
+            WITH clicks AS (
+              SELECT user_id, epoch_ms(ts) AS click_ts_ms, value AS click_value
+              FROM events WHERE event_type = 'click'
+              QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ),
+            purchases AS (
+              SELECT user_id, epoch_ms(ts) AS purchase_ts_ms, value AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            )
+            SELECT user_id, click_ts_ms, click_value, purchase_ts_ms, purchase_value
+            FROM clicks JOIN purchases USING (user_id)
+        """,
+    }

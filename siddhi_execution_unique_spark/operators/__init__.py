@@ -1,0 +1,42 @@
+"""The 11 uniqueness operators of the reference, Spark-first.
+
+Pure-Catalyst tier (single hash-aggregation plans):
+``ever``, ``first``, ``time_batch``, ``first_time_batch``,
+``external_time_batch``, ``time_window``, ``length_window``.
+
+Stateful replay tier (Arrow/pandas):
+``deduplicate`` (key-distributed), ``length_batch``,
+``first_length_batch``, ``time_length_batch`` (globally ordered).
+"""
+
+from siddhi_execution_unique_spark.operators.keyed import ever, ever_expired, first
+from siddhi_execution_unique_spark.operators.length import length_window
+from siddhi_execution_unique_spark.operators.replay import (
+    deduplicate,
+    first_length_batch,
+    length_batch,
+    time_length_batch,
+)
+from siddhi_execution_unique_spark.operators.time_batch import (
+    expired_channel,
+    external_time_batch,
+    first_time_batch,
+    time_batch,
+)
+from siddhi_execution_unique_spark.operators.time_window import time_window
+
+__all__ = [
+    "deduplicate",
+    "ever",
+    "ever_expired",
+    "expired_channel",
+    "external_time_batch",
+    "first",
+    "first_length_batch",
+    "first_time_batch",
+    "length_batch",
+    "length_window",
+    "time_batch",
+    "time_length_batch",
+    "time_window",
+]

@@ -1,0 +1,113 @@
+"""``unique:ever`` and ``unique:first`` — retain one event per key over
+all history.
+
+Reference semantics:
+- ``unique:ever`` keeps the **latest** event per key; a replaced event
+  is re-emitted on the expired channel (reference:
+  component/src/main/java/io/siddhi/extension/execution/unique/
+  UniqueEverWindowProcessor.java:122,153-166; multi-key :216-222).
+- ``unique:first`` keeps the **first** event per key and silently drops
+  later duplicates; it never emits expired events (reference:
+  UniqueFirstWindowProcessor.java:99,129-132).
+
+Spark-first design: one hash aggregation — ``groupBy(keys).agg(
+max_by(struct(*cols), struct(ts, tiebreak)))``. This is a single
+shuffle with map-side partial aggregation (each task keeps one row per
+key before the exchange), so it scales linearly in input size and is
+bounded by distinct-key cardinality per partition — exactly the
+distribution-friendly shape of the reference's key-addressed hash map,
+minus the single-JVM limit. A window-function formulation
+(``row_number() over (partition by key order by ts desc) = 1``) would
+sort every partition; ``max_by`` does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from siddhi_execution_unique_spark.operators.validation import (
+    key_cols,
+    require_column,
+    require_keys,
+)
+
+
+def _retain_one_per_key(
+    df: DataFrame,
+    keys: list[str | Column],
+    ts: str,
+    tiebreak: str | None,
+    keep: str,
+) -> DataFrame:
+    require_column(df, ts, "ts")
+    if tiebreak is not None:
+        require_column(df, tiebreak, "tiebreak")
+    order_cols = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    order = F.struct(*order_cols) if len(order_cols) > 1 else order_cols[0]
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    agg = F.max_by(payload, order) if keep == "last" else F.min_by(payload, order)
+    return df.groupBy(*key_cols(keys)).agg(agg.alias("_retained")).select("_retained.*")
+
+
+def ever(
+    df: DataFrame,
+    keys: str | Column | list[str | Column],
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Latest event per unique key over all history (``unique:ever``).
+
+    ``keys`` may be one or many column names/expressions; the reference
+    concatenates multi-key string forms into one map key
+    (UniqueEverWindowProcessor.java:216-222) — a composite groupBy key
+    is semantically identical and keeps the native column types.
+
+    ``ts`` orders events (event-time stand-in for the reference's
+    arrival order); ``tiebreak`` (e.g. ``event_id``) makes equal-``ts``
+    replays deterministic.
+
+    For the replaced-events (expired) channel, see :func:`ever_expired`.
+    """
+    keys = require_keys(keys)
+    return _retain_one_per_key(df, keys, ts, tiebreak, keep="last")
+
+
+def first(
+    df: DataFrame,
+    keys: str | Column | list[str | Column],
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First event per unique key over all history (``unique:first``)."""
+    keys = require_keys(keys)
+    return _retain_one_per_key(df, keys, ts, tiebreak, keep="first")
+
+
+def ever_expired(
+    df: DataFrame,
+    keys: str | Column | list[str | Column],
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """The expired channel of ``unique:ever``: every event that was
+    later replaced by a newer event with the same key (reference emits
+    the old event as EXPIRED on replacement,
+    UniqueEverWindowProcessor.java:153-166).
+
+    Implemented as an anti-selection: all rows minus the retained row
+    per key, i.e. ``row_number() desc > 1``. This one does sort within
+    key-partitions — inherent, since the expired channel is the
+    (ordered) complement, not a single aggregate.
+    """
+    keys = require_keys(keys)
+    require_column(df, ts, "ts")
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    w = Window.partitionBy(*key_cols(keys)).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,315 @@
+"""The stateful tier: operators whose semantics are an ordered replay
+that Catalyst cannot express declaratively.
+
+- ``unique:deduplicate`` (reference: component/src/main/java/io/siddhi/
+  extension/execution/unique/DeduplicateStreamProcessor.java:89,
+  evict-then-test :155-178): per key, keep an event iff its timestamp
+  is more than ``interval`` after the **last kept** event of that key
+  (the anchor is the kept event — dropped duplicates do not refresh
+  it, map entries keep the kept timestamp). A ``lag()``-based SQL
+  formulation under-approximates when bursts chain; the exact
+  semantics need the per-key greedy chain.
+
+  Scale design: the state is keyed, so the replay distributes —
+  ``repartition(key) → sortWithinPartitions(key, ts) → mapInPandas``
+  with an O(rows) scan carrying state across Arrow batches inside a
+  partition. One shuffle + one per-partition sort, no single-group
+  bottleneck, works at any key cardinality.
+
+- ``unique:lengthBatch`` / ``unique:firstLengthBatch`` (reference:
+  UniqueLengthBatchWindowProcessor.java:106, fire at map.size()==N
+  :165, replace :210-213; UniqueFirstLengthBatchWindowProcessor.java:
+  73-81): a tumbling batch fires the moment ``N`` *distinct keys*
+  accumulate; duplicate keys replace (or are dropped, first-variant)
+  within the forming batch; the trailing partial batch never fires.
+
+- ``unique:timeLengthBatch`` (reference: UniqueTimeLengthBatchWindow-
+  Processor.java:110; length-fire :279-282, skip-until-boundary
+  :261-271,288-290, flush :304-336): fires on ``T`` elapsed or ``N``
+  distinct keys, whichever first; after a length-fire, events are
+  **discarded** until the next time boundary.
+
+  Batch-id assignment for these two is inherently sequential over the
+  whole stream (each fire resets a distinct-key set shared by all
+  keys), so the batch API replays one globally ordered group through
+  ``applyInPandas`` — a documented scale caveat (SURVEY.md §7): use
+  the time/length-batch pure-Catalyst operators when global arrival
+  order isn't semantically required.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from siddhi_execution_unique_spark.operators.time_batch import event_ms
+from siddhi_execution_unique_spark.operators.validation import (
+    parse_time_ms,
+    require_column,
+    require_keys,
+    require_pos_int,
+)
+
+_TS_MS = "_ts_ms"
+
+
+def _sort_cols(ts: str, tiebreak: str | None) -> list[str]:
+    return [_TS_MS] + ([tiebreak] if tiebreak else [])
+
+
+def deduplicate(
+    df: DataFrame,
+    key: str,
+    time_interval: int | str,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """``unique:deduplicate`` — drop events whose key was kept within
+    the last ``time_interval``; strictly-greater spacing re-admits
+    (reference keeps when ``new_ts - kept_ts > interval``,
+    DeduplicateStreamProcessor.java:158-171). No expired channel
+    (DeduplicateTestCase.java:84-86 asserts none)."""
+    keys = require_keys(key, "unique.key")
+    if len(keys) != 1 or not isinstance(keys[0], str):
+        raise ValueError("unique:deduplicate takes exactly one key column name")
+    key = keys[0]
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    interval_ms = parse_time_ms(time_interval, "time.interval")
+
+    out_cols = list(df.columns)
+    schema = df.schema
+    sort_cols = [key] + _sort_cols(ts, tiebreak)
+
+    prepared = (
+        df.withColumn(_TS_MS, event_ms(df, ts))
+        .repartition(F.col(key))
+        .sortWithinPartitions(*sort_cols)
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_key: object = _SENTINEL
+        last_kept_ms = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arr = pdf[key].to_numpy()
+            ms_arr = pdf[_TS_MS].to_numpy()
+            keep = [False] * len(pdf)
+            for i in range(len(pdf)):
+                k = key_arr[i]
+                if k != last_key:
+                    last_key = k
+                    last_kept_ms = ms_arr[i]
+                    keep[i] = True
+                elif ms_arr[i] - last_kept_ms > interval_ms:
+                    last_kept_ms = ms_arr[i]
+                    keep[i] = True
+            yield pdf.loc[keep, out_cols]
+
+    return prepared.mapInPandas(scan, schema=schema)
+
+
+class _Sentinel:
+    def __eq__(self, other):  # never equal to any key value
+        return False
+
+    def __ne__(self, other):
+        return True
+
+
+_SENTINEL = _Sentinel()
+
+BATCH_SEQ = "batch_seq"
+FIRED_AT = "fired_at_ms"
+FIRE_REASON = "fire_reason"
+
+
+def _single_group_replay(df: DataFrame, ts: str, tiebreak: str | None, out_schema, fn):
+    """Replay the whole stream in global (ts, tiebreak) order through
+    one pandas group. coalesce(1) + in-pandas sort keeps it a single
+    narrow exchange instead of a groupBy shuffle on a constant key."""
+    sort_cols = _sort_cols(ts, tiebreak)
+    prepared = df.withColumn(_TS_MS, event_ms(df, ts))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in batches if not p.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        yield fn(pdf)
+
+    return prepared.coalesce(1).mapInPandas(run, schema=out_schema)
+
+
+def length_batch(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    keep: str = "last",
+) -> DataFrame:
+    """``unique:lengthBatch`` (``keep='last'``) / ``unique:firstLengthBatch``
+    (``keep='first'``): tumbling batches of ``N`` distinct keys.
+
+    Output: the retained event per (batch, key), plus ``batch_seq``
+    (0-based fire index) and ``fired_at_ms`` (event time of the fire,
+    i.e. of the Nth distinct key's arrival — the reference rewrites
+    emitted timestamps to flush time,
+    UniqueLengthBatchWindowProcessor.java:171-191). The trailing
+    partial batch is dropped (lengthBatch(10) never fires on <10
+    uniques, UniqueLengthBatchWindowTestCase.java:90-106).
+    """
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    n = require_pos_int(window_length, "window.length")
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+
+    out_cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(BATCH_SEQ, LongType()), StructField(FIRED_AT, LongType())]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_arr = pdf[key].to_numpy()
+        ms_arr = pdf[_TS_MS].to_numpy()
+        forming: dict = {}  # key -> row index of retained event
+        rows: list[int] = []
+        seqs: list[int] = []
+        fires: list[int] = []
+        seq = 0
+        for i in range(len(pdf)):
+            k = key_arr[i]
+            if k in forming:
+                if keep == "last":
+                    forming[k] = i
+            else:
+                forming[k] = i
+                if len(forming) == n:
+                    fired_at = ms_arr[i]
+                    for idx in forming.values():
+                        rows.append(idx)
+                        seqs.append(seq)
+                        fires.append(fired_at)
+                    forming.clear()
+                    seq += 1
+        out = pdf.iloc[rows][out_cols].copy()
+        out[BATCH_SEQ] = pd.Series(seqs, index=out.index, dtype="int64")
+        out[FIRED_AT] = pd.Series(fires, index=out.index, dtype="int64")
+        return out
+
+    return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+
+
+def first_length_batch(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """``unique:firstLengthBatch`` — keep-first within each N-distinct-key
+    batch (reference: UniqueFirstLengthBatchWindowProcessor.java:74-81)."""
+    return length_batch(df, key, window_length, ts, tiebreak, keep="first")
+
+
+def time_length_batch(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """``unique:timeLengthBatch`` — tumbling batch fired by ``T``
+    elapsed or ``N`` distinct keys, whichever first; after a
+    length-fire, events are discarded until the next time boundary
+    (``eventSent`` skip, UniqueTimeLengthBatchWindowProcessor.java:
+    261-271,288-290).
+
+    Event-time replay with boundary timers at ``anchor + k*T`` (anchor
+    = ``start_time_ms`` or the first event's time + T alignment,
+    :244-252). Output adds ``batch_seq``, ``fired_at_ms`` and
+    ``fire_reason`` ('time' | 'length'). Empty time windows fire
+    nothing; the trailing partial batch never fires.
+    """
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    t_ms = parse_time_ms(window_time, "window.time")
+    n = require_pos_int(window_length, "window.length")
+
+    out_cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(BATCH_SEQ, LongType()),
+            StructField(FIRED_AT, LongType()),
+            StructField(FIRE_REASON, StringType()),
+        ]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_arr = pdf[key].to_numpy()
+        ms_arr = pdf[_TS_MS].to_numpy()
+        rows: list[int] = []
+        seqs: list[int] = []
+        fires: list[int] = []
+        reasons: list[str] = []
+        seq = 0
+        forming: dict = {}
+        event_sent = False
+        if len(pdf) == 0:
+            return pdf.iloc[[]][out_cols].assign(
+                **{BATCH_SEQ: [], FIRED_AT: [], FIRE_REASON: []}
+            )
+        if start_time_ms is not None:
+            first_ms = ms_arr[0]
+            next_emit = (
+                start_time_ms
+                + ((first_ms - start_time_ms) // t_ms + 1) * t_ms
+            )
+        else:
+            next_emit = ms_arr[0] + t_ms
+
+        def fire(at_ms: int, reason: str) -> None:
+            nonlocal seq
+            if forming:
+                for idx in forming.values():
+                    rows.append(idx)
+                    seqs.append(seq)
+                    fires.append(at_ms)
+                    reasons.append(reason)
+                forming.clear()
+                seq += 1
+
+        for i in range(len(pdf)):
+            ts_i = ms_arr[i]
+            while ts_i >= next_emit:
+                if event_sent:
+                    event_sent = False  # boundary clears the skip flag
+                else:
+                    fire(next_emit, "time")
+                next_emit += t_ms
+            if event_sent:
+                continue  # discarded until next boundary
+            forming[key_arr[i]] = i
+            if len(forming) == n:
+                fire(ts_i, "length")
+                event_sent = True
+        out = pdf.iloc[rows][out_cols].copy()
+        out[BATCH_SEQ] = pd.Series(seqs, index=out.index, dtype="int64")
+        out[FIRED_AT] = pd.Series(fires, index=out.index, dtype="int64")
+        out[FIRE_REASON] = pd.Series(reasons, index=out.index, dtype="object")
+        return out
+
+    return _single_group_replay(df, ts, tiebreak, out_schema, replay)

@@ -1,0 +1,182 @@
+"""Tumbling time-batch uniqueness windows:
+
+- ``unique:timeBatch`` — tumbling batch, latest-per-key within batch
+  (reference: component/src/main/java/io/siddhi/extension/execution/
+  unique/UniqueTimeBatchWindowProcessor.java:106, boundary math
+  :204-225,302-305, replace :290-294).
+- ``unique:firstTimeBatch`` — same batching, keep-first within batch
+  (reference: UniqueFirstTimeBatchWindowProcessor.java:77-87).
+- ``unique:externalTimeBatch`` — event-time batches driven by a
+  ``time.stamp`` attribute, optional ``start.time`` anchor, optional
+  rewrite of the timestamp to the batch end (reference:
+  UniqueExternalTimeBatchWindowProcessor.java:138, boundary
+  :454-458, ts-rewrite :460-469).
+
+Spark-first design: batch assignment is pure arithmetic on epoch
+millis — ``floor((ms - start) / T) * T + start`` — so the whole
+operator is one hash aggregation ``groupBy(batch, keys).agg(max_by/
+min_by)`` with map-side partial aggregation and full whole-stage
+codegen. No sort, no window function, one shuffle keyed on
+(batch, key), which also spreads hot keys across batches at scale.
+
+The reference's ``timeBatch`` runs on the runtime clock; we
+reinterpret it over an explicit event-time column (deterministic and
+oracle-checkable — see SURVEY.md §7). For in-order input the two are
+equivalent; out-of-order events land in their event-time batch here,
+whereas the reference lumps them into whatever batch is forming at
+arrival (arrival-order-dependent, meaningless in batch mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType, TimestampNTZType
+
+from siddhi_execution_unique_spark.operators.validation import (
+    key_cols,
+    parse_time_ms,
+    require_column,
+    require_keys,
+)
+
+BATCH_START = "batch_start_ms"
+BATCH_END = "batch_end_ms"
+
+
+def event_ms(df: DataFrame, ts: str) -> Column:
+    """Event time as epoch millis, from a timestamp or long/int column."""
+    dt = df.schema[ts].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_millis(F.col(ts))
+    return F.col(ts).cast("long")
+
+
+def _batched_retain(
+    df: DataFrame,
+    keys: list,
+    ts: str,
+    window_ms: int,
+    start_ms: Column | int,
+    tiebreak: str | None,
+    keep: str,
+) -> DataFrame:
+    ms = event_ms(df, ts)
+    start = F.lit(start_ms) if isinstance(start_ms, int) else start_ms
+    batch_start = (F.floor((ms - start) / window_ms).cast("long") * window_ms + start)
+    with_batch = df.withColumn(BATCH_START, batch_start)
+    order_cols = [ms] + ([F.col(tiebreak)] if tiebreak else [])
+    order = F.struct(*order_cols) if len(order_cols) > 1 else order_cols[0]
+    payload = F.struct(*[F.col(c) for c in df.columns], F.col(BATCH_START))
+    agg = F.max_by(payload, order) if keep == "last" else F.min_by(payload, order)
+    return (
+        with_batch.groupBy(F.col(BATCH_START), *key_cols(keys))
+        .agg(agg.alias("_retained"))
+        .select("_retained.*")
+        .withColumn(BATCH_END, F.col(BATCH_START) + F.lit(window_ms))
+    )
+
+
+def time_batch(
+    df: DataFrame,
+    keys,
+    window_time: int | str,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int = 0,
+    keep: str = "last",
+) -> DataFrame:
+    """``unique:timeBatch`` over event time: one row per (batch, key),
+    the latest (``keep='last'``) or first (``keep='first'``) event of
+    that key within the tumbling batch. Adds ``batch_start_ms`` /
+    ``batch_end_ms`` columns.
+
+    ``start_time_ms`` reproduces the reference's ``start.time`` modulo
+    alignment (UniqueTimeBatchWindowProcessor.java:302-305).
+    """
+    keys = require_keys(keys)
+    require_column(df, ts, "ts")
+    window_ms = parse_time_ms(window_time, "window.time")
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+    return _batched_retain(df, keys, ts, window_ms, start_time_ms % window_ms, tiebreak, keep)
+
+
+def first_time_batch(
+    df: DataFrame,
+    keys,
+    window_time: int | str,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int = 0,
+) -> DataFrame:
+    """``unique:firstTimeBatch`` — keep-first within each tumbling batch."""
+    return time_batch(df, keys, window_time, ts, tiebreak, start_time_ms, keep="first")
+
+
+def external_time_batch(
+    df: DataFrame,
+    keys,
+    timestamp: str,
+    window_time: int | str,
+    ts: str | None = None,
+    start_time_ms: int | None = None,
+    replace_timestamp_with_batch_end: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """``unique:externalTimeBatch`` — tumbling batches driven by the
+    event's own ``timestamp`` attribute (long millis or timestamp).
+
+    With ``start_time_ms`` given, boundaries follow the reference's
+    ``endTime = ts + (T - (ts - start) % T)`` (UniqueExternalTimeBatch-
+    WindowProcessor.java:454-458), i.e. floor-bucketing anchored at
+    ``start``. Without it, batches anchor at the first (minimum) event
+    timestamp — computed with a broadcast scalar aggregate, so the
+    anchor costs one tiny extra stage, not a second full shuffle.
+
+    ``replace_timestamp_with_batch_end`` mirrors the optional
+    timestamp rewrite (:460-469). The reference's ``time.out`` idle
+    flush is a wall-clock concern that only exists in streaming — see
+    :mod:`siddhi_execution_unique_spark.streaming`.
+    """
+    keys = require_keys(keys)
+    require_column(df, timestamp, "time.stamp")
+    window_ms = parse_time_ms(window_time, "window.time")
+    ts = ts or timestamp
+
+    if start_time_ms is None:
+        anchor = df.agg(F.min(event_ms(df, timestamp)).alias("_anchor_ms"))
+        df = df.crossJoin(F.broadcast(anchor))
+        start: Column | int = F.col("_anchor_ms")
+    else:
+        start = start_time_ms
+
+    out = _batched_retain(df, keys, timestamp, window_ms, start, tiebreak, keep="last")
+    if "_anchor_ms" in out.columns:
+        out = out.drop("_anchor_ms")
+    if replace_timestamp_with_batch_end:
+        dt = out.schema[timestamp].dataType
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            out = out.withColumn(timestamp, F.timestamp_millis(F.col(BATCH_END)))
+        else:
+            out = out.withColumn(timestamp, F.col(BATCH_END).cast(dt))
+    return out
+
+
+def expired_channel(batched: DataFrame, window_ms: int | str) -> DataFrame:
+    """The EXPIRED emission channel for any tumbling-batch operator
+    output: the reference re-emits each fired batch as EXPIRED when the
+    *next* batch fires, timestamps overwritten to that flush time
+    (UniqueTimeBatchWindowProcessor.java:235-266). Given a batched
+    result, the expired stream is the same rows tagged with
+    ``expired_at_ms = batch_end_ms + T`` — every batch except the last
+    (no successor fire ever flushes it).
+    """
+    window_ms = parse_time_ms(window_ms, "window.time")
+    last_batch = batched.agg(F.max(F.col(BATCH_END)).alias("_last_end"))
+    return (
+        batched.crossJoin(F.broadcast(last_batch))
+        .filter(F.col(BATCH_END) < F.col("_last_end"))
+        .drop("_last_end")
+        .withColumn("expired_at_ms", F.col(BATCH_END) + F.lit(window_ms))
+    )

@@ -1,0 +1,55 @@
+"""Sources: parquet table loaders for the test star schema.
+
+The reference ingests events through ``InputHandler.send(Object[])``
+(reference: component/src/test/java/.../DeduplicateTestCase.java:92-102);
+our source tier is Spark's native readers — batch ``spark.read`` here,
+streaming twins in :mod:`siddhi_execution_unique_spark.streaming.sources`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The events table stores TIMESTAMP(NANOS) parquet, which Spark's
+    # vectorized reader rejects; read nanos as long and convert to a
+    # microsecond timestamp with integer division (double division
+    # would lose precision at 1e18 ns).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several tables at once; all of them when no names given."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works on the
+    same names the DuckDB oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,260 @@
+"""Semantic scenario tests mirroring the reference's TestNG cases
+(SURVEY.md §5 category 1-4), with Thread.sleep boundaries re-expressed
+as explicit event-time (long millis) gaps."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from siddhi_execution_unique_spark import (
+    deduplicate,
+    ever,
+    external_time_batch,
+    first,
+    first_length_batch,
+    first_time_batch,
+    length_batch,
+    length_window,
+    time_batch,
+    time_length_batch,
+    time_window,
+)
+from siddhi_execution_unique_spark.operators.keyed import ever_expired
+from siddhi_execution_unique_spark.operators.time_batch import expired_channel
+
+SCHEMA = "ts long, event_id long, k string, v double"
+
+
+def make(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def rows_set(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+# --- unique:ever (UniqueEverWindowTestCase: 5 events, 3 uniques) ---
+
+def test_ever_latest_per_key(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "b", 2.0), (3, 3, "a", 3.0),
+                      (4, 4, "c", 4.0), (5, 5, "b", 5.0)])
+    out = ever(df, "k", ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "ts") == {("a", 3), ("b", 5), ("c", 4)}
+
+
+def test_ever_multi_key(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "a", 1.0), (3, 3, "a", 2.0)])
+    out = ever(df, ["k", "v"], ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "v", "ts") == {("a", 1.0, 2), ("a", 2.0, 3)}
+
+
+def test_ever_expired_channel(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "b", 2.0), (3, 3, "a", 3.0),
+                      (4, 4, "c", 4.0), (5, 5, "b", 5.0)])
+    out = ever_expired(df, "k", ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "ts") == {("a", 1), ("b", 2)}
+
+
+def test_ever_tiebreak_deterministic(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (1, 2, "a", 2.0)])
+    out = ever(df, "k", ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "event_id") == {("a", 2)}
+
+
+# --- unique:first (UniqueFirstWindowTestCase) ---
+
+def test_first_per_key(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "b", 2.0), (3, 3, "a", 3.0)])
+    out = first(df, "k", ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "ts") == {("a", 1), ("b", 2)}
+
+
+def test_first_after_filter(spark):
+    # composition: filter before window (UniqueFirstWindowTestCase.java:158)
+    df = make(spark, [(1, 1, "a", 5.0), (2, 2, "a", 20.0), (3, 3, "b", 30.0)])
+    out = first(df.filter(F.col("v") > 10), "k", ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "ts") == {("a", 2), ("b", 3)}
+
+
+# --- unique:deduplicate (DeduplicateTestCase; anchored-burst chain) ---
+
+def test_deduplicate_burst_collapses(spark):
+    df = make(spark, [(0, 1, "a", 1.0), (50, 2, "a", 2.0), (120, 3, "a", 3.0),
+                      (260, 4, "a", 4.0), (10, 5, "b", 5.0)])
+    out = deduplicate(df, "k", 100, ts="ts", tiebreak="event_id")
+    # a@50 dropped (50-0 <= 100); a@120 kept (120-0 > 100, anchor moves);
+    # a@260 kept (260-120 > 100); b independent.
+    assert rows_set(out, "k", "ts") == {("a", 0), ("a", 120), ("a", 260), ("b", 10)}
+
+
+def test_deduplicate_anchor_not_refreshed_by_drops(spark):
+    # lag()-style SQL would drop t=120 (120-50=70 <= 100); reference keeps it.
+    df = make(spark, [(0, 1, "a", 1.0), (50, 2, "a", 2.0), (120, 3, "a", 3.0)])
+    out = deduplicate(df, "k", 100, ts="ts", tiebreak="event_id")
+    assert rows_set(out, "ts") == {(0,), (120,)}
+
+
+def test_deduplicate_time_constant_sugar(spark):
+    df = make(spark, [(0, 1, "a", 1.0), (500, 2, "a", 2.0), (1500, 3, "a", 3.0)])
+    out = deduplicate(df, "k", "1 sec", ts="ts", tiebreak="event_id")
+    assert rows_set(out, "ts") == {(0,), (1500,)}
+
+
+# --- unique:length (final contents) ---
+
+def test_length_window_contents(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "b", 2.0), (3, 3, "c", 3.0),
+                      (4, 4, "a", 4.0)])
+    out = length_window(df, "k", 2, ts="ts", tiebreak="event_id")
+    # latest per key: a@4, b@2, c@3 -> two most recent keys: a, c
+    assert rows_set(out, "k", "ts") == {("a", 4), ("c", 3)}
+
+
+# --- unique:timeBatch / firstTimeBatch ---
+
+def test_time_batch_replace(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (5, 2, "a", 2.0), (11, 3, "a", 3.0),
+                      (12, 4, "b", 4.0)])
+    out = time_batch(df, "k", 10, ts="ts", tiebreak="event_id")
+    assert rows_set(out, "batch_start_ms", "k", "ts") == {
+        (0, "a", 5), (10, "a", 11), (10, "b", 12)}
+
+
+def test_first_time_batch_keep_first(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (5, 2, "a", 2.0), (11, 3, "a", 3.0)])
+    out = first_time_batch(df, "k", 10, ts="ts", tiebreak="event_id")
+    assert rows_set(out, "batch_start_ms", "k", "ts") == {(0, "a", 1), (10, "a", 11)}
+
+
+def test_time_batch_start_time_alignment(spark):
+    # start.time modulo alignment (UniqueTimeBatchWindowProcessor.java:302-305)
+    df = make(spark, [(7, 1, "a", 1.0), (12, 2, "a", 2.0)])
+    out = time_batch(df, "k", 10, ts="ts", tiebreak="event_id", start_time_ms=5)
+    assert rows_set(out, "batch_start_ms", "ts") == {(5, 12)}
+
+
+def test_time_batch_expired_channel(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (11, 2, "a", 2.0), (21, 3, "b", 3.0)])
+    cur = time_batch(df, "k", 10, ts="ts", tiebreak="event_id")
+    exp = expired_channel(cur, 10)
+    # batches [0,10) and [10,20) expire at next fire; last batch never does
+    assert rows_set(exp, "batch_start_ms", "expired_at_ms") == {(0, 20), (10, 30)}
+
+
+# --- unique:externalTimeBatch ---
+
+def test_external_time_batch_anchored_to_first_event(spark):
+    df = make(spark, [(10, 1, "a", 1.0), (12, 2, "b", 2.0), (25, 3, "a", 3.0),
+                      (40, 4, "a", 4.0)])
+    out = external_time_batch(df, "k", timestamp="ts", window_time=10,
+                              tiebreak="event_id")
+    assert rows_set(out, "batch_start_ms", "k", "ts") == {
+        (10, "a", 10), (10, "b", 12), (20, "a", 25), (40, "a", 40)}
+
+
+def test_external_time_batch_counts_sequence(spark):
+    # mirrors UniqueExternalTimeBatchWindowTestCase per-batch count asserts
+    rows = [(0, i, f"k{i}", 1.0) for i in range(3)] \
+         + [(1000, 10 + i, f"k{i}", 2.0) for i in range(2)] \
+         + [(2000, 20 + i, f"x{i}", 3.0) for i in range(3)]
+    df = make(spark, rows)
+    out = external_time_batch(df, "k", timestamp="ts", window_time=1000,
+                              start_time_ms=0, tiebreak="event_id")
+    counts = {r["batch_start_ms"]: r["n"] for r in
+              out.groupBy("batch_start_ms").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 3, 1000: 2, 2000: 3}
+
+
+def test_external_time_batch_replace_timestamp(spark):
+    df = make(spark, [(10, 1, "a", 1.0), (12, 2, "b", 2.0)])
+    out = external_time_batch(df, "k", timestamp="ts", window_time=10,
+                              start_time_ms=0, tiebreak="event_id",
+                              replace_timestamp_with_batch_end=True)
+    assert rows_set(out, "k", "ts") == {("a", 20), ("b", 20)}
+
+
+# --- unique:time (final contents) ---
+
+def test_time_window_contents(spark):
+    df = make(spark, [(0, 1, "a", 1.0), (950, 2, "b", 2.0), (980, 3, "a", 3.0),
+                      (1000, 4, "c", 4.0)])
+    out = time_window(df, "k", 100, ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "ts") == {("b", 950), ("a", 980), ("c", 1000)}
+
+
+# --- unique:lengthBatch / firstLengthBatch ---
+
+def test_length_batch_fire_on_distinct_keys(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "a", 2.0), (3, 3, "b", 3.0),
+                      (4, 4, "c", 4.0), (5, 5, "a", 5.0), (6, 6, "d", 6.0),
+                      (7, 7, "e", 7.0)])
+    out = length_batch(df, "k", 2, ts="ts", tiebreak="event_id")
+    assert rows_set(out, "batch_seq", "k", "ts") == {
+        (0, "a", 2), (0, "b", 3), (1, "c", 4), (1, "a", 5), (2, "d", 6), (2, "e", 7)}
+
+
+def test_length_batch_never_fires_below_n(spark):
+    # lengthBatch(10) never fires on <10 uniques (testcase :90-106)
+    df = make(spark, [(i, i, f"k{i}", 1.0) for i in range(9)])
+    assert length_batch(df, "k", 10, ts="ts", tiebreak="event_id").count() == 0
+
+
+def test_first_length_batch_keeps_first(spark):
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "a", 2.0), (3, 3, "b", 3.0)])
+    out = first_length_batch(df, "k", 2, ts="ts", tiebreak="event_id")
+    assert rows_set(out, "batch_seq", "k", "ts") == {(0, "a", 1), (0, "b", 3)}
+
+
+# --- unique:timeLengthBatch ---
+
+def test_time_length_batch_length_fire_then_discard(spark):
+    df = make(spark, [(0, 1, "a", 1.0), (10, 2, "b", 2.0), (20, 3, "c", 3.0),
+                      (30, 4, "d", 4.0),   # discarded (after length fire)
+                      (110, 5, "e", 5.0), (120, 6, "f", 6.0), (130, 7, "g", 7.0),
+                      (140, 8, "h", 8.0),  # discarded
+                      (250, 9, "i", 9.0)])  # trailing partial batch
+    out = time_length_batch(df, "k", 100, 3, ts="ts", tiebreak="event_id")
+    got = rows_set(out, "batch_seq", "k", "fire_reason")
+    assert got == {(0, "a", "length"), (0, "b", "length"), (0, "c", "length"),
+                   (1, "e", "length"), (1, "f", "length"), (1, "g", "length")}
+
+
+def test_time_length_batch_time_fire(spark):
+    df = make(spark, [(0, 1, "a", 1.0), (10, 2, "b", 2.0), (50, 3, "a", 3.0),
+                      (120, 4, "c", 4.0), (130, 5, "d", 5.0)])
+    out = time_length_batch(df, "k", 100, 10, ts="ts", tiebreak="event_id")
+    got = rows_set(out, "batch_seq", "k", "ts", "fire_reason", "fired_at_ms")
+    assert got == {(0, "a", 50, "time", 100), (0, "b", 10, "time", 100)}
+
+
+# --- validation (negative tests, SURVEY §5 category 4) ---
+
+@pytest.mark.parametrize("bad", [None, [], 42])
+def test_keys_validation(spark, bad):
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        ever(df, bad, ts="ts")
+
+
+def test_bad_time_constant(spark):
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        time_batch(df, "k", "1 parsec", ts="ts")
+    with pytest.raises(ValueError):
+        time_batch(df, "k", 0, ts="ts")
+    with pytest.raises(ValueError):
+        time_batch(df, "k", -5, ts="ts")
+
+
+def test_bad_length(spark):
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        length_window(df, "k", 0, ts="ts")
+    with pytest.raises(ValueError):
+        length_batch(df, "k", "ten", ts="ts")
+
+
+def test_bad_ts_column(spark):
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        ever(df, "k", ts="nope")
