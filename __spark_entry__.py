@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from siddhi_execution_unique_spark import operators as ops  # noqa: E402
+from siddhi_execution_unique_spark.functions import (  # noqa: E402
+    dedup as fdedup,
+    multimodal as fmm,
+    similarity as fsim,
+    text as ftext,
+)
 from siddhi_execution_unique_spark.sources import load_table  # noqa: E402
 
 HOUR = 3_600_000
@@ -195,6 +201,14 @@ def q_time_length_batch(spark, sf_dir):
     ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")
 
 
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unique_ever": q_unique_ever,
@@ -216,6 +230,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_length_batch": q_length_batch,
         "unique_first_length_batch": q_first_length_batch,
         "unique_time_length_batch": q_time_length_batch,
+        # training-data pipeline tier (documents / embeddings)
+        "text_token_stats": lambda s, d: ftext.token_stats(_docs(s, d)),
+        "text_quality_score": lambda s, d: ftext.quality_score(_docs(s, d)),
+        "text_lang_id": lambda s, d: ftext.lang_id(_docs(s, d)),
+        "text_fingerprint": lambda s, d: ftext.fingerprint(_docs(s, d)),
+        "dedup_exact": lambda s, d: fdedup.exact_dedup(_docs(s, d)),
+        "dedup_minhash_signatures": lambda s, d: fdedup.minhash_signatures(_docs(s, d)),
+        "dedup_near_pairs_lsh": lambda s, d: fdedup.near_dup_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: fdedup.simhash(_docs(s, d)),
+        "dedup_simhash_near_pairs": lambda s, d: fdedup.simhash_near_pairs(_docs(s, d)),
+        "dedup_char_ngram_jaccard": lambda s, d: fdedup.char_ngram_jaccard_pairs(_docs(s, d)),
+        "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
+        "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
+        # multimodal plumbing: rows-only (pandas-UDF feature extraction)
+        "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
     }
 
 
@@ -358,4 +387,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, click_ts_ms, click_value, purchase_ts_ms, purchase_value
             FROM clicks JOIN purchases USING (user_id)
         """,
+        "text_token_stats": ftext.token_stats_oracle(),
+        "text_quality_score": ftext.quality_score_oracle(),
+        "text_lang_id": ftext.lang_id_oracle(),
+        "text_fingerprint": ftext.fingerprint_oracle(),
+        "dedup_exact": fdedup.exact_dedup_oracle(),
+        "dedup_minhash_signatures": fdedup.minhash_signatures_oracle(),
+        "dedup_near_pairs_lsh": fdedup.near_dup_pairs_oracle(),
+        "dedup_simhash": fdedup.simhash_oracle(),
+        "dedup_simhash_near_pairs": fdedup.simhash_near_pairs_oracle(),
+        "dedup_char_ngram_jaccard": fdedup.char_ngram_jaccard_pairs_oracle(),
+        "sim_cosine_topk": fsim.cosine_topk_oracle(),
+        "sim_ivf_topk": fsim.ivf_topk_oracle(),
     }

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas`` feature
+extractors. (Beyond-reference scope — SURVEY.md §7 phase 4.)
+
+The container has no image/audio codecs, so the *decode* step is a
+stub (clearly marked, raises ``NotImplementedError``) with a
+deterministic fake extractor behind it; the Spark-side plumbing —
+schema, Arrow batch shape, partition-local processing — is real and
+tested. At scale this pattern is exactly how you'd run CPU-bound
+decode: binary column + metadata struct in parquet, ``mapInPandas``
+over size-bounded Arrow batches, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+HIST_BINS = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_hist", ArrayType(IntegerType())),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + metadata struct. Here the
+    payload is the UTF-8 text (stand-in for image/audio bytes); in a
+    real corpus this column comes straight from parquet."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real image decode requires PIL/opencv, which this
+    container does not ship. The Spark plumbing around it
+    (:func:`extract_features`) is real."""
+    raise NotImplementedError(
+        "image decode requires an image codec library (PIL/opencv); "
+        "not available in this environment — use the deterministic "
+        "byte-histogram fake extractor instead"
+    )
+
+
+def _fake_features(payload: bytes) -> list[int]:
+    """Deterministic stand-in for a decoded-media feature vector:
+    a 16-bin byte histogram."""
+    hist = [0] * HIST_BINS
+    for byte in payload:
+        hist[byte % HIST_BINS] += 1
+    return hist
+
+
+def extract_features(binary_df: DataFrame, use_real_decode: bool = False) -> DataFrame:
+    """Feature extraction over the binary column via ``mapInPandas``:
+    one Arrow batch in, one feature frame out, partition-local (no
+    shuffle). ``use_real_decode=True`` routes through
+    :func:`decode_image` and raises until a codec is installed."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if use_real_decode:
+                feats = [decode_image(p) for p in payloads]
+            else:
+                feats = [_fake_features(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    "byte_hist": feats,
+                }
+            )
+
+    return binary_df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def feature_stats(docs: DataFrame) -> DataFrame:
+    """End-to-end multimodal pipeline demo: attach payloads, extract
+    features, reduce to per-document scalars (rows-only checkable)."""
+    feats = extract_features(with_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.expr("array_max(byte_hist)").alias("max_bin"),
+        F.expr(
+            "array_position(byte_hist, array_max(byte_hist))"
+        ).alias("argmax_bin_1based"),
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (``array<float>``):
+brute-force cosine top-k as the exact baseline, and an IVF
+(inverted-file) coarse-quantizer variant as the scale path.
+(Beyond-reference scope — SURVEY.md §7 phase 4.)
+
+Dot products run as JVM-side ``zip_with``/``aggregate`` folds (no
+Python). Floats are cast to double before multiplying, and both
+engines fold left-to-right, so cosine values are bit-identical to the
+DuckDB oracle (verified) — but only rank/id columns are emitted, so
+the hash compare never rides on float representation anyway.
+
+Scale design: the probe set is a broadcast (queries are few); the
+corpus side streams partition-local with no shuffle. Top-k per query
+is a partial TakeOrdered per partition + merge. The IVF variant cuts
+the scanned fraction to ~nprobe/n_cells by pre-partitioning the
+corpus on the cell id — at 100 TB you'd bucket the corpus table by
+cell so probes prune partitions at the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOP_K = 5
+N_PROBE_CELLS = 3
+CENTROID_STRIDE = 50  # vec_id % stride == 0 -> deterministic "centroids"
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0d, (acc, v) -> acc + v)"
+)
+# DuckDB: same left-to-right fold via index transform + list_reduce
+_DOT_DUCK = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _with_norm2(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("norm2", F.expr(_DOT_SPARK.format(a=vec, b=vec)))
+
+
+def _cos_expr(a: str, b: str, n2a: str, n2b: str) -> str:
+    return f"{_DOT_SPARK.format(a=a, b=b)} / sqrt({n2a} * {n2b})"
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Exact cosine top-k: for each probe vector (``vec_id <
+    n_queries``), the k nearest corpus vectors (self excluded), ranked
+    by cosine desc with vec_id tiebreak. Output: (query_id,
+    neighbor_id, rank) — ints only."""
+    corpus = _with_norm2(emb).select("vec_id", "embedding", "norm2")
+    probes = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_cos_expr("embedding", "q_emb", "norm2", "q_norm2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def cosine_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
+    dot = _DOT_DUCK.format(a="c.embedding", b="q.embedding")
+    n2c = _DOT_DUCK.format(a="c.embedding", b="c.embedding")
+    n2q = _DOT_DUCK.format(a="q.embedding", b="q.embedding")
+    return f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {dot} / sqrt(({n2c}) * ({n2q})) AS cos
+          FROM embeddings c
+          JOIN embeddings q ON q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = TOP_K,
+    n_probe: int = N_PROBE_CELLS,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their
+    nearest deterministic centroid (``vec_id % CENTROID_STRIDE == 0``);
+    each probe searches only its ``n_probe`` closest cells. Same
+    output shape as :func:`cosine_topk`."""
+    base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
+    centroids = (
+        base.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm2").alias("c_norm2"),
+        )
+    )
+    # nearest centroid per corpus vector: tiny broadcast, one pass
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+    assigned = (
+        base.join(F.broadcast(centroids))
+        .withColumn("c_cos", F.expr(_cos_expr("embedding", "c_emb", "norm2", "c_norm2")))
+        .withColumn("c_rank", F.row_number().over(assign_w))
+        .filter(F.col("c_rank") == 1)
+        .select("vec_id", "embedding", "norm2", F.col("c_id").alias("cell"))
+    )
+    probes = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("pc_cos").desc(), F.col("c_id"))
+    probe_cells = (
+        probes.join(F.broadcast(centroids))
+        .withColumn("pc_cos", F.expr(_cos_expr("q_emb", "c_emb", "q_norm2", "c_norm2")))
+        .withColumn("pc_rank", F.row_number().over(probe_w))
+        .filter(F.col("pc_rank") <= n_probe)
+        .select("query_id", "q_emb", "q_norm2", F.col("c_id").alias("cell"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_cos_expr("embedding", "q_emb", "norm2", "q_norm2")))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def ivf_topk_oracle(n_queries: int = 8, k: int = TOP_K, n_probe: int = N_PROBE_CELLS) -> str:
+    def cos(a, b):
+        return (
+            f"{_DOT_DUCK.format(a=a, b=b)} / "
+            f"sqrt(({_DOT_DUCK.format(a=a, b=a)}) * ({_DOT_DUCK.format(a=b, b=b)}))"
+        )
+
+    return f"""
+        WITH centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+          WHERE vec_id % {CENTROID_STRIDE} = 0
+        ),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, c.c_id AS cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {cos('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+          FROM embeddings v CROSS JOIN centroids c
+          QUALIFY rn = 1
+        ),
+        probe_cells AS (
+          SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.c_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {cos('q.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+          FROM embeddings q CROSS JOIN centroids c
+          WHERE q.vec_id < {n_queries}
+          QUALIFY rn <= {n_probe}
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY {cos('a.embedding', 'p.q_emb')} DESC, a.vec_id) AS rank
+          FROM assigned a JOIN probe_cells p ON a.cell = p.cell
+          WHERE a.vec_id != p.query_id
+        ) WHERE rank <= {k}
+    """

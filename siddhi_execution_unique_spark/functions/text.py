@@ -1,0 +1,161 @@
+"""Text-analysis scalar functions for large-scale training-data
+pipelines: token counting, quality scoring, language ID, document
+fingerprinting. (Beyond-reference scope — SURVEY.md §7 phase 4; the
+reference has no scalar function library, SURVEY.md §2b.)
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+expressions (no Python UDFs), so the hot path stays inside
+whole-stage codegen and the parquet scan prunes to the referenced
+columns only. Each operator ships a DuckDB oracle builder that
+mirrors the exact expression tree, so results hash-match bit-for-bit
+(verified: md5-hex→int64, double folds, and round() agree across
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tokenization shared by every op; mirrored fragments
+SPARK_TOKS = r"split(trim(lower(text)), '\\s+')"
+DUCK_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+# "BPE-ish" word/number/punct token pattern
+_BPE_SPARK = r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'"
+_BPE_DUCK = r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'"
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "und", "das", "ein", "zu", "ist"),
+    "fr": ("le", "la", "de", "et", "un", "pour", "est"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def _in_list_sql(var: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"CASE WHEN {var} IN ({quoted}) THEN 1 ELSE 0 END"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics: whitespace tokens, BPE-ish
+    regex tokens, average token length."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({SPARK_TOKS})").alias("n_tokens"),
+        F.expr(f"regexp_count(text, {_BPE_SPARK})").alias("n_bpe_tokens"),
+        F.expr(
+            f"round(aggregate({SPARK_TOKS}, 0L, (a, x) -> a + length(x))"
+            f" / cast(size({SPARK_TOKS}) as double), 6)"
+        ).alias("avg_token_len"),
+    )
+
+
+def token_stats_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               len({DUCK_TOKS}) AS n_tokens,
+               len(regexp_extract_all(text, {_BPE_DUCK})) AS n_bpe_tokens,
+               round(list_sum(list_transform({DUCK_TOKS}, x -> length(x)))
+                     / CAST(len({DUCK_TOKS}) AS DOUBLE), 6) AS avg_token_len
+        FROM documents
+    """
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1] from stopword ratio, punct
+    ratio, and short-token ratio — the standard cheap pre-filters for
+    LLM corpus curation."""
+    toks = SPARK_TOKS
+    stop_sum = f"aggregate({toks}, 0L, (a, x) -> a + ({_in_list_sql('x', STOPWORDS['en'])}))"
+    short_sum = f"aggregate({toks}, 0L, (a, x) -> a + (CASE WHEN length(x) <= 2 THEN 1 ELSE 0 END))"
+    punct = r"regexp_count(text, '[^A-Za-z0-9\\s]')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"round({stop_sum} / cast(size({toks}) as double), 6)").alias("stopword_ratio"),
+        F.expr(f"round({punct} / cast(length(text) as double), 6)").alias("punct_ratio"),
+        F.expr(f"round({short_sum} / cast(size({toks}) as double), 6)").alias("short_token_ratio"),
+        F.expr(
+            f"round(0.5 * least({stop_sum} / cast(size({toks}) as double) * 5.0, 1.0)"
+            f" + 0.3 * (1.0 - {punct} / cast(length(text) as double))"
+            f" + 0.2 * (1.0 - {short_sum} / cast(size({toks}) as double)), 6)"
+        ).alias("quality"),
+    )
+
+
+def quality_score_oracle() -> str:
+    toks = DUCK_TOKS
+    stop_sum = f"list_sum(list_transform({toks}, x -> ({_in_list_sql('x', STOPWORDS['en'])})))"
+    short_sum = f"list_sum(list_transform({toks}, x -> (CASE WHEN length(x) <= 2 THEN 1 ELSE 0 END)))"
+    punct = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+    return f"""
+        SELECT doc_id,
+               round({stop_sum} / CAST(len({toks}) AS DOUBLE), 6) AS stopword_ratio,
+               round({punct} / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+               round({short_sum} / CAST(len({toks}) AS DOUBLE), 6) AS short_token_ratio,
+               round(0.5 * least({stop_sum} / CAST(len({toks}) AS DOUBLE) * 5.0, 1.0)
+                     + 0.3 * (1.0 - {punct} / CAST(length(text) AS DOUBLE))
+                     + 0.2 * (1.0 - {short_sum} / CAST(len({toks}) AS DOUBLE)), 6) AS quality
+        FROM documents
+    """
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-overlap language ID over {en, es, de, fr}; deterministic
+    argmax with fixed preference order on ties."""
+    toks = SPARK_TOKS
+    scores = {
+        lang: f"aggregate({toks}, 0L, (a, x) -> a + ({_in_list_sql('x', words)}))"
+        for lang, words in STOPWORDS.items()
+    }
+    s = scores
+    case = (
+        f"CASE WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en' "
+        f"WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']} THEN 'es' "
+        f"WHEN {s['de']} >= {s['fr']} THEN 'de' ELSE 'fr' END"
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.expr(s[lang]).alias(f"score_{lang}") for lang in _LANG_ORDER],
+        F.expr(case).alias("pred_lang"),
+    )
+
+
+def lang_id_oracle() -> str:
+    toks = DUCK_TOKS
+    s = {
+        lang: f"list_sum(list_transform({toks}, x -> ({_in_list_sql('x', words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    score_cols = ",\n               ".join(f"{s[lang]} AS score_{lang}" for lang in _LANG_ORDER)
+    case = (
+        f"CASE WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en' "
+        f"WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']} THEN 'es' "
+        f"WHEN {s['de']} >= {s['fr']} THEN 'de' ELSE 'fr' END"
+    )
+    return f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {score_cols},
+               {case} AS pred_lang
+        FROM documents
+    """
+
+
+NORM_SPARK = r"regexp_replace(trim(lower(text)), '\\s+', ' ')"
+NORM_DUCK = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({NORM_SPARK})").alias("fingerprint"),
+    )
+
+
+def fingerprint_oracle() -> str:
+    return f"SELECT doc_id, md5({NORM_DUCK}) AS fingerprint FROM documents"

@@ -1,0 +1,92 @@
+"""Unit tests for the training-data pipeline functions (phase 4).
+Cross-engine parity is covered by test_oracle_parity.py; these cover
+semantics the oracle can't see."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from siddhi_execution_unique_spark.functions import dedup as fdedup
+from siddhi_execution_unique_spark.functions import multimodal as fmm
+from siddhi_execution_unique_spark.functions import similarity as fsim
+from siddhi_execution_unique_spark.sources import load_table
+
+
+def test_exact_dedup_groups_identical_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello  world", "en", "s", 11), (2, "Hello world", "en", "s", 11),
+         (3, "other text", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = fdedup.exact_dedup(docs).collect()
+    groups = {r["keep_doc_id"]: r["n_docs"] for r in out}
+    # case + whitespace normalization folds 1 and 2 together
+    assert groups == {1: 2, 3: 1}
+
+
+def test_near_dup_pairs_finds_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, base + " tomorrow", "en", "s", len(base) + 9),
+         (3, "completely different words about spark catalyst optimizer plans", "en", "s", 64)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    pairs = fdedup.near_dup_pairs(docs).collect()
+    assert [(r["doc_id_1"], r["doc_id_2"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_simhash_identical_docs_equal(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16), (2, "alpha beta gamma", "en", "s", 16),
+         (3, "delta epsilon zeta eta theta", "en", "s", 28)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    vals = {r["doc_id"]: r["simhash"] for r in fdedup.simhash(docs).collect()}
+    assert vals[1] == vals[2]
+    assert vals[1] != vals[3]
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id long, embedding array<float>")
+    out = fsim.cosine_topk(emb, n_queries=1, k=2).collect()
+    ranked = sorted([(r["rank"], r["neighbor_id"]) for r in out])
+    # query 0: nearest is 3 (cos~0.999), then 1 (cos~0.994); self excluded
+    assert ranked == [(1, 3), (2, 1)]
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    feats = fmm.extract_features(fmm.with_binary_payload(docs))
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["byte_hist"]) == fmm.HIST_BINS
+        assert sum(r["byte_hist"]) == r["n_bytes"]
+        assert r["mime"] == "application/octet-stream"
+
+
+def test_real_decode_stub_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    feats = fmm.extract_features(fmm.with_binary_payload(docs), use_real_decode=True)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        feats.collect()
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in fsim.cosine_topk(emb).collect()}
+
+    def recall(n_probe):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in fsim.ivf_topk(emb, n_probe=n_probe).collect()}
+        return len(exact & approx) / len(exact)
+
+    # synthetic embeddings are unclustered, so coarse quantization is
+    # genuinely approximate; recall must rise with n_probe and reach
+    # ~exact when scanning most cells
+    r3, r8 = recall(3), recall(8)
+    assert r3 >= 0.3, f"IVF recall@n_probe=3 {r3} unexpectedly low"
+    assert r8 >= 0.9, f"IVF recall@n_probe=8 {r8} should approach exact"
+    assert r8 >= r3
