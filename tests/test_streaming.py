@@ -1,0 +1,158 @@
+"""Streaming twins: file-source micro-batches + memory sink, plus the
+checkpoint-resume story (mirrors the reference's persist/restore
+tests, UniqueEverWindowTestCase.java:141-219)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from siddhi_execution_unique_spark import streaming as stw
+
+SCHEMA = StructType([
+    StructField("ts", TimestampType()),
+    StructField("event_id", LongType()),
+    StructField("k", StringType()),
+    StructField("v", DoubleType()),
+])
+
+
+def write_batch(dirname, filename, rows):
+    """rows: list of (ts_ms, event_id, k, v)"""
+    table = pa.table({
+        "ts": pa.array([r[0] * 1000 for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "k": pa.array([r[2] for r in rows], pa.string()),
+        "v": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(table, os.path.join(dirname, filename))
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "in").mkdir()
+    (d / "ckpt").mkdir()
+    return d
+
+
+def run_available(spark, out_df, sink_name, ckpt, mode="append"):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {sink_name}")
+
+
+def read_stream(spark, indir):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir))
+    )
+
+
+def test_first_stream_dedups_across_batches(spark, workdir):
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    write_batch(workdir / "in", "002.parquet", [(3000, 3, "a", 3.0), (4000, 4, "c", 4.0)])
+    out = stw.first_stream(read_stream(spark, workdir / "in"), "k")
+    res = run_available(spark, out, "first_sink", workdir / "ckpt")
+    got = {(r["k"], r["event_id"]) for r in res.collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 4)}
+
+
+def test_first_stream_checkpoint_resume(spark, workdir):
+    # file sink (memory sink can't recover from a checkpoint)
+    outdir = workdir / "out"
+
+    def run_to_files(sink_dir):
+        q = (
+            stw.first_stream(read_stream(spark, workdir / "in"), "k")
+            .writeStream.format("parquet")
+            .option("path", str(sink_dir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    run_to_files(outdir)
+    # new data arrives while "down": a duplicate key and a new key
+    write_batch(workdir / "in", "002.parquet", [(5000, 5, "a", 9.0), (6000, 6, "d", 6.0)])
+    # restart from the same checkpoint: state remembered -> 'a' stays dropped
+    run_to_files(outdir)
+    got = {(r["k"], r["event_id"]) for r in spark.read.parquet(str(outdir)).collect()}
+    assert got == {("a", 1), ("b", 2), ("d", 6)}
+
+
+def test_ever_stream_update_mode(spark, workdir):
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    write_batch(workdir / "in", "002.parquet", [(3000, 3, "a", 3.0)])
+    out = stw.ever_stream(read_stream(spark, workdir / "in"), "k", ts="ts")
+    res = run_available(spark, out, "ever_sink", workdir / "ckpt", mode="update")
+    rows = res.collect()
+    # update stream re-emits 'a' on replacement; latest emission wins
+    latest = {}
+    for r in rows:
+        latest[r["k"]] = max(latest.get(r["k"], 0), r["event_id"])
+    assert latest == {"a": 3, "b": 2}
+    assert len(rows) >= 3  # the replacement really was re-emitted
+
+
+def test_deduplicate_exact_stream_anchored_chain(spark, workdir):
+    # chain: 0 kept, +50 dropped, +120 kept (anchor moved), 260 kept
+    write_batch(workdir / "in", "001.parquet",
+                [(0, 1, "a", 1.0), (50, 2, "a", 2.0)])
+    write_batch(workdir / "in", "002.parquet",
+                [(120, 3, "a", 3.0), (260, 4, "a", 4.0), (10, 5, "b", 5.0)])
+    out = stw.deduplicate_exact_stream(read_stream(spark, workdir / "in"), "k", 100, ts="ts")
+    res = run_available(spark, out, "dedup_sink", workdir / "ckpt")
+    got = {(r["k"], r["event_id"]) for r in res.collect()}
+    assert got == {("a", 1), ("a", 3), ("a", 4), ("b", 5)}
+
+
+def test_deduplicate_stream_watermarked(spark, workdir):
+    write_batch(workdir / "in", "001.parquet",
+                [(0, 1, "a", 1.0), (10, 2, "a", 2.0), (20, 3, "b", 3.0)])
+    out = stw.deduplicate_stream(read_stream(spark, workdir / "in"), "k", 1000, ts="ts")
+    res = run_available(spark, out, "wdedup_sink", workdir / "ckpt")
+    rows = res.collect()
+    # which duplicate represents a burst within one micro-batch is
+    # engine-determined; the guarantee is one row per key in-window
+    # (deduplicate_exact_stream pins the reference's exact choice)
+    assert {r["k"] for r in rows} == {"a", "b"}
+    assert len(rows) == 2
+
+
+def test_tumbling_batch_stream_append(spark, workdir):
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (5000, 2, "a", 2.0), (11000, 3, "b", 3.0)])
+    # sentinel far ahead pushes the watermark past the first windows
+    write_batch(workdir / "in", "002.parquet", [(600000, 99, "zz", 0.0)])
+    out = stw.tumbling_batch_stream(
+        read_stream(spark, workdir / "in"), "k", 10_000, ts="ts", watermark_delay="1 second"
+    )
+    res = run_available(spark, out, "batch_sink", workdir / "ckpt")
+    got = {(r["batch_start_ms"], r["k"], r["event_id"]) for r in res.collect()}
+    assert (0, "a", 2) in got       # replace-within-batch kept the later event
+    assert (10000, "b", 3) in got
+    assert not any(k == "zz" for _, k, _e in got)  # sentinel window still open
