@@ -34,6 +34,11 @@ def main() -> None:
     # warm the JVM + parquet footer cache once so per-query numbers
     # measure the plans, not first-touch session costs
     force(next(iter(queries.values()))(spark, sf_dir))
+    # warm the Arrow Python worker pool (workers are reused afterwards;
+    # on a long-lived cluster this cost exists only at executor start)
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

@@ -33,9 +33,15 @@ ROWS_PER_BAND = 3
 JACCARD_THRESHOLD = 0.2
 MIN_TOKENS = 3  # word-3-gram shingles need >= 3 tokens
 
+# NOTE: Spark does not do common-subexpression elimination inside
+# higher-order-function lambdas, so tokenization/normalization must be
+# staged as a column *before* any per-element lambda references it —
+# inlining `split(...)` below would re-run the split once per array
+# element. The _SHINGLE_SPARK form therefore operates on a prepared
+# `toks` column (see _shingled), never on raw text.
 _SHINGLE_SPARK = (
-    f"array_distinct(transform(sequence(0, size({SPARK_TOKS}) - 3), "
-    f"i -> concat_ws(' ', {SPARK_TOKS}[i], {SPARK_TOKS}[i+1], {SPARK_TOKS}[i+2])))"
+    "array_distinct(transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
 )
 _SHINGLE_DUCK = (
     f"list_distinct(list_transform(generate_series(1, len({DUCK_TOKS}) - 2), "
@@ -72,17 +78,26 @@ def _sig_exprs_spark() -> list[str]:
     ]
 
 
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingles, tokens staged as a
+    column so the shingle lambda never re-tokenizes."""
+    return (
+        docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {MIN_TOKENS}"))
+        .select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """12-permutation MinHash signature per document over distinct
     word-3-gram shingles."""
-    shingled = docs.filter(F.expr(f"size({SPARK_TOKS}) >= {MIN_TOKENS}")).select(
-        "doc_id",
-        F.expr(f"transform({_SHINGLE_SPARK}, s -> {_HASH_SPARK})").alias("hs"),
+    hashed = _shingled(docs).select(
+        "doc_id", F.expr(f"transform(sh, s -> {_HASH_SPARK})").alias("hs")
     )
     sig_cols = [
         F.expr(e).alias(f"mh_{j}") for j, e in enumerate(_sig_exprs_spark())
     ]
-    return shingled.select("doc_id", *sig_cols)
+    return hashed.select("doc_id", *sig_cols)
 
 
 def minhash_signatures_oracle() -> str:
@@ -118,7 +133,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: documents sharing at least one LSH
     band (4 bands × 3 rows). Self-join on the band key — at scale this
     is a hash join on a high-cardinality key, never a cross join."""
-    bands = _band_keys(minhash_signatures(docs))
+    bands = _band_keys(minhash_signatures(docs)).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -131,10 +146,13 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 def near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard
     over distinct word-3-gram shingles. Output: (doc_id_1, doc_id_2,
-    jaccard) for candidates with jaccard >= threshold."""
-    shingles = docs.filter(F.expr(f"size({SPARK_TOKS}) >= {MIN_TOKENS}")).select(
-        "doc_id", F.expr(_SHINGLE_SPARK).alias("sh")
-    )
+    jaccard) for candidates with jaccard >= threshold.
+
+    The shingle frame feeds three plan branches (both sides of the
+    verify join and the signature path); it is persisted so shingling
+    runs once — at corpus scale you would materialize signatures to a
+    table instead."""
+    shingles = _shingled(docs).persist()
     pairs = lsh_candidate_pairs(docs)
     return (
         pairs.join(shingles.withColumnRenamed("doc_id", "doc_id_1")
@@ -234,7 +252,9 @@ def simhash_near_pairs(docs: DataFrame) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance <= 8, blocked by
     the high half of the hash (a real band: at scale you'd use 4
     rotations; one suffices on this corpus and keeps the oracle small)."""
-    sh = simhash(docs).withColumn("block", F.expr(f"shiftright(simhash, {SIMHASH_BITS // 2})"))
+    sh = simhash(docs).withColumn(
+        "block", F.expr(f"shiftright(simhash, {SIMHASH_BITS // 2})")
+    ).persist()
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.block") == F.col("b.block"))
@@ -280,13 +300,20 @@ def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     (source, length-bucket) block. Blocking bounds the pair count so
     the set intersection never goes O(n²) over the corpus."""
     grams = (
-        f"array_distinct(transform(sequence(1, length({NORM_SPARK}) - {CHAR_NGRAM - 1}), "
-        f"i -> substring({NORM_SPARK}, i, {CHAR_NGRAM})))"
+        f"array_distinct(transform(sequence(1, length(norm) - {CHAR_NGRAM - 1}), "
+        f"i -> substring(norm, i, {CHAR_NGRAM})))"
     )
-    d = docs.filter(F.expr(f"length({NORM_SPARK}) >= {CHAR_NGRAM}")).select(
-        "doc_id", "source",
-        F.expr("cast(n_chars div 100 as bigint)").alias("len_bucket"),
-        F.expr(grams).alias("g"),
+    d = (
+        docs.select(
+            "doc_id", "source", "n_chars", F.expr(NORM_SPARK).alias("norm")
+        )
+        .filter(F.expr(f"length(norm) >= {CHAR_NGRAM}"))
+        .select(
+            "doc_id", "source",
+            F.expr("cast(n_chars div 100 as bigint)").alias("len_bucket"),
+            F.expr(grams).alias("g"),
+        )
+        .persist()
     )
     a, b = d.alias("a"), d.alias("b")
     return (
