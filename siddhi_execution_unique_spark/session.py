@@ -23,6 +23,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        # local[N] runs everything in the driver JVM; the 1g default
+        # heap GC-thrashes under N-thread shuffles (first-run stalls of
+        # 10-30s observed). On a real cluster this is executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cpus),
@@ -35,6 +39,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for the pandas-UDF (stateful replay) tier.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep Python workers alive across JVM-only stretches: the
+        # factory reaps idle workers after ~60s and respawns them
+        # SERIALLY through the daemon (~0.2s each, 32 workers ≈ 7-25s
+        # stall on the next Python stage). A mixed JVM/Python pipeline
+        # wants a persistent worker pool.
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.worker.killOnIdleTimeout", "false")
+        # Spark 4 routes lower()/upper() on non-ASCII text through ICU
+        # case mappings whose one-time init burns minutes of CPU per
+        # JVM (observed stuck in CollationAwareUTF8String.<clinit>);
+        # the JVM case tables match DuckDB for this engine's md5
+        # fingerprints, so take the fast path.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

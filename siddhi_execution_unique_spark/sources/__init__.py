@@ -40,6 +40,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The test files are single-row-group parquet, so the scan is one
+    # task and every per-row projection above it (shingling, hashing,
+    # regex) serializes on one core. Fan out to the session's
+    # parallelism; on a real cluster input splits >> cores and this
+    # guard never fires.
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return df
 
 
