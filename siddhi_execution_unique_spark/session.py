@@ -23,10 +23,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
-        # local[N] runs everything in the driver JVM; the 1g default
-        # heap GC-thrashes under N-thread shuffles (first-run stalls of
-        # 10-30s observed). On a real cluster this is executor memory.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local[N] runs everything in the driver JVM. The 1g default
+        # heap GC-thrashes under N-thread shuffles, but an oversized
+        # heap is worse: G1 defers collection into enormous young-gen
+        # evacuations that stall random queries 10-50s late in a
+        # session (measured: 48g heap -> 127s bench with 48s spikes;
+        # 8g -> 34s, flat). Frequent small GCs beat rare giant ones.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cpus),
