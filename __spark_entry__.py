@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_char_ngram_jaccard": lambda s, d: fdedup.char_ngram_jaccard_pairs(_docs(s, d)),
         "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
+        "dedup_embedding_cosine": lambda s, d: fsim.embedding_near_dup_pairs(_emb(s, d)),
         # multimodal plumbing: rows-only (pandas-UDF feature extraction)
         "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
     }
@@ -399,4 +400,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_char_ngram_jaccard": fdedup.char_ngram_jaccard_pairs_oracle(),
         "sim_cosine_topk": fsim.cosine_topk_oracle(),
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
+        "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
     }

@@ -184,3 +184,130 @@ def ivf_topk_oracle(n_queries: int = 8, k: int = TOP_K, n_probe: int = N_PROBE_C
           WHERE a.vec_id != p.query_id
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (random-hyperplane LSH)
+
+N_PLANES = 16
+LSH_BANDS = 4
+LSH_ROWS = N_PLANES // LSH_BANDS
+COS_THRESHOLD = 0.25
+_EMB_DIM = 64
+
+
+def _plane_signs(p: int, dim: int = _EMB_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane weights from md5(p:d) — computed in
+    Python so both engines see identical literals."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _plane_literal_spark(p: int) -> str:
+    return "array(" + ", ".join(f"{w}D" for w in _plane_signs(p)) + ")"
+
+
+def _plane_literal_duck(p: int) -> str:
+    return "[" + ", ".join(str(w) for w in _plane_signs(p)) + "]"
+
+
+def _band_key_exprs(bit_fn) -> list[str]:
+    """One concat_ws band-key expression per band; ``bit_fn(p)`` gives
+    the engine-specific sign-bit expression for plane p."""
+    keys = []
+    for b in range(LSH_BANDS):
+        bits = [bit_fn(b * LSH_ROWS + r) for r in range(LSH_ROWS)]
+        keys.append((b, bits))
+    return keys
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = COS_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    (16 deterministic ±1 hyperplanes, 4 bands × 4 sign bits) proposes
+    candidates; exact cosine (same left-to-right fold as the DuckDB
+    oracle) verifies. Output: (vec_id_1, vec_id_2, cos_sim) for
+    candidates with cosine >= threshold.
+
+    Scale path: band keys are a shuffle key (hash join per band, no
+    cross join); at corpus scale you'd materialize sign sketches next
+    to the vectors and self-join per band. Mirrors the reference's
+    key-based blocking philosophy (unique:ever key maps) applied to
+    vector space."""
+    base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
+    bit = lambda p: (  # noqa: E731
+        f"(CASE WHEN {_DOT_SPARK.format(a='embedding', b=_plane_literal_spark(p))}"
+        f" >= 0 THEN 1 ELSE 0 END)"
+    )
+    band_exprs = [
+        f"concat_ws(':', '{b}', {', '.join(bits)})"
+        for b, bits in _band_key_exprs(bit)
+    ]
+    keyed = base.select(
+        "vec_id", "embedding", "norm2",
+        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("band_key"),
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("e1"),
+        F.col("norm2").alias("n1"),
+        "band_key",
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("e2"),
+        F.col("norm2").alias("n2"),
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band_key"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2", "e1", "n1", "e2", "n2")
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.expr(f"round({_cos_expr('e1', 'e2', 'n1', 'n2')}, 6)"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_id_1", "vec_id_2", "cos_sim")
+    )
+
+
+def embedding_near_dup_pairs_oracle(threshold: float = COS_THRESHOLD) -> str:
+    def dot(x, y):
+        return _DOT_DUCK.format(a=x, b=y)
+
+    bit = lambda p: (  # noqa: E731
+        f"(CASE WHEN {dot('embedding', _plane_literal_duck(p))} >= 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
+    band_exprs = [
+        f"concat_ws(':', '{b}', {', '.join(bits)})"
+        for b, bits in _band_key_exprs(bit)
+    ]
+    cos = (
+        f"{dot('a.embedding', 'b.embedding')} / sqrt(({dot('a.embedding', 'a.embedding')})"
+        f" * ({dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+        WITH keyed AS (
+          SELECT vec_id, embedding,
+                 unnest([{', '.join(band_exprs)}]) AS band_key
+          FROM embeddings
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+          FROM keyed a JOIN keyed b
+            ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+        )
+        SELECT vec_id_1, vec_id_2, round({cos}, 6) AS cos_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = vec_id_1
+        JOIN embeddings b ON b.vec_id = vec_id_2
+        WHERE round({cos}, 6) >= {threshold}
+    """

@@ -90,3 +90,16 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert r3 >= 0.3, f"IVF recall@n_probe=3 {r3} unexpectedly low"
     assert r8 >= 0.9, f"IVF recall@n_probe=8 {r8} should approach exact"
     assert r8 >= r3
+
+
+def test_embedding_near_dup_identical_vectors(spark):
+    dim = 64
+    v = [1.0] * dim
+    w = [1.0, -1.0] * (dim // 2)  # orthogonal to v
+    emb = spark.createDataFrame(
+        [(1, v, 0), (2, v, 0), (3, w, 1)],
+        "vec_id long, embedding array<float>, label int")
+    pairs = fsim.embedding_near_dup_pairs(emb).collect()
+    # identical vectors share every LSH band and verify at cosine 1.0
+    assert [(r["vec_id_1"], r["vec_id_2"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["cos_sim"] == 1.0
