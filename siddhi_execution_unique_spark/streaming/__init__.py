@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -171,5 +172,196 @@ def tumbling_batch_stream(
             F.unix_millis(F.col("window.start")).alias("batch_start_ms"),
             F.unix_millis(F.col("window.end")).alias("batch_end_ms"),
             "_retained.*",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Stateful tier: applyInPandasWithState twins
+
+
+def _ms_series(pdf: pd.DataFrame, ts: str, is_timestamp: bool):
+    if is_timestamp:
+        return (pdf[ts].astype("int64") // 1_000_000).to_numpy()
+    return pdf[ts].to_numpy()
+
+
+def _records_frame(records, columns, ts: str, is_timestamp: bool) -> pd.DataFrame:
+    """Rebuild an output frame (plus ``channel``) from stored row
+    dicts whose ``ts`` is epoch millis."""
+    out = pd.DataFrame.from_records(records, columns=columns + ["channel"])
+    if is_timestamp and len(out):
+        out[ts] = pd.to_datetime(out[ts], unit="ms")
+    return out
+
+
+def time_window_stream(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    ts: str = "ts",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming ``unique:time`` — sliding per-key time window with
+    the reference's dual emission protocol on one output stream via a
+    ``channel`` column:
+
+    - arrival: the event emits on ``current``; a previously retained
+      event for the key expires immediately on replacement
+      (UniqueTimeWindowProcessor.java:191-212);
+    - timer: the retained event expires ``window_time`` after its
+      event time, driven by the watermark clock — the streaming
+      analog of ``scheduler.notifyAt`` (:176-188, :118-125).
+
+    State is one (ts, payload) pair per key in the state store —
+    hash-partitioned by key, scales to any key cardinality. Payload
+    columns must be JSON-scalar (int/float/str/bool/null)."""
+    import json
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    interval_ms = parse_time_ms(window_time, "window.time")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    columns = [f.name for f in df.schema.fields]
+    out_schema = StructType(df.schema.fields + [StructField("channel", StringType())])
+    state_schema = StructType(
+        [StructField("ts_ms", LongType()), StructField("payload_json", StringType())]
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            ts_ms, payload_json = state.get
+            rec = json.loads(payload_json)
+            state.remove()
+            yield _records_frame(
+                [tuple(rec[c] for c in columns) + ("expired",)],
+                columns, ts, is_timestamp,
+            )
+            return
+        stored = None
+        if state.exists:
+            ts_ms, payload_json = state.get
+            stored = json.loads(payload_json)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            ms = _ms_series(pdf, ts, is_timestamp)
+            recs = []
+            for i in range(len(pdf)):
+                row = {c: pdf.iloc[i][c] for c in columns}
+                row[ts] = int(ms[i])
+                if stored is not None:
+                    # replaced event expires immediately
+                    recs.append(tuple(stored[c] for c in columns) + ("expired",))
+                stored = {
+                    c: (v.item() if hasattr(v, "item") else v) for c, v in row.items()
+                }
+                recs.append(tuple(stored[c] for c in columns) + ("current",))
+            if recs:
+                yield _records_frame(recs, columns, ts, is_timestamp)
+        if stored is not None:
+            state.update((int(stored[ts]), json.dumps(stored)))
+            state.setTimeoutTimestamp(int(stored[ts]) + interval_ms)
+
+    return (
+        df.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def length_batch_stream(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    keep: str = "last",
+) -> DataFrame:
+    """Streaming ``unique:lengthBatch`` / ``unique:firstLengthBatch``:
+    tumbling batch that fires when ``window_length`` distinct keys
+    have accumulated; within the forming batch a duplicate key
+    replaces (``keep='last'``) or is dropped (``keep='first'``) —
+    UniqueLengthBatchWindowProcessor.java:165,210-213 and the
+    firstLengthBatch putIfAbsent override. On fire, the previous
+    batch re-emits on the ``expired`` channel before the new batch
+    emits on ``current`` (:171-191).
+
+    The distinct-key count is global, so this runs as a single state
+    group — the reference's own single-JVM semantics. It cannot
+    scale out by key; at scale use the per-window ``time_batch``
+    family or the batch-mode replay operator."""
+    import json
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+    n = int(window_length)
+    if n <= 0:
+        raise ValueError(f"window.length must be a positive int, got {window_length!r}")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    columns = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("batch_seq", LongType()), StructField("channel", StringType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("batch_seq", LongType()),
+            StructField("forming_json", StringType()),
+            StructField("prev_json", StringType()),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            batch_seq, forming_json, prev_json = state.get
+            forming = json.loads(forming_json)
+            prev = json.loads(prev_json)
+        else:
+            batch_seq, forming, prev = 0, {}, []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            ms = _ms_series(pdf, ts, is_timestamp)
+            recs = []
+            for i in range(len(pdf)):
+                row = {c: pdf.iloc[i][c] for c in columns}
+                row[ts] = int(ms[i])
+                row = {c: (v.item() if hasattr(v, "item") else v) for c, v in row.items()}
+                k = str(row[key])
+                if k in forming:
+                    if keep == "last":
+                        forming[k] = row
+                else:
+                    forming[k] = row
+                if len(forming) == n:
+                    for old in prev:
+                        recs.append(
+                            tuple(old[c] for c in columns) + (batch_seq - 1, "expired")
+                        )
+                    fired = list(forming.values())
+                    for ev in fired:
+                        recs.append(tuple(ev[c] for c in columns) + (batch_seq, "current"))
+                    prev, forming = fired, {}
+                    batch_seq += 1
+            if recs:
+                out = pd.DataFrame.from_records(
+                    recs, columns=columns + ["batch_seq", "channel"]
+                )
+                if is_timestamp and len(out):
+                    out[ts] = pd.to_datetime(out[ts], unit="ms")
+                yield out
+        state.update((batch_seq, json.dumps(forming), json.dumps(prev)))
+
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )

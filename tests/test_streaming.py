@@ -156,3 +156,69 @@ def test_tumbling_batch_stream_append(spark, workdir):
     assert (0, "a", 2) in got       # replace-within-batch kept the later event
     assert (10000, "b", 3) in got
     assert not any(k == "zz" for _, k, _e in got)  # sentinel window still open
+
+
+def test_time_window_stream_dual_channel(spark, workdir):
+    # a@1s replaced by a@3s (expired immediately); watermark far past
+    # 3s+10s window -> the retained a@3s expires on the timer path
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (3000, 2, "a", 2.0)])
+    write_batch(workdir / "in", "002.parquet", [(600000, 99, "zz", 0.0)])
+    out = stw.time_window_stream(
+        read_stream(spark, workdir / "in"), "k", 10_000, ts="ts",
+        watermark_delay="1 second",
+    )
+    res = run_available(spark, out, "tw_sink", workdir / "ckpt")
+    got = {(r["event_id"], r["channel"]) for r in res.collect()}
+    assert (1, "current") in got
+    assert (2, "current") in got
+    assert (1, "expired") in got    # replaced immediately
+    assert (2, "expired") in got    # expired by event-time timer
+    # sentinel still inside its window: current only
+    assert (99, "current") in got and (99, "expired") not in got
+
+
+def test_length_batch_stream_fires_at_n_distinct(spark, workdir):
+    # 3 distinct keys fire a batch; duplicate 'a' replaces in-batch
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "a", 2.0), (3000, 3, "b", 3.0)])
+    write_batch(workdir / "in", "002.parquet",
+                [(4000, 4, "c", 4.0), (5000, 5, "d", 5.0)])
+    out = stw.length_batch_stream(read_stream(spark, workdir / "in"), "k", 3, ts="ts")
+    res = run_available(spark, out, "lb_sink", workdir / "ckpt")
+    rows = res.collect()
+    current0 = {r["event_id"] for r in rows if r["batch_seq"] == 0 and r["channel"] == "current"}
+    # replace-within-batch: event 2 (later 'a') kept, event 1 dropped
+    assert current0 == {2, 3, 4}
+    # second batch still forming (only 'd') -> nothing emitted for it
+    assert not any(r["batch_seq"] == 1 for r in rows)
+    assert not any(r["channel"] == "expired" for r in rows)  # no prior batch yet
+
+
+def test_length_batch_stream_checkpoint_resume_emits_expired(spark, workdir):
+    outdir = workdir / "out"
+
+    def run_to_files():
+        q = (
+            stw.length_batch_stream(read_stream(spark, workdir / "in"), "k", 2, ts="ts")
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    run_to_files()
+    # second fire after restart: previous batch must re-emit as expired
+    write_batch(workdir / "in", "002.parquet",
+                [(3000, 3, "c", 3.0), (4000, 4, "d", 4.0)])
+    run_to_files()
+    rows = spark.read.parquet(str(outdir)).collect()
+    expired = {r["event_id"] for r in rows if r["channel"] == "expired"}
+    current1 = {r["event_id"] for r in rows if r["batch_seq"] == 1 and r["channel"] == "current"}
+    assert expired == {1, 2}      # batch 0 re-emitted as expired on fire 1
+    assert current1 == {3, 4}
