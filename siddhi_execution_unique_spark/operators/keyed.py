@@ -10,15 +10,18 @@ Reference semantics:
   later duplicates; it never emits expired events (reference:
   UniqueFirstWindowProcessor.java:99,129-132).
 
-Spark-first design: one hash aggregation — ``groupBy(keys).agg(
+Spark-first design: one keyed aggregation — ``groupBy(keys).agg(
 max_by(struct(*cols), struct(ts, tiebreak)))``. This is a single
 shuffle with map-side partial aggregation (each task keeps one row per
-key before the exchange), so it scales linearly in input size and is
-bounded by distinct-key cardinality per partition — exactly the
-distribution-friendly shape of the reference's key-addressed hash map,
-minus the single-JVM limit. A window-function formulation
-(``row_number() over (partition by key order by ts desc) = 1``) would
-sort every partition; ``max_by`` does not.
+key before the exchange), so shuffle volume is bounded by distinct-key
+cardinality per partition — exactly the distribution-friendly shape of
+the reference's key-addressed hash map, minus the single-JVM limit.
+Physically Spark picks SortAggregate for struct-valued ``max_by``
+(variable-width agg buffer), but the sort is per input partition and
+the partial combine still happens before the exchange; a
+window-function formulation (``row_number() over (partition by key
+order by ts desc) = 1``) would instead shuffle EVERY row and sort full
+key partitions.
 """
 
 from __future__ import annotations

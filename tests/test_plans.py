@@ -1,0 +1,104 @@
+"""Physical-plan regression tests: the properties that make these
+operators scale are asserted, not assumed. A correctness-preserving
+change that turns a hash aggregation into a global sort, drops a
+broadcast, or widens a parquet scan should fail here long before a
+100 TB run finds out."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from siddhi_execution_unique_spark import operators as ops
+from siddhi_execution_unique_spark.functions import dedup as fdedup
+from siddhi_execution_unique_spark.functions import similarity as fsim
+from siddhi_execution_unique_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ever_is_partial_agg_single_shuffle(spark):
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(ops.ever(events, "user_id", ts="ts", tiebreak="event_id"))
+    # map-side combine before the exchange (state bounded by distinct
+    # keys per partition), one agg shuffle, no window-function sort of
+    # the full data per key
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # load_table fan-out + agg shuffle
+
+
+def test_projection_prunes_parquet_scan(spark):
+    events = load_table(spark, SF_DIR, "events")
+    two_cols = events.select("user_id", "value")
+    plan = plan_of(two_cols)
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read_schema and "event_type" not in read_schema[0]
+    assert "user_id" in read_schema[0] and "value" in read_schema[0]
+
+
+def test_filter_pushes_down_to_scan(spark):
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(events.filter(F.col("value") > 100).select("event_id"))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert pushed and "GreaterThan(value" in pushed[0]
+
+
+def test_dim_join_broadcasts(spark):
+    events = load_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    latest = ops.ever(events, "user_id", ts="ts", tiebreak="event_id")
+    joined = latest.join(
+        F.broadcast(customer), F.col("user_id") == F.col("c_custkey")
+    )
+    assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_lsh_band_join_is_equi_not_cartesian(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fdedup.lsh_candidate_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_char_ngram_join_is_equi_not_cartesian(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fdedup.char_ngram_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_join_is_equi_not_cartesian(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(fsim.embedding_near_dup_pairs(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_interpreted_hofs_in_text_dedup_hot_paths(spark):
+    """transform()/aggregate() lambdas run interpreted (CodegenFallback);
+    the rewritten pipeline must not reintroduce them."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        fdedup.minhash_signatures(docs),
+        fdedup.simhash(docs),
+        fdedup.char_ngram_jaccard_pairs(docs),
+    ):
+        plan = optimized_of(df)
+        assert "lambdafunction" not in plan, plan[:500]
+
+
+def test_time_batch_is_single_shuffle_agg(spark):
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(
+        ops.time_batch(events, "user_id", 3_600_000, ts="ts", tiebreak="event_id")
+    )
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange") <= 2  # load_table fan-out + agg shuffle
