@@ -99,16 +99,26 @@ def ever_expired(
     UniqueEverWindowProcessor.java:153-166).
 
     Implemented as an anti-selection: all rows minus the retained row
-    per key, i.e. ``row_number() desc > 1``. This one does sort within
-    key-partitions — inherent, since the expired channel is the
-    (ordered) complement, not a single aggregate.
+    per key. With a ``tiebreak`` column the retained row is uniquely
+    addressed by ``(keys, ts, tiebreak)``, so this is a left-anti
+    equi-join against the (one-row-per-key) retained set — partial-agg
+    shuffle + join, no per-key sort, and a heavy-hitter key is handled
+    by AQE's skew-join split rather than serializing one task. Without
+    a tiebreak the retained choice among equal-``ts`` rows is
+    positional, so a window ``row_number`` fallback preserves the
+    exact complement.
     """
     keys = require_keys(keys)
     require_column(df, ts, "ts")
+    if tiebreak is not None:
+        require_column(df, tiebreak, "tiebreak")
+        retained = _retain_one_per_key(df, keys, ts, tiebreak, keep="last")
+        key_names = [k if isinstance(k, str) else k._jc.toString() for k in keys]
+        on = key_names + [ts, tiebreak]
+        return df.join(retained.select(*on), on, "left_anti")
     from pyspark.sql.window import Window
 
-    order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
-    w = Window.partitionBy(*key_cols(keys)).orderBy(*order)
+    w = Window.partitionBy(*key_cols(keys)).orderBy(F.col(ts).desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)

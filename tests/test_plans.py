@@ -102,3 +102,12 @@ def test_time_batch_is_single_shuffle_agg(spark):
     )
     assert "partial_max_by" in plan
     assert plan.count("Exchange") <= 2  # load_table fan-out + agg shuffle
+
+
+def test_ever_expired_is_anti_join_not_window(spark):
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(
+        ops.ever_expired(events, "user_id", ts="ts", tiebreak="event_id")
+    )
+    assert "Window" not in plan       # no full per-key sort
+    assert "LeftAnti" in plan
