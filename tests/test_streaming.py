@@ -222,3 +222,24 @@ def test_length_batch_stream_checkpoint_resume_emits_expired(spark, workdir):
     current1 = {r["event_id"] for r in rows if r["batch_seq"] == 1 and r["channel"] == "current"}
     assert expired == {1, 2}      # batch 0 re-emitted as expired on fire 1
     assert current1 == {3, 4}
+
+
+def test_stream_table_source_feeds_operator(spark, workdir):
+    from siddhi_execution_unique_spark.streaming import sources as ssrc
+
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0)])
+    write_batch(workdir / "in", "002.parquet", [(2000, 2, "a", 2.0), (3000, 3, "b", 3.0)])
+    src = ssrc.stream_table(spark, str(workdir / "in"), SCHEMA)
+    out = stw.first_stream(src, "k")
+    res = run_available(spark, out, "src_sink", workdir / "ckpt")
+    got = {(r["k"], r["event_id"]) for r in res.collect()}
+    assert got == {("a", 1), ("b", 3)}
+
+
+def test_rate_events_schema(spark):
+    from siddhi_execution_unique_spark.streaming import sources as ssrc
+
+    df = ssrc.rate_events(spark)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"]
