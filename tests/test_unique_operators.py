@@ -258,3 +258,42 @@ def test_bad_ts_column(spark):
     df = make(spark, [(1, 1, "a", 1.0)])
     with pytest.raises(ValueError):
         ever(df, "k", ts="nope")
+
+
+def test_deduplicate_rejects_multi_key(spark):
+    # reference signature takes exactly one key expression
+    # (DeduplicateStreamProcessor.java:63-75)
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        deduplicate(df, ["k", "v"], 1000, ts="ts")
+
+
+def test_length_batch_rejects_bad_keep(spark):
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        length_batch(df, "k", 2, ts="ts", keep="latest")
+
+
+def test_missing_key_column(spark):
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        deduplicate(df, "nope", 1000, ts="ts")
+
+
+def test_external_time_batch_rejects_bad_interval(spark):
+    # wrong-type / non-positive window.time
+    # (UniqueExternalTimeBatchWindowProcessor.java:170-247)
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        external_time_batch(df, "k", timestamp="ts", window_time="soon")
+    with pytest.raises(ValueError):
+        external_time_batch(df, "k", timestamp="ts", window_time=0)
+
+
+def test_ever_accepts_expression_key(spark):
+    # the reference key is an arbitrary expression
+    # (UniqueEverWindowProcessor.java:216-222)
+    df = make(spark, [(1000, 1, "a", 1.0), (2000, 2, "A", 2.0), (3000, 3, "b", 3.0)])
+    out = ever(df, F.lower(F.col("k")), ts="ts", tiebreak="event_id").collect()
+    got = {(r["k"], r["event_id"]) for r in out}
+    assert got == {("A", 2), ("b", 3)}  # 'a'/'A' collapse under lower()
