@@ -347,6 +347,9 @@ def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         F.expr("cast(n_chars div 100 as bigint)").alias("len_bucket"),
         F.expr(NORM_SPARK).alias("norm"),
     ).filter(F.expr(f"length(norm) >= {CHAR_NGRAM}"))
+    # grams travel as md5-derived int64 (same digest both engines, so
+    # any collision is mirrored in the oracle): narrower dedup/join
+    # keys, ~20% faster than shuffling 5-char strings
     posts = (
         d.select(
             "doc_id", "source", "len_bucket", "norm",
@@ -356,9 +359,9 @@ def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id", "source", "len_bucket",
-            F.expr(f"substring(norm, i, {CHAR_NGRAM})").alias("gram"),
+            F.expr(_hash_expr(f"substring(norm, i, {CHAR_NGRAM})")).alias("gram"),
         )
-        .dropDuplicates(["doc_id", "source", "len_bucket", "gram"])
+        .dropDuplicates(["doc_id", "gram"])
     )
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_g"))
     a, b = posts.alias("a"), posts.alias("b")
@@ -386,9 +389,14 @@ def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 def char_ngram_jaccard_pairs_oracle() -> str:
+    # mirror the Spark side's md5-int64 gram representation so any
+    # hash collision affects both engines identically
+    gram_hash = _HASH_DUCK.replace(
+        "md5(s)", f"md5(substring({NORM_DUCK}, i, {CHAR_NGRAM}))"
+    )
     grams = (
         f"list_distinct(list_transform(generate_series(1, length({NORM_DUCK}) - {CHAR_NGRAM - 1}), "
-        f"i -> substring({NORM_DUCK}, i, {CHAR_NGRAM})))"
+        f"i -> {gram_hash}))"
     )
     return f"""
         WITH d AS (
