@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_filtered": q_first_filtered,
         "window_join": q_window_join,
         # order-dependent replay tier: rows-only checks (no SQL equivalent)
+        "unique_length_emissions": lambda s, d: ops.length_window_emissions(
+            _events(s, d), "user_id", 100, ts="ts", tiebreak="event_id"
+        ).select("event_id", "user_id", "channel"),
         "unique_length_batch": q_length_batch,
         "unique_first_length_batch": q_first_length_batch,
         "unique_time_length_batch": q_time_length_batch,

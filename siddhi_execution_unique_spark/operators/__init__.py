@@ -10,7 +10,10 @@ Stateful replay tier (Arrow/pandas):
 """
 
 from siddhi_execution_unique_spark.operators.keyed import ever, ever_expired, first
-from siddhi_execution_unique_spark.operators.length import length_window
+from siddhi_execution_unique_spark.operators.length import (
+    length_window,
+    length_window_emissions,
+)
 from siddhi_execution_unique_spark.operators.replay import (
     deduplicate,
     first_length_batch,

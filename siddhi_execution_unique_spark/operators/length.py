@@ -40,3 +40,63 @@ def length_window(
     latest = ever(df, keys, ts=ts, tiebreak=tiebreak)
     order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
     return latest.orderBy(*order).limit(n)
+
+
+CHANNEL = "channel"
+
+
+def length_window_emissions(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Emission log of ``unique:length``: per arrival, the event emits
+    on the ``current`` channel; if its key was already buffered the
+    replaced event expires immediately; if the buffer exceeds ``N``
+    unique keys the oldest-inserted key's event expires (FIFO) —
+    reference replace :148-157, FIFO evict :158-166.
+
+    The buffer is one global FIFO over unique keys, so the replay runs
+    as a single ordered group (documented scale caveat, SURVEY.md §7);
+    use :func:`length_window` for the distributable final-contents
+    form.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from siddhi_execution_unique_spark.operators.replay import _single_group_replay
+    from siddhi_execution_unique_spark.operators.validation import require_pos_int
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    n = require_pos_int(window_length, "window.length")
+    out_cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(CHANNEL, StringType())]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_arr = pdf[key].to_numpy()
+        buffer: dict = {}  # insertion-ordered: key -> row index
+        rows: list[int] = []
+        channels: list[str] = []
+        for i in range(len(pdf)):
+            k = key_arr[i]
+            if k in buffer:
+                rows.append(buffer.pop(k))
+                channels.append("expired")  # replaced: expires now
+            elif len(buffer) == n:
+                oldest = next(iter(buffer))
+                rows.append(buffer.pop(oldest))
+                channels.append("expired")  # FIFO eviction
+            buffer[k] = i
+            rows.append(i)
+            channels.append("current")
+        out = pdf.iloc[rows][out_cols].copy()
+        out[CHANNEL] = pd.Series(channels, index=out.index, dtype="object")
+        return out
+
+    return _single_group_replay(df, ts, tiebreak, out_schema, replay)

@@ -20,6 +20,7 @@ from siddhi_execution_unique_spark import (
     time_window,
 )
 from siddhi_execution_unique_spark.operators.keyed import ever_expired
+from siddhi_execution_unique_spark.operators.length import length_window_emissions
 from siddhi_execution_unique_spark.operators.time_batch import expired_channel
 
 SCHEMA = "ts long, event_id long, k string, v double"
@@ -297,3 +298,17 @@ def test_ever_accepts_expression_key(spark):
     out = ever(df, F.lower(F.col("k")), ts="ts", tiebreak="event_id").collect()
     got = {(r["k"], r["event_id"]) for r in out}
     assert got == {("A", 2), ("b", 3)}  # 'a'/'A' collapse under lower()
+
+
+def test_length_window_emissions_replace_and_fifo(spark):
+    # buffer size 2: a,b fill it; second 'a' replaces (old a expires);
+    # 'c' FIFO-evicts 'b' (oldest insertion)
+    df = make(spark, [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0),
+                      (3000, 3, "a", 3.0), (4000, 4, "c", 4.0)])
+    out = length_window_emissions(df, "k", 2, ts="ts", tiebreak="event_id")
+    rows = [(r["event_id"], r["channel"]) for r in out.collect()]
+    assert rows == [
+        (1, "current"), (2, "current"),
+        (1, "expired"), (3, "current"),   # replace: old 'a' out first
+        (2, "expired"), (4, "current"),   # FIFO: 'b' evicted by 'c'
+    ]
