@@ -226,7 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ever_join_customer": q_ever_join_customer,
         "first_filtered": q_first_filtered,
         "window_join": q_window_join,
-        # order-dependent replay tier: rows-only checks (no SQL equivalent)
+        # order-dependent replay tier; lengthBatch family carries a
+        # recursive-CTE oracle, the rest are rows-only checks
         "unique_length_emissions": lambda s, d: ops.length_window_emissions(
             _events(s, d), "user_id", 100, ts="ts", tiebreak="event_id"
         ).select("event_id", "user_id", "channel"),
@@ -266,6 +267,43 @@ SELECT {_EVENT_SQL_COLS}
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
       FROM events) t
 WHERE rn = 1
+"""
+
+
+def _length_batch_oracle(n: int, keep: str) -> str:
+    """DuckDB oracle for the lengthBatch family: a recursive CTE steps
+    one FIRE at a time — the next fire position is the Nth distinct
+    first-occurrence key position after the previous fire — then the
+    retained event per (batch, key) is the max (replace) or min
+    (keep-first) position in the batch's range. Mirrors
+    operators/replay.py:length_batch exactly (verified row-for-row)."""
+    pos_pick = "max(pos)" if keep == "last" else "min(pos)"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         row_number() OVER (ORDER BY ts, event_id) AS pos
+  FROM events
+),
+fires(seq, start_pos, fire_pos) AS (
+  SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT f.seq + 1, f.fire_pos,
+         (SELECT pos FROM (
+            SELECT min(pos) AS pos FROM ev WHERE ev.pos > f.fire_pos GROUP BY user_id
+          ) t ORDER BY pos LIMIT 1 OFFSET {n - 1})
+  FROM fires f
+  WHERE (SELECT pos FROM (
+            SELECT min(pos) AS pos FROM ev WHERE ev.pos > f.fire_pos GROUP BY user_id
+          ) t ORDER BY pos LIMIT 1 OFFSET {n - 1}) IS NOT NULL
+)
+SELECT e.event_id, e.user_id, f.seq AS batch_seq,
+       (SELECT ms FROM ev WHERE pos = f.fire_pos) AS fired_at_ms
+FROM fires f
+JOIN ev e ON e.pos = (
+  SELECT {pos_pick} FROM ev e2
+  WHERE e2.user_id = e.user_id AND e2.pos > f.start_pos AND e2.pos <= f.fire_pos)
+ AND e.pos > f.start_pos AND e.pos <= f.fire_pos
+WHERE f.seq >= 0
 """
 
 
@@ -391,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, click_ts_ms, click_value, purchase_ts_ms, purchase_value
             FROM clicks JOIN purchases USING (user_id)
         """,
+        "unique_length_batch": _length_batch_oracle(50, "last"),
+        "unique_first_length_batch": _length_batch_oracle(50, "first"),
         "text_token_stats": ftext.token_stats_oracle(),
         "text_quality_score": ftext.quality_score_oracle(),
         "text_lang_id": ftext.lang_id_oracle(),
