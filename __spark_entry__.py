@@ -307,6 +307,61 @@ WHERE f.seq >= 0
 """
 
 
+def _time_length_batch_oracle(t_ms: int, n: int) -> str:
+    """DuckDB oracle for unique:timeLengthBatch. Intervals are
+    independent (the post-length-fire discard flag clears exactly at
+    the next boundary), so no recursion is needed: per interval
+    ``k = floor((ms - first_ms)/T)``, a length fire occurs at the Nth
+    distinct key's first occurrence (later interval events are
+    discarded), else a time fire flushes at the boundary — but only
+    if a later event actually crosses it (the trailing partial batch
+    never fires, mirroring operators/replay.py:time_length_batch)."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         row_number() OVER (ORDER BY ts, event_id) AS pos,
+         min(epoch_ms(ts)) OVER () AS anchor,
+         max(epoch_ms(ts)) OVER () AS max_ms
+  FROM events
+),
+iv AS (
+  SELECT *, CAST(floor((ms - anchor) / {t_ms}) AS BIGINT) AS k FROM ev
+),
+flagged AS (
+  SELECT *, (row_number() OVER (PARTITION BY k, user_id ORDER BY pos) = 1) AS is_first
+  FROM iv
+),
+running AS (
+  SELECT *, sum(CASE WHEN is_first THEN 1 ELSE 0 END)
+              OVER (PARTITION BY k ORDER BY pos) AS nd
+  FROM flagged
+),
+firepos AS (
+  SELECT k, min(CASE WHEN nd = {n} AND is_first THEN pos END) AS L
+  FROM running GROUP BY k
+),
+live AS (
+  SELECT r.*, f.L FROM running r JOIN firepos f USING (k)
+  WHERE (f.L IS NULL OR r.pos <= f.L)
+    AND (f.L IS NOT NULL OR r.anchor + (r.k + 1) * {t_ms} <= r.max_ms)
+),
+retained AS (
+  SELECT *, row_number() OVER (PARTITION BY k, user_id ORDER BY pos DESC) AS rnk
+  FROM live
+),
+seqs AS (
+  SELECT k, row_number() OVER (ORDER BY k) - 1 AS batch_seq
+  FROM (SELECT DISTINCT k FROM live)
+)
+SELECT r.event_id, r.user_id, s.batch_seq,
+       CASE WHEN r.L IS NOT NULL THEN (SELECT ms FROM ev WHERE pos = r.L)
+            ELSE r.anchor + (r.k + 1) * {t_ms} END AS fired_at_ms,
+       CASE WHEN r.L IS NOT NULL THEN 'length' ELSE 'time' END AS fire_reason
+FROM retained r JOIN seqs s USING (k)
+WHERE r.rnk = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "unique_ever": _EVER_SQL,
@@ -431,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unique_length_batch": _length_batch_oracle(50, "last"),
         "unique_first_length_batch": _length_batch_oracle(50, "first"),
+        "unique_time_length_batch": _time_length_batch_oracle(6 * HOUR, 20),
         "text_token_stats": ftext.token_stats_oracle(),
         "text_quality_score": ftext.quality_score_oracle(),
         "text_lang_id": ftext.lang_id_oracle(),

@@ -312,3 +312,15 @@ def test_length_window_emissions_replace_and_fifo(spark):
         (1, "expired"), (3, "current"),   # replace: old 'a' out first
         (2, "expired"), (4, "current"),   # FIFO: 'b' evicted by 'c'
     ]
+
+
+def test_time_length_batch_trailing_window_never_fires(spark):
+    # T=10s, N=3: events at 0s,1s (interval 0) then 12s (interval 1).
+    # Interval 0 time-fires when the 12s event crosses the 10s
+    # boundary; interval 1's boundary (20s) is never crossed and it
+    # has <N distinct keys, so it must not fire (reference: trailing
+    # partial batch, UniqueTimeLengthBatchWindowProcessor.java:304-336)
+    df = make(spark, [(0, 1, "a", 1.0), (1000, 2, "b", 2.0), (12000, 3, "c", 3.0)])
+    out = time_length_batch(df, "k", 10_000, 3, ts="ts", tiebreak="event_id").collect()
+    got = [(r["event_id"], r["batch_seq"], r["fire_reason"], r["fired_at_ms"]) for r in out]
+    assert sorted(got) == [(1, 0, "time", 10000), (2, 0, "time", 10000)]
