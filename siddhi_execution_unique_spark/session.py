@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for the pandas-UDF (stateful replay) tier.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Streaming state off-heap: the default HDFS-backed provider
+        # keeps every key's state in executor heap; RocksDB spills to
+        # local disk and is the only option that survives the
+        # reference's unbounded-key operators (unique:ever/first) at
+        # real key cardinality.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         # Keep Python workers alive across JVM-only stretches: the
         # factory reaps idle workers after ~60s and respawns them
         # SERIALLY through the daemon (~0.2s each, 32 workers ≈ 7-25s

@@ -5,21 +5,20 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
+from siddhi_execution_unique_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("siddhi-unique-spark-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .getOrCreate()
+    # the shipped session factory (RocksDB state store, ICU off,
+    # worker lifecycle tuning) IS part of what the tests must cover
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    s = get_spark(
+        app_name="siddhi-unique-spark-tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
     )
     yield s
     s.stop()
