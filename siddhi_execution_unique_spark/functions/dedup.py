@@ -179,11 +179,15 @@ def near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count("*").alias("inter"))
     )
+    # No broadcast hint on `sizes`: it is O(n_docs) rows, which at the
+    # 100 TB corpus scale would OOM the driver. Both joins key on
+    # doc_id — a clean shuffle key — so AQE picks broadcast only when
+    # the side actually fits.
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_1")
-                               .withColumnRenamed("n_sh", "n_1")), "doc_id_1")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_2")
-                          .withColumnRenamed("n_sh", "n_2")), "doc_id_2")
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_1")
+                   .withColumnRenamed("n_sh", "n_1"), "doc_id_1")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
+              .withColumnRenamed("n_sh", "n_2"), "doc_id_2")
         .withColumn(
             "jaccard",
             F.expr("round(inter / cast(n_1 + n_2 - inter as double), 6)"),
@@ -280,23 +284,58 @@ def simhash_oracle() -> str:
 
 
 HAMMING_MAX = 8
+# 4 cyclic rotations at 8-bit offsets; each band is the top 16 bits of
+# the rotated word, so the 4 bands tile every cyclic 16-bit window.
+SIMHASH_ROTATIONS = (0, 8, 16, 24)
+_ROT_MASK = (1 << SIMHASH_BITS) - 1
+
+
+def _simhash_band_sql(k: int, spark: bool) -> str:
+    """Band key for rotation ``k``: tag * 2^16 + top-16-bits(rotl(simhash, k)).
+    Pure 64-bit integer arithmetic, identical in Spark SQL and DuckDB."""
+    if spark:
+        rot = (
+            f"(shiftleft(simhash, {k}) | shiftright(simhash, {SIMHASH_BITS - k}))"
+            f" & {_ROT_MASK}L"
+        )
+        return f"{k // 8}L * 65536L + shiftright({rot}, {SIMHASH_BITS // 2})"
+    rot = f"((simhash << {k}) | (simhash >> {SIMHASH_BITS - k})) & {_ROT_MASK}"
+    return f"{k // 8} * 65536 + (({rot}) >> {SIMHASH_BITS // 2})"
 
 
 def simhash_near_pairs(docs: DataFrame) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance <= 8, blocked by
-    the high half of the hash (a real band: at scale you'd use 4
-    rotations; one suffices on this corpus and keeps the oracle small)."""
-    sh = simhash(docs).withColumn(
-        "block", F.expr(f"shiftright(simhash, {SIMHASH_BITS // 2})")
+    """SimHash near-dup pairs within Hamming distance <= 8, blocked on
+    4 rotation bands (top 16 bits of the hash rotated by 0/8/16/24).
+
+    Single-band blocking (the previous design) misses every pair whose
+    differing bits touch the banded half and funnels a popular prefix
+    into one quadratic block. Four rotated bands cover all cyclic
+    16-bit windows — recall for clustered corpora, and candidates
+    spread over 4× the keys so no single block goes hot. Candidate
+    pairs are deduplicated BEFORE the Hamming filter so a pair sharing
+    several bands is verified once."""
+    sh = simhash(docs)
+    band_exprs = ", ".join(
+        _simhash_band_sql(k, spark=True) for k in SIMHASH_ROTATIONS
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
+    keys = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(f"array({band_exprs})")).alias("band_key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
         .select(F.col("a.doc_id").alias("doc_id_1"),
-                F.col("b.doc_id").alias("doc_id_2"), "hamming")
+                F.col("b.doc_id").alias("doc_id_2"),
+                F.col("a.simhash").alias("s1"),
+                F.col("b.simhash").alias("s2"))
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(s1 ^ s2)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_id_1", "doc_id_2", "hamming")
     )
 
 
@@ -305,6 +344,9 @@ def simhash_near_pairs_oracle() -> str:
         f"(CASE WHEN list_sum(list_transform(hs, h -> (2 * ((h >> {b}) & 1) - 1))) >= 0 "
         f"THEN {1 << b} ELSE 0 END)"
         for b in range(SIMHASH_BITS)
+    )
+    band_exprs = ", ".join(
+        _simhash_band_sql(k, spark=False) for k in SIMHASH_ROTATIONS
     )
     return f"""
         WITH hashed AS (
@@ -315,13 +357,17 @@ def simhash_near_pairs_oracle() -> str:
           SELECT doc_id, {bit_terms} AS simhash FROM hashed
         ),
         blocked AS (
-          SELECT doc_id, simhash, simhash >> {SIMHASH_BITS // 2} AS block FROM sh
+          SELECT doc_id, simhash, unnest([{band_exprs}]) AS band_key FROM sh
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                 a.simhash AS s1, b.simhash AS s2
+          FROM blocked a JOIN blocked b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM blocked a JOIN blocked b
-          ON a.block = b.block AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+        SELECT doc_id_1, doc_id_2, bit_count(xor(s1, s2)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
     """
 
 
@@ -374,11 +420,13 @@ def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
                  F.col("b.doc_id").alias("doc_id_2"))
         .agg(F.count("*").alias("inter"))
     )
+    # `sizes` is O(n_docs) — never broadcast it (driver OOM at scale);
+    # AQE decides per-run whether the shuffle join can be localized.
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_1")
-                               .withColumnRenamed("n_g", "n_1")), "doc_id_1")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_id_2")
-                          .withColumnRenamed("n_g", "n_2")), "doc_id_2")
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_1")
+                   .withColumnRenamed("n_g", "n_1"), "doc_id_1")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
+              .withColumnRenamed("n_g", "n_2"), "doc_id_2")
         .withColumn(
             "jaccard",
             F.expr("round(inter / cast(n_1 + n_2 - inter as double), 6)"),

@@ -160,7 +160,11 @@ def lang_id_oracle() -> str:
         lang: f"list_sum(list_transform({toks}, x -> ({_in_list_sql('x', words)})))"
         for lang, words in STOPWORDS.items()
     }
-    score_cols = ",\n               ".join(f"{s[lang]} AS score_{lang}" for lang in _LANG_ORDER)
+    # DuckDB list_sum yields DOUBLE; Spark's sum over ints is BIGINT.
+    # CAST so the driver's value-hash compares 3 vs 3, not 3 vs 3.0.
+    score_cols = ",\n               ".join(
+        f"CAST({s[lang]} AS BIGINT) AS score_{lang}" for lang in _LANG_ORDER
+    )
     case = (
         f"CASE WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en' "
         f"WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']} THEN 'es' "

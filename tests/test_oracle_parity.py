@@ -40,6 +40,18 @@ def test_query_matches_oracle(spark, sf_dir, name):
     duck_df = con.sql(ORACLES[name]).df()
     assert len(spark_df) == len(duck_df), f"{name}: row count mismatch"
     assert sorted(spark_df.columns) == sorted(duck_df.columns), f"{name}: schema mismatch"
+    # The driver's value hash is dtype-sensitive (3 != 3.0). Python
+    # tuple compare is not, so pin numeric *kind* per column too:
+    # int-vs-float drift between an oracle and the Spark side must
+    # fail here, not in CORRECTNESS_r{N}.
+    for col in spark_df.columns:
+        sk = spark_df[col].dtype.kind
+        dk = duck_df[col].dtype.kind
+        if {sk, dk} <= {"i", "u", "f"}:
+            assert (sk in "iu") == (dk in "iu"), (
+                f"{name}.{col}: dtype kind mismatch spark={spark_df[col].dtype} "
+                f"duck={duck_df[col].dtype}"
+            )
     assert _normalize(spark_df) == _normalize(duck_df), f"{name}: value mismatch"
 
 
