@@ -307,6 +307,63 @@ WHERE f.seq >= 0
 """
 
 
+def _length_emissions_oracle(n: int) -> str:
+    """DuckDB oracle for the unique:length emission log. Key insight:
+    because a duplicate key moves to the back of the FIFO
+    (UniqueLengthWindowProcessor.java:153-157), the buffer is always
+    exactly "the n most-recently-occurring distinct keys, each mapped
+    to its latest event". So an event expires (exactly once, channel
+    'expired') iff its key occurs again later (replace, :148-157) OR
+    at least ``n`` distinct OTHER keys occur after it (FIFO eviction,
+    :158-166) — whichever would come first, the emitted row is the
+    same. Every arrival also emits on 'current'. Window functions
+    only, no recursion."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, row_number() OVER (ORDER BY ts, event_id) AS pos FROM events
+),
+nx AS (
+  SELECT *, lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS next_pos FROM ev
+),
+d AS (
+  SELECT *, sum(CASE WHEN next_pos IS NULL THEN 1 ELSE 0 END)
+            OVER (ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS d_after
+  FROM nx
+)
+SELECT event_id, user_id, 'current' AS channel FROM ev
+UNION ALL
+SELECT event_id, user_id, 'expired' AS channel FROM d
+WHERE next_pos IS NOT NULL OR coalesce(d_after, 0) >= {n}
+"""
+
+
+# byte%16 histogram == low hex nibble counts: hex() exposes each byte's
+# low nibble at the even (1-based) string positions, so the histogram
+# is computable engine-side without byte-array access.
+_MULTIMODAL_ORACLE = """
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, lower(hex(encode(text))) AS hx
+  FROM documents
+),
+l AS (
+  SELECT doc_id, n_bytes,
+         list_transform(generate_series(1, CAST(n_bytes AS INTEGER)),
+                        i -> substring(hx, 2*i, 1)) AS lows
+  FROM h
+),
+hist AS (
+  SELECT doc_id, n_bytes,
+         list_transform(generate_series(0, 15),
+           b -> len(list_filter(lows,
+                 c -> c = substring('0123456789abcdef', CAST(b AS INTEGER) + 1, 1)))) AS bh
+  FROM l
+)
+SELECT doc_id, n_bytes, list_max(bh) AS max_bin,
+       list_position(bh, list_max(bh)) AS argmax_bin_1based
+FROM hist
+"""
+
+
 def _time_length_batch_oracle(t_ms: int, n: int) -> str:
     """DuckDB oracle for unique:timeLengthBatch. Intervals are
     independent (the post-length-fire discard flag clears exactly at
@@ -484,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, click_ts_ms, click_value, purchase_ts_ms, purchase_value
             FROM clicks JOIN purchases USING (user_id)
         """,
+        "unique_length_emissions": _length_emissions_oracle(100),
         "unique_length_batch": _length_batch_oracle(50, "last"),
         "unique_first_length_batch": _length_batch_oracle(50, "first"),
         "unique_time_length_batch": _time_length_batch_oracle(6 * HOUR, 20),
@@ -500,4 +558,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": fsim.cosine_topk_oracle(),
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
+        "multimodal_feature_stats": _MULTIMODAL_ORACLE,
     }
