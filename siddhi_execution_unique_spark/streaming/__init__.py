@@ -365,3 +365,268 @@ def length_batch_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def time_length_batch_stream(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    watermark_delay: str = "10 seconds",
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """Streaming ``unique:timeLengthBatch``: tumbling batch fired by
+    ``T`` elapsed or ``N`` distinct keys, whichever first
+    (UniqueTimeLengthBatchWindowProcessor.java:110). Semantics mirror
+    the batch replay (operators/replay.py:time_length_batch):
+
+    - length fire the moment the Nth distinct key arrives (:279-282);
+      afterwards events are **discarded** until the next time boundary
+      (``eventSent`` skip, :261-271,288-290), which the boundary clears;
+    - time fire flushes the forming batch at ``anchor + k*T``
+      (:304-336) — event-driven when a later event crosses the
+      boundary, watermark-driven (``EventTimeTimeout``, the streaming
+      analog of ``scheduler.notifyAt``) when the stream idles;
+    - on each fire the previous batch re-emits on the ``expired``
+      channel before the new batch emits on ``current``
+      (UniqueTimeLengthBatchWindowTestCase.java:100-101 counts both);
+      expired rows carry their own ``batch_seq`` and the *current*
+      fire's ``fired_at_ms``/``fire_reason`` (= when they expired).
+
+    Distinct-key count and boundary clock are global, so this runs as
+    a single state group — the reference's own single-JVM semantics;
+    at scale use the per-window ``tumbling_batch_stream`` family."""
+    import json
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    t_ms = parse_time_ms(window_time, "window.time")
+    n = int(window_length)
+    if n <= 0:
+        raise ValueError(f"window.length must be a positive int, got {window_length!r}")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    columns = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("batch_seq", LongType()),
+            StructField("fired_at_ms", LongType()),
+            StructField("fire_reason", StringType()),
+            StructField("channel", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("batch_seq", LongType()),
+            StructField("next_emit", LongType()),
+            StructField("event_sent", LongType()),
+            StructField("forming_json", StringType()),
+            StructField("prev_json", StringType()),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            batch_seq, next_emit, event_sent, forming_json, prev_json = state.get
+            forming = json.loads(forming_json)
+            prev = json.loads(prev_json)
+        else:
+            batch_seq, next_emit, event_sent, forming, prev = 0, -1, 0, {}, []
+        recs: list[tuple] = []
+
+        def fire(at_ms: int, reason: str) -> None:
+            nonlocal batch_seq, prev, forming
+            if not forming:
+                return
+            for old in prev:
+                recs.append(
+                    tuple(old[c] for c in columns)
+                    + (batch_seq - 1, at_ms, reason, "expired")
+                )
+            fired = list(forming.values())
+            for ev in fired:
+                recs.append(
+                    tuple(ev[c] for c in columns) + (batch_seq, at_ms, reason, "current")
+                )
+            prev, forming = fired, {}
+            batch_seq += 1
+
+        def cross_boundaries(up_to_ms: int) -> None:
+            """Advance past every boundary <= up_to_ms: a boundary
+            clears the post-length-fire skip flag, else time-fires."""
+            nonlocal next_emit, event_sent
+            while next_emit >= 0 and up_to_ms >= next_emit:
+                if event_sent:
+                    event_sent = 0
+                else:
+                    fire(next_emit, "time")
+                next_emit += t_ms
+
+        if state.hasTimedOut:
+            cross_boundaries(state.getCurrentWatermarkMs())
+        else:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(ts, kind="mergesort")
+                ms = _ms_series(pdf, ts, is_timestamp)
+                for i in range(len(pdf)):
+                    ts_i = int(ms[i])
+                    if next_emit < 0:  # anchor on the first event
+                        if start_time_ms is not None:
+                            next_emit = (
+                                start_time_ms
+                                + ((ts_i - start_time_ms) // t_ms + 1) * t_ms
+                            )
+                        else:
+                            next_emit = ts_i + t_ms
+                    cross_boundaries(ts_i)
+                    if event_sent:
+                        continue  # discarded until next boundary
+                    row = {c: pdf.iloc[i][c] for c in columns}
+                    row[ts] = ts_i
+                    row = {
+                        c: (v.item() if hasattr(v, "item") else v)
+                        for c, v in row.items()
+                    }
+                    forming[str(row[key])] = row
+                    if len(forming) == n:
+                        fire(ts_i, "length")
+                        event_sent = 1
+
+        state.update(
+            (batch_seq, next_emit, event_sent, json.dumps(forming), json.dumps(prev))
+        )
+        if next_emit >= 0 and (forming or event_sent):
+            # watermark clock drives the next boundary on an idle stream
+            state.setTimeoutTimestamp(
+                max(next_emit, state.getCurrentWatermarkMs() + 1)
+            )
+        if recs:
+            out = pd.DataFrame.from_records(
+                recs, columns=columns + ["batch_seq", "fired_at_ms", "fire_reason", "channel"]
+            )
+            if is_timestamp and len(out):
+                out[ts] = pd.to_datetime(out[ts], unit="ms")
+            yield out
+
+    return (
+        df.withWatermark(ts, watermark_delay)
+        .withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def external_time_batch_stream(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    ts: str = "ts",
+    idle_timeout: int | str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """Streaming ``unique:externalTimeBatch`` with the reference's
+    ``time.out`` idle flush (UniqueExternalTimeBatchWindowProcessor.
+    java:279-298): batches are driven by the event's own timestamp —
+    flush when an event lands past the batch boundary (:454-458) — and
+    additionally by a WALL-CLOCK timer: if no events arrive for
+    ``idle_timeout``, the forming batch flushes even though nothing
+    crossed the boundary. That timer is inherently processing-time
+    (the reference schedules it on the system clock), so it maps to
+    ``ProcessingTimeTimeout`` — the one place this module uses
+    wall-clock state expiry.
+
+    Output adds ``batch_start_ms``/``batch_end_ms`` and ``flush_reason``
+    ('boundary' | 'timeout'). After an idle flush the batch window
+    stays open: later events of the same window flush as a second
+    partial chunk, matching the reference (flushed keys were cleared
+    from the map, :296-298). Keep-latest per key within a chunk.
+
+    Single global state group (the boundary clock is global), so this
+    twin mirrors the reference's single-JVM semantics; use
+    :func:`tumbling_batch_stream` for the scale path."""
+    import json
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    t_ms = parse_time_ms(window_time, "window.time")
+    idle_ms = None if idle_timeout is None else parse_time_ms(idle_timeout, "time.out")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    columns = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("batch_start_ms", LongType()),
+            StructField("batch_end_ms", LongType()),
+            StructField("flush_reason", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("end_time", LongType()), StructField("forming_json", StringType())]
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            end_time, forming_json = state.get
+            forming = json.loads(forming_json)
+        else:
+            end_time, forming = -1, {}
+        recs: list[tuple] = []
+
+        def flush(reason: str) -> None:
+            nonlocal forming
+            if not forming:
+                return
+            for ev in forming.values():
+                recs.append(
+                    tuple(ev[c] for c in columns) + (end_time - t_ms, end_time, reason)
+                )
+            forming = {}
+
+        if state.hasTimedOut:
+            flush("timeout")
+            state.update((end_time, json.dumps(forming)))
+        else:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(ts, kind="mergesort")
+                ms = _ms_series(pdf, ts, is_timestamp)
+                for i in range(len(pdf)):
+                    ts_i = int(ms[i])
+                    if end_time < 0:  # anchor on the first event (:449-458)
+                        if start_time_ms is not None:
+                            end_time = ts_i + (t_ms - (ts_i - start_time_ms) % t_ms)
+                        else:
+                            end_time = ts_i + t_ms
+                    while ts_i >= end_time:
+                        flush("boundary")
+                        end_time += t_ms
+                    row = {c: pdf.iloc[i][c] for c in columns}
+                    row[ts] = ts_i
+                    forming[str(row[key])] = {
+                        c: (v.item() if hasattr(v, "item") else v)
+                        for c, v in row.items()
+                    }
+            state.update((end_time, json.dumps(forming)))
+            if idle_ms is not None and forming:
+                state.setTimeoutDuration(idle_ms)
+        if recs:
+            out = pd.DataFrame.from_records(
+                recs, columns=columns + ["batch_start_ms", "batch_end_ms", "flush_reason"]
+            )
+            if is_timestamp and len(out):
+                out[ts] = pd.to_datetime(out[ts], unit="ms")
+            yield out
+
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )

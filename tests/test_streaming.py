@@ -224,6 +224,93 @@ def test_length_batch_stream_checkpoint_resume_emits_expired(spark, workdir):
     assert current1 == {3, 4}
 
 
+def test_time_length_batch_stream_semantics(spark, workdir):
+    # t=10s, n=3: length fire at the 3rd distinct key, then discard
+    # until the next boundary; later boundaries flush by time
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0),
+                 (3000, 3, "c", 3.0), (4000, 4, "d", 4.0)])
+    write_batch(workdir / "in", "002.parquet",
+                [(12000, 5, "e", 5.0), (22000, 6, "f", 6.0),
+                 (600000, 99, "zz", 0.0)])
+    out = stw.time_length_batch_stream(
+        read_stream(spark, workdir / "in"), "k", 10_000, 3, ts="ts",
+        watermark_delay="1 second",
+    )
+    res = run_available(spark, out, "tlb_sink", workdir / "ckpt")
+    rows = res.collect()
+    cur = {b: set() for b in range(3)}
+    for r in rows:
+        if r["channel"] == "current":
+            cur[r["batch_seq"]].add(r["event_id"])
+    # fire-by-length: batch 0 fired the moment 'c' (3rd distinct) arrived
+    assert cur[0] == {1, 2, 3}
+    b0 = [r for r in rows if r["batch_seq"] == 0 and r["channel"] == "current"][0]
+    assert b0["fire_reason"] == "length" and b0["fired_at_ms"] == 3000
+    # discard-until-boundary: event 4 (after the length fire) is dropped
+    assert not any(r["event_id"] == 4 for r in rows)
+    # fire-by-time: boundary 21000 flushes {e}; boundary 31000 flushes {f}
+    assert cur[1] == {5}
+    b1 = [r for r in rows if r["batch_seq"] == 1 and r["channel"] == "current"][0]
+    assert b1["fire_reason"] == "time" and b1["fired_at_ms"] == 21000
+    assert cur[2] == {6}
+    # dual channel: each fire re-emits the previous batch as expired
+    expired = {(r["batch_seq"], r["event_id"]) for r in rows if r["channel"] == "expired"}
+    assert {(0, 1), (0, 2), (0, 3), (1, 5)} <= expired
+    # trailing partial batch (zz) never fires
+    assert not any(r["event_id"] == 99 for r in rows)
+
+
+def test_external_time_batch_stream_boundary_flush(spark, workdir):
+    # event at 12s crosses the 10s boundary anchored at 1s -> first
+    # batch [1s,11s) flushes with keep-latest 'a'
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "a", 2.0), (12000, 3, "b", 3.0)])
+    out = stw.external_time_batch_stream(
+        read_stream(spark, workdir / "in"), "k", 10_000, ts="ts"
+    )
+    res = run_available(spark, out, "etb_sink", workdir / "ckpt")
+    rows = res.collect()
+    got = {(r["k"], r["event_id"], r["batch_start_ms"], r["flush_reason"]) for r in rows}
+    assert got == {("a", 2, 1000, "boundary")}  # keep-latest; 'b' batch still forming
+    assert all(r["batch_end_ms"] == 11000 for r in rows)
+
+
+def test_external_time_batch_stream_idle_flush(spark, workdir):
+    import time
+
+    # all events sit inside one 1-hour window and the source stalls:
+    # only the wall-clock time.out timer can flush them (reference:
+    # UniqueExternalTimeBatchWindowProcessor.java:279-298)
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "a", 2.0), (3000, 3, "b", 3.0)])
+    out = stw.external_time_batch_stream(
+        read_stream(spark, workdir / "in"), "k", 3_600_000, ts="ts",
+        idle_timeout=2_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("etb_idle_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM etb_idle_sink").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {(r["k"], r["event_id"], r["flush_reason"]) for r in rows}
+    assert got == {("a", 2, "timeout"), ("b", 3, "timeout")}  # keep-latest per key
+    assert all(r["batch_start_ms"] == 1000 and r["batch_end_ms"] == 3601000 for r in rows)
+
+
 def test_stream_table_source_feeds_operator(spark, workdir):
     from siddhi_execution_unique_spark.streaming import sources as ssrc
 
