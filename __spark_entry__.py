@@ -201,6 +201,49 @@ def q_time_length_batch(spark, sf_dir):
     ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")
 
 
+def q_time_length_batch_start(spark, sf_dir):
+    # start.time branch (operators/replay.py start_time_ms; reference
+    # UniqueTimeLengthBatchWindowProcessor.java:244-252): boundaries
+    # anchored at epoch 0 instead of the first event's time
+    return ops.time_length_batch(
+        _events(spark, sf_dir), "user_id", 4 * HOUR, 25, ts="ts", tiebreak="event_id",
+        start_time_ms=0,
+    ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")
+
+
+def q_time_batch_expired(spark, sf_dir):
+    # EXPIRED channel of the tumbling time batch: every fired batch
+    # re-emits when the next batch fires (UniqueTimeBatchWindow-
+    # Processor.java:235-266)
+    batched = ops.time_batch(
+        _events(spark, sf_dir), "user_id", HOUR, ts="ts", tiebreak="event_id"
+    )
+    return _ev_out(
+        ops.expired_channel(batched, HOUR),
+        "batch_start_ms", "batch_end_ms", "expired_at_ms",
+    )
+
+
+def q_length_batch_expired(spark, sf_dir):
+    # EXPIRED channel of unique:lengthBatch: batch k re-emits as
+    # expired at fire k+1 (UniqueLengthBatchWindowProcessor.java:
+    # 171-191); the inner join on the shifted fire log drops the last
+    # batch (no successor fire ever flushes it)
+    base = ops.length_batch(
+        _events(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
+    )
+    nxt = (
+        base.select("batch_seq", "fired_at_ms").distinct()
+        .select(
+            (F.col("batch_seq") - 1).alias("batch_seq"),
+            F.col("fired_at_ms").alias("expired_at_ms"),
+        )
+    )
+    return base.join(nxt, "batch_seq").select(
+        "event_id", "user_id", "batch_seq", "fired_at_ms", "expired_at_ms"
+    )
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -234,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_length_batch": q_length_batch,
         "unique_first_length_batch": q_first_length_batch,
         "unique_time_length_batch": q_time_length_batch,
+        "unique_time_length_batch_start": q_time_length_batch_start,
+        "unique_time_batch_expired": q_time_batch_expired,
+        "unique_length_batch_expired": q_length_batch_expired,
         # training-data pipeline tier (documents / embeddings)
         "text_token_stats": lambda s, d: ftext.token_stats(_docs(s, d)),
         "text_quality_score": lambda s, d: ftext.quality_score(_docs(s, d)),
@@ -364,20 +410,23 @@ FROM hist
 """
 
 
-def _time_length_batch_oracle(t_ms: int, n: int) -> str:
+def _time_length_batch_oracle(t_ms: int, n: int, start_ms: int | None = None) -> str:
     """DuckDB oracle for unique:timeLengthBatch. Intervals are
     independent (the post-length-fire discard flag clears exactly at
     the next boundary), so no recursion is needed: per interval
-    ``k = floor((ms - first_ms)/T)``, a length fire occurs at the Nth
+    ``k = floor((ms - anchor)/T)``, a length fire occurs at the Nth
     distinct key's first occurrence (later interval events are
     discarded), else a time fire flushes at the boundary — but only
     if a later event actually crosses it (the trailing partial batch
-    never fires, mirroring operators/replay.py:time_length_batch)."""
+    never fires, mirroring operators/replay.py:time_length_batch).
+    ``start_ms`` pins the start.time anchor; default anchors at the
+    first event's time."""
+    anchor = str(start_ms) if start_ms is not None else "min(epoch_ms(ts)) OVER ()"
     return f"""
 WITH ev AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ms,
          row_number() OVER (ORDER BY ts, event_id) AS pos,
-         min(epoch_ms(ts)) OVER () AS anchor,
+         {anchor} AS anchor,
          max(epoch_ms(ts)) OVER () AS max_ms
   FROM events
 ),
@@ -545,6 +594,33 @@ def oracle_sql() -> dict[str, str]:
         "unique_length_batch": _length_batch_oracle(50, "last"),
         "unique_first_length_batch": _length_batch_oracle(50, "first"),
         "unique_time_length_batch": _time_length_batch_oracle(6 * HOUR, 20),
+        "unique_time_length_batch_start": _time_length_batch_oracle(
+            4 * HOUR, 25, start_ms=0
+        ),
+        "unique_time_batch_expired": f"""
+            WITH b AS (
+              SELECT {_EVENT_SQL_COLS}, batch_start_ms,
+                     batch_start_ms + 3600000 AS batch_end_ms
+              FROM (SELECT *, (epoch_ms(ts) // 3600000) * 3600000 AS batch_start_ms,
+                           row_number() OVER (PARTITION BY epoch_ms(ts) // 3600000, user_id
+                                              ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                    FROM events) t
+              WHERE rn = 1
+            )
+            SELECT *, batch_end_ms + 3600000 AS expired_at_ms
+            FROM b
+            WHERE batch_end_ms < (SELECT max(batch_end_ms) FROM b)
+        """,
+        "unique_length_batch_expired": f"""
+            WITH base AS ({_length_batch_oracle(50, "last")}),
+            nxt AS (
+              SELECT batch_seq - 1 AS batch_seq, fired_at_ms AS expired_at_ms
+              FROM (SELECT DISTINCT batch_seq, fired_at_ms FROM base)
+            )
+            SELECT base.event_id, base.user_id, base.batch_seq,
+                   base.fired_at_ms, nxt.expired_at_ms
+            FROM base JOIN nxt USING (batch_seq)
+        """,
         "text_token_stats": ftext.token_stats_oracle(),
         "text_quality_score": ftext.quality_score_oracle(),
         "text_lang_id": ftext.lang_id_oracle(),

@@ -33,6 +33,7 @@ from siddhi_execution_unique_spark.operators.validation import (
     key_cols,
     require_column,
     require_keys,
+    stage_keys,
 )
 
 
@@ -112,10 +113,11 @@ def ever_expired(
     require_column(df, ts, "ts")
     if tiebreak is not None:
         require_column(df, tiebreak, "tiebreak")
-        retained = _retain_one_per_key(df, keys, ts, tiebreak, keep="last")
-        key_names = [k if isinstance(k, str) else k._jc.toString() for k in keys]
+        staged, key_names, generated = stage_keys(df, keys)
+        retained = _retain_one_per_key(staged, key_names, ts, tiebreak, keep="last")
         on = key_names + [ts, tiebreak]
-        return df.join(retained.select(*on), on, "left_anti")
+        out = staged.join(retained.select(*on), on, "left_anti")
+        return out.drop(*generated) if generated else out
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*key_cols(keys)).orderBy(F.col(ts).desc())

@@ -111,3 +111,25 @@ def require_column(df: DataFrame, name: str, param: str) -> str:
 def key_cols(keys) -> list[Column]:
     """Normalize keys to Column objects (string → column reference)."""
     return [F.col(k) if isinstance(k, str) else k for k in keys]
+
+
+def stage_keys(df: DataFrame, keys) -> tuple[DataFrame, list[str], list[str]]:
+    """Materialize Column-expression keys as named columns so APIs that
+    need column NAMES (dropDuplicates, join-on-names) can address them.
+    A Column's string form is not a resolvable column of the frame, and
+    stringifying via the JVM handle breaks under Spark Connect.
+
+    Returns ``(staged_df, key_names, generated_names)``; callers drop
+    ``generated_names`` from their output."""
+    staged = df
+    names: list[str] = []
+    generated: list[str] = []
+    for i, k in enumerate(keys):
+        if isinstance(k, str):
+            names.append(k)
+        else:
+            name = f"_unique_key_{i}"
+            staged = staged.withColumn(name, k)
+            names.append(name)
+            generated.append(name)
+    return staged, names, generated

@@ -36,6 +36,10 @@ def get_spark(
         )
         # Deterministic, oracle-comparable timestamps.
         .config("spark.sql.session.timeZone", "UTC")
+        # The events table ships TIMESTAMP(NANOS) parquet, which the
+        # vectorized reader rejects; read nanos as long (the loader
+        # converts ns -> a microsecond timestamp).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Runtime re-planning: skew joins, partition coalescing.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -28,6 +28,17 @@ TABLES = (
 )
 
 
+_SIZE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")).lower()
+    for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if raw.endswith(suf):
+            return int(raw[: -len(suf)]) * _SIZE_SUFFIXES[suf[0]]
+    return int(raw)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLES:
@@ -35,18 +46,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The events table stores TIMESTAMP(NANOS) parquet, which Spark's
     # vectorized reader rejects; read nanos as long and convert to a
     # microsecond timestamp with integer division (double division
-    # would lose precision at 1e18 ns).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # would lose precision at 1e18 ns). get_spark sets this in the
+    # session factory; guard here for externally-built sessions (the
+    # round driver's), without re-mutating conf on every load.
+    if str(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # The test files are single-row-group parquet, so the scan is one
     # task and every per-row projection above it (shingling, hashing,
-    # regex) serializes on one core. Fan out to the session's
-    # parallelism; on a real cluster input splits >> cores and this
-    # guard never fires.
+    # regex) serializes on one core. Estimate the scan's split count
+    # from file sizes (no df.rdd materialization — that converts the
+    # plan to an RDD on every load) and fan out only when the scan
+    # can't; on a real cluster input splits >> cores and this guard
+    # never fires.
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        max_pb = _max_partition_bytes(spark)
+        n_splits = sum(
+            max(1, -(-os.path.getsize(f.removeprefix("file:")) // max_pb))
+            for f in df.inputFiles()
+        )
+    except OSError:  # non-local storage: let the scan's own splits stand
+        n_splits = parallelism
+    if n_splits < parallelism:
         df = df.repartition(parallelism)
     return df
 

@@ -37,6 +37,7 @@ from siddhi_execution_unique_spark.operators.validation import (
     parse_time_ms,
     require_column,
     require_keys,
+    stage_keys,
 )
 
 
@@ -49,7 +50,9 @@ def first_stream(df: DataFrame, keys) -> DataFrame:
     OOM caveat, README.md:27); bound it with
     :func:`deduplicate_stream` when the key space is unbounded."""
     keys = require_keys(keys)
-    return df.dropDuplicates([k if isinstance(k, str) else k._jc.toString() for k in keys])
+    staged, key_names, generated = stage_keys(df, keys)
+    out = staged.dropDuplicates(key_names)
+    return out.drop(*generated) if generated else out
 
 
 def ever_stream(df: DataFrame, keys, ts: str = "ts") -> DataFrame:
@@ -83,10 +86,11 @@ def deduplicate_stream(
     keys = require_keys(keys)
     require_column(df, ts, "ts")
     interval_ms = parse_time_ms(time_interval, "time.interval")
-    key_names = [k if isinstance(k, str) else k._jc.toString() for k in keys]
-    return df.withWatermark(ts, f"{interval_ms} milliseconds").dropDuplicatesWithinWatermark(
-        key_names
-    )
+    staged, key_names, generated = stage_keys(df, keys)
+    out = staged.withWatermark(
+        ts, f"{interval_ms} milliseconds"
+    ).dropDuplicatesWithinWatermark(key_names)
+    return out.drop(*generated) if generated else out
 
 
 _DEDUP_STATE = StructType([StructField("last_kept_ms", LongType())])
@@ -119,10 +123,7 @@ def deduplicate_exact_stream(
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(ts, kind="mergesort")
-            if ts_is_timestamp:
-                ms = (pdf[ts].astype("int64") // 1_000_000).to_numpy()
-            else:
-                ms = pdf[ts].to_numpy()
+            ms = _ms_series(pdf, ts, ts_is_timestamp)
             keep = [False] * len(pdf)
             for i, m in enumerate(ms):
                 if last_kept_ms is None or m - last_kept_ms > interval_ms:
@@ -182,7 +183,10 @@ def tumbling_batch_stream(
 
 def _ms_series(pdf: pd.DataFrame, ts: str, is_timestamp: bool):
     if is_timestamp:
-        return (pdf[ts].astype("int64") // 1_000_000).to_numpy()
+        # normalize to ns explicitly: pyarrow>=13 may hand Arrow frames
+        # over as datetime64[us], where a bare astype('int64') would
+        # yield micros and silently shrink every interval 1000x
+        return (pdf[ts].astype("datetime64[ns]").astype("int64") // 1_000_000).to_numpy()
     return pdf[ts].to_numpy()
 
 

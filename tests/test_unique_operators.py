@@ -56,6 +56,16 @@ def test_ever_expired_channel(spark):
     assert rows_set(out, "k", "ts") == {("a", 1), ("b", 2)}
 
 
+def test_ever_expired_expression_key(spark):
+    # Column-expression keys (reference accepts key expressions,
+    # UniqueEverWindowProcessor.java:71-81): 'A' and 'a' collapse
+    # under lower(k); output keeps the original columns only
+    df = make(spark, [(1, 1, "A", 1.0), (2, 2, "b", 2.0), (3, 3, "a", 3.0)])
+    out = ever_expired(df, F.lower(F.col("k")), ts="ts", tiebreak="event_id")
+    assert rows_set(out, "k", "ts") == {("A", 1)}
+    assert set(out.columns) == {"ts", "event_id", "k", "v"}
+
+
 def test_ever_tiebreak_deterministic(spark):
     df = make(spark, [(1, 1, "a", 1.0), (1, 2, "a", 2.0)])
     out = ever(df, "k", ts="ts", tiebreak="event_id")
@@ -226,6 +236,25 @@ def test_time_length_batch_time_fire(spark):
     out = time_length_batch(df, "k", 100, 10, ts="ts", tiebreak="event_id")
     got = rows_set(out, "batch_seq", "k", "ts", "fire_reason", "fired_at_ms")
     assert got == {(0, "a", 50, "time", 100), (0, "b", 10, "time", 100)}
+
+
+def test_time_length_batch_start_time(spark):
+    # start.time=0, T=100: boundaries at 100, 200, ... regardless of
+    # the first event's time (reference UniqueTimeLengthBatchWindow-
+    # Processor.java:244-252). First event at 70 -> first boundary is
+    # 100 (not 170): {a@70, b@90} time-fire at 100; {c} flushes at 200.
+    df = make(spark, [(70, 1, "a", 1.0), (90, 2, "b", 2.0),
+                      (150, 3, "c", 3.0), (210, 4, "d", 4.0)])
+    out = time_length_batch(df, "k", 100, 10, ts="ts", tiebreak="event_id",
+                            start_time_ms=0)
+    got = rows_set(out, "batch_seq", "k", "fire_reason", "fired_at_ms")
+    assert got == {(0, "a", "time", 100), (0, "b", "time", 100),
+                   (1, "c", "time", 200)}
+    # without start.time the anchor is the first event: boundary 170
+    # splits {a,b} from {c} differently
+    out2 = time_length_batch(df, "k", 100, 10, ts="ts", tiebreak="event_id")
+    got2 = rows_set(out2, "batch_seq", "k", "fired_at_ms")
+    assert got2 == {(0, "a", 170), (0, "b", 170), (0, "c", 170)}
 
 
 # --- validation (negative tests, SURVEY §5 category 4) ---
