@@ -237,7 +237,11 @@ def embedding_near_dup_pairs(
 
     Scale path: band keys are a shuffle key (hash join per band, no
     cross join); at corpus scale you'd materialize sign sketches next
-    to the vectors and self-join per band. Mirrors the reference's
+    to the vectors and self-join per band. The band self-join and the
+    pair dedup carry ONLY (vec_id, band_key) — embeddings re-join by
+    id after the candidate set is deduplicated, so the wide arrays
+    never ride through the candidate shuffle (they'd multiply its
+    width ~100x at a 64-dim corpus). Mirrors the reference's
     key-based blocking philosophy (unique:ever key maps) applied to
     vector space."""
     base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
@@ -250,29 +254,32 @@ def embedding_near_dup_pairs(
         for b, bits in _band_key_exprs(bit)
     ]
     keyed = base.select(
-        "vec_id", "embedding", "norm2",
+        "vec_id",
         F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("band_key"),
     )
-    a = keyed.select(
+    cand = (
+        keyed.select(F.col("vec_id").alias("vec_id_1"), "band_key")
+        .join(keyed.select(F.col("vec_id").alias("vec_id_2"), "band_key"), ["band_key"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2")
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
+    )
+    # id-joins against the O(n) embeddings table: no broadcast hint
+    # (driver OOM at corpus scale); AQE localizes when small
+    e1 = base.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("e1"),
         F.col("norm2").alias("n1"),
-        "band_key",
     )
-    b = keyed.select(
+    e2 = base.select(
         F.col("vec_id").alias("vec_id_2"),
         F.col("embedding").alias("e2"),
         F.col("norm2").alias("n2"),
-        "band_key",
-    )
-    cand = (
-        a.join(b, ["band_key"])
-        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .select("vec_id_1", "vec_id_2", "e1", "n1", "e2", "n2")
-        .dropDuplicates(["vec_id_1", "vec_id_2"])
     )
     return (
-        cand.withColumn("cos_sim", F.expr(f"round({_cos_expr('e1', 'e2', 'n1', 'n2')}, 6)"))
+        cand.join(e1, "vec_id_1")
+        .join(e2, "vec_id_2")
+        .withColumn("cos_sim", F.expr(f"round({_cos_expr('e1', 'e2', 'n1', 'n2')}, 6)"))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_id_1", "vec_id_2", "cos_sim")
     )
