@@ -92,6 +92,16 @@ def q_unique_time(spark, sf_dir):
     )
 
 
+def q_unique_time_expired(spark, sf_dir):
+    from siddhi_execution_unique_spark.operators.time_window import time_window_expired
+
+    return _ev_out(
+        time_window_expired(
+            _events(spark, sf_dir), "user_id", DAY, ts="ts", tiebreak="event_id"
+        )
+    )
+
+
 def q_unique_time_batch(spark, sf_dir):
     return _ev_out(
         ops.time_batch(_events(spark, sf_dir), "user_id", HOUR, ts="ts", tiebreak="event_id"),
@@ -260,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_ever_expired": q_unique_ever_expired,
         "unique_length": q_unique_length,
         "unique_time": q_unique_time,
+        "unique_time_expired": q_unique_time_expired,
         "unique_time_batch": q_unique_time_batch,
         "unique_first_time_batch": q_unique_first_time_batch,
         "unique_external_time_batch": q_unique_external_time_batch,
@@ -499,6 +510,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM events e
                   WHERE epoch_ms(ts) > (SELECT max(epoch_ms(ts)) FROM events) - 86400000) t
             WHERE rn = 1
+        """,
+        "unique_time_expired": f"""
+            SELECT {_EVENT_SQL_COLS}
+            FROM (SELECT e.*,
+                         epoch_ms(ts) > (SELECT max(epoch_ms(ts)) FROM events) - 86400000 AS in_win,
+                         row_number() OVER (
+                           PARTITION BY user_id,
+                             (epoch_ms(ts) > (SELECT max(epoch_ms(ts)) FROM events) - 86400000)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events e) t
+            WHERE NOT (in_win AND rn = 1)
         """,
         "unique_time_batch": f"""
             SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 3600000 AS batch_end_ms

@@ -24,6 +24,7 @@ from siddhi_execution_unique_spark.operators.validation import (
     parse_time_ms,
     require_column,
     require_keys,
+    stage_keys,
 )
 
 
@@ -47,3 +48,28 @@ def time_window(
         .drop("_max_ms")
     )
     return ever(live, keys, ts=ts, tiebreak=tiebreak)
+
+
+def time_window_expired(
+    df: DataFrame,
+    keys,
+    window_time: int | str,
+    ts: str = "ts",
+    *,
+    tiebreak: str,  # required: addresses the retained row uniquely
+) -> DataFrame:
+    """The EXPIRED channel of ``unique:time`` over a finite run: every
+    event that has left the window — expired by the ``T`` timer
+    (UniqueTimeWindowProcessor.java:176-188) or replaced by a newer
+    same-key arrival (:191-212). Over a full replay that is the exact
+    complement of the final contents, computed as a left-anti equi-join
+    on ``(keys, ts, tiebreak)`` — one extra shuffle, no per-key sort,
+    AQE-splittable on hot keys (same design as ``keyed.ever_expired``)."""
+    keys = require_keys(keys)
+    require_column(df, ts, "ts")
+    require_column(df, tiebreak, "tiebreak")
+    staged, key_names, generated = stage_keys(df, keys)
+    retained = time_window(staged, key_names, window_time, ts=ts, tiebreak=tiebreak)
+    on = key_names + [ts, tiebreak]
+    out = staged.join(retained.select(*on), on, "left_anti")
+    return out.drop(*generated) if generated else out

@@ -371,6 +371,76 @@ def length_batch_stream(
     )
 
 
+def length_window_stream(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+) -> DataFrame:
+    """Streaming ``unique:length`` — sliding FIFO buffer of the last
+    ``N`` unique keys with the reference's dual emission protocol
+    (UniqueLengthWindowProcessor.java:148-166) on a ``channel`` column:
+    every arrival emits on ``current``; a duplicate key expires the
+    replaced event immediately and moves the key to the back of the
+    FIFO (:153-157); a new key on a full buffer expires the
+    oldest-inserted key's event (:158-166).
+
+    The FIFO is one global ordered buffer (insertion order is shared
+    by all keys), so this runs as a single state group — the
+    reference's own single-JVM semantics. State is bounded at ``N``
+    rows. Batch twin: ``operators.length.length_window_emissions``;
+    distributable final-contents form: ``operators.length.length_window``."""
+    import json
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    n = int(window_length)
+    if n <= 0:
+        raise ValueError(f"window.length must be a positive int, got {window_length!r}")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    columns = [f.name for f in df.schema.fields]
+    out_schema = StructType(df.schema.fields + [StructField("channel", StringType())])
+    # insertion-ordered buffer serialized as a [key, row] pair list
+    state_schema = StructType([StructField("buffer_json", StringType())])
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        buffer: dict = (
+            dict(json.loads(state.get[0])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            ms = _ms_series(pdf, ts, is_timestamp)
+            recs = []
+            for i in range(len(pdf)):
+                row = {c: pdf.iloc[i][c] for c in columns}
+                row[ts] = int(ms[i])
+                row = {
+                    c: (v.item() if hasattr(v, "item") else v) for c, v in row.items()
+                }
+                k = str(row[key])
+                if k in buffer:
+                    old = buffer.pop(k)
+                    recs.append(tuple(old[c] for c in columns) + ("expired",))
+                elif len(buffer) == n:
+                    old = buffer.pop(next(iter(buffer)))
+                    recs.append(tuple(old[c] for c in columns) + ("expired",))
+                buffer[k] = row
+                recs.append(tuple(row[c] for c in columns) + ("current",))
+            if recs:
+                yield _records_frame(recs, columns, ts, is_timestamp)
+        state.update((json.dumps(list(buffer.items())),))
+
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def time_length_batch_stream(
     df: DataFrame,
     key: str,

@@ -95,6 +95,42 @@ def test_no_interpreted_hofs_in_text_dedup_hot_paths(spark):
         assert "lambdafunction" not in plan, plan[:500]
 
 
+def test_jaccard_verifiers_do_not_broadcast_per_doc_sizes(spark):
+    """The per-document sizes frame is O(n_docs) rows — a FORCED
+    broadcast of it OOMs the driver at corpus scale. The hint was
+    removed (VERDICT r01); pin that no broadcast *hint* survives in
+    the logical plan. Catalyst/AQE may still pick a broadcast from
+    size statistics at test scale — that is the desired adaptive
+    behavior (at 100 TB the same statistics choose a shuffle join),
+    so the physical plan is not asserted broadcast-free."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (fdedup.near_dup_pairs(docs), fdedup.char_ngram_jaccard_pairs(docs)):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "strategy=broadcast" not in optimized_of(df)
+
+
+def test_simhash_near_pairs_rotation_banded_equi_join(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    df = fdedup.simhash_near_pairs(docs)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 4 rotation bands explode from each signature row
+    opt = optimized_of(df)
+    assert "Generate explode" in opt or "explode" in opt.lower()
+
+
+def test_embedding_pairs_candidate_shuffle_is_narrow(spark):
+    """Candidate generation must not carry embedding arrays: the band
+    self-join and the pair dedup see only (vec_id, band_key)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(fsim.embedding_near_dup_pairs(emb))
+    # the dedup aggregation runs on the two id columns only
+    assert "hashpartitioning(vec_id_1" in plan, plan[:800]
+
+
 def test_time_batch_is_single_shuffle_agg(spark):
     events = load_table(spark, SF_DIR, "events")
     plan = plan_of(

@@ -224,6 +224,23 @@ def test_length_batch_stream_checkpoint_resume_emits_expired(spark, workdir):
     assert current1 == {3, 4}
 
 
+def test_length_window_stream_replace_and_fifo(spark, workdir):
+    # N=2: 'a' replaced (old expires, key moves to back), then 'c' on a
+    # full buffer FIFO-evicts 'b' (oldest insertion)
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    write_batch(workdir / "in", "002.parquet",
+                [(3000, 3, "a", 3.0), (4000, 4, "c", 4.0)])
+    out = stw.length_window_stream(read_stream(spark, workdir / "in"), "k", 2, ts="ts")
+    res = run_available(spark, out, "lw_sink", workdir / "ckpt")
+    got = {(r["event_id"], r["channel"]) for r in res.collect()}
+    assert got == {
+        (1, "current"), (2, "current"), (3, "current"), (4, "current"),
+        (1, "expired"),   # replaced by event 3 (same key)
+        (2, "expired"),   # FIFO-evicted by event 4 ('a' moved to back)
+    }
+
+
 def test_time_length_batch_stream_semantics(spark, workdir):
     # t=10s, n=3: length fire at the 3rd distinct key, then discard
     # until the next boundary; later boundaries flush by time
