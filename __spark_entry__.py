@@ -22,6 +22,7 @@ from siddhi_execution_unique_spark import operators as ops  # noqa: E402
 from siddhi_execution_unique_spark.functions import (  # noqa: E402
     dedup as fdedup,
     multimodal as fmm,
+    pipeline as fpipe,
     similarity as fsim,
     text as ftext,
 )
@@ -305,8 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
         "dedup_embedding_cosine": lambda s, d: fsim.embedding_near_dup_pairs(_emb(s, d)),
-        # multimodal plumbing: rows-only (pandas-UDF feature extraction)
+        # multimodal plumbing (pandas-UDF feature extraction)
         "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
+        # composed curation pipeline: quality gate -> exact dedup -> lang tag
+        "pipeline_corpus_curation": lambda s, d: fpipe.corpus_curation(_docs(s, d)),
     }
 
 
@@ -657,4 +660,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
+        "pipeline_corpus_curation": fpipe.corpus_curation_oracle(),
     }
