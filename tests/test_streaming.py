@@ -278,6 +278,41 @@ def test_time_length_batch_stream_semantics(spark, workdir):
     assert not any(r["event_id"] == 99 for r in rows)
 
 
+def test_time_length_batch_stream_checkpoint_resume(spark, workdir):
+    # state (forming batch, boundary clock, batch_seq) must survive a
+    # restart from the checkpoint — the streaming analog of the
+    # reference's persist/restore round-trip
+    outdir = workdir / "out"
+
+    def run_to_files():
+        q = (
+            stw.time_length_batch_stream(
+                read_stream(spark, workdir / "in"), "k", 10_000, 3, ts="ts",
+                watermark_delay="1 second",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # two distinct keys accumulate, no fire yet
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    run_to_files()
+    # after restart the 3rd distinct key must fire WITH the remembered
+    # forming batch {a, b}
+    write_batch(workdir / "in", "002.parquet", [(3000, 3, "c", 3.0)])
+    run_to_files()
+    rows = spark.read.parquet(str(outdir)).collect()
+    current0 = {r["event_id"] for r in rows if r["batch_seq"] == 0 and r["channel"] == "current"}
+    assert current0 == {1, 2, 3}
+    assert all(r["fire_reason"] == "length" for r in rows)
+
+
 def test_external_time_batch_stream_boundary_flush(spark, workdir):
     # event at 12s crosses the 10s boundary anchored at 1s -> first
     # batch [1s,11s) flushes with keep-latest 'a'
