@@ -17,11 +17,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from siddhi_execution_unique_spark.functions.text import (
-    fingerprint,
+    _in_list_sql,
+    STOPWORDS,
+    SPARK_TOKS,
+    NORM_SPARK,
     fingerprint_oracle,
-    lang_id,
     lang_id_oracle,
-    quality_score,
     quality_score_oracle,
 )
 
@@ -34,20 +35,56 @@ def corpus_curation(docs: DataFrame, threshold: float = QUALITY_THRESHOLD) -> Da
     """Curated-corpus manifest: documents passing the quality gate,
     exact-deduplicated by normalized-text fingerprint (keep the
     minimum doc_id among passing duplicates), tagged with the
-    predicted language. Output: (doc_id, pred_lang, quality)."""
-    q = quality_score(docs).select("doc_id", "quality")
-    fp = fingerprint(docs)
+    predicted language. Output: (doc_id, pred_lang, quality).
+
+    The quality and language scores FUSE into one explode + one
+    codegen hash-agg pass (7 conditional sums over the same token
+    rows) instead of composing ``quality_score`` + ``lang_id`` and
+    re-tokenizing; the fingerprint rides along as a grouping key so
+    the whole manifest is one scan of ``documents``. The DuckDB oracle
+    composes the per-operator fragments — results are identical, only
+    the plan is fused."""
+    staged = docs.select(
+        "doc_id",
+        "text",
+        F.expr(f"md5({NORM_SPARK})").alias("fingerprint"),
+        F.expr("cast(length(text) as double)").alias("n_chars_d"),
+        F.expr(r"regexp_count(text, '[^A-Za-z0-9\\s]')").alias("punct_n"),
+    )
+    tok = staged.select(
+        "doc_id", "fingerprint", "n_chars_d", "punct_n",
+        F.explode(F.expr(SPARK_TOKS)).alias("x"),
+    )
+    agg = tok.groupBy("doc_id", "fingerprint", "n_chars_d", "punct_n").agg(
+        F.count("*").alias("n_toks"),
+        F.sum(F.expr("CASE WHEN length(x) <= 2 THEN 1 ELSE 0 END")).alias("short_n"),
+        *[
+            F.sum(F.expr(_in_list_sql("x", words))).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    lang_case = (
+        "CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en' "
+        "WHEN score_es >= score_de AND score_es >= score_fr THEN 'es' "
+        "WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END"
+    )
+    scored = agg.select(
+        "doc_id",
+        "fingerprint",
+        F.expr(
+            "round(0.5 * least(score_en / cast(n_toks as double) * 5.0, 1.0)"
+            " + 0.3 * (1.0 - punct_n / n_chars_d)"
+            " + 0.2 * (1.0 - short_n / cast(n_toks as double)), 6)"
+        ).alias("quality"),
+        F.expr(lang_case).alias("pred_lang"),
+    )
     keep = (
-        fp.join(q, "doc_id")
-        .filter(F.col("quality") >= threshold)
+        scored.filter(F.col("quality") >= threshold)
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    lang = lang_id(docs).select("doc_id", "pred_lang")
-    return keep.join(q, "doc_id").join(lang, "doc_id").select(
-        "doc_id", "pred_lang", "quality"
-    )
+    return keep.join(scored, "doc_id").select("doc_id", "pred_lang", "quality")
 
 
 def corpus_curation_oracle(threshold: float = QUALITY_THRESHOLD) -> str:
