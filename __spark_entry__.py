@@ -281,9 +281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ever_join_customer": q_ever_join_customer,
         "first_filtered": q_first_filtered,
         "window_join": q_window_join,
-        # order-dependent replay tier; lengthBatch family carries a
-        # recursive-CTE oracle, the rest are rows-only checks
-        "unique_length_emissions": lambda s, d: ops.length_window_emissions(
+        # emission log: distributed set-semantics form (the driver's
+        # hash compare is order-insensitive; the ordered replay twin is
+        # ops.length_window_emissions, pinned by pytest)
+        "unique_length_emissions": lambda s, d: ops.length_window_emissions_distributed(
             _events(s, d), "user_id", 100, ts="ts", tiebreak="event_id"
         ).select("event_id", "user_id", "channel"),
         "unique_length_batch": q_length_batch,

@@ -13,6 +13,7 @@ from siddhi_execution_unique_spark.operators.keyed import ever, ever_expired, fi
 from siddhi_execution_unique_spark.operators.length import (
     length_window,
     length_window_emissions,
+    length_window_emissions_distributed,
 )
 from siddhi_execution_unique_spark.operators.replay import (
     deduplicate,

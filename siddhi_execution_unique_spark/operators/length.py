@@ -45,6 +45,43 @@ def length_window(
 CHANNEL = "channel"
 
 
+def length_window_emissions_distributed(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    *,
+    tiebreak: str,
+) -> DataFrame:
+    """Set-semantics emission log of ``unique:length``, fully
+    distributed (no single-group replay): every arrival emits on
+    ``current``, and an event emits on ``expired`` iff it is NOT in
+    the window's final contents. That equivalence holds because a
+    duplicate key moves to the back of the FIFO
+    (UniqueLengthWindowProcessor.java:153-157), so the buffer is
+    always exactly the ``N`` most-recently-occurring distinct keys'
+    latest events — i.e. :func:`length_window`'s output (invariant
+    property-tested in ``tests/test_properties.py``). Plan shape: one
+    keyed partial-agg shuffle + a global top-N (TakeOrderedAndProject)
+    + a left-anti equi-join — survives any corpus size.
+
+    The per-arrival emission ORDER the reference's log defines is not
+    represented here; use :func:`length_window_emissions` for the
+    ordered replay or ``streaming.length_window_stream`` for the live
+    log."""
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, tiebreak, "tiebreak")
+    n = require_pos_int(window_length, "window.length")
+    current = df.withColumn(CHANNEL, F.lit("current"))
+    retained = length_window(df, key, n, ts=ts, tiebreak=tiebreak)
+    on = [key, ts, tiebreak]
+    expired = df.join(retained.select(*on), on, "left_anti").withColumn(
+        CHANNEL, F.lit("expired")
+    )
+    return current.unionByName(expired)
+
+
 def length_window_emissions(
     df: DataFrame,
     key: str,

@@ -329,6 +329,21 @@ def test_ever_accepts_expression_key(spark):
     assert got == {("A", 2), ("b", 3)}  # 'a'/'A' collapse under lower()
 
 
+def test_length_window_emissions_distributed_matches_replay_set(spark):
+    # the scale-path form must emit exactly the replay's emission SET
+    # (order is the replay's own concern)
+    from siddhi_execution_unique_spark.operators.length import (
+        length_window_emissions_distributed,
+    )
+
+    rows = [((i + 1) * 1000, i + 1, k, float(i + 1))
+            for i, k in enumerate("a b a c d b e a c f g a".split())]
+    df = make(spark, rows)
+    replay = length_window_emissions(df, "k", 3, ts="ts", tiebreak="event_id")
+    dist = length_window_emissions_distributed(df, "k", 3, ts="ts", tiebreak="event_id")
+    assert rows_set(replay, "event_id", "channel") == rows_set(dist, "event_id", "channel")
+
+
 def test_length_window_emissions_replace_and_fifo(spark):
     # buffer size 2: a,b fill it; second 'a' replaces (old a expires);
     # 'c' FIFO-evicts 'b' (oldest insertion)
