@@ -207,16 +207,19 @@ def q_first_length_batch(spark, sf_dir):
 
 
 def q_time_length_batch(spark, sf_dir):
-    return ops.time_length_batch(
+    # distributed form (window functions partitioned by interval); the
+    # single-group replay twin ops.time_length_batch is cross-checked
+    # against it in tests/test_unique_operators.py
+    return ops.time_length_batch_distributed(
         _events(spark, sf_dir), "user_id", 6 * HOUR, 20, ts="ts", tiebreak="event_id"
     ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")
 
 
 def q_time_length_batch_start(spark, sf_dir):
-    # start.time branch (operators/replay.py start_time_ms; reference
-    # UniqueTimeLengthBatchWindowProcessor.java:244-252): boundaries
-    # anchored at epoch 0 instead of the first event's time
-    return ops.time_length_batch(
+    # start.time branch (reference UniqueTimeLengthBatchWindow-
+    # Processor.java:244-252): boundaries anchored at epoch 0 instead
+    # of the first event's time
+    return ops.time_length_batch_distributed(
         _events(spark, sf_dir), "user_id", 4 * HOUR, 25, ts="ts", tiebreak="event_id",
         start_time_ms=0,
     ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")

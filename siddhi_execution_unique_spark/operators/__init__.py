@@ -20,6 +20,7 @@ from siddhi_execution_unique_spark.operators.replay import (
     first_length_batch,
     length_batch,
     time_length_batch,
+    time_length_batch_distributed,
 )
 from siddhi_execution_unique_spark.operators.time_batch import (
     expired_channel,
@@ -42,5 +43,6 @@ __all__ = [
     "length_window",
     "time_batch",
     "time_length_batch",
+    "time_length_batch_distributed",
     "time_window",
 ]

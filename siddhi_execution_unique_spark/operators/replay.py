@@ -313,3 +313,97 @@ def time_length_batch(
         return out
 
     return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+
+
+def time_length_batch_distributed(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """Distributed ``unique:timeLengthBatch`` — same semantics as
+    :func:`time_length_batch` (cross-checked by test and by the shared
+    driver oracle) built from window functions partitioned by the time
+    interval, with no single-group replay.
+
+    Why this is possible: the post-length-fire discard flag clears
+    exactly at the next boundary, so intervals are INDEPENDENT. Within
+    interval ``k = floor((ms - anchor)/T)``:
+
+    - a length fire happens at the first row where the running count
+      of distinct-key first occurrences reaches ``N`` (exactly one
+      such row per interval — later events are discarded);
+    - otherwise the interval time-fires at its boundary, but only if a
+      later event actually crosses it (trailing partial never fires).
+
+    Plan shape: one shuffle keyed on the interval (all three window
+    functions share it), a per-interval fire-point aggregate (one row
+    per interval — broadcast-sized at any corpus scale), and a tiny
+    sequence-numbering window over distinct intervals."""
+    from pyspark.sql.window import Window
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    t_ms = parse_time_ms(window_time, "window.time")
+    n = require_pos_int(window_length, "window.length")
+    out_cols = list(df.columns)
+
+    ms = event_ms(df, ts)
+    if start_time_ms is None:
+        edges = df.agg(F.min(ms).alias("_anchor"), F.max(ms).alias("_max_ms"))
+    else:
+        edges = df.agg(F.max(ms).alias("_max_ms")).withColumn(
+            "_anchor", F.lit(start_time_ms).cast("long")
+        )
+    base = (
+        df.withColumn(_TS_MS, ms)
+        .crossJoin(F.broadcast(edges))
+        .withColumn("_k", F.expr(f"({_TS_MS} - _anchor) div {t_ms}"))
+    )
+    order = [F.col(_TS_MS)] + ([F.col(tiebreak)] if tiebreak else [])
+    w_first = Window.partitionBy("_k", key).orderBy(*order)
+    w_run = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = F.struct(*order)
+    running = base.withColumn(
+        "_isf", F.row_number().over(w_first) == 1
+    ).withColumn("_nd", F.sum(F.when(F.col("_isf"), 1).otherwise(0)).over(w_run))
+    fires = (
+        running.filter((F.col("_nd") == n) & F.col("_isf"))
+        .groupBy("_k")
+        .agg(F.min(pos).alias("_L"))
+    )
+    live = running.join(fires, "_k", "left").filter(
+        (
+            F.col("_L").isNull()
+            & (F.expr(f"_anchor + (_k + 1) * {t_ms}") <= F.col("_max_ms"))
+        )
+        | (F.col("_L").isNotNull() & (pos <= F.col("_L")))
+    )
+    w_keep = Window.partitionBy("_k", key).orderBy(*[c.desc() for c in order])
+    retained = live.withColumn("_rnk", F.row_number().over(w_keep)).filter(
+        F.col("_rnk") == 1
+    )
+    # one row per fired interval — tiny at any scale
+    seqs = (
+        live.select("_k")
+        .distinct()
+        .withColumn("_seq", F.row_number().over(Window.orderBy("_k")) - 1)
+    )
+    return retained.join(seqs, "_k").select(
+        *out_cols,
+        F.col("_seq").cast("long").alias(BATCH_SEQ),
+        F.when(F.col("_L").isNotNull(), F.col("_L").getField(_TS_MS))
+        .otherwise(F.expr(f"_anchor + (_k + 1) * {t_ms}"))
+        .cast("long")
+        .alias(FIRED_AT),
+        F.when(F.col("_L").isNotNull(), F.lit("length"))
+        .otherwise(F.lit("time"))
+        .alias(FIRE_REASON),
+    )

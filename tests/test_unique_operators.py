@@ -238,6 +238,26 @@ def test_time_length_batch_time_fire(spark):
     assert got == {(0, "a", 50, "time", 100), (0, "b", 10, "time", 100)}
 
 
+def test_time_length_batch_distributed_matches_replay(spark):
+    # the interval-partitioned distributed form must reproduce the
+    # ordered replay exactly, including the discard-after-length-fire
+    # quirk and the trailing partial
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_distributed,
+    )
+
+    rows = [((i + 1) * 17, i + 1, k, float(i + 1)) for i, k in enumerate(
+        "a b c d a e b f a a g c h b i j a k".split())]
+    df = make(spark, rows)
+    for kwargs in ({}, {"start_time_ms": 0}, {"start_time_ms": 5}):
+        rep = time_length_batch(df, "k", 100, 3, ts="ts", tiebreak="event_id", **kwargs)
+        dist = time_length_batch_distributed(
+            df, "k", 100, 3, ts="ts", tiebreak="event_id", **kwargs
+        )
+        cols = ("event_id", "k", "batch_seq", "fired_at_ms", "fire_reason")
+        assert rows_set(rep, *cols) == rows_set(dist, *cols), kwargs
+
+
 def test_time_length_batch_start_time(spark):
     # start.time=0, T=100: boundaries at 100, 200, ... regardless of
     # the first event's time (reference UniqueTimeLengthBatchWindow-
