@@ -194,15 +194,22 @@ def q_window_join(spark, sf_dir):
     return clicks.join(purchases, "user_id", "inner")
 
 
+def _events_narrow(spark, sf_dir):
+    # the single-group replay tier funnels its input through one Arrow
+    # stream; column pruning can't push through mapInPandas, so project
+    # BEFORE the replay (props is a map column — the bulk of the row)
+    return _events(spark, sf_dir).select("event_id", "ts", "user_id")
+
+
 def q_length_batch(spark, sf_dir):
     return ops.length_batch(
-        _events(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
+        _events_narrow(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
     ).select("event_id", "user_id", "batch_seq", "fired_at_ms")
 
 
 def q_first_length_batch(spark, sf_dir):
     return ops.first_length_batch(
-        _events(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
+        _events_narrow(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
     ).select("event_id", "user_id", "batch_seq", "fired_at_ms")
 
 
@@ -244,7 +251,7 @@ def q_length_batch_expired(spark, sf_dir):
     # 171-191); the inner join on the shifted fire log drops the last
     # batch (no successor fire ever flushes it)
     base = ops.length_batch(
-        _events(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
+        _events_narrow(spark, sf_dir), "user_id", 50, ts="ts", tiebreak="event_id"
     )
     nxt = (
         base.select("batch_seq", "fired_at_ms").distinct()

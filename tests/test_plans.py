@@ -140,6 +140,32 @@ def test_time_batch_is_single_shuffle_agg(spark):
     assert plan.count("Exchange") <= 2  # load_table fan-out + agg shuffle
 
 
+def test_distributed_replay_forms_have_no_python_stage(spark):
+    """The driver entries for timeLengthBatch and the length emission
+    log run the distributed window-function/anti-join forms — a
+    regression back to the single-group pandas replay (MapInPandas +
+    coalesce(1)) must fail loudly."""
+    events = load_table(spark, SF_DIR, "events")
+    from siddhi_execution_unique_spark.operators.length import (
+        length_window_emissions_distributed,
+    )
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_distributed,
+    )
+
+    for df in (
+        time_length_batch_distributed(
+            events, "user_id", 3_600_000, 20, ts="ts", tiebreak="event_id"
+        ),
+        length_window_emissions_distributed(
+            events, "user_id", 100, ts="ts", tiebreak="event_id"
+        ),
+    ):
+        plan = plan_of(df)
+        assert "MapInPandas" not in plan
+        assert "Coalesce 1" not in plan
+
+
 def test_ever_expired_is_anti_join_not_window(spark):
     events = load_table(spark, SF_DIR, "events")
     plan = plan_of(
