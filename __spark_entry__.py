@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: ftext.quality_score(_docs(s, d)),
         "text_lang_id": lambda s, d: ftext.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: ftext.fingerprint(_docs(s, d)),
+        "text_winnow_fingerprints": lambda s, d: ftext.winnow_fingerprints(_docs(s, d)),
         "dedup_exact": lambda s, d: fdedup.exact_dedup(_docs(s, d)),
         "dedup_minhash_signatures": lambda s, d: fdedup.minhash_signatures(_docs(s, d)),
         "dedup_near_pairs_lsh": lambda s, d: fdedup.near_dup_pairs(_docs(s, d)),
@@ -661,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": ftext.quality_score_oracle(),
         "text_lang_id": ftext.lang_id_oracle(),
         "text_fingerprint": ftext.fingerprint_oracle(),
+        "text_winnow_fingerprints": ftext.winnow_fingerprints_oracle(),
         "dedup_exact": fdedup.exact_dedup_oracle(),
         "dedup_minhash_signatures": fdedup.minhash_signatures_oracle(),
         "dedup_near_pairs_lsh": fdedup.near_dup_pairs_oracle(),

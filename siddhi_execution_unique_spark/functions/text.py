@@ -193,3 +193,76 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 def fingerprint_oracle() -> str:
     return f"SELECT doc_id, md5({NORM_DUCK}) AS fingerprint FROM documents"
+
+
+WINNOW_K = 8   # k-gram length (chars of normalized text)
+WINNOW_W = 10  # winnowing window: one fingerprint per w consecutive grams
+
+_P = 1_000_000_007
+_GRAM_HASH_SPARK = (
+    f"cast(conv(substring(md5(substring(norm, i, {WINNOW_K})), 1, 15), 16, 10)"
+    f" as bigint) % {_P}"
+)
+_GRAM_HASH_DUCK = (
+    f"CAST(('0x' || substring(md5(substring(norm, i, {WINNOW_K})), 1, 15)) AS BIGINT)"
+    f" % {_P}"
+)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character ``k``-gram of the normalized text, then keep the minimum
+    hash of each window of ``w`` consecutive grams — a position-robust
+    fingerprint set whose density is ~2/(w+1), the standard local
+    substring-dedup signature. Output: one row per distinct
+    (doc_id, fp) fingerprint.
+
+    Classic implementations roll the gram hash in O(1) per position;
+    here each gram hashes independently (md5 → int64, identical in the
+    DuckDB oracle) because the per-position work is already a single
+    codegen'd expression over explode(sequence()) rows — Spark's
+    scan-parallelism replaces the rolling recurrence. The window min
+    is one ``min() OVER (PARTITION BY doc ORDER BY pos ROWS w-1
+    PRECEDING)`` — no shuffle beyond the per-document partition."""
+    from pyspark.sql.window import Window
+
+    d = docs.select(
+        "doc_id", F.expr(NORM_SPARK).alias("norm")
+    ).filter(F.expr(f"length(norm) >= {WINNOW_K + WINNOW_W - 1}"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, length(norm) - {WINNOW_K - 1})")
+        ).alias("i"),
+        "norm",
+    ).select("doc_id", "i", F.expr(_GRAM_HASH_SPARK).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("i") >= WINNOW_W)  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnow_fingerprints_oracle() -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {NORM_DUCK} AS norm FROM documents
+          WHERE length({NORM_DUCK}) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(norm) - {WINNOW_K - 1}),
+                                i -> {_GRAM_HASH_DUCK}) AS hl
+          FROM d
+        )
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series({WINNOW_W}, len(hl)),
+                                     j -> list_min(hl[j - {WINNOW_W - 1}:j]))) AS fp
+        FROM hs
+    """
