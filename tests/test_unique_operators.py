@@ -388,3 +388,27 @@ def test_time_length_batch_trailing_window_never_fires(spark):
     out = time_length_batch(df, "k", 10_000, 3, ts="ts", tiebreak="event_id").collect()
     got = [(r["event_id"], r["batch_seq"], r["fire_reason"], r["fired_at_ms"]) for r in out]
     assert sorted(got) == [(1, 0, "time", 10000), (2, 0, "time", 10000)]
+
+
+# --- Siddhi-name dispatch API ---
+
+def test_api_dispatch_matches_direct_calls(spark):
+    from siddhi_execution_unique_spark import api
+
+    df = make(spark, [(1, 1, "a", 1.0), (2, 2, "b", 2.0), (3, 3, "a", 3.0)])
+    via_api = api.window(df, "unique:ever", "k", ts="ts", tiebreak="event_id")
+    direct = ever(df, "k", ts="ts", tiebreak="event_id")
+    assert rows_set(via_api, "k", "event_id") == rows_set(direct, "k", "event_id")
+    dedup = api.stream_processor(df, "unique:deduplicate", "k",
+                                 time_interval=1, ts="ts", tiebreak="event_id")
+    assert rows_set(dedup, "event_id") == {(1,), (2,), (3,)}
+
+
+def test_api_unknown_name_raises(spark):
+    import pytest as _pytest
+
+    from siddhi_execution_unique_spark import api
+
+    df = make(spark, [(1, 1, "a", 1.0)])
+    with _pytest.raises(ValueError, match="unknown window"):
+        api.window(df, "unique:nope", "k")
