@@ -371,15 +371,21 @@ def time_length_batch_distributed(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pos = F.struct(*order)
-    running = base.withColumn(
-        "_isf", F.row_number().over(w_first) == 1
-    ).withColumn("_nd", F.sum(F.when(F.col("_isf"), 1).otherwise(0)).over(w_run))
-    fires = (
-        running.filter((F.col("_nd") == n) & F.col("_isf"))
-        .groupBy("_k")
-        .agg(F.min(pos).alias("_L"))
+    # the fire point _L rides on an unbounded window over the same _k
+    # partitioning the running count already shuffled on — no separate
+    # per-interval aggregate + join
+    w_k = Window.partitionBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    live = running.join(fires, "_k", "left").filter(
+    running = (
+        base.withColumn("_isf", F.row_number().over(w_first) == 1)
+        .withColumn("_nd", F.sum(F.when(F.col("_isf"), 1).otherwise(0)).over(w_run))
+        .withColumn(
+            "_L",
+            F.min(F.when((F.col("_nd") == n) & F.col("_isf"), pos)).over(w_k),
+        )
+    )
+    live = running.filter(
         (
             F.col("_L").isNull()
             & (F.expr(f"_anchor + (_k + 1) * {t_ms}") <= F.col("_max_ms"))
