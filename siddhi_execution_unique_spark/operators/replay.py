@@ -93,6 +93,8 @@ def deduplicate(
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         last_key: object = _SENTINEL
         last_kept_ms = 0
         for pdf in batches:
@@ -100,16 +102,30 @@ def deduplicate(
                 continue
             key_arr = pdf[key].to_numpy()
             ms_arr = pdf[_TS_MS].to_numpy()
-            keep = [False] * len(pdf)
-            for i in range(len(pdf)):
-                k = key_arr[i]
-                if k != last_key:
-                    last_key = k
-                    last_kept_ms = ms_arr[i]
+            m = len(pdf)
+            keep = np.zeros(m, dtype=bool)
+            # per-key group boundaries (input sorted by key, ts)
+            starts = np.flatnonzero(np.r_[True, key_arr[1:] != key_arr[:-1]])
+            ends = np.r_[starts[1:], m]
+            # Each kept event's successor is the first row strictly more
+            # than `interval` later — a searchsorted jump. Python-level
+            # iterations scale with KEPT events (the chain length), not
+            # with input rows; dropped bursts cost nothing.
+            for s, e in zip(starts, ends):
+                if s == 0 and key_arr[0] == last_key:
+                    # chain continues across the Arrow batch boundary
+                    i = s + np.searchsorted(
+                        ms_arr[s:e], last_kept_ms + interval_ms, side="right"
+                    )
+                else:
+                    i = s
+                while i < e:
                     keep[i] = True
-                elif ms_arr[i] - last_kept_ms > interval_ms:
                     last_kept_ms = ms_arr[i]
-                    keep[i] = True
+                    i = s + np.searchsorted(
+                        ms_arr[s:e], last_kept_ms + interval_ms, side="right"
+                    )
+            last_key = key_arr[-1]
             yield pdf.loc[keep, out_cols]
 
     return prepared.mapInPandas(scan, schema=schema)

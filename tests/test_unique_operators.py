@@ -105,6 +105,22 @@ def test_deduplicate_anchor_not_refreshed_by_drops(spark):
     assert rows_set(out, "ts") == {(0,), (120,)}
 
 
+def test_deduplicate_chain_across_arrow_batches(spark):
+    # force tiny Arrow batches so the kept-chain continuation across
+    # batch boundaries inside one partition actually runs
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        rows = [(t, i + 1, "a", 1.0) for i, t in enumerate(
+            [0, 50, 90, 120, 130, 260, 270, 400])]
+        df = make(spark, rows).coalesce(1)
+        out = deduplicate(df, "k", 100, ts="ts", tiebreak="event_id")
+        # chain: 0 kept; 50,90 in-interval; 120 kept; 130 dropped;
+        # 260 kept; 270 dropped; 400 kept
+        assert rows_set(out, "ts") == {(0,), (120,), (260,), (400,)}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
 def test_deduplicate_time_constant_sugar(spark):
     df = make(spark, [(0, 1, "a", 1.0), (500, 2, "a", 2.0), (1500, 3, "a", 3.0)])
     out = deduplicate(df, "k", "1 sec", ts="ts", tiebreak="event_id")
