@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: fsim.embedding_near_dup_pairs(_emb(s, d)),
         # multimodal plumbing (pandas-UDF feature extraction)
         "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
+        "multimodal_frame_sample": lambda s, d: fmm.sample_frames(
+            fmm.with_binary_payload(_docs(s, d))
+        ),
         # composed curation pipeline: quality gate -> exact dedup -> lang tag
         "pipeline_corpus_curation": lambda s, d: fpipe.corpus_curation(_docs(s, d)),
     }
@@ -673,5 +676,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
+        "multimodal_frame_sample": fmm.FRAME_SAMPLE_ORACLE,
         "pipeline_corpus_curation": fpipe.corpus_curation_oracle(),
     }

@@ -99,6 +99,68 @@ def extract_features(binary_df: DataFrame, use_real_decode: bool = False) -> Dat
     return binary_df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_COUNT = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(binary_df: DataFrame, n_frames: int = FRAME_COUNT) -> DataFrame:
+    """Frame sampling over an opaque binary payload — the 1-row-in,
+    N-rows-out ``mapInPandas`` shape a video pipeline uses (decode is
+    the stubbed step; the sampled "frames" are deterministic equal
+    slices of the payload, so the whole path is oracle-checkable).
+    Emits ``n_frames`` rows per document: (doc_id, frame_idx,
+    frame_bytes, frame_md5). Frames hash via the payload's hex form
+    because that representation slices identically in DuckDB (which
+    cannot slice blobs directly). Partition-local, no shuffle."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) < n_frames:
+                    continue
+                stride = len(b) // n_frames
+                hx = b.hex().upper()
+                for i in range(n_frames):
+                    seg = hx[i * stride * 2 : (i * stride + stride) * 2]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(stride)
+                    out["frame_md5"].append(hashlib.md5(seg.encode()).hexdigest())
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+FRAME_SAMPLE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS hx
+      FROM documents WHERE octet_length(encode(text)) >= {FRAME_COUNT}
+    ),
+    f AS (
+      SELECT doc_id, n_bytes // {FRAME_COUNT} AS stride, hx,
+             unnest(generate_series(0, {FRAME_COUNT - 1})) AS frame_idx
+      FROM h
+    )
+    SELECT doc_id, frame_idx, stride AS frame_bytes,
+           md5(substring(hx, frame_idx * stride * 2 + 1, stride * 2)) AS frame_md5
+    FROM f
+"""
+
+
 def feature_stats(docs: DataFrame) -> DataFrame:
     """End-to-end multimodal pipeline demo: attach payloads, extract
     features, reduce to per-document scalars (rows-only checkable)."""
