@@ -103,3 +103,35 @@ def test_embedding_near_dup_identical_vectors(spark):
     # identical vectors share every LSH band and verify at cosine 1.0
     assert [(r["vec_id_1"], r["vec_id_2"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["cos_sim"] == 1.0
+
+
+def test_winnow_shared_fingerprints_on_overlap(spark):
+    from siddhi_execution_unique_spark.functions import text as ftext
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(1, shared + " at dawn", "en", "s", 70),
+         (2, "yesterday " + shared, "en", "s", 74),
+         (3, "completely unrelated content with different words entirely", "en", "s", 58)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    fps = ftext.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # overlapping docs share winnowed fingerprints; unrelated doc shares ~none
+    assert len(by_doc[1] & by_doc[2]) >= 3
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_frame_sample_shape_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", "en", "s", 8), (2, "xy", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = fmm.sample_frames(fmm.with_binary_payload(docs)).collect()
+    # doc 1: 4 frames of 2 bytes; doc 2 too short (< 4 bytes) -> dropped
+    assert {r["doc_id"] for r in out} == {1}
+    assert sorted(r["frame_idx"] for r in out) == [0, 1, 2, 3]
+    assert all(r["frame_bytes"] == 2 for r in out)
+    import hashlib
+    expected0 = hashlib.md5(b"ab".hex().upper().encode()).hexdigest()
+    assert [r["frame_md5"] for r in out if r["frame_idx"] == 0] == [expected0]
