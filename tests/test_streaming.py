@@ -241,6 +241,34 @@ def test_length_window_stream_replace_and_fifo(spark, workdir):
     }
 
 
+def test_length_window_stream_checkpoint_resume(spark, workdir):
+    # the FIFO buffer (contents AND insertion order) must survive a
+    # restart: 'a' was moved to the back pre-restart, so post-restart
+    # 'd' evicts 'b', not 'a'
+    outdir = workdir / "out"
+
+    def run_to_files():
+        q = (
+            stw.length_window_stream(read_stream(spark, workdir / "in"), "k", 2, ts="ts")
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0), (3000, 3, "a", 3.0)])
+    run_to_files()
+    write_batch(workdir / "in", "002.parquet", [(4000, 4, "d", 4.0)])
+    run_to_files()
+    rows = spark.read.parquet(str(outdir)).collect()
+    expired = {r["event_id"] for r in rows if r["channel"] == "expired"}
+    assert expired == {1, 2}  # 1 replaced pre-restart; 2 FIFO-evicted post-restart
+
+
 def test_time_length_batch_stream_semantics(spark, workdir):
     # t=10s, n=3: length fire at the 3rd distinct key, then discard
     # until the next boundary; later boundaries flush by time
