@@ -212,6 +212,14 @@ def _plane_literal_spark(p: int) -> str:
     return "array(" + ", ".join(f"{w}D" for w in _plane_signs(p)) + ")"
 
 
+# NOTE: rewriting the 16 plane dots as static 64-term +/- indexing
+# expressions was tried and REVERTED: 16x64 arithmetic terms overflow
+# Janino's method limits, Spark falls back to interpreted eval for the
+# whole projection, and the query gets ~2.5x slower. The
+# aggregate(zip_with()) fold is interpreted too, but it at least keeps
+# the rest of the stage in codegen.
+
+
 def _plane_literal_duck(p: int) -> str:
     return "[" + ", ".join(str(w) for w in _plane_signs(p)) + "]"
 
