@@ -75,6 +75,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """Materialize a DataFrame as a bucketed, bucket-sorted table and
+    return the re-read frame. Aggregations and joins keyed on ``key``
+    over the returned frame satisfy their required distribution from
+    the scan itself — zero exchange (pinned by
+    ``tests/test_plans.py``). This is the 100 TB pre-partitioning
+    story: pay the shuffle once at ingest, then every keyed retention
+    pass (``unique:ever``/``first``/batch families) over the table is
+    shuffle-free and co-located."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read several tables at once; all of them when no names given."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

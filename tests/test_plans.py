@@ -166,6 +166,25 @@ def test_distributed_replay_forms_have_no_python_stage(spark):
         assert "Coalesce 1" not in plan
 
 
+def test_bucketed_table_makes_keyed_agg_shuffle_free(spark, tmp_path):
+    """Pre-bucketing by the unique key removes the aggregation
+    exchange entirely — the scale story for repeated keyed retention
+    over the same corpus."""
+    from siddhi_execution_unique_spark.sources import write_bucketed
+
+    events = load_table(spark, SF_DIR, "events")
+    try:
+        bucketed = write_bucketed(
+            events, "events_bucketed_test", "user_id",
+            n_buckets=8, path=str(tmp_path / "events_b"),
+        )
+        plan = plan_of(ops.ever(bucketed, "user_id", ts="ts", tiebreak="event_id"))
+        assert "partial_max_by" in plan
+        assert "Exchange" not in plan, plan[:800]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
+
+
 def test_ever_expired_is_anti_join_not_window(spark):
     events = load_table(spark, SF_DIR, "events")
     plan = plan_of(
