@@ -287,6 +287,31 @@ def time_window_stream(
     )
 
 
+_FOREVER_MS = 300 * 365 * 86_400_000  # ~300 years: never fires in practice
+
+
+def ever_stream_dual(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Dual-channel streaming ``unique:ever``: every arrival emits on
+    ``current`` and the replaced event (if any) emits on ``expired``
+    immediately — the reference's exact emission protocol
+    (UniqueEverWindowProcessor.java:153-166), which the update-mode
+    aggregation form (:func:`ever_stream`) can't express because
+    Spark's update stream carries no retraction channel.
+
+    Implementation: the sliding unique time window with an
+    effectively-infinite window length — replacement expiry is
+    identical and the ever window simply never times out (reference:
+    ever keeps state forever, README.md:27)."""
+    return time_window_stream(
+        df, key, _FOREVER_MS, ts=ts, watermark_delay=watermark_delay
+    )
+
+
 def length_batch_stream(
     df: DataFrame,
     key: str,

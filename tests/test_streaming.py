@@ -224,6 +224,22 @@ def test_length_batch_stream_checkpoint_resume_emits_expired(spark, workdir):
     assert current1 == {3, 4}
 
 
+def test_ever_stream_dual_channel(spark, workdir):
+    # replaced 'a' expires immediately; nothing ever times out
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    write_batch(workdir / "in", "002.parquet", [(600000, 3, "a", 3.0)])
+    out = stw.ever_stream_dual(
+        read_stream(spark, workdir / "in"), "k", ts="ts", watermark_delay="1 second"
+    )
+    res = run_available(spark, out, "everd_sink", workdir / "ckpt")
+    got = {(r["event_id"], r["channel"]) for r in res.collect()}
+    assert got == {
+        (1, "current"), (2, "current"), (3, "current"),
+        (1, "expired"),  # replaced by event 3; 'b' never expires
+    }
+
+
 def test_length_window_stream_replace_and_fifo(spark, workdir):
     # N=2: 'a' replaced (old expires, key moves to back), then 'c' on a
     # full buffer FIFO-evicts 'b' (oldest insertion)
