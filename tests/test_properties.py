@@ -76,3 +76,108 @@ def test_final_buffer_is_n_most_recent_distinct_keys(seq, n):
         latest[k] = i
     top_n = sorted(latest.values())[-n:] if latest else []
     assert sorted(buffer.values()) == sorted(top_n)
+
+
+def sequential_tlb(seq: list[tuple[int, str]], t: int, n: int,
+                   start: int | None = None) -> set[tuple[int, int, str]]:
+    """Reference-shaped sequential replay of unique:timeLengthBatch
+    (mirrors operators/replay.py:time_length_batch): returns
+    {(event_pos, batch_seq, fire_reason)} for retained events."""
+    out: set[tuple[int, int, str]] = set()
+    if not seq:
+        return out
+    forming: dict = {}
+    seq_no = 0
+    event_sent = False
+    first_ms = seq[0][0]
+    if start is not None:
+        next_emit = start + ((first_ms - start) // t + 1) * t
+    else:
+        next_emit = first_ms + t
+
+    def fire(reason):
+        nonlocal seq_no, forming
+        if forming:
+            for p in forming.values():
+                out.add((p, seq_no, reason))
+            forming = {}
+            seq_no += 1
+
+    for p, (ms, k) in enumerate(seq):
+        while ms >= next_emit:
+            if event_sent:
+                event_sent = False
+            else:
+                fire("time")
+            next_emit += t
+        if event_sent:
+            continue
+        forming[k] = p
+        if len(forming) == n:
+            fire("length")
+            event_sent = True
+    return out
+
+
+def interval_tlb(seq: list[tuple[int, str]], t: int, n: int,
+                 start: int | None = None) -> set[tuple[int, int, str]]:
+    """The interval-independent closed form the distributed operator
+    (replay.py:time_length_batch_distributed) is built on, recomputed
+    directly: per interval k, a length fire at the position where the
+    running count of distinct-key first occurrences reaches n; else a
+    time fire iff a later event crosses the boundary."""
+    if not seq:
+        return set()
+    anchor = start if start is not None else seq[0][0]
+    max_ms = max(ms for ms, _ in seq)
+    by_k: dict[int, list[int]] = {}
+    for p, (ms, k) in enumerate(seq):
+        by_k.setdefault((ms - anchor) // t, []).append(p)
+    out: set[tuple[int, int, str]] = set()
+    fired_ks = []
+    results = {}
+    for kk, positions in sorted(by_k.items()):
+        seen: set = set()
+        L = None
+        for p in positions:
+            key = seq[p][1]
+            if key not in seen:
+                seen.add(key)
+                if len(seen) == n:
+                    L = p
+                    break
+        if L is not None:
+            live = [p for p in positions if p <= L]
+            reason = "length"
+        elif anchor + (kk + 1) * t <= max_ms:
+            live = positions
+            reason = "time"
+        else:
+            continue
+        retained = {}
+        for p in live:
+            retained[seq[p][1]] = p  # last occurrence wins
+        results[kk] = (set(retained.values()), reason)
+        fired_ks.append(kk)
+    for seq_no, kk in enumerate(sorted(fired_ks)):
+        poss, reason = results[kk]
+        for p in poss:
+            out.add((p, seq_no, reason))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts_gaps=st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=40),
+    keys=st.lists(st.sampled_from("abcde"), min_size=40, max_size=40),
+    t=st.integers(min_value=2, max_value=9),
+    n=st.integers(min_value=1, max_value=4),
+    start=st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+)
+def test_time_length_batch_interval_form_matches_sequential(ts_gaps, keys, t, n, start):
+    ms = 0
+    seq = []
+    for i, g in enumerate(ts_gaps):
+        ms += g
+        seq.append((ms, keys[i]))
+    assert sequential_tlb(seq, t, n, start) == interval_tlb(seq, t, n, start)
