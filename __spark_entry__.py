@@ -149,6 +149,31 @@ def q_unique_deduplicate(spark, sf_dir):
     )
 
 
+def q_running_distinct_users(spark, sf_dir):
+    # running aggregate over window contents (SURVEY 2b "aggregation"):
+    # per event, how many distinct users this event_type has seen so
+    # far — first-occurrence flag + cumulative sum, both window
+    # functions partitioned by event_type (no global sort)
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("_isf", F.row_number().over(w_first) == 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.sum(F.when(F.col("_isf"), 1).otherwise(0)).over(w_run)
+            .alias("n_distinct_users_so_far"),
+        )
+    )
+
+
 def q_ever_count_by_type(spark, sf_dir):
     # aggregation over window contents (SURVEY §2b)
     latest = ops.ever(_events(spark, sf_dir), "user_id", ts="ts", tiebreak="event_id")
@@ -288,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_external_time_batch_end_ts": q_unique_external_time_batch_end_ts,
         "unique_deduplicate": q_unique_deduplicate,
         "ever_count_by_type": q_ever_count_by_type,
+        "running_distinct_users": q_running_distinct_users,
         "ever_join_customer": q_ever_join_customer,
         "first_filtered": q_first_filtered,
         "window_join": q_window_join,
@@ -595,6 +621,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM events e
                   JOIN kept k ON e.user_id = k.user_id AND epoch_ms(e.ts) = k.ts_ms) t
             WHERE rn = 1
+        """,
+        "running_distinct_users": """
+            SELECT event_id, event_type,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS n_distinct_users_so_far
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events) t
         """,
         "ever_count_by_type": """
             SELECT event_type, count(*) AS n

@@ -419,6 +419,16 @@ def test_stream_table_source_feeds_operator(spark, workdir):
     assert got == {("a", 1), ("b", 3)}
 
 
+def test_api_streaming_dispatch(spark, workdir):
+    from siddhi_execution_unique_spark import api
+
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "a", 2.0), (3000, 3, "b", 3.0)])
+    out = api.streaming_window(read_stream(spark, workdir / "in"), "unique:first", "k")
+    res = run_available(spark, out, "api_sink", workdir / "ckpt")
+    assert {(r["k"], r["event_id"]) for r in res.collect()} == {("a", 1), ("b", 3)}
+
+
 def test_rate_events_schema(spark):
     from siddhi_execution_unique_spark.streaming import sources as ssrc
 
