@@ -624,10 +624,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_distinct_users": """
             SELECT event_id, event_type,
-                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
                      PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS n_distinct_users_so_far
+                   ) AS BIGINT) AS n_distinct_users_so_far
             FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
                                                ORDER BY ts, event_id) AS rn
                   FROM events) t
