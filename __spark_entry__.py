@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from siddhi_execution_unique_spark import operators as ops  # noqa: E402
 from siddhi_execution_unique_spark.functions import (  # noqa: E402
+    curation as fcur,
     dedup as fdedup,
     multimodal as fmm,
     pipeline as fpipe,
@@ -351,6 +352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # composed curation pipeline: quality gate -> exact dedup -> lang tag
         "pipeline_corpus_curation": lambda s, d: fpipe.corpus_curation(_docs(s, d)),
+        # corpus-curation tier: repetition / vocab / sampling / quota /
+        # contamination
+        "text_repetition_stats": lambda s, d: fcur.repetition_stats(_docs(s, d)),
+        "vocab_top_tokens": lambda s, d: fcur.vocab_top_tokens(_docs(s, d)),
+        "sample_stratified": lambda s, d: fcur.stratified_sample(_docs(s, d)),
+        "sample_domain_quota": lambda s, d: fcur.domain_quota(
+            _docs(s, d), ftext.quality_score(_docs(s, d))
+        ),
+        "contamination_check": lambda s, d: fcur.contamination_check(_docs(s, d)),
     }
 
 
@@ -714,4 +724,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
         "multimodal_frame_sample": fmm.FRAME_SAMPLE_ORACLE,
         "pipeline_corpus_curation": fpipe.corpus_curation_oracle(),
+        "text_repetition_stats": fcur.repetition_stats_oracle(),
+        "vocab_top_tokens": fcur.vocab_top_tokens_oracle(),
+        "sample_stratified": fcur.stratified_sample_oracle(),
+        "sample_domain_quota": fcur.domain_quota_oracle(ftext.quality_score_oracle()),
+        "contamination_check": fcur.contamination_check_oracle(),
     }

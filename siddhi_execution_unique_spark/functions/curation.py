@@ -1,0 +1,282 @@
+"""Corpus-level curation operators for training-data pipelines:
+repetition signals, vocabulary statistics, deterministic stratified
+sampling, per-domain quality quotas, and benchmark-contamination
+checks. (Beyond-reference scope — SURVEY.md §7 phase 4; the reference
+engine has no corpus-level operators at all, SURVEY.md §2b.)
+
+Everything is built from JVM-side expressions over row-shaped
+intermediates (explode → hash aggregation / window rank) — no Python
+UDFs, no array lambdas in hot paths (see the CodegenFallback note in
+``dedup.py``). Sampling is HASH-deterministic (md5 of the key), not
+RNG-based, so the same rows are selected on any cluster, any
+partitioning, any retry — the property a reproducible data pipeline
+actually needs, and the reason every operator here has an exact
+DuckDB oracle.
+
+Scale notes (100 TB): per-doc aggregations shuffle once on doc_id;
+the vocabulary top-k is a map-side partially-aggregated count +
+TakeOrdered (per-partition heaps, no global sort); stratified/quota
+ranks partition by the stratum key so no single task sees more than
+one stratum; the contamination join is a shuffle equi-join on the
+shingle hash with the benchmark side deduplicated first (at most one
+match per probe row — no fanout) and deliberately NOT broadcast: the
+benchmark shingle set is O(benchmark corpus), not O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from siddhi_execution_unique_spark.functions.dedup import (
+    MIN_TOKENS,
+    _SHINGLE_DUCK,
+    _distinct_shingles,
+)
+from siddhi_execution_unique_spark.functions.text import DUCK_TOKS, SPARK_TOKS
+
+
+# ------------------------------------------------------------ repetition
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals (the Gopher-style filters for
+    boilerplate / degenerate text): duplicate-token fraction, most-
+    frequent-token fraction, duplicate-2-gram fraction.
+
+    Token and 2-gram occurrences are produced as rows and collapsed by
+    two chained hash aggregations — (doc, term) counts, then per-doc
+    moments — so the whole plan is scan → explode → two codegen agg
+    passes per granularity, joined back on doc_id.
+    """
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks"))
+
+    tok_rows = toks.select("doc_id", F.explode("toks").alias("x"))
+    tok_counts = tok_rows.groupBy("doc_id", "x").agg(F.count("*").alias("c"))
+    per_doc_tok = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.max("c").alias("top_c"),
+    )
+
+    gram_rows = toks.filter(F.expr("size(toks) >= 2")).select(
+        "doc_id", "toks",
+        F.explode(F.expr("sequence(0, size(toks) - 2)")).alias("i"),
+    ).select("doc_id", F.expr("concat_ws(' ', toks[i], toks[i+1])").alias("g"))
+    gram_counts = gram_rows.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    per_doc_gram = gram_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct_grams"),
+    )
+
+    return per_doc_tok.join(per_doc_gram, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "round((n_tokens - n_distinct_tokens) / cast(n_tokens as double), 6)"
+        ).alias("dup_token_frac"),
+        F.expr("round(top_c / cast(n_tokens as double), 6)").alias("top_token_frac"),
+        F.expr(
+            "round(coalesce((n_grams - n_distinct_grams) / cast(n_grams as double),"
+            " 0.0), 6)"
+        ).alias("dup_2gram_frac"),
+    )
+
+
+def repetition_stats_oracle() -> str:
+    toks = DUCK_TOKS
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1]))"
+    )
+    return f"""
+        WITH tc AS (
+          SELECT doc_id, x, count(*) AS c
+          FROM (SELECT doc_id, unnest({toks}) AS x FROM documents) t
+          GROUP BY 1, 2
+        ),
+        td AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct_tokens, CAST(max(c) AS BIGINT) AS top_c
+          FROM tc GROUP BY 1
+        ),
+        gc AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest({grams}) AS g
+                FROM documents WHERE len({toks}) >= 2) t
+          GROUP BY 1, 2
+        ),
+        gd AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                 count(*) AS n_distinct_grams
+          FROM gc GROUP BY 1
+        )
+        SELECT td.doc_id, td.n_tokens,
+               round((td.n_tokens - td.n_distinct_tokens)
+                     / CAST(td.n_tokens AS DOUBLE), 6) AS dup_token_frac,
+               round(td.top_c / CAST(td.n_tokens AS DOUBLE), 6) AS top_token_frac,
+               round(coalesce((gd.n_grams - gd.n_distinct_grams)
+                     / CAST(gd.n_grams AS DOUBLE), 0.0), 6) AS dup_2gram_frac
+        FROM td LEFT JOIN gd ON td.doc_id = gd.doc_id
+    """
+
+
+# ------------------------------------------------------------ vocabulary
+
+def vocab_top_tokens(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Global vocabulary statistics: the ``k`` most frequent tokens
+    with occurrence and document-frequency counts.
+
+    The count aggregates map-side (partial hash agg per partition)
+    before one shuffle on the token; the top-k is ``orderBy.limit`` =
+    TakeOrderedAndProject — per-partition heaps of k rows, no global
+    sort. Deterministic tie-break on the token string."""
+    rows = docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("token"))
+    counts = rows.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+def vocab_top_tokens_oracle(k: int = 50) -> str:
+    return f"""
+        SELECT token, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest({DUCK_TOKS}) AS token FROM documents) t
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT {k}
+    """
+
+
+# ------------------------------------------------------------- sampling
+
+def stratified_sample(docs: DataFrame, per_stratum: int = 20,
+                      stratum: str = "source") -> DataFrame:
+    """Deterministic stratified sample: ``per_stratum`` documents per
+    stratum, selected by md5-hash rank of the doc_id.
+
+    Hash-rank sampling is the distributed replacement for reservoir
+    sampling — same uniform marginal, but deterministic and
+    retry-stable (a reservoir depends on encounter order, which a
+    cluster does not guarantee). One shuffle on the stratum key; the
+    rank window never crosses strata, so skew is bounded by the
+    largest stratum, not the corpus."""
+    w = Window.partitionBy(stratum).orderBy(
+        F.expr("md5(cast(doc_id as string))"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", stratum)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_stratum)
+    )
+
+
+def stratified_sample_oracle(per_stratum: int = 20, stratum: str = "source") -> str:
+    return f"""
+        SELECT doc_id, {stratum}, sample_rank
+        FROM (SELECT doc_id, {stratum},
+                     row_number() OVER (PARTITION BY {stratum}
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM documents) t
+        WHERE sample_rank <= {per_stratum}
+    """
+
+
+def domain_quota(docs: DataFrame, quality: DataFrame, quota: int = 5) -> DataFrame:
+    """Per-domain quality quota: keep the top ``quota`` documents per
+    source by quality score — the mixing step of corpus assembly
+    (cap each domain's contribution, best-first).
+
+    ``quality`` is the output of :func:`text.quality_score`; composing
+    the two stays one Catalyst plan (shared scan, id equi-join, one
+    rank window partitioned by source)."""
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .join(quality.select("doc_id", "quality"), "doc_id")
+        .withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= quota)
+    )
+
+
+def domain_quota_oracle(quality_oracle: str, quota: int = 5) -> str:
+    return f"""
+        WITH q AS ({quality_oracle})
+        SELECT doc_id, source, quality, quota_rank
+        FROM (SELECT d.doc_id, d.source, q.quality,
+                     row_number() OVER (PARTITION BY d.source
+                       ORDER BY q.quality DESC, d.doc_id ASC) AS quota_rank
+              FROM documents d JOIN q ON d.doc_id = q.doc_id) t
+        WHERE quota_rank <= {quota}
+    """
+
+
+# -------------------------------------------------------- contamination
+
+CONTAMINATION_FRAC = 0.5
+
+
+def contamination_check(docs: DataFrame, benchmark_source: str = "src0",
+                        flag_frac: float = CONTAMINATION_FRAC) -> DataFrame:
+    """Benchmark-contamination check: for every document outside the
+    benchmark source, the fraction of its distinct word-3-gram
+    shingles that also occur anywhere in the benchmark set, plus a
+    contaminated flag at ``flag_frac``.
+
+    The benchmark side is reduced to DISTINCT shingles before the
+    join, so each probe shingle matches at most one row (no fanout)
+    and the join is a plain shuffle equi-join on the shingle — NOT
+    broadcast, because the benchmark shingle set grows with the
+    benchmark corpus. Per-doc totals are one hash aggregation on
+    doc_id."""
+    bench_sh = (
+        _distinct_shingles(docs.filter(F.col("source") == benchmark_source))
+        .select("sh").distinct().withColumn("_hit", F.lit(1))
+    )
+    cand_sh = _distinct_shingles(docs.filter(F.col("source") != benchmark_source))
+    marked = cand_sh.join(bench_sh, "sh", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.expr("round(n_overlap / cast(n_shingles as double), 6)").alias(
+            "contamination_frac"
+        ),
+        F.expr(
+            f"n_overlap / cast(n_shingles as double) >= {flag_frac}"
+        ).alias("contaminated"),
+    )
+
+
+def contamination_check_oracle(benchmark_source: str = "src0",
+                               flag_frac: float = CONTAMINATION_FRAC) -> str:
+    return f"""
+        WITH b AS (
+          SELECT DISTINCT sh
+          FROM (SELECT unnest({_SHINGLE_DUCK}) AS sh
+                FROM documents
+                WHERE source = '{benchmark_source}'
+                  AND len({DUCK_TOKS}) >= {MIN_TOKENS}) t
+        ),
+        c AS (
+          SELECT doc_id, unnest({_SHINGLE_DUCK}) AS sh
+          FROM documents
+          WHERE source <> '{benchmark_source}' AND len({DUCK_TOKS}) >= {MIN_TOKENS}
+        )
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_overlap,
+               round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS contamination_frac,
+               (sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) >= {flag_frac}) AS contaminated
+        FROM c LEFT JOIN b ON c.sh = b.sh
+        GROUP BY c.doc_id
+    """

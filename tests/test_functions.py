@@ -135,3 +135,61 @@ def test_frame_sample_shape_and_determinism(spark):
     import hashlib
     expected0 = hashlib.md5(b"ab".hex().upper().encode()).hexdigest()
     assert [r["frame_md5"] for r in out if r["frame_idx"] == 0] == [expected0]
+
+
+def _mini_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_repetition_stats_closed_form(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = _mini_docs(spark, [("a a a b", "s")])
+    r = fcur.repetition_stats(docs).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["dup_token_frac"] == 0.5          # 4 tokens, 2 distinct
+    assert r["top_token_frac"] == 0.75         # 'a' x3 / 4
+    assert r["dup_2gram_frac"] == round(1 / 3, 6)  # [a a, a a, a b]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(fcur.stratified_sample(docs, per_stratum=7).collect())
+    b = sorted(fcur.stratified_sample(docs, per_stratum=7).collect())
+    assert a == b  # hash-rank sampling: retry-stable by construction
+    per = {}
+    for r in a:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert all(v <= 7 for v in per.values())
+
+
+def test_contamination_flags_copied_benchmark_doc(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    bench = "alpha beta gamma delta epsilon zeta"
+    docs = _mini_docs(spark, [
+        (bench, "src0"),                       # the benchmark itself
+        (bench, "src1"),                       # verbatim leak
+        ("one two three four five six", "src1"),  # disjoint
+    ])
+    out = {r["doc_id"]: r for r in fcur.contamination_check(docs).collect()}
+    assert 0 not in out                        # benchmark rows excluded
+    assert out[1]["contamination_frac"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["contamination_frac"] == 0.0 and not out[2]["contaminated"]
+
+
+def test_domain_quota_caps_each_source(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    from siddhi_execution_unique_spark.functions import text as ftext
+    docs = load_table(spark, sf_dir, "documents")
+    out = fcur.domain_quota(docs, ftext.quality_score(docs), quota=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    for rows in per.values():
+        assert len(rows) <= 3
+        assert sorted(r["quota_rank"] for r in rows) == list(range(1, len(rows) + 1))
+        # best-first: rank 1 has the max quality in the source
+        by_rank = sorted(rows, key=lambda r: r["quota_rank"])
+        assert by_rank[0]["quality"] == max(r["quality"] for r in rows)

@@ -192,3 +192,37 @@ def test_ever_expired_is_anti_join_not_window(spark):
     )
     assert "Window" not in plan       # no full per-key sort
     assert "LeftAnti" in plan
+
+
+def test_vocab_topk_is_take_ordered_not_global_sort(spark):
+    """Global top-k must be per-partition heaps (TakeOrderedAndProject),
+    never a full range-partitioned sort of the vocabulary."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fcur.vocab_top_tokens(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_contamination_join_is_equi_and_unhinted(spark):
+    """The benchmark shingle set is O(benchmark corpus): the join must
+    be a plain equi-join with no forced broadcast (AQE may still pick
+    one from size stats at test scale — that is fine)."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    df = fcur.contamination_check(docs)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "strategy=broadcast" not in optimized_of(df)
+
+
+def test_stratified_rank_partitions_by_stratum(spark):
+    """The sample rank must partition by the stratum key — a global
+    (range-partitioned) sort would funnel the corpus into one ordering
+    and break at scale."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fcur.stratified_sample(docs))
+    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning" not in plan
