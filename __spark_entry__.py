@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), ftext.quality_score(_docs(s, d))
         ),
         "contamination_check": lambda s, d: fcur.contamination_check(_docs(s, d)),
+        "corpus_mixture_stats": lambda s, d: fcur.mixture_stats(_docs(s, d)),
+        "pii_redact": lambda s, d: fcur.pii_redact(_docs(s, d)),
     }
 
 
@@ -729,4 +731,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": fcur.stratified_sample_oracle(),
         "sample_domain_quota": fcur.domain_quota_oracle(ftext.quality_score_oracle()),
         "contamination_check": fcur.contamination_check_oracle(),
+        "corpus_mixture_stats": fcur.mixture_stats_oracle(),
+        "pii_redact": fcur.pii_redact_oracle(),
     }

@@ -280,3 +280,110 @@ def contamination_check_oracle(benchmark_source: str = "src0",
         FROM c LEFT JOIN b ON c.sh = b.sh
         GROUP BY c.doc_id
     """
+
+
+# ------------------------------------------------------------- mixture
+
+def mixture_stats(docs: DataFrame) -> DataFrame:
+    """Corpus mixture manifest: document and token counts per
+    (lang, source) cell with ROLLUP subtotals — the numbers a mixture-
+    weighting step consumes. ``token_share`` is each cell's fraction
+    of the corpus's tokens.
+
+    The corpus-sized work is ONE hash aggregation to (lang, source)
+    cells; the rollup and the share window then run on O(#cells) rows
+    (hundreds), where an unpartitioned window is free. Rollup nulls
+    are folded to '<all>' so subtotal rows are self-describing."""
+    cells = docs.select(
+        "doc_id", "lang", "source", F.expr(f"size({SPARK_TOKS})").alias("n_toks")
+    ).groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    rolled = cells.rollup("lang", "source").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return rolled.select(
+        F.expr("coalesce(lang, '<all>')").alias("lang"),
+        F.expr("coalesce(source, '<all>')").alias("source"),
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens")
+            / F.max(F.when(F.col("lang").isNull(), F.col("n_tokens"))).over(total),
+            6,
+        ).alias("token_share"),
+    )
+
+
+def mixture_stats_oracle() -> str:
+    return f"""
+        WITH cells AS (
+          SELECT lang, source, count(*) AS n_docs,
+                 CAST(sum(len({DUCK_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1, 2
+        ),
+        rolled AS (
+          SELECT lang, source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM cells GROUP BY ROLLUP (lang, source)
+        )
+        SELECT coalesce(lang, '<all>') AS lang,
+               coalesce(source, '<all>') AS source,
+               n_docs, n_tokens,
+               round(n_tokens / CAST((SELECT max(CASE WHEN lang IS NULL
+                     THEN n_tokens END) FROM rolled) AS DOUBLE), 6) AS token_share
+        FROM rolled
+    """
+
+
+# ------------------------------------------------------------ redaction
+
+# conservative patterns valid in both Java regex and RE2 (no
+# lookaround, no backrefs) so Spark and DuckDB redact identically
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d[\d -]{7,}\d"),
+)
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII scrub: count and redact emails / IPv4 addresses / intl
+    phone numbers, emitting per-kind counts and the md5 of the
+    redacted text (the narrow proof-of-work a manifest stores; the
+    redacted corpus itself would be written back to parquet).
+
+    Pure codegen ``regexp_count`` + chained ``regexp_replace`` —
+    per-row regex over the text column, embarrassingly parallel,
+    no shuffle at all."""
+    # Spark SQL string literals consume one level of backslashes;
+    # DuckDB's do not — escape per engine from the shared patterns
+    redacted = "text"
+    for kind, pat in _PII_PATTERNS:
+        spat = pat.replace("\\", "\\\\")
+        redacted = f"regexp_replace({redacted}, '{spat}', '<{kind}>')"
+    counts = [
+        F.expr(f"regexp_count(text, '{pat_sp}')").alias(f"n_{kind}")
+        for kind, pat in _PII_PATTERNS
+        for pat_sp in [pat.replace("\\", "\\\\")]
+    ]
+    return docs.select(
+        "doc_id", *counts, F.expr(f"md5({redacted})").alias("redacted_md5")
+    )
+
+
+def pii_redact_oracle() -> str:
+    redacted = "text"
+    for kind, pat in _PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{kind}>', 'g')"
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in _PII_PATTERNS
+    )
+    return f"""
+        SELECT doc_id,
+               {counts},
+               md5({redacted}) AS redacted_md5
+        FROM documents
+    """

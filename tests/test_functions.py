@@ -193,3 +193,31 @@ def test_domain_quota_caps_each_source(spark, sf_dir):
         # best-first: rank 1 has the max quality in the source
         by_rank = sorted(rows, key=lambda r: r["quota_rank"])
         assert by_rank[0]["quality"] == max(r["quality"] for r in rows)
+
+
+def test_pii_redact_counts_and_scrubs(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = _mini_docs(spark, [
+        ("contact bob@example.com or +1 555 123 4567 at 10.0.0.1", "s"),
+        ("no pii here at all", "s"),
+    ])
+    out = {r["doc_id"]: r for r in fcur.pii_redact(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 1, 1)
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (0, 0, 0)
+    # scrubbed text no longer hashes like the original
+    import hashlib
+    assert out[1]["redacted_md5"] == hashlib.md5(b"no pii here at all").hexdigest()
+    assert out[0]["redacted_md5"] != hashlib.md5(
+        b"contact bob@example.com or +1 555 123 4567 at 10.0.0.1").hexdigest()
+
+
+def test_mixture_stats_rollup_adds_up(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, sf_dir, "documents")
+    rows = fcur.mixture_stats(docs).collect()
+    total = [r for r in rows if r["lang"] == "<all>" and r["source"] == "<all>"]
+    assert len(total) == 1 and total[0]["token_share"] == 1.0
+    lang_rows = [r for r in rows if r["lang"] != "<all>" and r["source"] == "<all>"]
+    detail = [r for r in rows if r["lang"] != "<all>" and r["source"] != "<all>"]
+    assert sum(r["n_docs"] for r in lang_rows) == total[0]["n_docs"]
+    assert sum(r["n_tokens"] for r in detail) == total[0]["n_tokens"]
