@@ -107,3 +107,54 @@ def corpus_curation_oracle(threshold: float = QUALITY_THRESHOLD) -> str:
         SELECT k.doc_id, lang.pred_lang, q.quality
         FROM keep k JOIN q USING (doc_id) JOIN lang USING (doc_id)
     """
+
+
+def curation_stream(docs_stream: DataFrame,
+                    threshold: float = QUALITY_THRESHOLD) -> DataFrame:
+    """Streaming twin of :func:`corpus_curation`: score each arriving
+    document row-locally, gate on quality, and keep the FIRST document
+    per content fingerprint — ``dropDuplicates`` keyed state, i.e. the
+    reference's ``unique:first`` shape applied to the dedup key
+    (UniqueFirstWindowProcessor.java:129-132), running incrementally
+    in append mode.
+
+    Batch/stream divergence is confined to WHERE the scores are
+    computed, not what they are: the batch form fuses an explode into
+    one corpus-wide hash-agg pass (the 100 TB path); a stream cannot
+    re-aggregate per micro-batch without a second stateful operator,
+    so the same sums run as per-row ``filter()`` array expressions.
+    Interpreted-lambda cost is per arriving event and tiny next to the
+    state-store lookup; equivalence with the batch scorer is pinned by
+    ``tests/test_streaming.py``. First-wins matches min-doc_id when
+    ingest order follows doc_id (single-file replay); under arbitrary
+    arrival interleaving the kept representative may differ — exactly
+    the reference's order-dependent ``first`` semantics."""
+    # stage the token array once per row, then reference it by name —
+    # streaming projections don't suffer the CollapseProject-into-
+    # Generate inlining hazard because nothing explodes here
+    def in_list(words: tuple[str, ...]) -> str:
+        quoted = ", ".join(f"'{w}'" for w in words)
+        return f"size(filter(toks, x -> x IN ({quoted})))"
+
+    s = {lang: in_list(words) for lang, words in STOPWORDS.items()}
+    lang_case = (
+        f"CASE WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en' "
+        f"WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']} THEN 'es' "
+        f"WHEN {s['de']} >= {s['fr']} THEN 'de' ELSE 'fr' END"
+    )
+    quality = (
+        f"round(0.5 * least({s['en']} / cast(size(toks) as double) * 5.0, 1.0)"
+        " + 0.3 * (1.0 - regexp_count(text, '[^A-Za-z0-9\\\\s]') / cast(length(text) as double))"
+        " + 0.2 * (1.0 - size(filter(toks, x -> length(x) <= 2)) / cast(size(toks) as double)), 6)"
+    )
+    scored = docs_stream.withColumn("toks", F.expr(SPARK_TOKS)).select(
+        "doc_id",
+        F.expr(f"md5({NORM_SPARK})").alias("fingerprint"),
+        F.expr(lang_case).alias("pred_lang"),
+        F.expr(quality).alias("quality"),
+    )
+    return (
+        scored.filter(F.col("quality") >= threshold)
+        .dropDuplicates(["fingerprint"])
+        .select("doc_id", "pred_lang", "quality")
+    )

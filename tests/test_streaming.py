@@ -436,3 +436,26 @@ def test_rate_events_schema(spark):
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def test_curation_stream_matches_batch_manifest(spark, workdir):
+    """The streaming curation twin (row-local scoring + first-wins
+    fingerprint state) must produce the batch manifest exactly when
+    ingest order follows doc_id — single-file replay of the corpus."""
+    import shutil as _sh
+
+    from siddhi_execution_unique_spark.functions import pipeline as fpipe
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    _sh.copy(src, workdir / "in" / "docs.parquet")
+    docs_schema = spark.read.parquet(src).schema
+    stream = stream_table(spark, str(workdir / "in"), docs_schema, ts=None)
+    out = fpipe.curation_stream(stream)
+    res = run_available(spark, out, "curation_sink", workdir / "ckpt")
+    got = {(r["doc_id"], r["pred_lang"], r["quality"]) for r in res.collect()}
+
+    batch = fpipe.corpus_curation(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    want = {(r["doc_id"], r["pred_lang"], r["quality"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
