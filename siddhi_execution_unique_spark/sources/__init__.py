@@ -112,3 +112,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     same names the DuckDB oracle uses."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    sort_within: str | list[str] | None = None,
+) -> DataFrame:
+    """Materialize a DataFrame as directory-partitioned parquet and
+    return the re-read frame. Predicates on the partition columns of
+    the returned frame resolve at PLANNING time (``PartitionFilters``
+    on the scan — pinned by ``tests/test_plans.py``): a 100 TB corpus
+    partitioned by ``lang``/``source`` reads only the matching
+    directories, which is the difference between scanning a shard and
+    scanning everything. ``sort_within`` additionally clusters rows
+    inside each file so min/max row-group statistics prune within a
+    partition (the poor man's Z-order for one key)."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    out = df
+    if sort_within is not None:
+        sw = [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        out = out.repartition(*[F.col(c) for c in cols]).sortWithinPartitions(*sw)
+    out.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    return df.sparkSession.read.parquet(path)

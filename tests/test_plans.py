@@ -226,3 +226,22 @@ def test_stratified_rank_partitions_by_stratum(spark):
     plan = plan_of(fcur.stratified_sample(docs))
     assert "hashpartitioning(source" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Directory partitioning must turn a lang predicate into a
+    planning-time PartitionFilter — zero data files of other langs are
+    even opened. This is the write-side half of the pushdown story."""
+    from siddhi_execution_unique_spark.sources import write_partitioned
+    docs = load_table(spark, SF_DIR, "documents")
+    back = write_partitioned(docs, str(tmp_path / "docs_by_lang"), "lang",
+                             sort_within="doc_id")
+    filtered = back.filter(F.col("lang") == "en").select("doc_id")
+    plan = plan_of(filtered)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    # the predicate resolves as a planning-time partition filter on the
+    # scan, NOT a post-scan data filter (inputFiles() can't show the
+    # pruning — it lists the relation's files before planning)
+    assert "PartitionFilters: [isnotnull(lang" in scan
+    assert "lang#" in scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "PushedFilters: []" in scan or "DataFilters: []" in plan
