@@ -24,6 +24,7 @@ from siddhi_execution_unique_spark.functions import (  # noqa: E402
     dedup as fdedup,
     multimodal as fmm,
     pipeline as fpipe,
+    sessions as fsess,
     similarity as fsim,
     text as ftext,
 )
@@ -363,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": lambda s, d: fcur.contamination_check(_docs(s, d)),
         "corpus_mixture_stats": lambda s, d: fcur.mixture_stats(_docs(s, d)),
         "pii_redact": lambda s, d: fcur.pii_redact(_docs(s, d)),
+        "events_sessionize": lambda s, d: fsess.sessionize(_events(s, d), 2 * HOUR),
     }
 
 
@@ -733,4 +735,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": fcur.contamination_check_oracle(),
         "corpus_mixture_stats": fcur.mixture_stats_oracle(),
         "pii_redact": fcur.pii_redact_oracle(),
+        "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
     }

@@ -221,3 +221,36 @@ def test_mixture_stats_rollup_adds_up(spark, sf_dir):
     detail = [r for r in rows if r["lang"] != "<all>" and r["source"] != "<all>"]
     assert sum(r["n_docs"] for r in lang_rows) == total[0]["n_docs"]
     assert sum(r["n_tokens"] for r in detail) == total[0]["n_tokens"]
+
+
+def test_sessionize_gap_semantics(spark):
+    from siddhi_execution_unique_spark.functions import sessions as fsess
+    import datetime as dt
+
+    def t(ms):
+        return dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        # user 1: two sessions split by a 5s gap (gap_ms=1000)
+        (t(0), 1, 1, "a"), (t(500), 2, 1, "b"), (t(1400), 3, 1, "a"),
+        (t(7000), 4, 1, "a"),
+        # user 2: one session, single event
+        (t(100), 5, 2, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id long, event_type string")
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in fsess.sessionize(ev, 1000).collect()}
+    assert len(out) == 3
+    s11 = out[(1, 1)]
+    assert (s11["session_start_ms"], s11["session_end_ms"], s11["n_events"],
+            s11["n_event_types"]) == (0, 1400, 3, 2)
+    s12 = out[(1, 2)]
+    assert (s12["session_start_ms"], s12["n_events"]) == (7000, 1)
+    assert out[(2, 1)]["n_events"] == 1
+
+
+def test_sessionize_rejects_bad_gap(spark):
+    from siddhi_execution_unique_spark.functions import sessions as fsess
+    with pytest.raises(ValueError):
+        fsess.sessionize(None, 0)

@@ -245,3 +245,14 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in scan
     assert "lang#" in scan.split("PartitionFilters:")[1].split("]")[0]
     assert "PushedFilters: []" in scan or "DataFilters: []" in plan
+
+
+def test_sessionize_windows_partition_by_user(spark):
+    """Both session windows and the final agg must key on user_id —
+    one hash shuffle, no global ordering of the event stream."""
+    from siddhi_execution_unique_spark.functions import sessions as fsess
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fsess.sessionize(events, 3_600_000))
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
