@@ -46,13 +46,23 @@ _STREAM_PROCESSORS = {
     "deduplicate": ops.deduplicate,
 }
 
+def _keep_first(fn):
+    def wrapped(df, *args, **kwargs):
+        kwargs.setdefault("keep", "first")
+        return fn(df, *args, **kwargs)
+
+    return wrapped
+
+
 _STREAMING = {
     "ever": stw.ever_stream,
     "first": stw.first_stream,
     "length": stw.length_window_stream,
     "lengthBatch": stw.length_batch_stream,
+    "firstLengthBatch": _keep_first(stw.length_batch_stream),
     "time": stw.time_window_stream,
     "timeBatch": stw.tumbling_batch_stream,
+    "firstTimeBatch": _keep_first(stw.tumbling_batch_stream),
     "timeLengthBatch": stw.time_length_batch_stream,
     "externalTimeBatch": stw.external_time_batch_stream,
     "deduplicate": stw.deduplicate_exact_stream,

@@ -459,3 +459,17 @@ def test_curation_stream_matches_batch_manifest(spark, workdir):
     batch = fpipe.corpus_curation(load_table(spark, "/root/testdata/sf0.001", "documents"))
     want = {(r["doc_id"], r["pred_lang"], r["quality"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_api_streaming_keep_first_variants(spark, workdir):
+    """firstLengthBatch / firstTimeBatch dispatch to the keep='first'
+    twins: within a forming batch the first arrival per key wins."""
+    from siddhi_execution_unique_spark import api
+
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "a", 2.0), (3000, 3, "b", 3.0)])
+    out = api.streaming_window(
+        read_stream(spark, workdir / "in"), "unique:firstLengthBatch", "k", 2)
+    res = run_available(spark, out, "flb_sink", workdir / "ckpt", mode="append")
+    cur = {(r["k"], r["event_id"]) for r in res.collect() if r["channel"] == "current"}
+    assert cur == {("a", 1), ("b", 3)}  # event 2 dropped, first 'a' kept
