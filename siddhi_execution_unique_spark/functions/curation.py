@@ -163,6 +163,8 @@ def stratified_sample(docs: DataFrame, per_stratum: int = 20,
     cluster does not guarantee). One shuffle on the stratum key; the
     rank window never crosses strata, so skew is bounded by the
     largest stratum, not the corpus."""
+    if per_stratum <= 0:
+        raise ValueError(f"per_stratum must be > 0, got {per_stratum}")
     w = Window.partitionBy(stratum).orderBy(
         F.expr("md5(cast(doc_id as string))"), F.asc("doc_id")
     )
@@ -193,6 +195,8 @@ def domain_quota(docs: DataFrame, quality: DataFrame, quota: int = 5) -> DataFra
     ``quality`` is the output of :func:`text.quality_score`; composing
     the two stays one Catalyst plan (shared scan, id equi-join, one
     rank window partitioned by source)."""
+    if quota <= 0:
+        raise ValueError(f"quota must be > 0, got {quota}")
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
         docs.select("doc_id", "source")
@@ -232,6 +236,8 @@ def contamination_check(docs: DataFrame, benchmark_source: str = "src0",
     broadcast, because the benchmark shingle set grows with the
     benchmark corpus. Per-doc totals are one hash aggregation on
     doc_id."""
+    if not 0.0 < flag_frac <= 1.0:
+        raise ValueError(f"flag_frac must be in (0, 1], got {flag_frac}")
     bench_sh = (
         _distinct_shingles(docs.filter(F.col("source") == benchmark_source))
         .select("sh").distinct().withColumn("_hit", F.lit(1))

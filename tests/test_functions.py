@@ -254,3 +254,13 @@ def test_sessionize_rejects_bad_gap(spark):
     from siddhi_execution_unique_spark.functions import sessions as fsess
     with pytest.raises(ValueError):
         fsess.sessionize(None, 0)
+
+
+def test_curation_validation_errors(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    with pytest.raises(ValueError):
+        fcur.stratified_sample(None, per_stratum=0)
+    with pytest.raises(ValueError):
+        fcur.domain_quota(None, None, quota=-1)
+    with pytest.raises(ValueError):
+        fcur.contamination_check(None, flag_frac=0.0)

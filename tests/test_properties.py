@@ -181,3 +181,38 @@ def test_time_length_batch_interval_form_matches_sequential(ts_gaps, keys, t, n,
         ms += g
         seq.append((ms, keys[i]))
     assert sequential_tlb(seq, t, n, start) == interval_tlb(seq, t, n, start)
+
+
+def greedy_sessions(ts_list: list[int], gap: int) -> list[list[int]]:
+    """Reference semantics: walk one user's sorted timestamps, break a
+    session when the gap is exceeded."""
+    sessions: list[list[int]] = []
+    for t in sorted(ts_list):
+        if sessions and t - sessions[-1][-1] <= gap:
+            sessions[-1].append(t)
+        else:
+            sessions.append([t])
+    return sessions
+
+
+def lag_cumsum_sessions(ts_list: list[int], gap: int) -> list[list[int]]:
+    """The distributed formulation both engines implement
+    (functions/sessions.py): new-session flag from the lag diff, then
+    a running sum as the session id."""
+    srt = sorted(ts_list)
+    seq = 0
+    out: dict[int, list[int]] = {}
+    for i, t in enumerate(srt):
+        if i == 0 or t - srt[i - 1] > gap:
+            seq += 1
+        out.setdefault(seq, []).append(t)
+    return [out[k] for k in sorted(out)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts_list=st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=50),
+    gap=st.integers(min_value=1, max_value=2_000),
+)
+def test_sessionize_lag_cumsum_matches_greedy(ts_list, gap):
+    assert lag_cumsum_sessions(ts_list, gap) == greedy_sessions(ts_list, gap)
