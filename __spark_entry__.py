@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: ftext.fingerprint(_docs(s, d)),
         "text_winnow_fingerprints": lambda s, d: ftext.winnow_fingerprints(_docs(s, d)),
         "dedup_exact": lambda s, d: fdedup.exact_dedup(_docs(s, d)),
+        "dedup_exact_incremental": lambda s, d: fdedup.incremental_exact_dedup(
+            _docs(s, d).filter(F.col("doc_id") >= 250),
+            fdedup.exact_dedup(_docs(s, d).filter(F.col("doc_id") < 250)),
+        ),
         "dedup_minhash_signatures": lambda s, d: fdedup.minhash_signatures(_docs(s, d)),
         "dedup_near_pairs_lsh": lambda s, d: fdedup.near_dup_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: fdedup.simhash(_docs(s, d)),
@@ -717,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ftext.fingerprint_oracle(),
         "text_winnow_fingerprints": ftext.winnow_fingerprints_oracle(),
         "dedup_exact": fdedup.exact_dedup_oracle(),
+        "dedup_exact_incremental": fdedup.incremental_exact_dedup_oracle(250),
         "dedup_minhash_signatures": fdedup.minhash_signatures_oracle(),
         "dedup_near_pairs_lsh": fdedup.near_dup_pairs_oracle(),
         "dedup_simhash": fdedup.simhash_oracle(),

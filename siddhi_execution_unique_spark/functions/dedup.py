@@ -462,3 +462,47 @@ def char_ngram_jaccard_pairs_oracle() -> str:
                     CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE),
                     6) >= {NGRAM_JACCARD_THRESHOLD}
     """
+
+
+def incremental_exact_dedup(new_docs: DataFrame, known: DataFrame) -> DataFrame:
+    """Incremental exact dedup — the shape continuous ingest actually
+    runs: given today's batch and the manifest of already-ingested
+    content fingerprints, keep only documents whose content is (a) new
+    against the manifest and (b) first (minimum doc_id) within the
+    batch. Output: (fingerprint, doc_id, n_in_batch).
+
+    ``known`` is a 1-column (``fingerprint``) frame, O(corpus) rows —
+    joined with a LEFT ANTI shuffle equi-join, never broadcast (the
+    manifest grows forever). The within-batch dedup is the same single
+    hash aggregation as :func:`exact_dedup`. At 100 TB both sides
+    shuffle on the fingerprint hash; pre-bucketing the manifest by
+    fingerprint (``sources.write_bucketed``) makes the anti-join
+    manifest-side shuffle-free."""
+    fresh = (
+        new_docs.select(F.expr(f"md5({NORM_SPARK})").alias("fingerprint"), "doc_id")
+        .join(known.select("fingerprint"), "fingerprint", "left_anti")
+    )
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch")
+    )
+
+
+def incremental_exact_dedup_oracle(split_doc_id: int) -> str:
+    """Oracle over the single ``documents`` table: docs below
+    ``split_doc_id`` play the existing manifest, the rest the new
+    batch."""
+    return f"""
+        WITH known AS (
+          SELECT DISTINCT md5({NORM_DUCK}) AS fingerprint
+          FROM documents WHERE doc_id < {split_doc_id}
+        ),
+        batch AS (
+          SELECT md5({NORM_DUCK}) AS fingerprint, doc_id
+          FROM documents WHERE doc_id >= {split_doc_id}
+        )
+        SELECT b.fingerprint, min(b.doc_id) AS doc_id,
+               count(*) AS n_in_batch
+        FROM batch b LEFT JOIN known k ON b.fingerprint = k.fingerprint
+        WHERE k.fingerprint IS NULL
+        GROUP BY b.fingerprint
+    """

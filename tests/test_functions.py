@@ -264,3 +264,16 @@ def test_curation_validation_errors(spark):
         fcur.domain_quota(None, None, quota=-1)
     with pytest.raises(ValueError):
         fcur.contamination_check(None, flag_frac=0.0)
+
+
+def test_incremental_dedup_drops_known_and_batch_dups(spark):
+    from siddhi_execution_unique_spark.functions import dedup as fdedup
+    known_docs = _mini_docs(spark, [("old content here", "s")])          # doc 0
+    batch = spark.createDataFrame(
+        [(10, "old  CONTENT here", "en", "s", 16),   # normalizes to known -> dropped
+         (11, "brand new thing", "en", "s", 15),
+         (12, "brand NEW thing", "en", "s", 15)],    # dup of 11 within batch
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = fdedup.incremental_exact_dedup(batch, fdedup.exact_dedup(known_docs))
+    rows = {r["doc_id"]: r["n_in_batch"] for r in out.collect()}
+    assert rows == {11: 2}

@@ -256,3 +256,19 @@ def test_sessionize_windows_partition_by_user(spark):
     assert "hashpartitioning(user_id" in plan
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_incremental_dedup_anti_join_unhinted(spark):
+    """The manifest side is O(corpus) fingerprints: LEFT ANTI equi-join,
+    no forced broadcast, no nested loop."""
+    from siddhi_execution_unique_spark.functions import dedup as fdedup
+    docs = load_table(spark, SF_DIR, "documents")
+    df = fdedup.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") >= 25),
+        fdedup.exact_dedup(docs.filter(F.col("doc_id") < 25)),
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "strategy=broadcast" not in optimized_of(df)
