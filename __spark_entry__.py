@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: ftext.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: ftext.fingerprint(_docs(s, d)),
         "text_winnow_fingerprints": lambda s, d: ftext.winnow_fingerprints(_docs(s, d)),
+        "text_unigram_logprob": lambda s, d: ftext.unigram_logprob(_docs(s, d)),
         "dedup_exact": lambda s, d: fdedup.exact_dedup(_docs(s, d)),
         "dedup_exact_incremental": lambda s, d: fdedup.incremental_exact_dedup(
             _docs(s, d).filter(F.col("doc_id") >= 250),
@@ -720,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": ftext.lang_id_oracle(),
         "text_fingerprint": ftext.fingerprint_oracle(),
         "text_winnow_fingerprints": ftext.winnow_fingerprints_oracle(),
+        "text_unigram_logprob": ftext.unigram_logprob_oracle(),
         "dedup_exact": fdedup.exact_dedup_oracle(),
         "dedup_exact_incremental": fdedup.incremental_exact_dedup_oracle(250),
         "dedup_minhash_signatures": fdedup.minhash_signatures_oracle(),

@@ -266,3 +266,55 @@ def winnow_fingerprints_oracle() -> str:
                                      j -> list_min(hl[j - {WINNOW_W - 1}:j]))) AS fp
         FROM hs
     """
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram-surprisal quality signal: per document, the mean and max
+    token surprisal ``-ln(count(token)/total_tokens)`` under the
+    corpus's OWN unigram distribution — the cheap stand-in for a
+    perplexity filter (degenerate text scores low surprisal, rare-token
+    noise scores high).
+
+    Two aggregation passes over token rows: global unigram counts
+    (hash agg on the token), then a shuffle equi-join of token
+    occurrences against those counts and a per-doc agg. The corpus
+    total rides in as a one-ROW frame via a broadcast cross join —
+    O(1) payload, legitimately broadcast at any corpus size (unlike
+    per-document frames, which are never hinted)."""
+    rows = docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("x"))
+    counts = rows.groupBy("x").agg(F.count("*").alias("n_x"))
+    total = counts.agg(F.sum("n_x").alias("n_total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "x", F.expr("-ln(n_x / cast(n_total as double))").alias("surprisal")
+    )
+    return (
+        rows.join(probs, "x")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("round(avg(surprisal), 6)").alias("avg_surprisal"),
+            F.expr("round(max(surprisal), 6)").alias("max_surprisal"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+def unigram_logprob_oracle() -> str:
+    return f"""
+        WITH rows_t AS (
+          SELECT doc_id, unnest({DUCK_TOKS}) AS x FROM documents
+        ),
+        counts AS (
+          SELECT x, count(*) AS n_x FROM rows_t GROUP BY x
+        ),
+        probs AS (
+          SELECT x, -ln(n_x / CAST((SELECT sum(n_x) FROM counts) AS DOUBLE))
+                   AS surprisal
+          FROM counts
+        )
+        SELECT r.doc_id,
+               round(avg(p.surprisal), 6) AS avg_surprisal,
+               round(max(p.surprisal), 6) AS max_surprisal,
+               count(*) AS n_tokens
+        FROM rows_t r JOIN probs p ON r.x = p.x
+        GROUP BY r.doc_id
+    """
