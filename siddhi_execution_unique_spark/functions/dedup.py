@@ -506,3 +506,118 @@ def incremental_exact_dedup_oracle(split_doc_id: int) -> str:
         WHERE k.fingerprint IS NULL
         GROUP BY b.fingerprint
     """
+
+
+# ---------------------------------------------------------------------
+# Near-duplicate clustering: connected components + canonical doc
+
+CC_MAX_ITERS = 25
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected edge list
+    (``doc_id_1``, ``doc_id_2``) by iterative min-label propagation:
+    every node repeatedly takes the minimum label among itself and its
+    neighbors until a fixpoint. Output: (``doc_id``, ``cluster_id``)
+    for every node that appears in an edge, where ``cluster_id`` is
+    the smallest doc_id in the component.
+
+    Scale design: each round is one shuffle hash join (labels keyed by
+    doc_id) plus one partial-aggregating ``min`` — the same join shape
+    as large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Rounds needed = component
+    diameter, and near-dup components are shallow (dozens of docs tied
+    through shared shingles), so this converges in a handful of
+    rounds even at 100 TB. ``localCheckpoint`` truncates the lineage
+    every round so the plan does not grow with the iteration count (on
+    a real cluster use ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for fault tolerance instead). Convergence is
+    detected from ``sum(label)``: labels only ever decrease, so the
+    sum strictly decreases until the fixpoint — one cheap aggregate
+    action per round instead of a change-count join."""
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        .union(pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")))
+        .localCheckpoint()  # do not recompute the pair pipeline per round
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(F.col("src").alias("doc_id"),
+                F.least(F.col("src"), F.col("nbr_min")).alias("label"))
+    )
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        labels = labels.localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"),
+                              F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        labels = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The post-pair step of the 100 TB dedup pipeline: group the
+    verified MinHash near-dup pairs (:func:`near_dup_pairs`) into
+    transitive clusters and pick one canonical document per cluster.
+    Output: one row per document — (``doc_id``, ``cluster_id``,
+    ``keep``) where ``cluster_id`` is the smallest doc_id reachable
+    through near-dup edges (the doc's own id if it has no near-dup)
+    and ``keep`` marks the canonical doc. ``filter(keep)`` is then the
+    deduplicated corpus manifest.
+
+    Reference analogy: ``unique:ever`` keeps one event per key
+    (UniqueEverWindowProcessor.java:84-93); this keeps one doc per
+    *similarity component*, where the key is discovered transitively
+    rather than given."""
+    labels = connected_components(near_dup_pairs(docs, threshold))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def near_dup_clusters_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (UNION
+    dedups the frontier, so it terminates), cluster_id = min reachable
+    node. Exact, not iteration-capped — pins that min-label
+    propagation converged."""
+    return f"""
+        WITH RECURSIVE pairs AS ({near_dup_pairs_oracle(threshold)}),
+        edges AS (
+          SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+          UNION ALL
+          SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+        ),
+        reach(src, node) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS keep
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """

@@ -277,3 +277,15 @@ def test_incremental_dedup_drops_known_and_batch_dups(spark):
     out = fdedup.incremental_exact_dedup(batch, fdedup.exact_dedup(known_docs))
     rows = {r["doc_id"]: r["n_in_batch"] for r in out.collect()}
     assert rows == {11: 2}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from siddhi_execution_unique_spark.functions import dedup as fdedup
+    # chain 1-2-3-4 (diameter forces multiple propagation rounds),
+    # pair 7-8, and 5-6 merged to the chain through 5-1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (5, 6), (5, 1)],
+        "doc_id_1 long, doc_id_2 long")
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in fdedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 8: 7}
