@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_char_ngram_jaccard": lambda s, d: fdedup.char_ngram_jaccard_pairs(_docs(s, d)),
         "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
+        "sim_cell_centroids": lambda s, d: fsim.cell_centroids(_emb(s, d)),
         "dedup_embedding_cosine": lambda s, d: fsim.embedding_near_dup_pairs(_emb(s, d)),
         # multimodal plumbing (pandas-UDF feature extraction)
         "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
@@ -733,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_char_ngram_jaccard": fdedup.char_ngram_jaccard_pairs_oracle(),
         "sim_cosine_topk": fsim.cosine_topk_oracle(),
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
+        "sim_cell_centroids": fsim.cell_centroids_oracle(),
         "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
         "multimodal_frame_sample": fmm.FRAME_SAMPLE_ORACLE,

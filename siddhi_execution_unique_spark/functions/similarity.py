@@ -94,6 +94,30 @@ def cosine_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
     """
 
 
+def _ivf_centroids(base: DataFrame) -> DataFrame:
+    """Deterministic coarse-quantizer seeds: every
+    ``CENTROID_STRIDE``-th vector (k = n/stride rows — always tiny)."""
+    return base.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_norm2"),
+    )
+
+
+def _ivf_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per corpus vector: tiny broadcast, one
+    pass over the corpus, row_number picks the max-cosine (tie: lowest
+    c_id) cell."""
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+    return (
+        base.join(F.broadcast(centroids))
+        .withColumn("c_cos", F.expr(_cos_expr("embedding", "c_emb", "norm2", "c_norm2")))
+        .withColumn("c_rank", F.row_number().over(assign_w))
+        .filter(F.col("c_rank") == 1)
+        .select("vec_id", "embedding", "norm2", F.col("c_id").alias("cell"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 8,
@@ -105,23 +129,8 @@ def ivf_topk(
     each probe searches only its ``n_probe`` closest cells. Same
     output shape as :func:`cosine_topk`."""
     base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
-    centroids = (
-        base.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
-        .select(
-            F.col("vec_id").alias("c_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("norm2").alias("c_norm2"),
-        )
-    )
-    # nearest centroid per corpus vector: tiny broadcast, one pass
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
-    assigned = (
-        base.join(F.broadcast(centroids))
-        .withColumn("c_cos", F.expr(_cos_expr("embedding", "c_emb", "norm2", "c_norm2")))
-        .withColumn("c_rank", F.row_number().over(assign_w))
-        .filter(F.col("c_rank") == 1)
-        .select("vec_id", "embedding", "norm2", F.col("c_id").alias("cell"))
-    )
+    centroids = _ivf_centroids(base)
+    assigned = _ivf_assign(base, centroids)
     probes = (
         base.filter(F.col("vec_id") < n_queries)
         .select(
@@ -325,4 +334,96 @@ def embedding_near_dup_pairs_oracle(threshold: float = COS_THRESHOLD) -> str:
         JOIN embeddings a ON a.vec_id = vec_id_1
         JOIN embeddings b ON b.vec_id = vec_id_2
         WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------
+# IVF centroid training: one exact Lloyd (k-means) update step
+
+_QUANT = 1_000_000  # fixed-point scale for order-independent means
+
+
+def cell_centroids(emb: DataFrame) -> DataFrame:
+    """One exact Lloyd/k-means update step over the IVF assignment:
+    for every cell, the member count and the mean embedding, emitted
+    long-form as (``cell``, ``pos``, ``n_members``, ``centroid_val``)
+    so every column is scalar.
+
+    Floating-point determinism: a double-sum's value depends on
+    partition merge order, which would make the mean differ in the
+    last ulp between runs (and vs the oracle). Instead each element is
+    fixed-point quantized (``round(val * 1e6)`` as bigint) BEFORE
+    aggregation — bigint sums are exact and order-independent, so the
+    mean is bit-identical on both engines. At 1e6 scale a 64-dim
+    unit-norm float keeps ~6 significant decimals, more precision
+    than k-means needs.
+
+    Scale shape: posexplode produces rows (stays in whole-stage
+    codegen — see the module NOTE on array lambdas), then ONE
+    partially-aggregating groupBy on (cell, pos) — the map-side
+    combine collapses each partition to n_cells x dim rows before the
+    shuffle, so the shuffle volume is O(n_cells * dim * n_partitions)
+    regardless of corpus size. This is exactly how you re-train IVF
+    centroids on a 100 TB embedding table."""
+    base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
+    assigned = _ivf_assign(base, _ivf_centroids(base))
+    pe = assigned.select(
+        "cell", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        pe.withColumn(
+            "qv", F.expr(f"cast(round(cast(val as double) * {_QUANT}) as bigint)")
+        )
+        .groupBy("cell", F.col("pos").cast("long").alias("pos"))
+        .agg(F.sum("qv").alias("qsum"), F.count("*").alias("n_members"))
+        .select(
+            "cell",
+            "pos",
+            "n_members",
+            # Round the micro-unit mean qsum/n half-away-from-zero in
+            # EXACT integer arithmetic (fp round() differs between
+            # engines when the mean lands exactly on a half), then one
+            # deterministic IEEE division scales it back.
+            F.expr(
+                "(case when qsum < 0 then -1 else 1 end)"
+                " * ((2 * abs(qsum) + n_members) div (2 * n_members))"
+                f" / cast({_QUANT} as double)"
+            ).alias("centroid_val"),
+        )
+    )
+
+
+def cell_centroids_oracle() -> str:
+    def cos(a, b):
+        return (
+            f"{_DOT_DUCK.format(a=a, b=b)} / "
+            f"sqrt(({_DOT_DUCK.format(a=a, b=a)}) * ({_DOT_DUCK.format(a=b, b=b)}))"
+        )
+
+    return f"""
+        WITH centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+          WHERE vec_id % {CENTROID_STRIDE} = 0
+        ),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, c.c_id AS cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {cos('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+          FROM embeddings v CROSS JOIN centroids c
+          QUALIFY rn = 1
+        ),
+        pe AS (
+          SELECT cell, unnest(generate_series(1, len(embedding))) AS i, embedding
+          FROM assigned
+        ),
+        q AS (
+          SELECT cell, i - 1 AS pos,
+                 CAST(round(embedding[i]::DOUBLE * {_QUANT}) AS BIGINT) AS qv
+          FROM pe
+        )
+        SELECT cell, pos, count(*) AS n_members,
+               (CASE WHEN sum(qv) < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(sum(qv)) + count(*)) // (2 * count(*)))
+                 / {_QUANT}.0 AS centroid_val
+        FROM q GROUP BY cell, pos
     """
