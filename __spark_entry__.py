@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from siddhi_execution_unique_spark import operators as ops  # noqa: E402
 from siddhi_execution_unique_spark.functions import (  # noqa: E402
+    asof as fasof,
     curation as fcur,
     dedup as fdedup,
     multimodal as fmm,
@@ -371,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": lambda s, d: fcur.contamination_check(_docs(s, d)),
         "corpus_mixture_stats": lambda s, d: fcur.mixture_stats(_docs(s, d)),
         "pii_redact": lambda s, d: fcur.pii_redact(_docs(s, d)),
+        "events_asof_join": lambda s, d: fasof.purchases_with_last_click(_events(s, d)),
         "events_sessionize": lambda s, d: fsess.sessionize(_events(s, d), 2 * HOUR),
     }
 
@@ -747,4 +749,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture_stats": fcur.mixture_stats_oracle(),
         "pii_redact": fcur.pii_redact_oracle(),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
+        "events_asof_join": fasof.purchases_with_last_click_oracle(),
     }

@@ -1,0 +1,124 @@
+"""As-of (point-in-time) join — the classic time-series operator Spark
+lacks as a built-in. For every left row, attach the latest right row
+with the same key and ``right.ts <= left.ts``.
+(Beyond-reference scope — SURVEY.md §7 phase 4; the reference's
+closest analogue is the per-key "latest state" that ``unique:ever``
+maintains, UniqueEverWindowProcessor.java:84-93 — an as-of join is
+that lookup evaluated at each left row's own timestamp.)
+
+Spark-first design — the sorted-merge encoding: UNION the two sides
+with a side tag, hash-partition by key, sort within each partition by
+(ts, side, right payload), and carry the last non-null right payload
+forward with one running window. That is ONE shuffle on the join key
+and a partition-local sort — no range-join candidate explosion, no
+per-key driver loop — so it scales exactly like any keyed aggregation
+(the 1000-executor plan is hash exchange + sort + window, all
+codegen). A right row at the same timestamp as a left row sorts
+FIRST (side 0 < 1), so "at or before" is inclusive; ties among right
+rows at the same timestamp resolve to the greatest payload tuple
+(deterministic — the window takes the LAST of the ascending struct
+order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of left join. All ``left`` columns are preserved;
+    every non-key ``right`` column (and its timestamp) is appended
+    under ``right_prefix``, NULL when the key has no right row at or
+    before the left timestamp."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys and c != ts]
+    r_struct = F.struct(
+        F.col(ts).alias(f"{right_prefix}{ts}"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+    )
+    r = right.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        r_struct.alias("__r"),
+    )
+    r_type = r.schema["__r"].dataType
+    l = left.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_type).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn("__asof", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select("__l.*", "__asof.*")
+    )
+
+
+def purchases_with_last_click(events: DataFrame) -> DataFrame:
+    """Driver entry: for each ``purchase`` event, the same user's most
+    recent ``click`` at or before it. Output: (purchase_id, user_id,
+    ts_ms, click_id, gap_ms) — click columns -1 when the user had not
+    clicked yet (a sentinel, not NULL: NULL→NaN makes the pandas
+    value-compare and the driver hash unstable)."""
+    ev = events.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_ms"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(left, right, on="user_id", ts="ts_ms")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "ts_ms",
+        F.coalesce(F.col("r_click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("ts_ms") - F.col("r_ts_ms"), F.lit(-1)).alias("gap_ms"),
+    )
+
+
+def purchases_with_last_click_oracle() -> str:
+    """Window-formulated oracle (NOT DuckDB's native ASOF JOIN, whose
+    pick among equal-timestamp right rows is unspecified): rank each
+    purchase's candidate clicks by (ts DESC, click_id DESC) and keep
+    rank 1 — the same "greatest (ts, payload)" rule the Spark side
+    implements."""
+    return """
+        WITH p AS (
+          SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS ts_ms
+          FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT event_id AS click_id, user_id, epoch_ms(ts) AS ts_ms
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT purchase_id, user_id, ts_ms, click_id, gap_ms FROM (
+          SELECT p.purchase_id, p.user_id, p.ts_ms,
+                 COALESCE(c.click_id, -1) AS click_id,
+                 COALESCE(p.ts_ms - c.ts_ms, -1) AS gap_ms,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY c.ts_ms DESC, c.click_id DESC) AS rn
+          FROM p LEFT JOIN c
+            ON c.user_id = p.user_id AND c.ts_ms <= p.ts_ms
+        ) WHERE rn = 1
+    """

@@ -289,3 +289,24 @@ def test_connected_components_chain_and_islands(spark):
     labels = {r["doc_id"]: r["cluster_id"]
               for r in fdedup.connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 8: 7}
+
+
+def test_asof_join_semantics(spark):
+    from siddhi_execution_unique_spark.functions import asof as fasof
+    left = spark.createDataFrame(
+        [(100, 1, 50), (101, 1, 10), (102, 2, 30), (103, 3, 40)],
+        "pid long, k long, ts long")
+    right = spark.createDataFrame(
+        # k=1: rows at ts 50 (tie -> max rid wins, inclusive match at equal ts)
+        [(1, 5, 7), (1, 50, 8), (1, 50, 9), (1, 60, 99),
+         # k=2: only a LATER row -> no match for ts=30
+         (2, 31, 20)],
+        "k long, ts long, rid long")
+    out = {r["pid"]: (r["r_ts"], r["r_rid"])
+           for r in fasof.asof_join(left, right, on="k", ts="ts").collect()}
+    assert out == {
+        100: (50, 9),    # inclusive <=, tie broken to greatest payload
+        101: (5, 7),     # strictly-before row
+        102: (None, None),  # right row exists but only after
+        103: (None, None),  # key absent from right
+    }
