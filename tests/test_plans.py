@@ -272,3 +272,32 @@ def test_incremental_dedup_anti_join_unhinted(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "strategy=broadcast" not in optimized_of(df)
+
+
+def test_asof_join_is_one_exchange_sort_window(spark):
+    from siddhi_execution_unique_spark.functions import asof as fasof
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fasof.purchases_with_last_click(events))
+    # sorted-merge encoding: union -> ONE hash exchange on the key ->
+    # partition-local sort -> running window. No join at all, so no
+    # range-join explosion is even possible.
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_cell_centroids_partial_agg_before_shuffle(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(fsim.cell_centroids(emb))
+    # the (cell, pos) mean must map-side combine: shuffle volume is
+    # then O(n_cells * dim * n_partitions), independent of corpus rows
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_connected_components_rounds_are_equi_joins(spark):
+    pairs = fdedup.lsh_candidate_pairs(load_table(spark, SF_DIR, "documents"))
+    labels = fdedup.connected_components(pairs)
+    plan = plan_of(labels)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
