@@ -424,6 +424,6 @@ def cell_centroids_oracle() -> str:
         SELECT cell, pos, count(*) AS n_members,
                (CASE WHEN sum(qv) < 0 THEN -1 ELSE 1 END)
                  * ((2 * abs(sum(qv)) + count(*)) // (2 * count(*)))
-                 / {_QUANT}.0 AS centroid_val
+                 / CAST({_QUANT} AS DOUBLE) AS centroid_val
         FROM q GROUP BY cell, pos
     """

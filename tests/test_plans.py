@@ -301,3 +301,23 @@ def test_connected_components_rounds_are_equi_joins(spark):
     labels = fdedup.connected_components(pairs)
     plan = plan_of(labels)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_rollup_expands_grouping_sets_with_partial_agg(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fsk.time_rollup(events))
+    # ROLLUP must stay one partially-aggregated pass (Expand + hash
+    # agg), never one aggregation per grain level
+    assert "Expand" in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_kmv_distinct_stage_is_partial_agg(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fsk.kmv_distinct(events))
+    # the corpus-sized DISTINCT must map-side combine before its shuffle
+    assert "partial" in plan
+    assert "CartesianProduct" not in plan
