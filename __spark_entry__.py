@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_stats": lambda s, d: fcur.mixture_stats(_docs(s, d)),
         "pii_redact": lambda s, d: fcur.pii_redact(_docs(s, d)),
         "events_asof_join": lambda s, d: fasof.purchases_with_last_click(_events(s, d)),
+        "events_range_join": lambda s, d: fasof.clicks_before_purchase(_events(s, d)),
         "sketch_kmv_distinct": lambda s, d: fsk.kmv_distinct(_events(s, d)),
         "events_time_rollup": lambda s, d: fsk.time_rollup(_events(s, d)),
         "events_sessionize": lambda s, d: fsess.sessionize(_events(s, d), 2 * HOUR),
@@ -753,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": fcur.pii_redact_oracle(),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
         "events_asof_join": fasof.purchases_with_last_click_oracle(),
+        "events_range_join": fasof.clicks_before_purchase_oracle(),
         "sketch_kmv_distinct": fsk.kmv_distinct_oracle(),
         "events_time_rollup": fsk.time_rollup_oracle(),
     }

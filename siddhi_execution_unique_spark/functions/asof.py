@@ -122,3 +122,92 @@ def purchases_with_last_click_oracle() -> str:
             ON c.user_id = p.user_id AND c.ts_ms <= p.ts_ms
         ) WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------
+# Banded range join: aggregate right rows inside a trailing interval
+
+HOUR_MS = 3_600_000
+
+
+def clicks_before_purchase(events: DataFrame, window_ms: int = HOUR_MS) -> DataFrame:
+    """Range join, the bucket-banded way: for each ``purchase``, the
+    count and value sum of the same user's ``click`` events in
+    ``(ts - window_ms, ts]``. Output: (purchase_id, user_id, ts_ms,
+    n_clicks_1h, click_value_1h).
+
+    A naive inequality join (``c.ts BETWEEN p.ts - w AND p.ts``) has
+    no equi-key for hashing, so Spark would fall back to
+    BroadcastNestedLoopJoin — quadratic. Instead both sides are
+    bucketed to ``window_ms`` bands: a trailing window of width w can
+    only overlap a row's own band and the one before, so each purchase
+    probes exactly TWO band keys (explode of a 2-element array) and the
+    join is a plain hash equi-join on (user_id, band). Candidates per
+    purchase are bounded by the user's clicks in 2w of wall time —
+    independent of corpus size. The exact range predicate then filters
+    candidates inside the aggregation (conditional sums), and a LEFT
+    join keeps zero-click purchases with count 0. The click value sum
+    is fixed-point quantized (milli units) before aggregation so the
+    double total is order-independent (see sketch.time_rollup).
+    """
+    ev = events.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"),
+        "event_type", "value",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts_ms",
+        F.expr(f"ts_ms div {window_ms}").alias("band"),
+    )
+    probes = p.withColumn(
+        "pband", F.explode(F.array(F.col("band"), F.col("band") - 1))
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ms").alias("c_ts"),
+        F.expr(f"ts_ms div {window_ms}").alias("cband"),
+        F.expr("cast(round(value * 1000) as bigint)").alias("qv"),
+    )
+    in_range = (F.col("c_ts") > F.col("ts_ms") - window_ms) & (
+        F.col("c_ts") <= F.col("ts_ms")
+    )
+    return (
+        probes.join(
+            c,
+            (F.col("user_id") == F.col("c_user")) & (F.col("pband") == F.col("cband")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id", "ts_ms")
+        .agg(
+            F.coalesce(F.sum(F.when(in_range, F.lit(1))), F.lit(0)).alias(
+                "n_clicks_1h"
+            ),
+            F.expr(
+                "coalesce(sum(case when c_ts > ts_ms - {w} and c_ts <= ts_ms "
+                "then qv end), 0) / cast(1000 as double)".format(w=window_ms)
+            ).alias("click_value_1h"),
+        )
+    )
+
+
+def clicks_before_purchase_oracle(window_ms: int = HOUR_MS) -> str:
+    return f"""
+        WITH p AS (
+          SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS ts_ms
+          FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms,
+                 CAST(round(value * 1000) AS BIGINT) AS qv
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT p.purchase_id, p.user_id, p.ts_ms,
+               CAST(coalesce(sum(CASE WHEN c.ts_ms IS NOT NULL THEN 1 END), 0)
+                    AS BIGINT) AS n_clicks_1h,
+               coalesce(sum(qv), 0) / CAST(1000 AS DOUBLE) AS click_value_1h
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts_ms > p.ts_ms - {window_ms} AND c.ts_ms <= p.ts_ms
+        GROUP BY 1, 2, 3
+    """

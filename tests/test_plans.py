@@ -321,3 +321,12 @@ def test_kmv_distinct_stage_is_partial_agg(spark):
     # the corpus-sized DISTINCT must map-side combine before its shuffle
     assert "partial" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_banded_equi_join(spark):
+    from siddhi_execution_unique_spark.functions import asof as fasof
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fasof.clicks_before_purchase(events))
+    # the trailing-window aggregation must run as a hash equi-join on
+    # (user_id, band), never an inequality-only nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
