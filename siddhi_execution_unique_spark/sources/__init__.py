@@ -136,3 +136,51 @@ def write_partitioned(
         out = out.repartition(*[F.col(c) for c in cols]).sortWithinPartitions(*sw)
     out.write.mode("overwrite").partitionBy(*cols).parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+_FORMATS = ("parquet", "csv", "json")
+
+
+def load_path(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+):
+    """Format-generic batch source (parquet / csv / json).
+
+    csv and json REQUIRE an explicit schema: Spark's inference is a
+    full extra pass over the data — at 100 TB that doubles the read
+    before the query starts, and silently types every ambiguous
+    column as string. Parquet carries its own schema, but passing one
+    anyway lets the scan prune to exactly the declared columns.
+    csv defaults to headered files; override via ``**options``
+    (any Spark DataFrameReader option passes through)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
+    if fmt != "parquet" and schema is None:
+        raise ValueError(
+            f"{fmt} sources require an explicit schema: inference would "
+            "scan the data twice and degrade ambiguous columns to string"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return getattr(reader, fmt)(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options: str) -> None:
+    """Format-generic sink twin of :func:`load_path`."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    getattr(writer, fmt)(path)

@@ -310,3 +310,21 @@ def test_asof_join_semantics(spark):
         102: (None, None),  # right row exists but only after
         103: (None, None),  # key absent from right
     }
+
+
+def test_csv_json_sources_round_trip(spark, tmp_path):
+    from siddhi_execution_unique_spark import sources as src
+    events = src.load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value")
+    want = sorted(map(tuple, events.collect()))
+    schema = events.schema
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        src.write_table(events, path, fmt)
+        got = sorted(map(tuple, src.load_path(spark, path, fmt, schema).collect()))
+        assert got == want, fmt
+    import pytest
+    with pytest.raises(ValueError):
+        src.load_path(spark, "/nowhere", "csv")  # schema-less csv refused
+    with pytest.raises(ValueError):
+        src.load_path(spark, "/nowhere", "orc")
