@@ -720,3 +720,83 @@ def external_time_batch_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
         )
     )
+
+
+_ASOF_STATE = StructType(
+    [StructField("r_ts_ms", LongType()), StructField("r_id", LongType())]
+)
+
+
+def asof_stream(
+    df: DataFrame,
+    key: str,
+    side_col: str,
+    ts: str = "ts",
+    payload: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`functions.asof.asof_join` — continuous
+    point-in-time enrichment. Rows where ``side_col`` is true are the
+    reference ("right") stream: each updates its key's state to the
+    greatest (ts, payload) seen. All other rows are emitted enriched
+    with the state AT their event time: columns ``r_ts_ms`` /
+    ``r_id`` (-1 before any right row).
+
+    Same per-key state-store shape as the other twins: one tiny tuple
+    per key, hash-partitioned, checkpointed. Within a micro-batch rows
+    are processed in event-time order with right rows first at equal
+    timestamps (the batch operator's inclusive `<=` rule); cross-batch
+    disorder is the stream's ordering contract, as in
+    ``deduplicate_exact_stream``."""
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, side_col, "side column")
+    require_column(df, payload, "payload column")
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("r_ts_ms", LongType()), StructField("r_id", LongType())]
+    )
+    ts_is_timestamp = str(df.schema[ts].dataType) in (
+        "TimestampType()", "TimestampNTZType()",
+    )
+    columns = [f.name for f in df.schema.fields]
+
+    def fn(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        r_ts, r_id = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            ms = _ms_series(pdf, ts, ts_is_timestamp)
+            pdf["__ms"] = ms
+            # right rows first at equal timestamps -> inclusive "<="
+            pdf["__side"] = (~pdf[side_col].astype(bool)).astype(int)
+            pdf = pdf.sort_values(
+                ["__ms", "__side", payload], kind="mergesort"
+            )
+            out_ts, out_id, emit = [], [], []
+            for row_ms, is_left, pval in zip(
+                pdf["__ms"], pdf["__side"], pdf[payload]
+            ):
+                if not is_left:
+                    cand = (int(row_ms), int(pval))
+                    if r_ts is None or cand > (r_ts, r_id):
+                        r_ts, r_id = cand
+                else:
+                    emit.append(True)
+                    out_ts.append(r_ts if r_ts is not None else -1)
+                    out_id.append(r_id if r_id is not None else -1)
+            left = pdf[pdf["__side"] == 1].drop(columns=["__ms", "__side"])
+            if not left.empty:
+                left["r_ts_ms"] = pd.array(out_ts, dtype="int64")
+                left["r_id"] = pd.array(out_id, dtype="int64")
+                yield left
+        if r_ts is not None:
+            state.update((int(r_ts), int(r_id)))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -473,3 +473,28 @@ def test_api_streaming_keep_first_variants(spark, workdir):
     res = run_available(spark, out, "flb_sink", workdir / "ckpt", mode="append")
     cur = {(r["k"], r["event_id"]) for r in res.collect() if r["channel"] == "current"}
     assert cur == {("a", 1), ("b", 3)}  # event 2 dropped, first 'a' kept
+
+
+def test_asof_stream_enriches_with_latest_reference_row(spark, workdir):
+    import pyspark.sql.functions as F
+    # reference rows are v < 0; left rows are enriched
+    write_batch(workdir / "in", "001.parquet",
+                [(5, 3, "a", 1.0),     # left before any right -> -1
+                 (10, 1, "a", -1.0),   # right
+                 (10, 2, "a", 2.0)])   # left at SAME ts -> inclusive match id 1
+    write_batch(workdir / "in", "002.parquet",
+                [(20, 7, "a", 3.0),    # left, state carried across batches
+                 (30, 4, "a", -2.0),   # newer right
+                 (40, 8, "a", 4.0),    # left -> id 4
+                 (15, 9, "b", 5.0)])   # other key, no right ever -> -1
+    src = read_stream(spark, workdir / "in").withColumn("is_ref", F.col("v") < 0)
+    out = stw.asof_stream(src, "k", "is_ref", ts="ts")
+    res = run_available(spark, out, "asof_sink", workdir / "ckpt")
+    got = {r["event_id"]: (r["r_ts_ms"], r["r_id"]) for r in res.collect()}
+    assert got == {
+        3: (-1, -1),
+        2: (10, 1),
+        7: (10, 1),
+        8: (30, 4),
+        9: (-1, -1),
+    }
