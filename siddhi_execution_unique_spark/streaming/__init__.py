@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -799,4 +800,74 @@ def asof_stream(
 
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_KMV_STATE = StructType([StructField("mins_csv", StringType())])
+
+
+def kmv_stream(
+    df: DataFrame,
+    key: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 32,
+) -> DataFrame:
+    """Streaming twin of :func:`functions.sketch.kmv_distinct` —
+    continuous distinct-count estimation. The KMV sketch is mergeable
+    (union sketch = k smallest of the union), so the streaming form is
+    just: fold each micro-batch's hashes into the per-key k-smallest
+    set held in state, emit the refreshed estimate. State is bounded
+    at k longs per key FOREVER — the whole point of a sketch vs the
+    exact DISTINCT, whose state grows with true cardinality.
+
+    Emits one (key, n_k, kmv_estimate) row per key per micro-batch
+    (update semantics). The hash is the same md5-derived uniform point
+    as the batch operator, so a stream that has seen the same rows
+    reports the IDENTICAL estimate (pinned by test)."""
+    import hashlib
+
+    from siddhi_execution_unique_spark.functions.sketch import P
+
+    require_column(df, key, "sketch key")
+    require_column(df, id_col, "sketch id column")
+    out_schema = StructType(
+        [
+            df.schema[key],
+            StructField("n_k", LongType()),
+            StructField("kmv_estimate", DoubleType()),
+        ]
+    )
+
+    def fn(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (csv,) = state.get if state.exists else ("",)
+        mins = {int(x) for x in csv.split(",") if x}
+        for pdf in pdfs:
+            for uid in pdf[id_col]:
+                h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16) % P
+                mins.add(h)
+        mins = set(sorted(mins)[:k])
+        ordered = sorted(mins)
+        if len(ordered) < k:
+            est = float(len(ordered))
+        else:
+            # mirror the batch/DuckDB estimator bit-for-bit: one IEEE
+            # multiply and divide, then round-half-up at 3 decimals
+            # (Python's round() is banker's, so do it in integers)
+            raw = (k - 1) * float(P) / ordered[k - 1]
+            est = ((int(raw * 1000) + (1 if raw * 1000 % 1 >= 0.5 else 0)) / 1000.0)
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_k": [len(ordered)],
+                "kmv_estimate": [float(est)],
+            }
+        )
+        state.update((",".join(map(str, ordered)),))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _KMV_STATE, "update", GroupStateTimeout.NoTimeout
     )

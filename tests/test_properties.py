@@ -216,3 +216,53 @@ def lag_cumsum_sessions(ts_list: list[int], gap: int) -> list[list[int]]:
 )
 def test_sessionize_lag_cumsum_matches_greedy(ts_list, gap):
     assert lag_cumsum_sessions(ts_list, gap) == greedy_sessions(ts_list, gap)
+
+
+# ---------------------------------------------------------------------
+# as-of join: the sorted-merge window encoding vs brute force
+
+
+def asof_bruteforce(lefts: list[int], rights: list[tuple[int, int]]):
+    """Definitional as-of: per left ts, the greatest (ts, id) right
+    tuple with ts <= left ts."""
+    out = []
+    for lt in lefts:
+        cands = [r for r in rights if r[0] <= lt]
+        out.append(max(cands) if cands else None)
+    return out
+
+
+def asof_merged_scan(lefts: list[int], rights: list[tuple[int, int]]):
+    """The functions/asof.py encoding: one pass over rows sorted by
+    (ts, side, payload), carrying the last-seen right payload."""
+    rows = [(ts, 0, (ts, rid)) for ts, rid in rights]
+    rows += [(lt, 1, None) for lt in lefts]
+    rows.sort(key=lambda x: (x[0], x[1], x[2] or (0, 0)))
+    last, out = None, []
+    for _ts, side, payload in rows:
+        if side == 0:
+            last = payload
+        else:
+            out.append(last)
+    # emitted in left-ts order; map back to input order
+    order = sorted(range(len(lefts)), key=lambda i: lefts[i])
+    result = [None] * len(lefts)
+    for pos, i in enumerate(order):
+        result[i] = out[pos]
+    return result
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=15), max_size=12),
+    rights=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15),
+                  st.integers(min_value=1, max_value=99)),
+        max_size=12, unique_by=lambda r: r[1],
+    ),
+)
+def test_asof_merged_scan_matches_bruteforce(lefts, rights):
+    # ties in left ts are interchangeable for correctness (each left
+    # row's answer depends only on its own ts), so positional mapping
+    # is safe even with duplicate left timestamps
+    assert asof_merged_scan(lefts, rights) == asof_bruteforce(lefts, rights)

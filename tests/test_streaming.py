@@ -498,3 +498,31 @@ def test_asof_stream_enriches_with_latest_reference_row(spark, workdir):
         8: (30, 4),
         9: (-1, -1),
     }
+
+
+def test_kmv_stream_final_estimate_matches_batch_sketch(spark, workdir):
+    import pyspark.sql.functions as F
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    # 12 distinct ids spread over two micro-batches, k=8 forces the
+    # estimator (not the exact small-set path) for key "a"
+    rows1 = [(i, i, "a", float(i % 5)) for i in range(7)]
+    rows2 = [(i + 7, i + 7, "a", 1.0) for i in range(5)] + [(99, 99, "b", 2.0)]
+    write_batch(workdir / "in", "001.parquet", rows1)
+    write_batch(workdir / "in", "002.parquet", rows2)
+    src = read_stream(spark, workdir / "in")
+    out = stw.kmv_stream(src, key="k", id_col="event_id", k=8)
+    res = run_available(spark, out, "kmv_sink", workdir / "ckpt", mode="update")
+    # last emitted row per key is the merged-state estimate
+    latest = {}
+    for r in res.collect():
+        latest[r["k"]] = (r["n_k"], r["kmv_estimate"])
+    # batch reference on the SAME rows via the batch operator
+    batch = spark.createDataFrame(
+        [(r[2], r[1]) for r in rows1 + rows2], "event_type string, user_id long")
+    want = {r["event_type"]: (r["n_exact"], r["kmv_estimate"])
+            for r in fsk.kmv_distinct(batch, k=8).collect()}
+    assert latest["b"] == (1, 1.0)
+    # key a: 12 distinct > k=8 -> sketch path; stream's merged sketch
+    # must give the batch estimator's exact value
+    assert latest["a"][0] == 8
+    assert latest["a"][1] == want["a"][1]
