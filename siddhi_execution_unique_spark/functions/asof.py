@@ -39,7 +39,13 @@ def asof_join(
     under ``right_prefix``, NULL when the key has no right row at or
     before the left timestamp."""
     keys = [on] if isinstance(on, str) else list(on)
+    for frame, label in ((left, "left"), (right, "right")):
+        missing = [c for c in keys + [ts] if c not in frame.columns]
+        if missing:
+            raise ValueError(f"asof_join: {label} frame lacks column(s) {missing}")
     payload = [c for c in right.columns if c not in keys and c != ts]
+    if not payload:
+        raise ValueError("asof_join: right frame has no payload columns")
     r_struct = F.struct(
         F.col(ts).alias(f"{right_prefix}{ts}"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
@@ -150,6 +156,8 @@ def clicks_before_purchase(events: DataFrame, window_ms: int = HOUR_MS) -> DataF
     is fixed-point quantized (milli units) before aggregation so the
     double total is order-independent (see sketch.time_rollup).
     """
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
     ev = events.select(
         "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"),
         "event_type", "value",

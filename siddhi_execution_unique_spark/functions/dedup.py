@@ -584,6 +584,8 @@ def near_dup_clusters(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     (UniqueEverWindowProcessor.java:84-93); this keeps one doc per
     *similarity component*, where the key is discovered transitively
     rather than given."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"jaccard threshold must be in (0, 1], got {threshold}")
     labels = connected_components(near_dup_pairs(docs, threshold))
     return (
         docs.select("doc_id")

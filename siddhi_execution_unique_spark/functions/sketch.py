@@ -50,6 +50,8 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
     window then runs on distinct users only; at 100 TB you'd swap it
     for a per-partition k-smallest heap + merge (same two-phase shape
     the sketch's mergeability guarantees exists)."""
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2, got {k}")
     hashes = (
         events.select("event_type", F.expr(_HASH_SPARK).alias("hv"))
         .distinct()

@@ -328,3 +328,20 @@ def test_csv_json_sources_round_trip(spark, tmp_path):
         src.load_path(spark, "/nowhere", "csv")  # schema-less csv refused
     with pytest.raises(ValueError):
         src.load_path(spark, "/nowhere", "orc")
+
+
+def test_new_tier_validation_errors(spark):
+    import pytest
+    from siddhi_execution_unique_spark.functions import (
+        asof as fasof, dedup as fdedup, sketch as fsk)
+    df = spark.createDataFrame([(1, 2)], "k long, ts long")
+    with pytest.raises(ValueError, match="lacks column"):
+        fasof.asof_join(df, df.select("k"), on="k", ts="ts")
+    with pytest.raises(ValueError, match="payload"):
+        fasof.asof_join(df, df, on="k", ts="ts")
+    with pytest.raises(ValueError, match="positive"):
+        fasof.clicks_before_purchase(None, window_ms=0)
+    with pytest.raises(ValueError, match="k >= 2"):
+        fsk.kmv_distinct(None, k=1)
+    with pytest.raises(ValueError, match="threshold"):
+        fdedup.near_dup_clusters(None, threshold=0.0)
