@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # composed curation pipeline: quality gate -> exact dedup -> lang tag
         "pipeline_corpus_curation": lambda s, d: fpipe.corpus_curation(_docs(s, d)),
+        "pipeline_dedup_corpus": lambda s, d: fpipe.dedup_corpus(_docs(s, d)),
         # corpus-curation tier: repetition / vocab / sampling / quota /
         # contamination
         "text_repetition_stats": lambda s, d: fcur.repetition_stats(_docs(s, d)),
@@ -745,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
         "multimodal_frame_sample": fmm.FRAME_SAMPLE_ORACLE,
         "pipeline_corpus_curation": fpipe.corpus_curation_oracle(),
+        "pipeline_dedup_corpus": fpipe.dedup_corpus_oracle(),
         "text_repetition_stats": fcur.repetition_stats_oracle(),
         "vocab_top_tokens": fcur.vocab_top_tokens_oracle(),
         "sample_stratified": fcur.stratified_sample_oracle(),

@@ -197,7 +197,8 @@ def near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
     )
 
 
-def near_dup_pairs_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
+def near_dup_pairs_oracle(threshold: float = JACCARD_THRESHOLD,
+                          table: str = "documents") -> str:
     sig_cols = ",\n                 ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS mh_{j}"
         for j, (a, b) in enumerate(SEEDS)
@@ -211,7 +212,7 @@ def near_dup_pairs_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
     return f"""
         WITH shingles AS (
           SELECT doc_id, {_SHINGLE_DUCK} AS sh
-          FROM documents WHERE len({DUCK_TOKS}) >= {MIN_TOKENS}
+          FROM {table} WHERE len({DUCK_TOKS}) >= {MIN_TOKENS}
         ),
         hashed AS (
           SELECT doc_id, list_transform(sh, s -> {_HASH_DUCK}) AS hs FROM shingles

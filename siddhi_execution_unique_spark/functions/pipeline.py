@@ -158,3 +158,81 @@ def curation_stream(docs_stream: DataFrame,
         .dropDuplicates(["fingerprint"])
         .select("doc_id", "pred_lang", "quality")
     )
+
+
+def dedup_corpus(docs: DataFrame, threshold: float = QUALITY_THRESHOLD) -> DataFrame:
+    """The full-chain curation pipeline a 100 TB training-data run
+    executes: quality gate → exact dedup (corpus_curation) → MinHash
+    near-dup CLUSTERING over the curated set → keep one canonical doc
+    per similarity cluster → per (pred_lang, source) corpus report.
+    Output: (pred_lang, source, n_docs, mean_quality).
+
+    Every stage is a component already proven individually (curation
+    manifest, LSH pairs, connected components); this entry pins that
+    they COMPOSE — ids flow between stages through equi-joins only,
+    and the final mean is computed on fixed-point-quantized quality
+    (order-independent bigint sums, integer half-up rounding — the
+    cell_centroids determinism pattern)."""
+    from siddhi_execution_unique_spark.functions.dedup import near_dup_clusters
+
+    manifest = corpus_curation(docs, threshold)
+    curated_docs = docs.join(manifest.select("doc_id"), "doc_id")
+    clusters = near_dup_clusters(curated_docs)
+    kept = manifest.join(
+        clusters.filter(F.col("keep")).select("doc_id"), "doc_id"
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        kept.select(
+            "pred_lang",
+            "source",
+            F.expr("cast(round(quality * 1000000) as bigint)").alias("qq"),
+        )
+        .groupBy("pred_lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("qq").alias("qsum"))
+        .select(
+            "pred_lang",
+            "source",
+            "n_docs",
+            F.expr(
+                "((2 * qsum + n_docs) div (2 * n_docs))"
+                " / cast(1000000 as double)"
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def dedup_corpus_oracle(threshold: float = QUALITY_THRESHOLD) -> str:
+    from siddhi_execution_unique_spark.functions.dedup import near_dup_pairs_oracle
+
+    return f"""
+        WITH RECURSIVE cur AS ({corpus_curation_oracle(threshold)}),
+        curdocs AS (
+          SELECT d.* FROM documents d JOIN cur USING (doc_id)
+        ),
+        pairs AS ({near_dup_pairs_oracle(table="curdocs")}),
+        edges AS (
+          SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+          UNION ALL
+          SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+        ),
+        reach(src, node) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+        ),
+        kept AS (
+          SELECT c.doc_id, c.pred_lang, d.source,
+                 CAST(round(c.quality * 1000000) AS BIGINT) AS qq
+          FROM cur c
+          JOIN documents d ON c.doc_id = d.doc_id
+          LEFT JOIN labels l ON c.doc_id = l.doc_id
+          WHERE COALESCE(l.cluster_id, c.doc_id) = c.doc_id
+        )
+        SELECT pred_lang, source, count(*) AS n_docs,
+               ((2 * CAST(sum(qq) AS BIGINT) + count(*)) // (2 * count(*)))
+                 / CAST(1000000 AS DOUBLE) AS mean_quality
+        FROM kept GROUP BY pred_lang, source
+    """
