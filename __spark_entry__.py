@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": lambda s, d: fdedup.minhash_signatures(_docs(s, d)),
         "dedup_near_pairs_lsh": lambda s, d: fdedup.near_dup_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: fdedup.near_dup_clusters(_docs(s, d)),
+        "dedup_minhash_accuracy": lambda s, d: fdedup.minhash_accuracy(_docs(s, d)),
         "dedup_simhash": lambda s, d: fdedup.simhash(_docs(s, d)),
         "dedup_simhash_near_pairs": lambda s, d: fdedup.simhash_near_pairs(_docs(s, d)),
         "dedup_char_ngram_jaccard": lambda s, d: fdedup.char_ngram_jaccard_pairs(_docs(s, d)),
@@ -736,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": fdedup.minhash_signatures_oracle(),
         "dedup_near_pairs_lsh": fdedup.near_dup_pairs_oracle(),
         "dedup_clusters": fdedup.near_dup_clusters_oracle(),
+        "dedup_minhash_accuracy": fdedup.minhash_accuracy_oracle(),
         "dedup_simhash": fdedup.simhash_oracle(),
         "dedup_simhash_near_pairs": fdedup.simhash_near_pairs_oracle(),
         "dedup_char_ngram_jaccard": fdedup.char_ngram_jaccard_pairs_oracle(),

@@ -624,3 +624,107 @@ def near_dup_clusters_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
                d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS keep
         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
     """
+
+
+# ---------------------------------------------------------------------
+# MinHash sketch calibration: estimated vs exact Jaccard per candidate
+
+N_SIG = len(SEEDS)
+
+
+def minhash_accuracy(docs: DataFrame) -> DataFrame:
+    """Sketch calibration report: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    slots — the estimator whose expectation IS the Jaccard) next to
+    the exact Jaccard over distinct shingles. Output: (doc_id_1,
+    doc_id_2, est_jaccard, jaccard).
+
+    This is the query you run before trusting a sketch at 100 TB: it
+    costs one narrow join of the signature table against the candidate
+    ids (signatures are 12 bigints/doc — the wide shingle sets stay
+    out of the join), plus the posting-list exact verifier already
+    used by :func:`near_dup_pairs`. Candidates whose shingle sets are
+    disjoint have exact jaccard 0 (LEFT join + coalesce keeps them —
+    precisely the false-positive rows the report exists to expose)."""
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(docs)
+    a = sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(N_SIG)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(N_SIG)],
+    )
+    matches = " + ".join(
+        f"(case when a_{j} = b_{j} then 1 else 0 end)" for j in range(N_SIG)
+    )
+    est = (
+        pairs.join(a, "doc_id_1")
+        .join(b, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.expr(f"round(({matches}) / cast({N_SIG} as double), 6)").alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    # tiny positive threshold keeps every pair with ANY shared shingle
+    exact = near_dup_pairs(docs, threshold=1e-9)
+    return (
+        est.join(exact, ["doc_id_1", "doc_id_2"], "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "est_jaccard",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def minhash_accuracy_oracle() -> str:
+    sig_cols = ",\n                 ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS mh_{j}"
+        for j, (a, b) in enumerate(SEEDS)
+    )
+    band_exprs = []
+    for b in range(BANDS):
+        parts = [f"'{b}'"] + [
+            f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ]
+        band_exprs.append(f"concat_ws(':', {', '.join(parts)})")
+    matches = " + ".join(
+        f"(CASE WHEN s1.mh_{j} = s2.mh_{j} THEN 1 ELSE 0 END)" for j in range(N_SIG)
+    )
+    return f"""
+        WITH shingles AS (
+          SELECT doc_id, {_SHINGLE_DUCK} AS sh
+          FROM documents WHERE len({DUCK_TOKS}) >= {MIN_TOKENS}
+        ),
+        hashed AS (
+          SELECT doc_id, list_transform(sh, s -> {_HASH_DUCK}) AS hs FROM shingles
+        ),
+        sig AS (
+          SELECT doc_id, {sig_cols} FROM hashed
+        ),
+        bands AS (
+          SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS band_key FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+          FROM bands a JOIN bands b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_id_1, doc_id_2,
+               round(({matches}) / CAST({N_SIG} AS DOUBLE), 6) AS est_jaccard,
+               round(len(list_intersect(sh1.sh, sh2.sh)) /
+                     CAST(len(sh1.sh) + len(sh2.sh)
+                          - len(list_intersect(sh1.sh, sh2.sh)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand
+        JOIN sig s1 ON s1.doc_id = doc_id_1
+        JOIN sig s2 ON s2.doc_id = doc_id_2
+        JOIN shingles sh1 ON sh1.doc_id = doc_id_1
+        JOIN shingles sh2 ON sh2.doc_id = doc_id_2
+    """
