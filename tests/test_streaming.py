@@ -526,3 +526,31 @@ def test_kmv_stream_final_estimate_matches_batch_sketch(spark, workdir):
     # must give the batch estimator's exact value
     assert latest["a"][0] == 8
     assert latest["a"][1] == want["a"][1]
+
+
+def test_asof_stream_checkpoint_resume(spark, workdir):
+    import pyspark.sql.functions as F
+    outdir = workdir / "out"
+
+    def run_to_files():
+        src = read_stream(spark, workdir / "in").withColumn("is_ref", F.col("v") < 0)
+        q = (
+            stw.asof_stream(src, "k", "is_ref", ts="ts")
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(workdir / "in", "001.parquet",
+                [(10, 1, "a", -1.0), (20, 2, "a", 2.0)])
+    run_to_files()
+    # restart from checkpoint: the right-row state must survive
+    write_batch(workdir / "in", "002.parquet", [(30, 3, "a", 3.0)])
+    run_to_files()
+    got = {r["event_id"]: (r["r_ts_ms"], r["r_id"])
+           for r in spark.read.parquet(str(outdir)).collect()}
+    assert got == {2: (10, 1), 3: (10, 1)}
