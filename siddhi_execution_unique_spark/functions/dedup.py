@@ -547,11 +547,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .select(F.col("src").alias("doc_id"),
                 F.least(F.col("src"), F.col("nbr_min")).alias("label"))
     )
-    prev_sum = None
+    prev_sum, converged = None, False
     for _ in range(CC_MAX_ITERS):
         labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         nbr_min = (
@@ -567,6 +568,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         labels = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+    if not converged:
+        # an unconverged label frame silently merges/splits clusters —
+        # refuse rather than return wrong components
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} rounds "
+            "(component diameter exceeds the cap); raise CC_MAX_ITERS"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
