@@ -175,7 +175,13 @@ def dedup_corpus(docs: DataFrame, threshold: float = QUALITY_THRESHOLD) -> DataF
     cell_centroids determinism pattern)."""
     from siddhi_execution_unique_spark.functions.dedup import near_dup_clusters
 
-    manifest = corpus_curation(docs, threshold)
+    # the curation manifest feeds THREE consumers (curated-doc set for
+    # shingling, the CC edge pipeline indirectly, the final report
+    # join); localCheckpoint materializes the expensive explode+agg
+    # scoring once instead of once per branch (ContextCleaner reclaims
+    # the blocks when the frame is dropped — unlike persist(), nothing
+    # accumulates across invocations)
+    manifest = corpus_curation(docs, threshold).localCheckpoint()
     curated_docs = docs.join(manifest.select("doc_id"), "doc_id")
     clusters = near_dup_clusters(curated_docs)
     kept = manifest.join(
