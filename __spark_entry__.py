@@ -85,6 +85,36 @@ def q_unique_ever_expired(spark, sf_dir):
     )
 
 
+def q_unique_ever_expired_expr(spark, sf_dir):
+    """ever_expired with COLUMN-EXPRESSION keys (user cohort bucket +
+    event_type): exercises the staged-expression-key path — generated
+    key columns must materialize before the anti-join and be dropped
+    after (the reference evaluates arbitrary key ExpressionExecutors,
+    UniqueEverWindowProcessor.java:216-222)."""
+    events = _events(spark, sf_dir)
+    return _ev_out(
+        ops.ever_expired(
+            events,
+            [F.expr("user_id % 4"), F.col("event_type")],
+            ts="ts",
+            tiebreak="event_id",
+        )
+    )
+
+
+def q_orders_latest_per_customer(spark, sf_dir):
+    """unique:ever applied to a second table (orders): latest order
+    per customer — shows the operator is schema-generic, not
+    events-specific."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = ops.ever(orders, "o_custkey", ts="o_orderdate", tiebreak="o_orderkey")
+    return latest.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        # NTZ parquet timestamp; session tz is UTC so the cast is exact
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+    )
+
+
 def q_unique_length(spark, sf_dir):
     return _ev_out(
         ops.length_window(_events(spark, sf_dir), "user_id", 100, ts="ts", tiebreak="event_id")
@@ -308,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_ever_multi": q_unique_ever_multi,
         "unique_first": q_unique_first,
         "unique_ever_expired": q_unique_ever_expired,
+        "unique_ever_expired_expr": q_unique_ever_expired_expr,
+        "orders_latest_per_customer": q_orders_latest_per_customer,
         "unique_length": q_unique_length,
         "unique_time": q_unique_time,
         "unique_time_expired": q_unique_time_expired,
@@ -568,6 +600,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events) t
             WHERE rn > 1
+        """,
+        "unique_ever_expired_expr": f"""
+            SELECT {_EVENT_SQL_COLS}
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id % 4, event_type
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn > 1
+        """,
+        "orders_latest_per_customer": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   epoch_ms(o_orderdate) AS o_orderdate_ms
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders) t
+            WHERE rn = 1
         """,
         "unique_length": f"""
             SELECT {_EVENT_SQL_COLS}
