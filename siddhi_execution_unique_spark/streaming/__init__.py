@@ -871,3 +871,83 @@ def kmv_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _KMV_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+_RANGE_STATE = StructType([StructField("buf_json", StringType())])
+
+
+def range_agg_stream(
+    df: DataFrame,
+    key: str,
+    side_col: str,
+    window_ms: int,
+    ts: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Streaming twin of :func:`functions.asof.clicks_before_purchase`
+    — continuous trailing-interval aggregation. Rows where
+    ``side_col`` is true are the reference stream; every other row is
+    emitted with the count and (milli-quantized) value sum of the
+    reference rows for its key inside ``(row_ts - window_ms, row_ts]``.
+
+    State is the per-key buffer of reference rows still inside the
+    window — bounded by the key's reference-event rate times the
+    window, NOT by history (rows older than ``window_ms`` behind the
+    processed frontier are pruned as the event-time cursor advances;
+    the cursor is monotone because each micro-batch is processed in
+    event-time order). This is the state-size contract a stream-stream
+    interval join needs at 100 TB/day: O(window) per key, forever."""
+    import json
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, side_col, "side column")
+    require_column(df, value_col, "value column")
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("n_in_window", LongType()),
+           StructField("win_value_sum", DoubleType())]
+    )
+    ts_is_timestamp = str(df.schema[ts].dataType) in (
+        "TimestampType()", "TimestampNTZType()",
+    )
+
+    def fn(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        buf = json.loads(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf["__ms"] = _ms_series(pdf, ts, ts_is_timestamp)
+            # reference rows first at equal ts -> inclusive <=
+            pdf["__side"] = (~pdf[side_col].astype(bool)).astype(int)
+            pdf = pdf.sort_values(["__ms", "__side"], kind="mergesort")
+            counts, sums, = [], []
+            for row_ms, is_left, val in zip(
+                pdf["__ms"], pdf["__side"], pdf[value_col]
+            ):
+                m = int(row_ms)
+                # monotone cursor: anything at or before m - window can
+                # never satisfy a future row's trailing window either
+                buf = [e for e in buf if e[0] > m - window_ms]
+                if not is_left:
+                    buf.append((m, int(round(float(val) * 1000))))
+                else:
+                    counts.append(len(buf))
+                    sums.append(sum(q for _, q in buf) / 1000.0)
+            left = pdf[pdf["__side"] == 1].drop(columns=["__ms", "__side"])
+            if not left.empty:
+                left["n_in_window"] = pd.array(counts, dtype="int64")
+                left["win_value_sum"] = pd.array(sums, dtype="float64")
+                yield left
+        state.update((json.dumps(buf),))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _RANGE_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -554,3 +554,30 @@ def test_asof_stream_checkpoint_resume(spark, workdir):
     got = {r["event_id"]: (r["r_ts_ms"], r["r_id"])
            for r in spark.read.parquet(str(outdir)).collect()}
     assert got == {2: (10, 1), 3: (10, 1)}
+
+
+def test_range_agg_stream_trailing_window(spark, workdir):
+    import pyspark.sql.functions as F
+    # reference rows are v < 0 (magnitude is the value); window = 100ms
+    write_batch(workdir / "in", "001.parquet",
+                [(10, 1, "a", -1.5),   # ref @10
+                 (10, 2, "a", 0.0),    # left @10 -> inclusive, n=1 sum=-1.5
+                 (50, 3, "a", -2.0),   # ref @50
+                 (110, 4, "a", 0.0)])  # left @110 -> @10 excluded (110-100=10,
+                                       # strictly >), @50 in: n=1 sum=-2.0
+    write_batch(workdir / "in", "002.parquet",
+                [(120, 5, "a", 0.0),   # state carried: @50 in window, n=1
+                 (400, 6, "a", 0.0),   # all pruned -> n=0
+                 (30, 7, "b", 0.0)])   # other key, no refs -> n=0
+    src = read_stream(spark, workdir / "in").withColumn("is_ref", F.col("v") < 0)
+    out = stw.range_agg_stream(src, "k", "is_ref", 100, ts="ts")
+    res = run_available(spark, out, "range_sink", workdir / "ckpt")
+    got = {r["event_id"]: (r["n_in_window"], r["win_value_sum"])
+           for r in res.collect()}
+    assert got == {
+        2: (1, -1.5),
+        4: (1, -2.0),
+        5: (1, -2.0),
+        6: (0, 0.0),
+        7: (0, 0.0),
+    }
