@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -54,6 +54,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet TIMESTAMP without isAdjustedToUTC reads as TIMESTAMP_NTZ
+    # under Spark 4's NTZ inference; downstream epoch math (unix_millis)
+    # only accepts instants. Reinterpret the naive wall-clock as UTC —
+    # via NTZ subtraction from the NTZ epoch, which is deterministic in
+    # ANY session timezone (a cast ntz->timestamp is not) and matches
+    # DuckDB's epoch_ms on the same naive column.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        f"timestamp_ntz'1970-01-01 00:00:00', `{field.name}`)"
+                    )
+                ),
+            )
     # The test files are single-row-group parquet, so the scan is one
     # task and every per-row projection above it (shingling, hashing,
     # regex) serializes on one core. Estimate the scan's split count
