@@ -110,7 +110,9 @@ def q_orders_latest_per_customer(spark, sf_dir):
     latest = ops.ever(orders, "o_custkey", ts="o_orderdate", tiebreak="o_orderkey")
     return latest.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        # NTZ parquet timestamp; session tz is UTC so the cast is exact
+        # load_table reinterprets the naive parquet timestamp as a UTC
+        # instant, so this is tz-independent (the cast is a no-op kept
+        # for long/date-typed variants of the column).
         F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
     )
 

@@ -345,3 +345,30 @@ def test_new_tier_validation_errors(spark):
         fsk.kmv_distinct(None, k=1)
     with pytest.raises(ValueError, match="threshold"):
         fdedup.near_dup_clusters(None, threshold=0.0)
+
+
+def test_ntz_timestamps_load_as_utc_instants_in_any_session_tz(spark):
+    """The driver builds its own SparkSession with an arbitrary
+    timezone; naive (TIMESTAMP_NTZ) parquet columns must still load as
+    the same UTC instants DuckDB's epoch_ms sees. Pin load_table's
+    NTZ reinterpretation under a deliberately non-UTC session tz."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+    from siddhi_execution_unique_spark import sources as src
+
+    want = dict(duckdb.sql(
+        "SELECT event_id, epoch_ms(ts) FROM "
+        "'/root/testdata/sf0.001/events.parquet' ORDER BY event_id LIMIT 50"
+    ).fetchall())
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        ev = src.load_table(spark, "/root/testdata/sf0.001", "events")
+        assert isinstance(ev.schema["ts"].dataType, TimestampType)
+        got = {r["event_id"]: r["ms"] for r in ev.select(
+            "event_id", F.unix_millis("ts").alias("ms")
+        ).orderBy("event_id").limit(50).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == want
