@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
         "sim_cell_centroids": lambda s, d: fsim.cell_centroids(_emb(s, d)),
+        "sim_pq_topk": lambda s, d: fsim.pq_topk(_emb(s, d)),
         "dedup_embedding_cosine": lambda s, d: fsim.embedding_near_dup_pairs(_emb(s, d)),
         # multimodal plumbing (pandas-UDF feature extraction)
         "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
@@ -408,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "contamination_check": lambda s, d: fcur.contamination_check(_docs(s, d)),
         "corpus_mixture_stats": lambda s, d: fcur.mixture_stats(_docs(s, d)),
+        "corpus_quality_percentiles": lambda s, d: fcur.quality_percentiles(_docs(s, d)),
         "pii_redact": lambda s, d: fcur.pii_redact(_docs(s, d)),
         "events_asof_join": lambda s, d: fasof.purchases_with_last_click(_events(s, d)),
         "events_range_join": lambda s, d: fasof.clicks_before_purchase(_events(s, d)),
@@ -793,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": fsim.cosine_topk_oracle(),
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "sim_cell_centroids": fsim.cell_centroids_oracle(),
+        "sim_pq_topk": fsim.pq_topk_oracle(),
         "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
         "multimodal_frame_sample": fmm.FRAME_SAMPLE_ORACLE,
@@ -804,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_domain_quota": fcur.domain_quota_oracle(ftext.quality_score_oracle()),
         "contamination_check": fcur.contamination_check_oracle(),
         "corpus_mixture_stats": fcur.mixture_stats_oracle(),
+        "corpus_quality_percentiles": fcur.quality_percentiles_oracle(),
         "pii_redact": fcur.pii_redact_oracle(),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
         "events_asof_join": fasof.purchases_with_last_click_oracle(),

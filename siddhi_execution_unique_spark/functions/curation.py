@@ -393,3 +393,65 @@ def pii_redact_oracle() -> str:
                md5({redacted}) AS redacted_md5
         FROM documents
     """
+
+
+# ------------------------------------------------------------ percentiles
+
+
+def quality_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) length distribution: exact discrete p10/p50/
+    p90 of ``n_chars`` plus the stratum size — the numbers a curation
+    step reads to SET its min/max-length filter thresholds per
+    stratum instead of guessing one global cutoff.
+
+    Percentile definition: smallest value whose cumulative count
+    reaches ``ceil(p * n)`` (type-1 / inverse-ECDF) — all-integer
+    arithmetic, so both engines agree bit-for-bit (interpolating
+    definitions ride on IEEE ops whose order differs between engines).
+
+    Scale shape (100 TB): the corpus-sized pass is ONE hash
+    aggregation to (lang, source, n_chars) histogram cells with
+    map-side combine; the cumulative window then runs over DISTINCT
+    values per stratum (thousands of rows, not billions), so no task
+    ever sorts a stratum's documents. This is the two-pass
+    histogram-percentile pattern, not a per-stratum global sort."""
+    hist = docs.groupBy("lang", "source", "n_chars").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("lang", "source").orderBy("n_chars")
+    tot = Window.partitionBy("lang", "source")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(tot))
+    )
+    def pick(num: int, den: int, name: str):
+        rank = F.expr(f"(n * {num} + {den - 1}) div {den}")
+        return F.min(F.when(F.col("cum") >= rank, F.col("n_chars"))).alias(name)
+    return cum.groupBy("lang", "source").agg(
+        F.max("n").alias("n_docs"),
+        pick(1, 10, "p10_chars"),
+        pick(1, 2, "p50_chars"),
+        pick(9, 10, "p90_chars"),
+    )
+
+
+def quality_percentiles_oracle() -> str:
+    return """
+        WITH hist AS (
+          SELECT lang, source, n_chars, count(*) AS c
+          FROM documents GROUP BY 1, 2, 3
+        ),
+        cum AS (
+          SELECT lang, source, n_chars,
+                 sum(c) OVER (PARTITION BY lang, source ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY lang, source) AS n
+          FROM hist
+        )
+        SELECT lang, source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               min(CASE WHEN cum >= (n * 1 + 9) // 10 THEN n_chars END) AS p10_chars,
+               min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN n_chars END) AS p50_chars,
+               min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN n_chars END) AS p90_chars
+        FROM cum GROUP BY lang, source
+    """

@@ -427,3 +427,170 @@ def cell_centroids_oracle() -> str:
                  / CAST({_QUANT} AS DOUBLE) AS centroid_val
         FROM q GROUP BY cell, pos
     """
+
+
+# ---------------------------------------------------------------------
+# Product-quantization ANN: PQ encode + asymmetric-distance (ADC) scan
+
+PQ_M = 8  # subspaces (64-dim -> 8 sub-vectors of 8 dims)
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
+    """Product-quantization approximate top-k — the memory-bound 100 TB
+    ANN pattern: the corpus is stored as ``PQ_M`` small centroid codes
+    (here 8 bytes/vector vs 256 for the raw floats), probes scan codes
+    against a per-query asymmetric-distance (ADC) lookup table, and
+    only code arithmetic touches the corpus at query time.
+
+    Determinism: every distance is computed on fixed-point quantized
+    components (``floor(val * 1e6)`` as bigint — floor, not round, so
+    numpy / Spark / DuckDB agree bit-for-bit) and summed in exact
+    integer arithmetic; ranks tie-break on ids. The emitted
+    ``adist`` is the exact integer ADC distance, so the oracle hash
+    rides on integers only.
+
+    Scale shape:
+    - The codebook (sub-vectors of every ``CENTROID_STRIDE``-th
+      vector) is O(K x dim) MODEL PARAMETERS, not data — collected
+      once and shipped in the encode closure, exactly like broadcast
+      model weights.
+    - Encoding is ONE Arrow-batched ``mapInPandas`` pass over the
+      corpus (vectorized numpy (B,K,sub) distance tensor per batch, no
+      shuffle, no per-row Python) emitting (vec_id, m, code) rows —
+      at 100 TB you materialize these codes next to the table once
+      and amortize across every query.
+    - The ADC table is O(n_queries x M x K) rows — legitimately
+      ``broadcast()`` (probes are few by definition), so the scan is
+      a broadcast hash join + one partial-agg sum per (query, vec):
+      corpus-side work stays partition-local, ONE shuffle of
+      O(n x n_queries) skinny rows for the final top-k.
+
+    Output: (query_id, neighbor_id, rank, adist) — ints only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sub = _EMB_DIM // PQ_M
+    seeds = sorted(
+        emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    C = np.floor(
+        np.array([list(r["embedding"]) for r in seeds], dtype=np.float64) * 1.0e6
+    ).astype(np.int64)  # (K, dim)
+    spark = emb.sparkSession
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.floor(
+                np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+                * 1.0e6
+            ).astype(np.int64)
+            frames = []
+            for m in range(PQ_M):
+                s = slice(m * sub, (m + 1) * sub)
+                d = ((V[:, None, s] - C[None, :, s]) ** 2).sum(axis=2)  # (B, K)
+                frames.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "m": np.full(len(pdf), m, dtype=np.int32),
+                    # argmin = first occurrence = lowest centroid index,
+                    # mirroring the oracle's (d, c_idx) tie-break
+                    "code": d.argmin(axis=1).astype(np.int32),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    codes = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, m int, code int"
+    )
+
+    # per-(query, subspace, centroid) ADC table, built relationally from
+    # the same quantization so Spark and the oracle share every bit
+    qsub = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", F.posexplode("embedding").alias("p", "val"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(f"p div {sub}").cast("int").alias("m"),
+            F.expr(f"p % {sub}").cast("int").alias("j"),
+            F.expr("cast(floor(cast(val as double) * cast(1000000 as double)) as bigint)").alias("qv"),
+        )
+    )
+    csub = spark.createDataFrame(
+        [
+            (ci, p // sub, p % sub, int(C[ci, p]))
+            for ci in range(C.shape[0])
+            for p in range(_EMB_DIM)
+        ],
+        "c_idx int, m int, j int, cv long",
+    )
+    table = (
+        qsub.join(csub, ["m", "j"])
+        .groupBy("query_id", "m", "c_idx")
+        .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("d"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
+    return (
+        codes.join(
+            F.broadcast(table),
+            (codes["m"] == table["m"]) & (codes["code"] == table["c_idx"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adist")
+    )
+
+
+def pq_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
+    sub = _EMB_DIM // PQ_M
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding
+          FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+        ),
+        vsub AS (
+          SELECT vec_id, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
+                 CAST(floor(embedding[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qv
+          FROM (SELECT vec_id, embedding,
+                       unnest(generate_series(1, {_EMB_DIM})) AS i
+                FROM embeddings)
+        ),
+        csub AS (
+          SELECT c_idx, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
+                 CAST(floor(embedding[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cv
+          FROM (SELECT c_idx, embedding,
+                       unnest(generate_series(1, {_EMB_DIM})) AS i
+                FROM cent)
+        ),
+        dists AS (
+          SELECT v.vec_id, v.m, c.c_idx,
+                 sum((v.qv - c.cv) * (v.qv - c.cv)) AS d
+          FROM vsub v JOIN csub c ON v.m = c.m AND v.j = c.j
+          GROUP BY 1, 2, 3
+        ),
+        codes AS (
+          SELECT vec_id, m, c_idx AS code,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY d, c_idx) AS rn
+          FROM dists QUALIFY rn = 1
+        ),
+        qtab AS (
+          SELECT vec_id AS query_id, m, c_idx, d FROM dists
+          WHERE vec_id < {n_queries}
+        ),
+        adist AS (
+          SELECT t.query_id, c.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
+          FROM codes c JOIN qtab t ON c.m = t.m AND c.code = t.c_idx
+          WHERE c.vec_id != t.query_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, vec_id) AS rank,
+               adist
+        FROM adist QUALIFY rank <= {k}
+    """
