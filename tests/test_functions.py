@@ -372,3 +372,46 @@ def test_ntz_timestamps_load_as_utc_instants_in_any_session_tz(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert got == want
+
+
+def test_quality_percentiles_known_distribution(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    # 10 docs of lengths 1..10 in one stratum: type-1 percentiles are
+    # the values at ranks ceil(0.1*10)=1, ceil(0.5*10)=5, ceil(0.9*10)=9
+    rows = [(i, "en", "s0", i) for i in range(1, 11)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long")
+    got = fcur.quality_percentiles(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_docs"], r["p10_chars"], r["p50_chars"], r["p90_chars"]) == (10, 1, 5, 9)
+
+
+def test_pq_topk_recovers_clustered_neighbors(spark):
+    import math
+    from siddhi_execution_unique_spark.functions import similarity as fsim
+    # Two tight clusters along different axes; every 50th vec_id seeds
+    # the codebook so each cluster contributes a centroid. Probe 0 must
+    # rank its own-cluster members above the other cluster's.
+    def vec(axis, eps, d=64):
+        v = [0.0] * d
+        v[axis] = 1.0
+        v[(axis + 7) % d] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+    rows = (
+        [(0, vec(0, 0.0)), (1, vec(0, 0.01)), (2, vec(0, 0.02)), (3, vec(0, 0.03))]
+        + [(100, vec(1, 0.0)), (101, vec(1, 0.01)), (102, vec(1, 0.02))]
+        # codebook seeds: one per cluster
+        + [(50, vec(0, 0.005)), (150, vec(1, 0.005))]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = fsim.pq_topk(emb, n_queries=1, k=4).collect()
+    by_rank = {r["rank"]: r["neighbor_id"] for r in out}
+    assert len(by_rank) == 4
+    # ADC distance is 0 to every own-cluster member (same code on all
+    # subspaces), so the top ranks are own-cluster ids in id order
+    assert [by_rank[i] for i in (1, 2, 3)] == [1, 2, 3]
+    assert by_rank[4] == 50  # the own-cluster seed, still same-code-adjacent
