@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
         "sim_cell_centroids": lambda s, d: fsim.cell_centroids(_emb(s, d)),
         "sim_pq_topk": lambda s, d: fsim.pq_topk(_emb(s, d)),
+        "sim_pq_rerank": lambda s, d: fsim.pq_rerank_topk(_emb(s, d)),
         "dedup_embedding_cosine": lambda s, d: fsim.embedding_near_dup_pairs(_emb(s, d)),
         # multimodal plumbing (pandas-UDF feature extraction)
         "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
@@ -796,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "sim_cell_centroids": fsim.cell_centroids_oracle(),
         "sim_pq_topk": fsim.pq_topk_oracle(),
+        "sim_pq_rerank": fsim.pq_rerank_topk_oracle(),
         "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
         "multimodal_frame_sample": fmm.FRAME_SAMPLE_ORACLE,

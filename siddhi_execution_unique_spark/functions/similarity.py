@@ -435,8 +435,9 @@ def cell_centroids_oracle() -> str:
 PQ_M = 8  # subspaces (64-dim -> 8 sub-vectors of 8 dims)
 
 
-def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
-    """Product-quantization approximate top-k — the memory-bound 100 TB
+def _pq_adist(emb: DataFrame, n_queries: int) -> DataFrame:
+    """Shared PQ machinery: (query_id, vec_id, adist) for every
+    (probe, corpus vector) pair — the memory-bound 100 TB
     ANN pattern: the corpus is stored as ``PQ_M`` small centroid codes
     (here 8 bytes/vector vs 256 for the raw floats), probes scan codes
     against a per-query asymmetric-distance (ADC) lookup table, and
@@ -464,8 +465,6 @@ def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
       a broadcast hash join + one partial-agg sum per (query, vec):
       corpus-side work stays partition-local, ONE shuffle of
       O(n x n_queries) skinny rows for the final top-k.
-
-    Output: (query_id, neighbor_id, rank, adist) — ints only.
     """
     import numpy as np
     import pandas as pd
@@ -530,7 +529,6 @@ def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
         .groupBy("query_id", "m", "c_idx")
         .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("d"))
     )
-    rank_w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
     return (
         codes.join(
             F.broadcast(table),
@@ -539,9 +537,69 @@ def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").alias("adist"))
+    )
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
+    """PQ/ADC approximate top-k (see :func:`_pq_adist` for the scale
+    design). Output: (query_id, neighbor_id, rank, adist) — ints only,
+    so the oracle hash rides on exact integers."""
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
+    return (
+        _pq_adist(emb, n_queries)
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adist")
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = TOP_K, shortlist: int = 4 * TOP_K
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN shape: the cheap PQ/ADC
+    scan shortlists ``shortlist`` candidates per probe from codes alone,
+    then ONLY the shortlist re-joins the raw embeddings by id for an
+    exact cosine re-rank to ``k``. At 100 TB the expensive exact pass
+    touches O(n_queries x shortlist) vectors instead of the corpus —
+    the id-join against the embeddings table is the only place full
+    vectors are read, and it is driven by a tiny candidate set (AQE
+    localizes it; never a corpus-wide shuffle).
+
+    Cosine determinism matches :func:`cosine_topk`: the same
+    left-to-right ``aggregate(zip_with())`` fold both engines use, so
+    ranks are bit-stable. Output: (query_id, neighbor_id, rank,
+    cos_sim(6dp))."""
+    short_w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
+    cand = (
+        _pq_adist(emb, n_queries)
+        .withColumn("srank", F.row_number().over(short_w))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
+    nb = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm2").alias("n_norm2"),
+    )
+    qs = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(nb, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos", F.expr(_cos_expr("n_emb", "q_emb", "n_norm2", "q_norm2")))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.expr("round(cos, 6)").alias("cos_sim"),
+        )
     )
 
 
@@ -593,4 +651,75 @@ def pq_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
                                   ORDER BY adist, vec_id) AS rank,
                adist
         FROM adist QUALIFY rank <= {k}
+    """
+
+
+def pq_rerank_topk_oracle(
+    n_queries: int = 8, k: int = TOP_K, shortlist: int = 4 * TOP_K
+) -> str:
+    sub = _EMB_DIM // PQ_M
+
+    def dot(a, b):
+        return _DOT_DUCK.format(a=a, b=b)
+
+    cos = (
+        f"{dot('nb.embedding', 'q.embedding')} / "
+        f"sqrt(({dot('nb.embedding', 'nb.embedding')})"
+        f" * ({dot('q.embedding', 'q.embedding')}))"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding
+          FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+        ),
+        vsub AS (
+          SELECT vec_id, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
+                 CAST(floor(embedding[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qv
+          FROM (SELECT vec_id, embedding,
+                       unnest(generate_series(1, {_EMB_DIM})) AS i
+                FROM embeddings)
+        ),
+        csub AS (
+          SELECT c_idx, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
+                 CAST(floor(embedding[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cv
+          FROM (SELECT c_idx, embedding,
+                       unnest(generate_series(1, {_EMB_DIM})) AS i
+                FROM cent)
+        ),
+        dists AS (
+          SELECT v.vec_id, v.m, c.c_idx,
+                 sum((v.qv - c.cv) * (v.qv - c.cv)) AS d
+          FROM vsub v JOIN csub c ON v.m = c.m AND v.j = c.j
+          GROUP BY 1, 2, 3
+        ),
+        codes AS (
+          SELECT vec_id, m, c_idx AS code,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY d, c_idx) AS rn
+          FROM dists QUALIFY rn = 1
+        ),
+        qtab AS (
+          SELECT vec_id AS query_id, m, c_idx, d FROM dists
+          WHERE vec_id < {n_queries}
+        ),
+        adist AS (
+          SELECT t.query_id, c.vec_id, sum(t.d) AS adist
+          FROM codes c JOIN qtab t ON c.m = t.m AND c.code = t.c_idx
+          WHERE c.vec_id != t.query_id
+          GROUP BY 1, 2
+        ),
+        shortlist AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adist, vec_id) AS srank
+          FROM adist QUALIFY srank <= {shortlist}
+        )
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ({cos}) DESC, neighbor_id) AS rank,
+               round({cos}, 6) AS cos_sim
+        FROM shortlist s
+        JOIN embeddings nb ON nb.vec_id = s.neighbor_id
+        JOIN embeddings q ON q.vec_id = s.query_id
+        QUALIFY rank <= {k}
     """

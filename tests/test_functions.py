@@ -415,3 +415,27 @@ def test_pq_topk_recovers_clustered_neighbors(spark):
     # subspaces), so the top ranks are own-cluster ids in id order
     assert [by_rank[i] for i in (1, 2, 3)] == [1, 2, 3]
     assert by_rank[4] == 50  # the own-cluster seed, still same-code-adjacent
+
+
+def test_pq_rerank_orders_by_exact_cosine(spark):
+    import math
+    from siddhi_execution_unique_spark.functions import similarity as fsim
+    def vec(axis, eps, d=64):
+        v = [0.0] * d
+        v[axis] = 1.0
+        v[(axis + 7) % d] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+    rows = (
+        [(0, vec(0, 0.0)), (1, vec(0, 0.01)), (2, vec(0, 0.02)), (3, vec(0, 0.03))]
+        + [(100, vec(1, 0.0)), (101, vec(1, 0.01)), (102, vec(1, 0.02))]
+        + [(50, vec(0, 0.005)), (150, vec(1, 0.005))]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = fsim.pq_rerank_topk(emb, n_queries=1, k=4).collect()
+    ordered = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # ADC ties own-cluster members at distance 0; the exact re-rank
+    # resolves them by true cosine: smaller eps = closer to probe 0
+    assert ordered == [50, 1, 2, 3]
