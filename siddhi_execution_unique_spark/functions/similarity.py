@@ -435,6 +435,62 @@ def cell_centroids_oracle() -> str:
 PQ_M = 8  # subspaces (64-dim -> 8 sub-vectors of 8 dims)
 
 
+def pq_codebook(emb: DataFrame):
+    """Quantized PQ codebook from the deterministic seeds (every
+    ``CENTROID_STRIDE``-th vector): an int64 numpy (K, dim) array of
+    ``floor(val * 1e6)`` components. O(K x dim) model parameters —
+    collected once, shipped in encode closures like broadcast model
+    weights; frozen between retrains, which is what lets a streaming
+    ingest path encode with the same codes as the batch corpus."""
+    import numpy as np
+
+    seeds = sorted(
+        emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    return np.floor(
+        np.array([list(r["embedding"]) for r in seeds], dtype=np.float64) * 1.0e6
+    ).astype(np.int64)
+
+
+def pq_encode(df: DataFrame, C) -> DataFrame:
+    """PQ-encode a (vec_id, embedding) frame against codebook ``C``:
+    ONE Arrow-batched ``mapInPandas`` pass (vectorized numpy
+    (B, K, sub) distance tensor per batch, no shuffle, no per-row
+    Python) emitting (vec_id, m, code) rows. Works identically on a
+    batch frame and a streaming frame (stateless row-local transform),
+    so the streaming ingest twin reuses it verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    sub = _EMB_DIM // PQ_M
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.floor(
+                np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+                * 1.0e6
+            ).astype(np.int64)
+            frames = []
+            for m in range(PQ_M):
+                s = slice(m * sub, (m + 1) * sub)
+                d = ((V[:, None, s] - C[None, :, s]) ** 2).sum(axis=2)  # (B, K)
+                frames.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "m": np.full(len(pdf), m, dtype=np.int32),
+                    # argmin = first occurrence = lowest centroid index,
+                    # mirroring the oracle's (d, c_idx) tie-break
+                    "code": d.argmin(axis=1).astype(np.int32),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, m int, code int"
+    )
+
+
 def _pq_adist(emb: DataFrame, n_queries: int) -> DataFrame:
     """Shared PQ machinery: (query_id, vec_id, adist) for every
     (probe, corpus vector) pair — the memory-bound 100 TB
@@ -466,43 +522,10 @@ def _pq_adist(emb: DataFrame, n_queries: int) -> DataFrame:
       corpus-side work stays partition-local, ONE shuffle of
       O(n x n_queries) skinny rows for the final top-k.
     """
-    import numpy as np
-    import pandas as pd
-
     sub = _EMB_DIM // PQ_M
-    seeds = sorted(
-        emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
-    C = np.floor(
-        np.array([list(r["embedding"]) for r in seeds], dtype=np.float64) * 1.0e6
-    ).astype(np.int64)  # (K, dim)
+    C = pq_codebook(emb)
     spark = emb.sparkSession
-
-    def encode(batches):
-        for pdf in batches:
-            V = np.floor(
-                np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-                * 1.0e6
-            ).astype(np.int64)
-            frames = []
-            for m in range(PQ_M):
-                s = slice(m * sub, (m + 1) * sub)
-                d = ((V[:, None, s] - C[None, :, s]) ** 2).sum(axis=2)  # (B, K)
-                frames.append(pd.DataFrame({
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "m": np.full(len(pdf), m, dtype=np.int32),
-                    # argmin = first occurrence = lowest centroid index,
-                    # mirroring the oracle's (d, c_idx) tie-break
-                    "code": d.argmin(axis=1).astype(np.int32),
-                }))
-            yield pd.concat(frames, ignore_index=True)
-
-    codes = emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id long, m int, code int"
-    )
+    codes = pq_encode(emb, C)
 
     # per-(query, subspace, centroid) ADC table, built relationally from
     # the same quantization so Spark and the oracle share every bit

@@ -951,3 +951,24 @@ def range_agg_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _RANGE_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def pq_encode_stream(stream_df: DataFrame, codebook_corpus: DataFrame) -> DataFrame:
+    """Streaming PQ ingest: encode arriving embedding rows into
+    (vec_id, m, code) with the codebook frozen from the batch corpus —
+    new vectors become searchable codes at stream time without
+    touching the stored corpus. Stateless row-local transform (the
+    codebook is collected model parameters in the encode closure), so
+    it runs in append mode with no state store and no shuffle — the
+    same shape a 100 TB ingest pipeline wants: encode at the edge,
+    append skinny code rows.
+
+    Reference parity note: the reference has no ANN surface; this is
+    north-star scope (SURVEY.md §7 phase 4) composed from the same
+    mapInPandas encode the batch path uses."""
+    from siddhi_execution_unique_spark.functions.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    return pq_encode(stream_df, pq_codebook(codebook_corpus))

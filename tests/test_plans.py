@@ -330,3 +330,27 @@ def test_range_join_is_banded_equi_join(spark):
     # the trailing-window aggregation must run as a hash equi-join on
     # (user_id, band), never an inequality-only nested-loop join
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pq_scan_is_broadcast_adc_join_with_arrow_encode(spark):
+    """The PQ scan's corpus side must stay partition-local: the ADC
+    table (O(queries x M x K) rows) broadcasts, the encode pass is ONE
+    Arrow-batched python stage (no shuffle feeding it), and nothing
+    degenerates to a nested loop."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(fsim.pq_topk(emb))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInPandas") == 1
+    # adist aggregation keys on (query_id, vec_id) — skinny int rows
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_pq_rerank_exact_pass_joins_by_id_only(spark):
+    """The exact re-rank must read raw embeddings via id equi-joins
+    driven by the shortlist — never a corpus-wide cartesian."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(fsim.pq_rerank_topk(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -581,3 +581,28 @@ def test_range_agg_stream_trailing_window(spark, workdir):
         6: (0, 0.0),
         7: (0, 0.0),
     }
+
+
+def test_pq_encode_stream_matches_batch_codes(spark, workdir):
+    """Streaming PQ ingest with the batch-frozen codebook must emit
+    exactly the batch encode's codes for the same vectors."""
+    import shutil as _sh
+
+    from siddhi_execution_unique_spark.functions import similarity as fsim
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming import pq_encode_stream
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    _sh.copy(src, workdir / "in" / "emb.parquet")
+    schema = spark.read.parquet(src).schema
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    stream = stream_table(spark, str(workdir / "in"), schema, ts=None)
+    out = pq_encode_stream(stream, corpus)
+    res = run_available(spark, out, "pq_codes_sink", workdir / "ckpt")
+    got = {(r["vec_id"], r["m"], r["code"]) for r in res.collect()}
+
+    want = {(r["vec_id"], r["m"], r["code"])
+            for r in fsim.pq_encode(corpus, fsim.pq_codebook(corpus)).collect()}
+    assert got == want and len(got) == 500 * fsim.PQ_M
