@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from siddhi_execution_unique_spark.functions.text import (
+from siddhi_execution_unique_spark.functions.text import (  # noqa: F401
+    materialized as _materialized,
     DUCK_TOKS,
     NORM_DUCK,
     NORM_SPARK,
@@ -96,15 +97,19 @@ def _distinct_shingles(docs: DataFrame) -> DataFrame:
     return _shingle_rows(docs).dropDuplicates(["doc_id", "sh"])
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingle_rows: DataFrame | None = None) -> DataFrame:
     """12-permutation MinHash signature per document over distinct
     word-3-gram shingles.
 
     Computed as shingle rows → per-shingle hash → 12 ``min()``
     aggregates in one hash-aggregation pass, all whole-stage codegen.
     Duplicate shingles are harmless under ``min`` so no distinct pass
-    is needed."""
-    hashed = _shingle_rows(docs).select(
+    is needed — which also means a caller holding a (doc_id, sh) frame
+    (distinct or not, e.g. the materialized shingle table the jaccard
+    verifier already needs) can pass it in and the corpus is shingled
+    exactly once across the composed pipeline."""
+    src = shingle_rows if shingle_rows is not None else _shingle_rows(docs)
+    hashed = src.select(
         "doc_id", F.expr(_hash_expr("sh")).alias("h")
     )
     aggs = [
@@ -143,11 +148,24 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    materialize: bool = True,
+    shingle_rows: DataFrame | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs: documents sharing at least one LSH
     band (4 bands × 3 rows). Self-join on the band key — at scale this
-    is a hash join on a high-cardinality key, never a cross join."""
-    bands = _band_keys(minhash_signatures(docs))
+    is a hash join on a high-cardinality key, never a cross join. The
+    band table (shingle → signature pipeline) materializes once and
+    feeds both join sides (see :func:`_materialized`)."""
+    sig = minhash_signatures(docs, shingle_rows=shingle_rows)
+    bands = _band_keys(sig)
+    if shingle_rows is None:
+        # standalone use: the full shingle->signature pipeline feeds
+        # both self-join sides — materialize it once. When the caller
+        # passes a (materialized) shingle frame, bands are two cheap
+        # aggregations over it and need no checkpoint of their own.
+        bands = _materialized(bands, materialize)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -157,7 +175,12 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    materialize: bool = True,
+    shingle_rows: DataFrame | None = None,
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard
     over distinct word-3-gram shingles. Output: (doc_id_1, doc_id_2,
     jaccard) for candidates with jaccard >= threshold.
@@ -169,9 +192,16 @@ def near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Dat
     the join condition and re-evaluate per row, interpreted). A
     candidate pair with zero shared shingles drops out of the inner
     join — exactly the jaccard=0 < threshold case."""
-    ex = _distinct_shingles(docs)
+    ex = (
+        shingle_rows
+        if shingle_rows is not None
+        else _materialized(_distinct_shingles(docs), materialize)
+    )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = lsh_candidate_pairs(docs)
+    pairs = lsh_candidate_pairs(
+        docs, materialize=materialize,
+        shingle_rows=ex if materialize else None,
+    )
     ex2 = ex.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = (
         pairs.join(ex.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
@@ -376,7 +406,7 @@ CHAR_NGRAM = 5
 NGRAM_JACCARD_THRESHOLD = 0.1
 
 
-def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def char_ngram_jaccard_pairs(docs: DataFrame, materialize: bool = True) -> DataFrame:
     """Blocked exact character-5-gram Jaccard: pairs within the same
     (source, length-bucket) block. Blocking bounds the pair count so
     the set intersection never goes O(n²) over the corpus.
@@ -410,6 +440,7 @@ def char_ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "gram"])
     )
+    posts = _materialized(posts, materialize)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_g"))
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
@@ -654,8 +685,9 @@ def minhash_accuracy(docs: DataFrame) -> DataFrame:
     used by :func:`near_dup_pairs`. Candidates whose shingle sets are
     disjoint have exact jaccard 0 (LEFT join + coalesce keeps them —
     precisely the false-positive rows the report exists to expose)."""
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(docs)
+    ex = _materialized(_distinct_shingles(docs), True)
+    sig = minhash_signatures(docs, shingle_rows=ex)
+    pairs = lsh_candidate_pairs(docs, shingle_rows=ex)
     a = sig.select(
         F.col("doc_id").alias("doc_id_1"),
         *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(N_SIG)],
@@ -679,7 +711,7 @@ def minhash_accuracy(docs: DataFrame) -> DataFrame:
         )
     )
     # tiny positive threshold keeps every pair with ANY shared shingle
-    exact = near_dup_pairs(docs, threshold=1e-9)
+    exact = near_dup_pairs(docs, threshold=1e-9, shingle_rows=ex)
     return (
         est.join(exact, ["doc_id_1", "doc_id_2"], "left")
         .select(

@@ -34,6 +34,21 @@ STOPWORDS = {
 _LANG_ORDER = ("en", "es", "de", "fr")
 
 
+def materialized(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """Compute a shared corpus-sized intermediate ONCE and reuse it.
+
+    Catalyst does not reuse exchanges across the different shuffle keys
+    these pipelines fan out into (measured: the gram posting list is
+    re-scanned 4x in the jaccard verifier without this), so recomputing
+    the projection dominates at scale. ``localCheckpoint`` is the
+    local-mode stand-in for what a 100 TB pipeline does explicitly:
+    write the posting/signature/token table to parquet once, then let
+    every consumer (join sides, size aggregates, verification) read
+    the materialized form. ``enabled=False`` keeps the full logical
+    pipeline visible for plan assertions."""
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
 def _in_list_sql(var: str, words: tuple[str, ...]) -> str:
     quoted = ", ".join(f"'{w}'" for w in words)
     return f"CASE WHEN {var} IN ({quoted}) THEN 1 ELSE 0 END"
@@ -281,7 +296,9 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     total rides in as a one-ROW frame via a broadcast cross join —
     O(1) payload, legitimately broadcast at any corpus size (unlike
     per-document frames, which are never hinted)."""
-    rows = docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("x"))
+    rows = materialized(
+        docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("x"))
+    )
     counts = rows.groupBy("x").agg(F.count("*").alias("n_x"))
     total = counts.agg(F.sum("n_x").alias("n_total"))
     probs = counts.crossJoin(F.broadcast(total)).select(

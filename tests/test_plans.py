@@ -63,14 +63,14 @@ def test_dim_join_broadcasts(spark):
 
 def test_lsh_band_join_is_equi_not_cartesian(spark):
     docs = load_table(spark, SF_DIR, "documents")
-    plan = plan_of(fdedup.lsh_candidate_pairs(docs))
+    plan = plan_of(fdedup.lsh_candidate_pairs(docs, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_char_ngram_join_is_equi_not_cartesian(spark):
     docs = load_table(spark, SF_DIR, "documents")
-    plan = plan_of(fdedup.char_ngram_jaccard_pairs(docs))
+    plan = plan_of(fdedup.char_ngram_jaccard_pairs(docs, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -89,7 +89,7 @@ def test_no_interpreted_hofs_in_text_dedup_hot_paths(spark):
     for df in (
         fdedup.minhash_signatures(docs),
         fdedup.simhash(docs),
-        fdedup.char_ngram_jaccard_pairs(docs),
+        fdedup.char_ngram_jaccard_pairs(docs, materialize=False),
     ):
         plan = optimized_of(df)
         assert "lambdafunction" not in plan, plan[:500]
@@ -104,7 +104,8 @@ def test_jaccard_verifiers_do_not_broadcast_per_doc_sizes(spark):
     behavior (at 100 TB the same statistics choose a shuffle join),
     so the physical plan is not asserted broadcast-free."""
     docs = load_table(spark, SF_DIR, "documents")
-    for df in (fdedup.near_dup_pairs(docs), fdedup.char_ngram_jaccard_pairs(docs)):
+    for df in (fdedup.near_dup_pairs(docs, materialize=False),
+               fdedup.char_ngram_jaccard_pairs(docs, materialize=False)):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
@@ -297,7 +298,8 @@ def test_cell_centroids_partial_agg_before_shuffle(spark):
 
 
 def test_connected_components_rounds_are_equi_joins(spark):
-    pairs = fdedup.lsh_candidate_pairs(load_table(spark, SF_DIR, "documents"))
+    pairs = fdedup.lsh_candidate_pairs(load_table(spark, SF_DIR, "documents"),
+                                       materialize=False)
     labels = fdedup.connected_components(pairs)
     plan = plan_of(labels)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
