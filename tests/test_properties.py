@@ -266,3 +266,34 @@ def test_asof_merged_scan_matches_bruteforce(lefts, rights):
     # row's answer depends only on its own ts), so positional mapping
     # is safe even with duplicate left timestamps
     assert asof_merged_scan(lefts, rights) == asof_bruteforce(lefts, rights)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_quality_percentiles_cumsum_form_matches_sorted_index(vals):
+    """The percentile operator (functions/curation.py:quality_percentiles)
+    picks min(value where cum >= ceil(p*n)) over a value histogram; the
+    type-1 definition is sorted[ceil(p*n)] (1-indexed). Pit the two
+    formulations against each other over random multisets."""
+    from collections import Counter
+
+    hist = sorted(Counter(vals).items())
+    n = sum(c for _, c in hist)
+    s = sorted(vals)
+
+    def cumsum_form(num, den):
+        rank = (n * num + den - 1) // den
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if cum >= rank:
+                return v
+        raise AssertionError("rank beyond histogram")
+
+    def index_form(num, den):
+        return s[max((n * num + den - 1) // den, 1) - 1]
+
+    for num, den in ((1, 10), (1, 2), (9, 10)):
+        assert cumsum_form(num, den) == index_form(num, den)
