@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": lambda s, d: fcur.contamination_check(_docs(s, d)),
         "corpus_mixture_stats": lambda s, d: fcur.mixture_stats(_docs(s, d)),
         "corpus_quality_percentiles": lambda s, d: fcur.quality_percentiles(_docs(s, d)),
+        "corpus_pack_shards": lambda s, d: fcur.pack_training_shards(_docs(s, d)),
         "pii_redact": lambda s, d: fcur.pii_redact(_docs(s, d)),
         "events_asof_join": lambda s, d: fasof.purchases_with_last_click(_events(s, d)),
         "events_range_join": lambda s, d: fasof.clicks_before_purchase(_events(s, d)),
@@ -810,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": fcur.contamination_check_oracle(),
         "corpus_mixture_stats": fcur.mixture_stats_oracle(),
         "corpus_quality_percentiles": fcur.quality_percentiles_oracle(),
+        "corpus_pack_shards": fcur.pack_training_shards_oracle(),
         "pii_redact": fcur.pii_redact_oracle(),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
         "events_asof_join": fasof.purchases_with_last_click_oracle(),

@@ -455,3 +455,99 @@ def quality_percentiles_oracle() -> str:
                min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN n_chars END) AS p90_chars
         FROM cum GROUP BY lang, source
     """
+
+
+# ------------------------------------------------------------ shard packing
+
+
+def pack_training_shards(
+    docs: DataFrame, budget_tokens: int = 20_000, n_buckets: int = 64
+) -> DataFrame:
+    """Deterministic shuffle-and-pack: assign every document a
+    training-shard id so each shard holds ~``budget_tokens``
+    whitespace tokens, with documents in a deterministic
+    pseudo-random order (md5 hash rank — the reproducible stand-in
+    for the training-data shuffle).
+
+    Scale shape — the two-phase prefix-sum pattern distributed ranking
+    uses at 100 TB, NOT a global sort: documents hash into
+    ``n_buckets``; a running token sum within each bucket (window
+    partitioned by the bucket, skew bounded by corpus/n_buckets) plus
+    per-bucket totals prefix-summed over the O(n_buckets)-row
+    aggregate give every document its global token offset in the
+    shuffled order; the shard id is then integer division by the
+    budget. The only corpus-sized shuffle keys on the bucket id, and
+    no window ever crosses a bucket.
+
+    Output: (doc_id, bucket, shard_id, start_offset, n_toks) — all
+    bigint, so the oracle hash is exact."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    base = docs.select(
+        "doc_id",
+        F.expr("md5(cast(doc_id as string))").alias("h"),
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) "
+            f"as bigint) % {n_buckets}"
+        ).alias("bucket"),
+        F.expr(f"cast(size({SPARK_TOKS}) as bigint)").alias("n_toks"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_incl", F.sum("n_toks").over(w_in))
+    totals = base.groupBy("bucket").agg(F.sum("n_toks").alias("btot"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "boff", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+    ).select("bucket", "boff")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            F.expr(f"(boff + cum_incl - n_toks) div {budget_tokens}").alias("shard_id"),
+            (F.col("boff") + F.col("cum_incl") - F.col("n_toks")).alias("start_offset"),
+            "n_toks",
+        )
+    )
+
+
+def pack_training_shards_oracle(
+    budget_tokens: int = 20_000, n_buckets: int = 64
+) -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR)) AS h,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % {n_buckets} AS bucket,
+                 CAST(len({DUCK_TOKS}) AS BIGINT) AS n_toks
+          FROM documents
+        ),
+        within AS (
+          SELECT doc_id, bucket, n_toks,
+                 sum(n_toks) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_incl
+          FROM base
+        ),
+        offsets AS (
+          SELECT bucket,
+                 COALESCE(sum(btot) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+          FROM (SELECT bucket, sum(n_toks) AS btot FROM base GROUP BY bucket)
+        )
+        SELECT w.doc_id, w.bucket,
+               CAST((o.boff + w.cum_incl - w.n_toks) // {budget_tokens}
+                    AS BIGINT) AS shard_id,
+               CAST(o.boff + w.cum_incl - w.n_toks AS BIGINT) AS start_offset,
+               w.n_toks
+        FROM within w JOIN offsets o USING (bucket)
+    """

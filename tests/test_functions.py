@@ -439,3 +439,24 @@ def test_pq_rerank_orders_by_exact_cosine(spark):
     # ADC ties own-cluster members at distance 0; the exact re-rank
     # resolves them by true cosine: smaller eps = closer to probe 0
     assert ordered == [50, 1, 2, 3]
+
+
+def test_pack_shards_offsets_are_gapless_prefix_sums(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = spark.createDataFrame(
+        [(i, "en", "s", " ".join(["w"] * (3 + i % 5))) for i in range(40)],
+        "doc_id long, lang string, source string, text string")
+    rows = sorted(
+        fcur.pack_training_shards(docs, budget_tokens=10, n_buckets=4).collect(),
+        key=lambda r: r["start_offset"])
+    # the shuffled order is gapless: each doc starts where the previous
+    # ended, and the shard id is exactly start_offset // budget
+    off = 0
+    for r in rows:
+        assert r["start_offset"] == off
+        assert r["shard_id"] == off // 10
+        off += r["n_toks"]
+    assert off == sum(3 + i % 5 for i in range(40))
+    import pytest
+    with pytest.raises(ValueError):
+        fcur.pack_training_shards(docs, budget_tokens=0)
