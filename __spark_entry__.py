@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: fsim.embedding_near_dup_pairs(_emb(s, d)),
         # multimodal plumbing (pandas-UDF feature extraction)
         "multimodal_feature_stats": lambda s, d: fmm.feature_stats(_docs(s, d)),
+        "multimodal_resize": lambda s, d: fmm.resize_payload(fmm.with_binary_payload(_docs(s, d))),
         "multimodal_frame_sample": lambda s, d: fmm.sample_frames(
             fmm.with_binary_payload(_docs(s, d))
         ),
@@ -802,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": fsim.embedding_near_dup_pairs_oracle(),
         "multimodal_feature_stats": _MULTIMODAL_ORACLE,
         "multimodal_frame_sample": fmm.FRAME_SAMPLE_ORACLE,
+        "multimodal_resize": fmm.RESIZE_ORACLE,
         "pipeline_corpus_curation": fpipe.corpus_curation_oracle(),
         "pipeline_dedup_corpus": fpipe.dedup_corpus_oracle(),
         "text_repetition_stats": fcur.repetition_stats_oracle(),

@@ -173,3 +173,76 @@ def feature_stats(docs: DataFrame) -> DataFrame:
             "array_position(byte_hist, array_max(byte_hist))"
         ).alias("argmax_bin_1based"),
     )
+
+
+THUMB_TARGET = 64
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("stride", LongType()),
+        StructField("thumb_bytes", LongType()),
+        StructField("thumb_md5", StringType()),
+    ]
+)
+
+
+def resize_payload(binary_df: DataFrame, target_bytes: int = THUMB_TARGET) -> DataFrame:
+    """Resize/thumbnail plumbing over the opaque payload: a strided
+    byte downsample to ~``target_bytes`` (every ``stride``-th byte) —
+    the deterministic stand-in for an image resize (no codec in this
+    container; a real pipeline swaps the stride slice for
+    PIL.thumbnail inside the same batch loop). The Spark shape is the
+    real thing: Arrow-batched ``mapInPandas``, vectorized numpy
+    striding, partition-local, no shuffle; output carries the resized
+    payload's md5 so the oracle pins actual bytes, not just sizes."""
+    import hashlib
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "stride": [],
+                   "thumb_bytes": [], "thumb_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = arr.size
+                if n == 0:
+                    continue
+                stride = max(n // target_bytes, 1)
+                thumb = arr[::stride]
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(n)
+                out["stride"].append(stride)
+                out["thumb_bytes"].append(int(thumb.size))
+                out["thumb_md5"].append(
+                    hashlib.md5(thumb.tobytes().hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+RESIZE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             hex(encode(text)) AS hx
+      FROM documents WHERE octet_length(encode(text)) >= 1
+    ),
+    p AS (
+      SELECT doc_id, n_bytes, greatest(n_bytes // {THUMB_TARGET}, 1) AS stride, hx
+      FROM h
+    ),
+    idx AS (
+      SELECT doc_id, n_bytes, stride, hx,
+             unnest(generate_series(0, (n_bytes - 1) // stride)) AS i
+      FROM p
+    )
+    SELECT doc_id, n_bytes, CAST(stride AS BIGINT) AS stride,
+           count(*) AS thumb_bytes,
+           md5(string_agg(substring(hx, i * stride * 2 + 1, 2), '' ORDER BY i))
+             AS thumb_md5
+    FROM idx GROUP BY doc_id, n_bytes, stride
+"""
