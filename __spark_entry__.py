@@ -188,26 +188,9 @@ def q_unique_deduplicate(spark, sf_dir):
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
-    # far — first-occurrence flag + cumulative sum, both window
-    # functions partitioned by event_type (no global sort)
-    from pyspark.sql.window import Window
-
-    ev = _events(spark, sf_dir)
-    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
-    w_run = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        ev.withColumn("_isf", F.row_number().over(w_first) == 1)
-        .select(
-            "event_id",
-            "event_type",
-            F.sum(F.when(F.col("_isf"), 1).otherwise(0)).over(w_run)
-            .alias("n_distinct_users_so_far"),
-        )
-    )
+    # far — two-phase range-bucket prefix sum (sketch.py), never a
+    # window partitioned on the cardinality-5 event_type alone
+    return fsk.running_distinct_count(_events(spark, sf_dir))
 
 
 def q_ever_count_by_type(spark, sf_dir):

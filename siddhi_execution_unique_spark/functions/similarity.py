@@ -25,7 +25,28 @@ from pyspark.sql.window import Window
 
 TOP_K = 5
 N_PROBE_CELLS = 3
-CENTROID_STRIDE = 50  # vec_id % stride == 0 -> deterministic "centroids"
+# Fixed model size: K centroids/codebook entries, CONSTANT in corpus
+# size (real PQ/IVF training fixes K; only the training sample grows).
+# The seed set is the N_CENTROIDS vectors with the smallest
+# md5(vec_id) hash-rank — deterministic, engine-portable (Spark and
+# DuckDB md5 the same utf8 bytes to the same lowercase hex), and
+# uniform over the corpus regardless of vec_id distribution.
+N_CENTROIDS = 64
+
+# Spark-side hash-rank expression (orderBy(this).limit(K) compiles to
+# TakeOrderedAndProject: per-partition partial top-K, merged — no
+# global sort, no corpus-sized collect)
+_SEED_RANK_SPARK = "md5(cast(vec_id as string))"
+_SEED_RANK_DUCK = "md5(CAST(vec_id AS VARCHAR))"
+
+
+def _seed_cte_duck(cols: str = "vec_id, embedding") -> str:
+    """DuckDB CTE body selecting the fixed-size seed set."""
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, row_number() OVER (ORDER BY {_SEED_RANK_DUCK}, vec_id) AS hr "
+        f"FROM embeddings) WHERE hr <= {N_CENTROIDS}"
+    )
 
 _DOT_SPARK = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
@@ -95,12 +116,20 @@ def cosine_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
 
 
 def _ivf_centroids(base: DataFrame) -> DataFrame:
-    """Deterministic coarse-quantizer seeds: every
-    ``CENTROID_STRIDE``-th vector (k = n/stride rows — always tiny)."""
-    return base.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm2").alias("c_norm2"),
+    """Fixed-size coarse-quantizer seed set: the ``N_CENTROIDS``
+    vectors with the smallest ``md5(vec_id)`` hash-rank. K is constant
+    in corpus size (the round-4 stride scheme grew K = n/50 with the
+    corpus); ``orderBy().limit(K)`` compiles to TakeOrderedAndProject —
+    per-partition partial top-K then a K-row merge, never a global
+    sort."""
+    return (
+        base.orderBy(F.expr(_SEED_RANK_SPARK), "vec_id")
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm2").alias("c_norm2"),
+        )
     )
 
 
@@ -125,7 +154,7 @@ def ivf_topk(
     n_probe: int = N_PROBE_CELLS,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their
-    nearest deterministic centroid (``vec_id % CENTROID_STRIDE == 0``);
+    nearest of ``N_CENTROIDS`` deterministic hash-rank seed centroids;
     each probe searches only its ``n_probe`` closest cells. Same
     output shape as :func:`cosine_topk`."""
     base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
@@ -167,8 +196,8 @@ def ivf_topk_oracle(n_queries: int = 8, k: int = TOP_K, n_probe: int = N_PROBE_C
 
     return f"""
         WITH centroids AS (
-          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-          WHERE vec_id % {CENTROID_STRIDE} = 0
+          SELECT vec_id AS c_id, embedding AS c_emb
+          FROM ({_seed_cte_duck()})
         ),
         assigned AS (
           SELECT v.vec_id, v.embedding, c.c_id AS cell,
@@ -407,8 +436,8 @@ def cell_centroids_oracle() -> str:
 
     return f"""
         WITH centroids AS (
-          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-          WHERE vec_id % {CENTROID_STRIDE} = 0
+          SELECT vec_id AS c_id, embedding AS c_emb
+          FROM ({_seed_cte_duck()})
         ),
         assigned AS (
           SELECT v.vec_id, v.embedding, c.c_id AS cell,
@@ -440,18 +469,23 @@ def cell_centroids_oracle() -> str:
 PQ_M = 8  # subspaces (64-dim -> 8 sub-vectors of 8 dims)
 
 
-def pq_codebook(emb: DataFrame):
-    """Quantized PQ codebook from the deterministic seeds (every
-    ``CENTROID_STRIDE``-th vector): an int64 numpy (K, dim) array of
-    ``floor(val * 1e6)`` components. O(K x dim) model parameters —
-    collected once, shipped in encode closures like broadcast model
-    weights; frozen between retrains, which is what lets a streaming
-    ingest path encode with the same codes as the batch corpus."""
+def pq_codebook(emb: DataFrame, n_centroids: int = N_CENTROIDS):
+    """Quantized PQ codebook from the fixed-size hash-rank seed set
+    (see :func:`_ivf_centroids`): an int64 numpy (K, dim) array of
+    ``floor(val * 1e6)`` components, K = ``N_CENTROIDS`` rows
+    CONSTANT in corpus size. The collect is a TakeOrderedAndProject of
+    exactly K rows — O(K x dim) model parameters, never
+    corpus-proportional — shipped in encode closures like broadcast
+    model weights; frozen between retrains, which is what lets a
+    streaming ingest path encode with the same codes as the batch
+    corpus. ``c_idx`` ordering is by seed vec_id, matching the
+    oracle's ``row_number() OVER (ORDER BY vec_id) - 1``."""
     import numpy as np
 
     seeds = sorted(
-        emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
-        .select("vec_id", "embedding")
+        emb.select("vec_id", "embedding")
+        .orderBy(F.expr(_SEED_RANK_SPARK), "vec_id")
+        .limit(n_centroids)
         .collect(),
         key=lambda r: r["vec_id"],
     )
@@ -496,7 +530,9 @@ def pq_encode(df: DataFrame, C) -> DataFrame:
     )
 
 
-def _pq_adist(emb: DataFrame, n_queries: int) -> DataFrame:
+def _pq_adist(
+    emb: DataFrame, n_queries: int, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
     """Shared PQ machinery: (query_id, vec_id, adist) for every
     (probe, corpus vector) pair — the memory-bound 100 TB
     ANN pattern: the corpus is stored as ``PQ_M`` small centroid codes
@@ -512,10 +548,10 @@ def _pq_adist(emb: DataFrame, n_queries: int) -> DataFrame:
     rides on integers only.
 
     Scale shape:
-    - The codebook (sub-vectors of every ``CENTROID_STRIDE``-th
-      vector) is O(K x dim) MODEL PARAMETERS, not data — collected
-      once and shipped in the encode closure, exactly like broadcast
-      model weights.
+    - The codebook (sub-vectors of the ``N_CENTROIDS`` hash-rank
+      seeds) is O(K x dim) MODEL PARAMETERS with K constant in corpus
+      size, not data — collected once and shipped in the encode
+      closure, exactly like broadcast model weights.
     - Encoding is ONE Arrow-batched ``mapInPandas`` pass over the
       corpus (vectorized numpy (B,K,sub) distance tensor per batch, no
       shuffle, no per-row Python) emitting (vec_id, m, code) rows —
@@ -528,7 +564,7 @@ def _pq_adist(emb: DataFrame, n_queries: int) -> DataFrame:
       O(n x n_queries) skinny rows for the final top-k.
     """
     sub = _EMB_DIM // PQ_M
-    C = pq_codebook(emb)
+    C = pq_codebook(emb, n_centroids)
     spark = emb.sparkSession
     codes = pq_encode(emb, C)
 
@@ -568,13 +604,18 @@ def _pq_adist(emb: DataFrame, n_queries: int) -> DataFrame:
     )
 
 
-def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
     """PQ/ADC approximate top-k (see :func:`_pq_adist` for the scale
     design). Output: (query_id, neighbor_id, rank, adist) — ints only,
     so the oracle hash rides on exact integers."""
     rank_w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
     return (
-        _pq_adist(emb, n_queries)
+        _pq_adist(emb, n_queries, n_centroids)
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adist")
@@ -582,7 +623,11 @@ def pq_topk(emb: DataFrame, n_queries: int = 8, k: int = TOP_K) -> DataFrame:
 
 
 def pq_rerank_topk(
-    emb: DataFrame, n_queries: int = 8, k: int = TOP_K, shortlist: int = 4 * TOP_K
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = TOP_K,
+    shortlist: int = 4 * TOP_K,
+    n_centroids: int = N_CENTROIDS,
 ) -> DataFrame:
     """Two-stage retrieval — the production ANN shape: the cheap PQ/ADC
     scan shortlists ``shortlist`` candidates per probe from codes alone,
@@ -599,7 +644,7 @@ def pq_rerank_topk(
     cos_sim(6dp))."""
     short_w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
     cand = (
-        _pq_adist(emb, n_queries)
+        _pq_adist(emb, n_queries, n_centroids)
         .withColumn("srank", F.row_number().over(short_w))
         .filter(F.col("srank") <= shortlist)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -610,7 +655,10 @@ def pq_rerank_topk(
         F.col("embedding").alias("n_emb"),
         F.col("norm2").alias("n_norm2"),
     )
-    qs = base.select(
+    # the broadcast side MUST be the filtered n_queries-row relation,
+    # not the corpus: broadcasting base would ship O(n) vectors to
+    # every task (round-4 flaw — results were right, plan was not)
+    qs = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm2").alias("q_norm2"),
@@ -636,7 +684,7 @@ def pq_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
     return f"""
         WITH cent AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding
-          FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+          FROM ({_seed_cte_duck()})
         ),
         vsub AS (
           SELECT vec_id, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
@@ -698,7 +746,7 @@ def pq_rerank_topk_oracle(
     return f"""
         WITH cent AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding
-          FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+          FROM ({_seed_cte_duck()})
         ),
         vsub AS (
           SELECT vec_id, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,

@@ -33,7 +33,10 @@ _HASH_DUCK = (
 )
 
 
-def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+KMV_SPLITS = 32
+
+
+def kmv_distinct(events: DataFrame, k: int = KMV_K, n_splits: int = KMV_SPLITS) -> DataFrame:
     """KMV distinct-user estimate per event_type, alongside the exact
     count so the entry doubles as an accuracy report. Output:
     (event_type, n_exact, kmv_estimate).
@@ -46,24 +49,51 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
 
     Scale shape: the corpus-sized stage is the DISTINCT (one partially
     aggregating shuffle on (event_type, hash) — map-side combine caps
-    each partition's output at its distinct-key count). The row_number
-    window then runs on distinct users only; at 100 TB you'd swap it
-    for a per-partition k-smallest heap + merge (same two-phase shape
-    the sketch's mergeability guarantees exists)."""
+    each partition's output at its distinct-key count). The k-smallest
+    selection is then TWO-PHASE, exploiting KMV's mergeability: the
+    distinct hashes salt into ``n_splits`` deterministic slices
+    (``hv % n_splits``), a window ranks WITHIN each (type, salt) slice
+    — partitions bounded by distinct/n_splits, never all of one
+    event_type in a task — and the exact k-smallest of the union of
+    the k·n_splits survivors is a second window over that tiny set.
+    ``n_exact`` rides the same salted shuffle as a per-slice count
+    summed over the O(types × n_splits)-row aggregate, so no stage
+    ever sorts or counts a whole event_type in one task."""
     if k < 2:
         raise ValueError(f"KMV needs k >= 2, got {k}")
+    if n_splits < 1:
+        raise ValueError(f"KMV needs n_splits >= 1, got {n_splits}")
     hashes = (
         events.select("event_type", F.expr(_HASH_SPARK).alias("hv"))
         .distinct()
+        .withColumn("salt", F.col("hv") % n_splits)
     )
-    w = Window.partitionBy("event_type").orderBy("hv")
-    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    # phase 1: k-smallest + count per salt slice (both windows share
+    # the (event_type, salt) partitioning -> one exchange)
+    w_rank = Window.partitionBy("event_type", "salt").orderBy("hv")
+    w_cnt = Window.partitionBy("event_type", "salt")
+    local = (
+        hashes.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("scnt", F.count("*").over(w_cnt))
+        .filter(F.col("rn") <= k)
+    )
+    counts = (
+        local.filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.sum("scnt").alias("n_exact"))
+    )
+    # phase 2: exact k-smallest of the merged survivors (<= k*n_splits
+    # rows per type)
+    w_merge = Window.partitionBy("event_type").orderBy("hv")
+    kth = (
+        local.select("event_type", "hv")
+        .withColumn("mrn", F.row_number().over(w_merge))
+        .filter(F.col("mrn") <= k)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("kth"))
+    )
     return (
-        ranked.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.max(F.when(F.col("rn") <= k, F.col("hv"))).alias("kth"),
-        )
+        counts.join(F.broadcast(kth), "event_type")
         .select(
             "event_type",
             "n_exact",
@@ -129,6 +159,75 @@ def time_rollup(events: DataFrame) -> DataFrame:
         # cast: both engines parse a bare `1000.0` literal as DECIMAL,
         # whose division rounds differently from IEEE doubles
         F.expr("qsum / cast(1000 as double)").alias("value_sum"),
+    )
+
+
+def running_distinct_count(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per event, how many distinct ``key`` values its ``group`` has
+    seen so far — a running COUNT(DISTINCT) in (ts, tiebreak) arrival
+    order. Output: (tiebreak, group, n_distinct_users_so_far).
+
+    Scale shape: a running aggregate over a LOW-cardinality group is
+    the classic single-task trap — ``Window.partitionBy(group)`` pulls
+    every row of a popular group through one sort task. This is the
+    two-phase range-bucket prefix sum instead (the same shape as
+    ``curation.pack_training_shards``):
+
+    (1) first-occurrence flags come from a window keyed on
+        (group, key) — high-cardinality partitions, no skew;
+    (2) events range-bucket on the event-time axis (bucket bounds from
+        ONE 1-row min/max aggregate, broadcast — ts order is preserved
+        across buckets because the bucket id is monotone in ts); the
+        running sum is a window on (group, bucket) — parallelism
+        n_groups × n_buckets — and each bucket's starting offset is a
+        prefix sum over the O(n_groups × n_buckets)-row per-bucket
+        totals, broadcast back.
+
+    No window in the plan partitions on ``group`` alone, so the plan
+    survives a group whose rows don't fit one task."""
+    if n_buckets < 1:
+        raise ValueError(f"running_distinct_count needs n_buckets >= 1, got {n_buckets}")
+    base = events.select(
+        F.col(tiebreak), F.col(group), F.col(key), F.unix_millis(ts).alias("_tms")
+    )
+    w_first = Window.partitionBy(group, key).orderBy("_tms", tiebreak)
+    flagged = base.withColumn(
+        "_isf", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    bounds = base.agg(
+        F.min("_tms").alias("_t0"), F.max("_tms").alias("_t1")
+    )
+    bucketed = flagged.join(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        ((F.col("_tms") - F.col("_t0")) * n_buckets
+         / (F.col("_t1") - F.col("_t0") + 1)).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy(group, "_bkt")
+        .orderBy("_tms", tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("_cum", F.sum("_isf").over(w_in))
+    totals = bucketed.groupBy(group, "_bkt").agg(F.sum("_isf").alias("_btot"))
+    w_off = (
+        Window.partitionBy(group)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+    ).select(group, "_bkt", "_boff")
+    return within.join(F.broadcast(offsets), [group, "_bkt"]).select(
+        tiebreak,
+        group,
+        (F.col("_boff") + F.col("_cum")).alias("n_distinct_users_so_far"),
     )
 
 

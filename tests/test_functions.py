@@ -84,12 +84,13 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         return len(exact & approx) / len(exact)
 
     # synthetic embeddings are unclustered, so coarse quantization is
-    # genuinely approximate; recall must rise with n_probe and reach
-    # ~exact when scanning most cells
-    r3, r8 = recall(3), recall(8)
-    assert r3 >= 0.3, f"IVF recall@n_probe=3 {r3} unexpectedly low"
-    assert r8 >= 0.9, f"IVF recall@n_probe=8 {r8} should approach exact"
-    assert r8 >= r3
+    # genuinely approximate; recall must rise with n_probe (probing
+    # more cells only ever adds candidates) and reach exact when every
+    # one of the N_CENTROIDS cells is scanned
+    r8, r_all = recall(8), recall(fsim.N_CENTROIDS)
+    assert r8 >= 0.2, f"IVF recall@n_probe=8 {r8} unexpectedly low"
+    assert r_all >= 0.99, f"IVF recall@all-cells {r_all} should be exact"
+    assert r_all >= r8
 
 
 def test_embedding_near_dup_identical_vectors(spark):
@@ -390,9 +391,10 @@ def test_quality_percentiles_known_distribution(spark):
 def test_pq_topk_recovers_clustered_neighbors(spark):
     import math
     from siddhi_execution_unique_spark.functions import similarity as fsim
-    # Two tight clusters along different axes; every 50th vec_id seeds
-    # the codebook so each cluster contributes a centroid. Probe 0 must
-    # rank its own-cluster members above the other cluster's.
+    # Two tight clusters along different axes; n_centroids=3 picks the
+    # hash-rank seeds {101, 150, 50} so each cluster contributes a
+    # centroid and cluster members SHARE codes. Probe 0 must rank its
+    # own-cluster members above the other cluster's.
     def vec(axis, eps, d=64):
         v = [0.0] * d
         v[axis] = 1.0
@@ -408,7 +410,7 @@ def test_pq_topk_recovers_clustered_neighbors(spark):
     emb = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in rows],
         "vec_id long, embedding array<float>")
-    out = fsim.pq_topk(emb, n_queries=1, k=4).collect()
+    out = fsim.pq_topk(emb, n_queries=1, k=4, n_centroids=3).collect()
     by_rank = {r["rank"]: r["neighbor_id"] for r in out}
     assert len(by_rank) == 4
     # ADC distance is 0 to every own-cluster member (same code on all
@@ -434,7 +436,7 @@ def test_pq_rerank_orders_by_exact_cosine(spark):
     emb = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in rows],
         "vec_id long, embedding array<float>")
-    out = fsim.pq_rerank_topk(emb, n_queries=1, k=4).collect()
+    out = fsim.pq_rerank_topk(emb, n_queries=1, k=4, n_centroids=3).collect()
     ordered = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     # ADC ties own-cluster members at distance 0; the exact re-rank
     # resolves them by true cosine: smaller eps = closer to probe 0

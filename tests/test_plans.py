@@ -323,6 +323,28 @@ def test_kmv_distinct_stage_is_partial_agg(spark):
     # the corpus-sized DISTINCT must map-side combine before its shuffle
     assert "partial" in plan
     assert "CartesianProduct" not in plan
+    # the k-smallest ranking must run inside salted (event_type, salt)
+    # slices — never a sort of all distinct users of one type in a task
+    import re
+    assert re.search(r"hashpartitioning\(event_type#\d+[^)]*salt#", plan), (
+        "expected the rank window keyed on (event_type, salt)"
+    )
+
+
+def test_running_distinct_is_bucketed_prefix_sum(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fsk.running_distinct_count(events))
+    # the corpus-sized running sum must key on (event_type, bucket) —
+    # the only event_type-alone window is over the tiny per-bucket
+    # totals aggregate
+    import re
+    assert re.search(r"hashpartitioning\(event_type#\d+[^)]*_bkt#", plan), (
+        "expected the running-sum window keyed on (event_type, _bkt)"
+    )
+    # (the 1-row min/max bounds broadcast is a legitimate
+    # BroadcastNestedLoopJoin; only a corpus cartesian is forbidden)
+    assert "CartesianProduct" not in plan
 
 
 def test_range_join_is_banded_equi_join(spark):
@@ -349,10 +371,39 @@ def test_pq_scan_is_broadcast_adc_join_with_arrow_encode(spark):
     assert "hashpartitioning(query_id" in plan
 
 
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """The indented subtree under each BroadcastExchange node — i.e.
+    what actually gets shipped to every task."""
+    import re
+
+    lines = plan.splitlines()
+    trees = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        ind = re.search(r"[A-Za-z]", ln).start()
+        sub = []
+        for nxt in lines[i + 1:]:
+            m = re.search(r"[A-Za-z]", nxt)
+            if m is None or m.start() <= ind:
+                break
+            sub.append(nxt)
+        trees.append("\n".join(sub))
+    return trees
+
+
 def test_pq_rerank_exact_pass_joins_by_id_only(spark):
     """The exact re-rank must read raw embeddings via id equi-joins
-    driven by the shortlist — never a corpus-wide cartesian."""
+    driven by the shortlist — never a corpus-wide cartesian — and the
+    broadcast query relation must be the FILTERED n_queries rows, not
+    the corpus (the round-4 plan broadcast the unfiltered corpus)."""
     emb = load_table(spark, SF_DIR, "embeddings")
     plan = plan_of(fsim.pq_rerank_topk(emb))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    qtrees = [t for t in _broadcast_subtrees(plan) if "q_emb" in t]
+    assert qtrees, "expected a broadcast of the query-side relation"
+    for t in qtrees:
+        assert "< 8" in t or "LessThan(vec_id,8)" in t, (
+            "broadcast side must carry the vec_id < n_queries filter:\n" + t
+        )
