@@ -24,6 +24,26 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+CALIBRATION_ITERS = 400_000
+
+
+def calibrate() -> float:
+    """Fixed-work single-core microbenchmark (md5 chain): the same
+    instruction stream every round, so cross-round query timings can
+    be normalized for host-speed drift instead of arguing it from
+    per-query ratios. Reported as the min of 3 runs."""
+    import hashlib
+
+    best = float("inf")
+    for _ in range(3):
+        h = b"calibration"
+        t0 = time.perf_counter()
+        for _ in range(CALIBRATION_ITERS):
+            h = hashlib.md5(h).digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -63,6 +83,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": {
+            "md5_chain_sec": calibrate(),
+            "iters": CALIBRATION_ITERS,
+        },
     }))
     spark.stop()
 

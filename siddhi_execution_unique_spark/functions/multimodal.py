@@ -195,8 +195,13 @@ def resize_payload(binary_df: DataFrame, target_bytes: int = THUMB_TARGET) -> Da
     container; a real pipeline swaps the stride slice for
     PIL.thumbnail inside the same batch loop). The Spark shape is the
     real thing: Arrow-batched ``mapInPandas``, vectorized numpy
-    striding, partition-local, no shuffle; output carries the resized
-    payload's md5 so the oracle pins actual bytes, not just sizes."""
+    striding, partition-local, no shuffle. ``thumb_md5`` pins the
+    thumbnail CONTENT byte-for-byte, but as md5 of the UPPERCASE-HEX
+    ENCODING of the strided bytes, not of the raw bytes themselves —
+    this build of DuckDB only has md5(VARCHAR), so the hex string is
+    the shared representation both engines can hash identically. (It
+    is equally collision-sensitive to any byte change; it just isn't
+    comparable to an external ``md5sum`` of the payload.)"""
     import hashlib
 
     if target_bytes <= 0:

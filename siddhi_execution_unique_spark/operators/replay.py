@@ -189,21 +189,16 @@ def length_batch(
     if keep not in ("last", "first"):
         raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
 
-    out_cols = list(df.columns)
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField(BATCH_SEQ, LongType()), StructField(FIRED_AT, LongType())]
-    )
-
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        key_arr = pdf[key].to_numpy()
-        ms_arr = pdf[_TS_MS].to_numpy()
+    def assign(key_arr, ms_arr):
+        """The sequential batch chain: retained row index per (batch,
+        key) plus the fire metadata. Inherently order-dependent — the
+        one part that must see the stream in arrival order."""
         forming: dict = {}  # key -> row index of retained event
         rows: list[int] = []
         seqs: list[int] = []
         fires: list[int] = []
         seq = 0
-        for i in range(len(pdf)):
+        for i in range(len(key_arr)):
             k = key_arr[i]
             if k in forming:
                 if keep == "last":
@@ -218,6 +213,47 @@ def length_batch(
                         fires.append(fired_at)
                     forming.clear()
                     seq += 1
+        return rows, seqs, fires
+
+    if tiebreak is not None:
+        # Narrow funnel: the single ordered task scans ONLY
+        # (key, ts_ms, tiebreak) — the sequential chain needs nothing
+        # else — and the batch assignment joins back to the full rows
+        # by the unique tiebreak id in a normal distributed hash join.
+        # At window lengths worth worrying about this cuts the
+        # replay's input bytes ~10x (no payload columns ride the
+        # coalesce(1)).
+        assign_schema = StructType(
+            [
+                StructField(tiebreak, df.schema[tiebreak].dataType),
+                StructField(BATCH_SEQ, LongType()),
+                StructField(FIRED_AT, LongType()),
+            ]
+        )
+
+        def replay_narrow(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows, seqs, fires = assign(pdf[key].to_numpy(), pdf[_TS_MS].to_numpy())
+            out = pdf.iloc[rows][[tiebreak]].copy()
+            out[BATCH_SEQ] = pd.Series(seqs, index=out.index, dtype="int64")
+            out[FIRED_AT] = pd.Series(fires, index=out.index, dtype="int64")
+            return out
+
+        assignment = _single_group_replay(
+            df.select(key, ts, tiebreak), ts, tiebreak, assign_schema, replay_narrow
+        )
+        return df.join(assignment, tiebreak).select(
+            *df.columns, BATCH_SEQ, FIRED_AT
+        )
+
+    # no unique id to join back on -> full rows ride the replay
+    out_cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(BATCH_SEQ, LongType()), StructField(FIRED_AT, LongType())]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows, seqs, fires = assign(pdf[key].to_numpy(), pdf[_TS_MS].to_numpy())
         out = pdf.iloc[rows][out_cols].copy()
         out[BATCH_SEQ] = pd.Series(seqs, index=out.index, dtype="int64")
         out[FIRED_AT] = pd.Series(fires, index=out.index, dtype="int64")
