@@ -354,6 +354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": lambda s, d: fsim.pq_topk(_emb(s, d)),
         "sim_pq_rerank": lambda s, d: fsim.pq_rerank_topk(_emb(s, d)),
         "running_distinct_users": q_running_distinct_users,
+        # ordered emission log: emission_idx pins the reference's
+        # per-arrival emission ORDER through the order-insensitive
+        # driver hash (closes the round-4 "emission order" divergence)
+        "unique_length_emissions_ordered": lambda s, d: ops.length_window_emissions_indexed(
+            _events(s, d), "user_id", 100, ts="ts", tiebreak="event_id"
+        ).select("event_id", "user_id", "channel", "emission_idx"),
         "unique_length_batch": q_length_batch,
         "unique_first_length_batch": q_first_length_batch,
         "unique_length_batch_expired": q_length_batch_expired,
@@ -497,6 +503,73 @@ SELECT event_id, user_id, 'current' AS channel FROM ev
 UNION ALL
 SELECT event_id, user_id, 'expired' AS channel FROM d
 WHERE next_pos IS NOT NULL OR coalesce(d_after, 0) >= {n}
+"""
+
+
+def _length_emissions_indexed_oracle(n: int) -> str:
+    """DuckDB oracle for the ORDERED unique:length emission log
+    (operators/length.py:length_window_emissions_indexed). Extends the
+    set-semantics insight (_length_emissions_oracle) to positions: the
+    event at pos p (key k) expires at
+
+        exp(p) = min( next occurrence of k,                 -- replace
+                      pos of the n-th distinct OTHER key    -- FIFO
+                      first-occurring after p )             -- evict
+
+    because the buffer is always "the n most-recently-occurring
+    distinct keys"; when the n-th distinct other key arrives, p is the
+    buffer front and that arrival is new-to-buffer with the buffer
+    full. At each arrival the expired row (if any — at most one)
+    emits BEFORE the arrival's own 'current' row, which fixes
+    ``emission_idx`` as a prefix sum. The q-candidate join is bounded:
+    q pairs with p only for prev(q) <= p < q, so the join size is the
+    sum of same-key gaps ~ n_events^2 / n_keys — window functions and
+    one bounded equi-ish join, no recursion (a per-event recursive-CTE
+    FIFO simulation was measured 100x slower)."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, row_number() OVER (ORDER BY ts, event_id) AS pos FROM events
+),
+linked AS (
+  SELECT *,
+         coalesce(lag(pos)  OVER (PARTITION BY user_id ORDER BY pos), 0) AS prev_pos,
+         lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS next_pos
+  FROM ev
+),
+qn AS (
+  SELECT p_pos, q_pos AS evict_pos FROM (
+    SELECT p.pos AS p_pos, q.pos AS q_pos,
+           row_number() OVER (PARTITION BY p.pos ORDER BY q.pos) AS rq
+    FROM linked p JOIN linked q
+      ON q.pos > p.pos AND q.prev_pos <= p.pos AND q.user_id != p.user_id
+  ) WHERE rq = {n}
+),
+expiry AS (
+  SELECT l.pos, l.event_id,
+         least(coalesce(l.next_pos, 9223372036854775807),
+               coalesce(q.evict_pos, 9223372036854775807)) AS exp_pos
+  FROM linked l LEFT JOIN qn q ON q.p_pos = l.pos
+),
+arr AS (
+  SELECT e.pos, e.event_id, x.event_id AS expired_eid
+  FROM ev e LEFT JOIN expiry x ON x.exp_pos = e.pos
+),
+flagged AS (
+  SELECT pos, event_id, expired_eid,
+         CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END AS has_exp,
+         (pos - 1) + coalesce(sum(CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM arr
+),
+outp AS (
+  SELECT expired_eid AS event_id, CAST(base AS BIGINT) AS emission_idx,
+         'expired' AS channel
+  FROM flagged WHERE expired_eid IS NOT NULL
+  UNION ALL
+  SELECT event_id, CAST(base + has_exp AS BIGINT), 'current' AS channel FROM flagged
+)
+SELECT o.event_id, e.user_id, o.channel, o.emission_idx
+FROM outp o JOIN ev e ON e.event_id = o.event_id
 """
 
 
@@ -744,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks JOIN purchases USING (user_id)
         """,
         "unique_length_emissions": _length_emissions_oracle(100),
+        "unique_length_emissions_ordered": _length_emissions_indexed_oracle(100),
         "unique_length_batch": _length_batch_oracle(50, "last"),
         "unique_first_length_batch": _length_batch_oracle(50, "first"),
         "unique_time_length_batch": _time_length_batch_oracle(6 * HOUR, 20),

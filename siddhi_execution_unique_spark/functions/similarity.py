@@ -227,7 +227,14 @@ def ivf_topk_oracle(n_queries: int = 8, k: int = TOP_K, n_probe: int = N_PROBE_C
 # ---------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (random-hyperplane LSH)
 
-N_PLANES = 16
+# 32 planes in 4 bands of 8 sign bits: each band key has 256 buckets,
+# so candidate pairs scale ~n²/256 per band instead of n²/16 (the
+# round-4 4-bit bands measured ~16x candidate growth at 4x corpus —
+# effectively quadratic; 8-bit bands cut candidates ~16x). The
+# recall/candidate tradeoff is the standard LSH knob: wider bands
+# lower per-band match probability for borderline pairs but keep
+# high-similarity near-dups (the ones dedup targets) at high recall.
+N_PLANES = 32
 LSH_BANDS = 4
 LSH_ROWS = N_PLANES // LSH_BANDS
 COS_THRESHOLD = 0.25

@@ -14,6 +14,7 @@ from siddhi_execution_unique_spark.operators.length import (
     length_window,
     length_window_emissions,
     length_window_emissions_distributed,
+    length_window_emissions_indexed,
 )
 from siddhi_execution_unique_spark.operators.replay import (
     deduplicate,

@@ -82,6 +82,83 @@ def length_window_emissions_distributed(
     return current.unionByName(expired)
 
 
+def length_window_emissions_indexed(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    *,
+    tiebreak: str,
+) -> DataFrame:
+    """Ordered emission log of ``unique:length`` with an explicit
+    ``emission_idx`` (0-based position in the reference's emission
+    sequence): at each arrival the replaced/evicted event emits on
+    ``expired`` FIRST, then the arrival emits on ``current`` —
+    reference replace UniqueLengthWindowProcessor.java:148-157, FIFO
+    evict :158-166. Unlike the set-semantics
+    :func:`length_window_emissions_distributed`, the index pins the
+    reference's per-arrival emission ORDER, so an order-insensitive
+    hash compare still verifies the sequence.
+
+    Scale shape: the FIFO over unique keys is one global sequential
+    chain (inherent to the semantics — same single-ordered-task
+    caveat as :func:`length_window_emissions`), but the ordered task
+    sees ONLY (key, ts, tiebreak); the (tiebreak, channel,
+    emission_idx) assignment joins back to the full rows in a normal
+    distributed hash join, so payload columns never ride the
+    coalesce(1)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from siddhi_execution_unique_spark.operators.replay import _single_group_replay
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, tiebreak, "tiebreak")
+    n = require_pos_int(window_length, "window.length")
+
+    assign_schema = StructType(
+        [
+            StructField(tiebreak, df.schema[tiebreak].dataType),
+            StructField(CHANNEL, StringType()),
+            StructField("emission_idx", LongType()),
+        ]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_arr = pdf[key].to_numpy()
+        tb_arr = pdf[tiebreak].to_numpy()
+        buffer: dict = {}  # insertion-ordered: key -> tiebreak value
+        out_tb: list = []
+        out_ch: list = []
+        for i in range(len(pdf)):
+            k = key_arr[i]
+            if k in buffer:
+                out_tb.append(buffer.pop(k))
+                out_ch.append("expired")  # replaced: expires now
+            elif len(buffer) == n:
+                oldest = next(iter(buffer))
+                out_tb.append(buffer.pop(oldest))
+                out_ch.append("expired")  # FIFO eviction
+            buffer[k] = tb_arr[i]
+            out_tb.append(tb_arr[i])
+            out_ch.append("current")
+        return pd.DataFrame(
+            {
+                tiebreak: out_tb,
+                CHANNEL: pd.Series(out_ch, dtype="object"),
+                "emission_idx": np.arange(len(out_tb), dtype=np.int64),
+            }
+        )
+
+    assignment = _single_group_replay(
+        df.select(key, ts, tiebreak), ts, tiebreak, assign_schema, replay
+    )
+    return df.join(assignment, tiebreak)
+
+
 def length_window_emissions(
     df: DataFrame,
     key: str,

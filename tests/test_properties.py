@@ -55,6 +55,56 @@ def test_length_emissions_closed_form_matches_fifo_replay(seq, n):
     assert set(expired) == closed_form_expired(seq, n)
 
 
+def closed_form_emission_order(seq: list[str], n: int) -> list[tuple[int, str]]:
+    """Mirror of __spark_entry__._length_emissions_indexed_oracle's
+    algebra (1-based positions, as in the SQL): event at pos p with
+    key k expires at min(next occurrence of k, pos of the n-th
+    distinct OTHER key first-occurring after p); at each arrival the
+    expired row (at most one) precedes the arrival's current row."""
+    m = len(seq)
+    prev_pos = [0] * (m + 1)
+    next_pos: list = [None] * (m + 1)
+    last: dict = {}
+    for p in range(1, m + 1):
+        k = seq[p - 1]
+        if k in last:
+            prev_pos[p] = last[k]
+            next_pos[last[k]] = p
+        last[k] = p
+    INF = 10 ** 9
+    exp = [INF] * (m + 1)
+    for p in range(1, m + 1):
+        k = seq[p - 1]
+        cnt, qn = 0, INF
+        for q in range(p + 1, m + 1):
+            if seq[q - 1] != k and prev_pos[q] <= p:
+                cnt += 1
+                if cnt == n:
+                    qn = q
+                    break
+        exp[p] = min(next_pos[p] or INF, qn)
+    out: list[tuple[int, str]] = []
+    for q in range(1, m + 1):
+        ex = [p for p in range(1, m + 1) if exp[p] == q]
+        assert len(ex) <= 1, "closed form predicts two expiries at one arrival"
+        for p in ex:
+            out.append((p - 1, "expired"))
+        out.append((q - 1, "current"))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    seq=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=40),
+    n=st.integers(min_value=1, max_value=6),
+)
+def test_length_emission_order_closed_form_matches_fifo(seq, n):
+    """The ordered-oracle derivation: the full emission SEQUENCE (not
+    just the expired set) from the positional closed form equals the
+    reference FIFO replay's, for random streams."""
+    assert closed_form_emission_order(seq, n) == fifo_replay(seq, n)
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     seq=st.lists(st.sampled_from("abcde"), min_size=0, max_size=30),
