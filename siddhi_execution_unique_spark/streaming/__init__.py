@@ -953,6 +953,130 @@ def range_agg_stream(
     )
 
 
+_SESSION_STATE = StructType(
+    [
+        StructField("session_seq", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("types_json", StringType()),
+        StructField("open", LongType()),  # 1 = a session is in flight
+    ]
+)
+
+
+def sessionize_stream(
+    df: DataFrame,
+    gap_ms: int,
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of :func:`functions.sessions.sessionize` —
+    event-time session windows (a session = a maximal run of one
+    user's events with consecutive gaps <= ``gap_ms``). A session
+    CLOSES and emits its aggregate row either when a same-user event
+    arrives more than ``gap_ms`` later, or when the watermark passes
+    ``last event + gap_ms`` (EventTimeTimeout as the scheduler — same
+    pattern as :func:`time_window_stream`). Emitted rows match the
+    batch operator's: (user, session_seq, session_start_ms,
+    session_end_ms, n_events, n_event_types).
+
+    State per user is ONE open-session aggregate (5 scalars + the
+    distinct type set) regardless of event volume — the state store
+    never holds raw events, which is what lets this run on an
+    unbounded stream. The per-user ``session_seq`` counter survives
+    session closes (state is kept with ``open=0`` rather than
+    removed). Events within a micro-batch are re-sorted by event
+    time; data late enough to land after its session's close is the
+    documented divergence vs the batch form's global re-sort (same
+    caveat as every streaming twin here)."""
+    import json
+
+    require_column(df, user, "session user")
+    require_column(df, ts, "ts")
+    require_column(df, type_col, "session type column")
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be > 0, got {gap_ms}")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    out_schema = StructType(
+        [
+            df.schema[user],
+            StructField("session_seq", LongType()),
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_event_types", LongType()),
+        ]
+    )
+
+    def fn(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seq, start, end, n, types_json, is_open = (
+            state.get if state.exists else (0, 0, 0, 0, "[]", 0)
+        )
+        types = set(json.loads(types_json))
+
+        def row():
+            return (key_tuple[0], seq, start, end, n, len(types))
+
+        if state.hasTimedOut:
+            closed = [row()] if is_open else []
+            state.update((seq, start, end, n, "[]", 0))
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=[user, "session_seq", "session_start_ms",
+                             "session_end_ms", "n_events", "n_event_types"],
+                )
+            return
+
+        closed_rows = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            ms = _ms_series(pdf, ts, is_timestamp)
+            for t, ev_type in zip(ms, pdf[type_col]):
+                t = int(t)
+                if is_open and t - end > gap_ms:
+                    closed_rows.append(row())
+                    is_open = 0
+                if not is_open:
+                    seq, start, end, n, types, is_open = seq + 1, t, t, 0, set(), 1
+                start = min(start, t)  # late-but-in-gap event extends backwards
+                end = max(end, t)
+                n += 1
+                types.add(ev_type if not hasattr(ev_type, "item") else ev_type.item())
+        if is_open and end + gap_ms <= state.getCurrentWatermarkMs():
+            # the whole gap already lies behind the watermark: close now
+            # (a timeout set in the past would be rejected)
+            closed_rows.append(row())
+            is_open = 0
+            types = set()
+        state.update((seq, start, end, n, json.dumps(sorted(types, key=repr)), is_open))
+        if is_open:
+            state.setTimeoutTimestamp(end + gap_ms)
+        if closed_rows:
+            yield pd.DataFrame(
+                closed_rows,
+                columns=[user, "session_seq", "session_start_ms",
+                         "session_end_ms", "n_events", "n_event_types"],
+            )
+
+    return (
+        df.withWatermark(ts, watermark_delay)
+        .groupBy(user)
+        .applyInPandasWithState(
+            fn, out_schema, _SESSION_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def pq_encode_stream(stream_df: DataFrame, codebook_corpus: DataFrame) -> DataFrame:
     """Streaming PQ ingest: encode arriving embedding rows into
     (vec_id, m, code) with the codebook frozen from the batch corpus —

@@ -606,3 +606,80 @@ def test_pq_encode_stream_matches_batch_codes(spark, workdir):
     want = {(r["vec_id"], r["m"], r["code"])
             for r in fsim.pq_encode(corpus, fsim.pq_codebook(corpus)).collect()}
     assert got == want and len(got) == 500 * fsim.PQ_M
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, workdir):
+    from siddhi_execution_unique_spark.functions import sessions as fsess
+
+    gap = 10_000  # 10 s
+    # user a: two sessions (gap of 30s between), user b: one session.
+    # batch 2's first event continues a's second session across the
+    # micro-batch boundary; the final events are far ahead so the
+    # watermark closes everything earlier via timeout.
+    rows1 = [(1000, 1, "a", 1.0), (5000, 2, "a", 2.0), (8000, 3, "b", 1.0),
+             (40_000, 4, "a", 1.0)]
+    rows2 = [(45_000, 5, "a", 3.0), (47_000, 6, "b", 2.0),
+             (500_000, 7, "a", 1.0), (500_000, 8, "b", 1.0)]
+    write_batch(workdir / "in", "001.parquet", rows1)
+    write_batch(workdir / "in", "002.parquet", rows2)
+    out = stw.sessionize_stream(
+        read_stream(spark, workdir / "in"), gap, user="k", ts="ts", type_col="v"
+    )
+    res = run_available(spark, out, "sess_sink", workdir / "ckpt")
+    got = {(r["k"], r["session_seq"]): (r["session_start_ms"], r["session_end_ms"],
+                                        r["n_events"], r["n_event_types"])
+           for r in res.collect()}
+    # the batch operator on the same rows is the reference; the
+    # trailing 500s events' sessions stay open (watermark) and only
+    # they may be absent from the stream's output
+    batch = spark.createDataFrame(
+        [(r[1], r[2], str(r[3]), r[0]) for r in rows1 + rows2],
+        "event_id long, user_id string, event_type string, ms long",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_micros(ms * 1000) as ts")
+    want = {(r["user_id"], r["session_seq"]): (r["session_start_ms"], r["session_end_ms"],
+                                               r["n_events"], r["n_event_types"])
+            for r in fsess.sessionize(batch, gap, user="user_id").collect()}
+    open_keys = {("a", 3), ("b", 3)}  # the 500s sessions, still open
+    assert set(want) - set(got) <= open_keys
+    for key in got:
+        assert got[key] == want[key], (key, got[key], want[key])
+    # all mid-stream closes happened (gap-close and timeout-close):
+    # a's sessions at 1-5s and 40-45s, b's at 8s and 47s
+    assert {("a", 1), ("a", 2), ("b", 1), ("b", 2)} <= set(got)
+
+
+def test_sessionize_stream_checkpoint_resume(spark, workdir):
+    outdir = workdir / "out"
+
+    def run_to_files():
+        q = (
+            stw.sessionize_stream(
+                read_stream(spark, workdir / "in"), 10_000,
+                user="k", ts="ts", type_col="v",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # session 1 spans the restart: events at 1s and 5s before, 8s after
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (5000, 2, "a", 2.0)])
+    run_to_files()
+    # restart: the open-session aggregate AND the seq counter must
+    # survive; 8s continues session 1, 60s opens session 2 (closing
+    # session 1 with all three events), 500s closes session 2 by
+    # watermark timeout
+    write_batch(workdir / "in", "002.parquet",
+                [(8000, 3, "a", 3.0), (60_000, 4, "a", 1.0),
+                 (500_000, 5, "a", 1.0)])
+    run_to_files()
+    got = {r["session_seq"]: (r["session_start_ms"], r["session_end_ms"],
+                              r["n_events"], r["n_event_types"])
+           for r in spark.read.parquet(str(outdir)).collect()}
+    assert got == {1: (1000, 8000, 3, 3), 2: (60_000, 60_000, 1, 1)}
