@@ -25,6 +25,7 @@ from siddhi_execution_unique_spark.functions import (  # noqa: E402
     dedup as fdedup,
     multimodal as fmm,
     pipeline as fpipe,
+    retrieval as fret,
     sessions as fsess,
     similarity as fsim,
     sketch as fsk,
@@ -354,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": lambda s, d: fsim.pq_topk(_emb(s, d)),
         "sim_pq_rerank": lambda s, d: fsim.pq_rerank_topk(_emb(s, d)),
         "running_distinct_users": q_running_distinct_users,
+        # BM25 keyword retrieval (new in round 5): inverted-index
+        # posting joins, integer-exact rational-idf scores
+        "docs_bm25_topk": lambda s, d: fret.bm25_topk(_docs(s, d)),
         # ordered emission log: emission_idx pins the reference's
         # per-arrival emission ORDER through the order-insensitive
         # driver hash (closes the round-4 "emission order" divergence)
@@ -818,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unique_length_emissions": _length_emissions_oracle(100),
         "unique_length_emissions_ordered": _length_emissions_indexed_oracle(100),
+        "docs_bm25_topk": fret.bm25_topk_oracle(),
         "unique_length_batch": _length_batch_oracle(50, "last"),
         "unique_first_length_batch": _length_batch_oracle(50, "first"),
         "unique_time_length_batch": _time_length_batch_oracle(6 * HOUR, 20),

@@ -462,3 +462,22 @@ def test_pack_shards_offsets_are_gapless_prefix_sums(spark):
     import pytest
     with pytest.raises(ValueError):
         fcur.pack_training_shards(docs, budget_tokens=0)
+
+
+def test_bm25_known_corpus(spark):
+    from siddhi_execution_unique_spark.functions import retrieval as fret
+    docs = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple banana"), (2, "cherry date elderberry")],
+        "doc_id long, text string")
+    out = fret.bm25_topk(docs, n_query_docs=1, k=10).collect()
+    got = {r["rank"]: (r["doc_id"], r["qscore"]) for r in out}
+    # docs 0 and 1 are identical -> identical exact integer scores,
+    # tie broken by doc_id; doc 2 shares no term -> absent entirely
+    assert len(got) == 2
+    assert got[1][0] == 0 and got[2][0] == 1
+    assert got[1][1] == got[2][1] > 0
+    import pytest
+    with pytest.raises(ValueError):
+        fret.bm25_topk(docs, n_query_docs=0)
+    with pytest.raises(ValueError):
+        fret.bm25_topk(docs, k=0)

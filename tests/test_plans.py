@@ -407,3 +407,15 @@ def test_pq_rerank_exact_pass_joins_by_id_only(spark):
         assert "< 8" in t or "LessThan(vec_id,8)" in t, (
             "broadcast side must carry the vec_id < n_queries filter:\n" + t
         )
+
+
+def test_bm25_is_posting_list_join(spark):
+    from siddhi_execution_unique_spark.functions import retrieval as fret
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fret.bm25_topk(docs))
+    # sparse retrieval: term-keyed equi-joins over the inverted index,
+    # map-side combined tf aggregation, never doc-by-doc comparison
+    # (the only BroadcastNestedLoopJoin is the 1-row bounds aggregate)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
