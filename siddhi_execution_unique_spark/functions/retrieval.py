@@ -103,6 +103,128 @@ def bm25_topk(
     )
 
 
+MAX_DF_FRAC_PCT = 10  # prune terms in more than 10% of docs
+TFIDF_QUANT = 100
+TFIDF_COS_THRESHOLD = 0.3
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = TFIDF_COS_THRESHOLD,
+    materialize: bool = True,
+) -> DataFrame:
+    """Lexical near-duplicate pairs by cosine of tf-idf vectors over
+    the PRUNED vocabulary (terms in more than ``MAX_DF_FRAC_PCT``% of
+    docs are dropped — the standard stopword-by-statistics cut, and
+    the thing that bounds the posting self-join: a term kept in the
+    index pairs at most ``max_df`` docs, so candidates are
+    sum-of-df² over rare terms, never corpus²). Completes the
+    near-dup family: MinHash-Jaccard, SimHash-Hamming, ngram-Jaccard,
+    embedding-cosine, and this — tf-idf cosine.
+
+    Determinism: weights use the rational idf (N + 1)/(df + 1) — one
+    IEEE division and multiply on exact ints, identical both engines —
+    then fixed-point ``floor(w * 100)`` int64s, so dot products and
+    norms are EXACT integer sums (order-independent); the only float
+    step is the final dot/sqrt(n1*n2), identical on identical
+    integers. Output: (doc_id_1, doc_id_2, cos_sim 6dp).
+
+    The pruned weight table feeds FOUR consumers (both join sides of
+    the dot product and both norm lookups); it is materialized once
+    (``text.materialized`` — at 100 TB: write the index to parquet
+    once, read it everywhere)."""
+    from siddhi_execution_unique_spark.functions.text import materialized
+
+    toks = docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    bounds = docs.agg(F.count("*").alias("n_docs"))
+    weights = (
+        tf.join(df_, "term")
+        .join(F.broadcast(bounds))
+        .filter(F.expr(f"df * 100 <= n_docs * {MAX_DF_FRAC_PCT}"))
+        .select(
+            "doc_id", "term",
+            F.expr(
+                "cast(floor(cast(tf as double)"
+                " * (cast(n_docs + 1 as double) / cast(df + 1 as double))"
+                f" * {TFIDF_QUANT}) as bigint)"
+            ).alias("wq"),
+        )
+    )
+    weights = materialized(weights, materialize)
+    norms = weights.groupBy("doc_id").agg(F.sum(F.expr("wq * wq")).alias("n2"))
+    a = weights.select(
+        F.col("doc_id").alias("doc_id_1"), "term", F.col("wq").alias("w1")
+    )
+    b = weights.select(
+        F.col("doc_id").alias("doc_id_2"), "term", F.col("wq").alias("w2")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.sum(F.expr("w1 * w2")).alias("dot"))
+    )
+    # norms frame is O(n_docs): id-equi-joins, no broadcast hint (AQE
+    # localizes at test scale, shuffles at corpus scale)
+    return (
+        dots.join(norms.withColumnRenamed("doc_id", "doc_id_1")
+                  .withColumnRenamed("n2", "n2_1"), "doc_id_1")
+        .join(norms.withColumnRenamed("doc_id", "doc_id_2")
+              .withColumnRenamed("n2", "n2_2"), "doc_id_2")
+        .withColumn(
+            "cos_sim",
+            F.expr("round(cast(dot as double)"
+                   " / sqrt(cast(n2_1 as double) * cast(n2_2 as double)), 6)"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_id_1", "doc_id_2", "cos_sim")
+    )
+
+
+def tfidf_cosine_pairs_oracle(threshold: float = TFIDF_COS_THRESHOLD) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        bounds AS (SELECT count(*) AS n_docs FROM documents),
+        weights AS (
+          SELECT t.doc_id, t.term,
+                 CAST(floor(CAST(t.tf AS DOUBLE)
+                      * (CAST(n_docs + 1 AS DOUBLE) / CAST(f.df + 1 AS DOUBLE))
+                      * {TFIDF_QUANT}) AS BIGINT) AS wq
+          FROM tf t JOIN dfreq f ON f.term = t.term CROSS JOIN bounds
+          WHERE f.df * 100 <= n_docs * {MAX_DF_FRAC_PCT}
+        ),
+        norms AS (
+          SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2
+          FROM weights GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                 CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+          FROM weights a JOIN weights b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_id_1, doc_id_2,
+               round(CAST(dot AS DOUBLE)
+                     / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 6) AS cos_sim
+        FROM dots
+        JOIN norms x ON x.doc_id = doc_id_1
+        JOIN norms y ON y.doc_id = doc_id_2
+        WHERE round(CAST(dot AS DOUBLE)
+                    / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 6) >= {threshold}
+    """
+
+
 def bm25_topk_oracle(n_query_docs: int = N_QUERY_DOCS, k: int = TOP_K) -> str:
     return f"""
         WITH toks AS (

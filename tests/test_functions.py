@@ -481,3 +481,16 @@ def test_bm25_known_corpus(spark):
         fret.bm25_topk(docs, n_query_docs=0)
     with pytest.raises(ValueError):
         fret.bm25_topk(docs, k=0)
+
+
+def test_tfidf_cosine_known_corpus(spark):
+    from siddhi_execution_unique_spark.functions import retrieval as fret
+    # 21 docs so a df=2 term survives the 10% df cut (2*100 <= 21*10);
+    # docs 0,1 share rare terms; "common" is in every doc -> pruned
+    rows = [(0, "common zebra quagga"), (1, "common zebra quagga")]
+    rows += [(i, f"common filler{i}") for i in range(2, 21)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fret.tfidf_cosine_pairs(docs).collect()
+    # identical pruned vectors -> cosine exactly 1.0; no other pair
+    # shares a surviving term
+    assert [(r["doc_id_1"], r["doc_id_2"], r["cos_sim"]) for r in out] == [(0, 1, 1.0)]

@@ -419,3 +419,16 @@ def test_bm25_is_posting_list_join(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tfidf_pairs_join_is_term_keyed(spark):
+    from siddhi_execution_unique_spark.functions import retrieval as fret
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fret.tfidf_cosine_pairs(docs, materialize=False))
+    # posting self-join keys on the (df-pruned) term; dot/norm sums are
+    # map-side combined; every BroadcastNestedLoopJoin is the 1-row
+    # n_docs aggregate meeting one of the 4 weight-table consumers
+    # (materialized to one in the production path)
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
