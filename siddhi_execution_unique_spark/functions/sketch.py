@@ -231,6 +231,69 @@ def running_distinct_count(
     )
 
 
+def trailing_distinct_users(
+    events: DataFrame,
+    window_ms: int = HOUR_MS,
+    group: str = "event_type",
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per event: how many distinct ``key`` values its ``group`` saw in
+    the trailing ``window_ms`` (inclusive of the event itself) — the
+    sliding-window cardinality companion to
+    :func:`running_distinct_count`'s global prefix. Output:
+    (tiebreak, group, n_distinct_trailing).
+
+    Scale shape: the trailing window is a RANGE predicate, which naive
+    Spark plans as a nested-loop inequality join. Banding makes it an
+    equi-join (same trick as ``asof.clicks_before_purchase``): sources
+    post to their own ``window_ms`` band and the next one, targets
+    probe their band — any target's trailing window lies inside those
+    two source bands — and the residual range check is a post-join
+    filter. Candidates are bounded by per-(group, band) density × 2,
+    never corpus²; the distinct-then-count runs as two map-side
+    combined aggregations keyed by the event id."""
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be > 0, got {window_ms}")
+    base = events.select(
+        F.col(tiebreak), F.col(group), F.col(key),
+        F.unix_millis(ts).alias("_tms"),
+    )
+    targets = base.select(
+        tiebreak, group,
+        F.col("_tms").alias("_t"),
+        F.expr(f"_tms div {window_ms}").alias("_band"),
+    )
+    sources = base.select(
+        group, key,
+        F.col("_tms").alias("_o"),
+        F.explode(
+            F.expr(f"array(_tms div {window_ms}, _tms div {window_ms} + 1)")
+        ).alias("_band"),
+    )
+    return (
+        targets.join(sources, [group, "_band"])
+        .filter(F.expr(f"_o > _t - {window_ms} AND _o <= _t"))
+        .select(tiebreak, group, key)
+        .dropDuplicates([tiebreak, key])
+        .groupBy(tiebreak, group)
+        .agg(F.count("*").alias("n_distinct_trailing"))
+    )
+
+
+def trailing_distinct_users_oracle(window_ms: int = HOUR_MS) -> str:
+    return f"""
+        SELECT e.event_id, e.event_type,
+               count(DISTINCT o.user_id) AS n_distinct_trailing
+        FROM events e JOIN events o
+          ON o.event_type = e.event_type
+         AND epoch_ms(o.ts) > epoch_ms(e.ts) - {window_ms}
+         AND epoch_ms(o.ts) <= epoch_ms(e.ts)
+        GROUP BY 1, 2
+    """
+
+
 def time_rollup_oracle() -> str:
     return f"""
         WITH bucketed AS (

@@ -494,3 +494,22 @@ def test_tfidf_cosine_known_corpus(spark):
     # identical pruned vectors -> cosine exactly 1.0; no other pair
     # shares a surviving term
     assert [(r["doc_id_1"], r["doc_id_2"], r["cos_sim"]) for r in out] == [(0, 1, 1.0)]
+
+
+def test_trailing_distinct_hand_example(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    # type A: users 1,1,2 at t=0s,30m,65m -> windows see {1},{1},{1,2}... 
+    # wait: at 65m the trailing hour covers 30m and 65m -> users {1,2}
+    rows = [(1, 0, "A", 1), (2, 1_800_000, "A", 1), (3, 3_900_000, "A", 2),
+            (4, 0, "B", 9)]
+    events = spark.createDataFrame(
+        [(e, u, t, ty) for e, t, ty, u in rows],
+        "event_id long, user_id long, ms long, event_type string",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_micros(ms * 1000) as ts")
+    got = {r["event_id"]: r["n_distinct_trailing"]
+           for r in fsk.trailing_distinct_users(events).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+    import pytest
+    with pytest.raises(ValueError):
+        fsk.trailing_distinct_users(events, window_ms=0)

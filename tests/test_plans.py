@@ -432,3 +432,17 @@ def test_tfidf_pairs_join_is_term_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_trailing_distinct_is_banded_equi_join(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fsk.trailing_distinct_users(events))
+    # the trailing range window must run as a (group, band) hash join
+    # with the range check as a residual filter - never an
+    # inequality-only nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    assert re.search(r"hashpartitioning\(event_type#\d+[^)]*_band#", plan) \
+        or "_band" in plan
