@@ -1077,6 +1077,51 @@ def sessionize_stream(
     )
 
 
+def index_ingest_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming posting-list ingest: tokenize arriving documents into
+    (doc_id, term, tf) rows — the storage unit the BM25 / tf-idf
+    retrieval ops aggregate — with NO state store and no shuffle: a
+    document's postings are a row-local computation (Arrow-batched
+    ``mapInPandas``), so the stream runs in append mode and scales with
+    arrival rate alone. An accumulated stream ingest IS the index the
+    batch side queries — encode at the edge, append skinny rows (the
+    text analog of :func:`pq_encode_stream`).
+
+    Tokenization mirrors ``text.SPARK_TOKS``
+    (``split(trim(lower(text)), '\\s+')``) exactly, including the
+    empty-string token a whitespace-only document produces, so the
+    stream's postings are row-for-row identical to the batch
+    ``explode`` (pinned by test)."""
+    import re
+
+    from collections import Counter
+
+    require_column(docs_stream, "doc_id", "index doc id")
+    require_column(docs_stream, "text", "index text")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("term", StringType()),
+            StructField("tf", LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"doc_id": [], "term": [], "tf": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = Counter(re.split(r"\s+", str(text).strip().lower()))
+                for term, tf in counts.items():
+                    out["doc_id"].append(int(doc_id))
+                    out["term"].append(term)
+                    out["tf"].append(tf)
+            yield pd.DataFrame(out)
+
+    return docs_stream.select("doc_id", "text").mapInPandas(encode, out_schema)
+
+
 def pq_encode_stream(stream_df: DataFrame, codebook_corpus: DataFrame) -> DataFrame:
     """Streaming PQ ingest: encode arriving embedding rows into
     (vec_id, m, code) with the codebook frozen from the batch corpus —

@@ -683,3 +683,26 @@ def test_sessionize_stream_checkpoint_resume(spark, workdir):
                               r["n_events"], r["n_event_types"])
            for r in spark.read.parquet(str(outdir)).collect()}
     assert got == {1: (1000, 8000, 3, 3), 2: (60_000, 60_000, 1, 1)}
+
+
+def test_index_ingest_stream_matches_batch_postings(spark, workdir):
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+    from siddhi_execution_unique_spark.functions.text import SPARK_TOKS
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming import index_ingest_stream
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    _sh.copy(src, workdir / "in" / "docs.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = stream_table(spark, str(workdir / "in"), schema, ts=None)
+    res = run_available(spark, index_ingest_stream(stream), "idx_sink", workdir / "ckpt")
+    got = {(r["doc_id"], r["term"], r["tf"]) for r in res.collect()}
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {(r["doc_id"], r["term"], r["tf"]) for r in
+            docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("term"))
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")).collect()}
+    assert got == want and len(got) > 0
