@@ -275,10 +275,8 @@ def trailing_distinct_users(
     return (
         targets.join(sources, [group, "_band"])
         .filter(F.expr(f"_o > _t - {window_ms} AND _o <= _t"))
-        .select(tiebreak, group, key)
-        .dropDuplicates([tiebreak, key])
         .groupBy(tiebreak, group)
-        .agg(F.count("*").alias("n_distinct_trailing"))
+        .agg(F.countDistinct(key).alias("n_distinct_trailing"))
     )
 
 
