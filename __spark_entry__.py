@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_topk": lambda s, d: fret.bm25_topk(_docs(s, d)),
         "dedup_tfidf_cosine": lambda s, d: fret.tfidf_cosine_pairs(_docs(s, d)),
         "events_trailing_distinct": lambda s, d: fsk.trailing_distinct_users(_events(s, d)),
+        "embedding_lsh_recall": lambda s, d: fsim.embedding_lsh_recall(_emb(s, d)),
         # ordered emission log: emission_idx pins the reference's
         # per-arrival emission ORDER through the order-insensitive
         # driver hash (closes the round-4 "emission order" divergence)
@@ -827,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25_topk": fret.bm25_topk_oracle(),
         "dedup_tfidf_cosine": fret.tfidf_cosine_pairs_oracle(),
         "events_trailing_distinct": fsk.trailing_distinct_users_oracle(),
+        "embedding_lsh_recall": fsim.embedding_lsh_recall_oracle(),
         "unique_length_batch": _length_batch_oracle(50, "last"),
         "unique_first_length_batch": _length_batch_oracle(50, "first"),
         "unique_time_length_batch": _time_length_batch_oracle(6 * HOUR, 20),

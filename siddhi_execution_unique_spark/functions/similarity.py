@@ -378,6 +378,118 @@ def embedding_near_dup_pairs_oracle(threshold: float = COS_THRESHOLD) -> str:
     """
 
 
+N_RECALL_ANCHORS = 64
+
+
+def embedding_lsh_recall(
+    emb: DataFrame,
+    threshold: float = COS_THRESHOLD,
+    n_anchors: int = N_RECALL_ANCHORS,
+) -> DataFrame:
+    """Recall report for the plane-LSH near-dup pass (the embedding
+    analog of ``dedup.minhash_accuracy``): for an anchored ground-truth
+    sample — every true pair whose SMALLER vec_id is < ``n_anchors``,
+    so ground truth costs O(anchors × corpus), never corpus² — how many
+    pairs at each cosine level the banded LSH actually surfaced.
+    Output: (cos_bucket, n_true, n_found, recall) where cos_bucket is
+    floor(cos × 10)/10. This is the query that keeps the
+    band-width/recall tradeoff honest: widening bands (round 5: 4 → 8
+    sign bits) cuts candidates ~n²/256 per band, and THIS entry
+    reports what it costs in recall at each similarity level.
+
+    Determinism: cosine uses the same left-to-right fold as
+    :func:`cosine_topk` (bit-identical both engines); the bucket is
+    computed on round(cos, 6); recall is one int/int division."""
+    base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
+    anchors = base.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("e1"),
+        F.col("norm2").alias("n1"),
+    )
+    others = base.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("e2"),
+        F.col("norm2").alias("n2"),
+    )
+    truth = (
+        others.join(F.broadcast(anchors), F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn(
+            "cos6", F.expr(f"round({_cos_expr('e1', 'e2', 'n1', 'n2')}, 6)")
+        )
+        .filter(F.col("cos6") >= threshold)
+        .select(
+            "vec_id_1", "vec_id_2",
+            F.expr("cast(floor(cos6 * 10) as bigint)").alias("bucket10"),
+        )
+    )
+    found = (
+        embedding_near_dup_pairs(emb, threshold)
+        .filter(F.col("vec_id_1") < n_anchors)
+        .select("vec_id_1", "vec_id_2", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.join(found, ["vec_id_1", "vec_id_2"], "left")
+        .groupBy(F.expr("bucket10 / cast(10 as double)").alias("cos_bucket"))
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            F.expr("round(n_found / cast(n_true as double), 6)"),
+        )
+    )
+
+
+def embedding_lsh_recall_oracle(
+    threshold: float = COS_THRESHOLD, n_anchors: int = N_RECALL_ANCHORS
+) -> str:
+    def dot(x, y):
+        return _DOT_DUCK.format(a=x, b=y)
+
+    cos = (
+        f"{dot('a.embedding', 'b.embedding')} / sqrt(({dot('a.embedding', 'a.embedding')})"
+        f" * ({dot('b.embedding', 'b.embedding')}))"
+    )
+    bit = lambda p: (  # noqa: E731
+        f"(CASE WHEN {dot('embedding', _plane_literal_duck(p))} >= 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
+    band_exprs = [
+        f"concat_ws(':', '{b}', {', '.join(bits)})"
+        for b, bits in _band_key_exprs(bit)
+    ]
+    return f"""
+        WITH truth AS (
+          SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+                 CAST(floor(round({cos}, 6) * 10) AS BIGINT) AS bucket10
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < {n_anchors} AND a.vec_id < b.vec_id
+          WHERE round({cos}, 6) >= {threshold}
+        ),
+        keyed AS (
+          SELECT vec_id, unnest([{', '.join(band_exprs)}]) AS band_key
+          FROM embeddings
+        ),
+        found AS (
+          SELECT DISTINCT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2
+          FROM keyed x JOIN keyed y
+            ON x.band_key = y.band_key AND x.vec_id < y.vec_id
+          WHERE x.vec_id < {n_anchors}
+        )
+        SELECT bucket10 / CAST(10 AS DOUBLE) AS cos_bucket,
+               count(*) AS n_true,
+               CAST(sum(CASE WHEN f.vec_id_1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_found,
+               round(sum(CASE WHEN f.vec_id_1 IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS recall
+        FROM truth t
+        LEFT JOIN found f
+          ON f.vec_id_1 = t.vec_id_1 AND f.vec_id_2 = t.vec_id_2
+        GROUP BY bucket10
+    """
+
+
 # ---------------------------------------------------------------------
 # IVF centroid training: one exact Lloyd (k-means) update step
 
