@@ -513,3 +513,17 @@ def test_trailing_distinct_hand_example(spark):
     import pytest
     with pytest.raises(ValueError):
         fsk.trailing_distinct_users(events, window_ms=0)
+
+
+def test_round5_parameter_validation(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = spark.createDataFrame(
+        [(1, 1, "A", 0)], "event_id long, user_id long, event_type string, ms long",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_micros(ms * 1000) as ts")
+    with pytest.raises(ValueError):
+        fsk.running_distinct_count(events, n_buckets=0)
+    with pytest.raises(ValueError):
+        fsk.kmv_distinct(events, n_splits=0)
+    with pytest.raises(ValueError):
+        fsk.kmv_distinct(events, k=1)
