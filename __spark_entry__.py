@@ -348,6 +348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": lambda s, d: fsk.kmv_distinct(_events(s, d)),
         "events_time_rollup": lambda s, d: fsk.time_rollup(_events(s, d)),
         "events_sessionize": lambda s, d: fsess.sessionize(_events(s, d), 2 * HOUR),
+        # -- (1b) new in round 5 continuation — never driver-checked:
+        #    cross-document line dedup (CCNet/RefinedWeb), SemDeDup
+        #    cluster-blocked semantic dedup, fixed-token chunking
+        "dedup_lines": lambda s, d: fdedup.line_dedup(_docs(s, d)),
+        "dedup_semantic": lambda s, d: fsim.semantic_dedup(_emb(s, d)),
+        "docs_chunk_tokens": lambda s, d: fcur.chunk_documents(_docs(s, d)),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -894,6 +900,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_percentiles": fcur.quality_percentiles_oracle(),
         "corpus_pack_shards": fcur.pack_training_shards_oracle(),
         "pii_redact": fcur.pii_redact_oracle(),
+        "dedup_lines": fdedup.line_dedup_oracle(),
+        "dedup_semantic": fsim.semantic_dedup_oracle(),
+        "docs_chunk_tokens": fcur.chunk_documents_oracle(),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
         "events_asof_join": fasof.purchases_with_last_click_oracle(),
         "events_range_join": fasof.clicks_before_purchase_oracle(),

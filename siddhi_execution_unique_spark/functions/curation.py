@@ -551,3 +551,63 @@ def pack_training_shards_oracle(
                w.n_toks
         FROM within w JOIN offsets o USING (bucket)
     """
+
+
+# ------------------------------------------------- training-chunk split
+
+CHUNK_TOKENS = 32   # tokens per training chunk
+CHUNK_STRIDE = 24   # chunk start stride (CHUNK_TOKENS - STRIDE = overlap)
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Fixed-token training-sequence chunking with overlap: each
+    document is split into chunks of ``chunk_tokens`` whitespace
+    tokens whose starts advance by ``stride`` (so consecutive chunks
+    overlap by ``chunk_tokens - stride``); the final chunk is the
+    shorter tail. One output row per chunk: (doc_id, chunk_id,
+    n_chunk_tokens, chunk_hash) — ``chunk_hash`` is md5 of the chunk
+    text, the id a packing/shuffling stage downstream consumes, so
+    rows stay narrow (the chunk text itself never shuffles).
+
+    Scale shape: pure narrow projection — tokenize once per doc,
+    ``explode(sequence)`` over chunk starts, codegen'd ``slice`` +
+    ``array_join`` + ``md5``; no join, no aggregation, no window. The
+    output inherits the input partitioning, so a 100 TB corpus chunks
+    map-side with zero shuffle."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens], got {stride}"
+        )
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks"))
+    return toks.select(
+        "doc_id", "toks",
+        F.explode(
+            F.expr(f"sequence(0, cast(floor((size(toks) - 1) / {stride}) as int))")
+        ).alias("chunk_id"),
+    ).select(
+        "doc_id", "chunk_id",
+        F.expr(
+            f"least({chunk_tokens}, size(toks) - chunk_id * {stride})"
+        ).alias("n_chunk_tokens"),
+        F.expr(
+            f"md5(array_join(slice(toks, chunk_id * {stride} + 1, {chunk_tokens}), ' '))"
+        ).alias("chunk_hash"),
+    )
+
+
+def chunk_documents_oracle(chunk_tokens: int = CHUNK_TOKENS,
+                           stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+        SELECT doc_id, chunk_id,
+               least({chunk_tokens}, len(toks) - chunk_id * {stride})
+                 AS n_chunk_tokens,
+               md5(array_to_string(
+                 toks[(chunk_id * {stride} + 1):(chunk_id * {stride} + {chunk_tokens})],
+                 ' ')) AS chunk_hash
+        FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+             unnest(generate_series(
+               0, CAST(floor((len(toks) - 1) / {stride}) AS INT))) AS t(chunk_id)
+    """

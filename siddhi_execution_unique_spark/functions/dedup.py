@@ -768,3 +768,103 @@ def minhash_accuracy_oracle() -> str:
         JOIN shingles sh1 ON sh1.doc_id = doc_id_1
         JOIN shingles sh2 ON sh2.doc_id = doc_id_2
     """
+
+
+# ---------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet / RefinedWeb style)
+
+SEG_LEN = 4       # tokens per pseudo-line segment
+SEG_MIN_DOCS = 3  # segment is boilerplate if it occurs in >= this many docs
+
+# Spark/DuckDB twin expressions for the per-doc segment count
+# ceil(n_tokens / SEG_LEN); every doc has >= 1 token so >= 1 segment.
+_NSEG_SPARK = f"cast(ceil(size(toks) / cast({SEG_LEN} as double)) as int)"
+_NSEG_DUCK = f"CAST(ceil(len(toks) / {SEG_LEN}.0) AS INT)"
+
+
+def _segment_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, g, seg): one row per fixed-``SEG_LEN``-token segment,
+    in document order. The real-corpus analog splits on newlines; the
+    synthetic docs are single-line, so the segmenter is deterministic
+    fixed-width token windows — the downstream dedup shape (global
+    segment-frequency aggregation + per-doc reconstruction) is
+    identical either way.
+
+    Segments are produced as ROWS via ``explode(sequence)`` + codegen'd
+    ``slice``/``array_join`` — no higher-order lambdas in the
+    corpus-sized path (see module note)."""
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks"))
+    return toks.select(
+        "doc_id", "toks",
+        F.explode(F.expr(f"sequence(0, {_NSEG_SPARK} - 1)")).alias("g"),
+    ).select(
+        "doc_id", "g",
+        F.expr(f"array_join(slice(toks, g * {SEG_LEN} + 1, {SEG_LEN}), ' ')").alias("seg"),
+    )
+
+
+def line_dedup(docs: DataFrame, min_docs: int = SEG_MIN_DOCS) -> DataFrame:
+    """Cross-document duplicated-line removal (the CCNet/RefinedWeb
+    boilerplate filter): a segment ("line") is boilerplate when it
+    occurs in >= ``min_docs`` DISTINCT documents; every occurrence of a
+    boilerplate segment is removed and each document's text is
+    reassembled from its surviving segments in order.
+
+    Output: (doc_id, n_segments, n_removed, clean_text) — one row per
+    document; ``clean_text`` is '' when everything was boilerplate.
+
+    Scale shape (the one a 100 TB corpus runs): segment extraction is a
+    narrow projection; the global frequency table is ONE map-side-
+    combined hash aggregation keyed by the segment (countDistinct over
+    doc_id); marking is a shuffle equi-join of segment occurrences
+    against the (much smaller) boilerplate set — LEFT join, never
+    broadcast, because the boilerplate table grows with the corpus; the
+    rebuild is one hash aggregation per doc_id with an ordered
+    ``listagg`` (codegen) — no per-doc array lambdas, no window over
+    the corpus.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    segs = _segment_rows(docs)
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg", F.lit(True).alias("_boiler"))
+    )
+    marked = segs.join(boiler, "seg", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.coalesce(F.sum(F.expr("if(_boiler, 1, 0)")), F.lit(0)).alias("n_removed"),
+            F.expr(
+                "coalesce(listagg(CASE WHEN _boiler IS NULL THEN seg END, ' ') "
+                "WITHIN GROUP (ORDER BY g), '')"
+            ).alias("clean_text"),
+        )
+    )
+
+
+def line_dedup_oracle(min_docs: int = SEG_MIN_DOCS) -> str:
+    return f"""
+        WITH segs AS (
+          SELECT doc_id, g,
+                 array_to_string(toks[(g * {SEG_LEN} + 1):(g * {SEG_LEN} + {SEG_LEN})], ' ') AS seg
+          FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+               unnest(generate_series(0, {_NSEG_DUCK} - 1)) AS t(g)
+        ),
+        boiler AS (
+          SELECT seg FROM segs GROUP BY seg
+          HAVING count(DISTINCT doc_id) >= {min_docs}
+        )
+        SELECT s.doc_id,
+               count(*) AS n_segments,
+               CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               coalesce(
+                 string_agg(s.seg, ' ' ORDER BY s.g)
+                   FILTER (WHERE b.seg IS NULL), '') AS clean_text
+        FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+        GROUP BY s.doc_id
+    """

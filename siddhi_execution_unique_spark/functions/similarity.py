@@ -918,3 +918,78 @@ def pq_rerank_topk_oracle(
         JOIN embeddings q ON q.vec_id = s.query_id
         QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster-blocked cosine prune)
+
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): every
+    vector is assigned to its nearest of ``N_CENTROIDS`` coarse cells,
+    and within each cell a vector is REMOVED when a lower-id vector of
+    the same cell has cosine >= ``tau`` with it — the deterministic
+    pairwise form of the paper's keep-one-per-duplicate-group rule
+    (greedy by vec_id order). Output: (vec_id, cell, kept), one row per
+    corpus vector.
+
+    Scale shape: cell assignment is one broadcast pass (K constant in
+    corpus size, see :func:`_ivf_centroids`); the duplicate scan is a
+    CELL-KEYED self equi-join — never all-pairs — whose cost is
+    sum(cell_size²). K is the knob that keeps E[cell_size] flat as the
+    corpus grows (a 100 TB run trains K ~ n/avg_cell vectors the same
+    way IVF does); the removal test is an EXISTS-style left-semi join,
+    so no pair rows survive past the aggregation."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
+    assigned = _ivf_assign(base, _ivf_centroids(base))
+    left = assigned.select(
+        F.col("vec_id").alias("u_id"),
+        F.col("embedding").alias("u_emb"),
+        F.col("norm2").alias("u_norm2"),
+        F.col("cell").alias("u_cell"),
+    )
+    dup = (
+        assigned.join(left, (F.col("cell") == F.col("u_cell"))
+                      & (F.col("u_id") < F.col("vec_id")))
+        .filter(F.expr(_cos_expr("embedding", "u_emb", "norm2", "u_norm2")) >= tau)
+        .select("vec_id").distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select("vec_id", "cell", F.expr("_dup IS NULL").alias("kept"))
+    )
+
+
+def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    def cos(a, b):
+        return (
+            f"{_DOT_DUCK.format(a=a, b=b)} / "
+            f"sqrt(({_DOT_DUCK.format(a=a, b=a)}) * ({_DOT_DUCK.format(a=b, b=b)}))"
+        )
+
+    return f"""
+        WITH centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb
+          FROM ({_seed_cte_duck()})
+        ),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, c.c_id AS cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {cos('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+          FROM embeddings v CROSS JOIN centroids c
+          QUALIFY rn = 1
+        ),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {cos('a.embedding', 'b.embedding')} >= {tau}
+        )
+        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+        FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """

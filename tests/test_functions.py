@@ -527,3 +527,66 @@ def test_round5_parameter_validation(spark):
         fsk.kmv_distinct(events, n_splits=0)
     with pytest.raises(ValueError):
         fsk.kmv_distinct(events, k=1)
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    # segs are 4-token windows; "c1 c2 c3 c4" is shared by 3 docs ->
+    # boilerplate at min_docs=3; each doc's unique tail survives
+    docs = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 aa bb cc dd", "en", "s", 23),
+         (2, "c1 c2 c3 c4 ee ff gg hh", "en", "s", 23),
+         (3, "c1 c2 c3 c4 ii jj kk ll", "en", "s", 23),
+         (4, "mm nn oo pp qq rr ss tt", "en", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in fdedup.line_dedup(docs).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["clean_text"] == "aa bb cc dd"
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "mm nn oo pp qq rr ss tt"
+
+
+def test_line_dedup_all_boilerplate_doc_empties(spark):
+    docs = spark.createDataFrame(
+        [(i, "x1 x2 x3 x4", "en", "s", 11) for i in range(1, 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = fdedup.line_dedup(docs).collect()
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+    with pytest.raises(ValueError):
+        fdedup.line_dedup(docs, min_docs=1)
+
+
+def test_semantic_dedup_keeps_lowest_id_of_near_pair(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = fsim.semantic_dedup(emb, tau=0.35).collect()
+    assert len(rows) == emb.count()  # one verdict per vector
+    kept = {r["vec_id"] for r in rows if r["kept"]}
+    # at tau > 1.0-equivalent nothing can be removed
+    all_kept = fsim.semantic_dedup(emb, tau=1.0).collect()
+    # cos(v,v) pairs are excluded (u < v strict), so tau=1.0 removes
+    # only exact-duplicate vectors; every removal set is a subset
+    assert {r["vec_id"] for r in all_kept if r["kept"]} >= kept
+    with pytest.raises(ValueError):
+        fsim.semantic_dedup(emb, tau=0.0)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    text = " ".join(f"t{i}" for i in range(40))  # 40 tokens
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = sorted(fcur.chunk_documents(docs).collect(),
+                  key=lambda r: r["chunk_id"])
+    # starts at 0 and 24: chunk 0 is full 32 tokens, chunk 1 the
+    # 16-token tail; no chunk 2 (start 48 >= 40)
+    assert [r["n_chunk_tokens"] for r in rows] == [32, 16]
+    # md5 of the actual token join
+    import hashlib
+    toks = text.split()
+    want0 = hashlib.md5(" ".join(toks[0:32]).encode()).hexdigest()
+    want1 = hashlib.md5(" ".join(toks[24:40]).encode()).hexdigest()
+    assert [r["chunk_hash"] for r in rows] == [want0, want1]
+    with pytest.raises(ValueError):
+        fcur.chunk_documents(docs, chunk_tokens=8, stride=9)
+    with pytest.raises(ValueError):
+        fcur.chunk_documents(docs, chunk_tokens=0)

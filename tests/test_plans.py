@@ -446,3 +446,49 @@ def test_trailing_distinct_is_banded_equi_join(spark):
     import re
     assert re.search(r"hashpartitioning\(event_type#\d+[^)]*_band#", plan) \
         or "_band" in plan
+
+
+def test_line_dedup_is_hash_agg_and_equi_join(spark):
+    """Line dedup's corpus-sized stages: segment rows -> ONE map-side-
+    combined frequency aggregation -> shuffle equi-join against the
+    boilerplate set (NOT broadcast: it grows with the corpus) -> one
+    per-doc hash aggregation. No window over the corpus, no nested
+    loop, no higher-order lambdas in the segment path."""
+    docs = load_table(spark, SF_DIR, "documents")
+    df = fdedup.line_dedup(docs)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan  # countDistinct partial on the seg agg
+    assert "strategy=broadcast" not in optimized_of(df)
+
+
+def test_semantic_dedup_join_is_cell_keyed(spark):
+    """The duplicate scan must be a CELL-keyed equi-join (sum of
+    cell-size² work), never an all-pairs product; the only broadcast
+    is the fixed-K centroid set."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = fsim.semantic_dedup(emb)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the corpus-x-corpus duplicate scan must be keyed on the cell
+    assert "SortMergeJoin [cell" in plan or "ShuffledHashJoin [cell" in plan
+    # nested-loop joins may appear ONLY as the fixed-K (64-row)
+    # centroid broadcast passes — one per use of the assigned relation
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is a pure narrow projection: tokenize, explode chunk
+    starts, slice+hash — a 100 TB corpus chunks map-side. The only
+    Exchange allowed is load_table's initial fan-out repartition."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fcur.chunk_documents(docs))
+    assert plan.count("Exchange") <= 1  # load_table fan-out only
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan and "Sort" not in plan
