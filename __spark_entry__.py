@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": lambda s, d: fdedup.line_dedup(_docs(s, d)),
         "dedup_semantic": lambda s, d: fsim.semantic_dedup(_emb(s, d)),
         "docs_chunk_tokens": lambda s, d: fcur.chunk_documents(_docs(s, d)),
+        "sample_temperature": lambda s, d: fcur.temperature_resample(_docs(s, d)),
+        "select_token_budget": lambda s, d: fcur.select_token_budget(
+            _docs(s, d), ftext.quality_score(_docs(s, d))
+        ),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -903,6 +907,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": fdedup.line_dedup_oracle(),
         "dedup_semantic": fsim.semantic_dedup_oracle(),
         "docs_chunk_tokens": fcur.chunk_documents_oracle(),
+        "sample_temperature": fcur.temperature_resample_oracle(),
+        "select_token_budget": fcur.select_token_budget_oracle(
+            ftext.quality_score_oracle()
+        ),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
         "events_asof_join": fasof.purchases_with_last_click_oracle(),
         "events_range_join": fasof.clicks_before_purchase_oracle(),

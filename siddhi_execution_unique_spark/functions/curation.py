@@ -611,3 +611,162 @@ def chunk_documents_oracle(chunk_tokens: int = CHUNK_TOKENS,
              unnest(generate_series(
                0, CAST(floor((len(toks) - 1) / {stride}) AS INT))) AS t(chunk_id)
     """
+
+
+# -------------------------------------------- temperature resampling
+
+# doc-hash uniform fraction in [0, 1): first 13 md5 hex digits over
+# 16^13 — bit-identical across engines (one double division of exact
+# integers; no RNG, so the same docs survive on any cluster/retry)
+_UFRAC_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)"
+    " / cast(4503599627370496 as double)"
+)
+_UFRAC_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+    " / CAST(4503599627370496 AS DOUBLE)"
+)
+
+
+def temperature_resample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-corpus
+    reweighting step, e.g. mBERT/XLM-R exponentiated smoothing): each
+    (lang, source) cell's keep probability is
+    ``(min_cell_share / cell_share) ** alpha`` — the smallest cell
+    keeps everything, over-represented cells are deterministically
+    downsampled toward a flatter mixture. A document survives when its
+    md5-hash fraction < its cell's keep probability (hash-deterministic,
+    not RNG — reproducible across clusters, partitionings, retries).
+
+    ``alpha`` must be 0.5 (sqrt) or 1.0 (linear): general ``pow`` is a
+    transcendental whose libm rounding differs across engines, while
+    sqrt and division are IEEE correctly-rounded — the oracle stays
+    bit-exact.
+
+    Output: (doc_id, lang, source, keep_prob, kept), one row per doc.
+
+    Scale shape: ONE corpus-sized hash aggregation to O(#cells) rows;
+    shares and the min-share run on the tiny cell table (unpartitioned
+    window is free there); the per-doc verdict is an equi-join of docs
+    against the cell table on (lang, source) — not broadcast-hinted
+    (the cell table grows with the domain/language inventory; AQE
+    localizes it while it fits)."""
+    if alpha not in (0.5, 1.0):
+        raise ValueError(f"alpha must be 0.5 or 1.0, got {alpha}")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.expr(f"size({SPARK_TOKS})").alias("n_toks")
+    )
+    cells = toks.groupBy("lang", "source").agg(F.sum("n_toks").alias("cell_toks"))
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ratio = "min_toks / cast(cell_toks as double)"
+    prob = f"sqrt({ratio})" if alpha == 0.5 else ratio
+    weighted = cells.select(
+        "lang", "source",
+        F.min("cell_toks").over(total).alias("min_toks"),
+        "cell_toks",
+    ).select("lang", "source", F.expr(prob).alias("keep_prob"))
+    return (
+        toks.join(weighted, ["lang", "source"])
+        .select(
+            "doc_id", "lang", "source",
+            F.expr("round(keep_prob, 6)").alias("keep_prob"),
+            F.expr(f"{_UFRAC_SPARK} < keep_prob").alias("kept"),
+        )
+    )
+
+
+def temperature_resample_oracle(alpha: float = 0.5) -> str:
+    ratio = "min_toks / CAST(cell_toks AS DOUBLE)"
+    prob = f"sqrt({ratio})" if alpha == 0.5 else ratio
+    return f"""
+        WITH cells AS (
+          SELECT lang, source, CAST(sum(len({DUCK_TOKS})) AS BIGINT) AS cell_toks
+          FROM documents GROUP BY 1, 2
+        ),
+        weighted AS (
+          SELECT lang, source, {prob} AS keep_prob
+          FROM (SELECT lang, source, cell_toks,
+                       min(cell_toks) OVER () AS min_toks
+                FROM cells)
+        )
+        SELECT d.doc_id, d.lang, d.source,
+               round(w.keep_prob, 6) AS keep_prob,
+               ({_UFRAC_DUCK} < w.keep_prob) AS kept
+        FROM documents d JOIN weighted w
+          ON d.lang = w.lang AND d.source = w.source
+    """
+
+
+# --------------------------------------- token-budget quality selection
+
+BUDGET_TOKENS = 800  # per-source token budget; binds at every test SF
+
+
+def select_token_budget(docs: DataFrame, quality: DataFrame,
+                        budget_tokens: int = BUDGET_TOKENS) -> DataFrame:
+    """Budgeted quality selection: per source, keep the highest-quality
+    documents (quality desc, doc_id tiebreak) while the source's
+    cumulative token count stays within ``budget_tokens`` — the greedy
+    fill a fixed-size training-mix slot runs. A document is kept iff
+    the cumulative tokens up to AND INCLUDING it fit the budget.
+
+    Output: (doc_id, source, quality, n_toks, kept), one row per doc.
+
+    Scale shape — the same two-phase histogram trick as
+    :func:`quality_percentiles` / :func:`pack_training_shards`: a naive
+    per-source running sum would sort whole sources in single window
+    partitions (source cardinality is tiny, so that's a handful of
+    corpus-sized tasks). Instead quality is quantized to integer
+    millibins; per-(source, bin) token totals are ONE map-side-combined
+    hash aggregation; the strictly-better-bins prefix runs on the tiny
+    O(#sources x 1001) bin table; and the only corpus-sized window
+    partitions by (source, bin) — thousands of small partitions, no
+    single task ever sees a whole source. floor is monotone in quality,
+    so bin-prefix + within-bin cumsum == the per-source global cumsum
+    the (simpler, unscalable) oracle computes."""
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    base = (
+        docs.select("doc_id", "source", F.expr(f"size({SPARK_TOKS})").alias("n_toks"))
+        .join(quality.select("doc_id", "quality"), "doc_id")
+        .withColumn("bin", F.expr("cast(floor(quality * 1000) as int)"))
+    )
+    bins = base.groupBy("source", "bin").agg(F.sum("n_toks").alias("bin_toks"))
+    w_bins = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bins.select(
+        "source", "bin",
+        F.coalesce(F.sum("bin_toks").over(w_bins), F.lit(0)).alias("cum_before"),
+    )
+    w_in_bin = (
+        Window.partitionBy("source", "bin")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(cum, ["source", "bin"])
+        .withColumn("cum_in_bin", F.sum("n_toks").over(w_in_bin))
+        .select(
+            "doc_id", "source", "quality", "n_toks",
+            F.expr(f"cum_before + cum_in_bin <= {budget_tokens}").alias("kept"),
+        )
+    )
+
+
+def select_token_budget_oracle(quality_oracle: str,
+                               budget_tokens: int = BUDGET_TOKENS) -> str:
+    """Single per-source running sum — correct but unscalable; the
+    Spark side's bin-prefix decomposition must agree exactly."""
+    return f"""
+        WITH q AS ({quality_oracle})
+        SELECT d.doc_id, d.source, q.quality,
+               CAST(len({DUCK_TOKS}) AS BIGINT) AS n_toks,
+               (sum(len({DUCK_TOKS}))
+                  OVER (PARTITION BY d.source
+                        ORDER BY q.quality DESC, d.doc_id
+                        ROWS UNBOUNDED PRECEDING) <= {budget_tokens}) AS kept
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+    """

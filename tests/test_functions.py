@@ -590,3 +590,41 @@ def test_chunk_documents_overlap_and_tail(spark):
         fcur.chunk_documents(docs, chunk_tokens=8, stride=9)
     with pytest.raises(ValueError):
         fcur.chunk_documents(docs, chunk_tokens=0)
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = fcur.temperature_resample(docs).toPandas()
+    assert len(out) == docs.count()
+    # the smallest cell keeps everything (keep_prob == 1.0)
+    assert (out.keep_prob <= 1.0).all() and (out.keep_prob > 0.0).all()
+    assert out[out.keep_prob == 1.0].kept.all()
+    # sqrt smoothing keeps at least as much as linear
+    lin = fcur.temperature_resample(docs, alpha=1.0).toPandas()
+    assert out.kept.sum() >= lin.kept.sum()
+    # deterministic: same verdicts on a rerun
+    again = fcur.temperature_resample(docs).toPandas()
+    assert out.sort_values("doc_id").kept.tolist() == \
+        again.sort_values("doc_id").kept.tolist()
+    with pytest.raises(ValueError):
+        fcur.temperature_resample(docs, alpha=0.7)
+
+
+def test_select_token_budget_greedy_prefix(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    from siddhi_execution_unique_spark.functions import text as ftext
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = fcur.select_token_budget(docs, ftext.quality_score(docs),
+                                   budget_tokens=300).toPandas()
+    # per source: kept docs are exactly the top-quality prefix whose
+    # cumulative tokens fit the budget
+    for src, grp in out.groupby("source"):
+        grp = grp.sort_values(["quality", "doc_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        cum = grp.n_toks.cumsum()
+        want = (cum <= 300).tolist()
+        assert grp.kept.tolist() == want, src
+    with pytest.raises(ValueError):
+        fcur.select_token_budget(docs, ftext.quality_score(docs),
+                                 budget_tokens=0)

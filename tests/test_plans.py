@@ -492,3 +492,31 @@ def test_chunk_documents_is_shuffle_free(spark):
     assert plan.count("Exchange") <= 1  # load_table fan-out only
     assert "CartesianProduct" not in plan
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_select_token_budget_windows_partition_by_bin(spark):
+    """The corpus-sized running sum must partition by (source, bin) —
+    never by source alone (a whole-source single-task sort); the
+    source-only window may only run over the tiny bins aggregate."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    from siddhi_execution_unique_spark.functions import text as ftext
+    import re
+    docs = load_table(spark, SF_DIR, "documents")
+    df = fcur.select_token_budget(docs, ftext.quality_score(docs))
+    plan = plan_of(df)
+    assert re.search(r"hashpartitioning\(source#\d+, bin#", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_resample_single_corpus_agg(spark):
+    """One corpus-sized hash aggregation to cells; the min-share
+    window runs on the O(#cells) aggregate; the verdict join is an
+    equi-join, not broadcast-hinted."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    df = fcur.temperature_resample(docs)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+    assert "strategy=broadcast" not in optimized_of(df)
