@@ -993,3 +993,188 @@ def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
         FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
     """
+
+
+# ---------------------------------------------------------------------
+# PCA over the embedding corpus (exact fixed-point covariance,
+# constant-size model, literal-matrix projection)
+
+# quantization for the covariance pass: |v| < 0.6 in the test corpus,
+# so |q| < 6e3, |qi*qj| < 3.6e7, and the centered numerator
+# n*sum(qi*qj) - sum(qi)*sum(qj) stays < 2^63 up to n ~ 1.8e5 vectors
+# per aggregation; a larger corpus raises the scale bound by sharding
+# the pass or widening to DECIMAL — the aggregate STRUCTURE (one
+# map-side-combined hash agg to dim*(dim+1)/2 cells) is unchanged.
+_COV_QUANT = 10_000
+PCA_COMPONENTS = 4
+
+
+def pca_covariance(emb: DataFrame) -> DataFrame:
+    """Exact corpus covariance numerators for the embedding table:
+    one row per dimension pair ``i <= j`` with the centered fixed-point
+    numerator ``cov_num = n * sum(qi*qj) - sum(qi) * sum(qj)`` where
+    ``q = round(val * 1e4)`` — all-BIGINT arithmetic, so the result is
+    order-independent and bit-identical across engines (a double sum's
+    value depends on partition merge order; see
+    :func:`cell_centroids`). Output: (i, j, n, cov_num) — the
+    dim*(dim+1)/2 = 2080-cell model a PCA/whitening step consumes.
+
+    Scale shape: the Gram pass explodes each vector to its 2080
+    dimension pairs INSIDE whole-stage codegen (explode(sequence) +
+    array indexing, no lambdas) feeding ONE partially-aggregating
+    groupBy(i, j) — each partition collapses to 2080 cells before the
+    shuffle, so shuffle volume is O(dim² x n_partitions), independent
+    of corpus rows: the distributed outer-product accumulation a
+    100 TB whitening job runs. Per-dimension sums ride a second tiny
+    (dim-cell) aggregation, joined back on the model cells."""
+    q = f"cast(round(cast(embedding[{{idx}}] as double) * {_COV_QUANT}) as bigint)"
+    staged = emb.select("vec_id", "embedding").select(
+        "embedding", F.explode(F.expr("sequence(0, size(embedding) - 1)")).alias("i")
+    ).select(
+        "embedding", "i", F.expr(q.format(idx="i")).alias("qi")
+    ).select(
+        "embedding", "i", "qi",
+        F.explode(F.expr("sequence(i, size(embedding) - 1)")).alias("j"),
+    ).select(
+        "i", "j", "qi", F.expr(q.format(idx="j")).alias("qj")
+    )
+    gram = staged.groupBy("i", "j").agg(F.sum(F.expr("qi * qj")).alias("sp"))
+    dim_sums = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .select("pos", F.expr(
+            f"cast(round(cast(val as double) * {_COV_QUANT}) as bigint)"
+        ).alias("qv"))
+        .groupBy("pos")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+    )
+    si = dim_sums.select(F.col("pos").alias("i"), F.col("s").alias("si"),
+                         F.col("n").alias("n"))
+    sj = dim_sums.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+    return (
+        gram.join(si, "i").join(sj, "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "n",
+            F.expr("n * sp - si * sj").alias("cov_num"),
+        )
+    )
+
+
+def pca_covariance_oracle() -> str:
+    q = f"CAST(round(embedding[{{idx}}]::DOUBLE * {_COV_QUANT}) AS BIGINT)"
+    return f"""
+        WITH pairs AS (
+          SELECT i.i, j.j,
+                 {q.format(idx='i.i + 1')} AS qi,
+                 {q.format(idx='j.j + 1')} AS qj
+          FROM embeddings,
+               unnest(generate_series(0, len(embedding) - 1)) AS i(i),
+               unnest(generate_series(0, len(embedding) - 1)) AS j(j)
+          WHERE j.j >= i.i
+        ),
+        gram AS (
+          SELECT i, j, CAST(sum(qi * qj) AS BIGINT) AS sp FROM pairs GROUP BY i, j
+        ),
+        dim_sums AS (
+          SELECT pos - 1 AS pos,
+                 CAST(sum({q.format(idx='pos')}) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                       embedding
+                FROM embeddings)
+          GROUP BY 1
+        )
+        SELECT g.i, g.j, a.n,
+               CAST(a.n * g.sp - a.s * b.s AS BIGINT) AS cov_num
+        FROM gram g
+        JOIN dim_sums a ON a.pos = g.i
+        JOIN dim_sums b ON b.pos = g.j
+    """
+
+
+def _pca_components_from_cov(cov_rows, k: int):
+    """Top-k eigenvectors of the (tiny, constant-size) covariance
+    model, deterministically: rows are sorted by (i, j) before the
+    dense matrix is built, eigh of identical input bits is identical,
+    and each vector's sign is canonicalized so its largest-|entry|
+    component is positive. Pure numpy on a dim x dim matrix — O(dim³)
+    driver work, independent of corpus size."""
+    import numpy as np
+
+    rows = sorted(cov_rows, key=lambda r: (r[0], r[1]))
+    dim = max(r[1] for r in rows) + 1
+    M = np.zeros((dim, dim), dtype=np.float64)
+    for i, j, _n, cov_num in rows:
+        M[i, j] = M[j, i] = float(cov_num)
+    vals, vecs = np.linalg.eigh(M)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for c in order:
+        v = vecs[:, c]
+        lead = int(np.argmax(np.abs(v)))
+        if v[lead] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def _project_exprs(comps, idx0) -> list[str]:
+    """Literal-matrix projection expressions: component c's score is a
+    64-term left-to-right chain of embedding[d] * literal products —
+    the fold order (and therefore every IEEE intermediate) is
+    identical on both engines. ``idx0`` is the engine's base index."""
+    exprs = []
+    for ci, v in enumerate(comps):
+        terms = " + ".join(
+            f"cast(embedding[{d + idx0}] as double) * {w!r}" for d, w in enumerate(v)
+        )
+        exprs.append(f"round({terms}, 6)")
+    return exprs
+
+
+def pca_project(emb: DataFrame, k: int = PCA_COMPONENTS) -> DataFrame:
+    """Project every embedding onto the corpus's top-``k`` principal
+    components: (vec_id, pc0..pc{k-1}). The model (dim x dim exact
+    covariance -> eigh -> k x dim literal matrix) is CONSTANT-size in
+    the corpus; only the single projection pass touches all rows, as a
+    codegen'd literal dot product (no Python in the per-row path).
+
+    The collect here is the 2080-row covariance model, not data —
+    the same constant-size-model discipline as the ANN codebook
+    (round-5 bounded-K rule)."""
+    if not 1 <= k <= 64:
+        raise ValueError(f"k must be in [1, 64], got {k}")
+    cov = [(r["i"], r["j"], r["n"], r["cov_num"]) for r in pca_covariance(emb).collect()]
+    comps = _pca_components_from_cov(cov, k)
+    cols = [F.expr(e).alias(f"pc{ci}")
+            for ci, e in enumerate(_project_exprs(comps, idx0=0))]
+    return emb.select("vec_id", *cols)
+
+
+def pca_project_oracle(sf_dir: str | None = None,
+                       k: int = PCA_COMPONENTS) -> str:
+    """DuckDB twin: the covariance model is computed by the (already
+    parity-proven) covariance oracle SQL on the SAME parquet the
+    driver compares at, then the identical numpy eigh produces the
+    identical literal matrix — the SQL string tests the projection
+    fold bit-for-bit."""
+    import duckdb
+    import os
+
+    if sf_dir is None:
+        # the round driver compares oracles at sf0.01; the local parity
+        # suite points this env var at its own sf_dir
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    cov = [tuple(r) for r in con.sql(pca_covariance_oracle()).fetchall()]
+    comps = _pca_components_from_cov(cov, k)
+    sel = ", ".join(
+        f"{e} AS pc{ci}" for ci, e in enumerate(_project_exprs(comps, idx0=1))
+    )
+    return f"SELECT vec_id, {sel} FROM embeddings"

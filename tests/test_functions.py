@@ -628,3 +628,29 @@ def test_select_token_budget_greedy_prefix(spark):
     with pytest.raises(ValueError):
         fcur.select_token_budget(docs, ftext.quality_score(docs),
                                  budget_tokens=0)
+
+
+def test_pca_project_variance_ordering_and_centering(spark):
+    import numpy as np
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = fsim.pca_project(emb).toPandas().sort_values("vec_id")
+    P = out[["pc0", "pc1", "pc2", "pc3"]].to_numpy()
+    # principal scores come in decreasing-variance order
+    v = P.var(axis=0)
+    assert v[0] >= v[1] >= v[2] >= v[3] > 0
+    # scores are centered up to quantization error (1e-4 fixed point)
+    assert np.abs(P.mean(axis=0)).max() < 1e-2
+    with pytest.raises(ValueError):
+        fsim.pca_project(emb, k=0)
+    with pytest.raises(ValueError):
+        fsim.pca_project(emb, k=65)
+
+
+def test_pca_covariance_is_symmetric_model(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = fsim.pca_covariance(emb).collect()
+    assert len(rows) == 64 * 65 // 2  # upper triangle incl. diagonal
+    n = {r["n"] for r in rows}
+    assert n == {emb.count()}
+    # diagonal entries are n*sum(q²) - sum(q)² >= 0
+    assert all(r["cov_num"] >= 0 for r in rows if r["i"] == r["j"])

@@ -520,3 +520,16 @@ def test_temperature_resample_single_corpus_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
     assert "strategy=broadcast" not in optimized_of(df)
+
+
+def test_pca_covariance_is_partial_agg_constant_shuffle(spark):
+    """The Gram pass must map-side combine to dim²/2 cells before its
+    exchange (shuffle volume independent of corpus rows), and nothing
+    in the covariance plan windows or nested-loops."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = fsim.pca_covariance(emb)
+    plan = plan_of(df)
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
