@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": lambda s, d: fsim.semantic_dedup(_emb(s, d)),
         "docs_chunk_tokens": lambda s, d: fcur.chunk_documents(_docs(s, d)),
         "sample_temperature": lambda s, d: fcur.temperature_resample(_docs(s, d)),
+        "vocab_bpe_merges": lambda s, d: fcur.bpe_merge_pairs(_docs(s, d)),
+        "source_overlap_matrix": lambda s, d: fcur.source_overlap_matrix(_docs(s, d)),
         "emb_pca_covariance": lambda s, d: fsim.pca_covariance(_emb(s, d)),
         "emb_pca_project": lambda s, d: fsim.pca_project(_emb(s, d)),
         "select_token_budget": lambda s, d: fcur.select_token_budget(
@@ -910,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": fsim.semantic_dedup_oracle(),
         "docs_chunk_tokens": fcur.chunk_documents_oracle(),
         "sample_temperature": fcur.temperature_resample_oracle(),
+        "vocab_bpe_merges": fcur.bpe_merge_pairs_oracle(),
+        "source_overlap_matrix": fcur.source_overlap_matrix_oracle(),
         "emb_pca_covariance": fsim.pca_covariance_oracle(),
         "emb_pca_project": fsim.pca_project_oracle(),
         "select_token_budget": fcur.select_token_budget_oracle(

@@ -770,3 +770,99 @@ def select_token_budget_oracle(quality_oracle: str,
                         ROWS UNBOUNDED PRECEDING) <= {budget_tokens}) AS kept
         FROM documents d JOIN q ON d.doc_id = q.doc_id
     """
+
+
+# ---------------------------------------------- BPE merge-pair counts
+
+def bpe_merge_pairs(docs: DataFrame, k: int = 50) -> DataFrame:
+    """The first step of BPE/WordPiece vocabulary training at corpus
+    scale: global frequencies of ADJACENT token pairs, top-``k`` by
+    count (the pair a BPE trainer would merge first, then the
+    runners-up). Output: (left, right, n_pairs, n_docs).
+
+    Same scale shape as :func:`vocab_top_tokens`: adjacent pairs are
+    produced as rows by ``explode(sequence)`` + array indexing (codegen,
+    no lambdas), counted in ONE map-side-combined hash aggregation
+    keyed by the pair, and the top-k is ``orderBy.limit`` =
+    TakeOrderedAndProject (per-partition k-row heaps, never a global
+    sort). A full BPE train iterates this; each iteration is this same
+    single aggregation over re-segmented tokens."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
+        F.expr("size(toks) >= 2")
+    )
+    pairs = toks.select(
+        "doc_id", "toks",
+        F.explode(F.expr("sequence(0, size(toks) - 2)")).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr("toks[i]").alias("left"),
+        F.expr("toks[i+1]").alias("right"),
+    )
+    counts = pairs.groupBy("left", "right").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.desc("n_pairs"), F.asc("left"), F.asc("right")
+    ).limit(k)
+
+
+def bpe_merge_pairs_oracle(k: int = 50) -> str:
+    return f"""
+        WITH pairs AS (
+          SELECT doc_id, toks[i] AS left, toks[i+1] AS right
+          FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+               unnest(generate_series(1, len(toks) - 1)) AS t(i)
+          WHERE len(toks) >= 2
+        )
+        SELECT "left", "right", count(*) AS n_pairs,
+               count(DISTINCT doc_id) AS n_docs
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY n_pairs DESC, "left" ASC, "right" ASC
+        LIMIT {k}
+    """
+
+
+# ------------------------------------------- source-overlap diagnostic
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Corpus-provenance diagnostic: for every ordered source pair
+    (a < b), how many DISTINCT word-3-gram shingles the two sources
+    share — the matrix that locates cross-source duplication /
+    contamination before any pairwise doc comparison runs.
+
+    Scale shape: the corpus reduces to DISTINCT (source, shingle) rows
+    (one hash aggregation); the pair counts come from a self equi-join
+    ON THE SHINGLE (posting-list join — fanout per shingle is bounded
+    by the number of sources it appears in, <= n_sources, never by
+    document count) and one final hash aggregation to the
+    O(n_sources²) matrix."""
+    sh = (
+        _distinct_shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "sh").distinct()
+    )
+    other = sh.select(F.col("source").alias("source_b"), F.col("sh").alias("sh_b"))
+    return (
+        sh.join(other, (F.col("sh") == F.col("sh_b"))
+                & (F.col("source") < F.col("source_b")))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+def source_overlap_matrix_oracle() -> str:
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT source, sh
+          FROM (SELECT doc_id, source, unnest({_SHINGLE_DUCK}) AS sh
+                FROM documents WHERE len({DUCK_TOKS}) >= {MIN_TOKENS}) t
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared_shingles
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    """

@@ -654,3 +654,29 @@ def test_pca_covariance_is_symmetric_model(spark):
     assert n == {emb.count()}
     # diagonal entries are n*sum(q²) - sum(q)² >= 0
     assert all(r["cov_num"] >= 0 for r in rows if r["i"] == r["j"])
+
+
+def test_bpe_merge_pairs_hand_corpus(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = spark.createDataFrame(
+        [(1, "a b a b c", "en", "s", 9), (2, "a b x", "en", "s", 5),
+         (3, "z", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = fcur.bpe_merge_pairs(docs, k=2).collect()
+    # "a b" occurs 3x (2 in doc1, 1 in doc2) across 2 docs — the merge
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "b")
+    assert rows[0]["n_pairs"] == 3 and rows[0]["n_docs"] == 2
+    with pytest.raises(ValueError):
+        fcur.bpe_merge_pairs(docs, k=0)
+
+
+def test_source_overlap_matrix_counts_shared_shingles(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = spark.createDataFrame(
+        [(1, "p q r s", "en", "sA", 7),   # shingles: "p q r", "q r s"
+         (2, "p q r t", "en", "sB", 7),   # shares "p q r" with sA
+         (3, "u v w", "en", "sC", 5)],    # shares nothing
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = fcur.source_overlap_matrix(docs).collect()
+    m = {(r["source_a"], r["source_b"]): r["n_shared_shingles"] for r in rows}
+    assert m == {("sA", "sB"): 1}

@@ -533,3 +533,24 @@ def test_pca_covariance_is_partial_agg_constant_shuffle(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pairs_topk_is_take_ordered(spark):
+    """Top-k merge pairs must be per-partition heaps (TakeOrdered),
+    never a global sort of the pair-count table."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fcur.bpe_merge_pairs(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_source_overlap_join_is_shingle_keyed(spark):
+    """The source-pair matrix must come from a posting-list equi-join
+    on the shingle — per-shingle fanout is bounded by n_sources, and
+    nothing nested-loops."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fcur.source_overlap_matrix(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
