@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": lambda s, d: fsim.semantic_dedup(_emb(s, d)),
         "docs_chunk_tokens": lambda s, d: fcur.chunk_documents(_docs(s, d)),
         "sample_temperature": lambda s, d: fcur.temperature_resample(_docs(s, d)),
+        "pipeline_pretrain_chunks": lambda s, d: fpipe.pretrain_chunks(_docs(s, d)),
         "vocab_bpe_merges": lambda s, d: fcur.bpe_merge_pairs(_docs(s, d)),
         "source_overlap_matrix": lambda s, d: fcur.source_overlap_matrix(_docs(s, d)),
         "emb_pca_covariance": lambda s, d: fsim.pca_covariance(_emb(s, d)),
@@ -912,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": fsim.semantic_dedup_oracle(),
         "docs_chunk_tokens": fcur.chunk_documents_oracle(),
         "sample_temperature": fcur.temperature_resample_oracle(),
+        "pipeline_pretrain_chunks": fpipe.pretrain_chunks_oracle(),
         "vocab_bpe_merges": fcur.bpe_merge_pairs_oracle(),
         "source_overlap_matrix": fcur.source_overlap_matrix_oracle(),
         "emb_pca_covariance": fsim.pca_covariance_oracle(),

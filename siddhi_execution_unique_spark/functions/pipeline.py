@@ -242,3 +242,106 @@ def dedup_corpus_oracle(threshold: float = QUALITY_THRESHOLD) -> str:
                  / CAST(1000000 AS DOUBLE) AS mean_quality
         FROM kept GROUP BY pred_lang, source
     """
+
+
+# ---------------------------------------------------------------------
+# End-to-end pretraining-chunk pipeline:
+# line dedup -> quality gate on the CLEANED text -> fixed-token chunks
+
+def pretrain_chunks(docs: DataFrame,
+                    threshold: float = QUALITY_THRESHOLD) -> DataFrame:
+    """The full document-to-training-sequence path a pretraining run
+    takes: cross-document boilerplate lines are removed
+    (:func:`~siddhi_execution_unique_spark.functions.dedup.line_dedup`),
+    the quality gate scores the CLEANED text (boilerplate must not
+    count toward quality), and surviving documents are split into
+    overlapping fixed-token chunks
+    (:func:`~siddhi_execution_unique_spark.functions.curation.chunk_documents`).
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_hash, quality).
+
+    Composition stays one declarative Catalyst graph: each stage is
+    the already-plan-audited shape of its component operator (segment
+    frequency agg + equi-join + listagg rebuild; explode + hash-agg
+    scoring; shuffle-free chunk projection), chained by doc_id
+    equi-joins — no new shuffle patterns appear by composing."""
+    from siddhi_execution_unique_spark.functions.curation import chunk_documents
+    from siddhi_execution_unique_spark.functions.dedup import line_dedup
+    from siddhi_execution_unique_spark.functions.text import quality_score
+
+    cleaned = (
+        line_dedup(docs)
+        .filter(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    q = quality_score(cleaned).select("doc_id", "quality")
+    kept = cleaned.join(q.filter(F.col("quality") >= threshold), "doc_id")
+    return chunk_documents(kept.select("doc_id", "text")).join(
+        q, "doc_id"
+    ).select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_hash", "quality")
+
+
+def pretrain_chunks_oracle(threshold: float = QUALITY_THRESHOLD) -> str:
+    from siddhi_execution_unique_spark.functions.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from siddhi_execution_unique_spark.functions.dedup import (
+        SEG_LEN,
+        SEG_MIN_DOCS,
+        _NSEG_DUCK,
+    )
+    from siddhi_execution_unique_spark.functions.text import DUCK_TOKS
+
+    stop_sum = (
+        f"list_sum(list_transform({DUCK_TOKS}, x -> "
+        f"({_in_list_sql('x', STOPWORDS['en'])})))"
+    )
+    short_sum = (
+        f"list_sum(list_transform({DUCK_TOKS}, x -> "
+        f"(CASE WHEN length(x) <= 2 THEN 1 ELSE 0 END)))"
+    )
+    punct = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+    return f"""
+        WITH segs AS (
+          SELECT doc_id, g,
+                 array_to_string(toks[(g * {SEG_LEN} + 1):(g * {SEG_LEN} + {SEG_LEN})], ' ') AS seg
+          FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+               unnest(generate_series(0, {_NSEG_DUCK} - 1)) AS t(g)
+        ),
+        boiler AS (
+          SELECT seg FROM segs GROUP BY seg
+          HAVING count(DISTINCT doc_id) >= {SEG_MIN_DOCS}
+        ),
+        cleaned AS (
+          SELECT doc_id, text FROM (
+            SELECT s.doc_id,
+                   coalesce(string_agg(s.seg, ' ' ORDER BY s.g)
+                            FILTER (WHERE b.seg IS NULL), '') AS text
+            FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+            GROUP BY s.doc_id
+          ) WHERE text <> ''
+        ),
+        q AS (
+          SELECT doc_id,
+                 round(0.5 * least({stop_sum} / CAST(len({DUCK_TOKS}) AS DOUBLE) * 5.0, 1.0)
+                       + 0.3 * (1.0 - {punct} / CAST(length(text) AS DOUBLE))
+                       + 0.2 * (1.0 - {short_sum} / CAST(len({DUCK_TOKS}) AS DOUBLE)), 6)
+                   AS quality
+          FROM cleaned
+        ),
+        kept AS (
+          SELECT c.doc_id, c.text, q.quality
+          FROM cleaned c JOIN q USING (doc_id)
+          WHERE q.quality >= {threshold}
+        )
+        SELECT doc_id, chunk_id,
+               least({CHUNK_TOKENS}, len(toks) - chunk_id * {CHUNK_STRIDE})
+                 AS n_chunk_tokens,
+               md5(array_to_string(
+                 toks[(chunk_id * {CHUNK_STRIDE} + 1):(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})],
+                 ' ')) AS chunk_hash,
+               quality
+        FROM (SELECT doc_id, {DUCK_TOKS} AS toks, quality FROM kept),
+             unnest(generate_series(
+               0, CAST(floor((len(toks) - 1) / {CHUNK_STRIDE}) AS INT))) AS t(chunk_id)
+    """

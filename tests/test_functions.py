@@ -680,3 +680,16 @@ def test_source_overlap_matrix_counts_shared_shingles(spark):
     rows = fcur.source_overlap_matrix(docs).collect()
     m = {(r["source_a"], r["source_b"]): r["n_shared_shingles"] for r in rows}
     assert m == {("sA", "sB"): 1}
+
+
+def test_pretrain_chunks_gates_on_cleaned_text(spark):
+    from siddhi_execution_unique_spark.functions import pipeline as fpipe
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = fpipe.pretrain_chunks(docs).toPandas()
+    # every surviving chunk's quality clears the gate
+    assert (out.quality >= 0.65).all()
+    # chunk sizes are positive and bounded by the chunk length
+    assert (out.n_chunk_tokens > 0).all() and (out.n_chunk_tokens <= 32).all()
+    # a strictly higher gate keeps a subset of docs
+    strict = fpipe.pretrain_chunks(docs, threshold=0.8).toPandas()
+    assert set(strict.doc_id) <= set(out.doc_id)
