@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from siddhi_execution_unique_spark import operators as ops  # noqa: E402
 from siddhi_execution_unique_spark.functions import (  # noqa: E402
+    analytics as fana,
     asof as fasof,
+    fuzzy as ffuzzy,
     curation as fcur,
     dedup as fdedup,
     multimodal as fmm,
@@ -362,6 +364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": lambda s, d: fsim.pca_project(_emb(s, d)),
         "select_token_budget": lambda s, d: fcur.select_token_budget(
             _docs(s, d), ftext.quality_score(_docs(s, d))
+        ),
+        # -- (1c) new in this session — never driver-checked: ordered
+        #    funnel + cohort retention (event-sequence analytics)
+        "events_funnel": lambda s, d: fana.funnel(_events(s, d)),
+        "events_retention_cohorts": lambda s, d: fana.retention_cohorts(_events(s, d)),
+        "text_bigram_logprob": lambda s, d: ftext.bigram_logprob(_docs(s, d)),
+        "fuzzy_match_names": lambda s, d: ffuzzy.fuzzy_match_names(
+            load_table(s, d, "part")
         ),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
@@ -926,4 +936,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": fasof.clicks_before_purchase_oracle(),
         "sketch_kmv_distinct": fsk.kmv_distinct_oracle(),
         "events_time_rollup": fsk.time_rollup_oracle(),
+        "events_funnel": fana.funnel_oracle(),
+        "events_retention_cohorts": fana.retention_cohorts_oracle(),
+        "text_bigram_logprob": ftext.bigram_logprob_oracle(),
+        "fuzzy_match_names": ffuzzy.fuzzy_match_names_oracle(),
     }

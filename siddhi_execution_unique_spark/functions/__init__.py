@@ -2,9 +2,11 @@
 similarity search, multimodal plumbing (SURVEY.md §7 phase 4)."""
 
 from siddhi_execution_unique_spark.functions import (
+    analytics,
     asof,
     curation,
     dedup,
+    fuzzy,
     multimodal,
     pipeline,
     retrieval,
@@ -15,9 +17,11 @@ from siddhi_execution_unique_spark.functions import (
 )
 
 __all__ = [
+    "analytics",
     "asof",
     "curation",
     "dedup",
+    "fuzzy",
     "multimodal",
     "pipeline",
     "retrieval",

@@ -1,0 +1,167 @@
+"""Event-sequence analytics: ordered funnels and retention cohorts.
+(Beyond-reference scope — SURVEY.md §7 phase 4. The reference's host
+engine expresses these as Siddhi pattern/sequence queries over the
+event stream — e.g. ``from every e1=views -> e2=clicks[...] within
+1 day`` — built on the same per-key state the unique windows keep,
+UniqueEverWindowProcessor.java:84-93; here each step is a keyed
+aggregation + equi-join, the shape that distributes.)
+
+Scale design: every stage is a hash aggregation or an equi-join on
+``user_id`` — no window over a low-cardinality partition, no range
+join, no per-user driver loop. A funnel of S steps is S hash-aggs
+chained by S-1 user-keyed joins (each join's right side is the
+previous step's one-row-per-user frame, which only ever SHRINKS), so
+the 1000-executor plan is a fixed pipeline of shuffles on the highest
+-cardinality key available. Cohort retention is two aggregations
+separated by one user-keyed join. Timestamps ride as ``unix_millis``
+bigints (exact in both engines; DuckDB mirror is ``epoch_ms``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOUR_MS = 3_600_000
+DAY_MS = 24 * HOUR_MS
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    step_window_ms: int = DAY_MS,
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest completion time of
+    each step, where step *i+1* must occur strictly AFTER the user's
+    step-*i* completion and within ``step_window_ms`` of it. Emits one
+    row per user who completed step 1:
+    ``(user_id, step_reached, t1_ms .. tS_ms)`` with ``-1`` for
+    unreached steps, plus the greedy-earliest semantics every funnel
+    engine documents (each step anchors at the EARLIEST valid time, so
+    the chain is deterministic; a later step-1 event is never
+    revisited even if it would enable a longer chain).
+
+    Scale shape: step 1 is one hash agg over the filtered event scan;
+    each later step filters the corpus to one event type, joins it to
+    the previous per-user frame (equi-join on user_id — at most one
+    row per user on the build side), and hash-aggs the min qualifying
+    timestamp. S steps = S aggregations + S-1 joins, all keyed on
+    user_id; nothing materializes more than one row per user per step.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {len(steps)}")
+    if step_window_ms <= 0:
+        raise ValueError(f"funnel needs step_window_ms > 0, got {step_window_ms}")
+    ev = events.select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    cur = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1_ms"))
+    )
+    acc = cur
+    for i, step in enumerate(steps[1:], start=2):
+        prev_col = f"t{i - 1}_ms"
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(acc.select("user_id", prev_col), "user_id")
+            .filter(
+                (F.col("ts_ms") > F.col(prev_col))
+                & (F.col("ts_ms") <= F.col(prev_col) + F.lit(step_window_ms))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts_ms").alias(f"t{i}_ms"))
+        )
+        acc = acc.join(nxt, "user_id", "left")
+    reached = sum(
+        F.when(F.col(f"t{i}_ms").isNotNull(), 1).otherwise(0)
+        for i in range(2, len(steps) + 1)
+    ) + F.lit(1)
+    out_cols = [F.coalesce(F.col(f"t{i}_ms"), F.lit(-1)).alias(f"t{i}_ms")
+                for i in range(1, len(steps) + 1)]
+    return acc.select("user_id", reached.alias("step_reached"), *out_cols)
+
+
+def funnel_oracle(
+    steps: tuple[str, ...] = FUNNEL_STEPS, step_window_ms: int = DAY_MS
+) -> str:
+    ctes = [
+        f"""s1 AS (
+          SELECT user_id, min(epoch_ms(ts)) AS t1_ms
+          FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id
+        )"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (
+          SELECT e.user_id, min(epoch_ms(e.ts)) AS t{i}_ms
+          FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+          WHERE e.event_type = '{step}'
+            AND epoch_ms(e.ts) > p.t{i - 1}_ms
+            AND epoch_ms(e.ts) <= p.t{i - 1}_ms + {step_window_ms}
+          GROUP BY e.user_id
+        )"""
+        )
+    n = len(steps)
+    reach = " + ".join(
+        f"CASE WHEN s{i}.t{i}_ms IS NOT NULL THEN 1 ELSE 0 END" for i in range(2, n + 1)
+    )
+    sel = ", ".join(
+        f"coalesce(s{i}.t{i}_ms, -1) AS t{i}_ms" for i in range(1, n + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON s1.user_id = s{i}.user_id" for i in range(2, n + 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT s1.user_id, 1 + {reach} AS step_reached, {sel}
+        FROM s1 {joins}
+    """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen DAY, then
+    for every later activity day the count of that cohort still
+    active. Output ``(cohort_day, day_offset, n_users)`` where
+    ``cohort_day`` is days since epoch (exact int in both engines) and
+    ``day_offset >= 0``.
+
+    Scale shape: first-seen is one hash agg on user_id; activity days
+    are one DISTINCT (user_id, day) projection (partial-agg shuffle);
+    the join is user-keyed with a one-row-per-user build side; the
+    final agg is on (cohort_day, offset) — bounded by days², not by
+    users. Four codegen stages, two shuffles on user_id, one on the
+    tiny day-pair key."""
+    days = (
+        events.select(
+            "user_id",
+            (F.unix_millis("ts") / F.lit(DAY_MS)).cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def retention_cohorts_oracle() -> str:
+    return f"""
+        WITH days_t AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // {DAY_MS} AS day FROM events
+        ),
+        first_t AS (
+          SELECT user_id, min(day) AS cohort_day FROM days_t GROUP BY user_id
+        )
+        SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+               count(*) AS n_users
+        FROM days_t d JOIN first_t f ON d.user_id = f.user_id
+        GROUP BY f.cohort_day, d.day - f.cohort_day
+    """

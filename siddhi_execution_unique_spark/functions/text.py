@@ -315,6 +315,81 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram conditional-surprisal quality signal (the CCNet-style
+    LM-filter shape one rung up from :func:`unigram_logprob`): per
+    document, mean and max of ``-ln(count(x1,x2)/count(x1 as prefix))``
+    under the corpus's OWN bigram distribution. Degenerate repeated
+    text scores near-zero surprisal; incoherent token soup scores
+    high — the separating statistic a real perplexity filter uses,
+    with the corpus itself as the LM.
+
+    Scale shape: token rows explode once and materialize; bigrams are
+    a positional self-join on (doc_id, pos+1) — an equi-join that
+    shuffles on doc_id, never a window over the whole corpus; the two
+    count tables are hash aggs keyed on the (high-cardinality) token
+    and token-pair; scoring re-joins occurrences against the pair
+    counts. Conditional probabilities divide two counts from the SAME
+    aggregation tree, so both engines compute identical doubles before
+    the round(6)."""
+    toks = materialized(
+        docs.select(
+            "doc_id", F.posexplode(F.expr(SPARK_TOKS)).alias("pos", "x")
+        )
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("x").alias("x2")
+    )
+    pairs = materialized(
+        toks.join(nxt, ["doc_id", "pos"]).select("doc_id", "x", "x2")
+    )
+    pair_n = pairs.groupBy("x", "x2").agg(F.count("*").alias("n_xy"))
+    ctx_n = pairs.groupBy("x").agg(F.count("*").alias("n_x"))
+    scored = pair_n.join(ctx_n, "x").select(
+        "x", "x2",
+        F.expr("-ln(n_xy / cast(n_x as double))").alias("surprisal"),
+    )
+    return (
+        pairs.join(scored, ["x", "x2"])
+        .groupBy("doc_id")
+        .agg(
+            F.expr("round(avg(surprisal), 6)").alias("avg_surprisal"),
+            F.expr("round(max(surprisal), 6)").alias("max_surprisal"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+def bigram_logprob_oracle() -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS x
+          FROM (SELECT doc_id, {DUCK_TOKS} AS l FROM documents)
+        ),
+        pairs AS (
+          SELECT a.doc_id, a.x, b.x AS x2
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        pair_n AS (
+          SELECT x, x2, count(*) AS n_xy FROM pairs GROUP BY x, x2
+        ),
+        ctx_n AS (
+          SELECT x, count(*) AS n_x FROM pairs GROUP BY x
+        ),
+        scored AS (
+          SELECT p.x, p.x2, -ln(p.n_xy / CAST(c.n_x AS DOUBLE)) AS surprisal
+          FROM pair_n p JOIN ctx_n c ON p.x = c.x
+        )
+        SELECT pr.doc_id,
+               round(avg(s.surprisal), 6) AS avg_surprisal,
+               round(max(s.surprisal), 6) AS max_surprisal,
+               count(*) AS n_bigrams
+        FROM pairs pr JOIN scored s ON pr.x = s.x AND pr.x2 = s.x2
+        GROUP BY pr.doc_id
+    """
+
+
 def unigram_logprob_oracle() -> str:
     return f"""
         WITH rows_t AS (
