@@ -23,6 +23,7 @@ from siddhi_execution_unique_spark.functions import (  # noqa: E402
     analytics as fana,
     asof as fasof,
     fuzzy as ffuzzy,
+    graph as fgraph,
     curation as fcur,
     dedup as fdedup,
     multimodal as fmm,
@@ -373,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_names": lambda s, d: ffuzzy.fuzzy_match_names(
             load_table(s, d, "part")
         ),
+        "sketch_hll_distinct": lambda s, d: fsk.hll_distinct(_events(s, d)),
+        "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -940,4 +943,6 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": fana.retention_cohorts_oracle(),
         "text_bigram_logprob": ftext.bigram_logprob_oracle(),
         "fuzzy_match_names": ffuzzy.fuzzy_match_names_oracle(),
+        "sketch_hll_distinct": fsk.hll_distinct_oracle(),
+        "dedup_graph_pagerank": fgraph.near_dup_pagerank_oracle(),
     }

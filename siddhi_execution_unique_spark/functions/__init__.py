@@ -7,6 +7,7 @@ from siddhi_execution_unique_spark.functions import (
     curation,
     dedup,
     fuzzy,
+    graph,
     multimodal,
     pipeline,
     retrieval,
@@ -22,6 +23,7 @@ __all__ = [
     "curation",
     "dedup",
     "fuzzy",
+    "graph",
     "multimodal",
     "pipeline",
     "retrieval",

@@ -313,3 +313,131 @@ def time_rollup_oracle() -> str:
                qsum / CAST(1000 AS DOUBLE) AS value_sum
         FROM rolled
     """
+
+
+# ------------------------------------------------------------------ HLL
+
+HLL_P = 8
+HLL_M = 1 << HLL_P          # 256 registers
+_HLL_CAP = 52               # rho <= 53; numerator = 2^(CAP - min(rho,CAP))
+# alpha_m for m=256 (Flajolet et al. 2007), precomputed so both
+# engines see one double literal (bare decimals parse as DECIMAL)
+_HLL_ALPHA = 0.7182725932495458
+
+# 60-bit md5-derived hash shared by both engines (same trick as KMV,
+# without the modulus): register = low 8 bits, rho runs on the
+# remaining 52
+_HLL_HASH_SPARK = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+)
+_HLL_HASH_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def hll_distinct(events: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, next to the
+    exact count — the constant-memory cardinality sketch every
+    planet-scale pipeline runs (Flajolet et al. 2007, the same
+    algorithm behind Spark's ``approx_count_distinct``). Built from
+    first principles on a SHARED md5-derived 60-bit hash so the sketch
+    is bit-reproducible on both engines — Spark's and DuckDB's native
+    HLLs use different hashes/registers and can never cross-verify
+    (the same reason ``kmv_distinct`` exists).
+
+    Register state: index = low ``HLL_P`` bits, rho = leading-zeros+1
+    of the remaining 52 bits, computed integer-exactly as
+    ``53 - length(bin(w))`` (``bin`` strips leading zeros in both
+    engines). The harmonic sum rides as an EXACT bigint numerator
+    ``sum(2^(52 - rho))`` (max 256·2^52 = 2^60, no overflow), so the
+    only doubles are one division and the final estimate — IEEE-exact
+    on identical operands in both engines. The small-range correction
+    (linear counting when E <= 2.5m and empty registers exist) uses
+    ``ln`` on one of just 256 possible rationals m/V, quantized to
+    round(3) — far below any libm last-ulp divergence.
+
+    Scale shape: one partially-aggregating shuffle on (event_type,
+    register) — map-side combine caps each partition's output at
+    types × 256 rows — then a types-keyed fold of 256-row groups.
+    Registers merge by MAX, which is why the sketch distributes: the
+    same two stages compute the union sketch of any number of shards.
+    ``n_exact`` (for the accuracy report) is the one corpus-sized
+    DISTINCT, which the estimate path never needs at 100 TB."""
+    regs = (
+        events.select(
+            "event_type", F.expr(_HLL_HASH_SPARK).alias("hv")
+        )
+        .select(
+            "event_type",
+            (F.col("hv") % HLL_M).alias("reg"),
+            F.expr(f"hv div {HLL_M}").alias("w"),
+        )
+        .select(
+            "event_type", "reg",
+            F.expr("case when w > 0 then 53 - length(bin(w)) else 53 end").alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    folded = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_hit"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_HLL_CAP} - least(mx, {_HLL_CAP}))")
+        ).alias("hit_num"),
+    )
+    exact = (
+        events.select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    two_cap = float(1 << _HLL_CAP)
+    est_raw = (
+        f"cast('{_HLL_ALPHA!r}' as double) * {HLL_M} * {HLL_M} * cast({two_cap!r} as double)"
+        f" / (hit_num + cast({HLL_M} - n_hit as bigint) * cast({two_cap!r} as double))"
+    )
+    return folded.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("n_hit").alias("n_registers_hit"),
+        F.expr(
+            f"round(case when ({est_raw}) <= 2.5 * {HLL_M} and n_hit < {HLL_M} "
+            f"then {HLL_M} * ln(cast({HLL_M} as double) / ({HLL_M} - n_hit)) "
+            f"else ({est_raw}) end, 3)"
+        ).alias("hll_estimate"),
+    )
+
+
+def hll_distinct_oracle() -> str:
+    two_cap = float(1 << _HLL_CAP)
+    est_raw = (
+        f"CAST('{_HLL_ALPHA!r}' AS DOUBLE) * {HLL_M} * {HLL_M} * CAST({two_cap!r} AS DOUBLE)"
+        f" / (hit_num + CAST({HLL_M} - n_hit AS BIGINT) * CAST({two_cap!r} AS DOUBLE))"
+    )
+    return f"""
+        WITH h AS (
+          SELECT event_type, {_HLL_HASH_DUCK} AS hv FROM events
+        ),
+        regs AS (
+          SELECT event_type, hv % {HLL_M} AS reg,
+                 max(CASE WHEN hv // {HLL_M} > 0
+                          THEN 53 - length(bin(hv // {HLL_M}))
+                          ELSE 53 END) AS mx
+          FROM h GROUP BY event_type, hv % {HLL_M}
+        ),
+        folded AS (
+          SELECT event_type, count(*) AS n_hit,
+                 CAST(sum(1::BIGINT << ({_HLL_CAP} - least(mx, {_HLL_CAP}))) AS BIGINT)
+                   AS hit_num
+          FROM regs GROUP BY event_type
+        ),
+        exact AS (
+          SELECT event_type, count(*) AS n_exact
+          FROM (SELECT DISTINCT event_type, user_id FROM events)
+          GROUP BY event_type
+        )
+        SELECT f.event_type, e.n_exact, f.n_hit AS n_registers_hit,
+               round(CASE WHEN ({est_raw}) <= 2.5 * {HLL_M} AND f.n_hit < {HLL_M}
+                          THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - f.n_hit))
+                          ELSE ({est_raw}) END, 3) AS hll_estimate
+        FROM folded f JOIN exact e ON f.event_type = e.event_type
+    """

@@ -693,3 +693,114 @@ def test_pretrain_chunks_gates_on_cleaned_text(spark):
     # a strictly higher gate keeps a subset of docs
     strict = fpipe.pretrain_chunks(docs, threshold=0.8).toPandas()
     assert set(strict.doc_id) <= set(out.doc_id)
+
+
+# ---------------------------------------------------- session-6 additions
+
+
+def test_funnel_greedy_earliest_semantics(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    events = spark.createDataFrame(
+        # user 1: view@0 -> click@10 -> purchase@20 (full funnel)
+        [(1, t(0), 1, "view", 0.0, ""), (2, t(10), 1, "click", 0.0, ""),
+         (3, t(20), 1, "purchase", 0.0, ""),
+         # user 2: click BEFORE the first view never counts; no click after
+         (4, t(5), 2, "click", 0.0, ""), (5, t(6), 2, "view", 0.0, ""),
+         # user 3: view only
+         (6, t(0), 3, "view", 0.0, ""),
+         # user 4: purchase before click -> stops at step 2
+         (7, t(0), 4, "view", 0.0, ""), (8, t(1), 4, "purchase", 0.0, ""),
+         (9, t(2), 4, "click", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = {r["user_id"]: r for r in fana.funnel(events).collect()}
+    assert out[1]["step_reached"] == 3
+    assert out[2]["step_reached"] == 1 and out[2]["t2_ms"] == -1
+    assert out[3]["step_reached"] == 1
+    # user 4's purchase@1 precedes their click@2 -> only steps 1-2
+    assert out[4]["step_reached"] == 2 and out[4]["t3_ms"] == -1
+    with pytest.raises(ValueError):
+        fana.funnel(events, steps=("view",))
+    with pytest.raises(ValueError):
+        fana.funnel(events, step_window_ms=0)
+
+
+def test_retention_cohorts_day_zero_is_everyone(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, sf_dir, "events")
+    out = fana.retention_cohorts(events).toPandas()
+    day0 = out[out.day_offset == 0]
+    # every user appears in their own cohort's day-0 row
+    assert day0.n_users.sum() == events.select("user_id").distinct().count()
+    # retention never exceeds the cohort's day-0 size
+    sizes = {r.cohort_day: r.n_users for r in day0.itertuples()}
+    for r in out.itertuples():
+        assert r.n_users <= sizes[r.cohort_day]
+
+
+def test_bigram_logprob_separates_repetition(spark):
+    from siddhi_execution_unique_spark.functions import text as ftext
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a", "en", "s", 15),      # one bigram, fully predictable
+         (2, "b c d e f g h i", "en", "s", 15)],     # every bigram unique
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in ftext.bigram_logprob(docs).collect()}
+    # repeated text: p(a|a)=1 -> zero surprisal
+    assert out[1]["avg_surprisal"] == 0.0
+    # unique continuations of unique contexts are also certain under
+    # the corpus LM, but mixing the corpora changes that:
+    docs2 = spark.createDataFrame(
+        [(1, "x y x z", "en", "s", 7)],  # p(y|x)=p(z|x)=0.5
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out2 = ftext.bigram_logprob(docs2).collect()[0]
+    assert out2["n_bigrams"] == 3 and out2["max_surprisal"] > 0.69
+
+
+def test_fuzzy_match_finds_corrupted_source(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import fuzzy as ffuzzy
+    part = load_table(spark, sf_dir, "part")
+    out = ffuzzy.fuzzy_match_names(part).toPandas()
+    assert len(out) > 0
+    # every match is within the edit budget and shares enough grams
+    assert (out.edit_dist <= ffuzzy.MAX_DIST).all()
+    assert (out.n_shared_grams >= ffuzzy.MIN_SHARED).all()
+    # a probe's own source name is at distance 1, so the winner is
+    # never worse than that
+    assert (out.edit_dist <= 1).all()
+
+
+def test_hll_distinct_estimate_close_and_mergeable(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, sf_dir, "events")
+    out = fsk.hll_distinct(events).toPandas()
+    assert (out.n_registers_hit <= fsk.HLL_M).all()
+    # linear-counting regime at this scale: estimate within 10%
+    rel = (out.hll_estimate - out.n_exact).abs() / out.n_exact
+    assert (rel < 0.10).all()
+    # merge property: the sketch of a UNION equals max-merged registers,
+    # so estimating over a doubled corpus (union with itself) is a no-op
+    doubled = events.unionByName(events)
+    out2 = fsk.hll_distinct(doubled).toPandas()
+    assert (out2.sort_values("event_type").hll_estimate.values
+            == out.sort_values("event_type").hll_estimate.values).all()
+
+
+def test_pagerank_mass_and_symmetry(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import graph as fgraph
+    docs = load_table(spark, sf_dir, "documents")
+    out = fgraph.near_dup_pagerank(docs).toPandas()
+    if len(out) == 0:
+        pytest.skip("no near-dup edges at this sf")
+    # total rank mass stays ~1 (no dangling loss on a symmetric graph)
+    assert abs(out.pagerank.sum() - 1.0) < 1e-6
+    # rank grows with degree on this graph's near-clique structure:
+    # max-degree node is never ranked below a degree-1 node
+    top = out.sort_values(["pagerank"]).iloc[-1]
+    assert top.deg >= out.deg.min()
+    with pytest.raises(ValueError):
+        fgraph.near_dup_pagerank(docs, n_iters=0)
