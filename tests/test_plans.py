@@ -554,3 +554,55 @@ def test_source_overlap_join_is_shingle_keyed(spark):
     plan = plan_of(fcur.source_overlap_matrix(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_is_keyed_joins_no_window(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fana.funnel(events))
+    # S steps = hash aggs + user-keyed equi-joins; no window sort, no
+    # nested-loop fallback
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # map-side combine on each step agg
+
+
+def test_retention_cohorts_two_keyed_shuffles(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fana.retention_cohorts(events))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_is_gram_keyed_equi_join(spark):
+    from siddhi_execution_unique_spark.functions import fuzzy as ffuzzy
+    part = load_table(spark, SF_DIR, "part")
+    plan = plan_of(ffuzzy.fuzzy_match_names(part))
+    # candidates come from the gram posting-list equi-join; levenshtein
+    # runs only post-join, never as a join condition over all pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "gram" in plan
+
+
+def test_hll_is_partial_agg_no_distinct_on_estimate_path(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fsk.hll_distinct(events))
+    # register fold: partial max per (type, reg) before the exchange
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    from siddhi_execution_unique_spark.functions import graph as fgraph
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fgraph.near_dup_pagerank(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-iteration contribution sums partially aggregate map-side
+    assert "partial_sum" in plan
