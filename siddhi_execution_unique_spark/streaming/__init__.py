@@ -1141,3 +1141,90 @@ def pq_encode_stream(stream_df: DataFrame, codebook_corpus: DataFrame) -> DataFr
     )
 
     return pq_encode(stream_df, pq_codebook(codebook_corpus))
+
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    df: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    step_window_ms: int = 86_400_000,
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of :func:`functions.analytics.funnel` — the
+    Siddhi pattern-query shape (``from every e1=views -> e2=clicks[
+    within window] -> ...``) as an ``applyInPandasWithState`` state
+    machine: per user, ONE fixed-size tuple of completed-step
+    timestamps, advanced greedily in event-time order. Emits (update
+    semantics) the user's funnel row whenever a step completes:
+    (user, step_reached, t1_ms..t3_ms; -1 = unreached).
+
+    State is 3 longs per user regardless of event volume — the same
+    bounded-state argument as every twin here. Within a micro-batch
+    events re-sort by event time; an out-of-order event that arrives
+    AFTER a later step anchored (e.g. an earlier 'view' than the one
+    that anchored t1) does not re-anchor the chain — the documented
+    divergence vs the batch operator's global minimum, bounded by the
+    source's disorder, and identical to how the reference's pattern
+    runtime commits on the first matching event it sees
+    (UniqueEverWindowProcessor.java:143-169 processes in arrival
+    order)."""
+    if len(steps) != 3:
+        raise ValueError(f"funnel_stream supports exactly 3 steps, got {len(steps)}")
+    if step_window_ms <= 0:
+        raise ValueError(f"step_window_ms must be > 0, got {step_window_ms}")
+    require_column(df, user, "funnel user")
+    require_column(df, ts, "ts")
+    require_column(df, type_col, "funnel type column")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    out_schema = StructType(
+        [
+            df.schema[user],
+            StructField("step_reached", LongType()),
+            StructField("t1_ms", LongType()),
+            StructField("t2_ms", LongType()),
+            StructField("t3_ms", LongType()),
+        ]
+    )
+    s1, s2, s3 = steps
+
+    def fn(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        advanced = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            ms = _ms_series(pdf, ts, is_timestamp)
+            for t, ev in zip(ms, pdf[type_col]):
+                t = int(t)
+                if not t1 and ev == s1:
+                    t1, advanced = t, True
+                elif t1 and not t2 and ev == s2 and t1 < t <= t1 + step_window_ms:
+                    t2, advanced = t, True
+                elif t2 and not t3 and ev == s3 and t2 < t <= t2 + step_window_ms:
+                    t3, advanced = t, True
+        if advanced:
+            state.update((t1, t2, t3))
+            step = 1 + (t2 > 0) + (t3 > 0)
+            yield pd.DataFrame(
+                [(key_tuple[0], step, t1, t2 or -1, t3 or -1)],
+                columns=[user, "step_reached", "t1_ms", "t2_ms", "t3_ms"],
+            )
+
+    return df.groupBy(user).applyInPandasWithState(
+        fn, out_schema, _FUNNEL_STATE, "update", GroupStateTimeout.NoTimeout
+    )

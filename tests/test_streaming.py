@@ -706,3 +706,61 @@ def test_index_ingest_stream_matches_batch_postings(spark, workdir):
             docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("term"))
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")).collect()}
     assert got == want and len(got) > 0
+
+
+FUNNEL_SCHEMA = StructType([
+    StructField("ts", TimestampType()),
+    StructField("event_id", LongType()),
+    StructField("user_id", StringType()),
+    StructField("event_type", StringType()),
+])
+
+
+def write_funnel_batch(dirname, filename, rows):
+    """rows: list of (ts_ms, event_id, user, event_type)"""
+    table = pa.table({
+        "ts": pa.array([r[0] * 1000 for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "user_id": pa.array([r[2] for r in rows], pa.string()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(table, os.path.join(dirname, filename))
+
+
+def test_funnel_stream_matches_batch(spark, workdir):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+
+    win = 60_000
+    # user a completes the funnel across micro-batches; user b's click
+    # precedes their view (never counts); user c times out on step 2
+    rows1 = [(1000, 1, "a", "view"), (2000, 2, "b", "click"),
+             (3000, 3, "b", "view"), (4000, 4, "c", "view")]
+    rows2 = [(5000, 5, "a", "click"), (9000, 6, "a", "purchase"),
+             (80_000, 7, "c", "click")]
+    write_funnel_batch(workdir / "in", "001.parquet", rows1)
+    write_funnel_batch(workdir / "in", "002.parquet", rows2)
+    stream = (
+        spark.readStream.schema(FUNNEL_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(workdir / "in"))
+    )
+    out = stw.funnel_stream(stream, step_window_ms=win)
+    res = run_available(spark, out, "funnel_sink", workdir / "ckpt", mode="update")
+    # last update per user = the user's final funnel state
+    final = {}
+    for r in res.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["step_reached"] > cur["step_reached"]:
+            final[r["user_id"]] = r
+    batch = spark.createDataFrame(
+        [(r[1], r[2], r[3], r[0]) for r in rows1 + rows2],
+        "event_id long, user_id string, event_type string, ms long",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_micros(ms * 1000) as ts")
+    want = {r["user_id"]: r for r in fana.funnel(batch, step_window_ms=win).collect()}
+    assert set(final) == set(want)
+    for u in want:
+        for c in ("step_reached", "t1_ms", "t2_ms", "t3_ms"):
+            assert final[u][c] == want[u][c], (u, c, final[u][c], want[u][c])
+    with pytest.raises(ValueError):
+        stw.funnel_stream(stream, steps=("a", "b"))
