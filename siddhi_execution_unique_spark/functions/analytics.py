@@ -165,3 +165,75 @@ def retention_cohorts_oracle() -> str:
         FROM days_t d JOIN first_t f ON d.user_id = f.user_id
         GROUP BY f.cohort_day, d.day - f.cohort_day
     """
+
+
+def absence(
+    events: DataFrame,
+    first: str = "error",
+    absent: str = "purchase",
+    window_ms: int = HOUR_MS,
+) -> DataFrame:
+    """Absence pattern (Siddhi's ``from e1=errors -> not purchases
+    for 1 hour`` negation pattern): every ``first`` event with NO
+    ``absent`` event from the same user in the following
+    ``window_ms``. The churn-detection shape. Output: the unmatched
+    ``first`` events as (event_id, user_id, ts_ms).
+
+    Scale shape — the banded trailing-range anti-join: a time-range
+    inequality join would nested-loop, so each ``first`` event
+    explodes to its two covering window-size buckets and matches are
+    found with an EQUI-join on (user_id, bucket) + a post-filter on
+    the exact range; the absence set is then one LEFT ANTI join of
+    the first events against the matched ids. Fanout is exactly 2×
+    the first-event count, the join keys are high-cardinality
+    (user × bucket), and no stage holds more than a bucket's events.
+    Same banding as `asof.clicks_before_purchase`; anti-join instead
+    of aggregation."""
+    if window_ms <= 0:
+        raise ValueError(f"absence needs window_ms > 0, got {window_ms}")
+    if first == absent:
+        raise ValueError("absence needs distinct first/absent event types")
+    ev = events.select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    firsts = ev.filter(F.col("event_type") == first).select(
+        "event_id", "user_id", "ts_ms"
+    )
+    banded = firsts.select(
+        "event_id", "user_id", "ts_ms",
+        F.explode(
+            F.expr(f"array(ts_ms div {window_ms}, ts_ms div {window_ms} + 1)")
+        ).alias("bucket"),
+    )
+    absents = ev.filter(F.col("event_type") == absent).select(
+        "user_id",
+        F.col("ts_ms").alias("a_ms"),
+        F.expr(f"ts_ms div {window_ms}").alias("bucket"),
+    )
+    matched = (
+        banded.join(absents, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_ms") > F.col("ts_ms"))
+            & (F.col("a_ms") <= F.col("ts_ms") + F.lit(window_ms))
+        )
+        .select("event_id")
+        .distinct()
+    )
+    return firsts.join(matched, "event_id", "left_anti")
+
+
+def absence_oracle(
+    first: str = "error", absent: str = "purchase", window_ms: int = HOUR_MS
+) -> str:
+    return f"""
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        FROM events e
+        WHERE event_type = '{first}'
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = '{absent}'
+              AND p.user_id = e.user_id
+              AND epoch_ms(p.ts) > epoch_ms(e.ts)
+              AND epoch_ms(p.ts) <= epoch_ms(e.ts) + {window_ms}
+          )
+    """

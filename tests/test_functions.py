@@ -804,3 +804,27 @@ def test_pagerank_mass_and_symmetry(spark, sf_dir):
     assert top.deg >= out.deg.min()
     with pytest.raises(ValueError):
         fgraph.near_dup_pagerank(docs, n_iters=0)
+
+
+def test_absence_pattern_hand_example(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    events = spark.createDataFrame(
+        # user 1: error@0, purchase@30 -> matched (no absence)
+        [(1, t(0), 1, "error", 0.0, ""), (2, t(30), 1, "purchase", 0.0, ""),
+         # user 2: error@0, purchase 2h later -> absence
+         (3, t(0), 2, "error", 0.0, ""), (4, dt.datetime(2024, 1, 1, 2, 0), 2, "purchase", 0.0, ""),
+         # user 3: purchase BEFORE the error only -> absence
+         (5, t(0), 3, "purchase", 0.0, ""), (6, t(10), 3, "error", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    got = {r["event_id"] for r in fana.absence(events).collect()}
+    assert got == {3, 6}
+    with pytest.raises(ValueError):
+        fana.absence(events, window_ms=0)
+    with pytest.raises(ValueError):
+        fana.absence(events, first="error", absent="error")

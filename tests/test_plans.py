@@ -606,3 +606,13 @@ def test_pagerank_iterations_are_equi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # per-iteration contribution sums partially aggregate map-side
     assert "partial_sum" in plan
+
+
+def test_absence_is_banded_anti_join(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fana.absence(events))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the absence set is a LEFT ANTI join, never a per-row subquery
+    assert "LeftAnti" in plan
