@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": lambda s, d: fsk.hll_distinct(_events(s, d)),
         "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         "events_absence": lambda s, d: fana.absence(_events(s, d)),
+        "events_transition_matrix": lambda s, d: fana.transition_matrix(_events(s, d)),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -947,4 +948,5 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_distinct": fsk.hll_distinct_oracle(),
         "dedup_graph_pagerank": fgraph.near_dup_pagerank_oracle(),
         "events_absence": fana.absence_oracle(),
+        "events_transition_matrix": fana.transition_matrix_oracle(),
     }

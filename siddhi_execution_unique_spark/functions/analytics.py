@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 HOUR_MS = 3_600_000
 DAY_MS = 24 * HOUR_MS
@@ -236,4 +237,63 @@ def absence_oracle(
               AND epoch_ms(p.ts) > epoch_ms(e.ts)
               AND epoch_ms(p.ts) <= epoch_ms(e.ts) + {window_ms}
           )
+    """
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transitions between event types: for every
+    consecutive same-user event pair (by event time, event_id
+    tiebreak), the count and conditional probability of each
+    (from_type, to_type) edge. Output: (from_type, to_type,
+    n_transitions, prob) — the user-journey fingerprint that feeds
+    next-event prediction and anomaly detection.
+
+    Scale shape: the only per-event stage is ``lead()`` over a window
+    partitioned by user_id — HIGH-cardinality (users grow with the
+    corpus), so partitions stay bounded by per-user activity, the
+    acceptable window kind (same argument as `sessions.sessionize`).
+    Then two tiny hash aggs (types × types cells). The probability
+    divides two counts from the same tree — IEEE-exact both engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "event_id", "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n_transitions"))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_total")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type", "to_type", "n_transitions",
+        F.expr("round(n_transitions / cast(n_total as double), 6)").alias("prob"),
+    )
+
+
+def transition_matrix_oracle() -> str:
+    return """
+        WITH pairs AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ms(ts), event_id) AS to_type
+          FROM events
+        ),
+        counts AS (
+          SELECT from_type, to_type, count(*) AS n_transitions
+          FROM pairs WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ),
+        totals AS (
+          SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_total
+          FROM counts GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n_transitions,
+               round(c.n_transitions / CAST(t.n_total AS DOUBLE), 6) AS prob
+        FROM counts c JOIN totals t ON c.from_type = t.from_type
     """

@@ -828,3 +828,17 @@ def test_absence_pattern_hand_example(spark):
         fana.absence(events, window_ms=0)
     with pytest.raises(ValueError):
         fana.absence(events, first="error", absent="error")
+
+
+def test_transition_matrix_probs_sum_to_one(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, sf_dir, "events")
+    out = fana.transition_matrix(events).toPandas()
+    assert (out.n_transitions > 0).all()
+    # each from_type's outgoing probabilities sum to ~1
+    sums = out.groupby("from_type").prob.sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    # total transitions = total events - one per user (last has no next)
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert out.n_transitions.sum() == n_events - n_users
