@@ -325,11 +325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry order is the driver's sampling order: CORRECTNESS_r04
     showed the harness checks the FIRST 50 entries only, so the dict
     is ordered by verification priority — (1) the 16 entries that had
-    never received a driver oracle row through round 4, (2) entries
-    whose implementation changed this round, (3) stable entries; the
-    16 that fall past the cap are all driver-green in CORRECTNESS_r04
-    and untouched this round. Rotate groups (1)/(3) if the cap
-    persists."""
+    never received a driver oracle row through round 4, (1b/1c) every
+    entry added during round 5 (never checked), (2) entries whose
+    implementation changed this round. That fills the 50-entry sample
+    exactly with never-checked-or-changed entries; group (3) — every
+    reference operator and the stable dedup/text/multimodal tier — is
+    driver-green in CORRECTNESS_r04 and byte-unchanged this round,
+    which is the documented evidence for the rows past the cap.
+    Rotate groups if the cap persists next round."""
     return {
         # -- (1) driver-unchecked through r04: pipelines, curation,
         #    asof/range, sketch, rollup, sessionize
@@ -378,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         "events_absence": lambda s, d: fana.absence(_events(s, d)),
         "events_transition_matrix": lambda s, d: fana.transition_matrix(_events(s, d)),
+        "dedup_near_incremental": lambda s, d: fdedup.incremental_near_dup(
+            _docs(s, d).filter(F.col("doc_id") >= 250),
+            fdedup.minhash_signatures(_docs(s, d).filter(F.col("doc_id") < 250)),
+        ),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -949,4 +956,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_graph_pagerank": fgraph.near_dup_pagerank_oracle(),
         "events_absence": fana.absence_oracle(),
         "events_transition_matrix": fana.transition_matrix_oracle(),
+        "dedup_near_incremental": fdedup.incremental_near_dup_oracle(250),
     }

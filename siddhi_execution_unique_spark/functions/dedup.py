@@ -868,3 +868,92 @@ def line_dedup_oracle(min_docs: int = SEG_MIN_DOCS) -> str:
         FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
         GROUP BY s.doc_id
     """
+
+
+MIN_SIG_MATCH = 6  # >= 6 of 12 agreeing components ~ est. jaccard 0.5
+
+
+def incremental_near_dup(new_docs: DataFrame, manifest_sigs: DataFrame) -> DataFrame:
+    """Incremental NEAR-dup check — the continuous-ingest twin of
+    :func:`near_dup_pairs`, completing what
+    :func:`incremental_exact_dedup` does for exact matches: today's
+    batch is signed (12-perm MinHash), banded, and band-joined against
+    the MANIFEST of already-ingested signatures; candidates are
+    verified by signature agreement (the estimated Jaccard a
+    signature-only manifest supports — raw shingles of historical docs
+    are exactly what a 100 TB manifest does NOT keep). Output:
+    (doc_id, old_id, n_sig_match) for every new doc within estimated
+    Jaccard ``MIN_SIG_MATCH/12`` of a manifest doc.
+
+    Scale shape: the manifest is joined ONLY through banded equi-keys
+    (never broadcast, never all-pairs); the verify step re-joins two
+    one-row-per-doc signature frames by id. Both shuffles are keyed on
+    high-cardinality values (band_key, doc ids); the whole check is
+    3 joins + 1 distinct regardless of manifest size. Signature
+    agreement counting is 12 codegen comparisons, no Python."""
+    new_sigs = _materialized(minhash_signatures(new_docs))
+    new_bands = _band_keys(new_sigs)
+    old_bands = _band_keys(manifest_sigs).select(
+        F.col("doc_id").alias("old_id"), "band_key"
+    )
+    cand = (
+        new_bands.join(old_bands, "band_key")
+        .select("doc_id", "old_id")
+        .distinct()
+    )
+    match_expr = " + ".join(
+        f"cast(mh_{j} = omh_{j} as int)" for j in range(len(SEEDS))
+    )
+    old_named = manifest_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh_{j}").alias(f"omh_{j}") for j in range(len(SEEDS))],
+    )
+    return (
+        cand.join(new_sigs, "doc_id")
+        .join(old_named, "old_id")
+        .select(
+            "doc_id", "old_id", F.expr(match_expr).alias("n_sig_match")
+        )
+        .filter(F.col("n_sig_match") >= MIN_SIG_MATCH)
+        .select("doc_id", "old_id", "n_sig_match")
+    )
+
+
+def incremental_near_dup_oracle(split_doc_id: int) -> str:
+    """Docs below ``split_doc_id`` play the manifest, the rest the
+    new batch (same convention as ``incremental_exact_dedup_oracle``)."""
+    sig_cols = ",\n                 ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS mh_{j}"
+        for j, (a, b) in enumerate(SEEDS)
+    )
+    band_exprs = []
+    for b in range(BANDS):
+        parts = [f"'{b}'"] + [
+            f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ]
+        band_exprs.append("concat_ws(':', " + ", ".join(parts) + ")")
+    match_expr = " + ".join(
+        f"CAST(n.mh_{j} = o.mh_{j} AS INT)" for j in range(len(SEEDS))
+    )
+    return f"""
+        WITH sigs AS (
+          SELECT doc_id, {sig_cols}
+          FROM (SELECT doc_id,
+                       list_transform({_SHINGLE_DUCK}, s -> {_HASH_DUCK}) AS hs
+                FROM documents WHERE len({DUCK_TOKS}) >= {MIN_TOKENS})
+        ),
+        bands AS (
+          SELECT doc_id, unnest([{", ".join(band_exprs)}]) AS band_key
+          FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT nb.doc_id, ob.doc_id AS old_id
+          FROM bands nb JOIN bands ob ON nb.band_key = ob.band_key
+          WHERE nb.doc_id >= {split_doc_id} AND ob.doc_id < {split_doc_id}
+        )
+        SELECT c.doc_id, c.old_id, ({match_expr}) AS n_sig_match
+        FROM cand c
+        JOIN sigs n ON c.doc_id = n.doc_id
+        JOIN sigs o ON c.old_id = o.doc_id
+        WHERE ({match_expr}) >= {MIN_SIG_MATCH}
+    """

@@ -65,18 +65,24 @@ def fuzzy_match_names(part: DataFrame) -> DataFrame:
 
     The probe corpus is built FROM the catalog so the entry needs no
     side input and ground truth is known: a probe's own source row is
-    at distance 1. Candidate generation never compares a probe against
-    the whole catalog — only against rows sharing >= MIN_SHARED
-    4-grams, via one gram-keyed shuffle join over the posting lists.
-    The final per-probe top-1 is a window over probe_id — cardinality
-    = n_probes (high, grows with the catalog) with candidate-set-sized
+    at distance 1. The catalog first collapses to its DISTINCT names
+    (each carrying ``repr_id`` = min row id) — matching runs against
+    the name dictionary, not the row corpus, so heavy name duplication
+    never multiplies the candidate set; ranking by (dist, repr_id) is
+    identical to ranking row-level candidates by (dist, name_id).
+    Candidate generation never compares a probe against the whole
+    dictionary — only against names sharing >= MIN_SHARED 4-grams,
+    via one gram-keyed shuffle join over the posting lists. The final
+    per-probe top-1 is a window over probe_id — cardinality = n_probes
+    (high, grows with the catalog) with candidate-set-sized
     partitions, the scale-safe kind."""
-    names = part.select(
+    rows = part.select(
         F.col("p_partkey").alias("name_id"),
         F.lower(F.trim(F.col("p_name"))).alias("name"),
     ).filter(F.length("name") >= GRAM + 2)
+    names = rows.groupBy("name").agg(F.min("name_id").alias("name_id"))
     probes = (
-        names.filter(F.col("name_id") % PROBE_MOD == 0)
+        rows.filter(F.col("name_id") % PROBE_MOD == 0)
         .select(
             F.col("name_id").alias("probe_id"),
             F.expr(_CORRUPT_SPARK).alias("probe_name"),
@@ -108,14 +114,17 @@ def fuzzy_match_names(part: DataFrame) -> DataFrame:
 
 def fuzzy_match_names_oracle() -> str:
     return f"""
-        WITH names_t AS (
+        WITH rows_t AS (
           SELECT p_partkey AS name_id, lower(trim(p_name)) AS name
           FROM part
           WHERE length(lower(trim(p_name))) >= {GRAM + 2}
         ),
+        names_t AS (
+          SELECT name, min(name_id) AS name_id FROM rows_t GROUP BY name
+        ),
         probes AS (
           SELECT name_id AS probe_id, {_CORRUPT_DUCK} AS probe_name
-          FROM names_t WHERE name_id % {PROBE_MOD} = 0
+          FROM rows_t WHERE name_id % {PROBE_MOD} = 0
         ),
         cat_g AS (
           SELECT name_id, name, unnest(list_distinct(list_transform(

@@ -842,3 +842,21 @@ def test_transition_matrix_probs_sum_to_one(spark, sf_dir):
     n_events = events.count()
     n_users = events.select("user_id").distinct().count()
     assert out.n_transitions.sum() == n_events - n_users
+
+
+def test_incremental_near_dup_flags_planted_neighbor(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60),
+         (2, "completely different text about spark query planning internals", "en", "s", 62),
+         # new batch: 101 is a near-copy of manifest doc 1, 102 is novel
+         (101, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60),
+         (102, "unrelated fresh content with nothing shared at all here", "en", "s", 55)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    manifest = fdedup.minhash_signatures(docs.filter(F.col("doc_id") < 100))
+    out = fdedup.incremental_near_dup(
+        docs.filter(F.col("doc_id") >= 100), manifest
+    ).collect()
+    got = {(r["doc_id"], r["old_id"]) for r in out}
+    assert (101, 1) in got
+    assert all(r["n_sig_match"] >= fdedup.MIN_SIG_MATCH for r in out)
+    assert not any(d == 102 for d, _ in got)

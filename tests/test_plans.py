@@ -616,3 +616,18 @@ def test_absence_is_banded_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the absence set is a LEFT ANTI join, never a per-row subquery
     assert "LeftAnti" in plan
+
+
+def test_incremental_near_dup_is_band_keyed_never_broadcast_manifest(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    manifest = fdedup.minhash_signatures(docs.filter(F.col("doc_id") < 250))
+    df = fdedup.incremental_near_dup(
+        docs.filter(F.col("doc_id") >= 250), manifest
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the manifest joins through the band key / id — a corpus-sized
+    # frame must never ride a broadcast
+    opt = optimized_of(df)
+    assert "ResolvedHint" not in opt
