@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).filter(F.col("doc_id") >= 250),
             fdedup.minhash_signatures(_docs(s, d).filter(F.col("doc_id") < 250)),
         ),
+        "orders_status_scd2": lambda s, d: fana.scd2_intervals(
+            load_table(s, d, "orders")
+        ),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -957,4 +960,5 @@ def oracle_sql() -> dict[str, str]:
         "events_absence": fana.absence_oracle(),
         "events_transition_matrix": fana.transition_matrix_oracle(),
         "dedup_near_incremental": fdedup.incremental_near_dup_oracle(250),
+        "orders_status_scd2": fana.scd2_intervals_oracle(),
     }

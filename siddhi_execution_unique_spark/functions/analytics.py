@@ -297,3 +297,82 @@ def transition_matrix_oracle() -> str:
                round(c.n_transitions / CAST(t.n_total AS DOUBLE), 6) AS prob
         FROM counts c JOIN totals t ON c.from_type = t.from_type
     """
+
+
+def scd2_intervals(orders: DataFrame) -> DataFrame:
+    """Changelog → slowly-changing-dimension (SCD2) intervals: collapse
+    each customer's order-status history into maximal runs of equal
+    status (gaps-and-islands), each with its validity interval — the
+    standard warehouse historization every large pipeline materializes
+    from an event log. Output: (o_custkey, run_seq, o_orderstatus,
+    valid_from_ms, valid_to_ms, n_orders); an open run has
+    valid_to_ms = -1.
+
+    Scale shape: both windows partition by ``o_custkey`` — HIGH
+    cardinality, partitions bounded by per-customer history — and the
+    run aggregation is a hash agg on (custkey, run). One shuffle on
+    custkey serves the change-flag window, the running-sum run-id, the
+    per-run agg AND the lead() that closes intervals (same
+    partitioning throughout, Catalyst reuses the exchange). The
+    run-id is the classic ``sum(status != lag(status)) over`` island
+    encoding — no self-join, no per-key iteration."""
+    w = Window.partitionBy("o_custkey").orderBy("ts_ms", "o_orderkey")
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.unix_millis("o_orderdate").alias("ts_ms"),
+    )
+    flagged = base.withColumn(
+        "chg",
+        F.when(
+            F.col("o_orderstatus") == F.lag("o_orderstatus").over(w), 0
+        ).otherwise(1),
+    )
+    runs = flagged.withColumn(
+        "run_seq",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = runs.groupBy("o_custkey", "run_seq", "o_orderstatus").agg(
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_seq")
+    return agg.select(
+        "o_custkey", "run_seq", "o_orderstatus", "valid_from_ms",
+        F.coalesce(
+            F.lead("valid_from_ms").over(w2), F.lit(-1)
+        ).alias("valid_to_ms"),
+        "n_orders",
+    )
+
+
+def scd2_intervals_oracle() -> str:
+    return """
+        WITH base AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus,
+                 epoch_ms(o_orderdate) AS ts_ms
+          FROM orders
+        ),
+        flagged AS (
+          SELECT *, CASE WHEN o_orderstatus = lag(o_orderstatus)
+                              OVER (PARTITION BY o_custkey ORDER BY ts_ms, o_orderkey)
+                         THEN 0 ELSE 1 END AS chg
+          FROM base
+        ),
+        runs AS (
+          SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                        ORDER BY ts_ms, o_orderkey
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq
+          FROM flagged
+        ),
+        agg AS (
+          SELECT o_custkey, run_seq, o_orderstatus,
+                 min(ts_ms) AS valid_from_ms, count(*) AS n_orders
+          FROM runs GROUP BY o_custkey, run_seq, o_orderstatus
+        )
+        SELECT o_custkey, run_seq, o_orderstatus, valid_from_ms,
+               coalesce(lead(valid_from_ms)
+                          OVER (PARTITION BY o_custkey ORDER BY run_seq),
+                        -1) AS valid_to_ms,
+               n_orders
+        FROM agg
+    """

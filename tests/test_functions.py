@@ -860,3 +860,29 @@ def test_incremental_near_dup_flags_planted_neighbor(spark):
     assert (101, 1) in got
     assert all(r["n_sig_match"] >= fdedup.MIN_SIG_MATCH for r in out)
     assert not any(d == 102 for d, _ in got)
+
+
+def test_scd2_intervals_islands(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    import datetime as dt
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    orders = spark.createDataFrame(
+        # cust 1: O,O,F,O -> three runs (O x2, F, O)
+        [(1, 1, "O", 1.0, d(1), "x"), (2, 1, "O", 1.0, d(2), "x"),
+         (3, 1, "F", 1.0, d(3), "x"), (4, 1, "O", 1.0, d(4), "x"),
+         # cust 2: single open run
+         (5, 2, "P", 1.0, d(1), "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    rows = {(r["o_custkey"], r["run_seq"]): r
+            for r in fana.scd2_intervals(orders).collect()}
+    assert len(rows) == 4
+    assert rows[(1, 1)]["o_orderstatus"] == "O" and rows[(1, 1)]["n_orders"] == 2
+    assert rows[(1, 2)]["o_orderstatus"] == "F"
+    # each closed run's valid_to is the next run's valid_from
+    assert rows[(1, 1)]["valid_to_ms"] == rows[(1, 2)]["valid_from_ms"]
+    assert rows[(1, 3)]["valid_to_ms"] == -1  # open
+    assert rows[(2, 1)]["valid_to_ms"] == -1

@@ -631,3 +631,13 @@ def test_incremental_near_dup_is_band_keyed_never_broadcast_manifest(spark):
     # frame must never ride a broadcast
     opt = optimized_of(df)
     assert "ResolvedHint" not in opt
+
+
+def test_scd2_reuses_custkey_exchange(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    orders = load_table(spark, SF_DIR, "orders")
+    plan = plan_of(fana.scd2_intervals(orders))
+    # all three window passes + the run agg share the o_custkey
+    # partitioning: at most ingest-fanout + one keyed exchange
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
