@@ -347,3 +347,90 @@ def test_quality_percentiles_cumsum_form_matches_sorted_index(vals):
 
     for num, den in ((1, 10), (1, 2), (9, 10)):
         assert cumsum_form(num, den) == index_form(num, den)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 50), st.sampled_from("vcp")), min_size=0, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_funnel_join_chain_matches_state_machine(events):
+    """The batch funnel's join-chain algebra (min of step-i events
+    qualifying against the min step-(i-1) anchor) equals a forward
+    state machine over the time-sorted sequence — the same machine
+    `streaming.funnel_stream` runs."""
+    win = 10
+    evs = sorted([(t, c) for t, c in events])
+    # join-chain form: anchor each step at the min qualifying time
+    t1 = min((t for t, c in evs if c == "v"), default=None)
+    t2 = min((t for t, c in evs if c == "c" and t1 is not None
+              and t1 < t <= t1 + win), default=None)
+    t3 = min((t for t, c in evs if c == "p" and t2 is not None
+              and t2 < t <= t2 + win), default=None)
+    # forward state machine (strictly increasing time; ties in time
+    # process in sorted order, matching the min-anchoring)
+    s1 = s2 = s3 = None
+    for t, c in evs:
+        if s1 is None and c == "v":
+            s1 = t
+        elif s1 is not None and s2 is None and c == "c" and s1 < t <= s1 + win:
+            s2 = t
+        elif s2 is not None and s3 is None and c == "p" and s2 < t <= s2 + win:
+            s3 = t
+    assert (t1, t2, t3) == (s1, s2, s3)
+
+
+@given(st.lists(st.sampled_from("OFP"), min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_scd2_island_encoding_matches_groupby(statuses):
+    """sum(status != lag(status)) run ids == itertools.groupby runs."""
+    import itertools
+    run_ids = []
+    rid = 0
+    prev = None
+    for s in statuses:
+        if s != prev:
+            rid += 1
+        run_ids.append(rid)
+        prev = s
+    runs = [(k, len(list(g))) for k, g in itertools.groupby(statuses)]
+    assert run_ids[-1] == len(runs)
+    # each run's length matches the id-encoding's census
+    from collections import Counter
+    census = Counter(run_ids)
+    assert [census[i + 1] for i in range(len(runs))] == [n for _, n in runs]
+
+
+@given(st.integers(0, (1 << 52) - 1))
+@settings(max_examples=500, deadline=None)
+def test_hll_rho_bin_length_identity(w):
+    """rho = 53 - len(bin(w)) (both engines' bin() strips leading
+    zeros) equals leading-zeros-of-52-bit-word + 1."""
+    expected = (52 - w.bit_length()) + 1
+    got = 53 - len(format(w, "b")) if w > 0 else 53
+    assert got == expected
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=20)
+    .map(lambda es: [(a, b) for a, b in es if a != b])
+)
+@settings(max_examples=100, deadline=None)
+def test_pagerank_quantized_mass_conservation(edges):
+    """On a symmetric graph, the picounit-quantized iteration keeps
+    total mass within n_nodes quantization ulps of 1."""
+    if not edges:
+        return
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    nodes = sorted({a for a, _ in sym})
+    deg = {n: sum(1 for s, _ in sym if s == n) for n in nodes}
+    N = len(nodes)
+    Q = 10**12
+    rank = {n: 1.0 / N for n in nodes}
+    for _ in range(3):
+        contrib = {}
+        for s, d in sym:
+            contrib[d] = contrib.get(d, 0) + round(rank[s] / deg[s] * Q)
+        rank = {n: 0.15 / N + 0.85 * (contrib.get(n, 0) / Q) for n in nodes}
+    assert abs(sum(rank.values()) - 1.0) < 1e-9 * max(1, N)
