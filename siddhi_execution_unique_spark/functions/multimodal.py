@@ -2,13 +2,16 @@
 metadata, processed by Arrow-batched ``mapInPandas`` feature
 extractors. (Beyond-reference scope — SURVEY.md §7 phase 4.)
 
-The container has no image/audio codecs, so the *decode* step is a
-stub (clearly marked, raises ``NotImplementedError``) with a
-deterministic fake extractor behind it; the Spark-side plumbing —
-schema, Arrow batch shape, partition-local processing — is real and
-tested. At scale this pattern is exactly how you'd run CPU-bound
-decode: binary column + metadata struct in parquet, ``mapInPandas``
-over size-bounded Arrow batches, no shuffle.
+The container has no image/audio codec libraries, so COMPRESSED
+formats stay behind a clearly-marked ``NotImplementedError`` stub —
+but uncompressed binary PPM (P6) decodes for REAL via a pure-numpy
+parser (:func:`decode_image`), and :func:`decode_stats` runs the full
+text → P6 payload → decode → pixel-stats pipeline end-to-end with an
+exact DuckDB oracle. The Spark-side plumbing — schema, Arrow batch
+shape, partition-local processing — is identical for both paths. At
+scale this pattern is exactly how you'd run CPU-bound decode: binary
+column + metadata struct in parquet, ``mapInPandas`` over
+size-bounded Arrow batches, no shuffle.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -55,14 +59,41 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires PIL/opencv, which this
-    container does not ship. The Spark plumbing around it
-    (:func:`extract_features`) is real."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL decode for uncompressed binary PPM (P6) — parsed with
+    pure numpy, no codec library needed — returning an (h, w, 3)
+    uint8 pixel array. Compressed formats (JPEG/PNG/...) still
+    require PIL/opencv, which this container does not ship, and
+    raise the clearly-marked NotImplementedError; the Spark plumbing
+    around the decode (:func:`extract_features`) is identical for
+    both, so installing a codec later only swaps this function's
+    body."""
+    if payload[:2] == b"P6":
+        # header: magic, width, height, maxval (whitespace separated),
+        # then EXACTLY ONE whitespace byte before the h*w*3 raw RGB
+        # body — a str.split would eat body bytes that happen to be
+        # whitespace, the classic PPM parsing bug
+        i, tokens = 2, []
+        while len(tokens) < 3 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+        if len(tokens) == 3:
+            w, h, maxval = (int(t) for t in tokens)
+            body = payload[i + 1 :]
+            if maxval == 255 and len(body) >= h * w * 3:
+                return (
+                    np.frombuffer(body[: h * w * 3], dtype=np.uint8)
+                    .reshape(h, w, 3)
+                )
+        raise ValueError("malformed P6 payload")
     raise NotImplementedError(
-        "image decode requires an image codec library (PIL/opencv); "
-        "not available in this environment — use the deterministic "
-        "byte-histogram fake extractor instead"
+        "compressed image decode requires a codec library (PIL/opencv); "
+        "not available in this environment — only PPM (P6) decodes here"
     )
 
 
@@ -84,7 +115,15 @@ def extract_features(binary_df: DataFrame, use_real_decode: bool = False) -> Dat
         for pdf in batches:
             payloads = pdf["payload"]
             if use_real_decode:
-                feats = [decode_image(p) for p in payloads]
+                # decode to pixels, then the same 16-bin histogram —
+                # over DECODED pixel bytes, not the raw payload
+                feats = [
+                    np.bincount(
+                        decode_image(bytes(p)).ravel() % HIST_BINS,
+                        minlength=HIST_BINS,
+                    ).astype(int).tolist()
+                    for p in payloads
+                ]
             else:
                 feats = [_fake_features(bytes(p)) for p in payloads]
             yield pd.DataFrame(
@@ -250,4 +289,98 @@ RESIZE_ORACLE = f"""
            md5(string_agg(substring(hx, i * stride * 2 + 1, 2), '' ORDER BY i))
              AS thumb_md5
     FROM idx GROUP BY doc_id, n_bytes, stride
+"""
+
+
+PPM_W = 16  # demo image width; 3 bytes/pixel -> 48-byte rows
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("zero_bin", LongType()),
+    ]
+)
+
+
+def with_ppm_payload(docs: DataFrame) -> DataFrame:
+    """Attach a VALID binary PPM (P6) payload built from each doc's
+    UTF-8 bytes (width ``PPM_W``, zero-padded to full rows) — so the
+    real decoder has genuine images to decode without shipping a
+    corpus. Built in ``mapInPandas`` (partition-local, no shuffle),
+    exactly where a production pipeline's transcoder would sit."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row_bytes = PPM_W * 3
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                body = txt.encode("utf-8")
+                h = max(1, -(-len(body) // row_bytes))
+                body = body.ljust(h * row_bytes, b"\x00")
+                payloads.append(b"P6\n%d %d\n255\n" % (PPM_W, h) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def decode_stats(docs: DataFrame) -> DataFrame:
+    """End-to-end REAL decode pipeline: text → PPM P6 payload →
+    :func:`decode_image` (pure-numpy parser) → per-image pixel stats.
+    Output: (doc_id, n_pixel_bytes, pixel_sum, zero_bin) — all
+    integer-exact, so the DuckDB oracle can rebuild them from the
+    text bytes + padding arithmetic and pin that the decoder returned
+    the actual pixels (sum over h·w·3 uint8s), not a fake.
+
+    Scale shape: two chained ``mapInPandas`` stages fused into one
+    partition-local pass over Arrow batches — no shuffle anywhere;
+    the plan is scan → (encode → decode → reduce) per batch, the
+    canonical CPU-bound media pipeline."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(p))
+                flat = img.ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    return with_ppm_payload(docs).mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+DECODE_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n_raw, hx,
+             greatest(1, CAST(ceil(n_raw / CAST({PPM_W * 3} AS DOUBLE)) AS BIGINT))
+               * {PPM_W * 3} AS n_pix
+      FROM h
+    ),
+    vals AS (
+      SELECT doc_id, n_raw, n_pix,
+             list_transform(generate_series(1, CAST(n_raw AS INTEGER)),
+               i -> (strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)) AS bv
+      FROM dims
+    )
+    SELECT doc_id,
+           n_pix AS n_pixel_bytes,
+           CAST(coalesce(list_sum(bv), 0) AS BIGINT) AS pixel_sum,
+           CAST(len(list_filter(bv, v -> v % {HIST_BINS} = 0)) + (n_pix - n_raw)
+                AS BIGINT) AS zero_bin
+    FROM vals
 """

@@ -886,3 +886,27 @@ def test_scd2_intervals_islands(spark):
     assert rows[(1, 1)]["valid_to_ms"] == rows[(1, 2)]["valid_from_ms"]
     assert rows[(1, 3)]["valid_to_ms"] == -1  # open
     assert rows[(2, 1)]["valid_to_ms"] == -1
+
+
+def test_ppm_decode_roundtrip_and_edge_cases(spark):
+    import numpy as np
+    # whitespace byte (0x0A) as FIRST pixel byte: the classic parsing
+    # bug a naive split() would hit
+    body = bytes([0x0A, 1, 2] + list(range(3, 48)))  # one 16x1 row
+    img = fmm.decode_image(b"P6\n16 1\n255\n" + body)
+    assert img.shape == (1, 16, 3)
+    assert img.ravel().tolist() == list(body)
+    # compressed formats still stub
+    with pytest.raises(NotImplementedError):
+        fmm.decode_image(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        fmm.decode_image(b"P6\n16 1\n255\n\x00")  # truncated body
+    # real-decode feature path runs end-to-end on generated payloads
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = fmm.decode_stats(docs).collect()[0]
+    raw = b"hello world"
+    assert out["n_pixel_bytes"] == 48
+    assert out["pixel_sum"] == sum(raw)
+    assert out["zero_bin"] == sum(1 for b in raw if b % 16 == 0) + (48 - len(raw))
