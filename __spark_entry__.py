@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders")
         ),
         "multimodal_decode_ppm": lambda s, d: fmm.decode_stats(_docs(s, d)),
+        "sample_train_val_test": lambda s, d: fcur.train_val_test_split(_docs(s, d)),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -963,4 +964,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_incremental": fdedup.incremental_near_dup_oracle(250),
         "orders_status_scd2": fana.scd2_intervals_oracle(),
         "multimodal_decode_ppm": fmm.DECODE_STATS_ORACLE,
+        "sample_train_val_test": fcur.train_val_test_split_oracle(),
     }

@@ -866,3 +866,68 @@ def source_overlap_matrix_oracle() -> str:
         FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
         GROUP BY 1, 2
     """
+
+
+SPLIT_VAL_PCT = 10
+SPLIT_TEST_PCT = 10
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    val_pct: int = SPLIT_VAL_PCT,
+    test_pct: int = SPLIT_TEST_PCT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and re-runnable: bucket
+    = md5(doc_id) mod 100, so a document's split never changes when
+    the corpus grows (new docs land in their own buckets; existing
+    assignments are stable — the property random splits lack). Emits
+    the per-(source, split) manifest: (source, split, n_docs,
+    n_chars_total), the small frame a training job actually consumes.
+
+    Scale shape: one narrow projection (hash, bucket, split label) and
+    one partially-aggregated hash agg on (source, split) — map output
+    bounded by sources × 3. The md5-mod bucket is the same shared-hash
+    idiom as every sampler here, so Spark and DuckDB agree bucket by
+    bucket."""
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError(
+            f"need val_pct, test_pct >= 0 with val+test < 100, "
+            f"got {val_pct}/{test_pct}"
+        )
+    bucket = (
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+        " % 100"
+    )
+    split = (
+        f"case when {bucket} < {test_pct} then 'test' "
+        f"when {bucket} < {test_pct + val_pct} then 'val' "
+        f"else 'train' end"
+    )
+    return (
+        docs.select("source", F.expr(split).alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+def train_val_test_split_oracle(
+    val_pct: int = SPLIT_VAL_PCT, test_pct: int = SPLIT_TEST_PCT
+) -> str:
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 100"
+    )
+    return f"""
+        SELECT source,
+               CASE WHEN {bucket} < {test_pct} THEN 'test'
+                    WHEN {bucket} < {test_pct + val_pct} THEN 'val'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents
+        GROUP BY 1, 2
+    """

@@ -910,3 +910,18 @@ def test_ppm_decode_roundtrip_and_edge_cases(spark):
     assert out["n_pixel_bytes"] == 48
     assert out["pixel_sum"] == sum(raw)
     assert out["zero_bin"] == sum(1 for b in raw if b % 16 == 0) + (48 - len(raw))
+
+
+def test_train_val_test_split_stable_under_growth(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, sf_dir, "documents")
+    full = fcur.train_val_test_split(docs).toPandas()
+    assert set(full.split) <= {"train", "val", "test"}
+    # growth stability: restricting the corpus never moves a doc's
+    # split — the half-corpus manifest is dominated by the full one
+    half = fcur.train_val_test_split(docs.filter(F.col("doc_id") % 2 == 0)).toPandas()
+    f = {(r.source, r.split): r.n_docs for r in full.itertuples()}
+    for r in half.itertuples():
+        assert f.get((r.source, r.split), 0) >= r.n_docs
+    with pytest.raises(ValueError):
+        fcur.train_val_test_split(docs, val_pct=60, test_pct=50)

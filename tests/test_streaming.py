@@ -764,3 +764,40 @@ def test_funnel_stream_matches_batch(spark, workdir):
             assert final[u][c] == want[u][c], (u, c, final[u][c], want[u][c])
     with pytest.raises(ValueError):
         stw.funnel_stream(stream, steps=("a", "b"))
+
+
+def test_funnel_stream_checkpoint_resume(spark, workdir):
+    outdir = workdir / "out"
+
+    def run_once():
+        out = stw.funnel_stream(
+            spark.readStream.schema(FUNNEL_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(workdir / "in")),
+            step_window_ms=60_000,
+        )
+        # update-mode stream → foreachBatch parquet append (the
+        # update-capable sink that also supports checkpoint recovery)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(outdir))
+            )
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # the funnel spans the restart: view+click before, purchase after
+    write_funnel_batch(workdir / "in", "001.parquet",
+                       [(1000, 1, "a", "view"), (5000, 2, "a", "click")])
+    run_once()
+    write_funnel_batch(workdir / "in", "002.parquet",
+                       [(9000, 3, "a", "purchase")])
+    run_once()
+    rows = sorted(spark.read.parquet(str(outdir)).collect(),
+                  key=lambda r: r["step_reached"])
+    # pre-restart state (t1, t2) must survive for step 3 to complete
+    assert rows[-1]["step_reached"] == 3
+    assert (rows[-1]["t1_ms"], rows[-1]["t2_ms"], rows[-1]["t3_ms"]) == (1000, 5000, 9000)
