@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "multimodal_decode_ppm": lambda s, d: fmm.decode_stats(_docs(s, d)),
         "sample_train_val_test": lambda s, d: fcur.train_val_test_split(_docs(s, d)),
+        "emb_label_outliers": lambda s, d: fsim.label_outliers(_emb(s, d)),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -965,4 +966,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_status_scd2": fana.scd2_intervals_oracle(),
         "multimodal_decode_ppm": fmm.DECODE_STATS_ORACLE,
         "sample_train_val_test": fcur.train_val_test_split_oracle(),
+        "emb_label_outliers": fsim.label_outliers_oracle(),
     }

@@ -1178,3 +1178,105 @@ def pca_project_oracle(sf_dir: str | None = None,
         f"{e} AS pc{ci}" for ci, e in enumerate(_project_exprs(comps, idx0=1))
     )
     return f"SELECT vec_id, {sel} FROM embeddings"
+
+
+def label_outliers(emb: DataFrame) -> DataFrame:
+    """Per-label embedding outlier report: exact fixed-point centroid
+    per label, every member's squared distance to its own centroid,
+    and the label-level summary (n, mean/max distance, the single
+    farthest vector) — the screening step that catches mislabeled or
+    corrupted embeddings before training.
+
+    Determinism: elements quantize to micro-units BEFORE any
+    aggregation (same pattern as :func:`cell_centroids`), the mean is
+    one IEEE division of exact operands, and each dimension's squared
+    deviation re-quantizes to a bigint before the per-vector sum — so
+    distances are order-of-addition independent and hash-identical in
+    DuckDB. The argmax vector resolves ties by MIN vec_id via a
+    max-then-join, never an engine-specific arg_max.
+
+    Scale shape: aggregations ONLY — (label, pos) centroid agg with
+    map-side combine (shuffle volume O(labels × dim × partitions)),
+    per-vector distance agg keyed on high-cardinality vec_id, then a
+    labels-sized summary agg and one tiny join for the argmax. No
+    window over the low-cardinality label key, no broadcast of
+    anything corpus-sized."""
+    pe = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn(
+        "qx", F.expr(f"cast(round(cast(val as double) * {_QUANT}) as bigint)")
+    )
+    cent = pe.groupBy("label", "pos").agg(
+        F.sum("qx").alias("qsum"), F.count("*").alias("n_members")
+    )
+    dist = (
+        pe.join(cent, ["label", "pos"])
+        .withColumn(
+            "tq",
+            F.expr(
+                f"cast(round((qx - qsum / cast(n_members as double)) * "
+                f"(qx - qsum / cast(n_members as double)) / {_QUANT}) as bigint)"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("tq").alias("d2q"))
+    )
+    summary = dist.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("d2q").alias("sum_d2q"),
+        F.max("d2q").alias("max_d2q"),
+    )
+    argmax = (
+        dist.join(
+            summary.select("label", "max_d2q"), "label"
+        )
+        .filter(F.col("d2q") == F.col("max_d2q"))
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("outlier_vec_id"))
+    )
+    return summary.join(argmax, "label").select(
+        "label",
+        "n_vecs",
+        F.expr(f"round(sum_d2q / cast(n_vecs as double) / {_QUANT}, 6)").alias("avg_d2"),
+        F.expr(f"round(max_d2q / cast({_QUANT} as double), 6)").alias("max_d2"),
+        "outlier_vec_id",
+    )
+
+
+def label_outliers_oracle() -> str:
+    return f"""
+        WITH pe AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_QUANT}) AS BIGINT) AS qx
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, pos, CAST(sum(qx) AS BIGINT) AS qsum,
+                 count(*) AS n_members
+          FROM pe GROUP BY label, pos
+        ),
+        dist AS (
+          SELECT p.vec_id, p.label,
+                 CAST(sum(CAST(round((p.qx - c.qsum / CAST(c.n_members AS DOUBLE)) *
+                                     (p.qx - c.qsum / CAST(c.n_members AS DOUBLE))
+                                     / {_QUANT}) AS BIGINT)) AS BIGINT) AS d2q
+          FROM pe p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+          GROUP BY p.vec_id, p.label
+        ),
+        summary AS (
+          SELECT label, count(*) AS n_vecs,
+                 CAST(sum(d2q) AS BIGINT) AS sum_d2q,
+                 max(d2q) AS max_d2q
+          FROM dist GROUP BY label
+        ),
+        am AS (
+          SELECT d.label, min(d.vec_id) AS outlier_vec_id
+          FROM dist d JOIN summary s ON d.label = s.label AND d.d2q = s.max_d2q
+          GROUP BY d.label
+        )
+        SELECT s.label, s.n_vecs,
+               round(s.sum_d2q / CAST(s.n_vecs AS DOUBLE) / {_QUANT}, 6) AS avg_d2,
+               round(s.max_d2q / CAST({_QUANT} AS DOUBLE), 6) AS max_d2,
+               am.outlier_vec_id
+        FROM summary s JOIN am ON s.label = am.label
+    """

@@ -925,3 +925,19 @@ def test_train_val_test_split_stable_under_growth(spark, sf_dir):
         assert f.get((r.source, r.split), 0) >= r.n_docs
     with pytest.raises(ValueError):
         fcur.train_val_test_split(docs, val_pct=60, test_pct=50)
+
+
+def test_label_outliers_flags_planted_outlier(spark):
+    # two tight clusters plus one far point in label 0
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+        rows.append((10 + i, [0.0, 1.0, 0.0, 0.0], 1))
+    rows.append((99, [-5.0, 0.0, 0.0, 0.0], 0))  # planted outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in fsim.label_outliers(emb).collect()}
+    assert out[0]["outlier_vec_id"] == 99
+    assert out[0]["max_d2"] > out[1]["max_d2"]
+    # a perfectly tight cluster has ~zero spread
+    assert out[1]["avg_d2"] < 1e-6
