@@ -391,6 +391,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_ppm": lambda s, d: fmm.decode_stats(_docs(s, d)),
         "sample_train_val_test": lambda s, d: fcur.train_val_test_split(_docs(s, d)),
         "emb_label_outliers": lambda s, d: fsim.label_outliers(_emb(s, d)),
+        # -- (1d) new in this session — never driver-checked: triangle
+        #    counting, count-min, Bloom runtime prefilter, positional
+        #    phrase search, z-order layout manifest
+        "dedup_graph_triangles": lambda s, d: fgraph.near_dup_triangles(_docs(s, d)),
+        "sketch_countmin_topk": lambda s, d: fsk.countmin_heavy_hitters(_events(s, d)),
+        "join_bloom_prefilter": lambda s, d: fsk.bloom_prefilter_join(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")
+        ),
+        "docs_phrase_search": lambda s, d: fret.phrase_search(_docs(s, d)),
+        "events_zorder_layout": lambda s, d: fcur.zorder_layout(_events(s, d)),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -967,4 +977,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_ppm": fmm.DECODE_STATS_ORACLE,
         "sample_train_val_test": fcur.train_val_test_split_oracle(),
         "emb_label_outliers": fsim.label_outliers_oracle(),
+        "dedup_graph_triangles": fgraph.near_dup_triangles_oracle(),
+        "sketch_countmin_topk": fsk.countmin_heavy_hitters_oracle(),
+        "join_bloom_prefilter": fsk.bloom_prefilter_join_oracle(),
+        "docs_phrase_search": fret.phrase_search_oracle(),
+        "events_zorder_layout": fcur.zorder_layout_oracle(),
     }

@@ -931,3 +931,98 @@ def train_val_test_split_oracle(
         FROM documents
         GROUP BY 1, 2
     """
+
+
+ZORDER_BITS = 10       # bits per dimension
+ZORDER_FILE_SHIFT = 14 # keep the top 6 z-bits -> 64 files
+
+
+def _z_interleave_spark(x: str, y: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"shiftleft(shiftright({x}, {b}) & 1, {2 * b + 1})")
+        terms.append(f"shiftleft(shiftright({y}, {b}) & 1, {2 * b})")
+    return " + ".join(terms)
+
+
+def _z_interleave_duck(x: str, y: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
+
+
+def zorder_layout(events: DataFrame, bits: int = ZORDER_BITS,
+                  file_shift: int = ZORDER_FILE_SHIFT) -> DataFrame:
+    """Z-order (Morton-curve) file layout for multidimensional scan
+    pruning — what Delta's ``OPTIMIZE ZORDER BY`` / Iceberg's sort
+    orders do for 100 TB tables: interleave the bits of two filter
+    dimensions so every output file covers a BOUNDED range in BOTH,
+    and a predicate on either dimension prunes most files from the
+    scan. Dimensions here: user bucket (``user_id % 2^bits``) and
+    corpus hour (``floor(epoch_ms/3600000) % 2^bits``). Output: one
+    row per z-file — (file_id, n_rows, min_ub, max_ub, min_hb,
+    max_hb, ub_span, hb_span) — the min/max column stats a lakehouse
+    manifest would store, demonstrating per-file span bounds on both
+    dimensions (a time-sorted layout would show ub_span = full range
+    in every file).
+
+    Scale shape: the z-value is pure codegen bit arithmetic (20
+    shift-and-mask terms, no UDF); the per-file stats are ONE
+    map-side-combined hash agg keyed on file_id. At scale the same
+    z-value feeds ``repartitionByRange(z)`` + sortWithinPartitions as
+    the actual write path; this entry computes the manifest the
+    pruning argument rests on. Integer-exact end to end."""
+    if bits < 1 or bits > 20:
+        raise ValueError(f"zorder_layout needs 1 <= bits <= 20, got {bits}")
+    if file_shift < 0 or file_shift >= 2 * bits:
+        raise ValueError(
+            f"zorder_layout needs 0 <= file_shift < {2 * bits}, got {file_shift}"
+        )
+    mod = 1 << bits
+    z = _z_interleave_spark("ub", "hb", bits)
+    return (
+        events.select(
+            F.expr(f"user_id % {mod}").alias("ub"),
+            F.expr(f"(unix_millis(ts) div 3600000) % {mod}").alias("hb"),
+        )
+        .select("ub", "hb", F.expr(f"({z}) div {1 << file_shift}").alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ub").alias("min_ub"), F.max("ub").alias("max_ub"),
+            F.min("hb").alias("min_hb"), F.max("hb").alias("max_hb"),
+        )
+        .select(
+            "file_id", "n_rows", "min_ub", "max_ub", "min_hb", "max_hb",
+            (F.col("max_ub") - F.col("min_ub") + 1).alias("ub_span"),
+            (F.col("max_hb") - F.col("min_hb") + 1).alias("hb_span"),
+        )
+    )
+
+
+def zorder_layout_oracle(bits: int = ZORDER_BITS,
+                         file_shift: int = ZORDER_FILE_SHIFT) -> str:
+    mod = 1 << bits
+    z = _z_interleave_duck("ub", "hb", bits)
+    return f"""
+        WITH dims AS (
+          SELECT user_id % {mod} AS ub,
+                 (CAST(epoch_ms(ts) AS BIGINT) // 3600000) % {mod} AS hb
+          FROM events
+        ),
+        zed AS (
+          SELECT ub, hb, ({z}) // {1 << file_shift} AS file_id FROM dims
+        ),
+        stats AS (
+          SELECT file_id, count(*) AS n_rows,
+                 min(ub) AS min_ub, max(ub) AS max_ub,
+                 min(hb) AS min_hb, max(hb) AS max_hb
+          FROM zed GROUP BY file_id
+        )
+        SELECT file_id, n_rows, min_ub, max_ub, min_hb, max_hb,
+               max_ub - min_ub + 1 AS ub_span,
+               max_hb - min_hb + 1 AS hb_span
+        FROM stats
+    """

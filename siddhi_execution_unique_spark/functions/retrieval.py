@@ -263,3 +263,77 @@ def bm25_topk_oracle(n_query_docs: int = N_QUERY_DOCS, k: int = TOP_K) -> str:
         FROM scored
         QUALIFY rank <= {k}
     """
+
+
+N_PHRASES = 5
+
+
+def phrase_search(docs: DataFrame, n_phrases: int = N_PHRASES) -> DataFrame:
+    """Exact phrase (adjacent-bigram) search via a POSITIONAL inverted
+    index — the retrieval primitive BM25's bag-of-words scoring can't
+    express, and the backbone of n-gram-overlap contamination probes
+    that need true adjacency, not shingle hashes. The query set is the
+    corpus's own ``n_phrases`` most frequent bigrams (deterministic:
+    count desc, then lexicographic), so the entry is self-contained.
+    Output: (w1, w2, doc_id, n_occ) — every document containing each
+    query phrase, with its exact occurrence count.
+
+    Scale shape: the positional posting list (term, doc_id, pos)
+    explodes once and materializes; phrase matching is the classic
+    positional-index merge expressed relationally — the tiny query
+    set broadcast-joins posting rows of w1, and adjacency closes via
+    ONE equi-join on (doc_id, pos+1) with a w2 filter, shuffled on
+    the high-cardinality (doc_id, pos) key. Cost is O(sum of posting
+    lengths of the query terms), never a document self-join. The
+    query-mining top-k is TakeOrdered (distributed partial top-k, no
+    global window); bigram counting reuses the (doc_id, pos+1)
+    self-join shape parity-proven in ``text.bigram_logprob``."""
+    if n_phrases < 1:
+        raise ValueError(f"phrase_search needs n_phrases >= 1, got {n_phrases}")
+    from siddhi_execution_unique_spark.functions.text import materialized
+
+    toks = materialized(
+        docs.select("doc_id", F.posexplode(F.expr(SPARK_TOKS)).alias("pos", "term"))
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("w2")
+    )
+    bigrams = materialized(
+        toks.join(nxt, ["doc_id", "pos"]).select(
+            "doc_id", "pos", F.col("term").alias("w1"), "w2"
+        )
+    )
+    phrases = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w1"), F.col("w2"))
+        .limit(n_phrases)
+        .select("w1", "w2")
+    )
+    return (
+        bigrams.join(F.broadcast(phrases), ["w1", "w2"])
+        .groupBy("w1", "w2", "doc_id")
+        .agg(F.count("*").alias("n_occ"))
+    )
+
+
+def phrase_search_oracle(n_phrases: int = N_PHRASES) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+          FROM (SELECT doc_id, {DUCK_TOKS} AS l FROM documents)
+        ),
+        bigrams AS (
+          SELECT a.doc_id, a.pos, a.term AS w1, b.term AS w2
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        phrases AS (
+          SELECT w1, w2 FROM (
+            SELECT w1, w2, count(*) AS cnt FROM bigrams GROUP BY w1, w2
+          ) ORDER BY cnt DESC, w1, w2 LIMIT {n_phrases}
+        )
+        SELECT b.w1, b.w2, b.doc_id, count(*) AS n_occ
+        FROM bigrams b JOIN phrases p ON b.w1 = p.w1 AND b.w2 = p.w2
+        GROUP BY b.w1, b.w2, b.doc_id
+    """

@@ -441,3 +441,226 @@ def hll_distinct_oracle() -> str:
                           ELSE ({est_raw}) END, 3) AS hll_estimate
         FROM folded f JOIN exact e ON f.event_type = e.event_type
     """
+
+
+CM_D = 4          # count-min hash rows
+CM_W = 512        # count-min cells per row
+CM_TOP = 20       # heavy-hitter report size
+
+_CM_HASH_SPARK = (
+    "cast(conv(substring(md5(concat('cm', cast(i as string), ':',"
+    " cast(user_id as string))), 1, 15), 16, 10) as bigint)"
+    f" % {CM_W}"
+)
+_CM_HASH_DUCK = (
+    "CAST(('0x' || substring(md5('cm' || CAST(i AS VARCHAR) || ':'"
+    " || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {CM_W}"
+)
+
+
+def countmin_heavy_hitters(
+    events: DataFrame, d: int = CM_D, w: int = CM_W, top: int = CM_TOP
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over per-user
+    event counts, reported for the exact top-``top`` heaviest users so
+    the entry doubles as an accuracy report. Output: (user_id,
+    n_exact, cm_estimate, overcount) — overcount >= 0 always (count-min
+    errs only upward), all exact integers, shared md5 hashes so both
+    engines build the identical d x w cell table.
+
+    Scale shape: the sketch is ONE partially-aggregating shuffle on
+    (hash_row, cell) — each event emits ``d`` cell increments
+    map-side, and map-side combine caps every partition's output at
+    d*w (= 2048) rows no matter how many events it read; cells from
+    any number of shards/executors merge by SUM, which is the whole
+    point of the sketch at 100 TB (a mergeable fixed-size frequency
+    table where the exact per-key agg would carry billions of keys).
+    Estimates probe the d*w-row table with a broadcast candidate set:
+    min over the candidate's d cells. The exact counts ride a keyed
+    hash agg + TakeOrdered(top) — distributed partial top-k, no
+    global window (plan-test-pinned)."""
+    if d < 1 or w < 1:
+        raise ValueError(f"countmin needs d >= 1 and w >= 1, got d={d}, w={w}")
+    if top < 1:
+        raise ValueError(f"countmin needs top >= 1, got {top}")
+    rows = F.explode(F.expr(f"sequence(0, {d - 1})")).alias("i")
+    cells = (
+        events.select("user_id", rows)
+        .select("i", F.expr(_CM_HASH_SPARK).alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = events.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    cand = exact.orderBy(F.col("n_exact").desc(), F.col("user_id")).limit(top)
+    probes = cand.select("user_id", "n_exact", rows).select(
+        "user_id", "n_exact", "i", F.expr(_CM_HASH_SPARK).alias("cell")
+    )
+    return (
+        probes.join(cells, ["i", "cell"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "user_id", "n_exact", "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+def countmin_heavy_hitters_oracle(
+    d: int = CM_D, w: int = CM_W, top: int = CM_TOP
+) -> str:
+    return f"""
+        WITH ids AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
+        cells AS (
+          SELECT i, {_CM_HASH_DUCK} AS cell, count(*) AS c
+          FROM events CROSS JOIN ids
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+        ),
+        cand AS (
+          SELECT user_id, n_exact FROM exact
+          ORDER BY n_exact DESC, user_id LIMIT {top}
+        ),
+        probes AS (
+          SELECT user_id, n_exact, i, {_CM_HASH_DUCK} AS cell
+          FROM cand CROSS JOIN ids
+        ),
+        est AS (
+          SELECT p.user_id, p.n_exact, min(c.c) AS cm_estimate
+          FROM probes p JOIN cells c ON p.i = c.i AND p.cell = c.cell
+          GROUP BY p.user_id, p.n_exact
+        )
+        SELECT user_id, n_exact, cm_estimate,
+               cm_estimate - n_exact AS overcount
+        FROM est
+    """
+
+
+BLOOM_M = 32768   # filter bits (~11 bits/key on the sf0.01 build side)
+BLOOM_K = 3       # hashes per key
+_BLOOM_PRIORITY = "1-URGENT"
+
+
+def _bloom_hash_spark(col: str, i: int, m: int) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('bf', '{i}', ':',"
+        f" cast({col} as string))), 1, 15), 16, 10) as bigint) % {m}"
+    )
+
+
+def _bloom_hash_duck(col: str, i: int, m: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('bf' || '{i}' || ':'"
+        f" || CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % {m}"
+    )
+
+
+def bloom_prefilter_join(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Deterministic Bloom runtime-filter semi-join — the pushed-down
+    build-side filter every 100 TB join planner injects (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` does exactly
+    this, but its filter is opaque; this one is md5-derived so DuckDB
+    reconstructs the identical bit set and the false-positive count
+    has an exact oracle). Build side: urgent orders' keys; probe
+    side: lineitem. Output: ONE summary row (n_probe, n_bloom_pass,
+    n_true_match, n_false_pos, fp_micro) — fp_micro is the realized
+    false-positive rate over true negatives in exact millionths.
+
+    Scale shape: the filter state is <= min(k*|build|, m) distinct
+    set-bit rows — BOUNDED BY m (= {m}) regardless of build size —
+    and ships as a broadcast. The probe side then passes through k
+    broadcast LEFT SEMI joins (one per hash), entirely map-side: the
+    corpus-sized lineitem scan is never shuffled, which is the whole
+    point of a runtime prefilter (rows that cannot match die before
+    the expensive join). No false negatives by construction; the
+    false-positive rows are exactly what the real join would discard
+    later, and the summary quantifies them."""
+    if m < 1 or k < 1:
+        raise ValueError(f"bloom needs m >= 1 and k >= 1, got m={m}, k={k}")
+    build = orders.filter(
+        F.col("o_orderpriority") == _BLOOM_PRIORITY
+    ).select("o_orderkey")
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[
+                    F.expr(_bloom_hash_spark("o_orderkey", i, m)) for i in range(k)
+                ])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = lineitem.select(
+        "l_orderkey",
+        *[
+            F.expr(_bloom_hash_spark("l_orderkey", i, m)).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    passed = probe
+    for i in range(k):
+        passed = passed.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"h{i}"))),
+            f"h{i}",
+            "left_semi",
+        )
+    n_probe = lineitem.agg(F.count("*").alias("n_probe"))
+    n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
+    n_true = (
+        lineitem.join(F.broadcast(build),
+                      lineitem["l_orderkey"] == build["o_orderkey"], "left_semi")
+        .agg(F.count("*").alias("n_true_match"))
+    )
+    return (
+        n_probe.crossJoin(n_pass).crossJoin(n_true)
+        .select(
+            "n_probe", "n_bloom_pass", "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
+            F.expr(
+                "case when n_probe > n_true_match then"
+                " (1000000 * (n_bloom_pass - n_true_match))"
+                " div (n_probe - n_true_match)"
+                " else cast(0 as bigint) end"
+            ).alias("fp_micro"),
+        )
+    )
+
+
+def bloom_prefilter_join_oracle(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    pass_cond = " AND ".join(
+        f"({_bloom_hash_duck('l.l_orderkey', i, m)}) IN (SELECT bit FROM bits)"
+        for i in range(k)
+    )
+    bit_exprs = " UNION ALL ".join(
+        f"SELECT {_bloom_hash_duck('o_orderkey', i, m)} AS bit FROM build"
+        for i in range(k)
+    )
+    return f"""
+        WITH build AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '{_BLOOM_PRIORITY}'
+        ),
+        bits AS (SELECT DISTINCT bit FROM ({bit_exprs})),
+        counts AS (
+          SELECT
+            (SELECT count(*) FROM lineitem) AS n_probe,
+            (SELECT count(*) FROM lineitem l WHERE {pass_cond}) AS n_bloom_pass,
+            (SELECT count(*) FROM lineitem l
+              WHERE l.l_orderkey IN (SELECT o_orderkey FROM build)) AS n_true_match
+        )
+        SELECT n_probe, n_bloom_pass, n_true_match,
+               n_bloom_pass - n_true_match AS n_false_pos,
+               CASE WHEN n_probe > n_true_match THEN
+                 (1000000 * (n_bloom_pass - n_true_match))
+                   // (n_probe - n_true_match)
+               ELSE CAST(0 AS BIGINT) END AS fp_micro
+        FROM counts
+    """

@@ -941,3 +941,89 @@ def test_label_outliers_flags_planted_outlier(spark):
     assert out[0]["max_d2"] > out[1]["max_d2"]
     # a perfectly tight cluster has ~zero spread
     assert out[1]["avg_d2"] < 1e-6
+
+
+def test_triangles_counts_known_graph(spark):
+    # plant: docs 0,1,2 identical (a 3-clique in the near-dup graph),
+    # doc 3 identical to 4 (an edge, no triangle), doc 5 unique
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 12
+    other = "one two three four five six seven eight nine ten " * 12
+    rows = [(i, base, "en", "s", len(base)) for i in range(3)]
+    rows += [(3, other, "en", "s", len(other)), (4, other, "en", "s", len(other))]
+    rows += [(5, "totally unrelated words entirely different corpus text body", "en", "s", 60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    from siddhi_execution_unique_spark.functions import graph as fgraph
+    out = {r.doc_id: r for r in fgraph.near_dup_triangles(docs).collect()}
+    for d in (0, 1, 2):
+        assert out[d].deg == 2 and out[d].n_tri == 1
+        assert out[d].lcc_micro == 1_000_000  # fully closed neighborhood
+    for d in (3, 4):
+        assert out[d].deg == 1 and out[d].n_tri == 0 and out[d].lcc_micro == 0
+    assert 5 not in out  # no edges -> not a graph node
+
+
+def test_countmin_never_underestimates_and_exact_when_sparse(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, sf_dir, "events")
+    out = fsk.countmin_heavy_hitters(events).toPandas()
+    assert (out.overcount >= 0).all()  # count-min errs only upward
+    assert (out.cm_estimate >= out.n_exact).all()
+    # top-ranked exact counts really are the heaviest users
+    exact = events.groupBy("user_id").count().toPandas()
+    top_exact = set(
+        exact.sort_values(["count", "user_id"], ascending=[False, True])
+        .head(len(out)).user_id
+    )
+    assert set(out.user_id) == top_exact
+    with pytest.raises(ValueError):
+        fsk.countmin_heavy_hitters(events, d=0)
+    with pytest.raises(ValueError):
+        fsk.countmin_heavy_hitters(events, top=0)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    row = fsk.bloom_prefilter_join(orders, lineitem).collect()[0]
+    # every true match survives the filter; false positives are the
+    # only slack, and the pass set never exceeds the probe set
+    assert row.n_bloom_pass >= row.n_true_match
+    assert row.n_false_pos == row.n_bloom_pass - row.n_true_match
+    assert row.n_probe >= row.n_bloom_pass
+    with pytest.raises(ValueError):
+        fsk.bloom_prefilter_join(orders, lineitem, m=0)
+
+
+def test_phrase_search_finds_planted_phrase(spark):
+    from siddhi_execution_unique_spark.functions import retrieval as fret
+    rows = [(i, "quick brown fox " * 10, "en", "s", 160) for i in range(4)]
+    rows.append((9, "quick red fox jumps", "en", "s", 19))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = fret.phrase_search(docs, n_phrases=2).collect()
+    got = {(r.w1, r.w2): r for r in out if r.doc_id == 0}
+    # "quick brown" and "brown fox" dominate; doc 0 has 10 of each
+    assert ("quick", "brown") in got and got[("quick", "brown")].n_occ == 10
+    # doc 9 contains neither top phrase (adjacency matters: it has
+    # "quick red", not "quick brown")
+    assert not [r for r in out if r.doc_id == 9]
+    with pytest.raises(ValueError):
+        fret.phrase_search(docs, n_phrases=0)
+
+
+def test_zorder_files_bound_both_dims(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    events = load_table(spark, sf_dir, "events")
+    out = fcur.zorder_layout(events).toPandas()
+    assert int(out.n_rows.sum()) == events.count()
+    # top-6-bit files fix 3 high bits of each 10-bit dim: every file's
+    # span in BOTH dimensions is <= 2^7 = 128 of the 1024 range — the
+    # multidimensional-pruning guarantee a linear sort cannot give
+    assert (out.ub_span <= 128).all()
+    assert (out.hb_span <= 128).all()
+    with pytest.raises(ValueError):
+        fcur.zorder_layout(events, bits=0)
+    with pytest.raises(ValueError):
+        fcur.zorder_layout(events, file_shift=40)

@@ -641,3 +641,64 @@ def test_scd2_reuses_custkey_exchange(spark):
     # partitioning: at most ingest-fanout + one keyed exchange
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_triangles_are_oriented_equi_joins(spark):
+    from siddhi_execution_unique_spark.functions import graph as fgraph
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fgraph.near_dup_triangles(docs))
+    # wedge generation and closure are equi-joins on node / pair keys;
+    # degree orientation means no hub ever self-joins its full
+    # neighborhood both ways
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_countmin_cells_partial_agg_topk_is_take_ordered(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fsk.countmin_heavy_hitters(events))
+    # sketch cells combine map-side (output bounded at d*w per
+    # partition); candidate top-k is distributed TakeOrdered, never a
+    # global single-partition window sort
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_bloom_prefilter_probe_side_never_shuffles(spark):
+    from siddhi_execution_unique_spark.functions import sketch as fsk
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    plan = plan_of(fsk.bloom_prefilter_join(orders, lineitem))
+    # k semi-join probes + the exact-match check all ride broadcasts:
+    # the corpus-sized probe table must never hit an exchange keyed on
+    # its rows (only ingest fan-out + the 1-row count aggregates)
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 bloom probes + exact
+    assert "LeftSemi" in plan
+    # (the final 1-row summary cross-joins are broadcast joins of
+    # single-row aggregates — bounded by construction)
+    assert "SortMergeJoin" not in plan
+
+
+def test_phrase_search_is_posting_join_no_window(spark):
+    from siddhi_execution_unique_spark.functions import retrieval as fret
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fret.phrase_search(docs))
+    # phrase mining top-k is TakeOrdered; adjacency closes via the
+    # (doc_id, pos) equi-join — no corpus window, no nested loop
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_is_single_hash_agg(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fcur.zorder_layout(events))
+    # z-value is pure codegen arithmetic; manifest is one map-side
+    # combined agg keyed on file_id
+    assert "partial_min" in plan and "partial_max" in plan
+    assert plan.count("Exchange") <= 2  # ingest fan-out + file_id agg
+    assert "Window" not in plan and "BatchEvalPython" not in plan
