@@ -401,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "docs_phrase_search": lambda s, d: fret.phrase_search(_docs(s, d)),
         "events_zorder_layout": lambda s, d: fcur.zorder_layout(_events(s, d)),
+        "events_gap_fill_locf": lambda s, d: fana.gap_fill_locf(_events(s, d)),
+        "sample_priority_weighted": lambda s, d: fcur.priority_sample(_docs(s, d)),
         # -- (2) implementation changed in round 5 (bounded-K ANN,
         #    two-phase running distinct, narrow lengthBatch funnel)
         "sim_ivf_topk": lambda s, d: fsim.ivf_topk(_emb(s, d)),
@@ -982,4 +984,6 @@ def oracle_sql() -> dict[str, str]:
         "join_bloom_prefilter": fsk.bloom_prefilter_join_oracle(),
         "docs_phrase_search": fret.phrase_search_oracle(),
         "events_zorder_layout": fcur.zorder_layout_oracle(),
+        "events_gap_fill_locf": fana.gap_fill_locf_oracle(),
+        "sample_priority_weighted": fcur.priority_sample_oracle(),
     }

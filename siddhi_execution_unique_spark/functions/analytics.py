@@ -376,3 +376,88 @@ def scd2_intervals_oracle() -> str:
                n_orders
         FROM agg
     """
+
+
+GAP_FILL_COHORT = 50  # users probed by the gap-fill entry
+
+
+def gap_fill_locf(events: DataFrame, cohort: int = GAP_FILL_COHORT) -> DataFrame:
+    """Regularized per-user hourly time series with gap fill +
+    last-observation-carried-forward — the TimescaleDB
+    ``time_bucket_gapfill + locf`` shape a metrics pipeline runs
+    before any rolling statistic (irregular event streams must become
+    dense grids first). For each user in the probe cohort
+    (``user_id < cohort``), every hour between that user's first and
+    last event exists in the output; hours with no events carry the
+    previous hour's max value. Output: (user_id, hb, n_events,
+    v_filled, is_gap) — ``hb`` = epoch hour, ``v_filled`` the
+    carried-forward hourly max (max, not sum: order-independent on
+    doubles, so the driver hash is exact).
+
+    Scale shape: the hourly agg is one map-side-combined shuffle on
+    (user_id, hb); the dense grid explodes ``sequence(min_hb,
+    max_hb)`` PER USER — output volume is the sum of per-user spans,
+    which is the op's inherent output size, not overhead — and LOCF
+    is one ``last(ignoreNulls)`` running window partitioned by the
+    high-cardinality user_id (each partition = one user's grid, never
+    the corpus). No self-joins, no low-cardinality windows."""
+    if cohort < 1:
+        raise ValueError(f"gap_fill_locf needs cohort >= 1, got {cohort}")
+    hourly = (
+        events.filter(F.col("user_id") < cohort)
+        .select(
+            "user_id",
+            F.expr(f"unix_millis(ts) div {HOUR_MS}").alias("hb"),
+            "value",
+        )
+        .groupBy("user_id", "hb")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hb").alias("h0"), F.max("hb").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1)")).alias("hb")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hb"], "left")
+        .select(
+            "user_id", "hb",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+def gap_fill_locf_oracle(cohort: int = GAP_FILL_COHORT) -> str:
+    return f"""
+        WITH hourly AS (
+          SELECT user_id,
+                 CAST(epoch_ms(ts) AS BIGINT) // {HOUR_MS} AS hb,
+                 count(*) AS n_events, max(value) AS v
+          FROM events WHERE user_id < {cohort}
+          GROUP BY user_id, 2
+        ),
+        spans AS (
+          SELECT user_id, min(hb) AS h0, max(hb) AS h1
+          FROM hourly GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1)) AS hb FROM spans
+        )
+        SELECT g.user_id, g.hb,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.hb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_filled,
+               CAST(h.v IS NULL AS INT) AS is_gap
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hb = h.hb
+    """

@@ -1026,3 +1026,61 @@ def zorder_layout_oracle(bits: int = ZORDER_BITS,
                max_hb - min_hb + 1 AS hb_span
         FROM stats
     """
+
+
+PRIORITY_SAMPLE_K = 50
+_PS_P = 1_000_003  # prime for the md5-uniform; u in (0, 1]
+
+
+def priority_sample(docs: DataFrame, k: int = PRIORITY_SAMPLE_K) -> DataFrame:
+    """Deterministic weighted sampling without replacement via
+    priority sampling (Duffield, Lund & Thorup, JACM 2007): each doc
+    draws a reproducible md5-uniform u in (0,1] and gets priority
+    w/u with weight w = n_chars; the top-``k`` priorities ARE the
+    weighted sample. Longer documents are proportionally more likely
+    to be drawn, and the same corpus always yields the same sample —
+    the reproducibility a training-data pipeline needs for ablations.
+    Output: (doc_id, w, prio_micro) — the priority in exact integer
+    millionths (one IEEE division on exact int64s, then floor).
+
+    Scale shape: priorities are pure codegen arithmetic over one
+    corpus scan; the selection is ``orderBy(...).limit(k)`` =
+    TakeOrderedAndProject — each task keeps a k-row heap, the driver
+    merges P heaps, and NOTHING global is sorted (the reason this
+    beats both ORDER-BY-rand sampling and per-stratum windows at
+    100 TB). No transcendentals: exponential-jump sampling (A-ES)
+    needs ln(u), which libm renders differently per engine — w/u
+    ranking gives the same inclusion law without leaving the
+    correctly-rounded IEEE +,*,/ set."""
+    if k < 1:
+        raise ValueError(f"priority_sample needs k >= 1, got {k}")
+    prio = (
+        f"cast(floor(cast(n_chars as double)"
+        f" / ((cast(conv(substring(md5(concat('ps:', cast(doc_id as string))),"
+        f" 1, 15), 16, 10) as bigint) % {_PS_P} + 1)"
+        f" / cast({_PS_P} as double)) * 1000000) as bigint)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            F.expr(prio).alias("prio_micro"),
+        )
+        .orderBy(F.col("prio_micro").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def priority_sample_oracle(k: int = PRIORITY_SAMPLE_K) -> str:
+    prio = (
+        f"CAST(floor(CAST(n_chars AS DOUBLE)"
+        f" / ((CAST(('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % {_PS_P} + 1)"
+        f" / CAST({_PS_P} AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    return f"""
+        SELECT doc_id, n_chars AS w, {prio} AS prio_micro
+        FROM documents
+        ORDER BY prio_micro DESC, doc_id
+        LIMIT {k}
+    """

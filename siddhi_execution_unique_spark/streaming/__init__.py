@@ -1228,3 +1228,30 @@ def funnel_stream(
     return df.groupBy(user).applyInPandasWithState(
         fn, out_schema, _FUNNEL_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def countmin_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming count-min maintenance — the sketch kept CURRENT as
+    events arrive: each micro-batch's d cell increments merge into the
+    running (i, cell) counts through the state store, so the live
+    sketch is always the exact batch sketch of everything ingested.
+    State is BOUNDED at d*w (= 2048) rows forever — the streaming
+    -state version of the mergeability argument in
+    :func:`functions.sketch.countmin_heavy_hitters` (cells merge by
+    SUM, so micro-batches compose exactly like shards). Runs in
+    update/complete mode; heavy-hitter probes query the sink table.
+
+    Row-for-row parity with the batch cells is pinned by
+    ``test_countmin_stream_matches_batch_cells``."""
+    from siddhi_execution_unique_spark.functions.sketch import CM_D, _CM_HASH_SPARK
+
+    require_column(events_stream, "user_id", "count-min key")
+    return (
+        events_stream.select(
+            "user_id",
+            F.explode(F.expr(f"sequence(0, {CM_D - 1})")).alias("i"),
+        )
+        .select("i", F.expr(_CM_HASH_SPARK).alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.count("*").alias("c"))
+    )

@@ -1027,3 +1027,41 @@ def test_zorder_files_bound_both_dims(spark, sf_dir):
         fcur.zorder_layout(events, bits=0)
     with pytest.raises(ValueError):
         fcur.zorder_layout(events, file_shift=40)
+
+
+def test_gap_fill_locf_dense_grid_and_carry(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    rows = [
+        # user 1: events in hours 0 and 3 -> hours 1,2 are gaps
+        (1, 0, 1, "view", 10.0, ""),
+        (2, 3 * 3_600_000, 1, "view", 99.0, ""),
+        # user 2: single hour, no gaps
+        (3, 3_600_000, 2, "view", 5.0, ""),
+    ]
+    events = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(ms / 1000), u, t, v, p)
+         for (i, ms, u, t, v, p) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = {(r.user_id, r.hb): r for r in fana.gap_fill_locf(events).collect()}
+    assert len(out) == 5  # user 1: hours 0..3 (4 rows); user 2: 1 row
+    assert out[(1, 0)].v_filled == 10.0 and out[(1, 0)].is_gap == 0
+    assert out[(1, 1)].v_filled == 10.0 and out[(1, 1)].is_gap == 1  # carried
+    assert out[(1, 2)].v_filled == 10.0 and out[(1, 2)].is_gap == 1
+    assert out[(1, 3)].v_filled == 99.0 and out[(1, 3)].is_gap == 0
+    assert out[(2, 1)].n_events == 1
+    with pytest.raises(ValueError):
+        fana.gap_fill_locf(events, cohort=0)
+
+
+def test_priority_sample_weight_monotone_and_deterministic(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, sf_dir, "documents")
+    a = fcur.priority_sample(docs).toPandas()
+    b = fcur.priority_sample(docs).toPandas()
+    assert a.equals(b)  # reproducible sample
+    # inclusion probability rises with weight: the sampled docs'
+    # mean weight must exceed the corpus mean
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert a.w.mean() > corpus_mean
+    with pytest.raises(ValueError):
+        fcur.priority_sample(docs, k=0)

@@ -702,3 +702,25 @@ def test_zorder_layout_is_single_hash_agg(spark):
     assert "partial_min" in plan and "partial_max" in plan
     assert plan.count("Exchange") <= 2  # ingest fan-out + file_id agg
     assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gap_fill_window_is_user_keyed(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fana.gap_fill_locf(events))
+    # LOCF runs per user grid (high-cardinality partitions); the
+    # hourly agg combines map-side
+    assert "Window" in plan and "user_id" in plan
+    assert "partial_count" in plan or "partial_max" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_is_take_ordered(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fcur.priority_sample(docs))
+    # top-k selection is a distributed heap merge, never a global sort
+    # or a window over the corpus
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

@@ -801,3 +801,46 @@ def test_funnel_stream_checkpoint_resume(spark, workdir):
     # pre-restart state (t1, t2) must survive for step 3 to complete
     assert rows[-1]["step_reached"] == 3
     assert (rows[-1]["t1_ms"], rows[-1]["t2_ms"], rows[-1]["t3_ms"]) == (1000, 5000, 9000)
+
+
+def test_countmin_stream_matches_batch_cells(spark, workdir):
+    import shutil as _sh
+
+    from siddhi_execution_unique_spark.functions.sketch import (
+        countmin_heavy_hitters,  # noqa: F401 (same hash constants)
+        CM_D,
+        _CM_HASH_SPARK,
+    )
+    from pyspark.sql import functions as F
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming import countmin_stream
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # split the corpus into two files: the state store must merge
+    # cell counts ACROSS micro-batches, not just within one
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(workdir / "in"))
+    res = run_available(
+        spark, countmin_stream(
+            stream_table(spark, str(workdir / "in"), events.schema, ts=None)
+        ), "cm_sink", workdir / "ckpt", mode="complete",
+    )
+    half2.coalesce(1).write.mode("append").parquet(str(workdir / "in"))
+    res = run_available(
+        spark, countmin_stream(
+            stream_table(spark, str(workdir / "in"), events.schema, ts=None)
+        ), "cm_sink", workdir / "ckpt", mode="complete",
+    )
+    got = {(r["i"], r["cell"]): r["c"] for r in res.collect()}
+    want = {
+        (r["i"], r["cell"]): r["c"]
+        for r in events.select(
+            "user_id", F.explode(F.expr(f"sequence(0, {CM_D - 1})")).alias("i")
+        )
+        .select("i", F.expr(_CM_HASH_SPARK).alias("cell"))
+        .groupBy("i", "cell").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want and len(got) > 0
