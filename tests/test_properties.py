@@ -434,3 +434,147 @@ def test_pagerank_quantized_mass_conservation(edges):
             contrib[d] = contrib.get(d, 0) + round(rank[s] / deg[s] * Q)
         rank = {n: 0.15 / N + 0.85 * (contrib.get(n, 0) / Q) for n in nodes}
     assert abs(sum(rank.values()) - 1.0) < 1e-9 * max(1, N)
+
+
+# --- degree-oriented triangle counting (graph.near_dup_triangles) ---
+
+
+def _oriented_triangles(edges: set[tuple[int, int]]) -> dict[int, int]:
+    """Mirror of the operator's algebra: orient by (deg, id), generate
+    wedges at the minimum vertex, close via adjacency."""
+    und = edges | {(b, a) for a, b in edges}
+    deg: dict[int, int] = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    def rank(v):
+        return (deg[v], v)
+    oriented = {(a, b) for a, b in und if rank(a) < rank(b)}
+    out: dict[int, int] = {}
+    by_src: dict[int, list[int]] = {}
+    for a, b in oriented:
+        by_src.setdefault(a, []).append(b)
+    for p, nbrs in by_src.items():
+        nbrs = sorted(nbrs)
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                q, r = nbrs[i], nbrs[j]
+                if (q, r) in und:
+                    for v in (p, q, r):
+                        out[v] = out.get(v, 0) + 1
+    return out
+
+
+@given(st.sets(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    max_size=40,
+))
+@settings(max_examples=300, deadline=None)
+def test_oriented_wedge_counting_matches_bruteforce_triangles(raw):
+    from itertools import combinations
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    und = edges | {(b, a) for a, b in edges}
+    nodes = {v for e in edges for v in e}
+    brute: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in und and (a, c) in und and (b, c) in und:
+            for v in (a, b, c):
+                brute[v] = brute.get(v, 0) + 1
+    assert _oriented_triangles(edges) == brute
+
+
+@given(st.sets(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    max_size=40,
+))
+@settings(max_examples=200, deadline=None)
+def test_orientation_is_acyclic_total_so_each_triangle_counted_once(raw):
+    # every triangle has exactly ONE vertex with two out-edges under
+    # the (deg, id) orientation — the no-double-count argument
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    und = edges | {(b, a) for a, b in edges}
+    deg: dict[int, int] = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    from itertools import combinations
+    nodes = {v for e in edges for v in e}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in und and (a, c) in und and (b, c) in und:
+            pivots = 0
+            for p, q, r in ((a, b, c), (b, a, c), (c, a, b)):
+                if (deg[p], p) < (deg[q], q) and (deg[p], p) < (deg[r], r):
+                    pivots += 1
+            assert pivots == 1
+
+
+# --- z-order interleave (curation.zorder_layout) ---
+
+
+def _interleave(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b + 1)
+        z |= ((y >> b) & 1) << (2 * b)
+    return z
+
+
+@given(st.integers(0, 1023), st.integers(0, 1023))
+@settings(max_examples=500, deadline=None)
+def test_zorder_interleave_is_bijective(x, y):
+    z = _interleave(x, y, 10)
+    dx = sum(((z >> (2 * b + 1)) & 1) << b for b in range(10))
+    dy = sum(((z >> (2 * b)) & 1) << b for b in range(10))
+    assert (dx, dy) == (x, y)
+    assert 0 <= z < 1 << 20
+
+
+@given(st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+                min_size=2, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_zorder_file_tiles_bound_both_dims(points):
+    # the plan-level pruning claim: same top-6 z-bits => both coords
+    # share their top 3 bits => span within a file <= 2^7
+    files: dict[int, list[tuple[int, int]]] = {}
+    for x, y in points:
+        files.setdefault(_interleave(x, y, 10) >> 14, []).append((x, y))
+    for pts in files.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert max(xs) - min(xs) <= 127
+        assert max(ys) - min(ys) <= 127
+
+
+# --- count-min and bloom (sketch.countmin_heavy_hitters / bloom_prefilter_join) ---
+
+
+def _md5_mod(prefix: str, key: int, mod: int) -> int:
+    import hashlib
+    h = hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:15]
+    return int(h, 16) % mod
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_countmin_estimate_never_below_true_count(stream):
+    d, w = 4, 32  # narrow width to force collisions
+    cells: dict[tuple[int, int], int] = {}
+    for k in stream:
+        for i in range(d):
+            cell = _md5_mod(f"cm{i}:", k, w)
+            cells[(i, cell)] = cells.get((i, cell), 0) + 1
+    from collections import Counter
+    truth = Counter(stream)
+    for k, n in truth.items():
+        est = min(cells[(i, _md5_mod(f"cm{i}:", k, w))] for i in range(d))
+        assert est >= n
+
+
+@given(st.sets(st.integers(0, 10_000), max_size=100),
+       st.sets(st.integers(0, 10_000), max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_bloom_membership_has_no_false_negatives(build, probe):
+    m, k = 1024, 3
+    bits = {_md5_mod(f"bf{i}:", key, m) for key in build for i in range(k)}
+    for key in probe:
+        passes = all(_md5_mod(f"bf{i}:", key, m) in bits for i in range(k))
+        if key in build:
+            assert passes  # a true member can never be filtered out
