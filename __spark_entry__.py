@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_layout": lambda s, d: fcur.zorder_layout(_events(s, d)),
         "events_gap_fill_locf": lambda s, d: fana.gap_fill_locf(_events(s, d)),
         "sample_priority_weighted": lambda s, d: fcur.priority_sample(_docs(s, d)),
+        "multimodal_decode_wav": lambda s, d: fmm.audio_stats(_docs(s, d)),
         # -- (1e) late round-5 additions — never driver-checked: BM25
         #    retrieval, tf-idf cosine near-pairs, trailing distinct,
         #    LSH recall report
@@ -997,4 +998,5 @@ def oracle_sql() -> dict[str, str]:
         "events_zorder_layout": fcur.zorder_layout_oracle(),
         "events_gap_fill_locf": fana.gap_fill_locf_oracle(),
         "sample_priority_weighted": fcur.priority_sample_oracle(),
+        "multimodal_decode_wav": fmm.AUDIO_STATS_ORACLE,
     }

@@ -384,3 +384,155 @@ DECODE_STATS_ORACLE = f"""
                 AS BIGINT) AS zero_bin
     FROM vals
 """
+
+
+WAV_RATE = 8000  # synthesized sample rate (pinned via header round-trip)
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """Attach a VALID RIFF/WAVE payload (PCM16 mono, ``WAV_RATE`` Hz)
+    built from each doc's UTF-8 bytes — sample[i] = (byte[i] - 128 +
+    64·(-1)^i) · 128, the alternating offset making the waveform
+    oscillate around zero (plain ASCII maps to all-negative samples,
+    which would leave the zero-crossing statistic degenerate) — so
+    the real audio decoder has genuine containers to parse without
+    shipping a corpus. Built in ``mapInPandas`` (partition-local, no
+    shuffle), exactly where a production transcoder would sit."""
+    import struct
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
+                samples = (
+                    (raw.astype(np.int64) - 128 + offs) * 128
+                ).astype("<i2")
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                                            WAV_RATE * 2, 2, 16)
+                    + b"data" + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL decode for RIFF/WAVE PCM — a pure-numpy chunk-walking
+    parser (magic, fmt, data), returning (sample_rate, int16 sample
+    array). Compressed audio (MP3/AAC/FLAC) would need a codec
+    library this container does not ship and raises the same
+    clearly-marked NotImplementedError as :func:`decode_image`;
+    non-PCM WAV (format != 1) likewise. Truncated containers raise
+    ValueError — a decoder that silently zero-fills corrupt media
+    poisons a training corpus."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio decode requires a codec library; only "
+            "RIFF/WAVE PCM decodes here"
+        )
+    pos, rate, bits, fmt_code, channels, data = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code != 1:
+        raise NotImplementedError("non-PCM WAV requires a codec library")
+    if channels != 1 or bits != 16:
+        raise ValueError(f"expected PCM16 mono, got {channels}ch/{bits}bit")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("peak", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_stats(docs: DataFrame) -> DataFrame:
+    """End-to-end REAL audio pipeline: text → RIFF/WAVE PCM16 payload
+    → :func:`decode_audio` (pure-numpy chunk parser) → per-clip audio
+    stats. Output: (doc_id, n_samples, sample_rate, amp_sum, peak,
+    zero_crossings) — all integer-exact, so the DuckDB oracle rebuilds
+    them from the text bytes and pins that the decoder read the ACTUAL
+    samples and the ACTUAL header rate, not constants.
+
+    Scale shape: same as :func:`decode_stats` — encode → decode →
+    reduce fused into one partition-local Arrow pass, no shuffle; the
+    second real modality through the identical plumbing (the point of
+    the opaque-binary design: the engine never cares what the bytes
+    mean until a partition-local decoder runs)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_audio(bytes(p))
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(int(s.size))
+                out["sample_rate"].append(int(rate))
+                out["amp_sum"].append(int(np.abs(s64).sum()))
+                out["peak"].append(int(np.abs(s64).max()) if s.size else 0)
+                out["zero_crossings"].append(
+                    int(((s64[:-1] * s64[1:]) < 0).sum()) if s.size > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return with_wav_payload(docs).mapInPandas(stats, schema=AUDIO_SCHEMA)
+
+
+AUDIO_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, n_raw,
+             list_transform(generate_series(1, CAST(n_raw AS INTEGER)),
+               i -> ((strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)
+                     - 128 + CASE WHEN (i - 1) % 2 = 0 THEN 64 ELSE -64 END)
+                    * 128) AS sv
+      FROM h
+    )
+    SELECT doc_id,
+           n_raw AS n_samples,
+           CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(coalesce(list_sum(list_transform(sv, v -> abs(v))), 0) AS BIGINT)
+             AS amp_sum,
+           CAST(coalesce(list_max(list_transform(sv, v -> abs(v))), 0) AS BIGINT)
+             AS peak,
+           CAST(coalesce(len(list_filter(generate_series(1, CAST(n_raw AS INTEGER) - 1),
+                i -> sv[i] * sv[i + 1] < 0)), 0) AS BIGINT) AS zero_crossings
+    FROM vals
+"""

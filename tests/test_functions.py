@@ -1065,3 +1065,37 @@ def test_priority_sample_weight_monotone_and_deterministic(spark, sf_dir):
     assert a.w.mean() > corpus_mean
     with pytest.raises(ValueError):
         fcur.priority_sample(docs, k=0)
+
+
+def test_wav_decode_roundtrip_and_failure_modes(spark):
+    import numpy as np
+    import struct
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+    # hand-built 3-sample PCM16 mono WAV
+    samples = np.array([-300, 0, 500], dtype="<i2")
+    data = samples.tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    rate, out = fmm.decode_audio(wav)
+    assert rate == 8000 and out.tolist() == [-300, 0, 500]
+    # compressed container -> declared stub
+    with pytest.raises(NotImplementedError):
+        fmm.decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+    # non-PCM format code -> declared stub
+    bad_fmt = wav.replace(struct.pack("<IHH", 16, 1, 1),
+                          struct.pack("<IHH", 16, 85, 1), 1)
+    with pytest.raises(NotImplementedError):
+        fmm.decode_audio(bad_fmt)
+    # truncated data chunk -> loud failure, never zero-fill
+    with pytest.raises(ValueError):
+        fmm.decode_audio(wav[:-2])
+    # end-to-end: stats read the REAL header and the REAL samples
+    docs = spark.createDataFrame(
+        [(1, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    row = fmm.audio_stats(docs).collect()[0]
+    # 'a'=97: (97-128+64)*128 = 4224 ; 'b'=98: (98-128-64)*128 = -12032
+    assert row.sample_rate == 8000 and row.n_samples == 2
+    assert row.amp_sum == 4224 + 12032 and row.peak == 12032
+    assert row.zero_crossings == 1
