@@ -327,13 +327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is ordered by verification priority — groups (1)/(1b)/(1c)/(1d)/
     (1e) are every entry that has NEVER received a driver oracle row
     (oldest first), then (2) entries whose implementation changed in
-    round 5 (r04-green with the prior implementation). With 101
-    entries the 50-sample covers all never-checked entries except
-    `unique_length_emissions_ordered` (deliberately placed 51st — see
-    its comment). Group (3) — every reference operator and the stable
+    round 5 (r04-green with the prior implementation). With 103
+    entries the 50-sample cannot cover every never-checked entry;
+    the overflow entries (the tail of group 1e and
+    `unique_length_emissions_ordered`) are the never-checked entries
+    with the strongest independent evidence — property-pinned closed
+    forms or reports derived from parity-proven building blocks. Group (3) — every reference operator and the stable
     dedup/text/multimodal tier — is driver-green in CORRECTNESS_r04
     and byte-unchanged since, which is the documented evidence for
-    rows past the cap; ALL 101 entries are hash-green in the local
+    rows past the cap; ALL 103 entries are hash-green in the local
     sf0.01 full-sweep replica this round. Rotate groups if the cap
     persists next round."""
     return {
@@ -407,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill_locf": lambda s, d: fana.gap_fill_locf(_events(s, d)),
         "sample_priority_weighted": lambda s, d: fcur.priority_sample(_docs(s, d)),
         "multimodal_decode_wav": lambda s, d: fmm.audio_stats(_docs(s, d)),
+        "multimodal_decode_y4m": lambda s, d: fmm.video_frame_stats(_docs(s, d)),
         # -- (1e) late round-5 additions — never driver-checked: BM25
         #    retrieval, tf-idf cosine near-pairs, trailing distinct,
         #    LSH recall report
@@ -999,4 +1002,5 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill_locf": fana.gap_fill_locf_oracle(),
         "sample_priority_weighted": fcur.priority_sample_oracle(),
         "multimodal_decode_wav": fmm.AUDIO_STATS_ORACLE,
+        "multimodal_decode_y4m": fmm.VIDEO_FRAME_STATS_ORACLE,
     }

@@ -1099,3 +1099,32 @@ def test_wav_decode_roundtrip_and_failure_modes(spark):
     assert row.sample_rate == 8000 and row.n_samples == 2
     assert row.amp_sum == 4224 + 12032 and row.peak == 12032
     assert row.zero_crossings == 1
+
+
+def test_y4m_decode_walks_frames_and_fails_loud(spark):
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+    # hand-built 2x2 C420 clip with two frames
+    y1, y2 = bytes([10, 20, 30, 40]), bytes([50, 60, 70, 80])
+    c = bytes([128])  # 1 U + 1 V byte per frame at 2x2
+    clip = (b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n"
+            + b"FRAME\n" + y1 + c + c
+            + b"FRAME\n" + y2 + c + c)
+    w, h, frames = fmm.decode_video(clip)
+    assert (w, h) == (2, 2) and len(frames) == 2
+    assert frames[0].tolist() == [[10, 20], [30, 40]]
+    assert frames[1].tolist() == [[50, 60], [70, 80]]
+    with pytest.raises(NotImplementedError):
+        fmm.decode_video(b"\x00\x00\x01\xba mpeg-ps")
+    with pytest.raises(NotImplementedError):
+        fmm.decode_video(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError):
+        fmm.decode_video(clip[:-1])  # truncated last frame
+    # end-to-end over a tiny doc: one padded frame, exact luma math
+    docs = spark.createDataFrame(
+        [(1, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = fmm.video_frame_stats(docs).collect()
+    assert len(rows) == 1 and rows[0].frame_idx == 0
+    assert rows[0].luma_sum == 97 + 98          # 'a' + 'b'
+    assert rows[0].luma_zero == 32 * 4 - 2      # padding zeros
