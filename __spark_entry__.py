@@ -327,7 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is ordered by verification priority — groups (1)/(1b)/(1c)/(1d)/
     (1e) are every entry that has NEVER received a driver oracle row
     (oldest first), then (2) entries whose implementation changed in
-    round 5 (r04-green with the prior implementation). With 103
+    round 5 (r04-green with the prior implementation). With 105
     entries the 50-sample cannot cover every never-checked entry;
     the overflow entries (the tail of group 1e and
     `unique_length_emissions_ordered`) are the never-checked entries
@@ -335,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     forms or reports derived from parity-proven building blocks. Group (3) — every reference operator and the stable
     dedup/text/multimodal tier — is driver-green in CORRECTNESS_r04
     and byte-unchanged since, which is the documented evidence for
-    rows past the cap; ALL 103 entries are hash-green in the local
+    rows past the cap; ALL 105 entries are hash-green in the local
     sf0.01 full-sweep replica this round. Rotate groups if the cap
     persists next round."""
     return {
@@ -410,6 +410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_priority_weighted": lambda s, d: fcur.priority_sample(_docs(s, d)),
         "multimodal_decode_wav": lambda s, d: fmm.audio_stats(_docs(s, d)),
         "multimodal_decode_y4m": lambda s, d: fmm.video_frame_stats(_docs(s, d)),
+        "events_data_profile": lambda s, d: fcur.data_profile(_events(s, d)),
+        "join_key_health": lambda s, d: fcur.join_key_health(
+            _events(s, d), load_table(s, d, "orders")
+        ),
         # -- (1e) late round-5 additions — never driver-checked: BM25
         #    retrieval, tf-idf cosine near-pairs, trailing distinct,
         #    LSH recall report
@@ -1003,4 +1007,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_priority_weighted": fcur.priority_sample_oracle(),
         "multimodal_decode_wav": fmm.AUDIO_STATS_ORACLE,
         "multimodal_decode_y4m": fmm.VIDEO_FRAME_STATS_ORACLE,
+        "events_data_profile": fcur.data_profile_oracle(),
+        "join_key_health": fcur.join_key_health_oracle(),
     }

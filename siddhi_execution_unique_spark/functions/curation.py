@@ -1084,3 +1084,131 @@ def priority_sample_oracle(k: int = PRIORITY_SAMPLE_K) -> str:
         ORDER BY prio_micro DESC, doc_id
         LIMIT {k}
     """
+
+
+PROFILE_COLS = ("user_id", "event_type", "value", "props")
+
+
+def data_profile(events: DataFrame, cols: tuple = PROFILE_COLS) -> DataFrame:
+    """Per-column data-quality profile — the Deequ/dbt-test shape a
+    pipeline runs before trusting a new drop: one row per profiled
+    column with null count, distinct count, and lexicographic min/max
+    of the string form. Output: (col_name, n_rows, n_null,
+    n_distinct, min_repr, max_repr).
+
+    Scale shape: ONE pass over the corpus — the profile is a union of
+    per-column aggregates that Catalyst compiles into a shared-scan
+    multi-aggregate (each column's agg is map-side combined; the
+    distinct counts shuffle on the (column, value) pair, bounded by
+    distinct values per column). Nothing is windowed or collected;
+    adding a column adds one agg branch, not a scan.
+
+    Cross-engine note: doubles profile via their string form, and both
+    engines print shortest-roundtrip decimal (parity-proven at sf0.1);
+    values forcing scientific notation could format differently —
+    a corpus with such columns should profile round()ed copies."""
+    if not cols:
+        raise ValueError("data_profile needs at least one column")
+    for c in cols:
+        if c not in events.columns:
+            raise ValueError(f"data_profile: no such column {c!r}")
+    parts = []
+    for c in cols:
+        sc = F.col(c).cast("string")
+        parts.append(
+            events.select(sc.alias("v"))
+            .agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("v").isNull().cast("bigint")).alias("n_null"),
+                F.count_distinct(F.col("v")).alias("n_distinct"),
+                F.coalesce(F.min("v"), F.lit("")).alias("min_repr"),
+                F.coalesce(F.max("v"), F.lit("")).alias("max_repr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def data_profile_oracle(cols: tuple = PROFILE_COLS) -> str:
+    selects = [
+        f"""
+        SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN CAST({c} AS VARCHAR) IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               count(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+               COALESCE(min(CAST({c} AS VARCHAR)), '') AS min_repr,
+               COALESCE(max(CAST({c} AS VARCHAR)), '') AS max_repr
+        FROM events
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(selects)
+
+
+JOIN_HEALTH_TOP = 10
+
+
+def join_key_health(
+    events: DataFrame, orders: DataFrame, top: int = JOIN_HEALTH_TOP
+) -> DataFrame:
+    """Join-key health report BEFORE running a join — the skew/fanout
+    precheck a 100 TB join planner needs (one hot key turns a shuffle
+    join into one straggler task; this report is how you decide to
+    salt, broadcast, or filter first). Probes events.user_id ⋈
+    orders.o_custkey: the ``top`` keys by join fanout (n_left ×
+    n_right), each with both side counts and the key's share of the
+    total join output in exact basis points. Output: (key, n_left,
+    n_right, pair_rows, total_join_rows, share_bp).
+
+    Scale shape: two map-side-combined keyed aggs (bounded by distinct
+    keys), an inner equi-join of the two COUNT TABLES (never the fact
+    tables), one broadcast 1-row total, and TakeOrdered for the top
+    slice — the whole report costs two aggregate shuffles regardless
+    of fact-table size."""
+    if top < 1:
+        raise ValueError(f"join_key_health needs top >= 1, got {top}")
+    lc = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_left")
+    )
+    rc = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n_right")
+    )
+    pairs = lc.join(rc, "key").select(
+        "key", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pair_rows"),
+    )
+    total = pairs.agg(F.sum("pair_rows").alias("total_join_rows"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_left", "n_right", "pair_rows", "total_join_rows",
+            F.expr("(10000 * pair_rows) div total_join_rows").alias("share_bp"),
+        )
+        .orderBy(F.col("pair_rows").desc(), F.col("key"))
+        .limit(top)
+    )
+
+
+def join_key_health_oracle(top: int = JOIN_HEALTH_TOP) -> str:
+    return f"""
+        WITH lc AS (
+          SELECT user_id AS key, count(*) AS n_left FROM events GROUP BY user_id
+        ),
+        rc AS (
+          SELECT o_custkey AS key, count(*) AS n_right FROM orders GROUP BY o_custkey
+        ),
+        pairs AS (
+          SELECT lc.key, n_left, n_right, n_left * n_right AS pair_rows
+          FROM lc JOIN rc ON lc.key = rc.key
+        ),
+        tot AS (SELECT CAST(sum(pair_rows) AS BIGINT) AS total_join_rows FROM pairs)
+        SELECT key, n_left, n_right, pair_rows, total_join_rows,
+               (10000 * pair_rows) // total_join_rows AS share_bp
+        FROM pairs CROSS JOIN tot
+        ORDER BY pair_rows DESC, key
+        LIMIT {top}
+    """

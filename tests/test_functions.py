@@ -1128,3 +1128,42 @@ def test_y4m_decode_walks_frames_and_fails_loud(spark):
     assert len(rows) == 1 and rows[0].frame_idx == 0
     assert rows[0].luma_sum == 97 + 98          # 'a' + 'b'
     assert rows[0].luma_zero == 32 * 4 - 2      # padding zeros
+
+
+def test_data_profile_counts_nulls_and_distincts(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    import datetime
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), 10, "view", 1.5, "a"),
+        (2, datetime.datetime(2024, 1, 1), 10, "click", None, None),
+        (3, datetime.datetime(2024, 1, 1), 20, "view", 2.5, "a"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    prof = {r.col_name: r for r in fcur.data_profile(events).collect()}
+    assert prof["user_id"].n_distinct == 2 and prof["user_id"].n_null == 0
+    assert prof["event_type"].n_distinct == 2
+    assert prof["value"].n_null == 1 and prof["value"].n_distinct == 2
+    assert prof["props"].n_null == 1 and prof["props"].min_repr == "a"
+    assert all(r.n_rows == 3 for r in prof.values())
+    with pytest.raises(ValueError):
+        fcur.data_profile(events, cols=("nope",))
+    with pytest.raises(ValueError):
+        fcur.data_profile(events, cols=())
+
+
+def test_join_key_health_ranks_fanout(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    out = fcur.join_key_health(events, orders).toPandas()
+    assert (out.pair_rows == out.n_left * out.n_right).all()
+    assert (out.pair_rows.is_monotonic_decreasing)
+    assert (out.share_bp <= 10000).all() and (out.share_bp >= 0).all()
+    # the report's total equals the true join cardinality
+    true_rows = events.join(
+        orders, events["user_id"] == orders["o_custkey"]
+    ).count()
+    assert int(out.total_join_rows.iloc[0]) == true_rows
+    with pytest.raises(ValueError):
+        fcur.join_key_health(events, orders, top=0)

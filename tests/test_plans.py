@@ -724,3 +724,25 @@ def test_priority_sample_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_data_profile_is_shared_scan_aggregates(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fcur.data_profile(events))
+    # every branch partially aggregates; no window, no nested loop
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_key_health_joins_count_tables_not_facts(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    events = load_table(spark, SF_DIR, "events")
+    orders = load_table(spark, SF_DIR, "orders")
+    plan = plan_of(fcur.join_key_health(events, orders))
+    # top slice is a distributed heap, not a global sort window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # fact tables reach only aggregates: count tables join, facts don't
+    assert "partial_count" in plan
