@@ -327,7 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is ordered by verification priority — groups (1)/(1b)/(1c)/(1d)/
     (1e) are every entry that has NEVER received a driver oracle row
     (oldest first), then (2) entries whose implementation changed in
-    round 5 (r04-green with the prior implementation). With 105
+    round 5 (r04-green with the prior implementation). With 107
     entries the 50-sample cannot cover every never-checked entry;
     the overflow entries (the tail of group 1e and
     `unique_length_emissions_ordered`) are the never-checked entries
@@ -335,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     forms or reports derived from parity-proven building blocks. Group (3) — every reference operator and the stable
     dedup/text/multimodal tier — is driver-green in CORRECTNESS_r04
     and byte-unchanged since, which is the documented evidence for
-    rows past the cap; ALL 105 entries are hash-green in the local
+    rows past the cap; ALL 107 entries are hash-green in the local
     sf0.01 full-sweep replica this round. Rotate groups if the cap
     persists next round."""
     return {
@@ -411,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_wav": lambda s, d: fmm.audio_stats(_docs(s, d)),
         "multimodal_decode_y4m": lambda s, d: fmm.video_frame_stats(_docs(s, d)),
         "events_data_profile": lambda s, d: fcur.data_profile(_events(s, d)),
+        "events_hourly_anomalies": lambda s, d: fana.hourly_anomalies(_events(s, d)),
+        "events_funnel_latency": lambda s, d: fana.funnel_latency(_events(s, d)),
         "join_key_health": lambda s, d: fcur.join_key_health(
             _events(s, d), load_table(s, d, "orders")
         ),
@@ -1008,5 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_wav": fmm.AUDIO_STATS_ORACLE,
         "multimodal_decode_y4m": fmm.VIDEO_FRAME_STATS_ORACLE,
         "events_data_profile": fcur.data_profile_oracle(),
+        "events_hourly_anomalies": fana.hourly_anomalies_oracle(),
+        "events_funnel_latency": fana.funnel_latency_oracle(),
         "join_key_health": fcur.join_key_health_oracle(),
     }

@@ -461,3 +461,162 @@ def gap_fill_locf_oracle(cohort: int = GAP_FILL_COHORT) -> str:
         FROM grid g LEFT JOIN hourly h
           ON g.user_id = h.user_id AND g.hb = h.hb
     """
+
+
+ANOMALY_HIST = 24     # trailing hourly points per user
+ANOMALY_MIN_N = 8     # minimum history before flagging
+ANOMALY_Q = 1000      # fixed-point quantization of event values
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    cohort: int = GAP_FILL_COHORT,
+    hist: int = ANOMALY_HIST,
+    min_n: int = ANOMALY_MIN_N,
+) -> DataFrame:
+    """Trailing-window anomaly detection over per-user hourly value
+    sums — the 3-sigma rule every metrics monitor runs, made
+    cross-engine EXACT: with quantized per-hour sums x and trailing
+    sums S = Σxᵢ, SS = Σxᵢ², the flag ``(x-μ)² > 9σ²`` rewrites as
+
+        (n·x − S)² > 9·(n·SS − S²)
+
+    — pure int64 algebra, no division, no sqrt, no doubles anywhere,
+    so the driver hash can pin the FLAG itself, not a rounded proxy.
+    Output: (user_id, hb, metric_q, n_hist, is_anomaly) for cohort
+    users' active hours with at least ``min_n`` trailing points.
+
+    Scale shape: the hourly rollup is one map-side-combined shuffle
+    on (user_id, hb); the trailing S/SS/n ride ONE window pass
+    partitioned by the high-cardinality user_id (rows between
+    -hist and -1). Magnitudes: q ≤ 1e6 per event, hourly sums ≤ ~1e8,
+    squares ≤ 1e16, n·SS ≤ 2.4e17 — inside int64 with 38× headroom."""
+    if cohort < 1 or hist < 2 or min_n < 2:
+        raise ValueError(
+            f"hourly_anomalies needs cohort >= 1, hist >= 2, min_n >= 2; "
+            f"got cohort={cohort}, hist={hist}, min_n={min_n}"
+        )
+    hourly = (
+        events.filter(F.col("user_id") < cohort)
+        .select(
+            "user_id",
+            F.expr(f"unix_millis(ts) div {HOUR_MS}").alias("hb"),
+            F.expr(f"cast(floor(value * {ANOMALY_Q}) as bigint)").alias("q"),
+        )
+        .groupBy("user_id", "hb")
+        .agg(F.sum("q").alias("x"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(-hist, -1)
+    )
+    return (
+        hourly.select(
+            "user_id", "hb", F.col("x").alias("metric_q"),
+            F.count("x").over(w).alias("n_hist"),
+            F.sum("x").over(w).alias("s"),
+            F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+        )
+        .filter(F.col("n_hist") >= min_n)
+        .select(
+            "user_id", "hb", "metric_q", "n_hist",
+            F.expr(
+                "cast((n_hist * metric_q - s) * (n_hist * metric_q - s)"
+                " > 9 * (n_hist * ss - s * s) as int)"
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def hourly_anomalies_oracle(
+    cohort: int = GAP_FILL_COHORT,
+    hist: int = ANOMALY_HIST,
+    min_n: int = ANOMALY_MIN_N,
+) -> str:
+    return f"""
+        WITH hourly AS (
+          SELECT user_id,
+                 CAST(epoch_ms(ts) AS BIGINT) // {HOUR_MS} AS hb,
+                 CAST(sum(CAST(floor(value * {ANOMALY_Q}) AS BIGINT)) AS BIGINT) AS x
+          FROM events WHERE user_id < {cohort}
+          GROUP BY user_id, 2
+        ),
+        stats AS (
+          SELECT user_id, hb, x AS metric_q,
+                 count(x) OVER tw AS n_hist,
+                 CAST(sum(x) OVER tw AS BIGINT) AS s,
+                 CAST(sum(x * x) OVER tw AS BIGINT) AS ss
+          FROM hourly
+          WINDOW tw AS (PARTITION BY user_id ORDER BY hb
+                        ROWS BETWEEN {hist} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, hb, metric_q, n_hist,
+               CAST((n_hist * metric_q - s) * (n_hist * metric_q - s)
+                    > 9 * (n_hist * ss - s * s) AS INT) AS is_anomaly
+        FROM stats WHERE n_hist >= {min_n}
+    """
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    step_window_ms: int = DAY_MS,
+) -> DataFrame:
+    """Step-to-step conversion latency distribution over the funnel —
+    the "how long do users take to click after viewing" histogram a
+    product pipeline reads next to the conversion counts. Buckets are
+    powers of two of the latency in ms (``bucket = bit_length(ms)``,
+    the same ``length(bin())`` integer-log2 both engines share via
+    the HLL rho identity), so no transcendentals. Output:
+    (step_pair, bucket, n_users, min_ms, max_ms).
+
+    Scale shape: composes :func:`funnel` (S keyed aggs + joins, one
+    row per converting user) and adds one tiny hash agg on
+    (step_pair, bucket) — at most S-1 rows per user enter it."""
+    base = funnel(events, steps, step_window_ms)
+    pairs = []
+    for i in range(1, len(steps)):
+        t0, t1 = f"t{i}_ms", f"t{i + 1}_ms"
+        pairs.append(
+            base.filter((F.col(t0) >= 0) & (F.col(t1) >= 0))
+            .select(
+                F.lit(f"{steps[i - 1]}->{steps[i]}").alias("step_pair"),
+                (F.col(t1) - F.col(t0)).alias("lat_ms"),
+            )
+        )
+    lat = pairs[0]
+    for p in pairs[1:]:
+        lat = lat.unionByName(p)
+    return (
+        lat.select(
+            "step_pair", "lat_ms",
+            F.expr("length(bin(lat_ms))").alias("bucket"),
+        )
+        .groupBy("step_pair", "bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("lat_ms").alias("min_ms"),
+            F.max("lat_ms").alias("max_ms"),
+        )
+    )
+
+
+def funnel_latency_oracle(
+    steps: tuple[str, ...] = FUNNEL_STEPS, step_window_ms: int = DAY_MS
+) -> str:
+    branches = " UNION ALL ".join(
+        f"""SELECT '{steps[i - 1]}->{steps[i]}' AS step_pair,
+                   t{i + 1}_ms - t{i}_ms AS lat_ms
+            FROM f WHERE t{i}_ms >= 0 AND t{i + 1}_ms >= 0"""
+        for i in range(1, len(steps))
+    )
+    return f"""
+        WITH f AS ({funnel_oracle(steps, step_window_ms)}),
+        lat AS ({branches})
+        SELECT step_pair, length(bin(lat_ms)) AS bucket,
+               count(*) AS n_users,
+               min(lat_ms) AS min_ms, max(lat_ms) AS max_ms
+        FROM lat
+        GROUP BY step_pair, bucket
+    """

@@ -1167,3 +1167,42 @@ def test_join_key_health_ranks_fanout(spark, sf_dir):
     assert int(out.total_join_rows.iloc[0]) == true_rows
     with pytest.raises(ValueError):
         fcur.join_key_health(events, orders, top=0)
+
+
+def test_hourly_anomalies_flags_planted_spike(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    # user 1: 10 calm hours at value 10, then a 100x spike
+    rows = []
+    for h in range(10):
+        rows.append((h, datetime.datetime(2024, 1, 1, h), 1, "view", 10.0, ""))
+    rows.append((10, datetime.datetime(2024, 1, 1, 10), 1, "view", 1000.0, ""))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = {r.hb % 24: r for r in fana.hourly_anomalies(events).collect()}
+    assert out[10].is_anomaly == 1           # the spike
+    assert all(r.is_anomaly == 0 for h, r in out.items() if h != 10)
+    # zero-variance history + identical value is NOT an anomaly
+    # ((n*x-S)^2 = 0 = 9*0): strictness matters
+    assert out[9].is_anomaly == 0
+    with pytest.raises(ValueError):
+        fana.hourly_anomalies(events, hist=1)
+
+
+def test_funnel_latency_buckets_are_bit_lengths(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    base = datetime.datetime(2024, 1, 1)
+    ms = lambda s: base + datetime.timedelta(milliseconds=s)
+    rows = [
+        (1, ms(0), 1, "view", 0.0, ""), (2, ms(5), 1, "click", 0.0, ""),
+        (3, ms(0), 2, "view", 0.0, ""), (4, ms(1000), 2, "click", 0.0, ""),
+        (5, ms(1100), 2, "purchase", 0.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = {(r.step_pair, r.bucket): r for r in fana.funnel_latency(events).collect()}
+    # 5 ms -> bin '101' -> bucket 3 ; 1000 ms -> 10 bits ; 100 ms -> 7 bits
+    assert out[("view->click", 3)].n_users == 1
+    assert out[("view->click", 10)].min_ms == 1000
+    assert out[("click->purchase", 7)].max_ms == 100

@@ -746,3 +746,14 @@ def test_join_key_health_joins_count_tables_not_facts(spark):
     assert "Window" not in plan
     # fact tables reach only aggregates: count tables join, facts don't
     assert "partial_count" in plan
+
+
+def test_hourly_anomalies_single_user_keyed_window(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fana.hourly_anomalies(events))
+    # hourly rollup combines map-side; trailing stats are ONE window
+    # pass keyed on the high-cardinality user_id
+    assert plan.count("Window") == 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
