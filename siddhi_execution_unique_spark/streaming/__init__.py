@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -1254,4 +1255,113 @@ def countmin_stream(events_stream: DataFrame) -> DataFrame:
         .select("i", F.expr(_CM_HASH_SPARK).alias("cell"))
         .groupBy("i", "cell")
         .agg(F.count("*").alias("c"))
+    )
+
+
+_ANOMALY_STATE = StructType(
+    [
+        StructField("hbs", ArrayType(LongType())),
+        StructField("xs", ArrayType(LongType())),
+        StructField("open_hb", LongType()),
+        StructField("open_x", LongType()),
+    ]
+)
+
+
+def anomaly_stream(
+    df: DataFrame,
+    cohort: int = 50,
+    hist: int = 24,
+    min_n: int = 8,
+    user: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Streaming twin of :func:`functions.analytics.hourly_anomalies`
+    — live 3-sigma monitoring: per user the state is one OPEN hour
+    accumulator plus a ring of the last ``hist`` CLOSED hourly sums
+    (<= hist+2 longs per user, bounded forever). An hour closes when
+    a later-hour event arrives for that user; at close it is judged
+    against the trailing ring with the same all-integer inequality
+    ``(n·x − S)² > 9·(n·SS − S²)`` the batch operator hashes, and the
+    flag row emits in append mode.
+
+    Divergences vs batch (both inherent to unbounded input, both
+    documented): each user's final, never-closed hour cannot emit
+    (the batch pass sees the corpus end), and an event arriving
+    AFTER its hour closed is dropped (the watermark analog; the
+    batch pass re-sorts the full corpus). Cross-checked by
+    ``test_anomaly_stream_matches_batch_on_closed_hours``."""
+    if cohort < 1 or hist < 2 or min_n < 2:
+        raise ValueError(
+            f"anomaly_stream needs cohort >= 1, hist >= 2, min_n >= 2; "
+            f"got cohort={cohort}, hist={hist}, min_n={min_n}"
+        )
+    require_column(df, user, "anomaly user")
+    require_column(df, ts, "ts")
+    require_column(df, value, "anomaly value")
+    is_timestamp = str(df.schema[ts].dataType) in ("TimestampType()", "TimestampNTZType()")
+    out_schema = StructType(
+        [
+            df.schema[user],
+            StructField("hb", LongType()),
+            StructField("metric_q", LongType()),
+            StructField("n_hist", LongType()),
+            StructField("is_anomaly", LongType()),
+        ]
+    )
+    import math
+
+    def fn(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hbs, xs, open_hb, open_x = (
+            state.get if state.exists else ([], [], -1, 0)
+        )
+        hbs, xs = list(hbs), list(xs)
+        rows = []
+
+        def close_open():
+            nonlocal hbs, xs
+            tail_h, tail_x = hbs[-hist:], xs[-hist:]
+            n = len(tail_x)
+            if n >= min_n:
+                s_, ss = sum(tail_x), sum(v * v for v in tail_x)
+                flag = int(
+                    (n * open_x - s_) ** 2 > 9 * (n * ss - s_ * s_)
+                )
+                rows.append((key_tuple[0], open_hb, open_x, n, flag))
+            hbs = (hbs + [open_hb])[-hist:]
+            xs = (xs + [open_x])[-hist:]
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            ms = _ms_series(pdf, ts, is_timestamp)
+            for t, v in zip(ms, pdf[value]):
+                hb = int(t) // 3_600_000
+                q = math.floor(float(v) * 1000)
+                if open_hb == -1:
+                    open_hb, open_x = hb, q
+                elif hb == open_hb:
+                    open_x += q
+                elif hb > open_hb:
+                    close_open()
+                    open_hb, open_x = hb, q
+                # hb < open_hb: late event for a closed hour — dropped
+        state.update((hbs, xs, open_hb, open_x))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user, "hb", "metric_q", "n_hist", "is_anomaly"]
+            )
+
+    return (
+        df.filter(F.col(user) < cohort)
+        .groupBy(user)
+        .applyInPandasWithState(
+            fn, out_schema, _ANOMALY_STATE, "append", GroupStateTimeout.NoTimeout
+        )
     )

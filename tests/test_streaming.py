@@ -844,3 +844,49 @@ def test_countmin_stream_matches_batch_cells(spark, workdir):
         .groupBy("i", "cell").agg(F.count("*").alias("c")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_anomaly_stream_matches_batch_on_closed_hours(spark, workdir):
+    from pyspark.sql import functions as F
+    from siddhi_execution_unique_spark.functions.analytics import hourly_anomalies
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming import anomaly_stream
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # two event-time-ordered micro-batches: state must carry open
+    # hours and history across the boundary (file sink: append-mode
+    # stateful queries cannot recover into a memory sink)
+    cut = events.approxQuantile("event_id", [0.5], 0)[0]
+    half1 = events.filter(F.col("event_id") <= cut)
+    half2 = events.filter(F.col("event_id") > cut)
+    outdir = workdir / "out"
+
+    def run_to_files():
+        q = (
+            anomaly_stream(
+                stream_table(spark, str(workdir / "in"), events.schema, ts=None)
+            )
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # event_id order == ts order in the synthetic corpus
+    half1.coalesce(1).write.mode("overwrite").parquet(str(workdir / "in"))
+    run_to_files()
+    half2.coalesce(1).write.mode("append").parquet(str(workdir / "in"))
+    run_to_files()
+    got = {(r["user_id"], r["hb"]): (r["metric_q"], r["n_hist"], r["is_anomaly"])
+           for r in spark.read.parquet(str(outdir)).collect()}
+    batch = hourly_anomalies(events).collect()
+    last_hb = {}
+    for r in batch:
+        last_hb[r["user_id"]] = max(last_hb.get(r["user_id"], -1), r["hb"])
+    want = {(r["user_id"], r["hb"]): (r["metric_q"], r["n_hist"], r["is_anomaly"])
+            for r in batch if r["hb"] != last_hb[r["user_id"]]}
+    assert got == want and len(got) > 0
