@@ -155,7 +155,7 @@ def write_partitioned(
     return df.sparkSession.read.parquet(path)
 
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def load_path(
@@ -165,18 +165,19 @@ def load_path(
     schema=None,
     **options: str,
 ):
-    """Format-generic batch source (parquet / csv / json).
+    """Format-generic batch source (parquet / orc / csv / json).
 
     csv and json REQUIRE an explicit schema: Spark's inference is a
     full extra pass over the data — at 100 TB that doubles the read
     before the query starts, and silently types every ambiguous
-    column as string. Parquet carries its own schema, but passing one
-    anyway lets the scan prune to exactly the declared columns.
+    column as string. Parquet and ORC carry their own schema, but
+    passing one anyway lets the scan prune to exactly the declared
+    columns.
     csv defaults to headered files; override via ``**options``
     (any Spark DataFrameReader option passes through)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
-    if fmt != "parquet" and schema is None:
+    if fmt not in ("parquet", "orc") and schema is None:
         raise ValueError(
             f"{fmt} sources require an explicit schema: inference would "
             "scan the data twice and degrade ambiguous columns to string"

@@ -319,16 +319,19 @@ def test_csv_json_sources_round_trip(spark, tmp_path):
         "event_id", "user_id", "event_type", "value")
     want = sorted(map(tuple, events.collect()))
     schema = events.schema
-    for fmt in ("csv", "json"):
+    for fmt in ("orc", "csv", "json"):
         path = str(tmp_path / fmt)
         src.write_table(events, path, fmt)
         got = sorted(map(tuple, src.load_path(spark, path, fmt, schema).collect()))
         assert got == want, fmt
+    # orc carries its own schema: schema-less load round-trips too
+    got = sorted(map(tuple, src.load_path(spark, str(tmp_path / "orc"), "orc").collect()))
+    assert got == want
     import pytest
     with pytest.raises(ValueError):
         src.load_path(spark, "/nowhere", "csv")  # schema-less csv refused
     with pytest.raises(ValueError):
-        src.load_path(spark, "/nowhere", "orc")
+        src.load_path(spark, "/nowhere", "avro")  # not bundled in this build
 
 
 def test_new_tier_validation_errors(spark):
