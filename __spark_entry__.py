@@ -327,7 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is ordered by verification priority — groups (1)/(1b)/(1c)/(1d)/
     (1e) are every entry that has NEVER received a driver oracle row
     (oldest first), then (2) entries whose implementation changed in
-    round 5 (r04-green with the prior implementation). With 107
+    round 5 (r04-green with the prior implementation). With 108
     entries the 50-sample cannot cover every never-checked entry;
     the overflow entries (the tail of group 1e and
     `unique_length_emissions_ordered`) are the never-checked entries
@@ -335,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     forms or reports derived from parity-proven building blocks. Group (3) — every reference operator and the stable
     dedup/text/multimodal tier — is driver-green in CORRECTNESS_r04
     and byte-unchanged since, which is the documented evidence for
-    rows past the cap; ALL 107 entries are hash-green in the local
+    rows past the cap; ALL 108 entries are hash-green in the local
     sf0.01 full-sweep replica this round. Rotate groups if the cap
     persists next round."""
     return {
@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_data_profile": lambda s, d: fcur.data_profile(_events(s, d)),
         "events_hourly_anomalies": lambda s, d: fana.hourly_anomalies(_events(s, d)),
         "events_funnel_latency": lambda s, d: fana.funnel_latency(_events(s, d)),
+        "events_json_props": lambda s, d: fana.json_props_stats(_events(s, d)),
         "join_key_health": lambda s, d: fcur.join_key_health(
             _events(s, d), load_table(s, d, "orders")
         ),
@@ -1012,5 +1013,6 @@ def oracle_sql() -> dict[str, str]:
         "events_data_profile": fcur.data_profile_oracle(),
         "events_hourly_anomalies": fana.hourly_anomalies_oracle(),
         "events_funnel_latency": fana.funnel_latency_oracle(),
+        "events_json_props": fana.json_props_stats_oracle(),
         "join_key_health": fcur.join_key_health_oracle(),
     }

@@ -620,3 +620,56 @@ def funnel_latency_oracle(
         FROM lat
         GROUP BY step_pair, bucket
     """
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column —
+    the host-engine surface Siddhi exposes via its json extension and
+    every event pipeline needs: parse ``{"k": <int>}`` at scan time,
+    then aggregate the extracted field per (event_type, k-decade
+    bucket). Output: (event_type, k_bucket, n, sum_k, n_bad) —
+    ``n_bad`` counts rows whose props did NOT yield an integer k
+    (malformed JSON must be COUNTED, never silently dropped; at
+    100 TB a 0.1% parse-failure spike is an upstream incident).
+
+    Scale shape: ``from_json`` with an explicit schema is a row-local
+    JVM projection (no Python, no inference pass — inference would
+    scan the corpus twice, the same argument as ``load_path``); the
+    rollup is one map-side-combined hash agg on the (type, bucket)
+    pair. Malformed rows keep their row (null k) so the count stays
+    one pass."""
+    parsed = events.select(
+        "event_type",
+        F.from_json("props", "k bigint").getField("k").alias("k"),
+    )
+    return (
+        parsed.select(
+            "event_type",
+            F.expr("coalesce(k div 10, -1)").alias("k_bucket"),
+            F.col("k").isNull().cast("bigint").alias("bad"),
+            F.coalesce(F.col("k"), F.lit(0)).alias("kv"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("kv").alias("sum_k"),
+            F.sum("bad").alias("n_bad"),
+        )
+    )
+
+
+def json_props_stats_oracle() -> str:
+    return """
+        WITH parsed AS (
+          SELECT event_type,
+                 TRY_CAST(props::JSON->>'k' AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               COALESCE(k // 10, -1) AS k_bucket,
+               count(*) AS n,
+               CAST(sum(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        FROM parsed
+        GROUP BY event_type, COALESCE(k // 10, -1)
+    """

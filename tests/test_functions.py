@@ -1209,3 +1209,25 @@ def test_funnel_latency_buckets_are_bit_lengths(spark):
     assert out[("view->click", 3)].n_users == 1
     assert out[("view->click", 10)].min_ms == 1000
     assert out[("click->purchase", 7)].max_ms == 100
+
+
+def test_json_props_counts_malformed_rows(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 1, "view", 0.0, '{"k": 87}'),
+        (2, ts, 1, "view", 0.0, '{"k": 3}'),
+        (3, ts, 1, "view", 0.0, 'not json'),
+        (4, ts, 1, "view", 0.0, '{"other": 1}'),
+        (5, ts, 1, "view", 0.0, None),
+        (6, ts, 1, "click", 0.0, '{"k": 10}'),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = {(r.event_type, r.k_bucket): r for r in fana.json_props_stats(events).collect()}
+    assert out[("view", 8)].n == 1 and out[("view", 8)].sum_k == 87
+    assert out[("view", 0)].sum_k == 3
+    # malformed / missing-key / null rows are counted, never dropped
+    assert out[("view", -1)].n == 3 and out[("view", -1)].n_bad == 3
+    assert out[("click", 1)].n == 1
