@@ -189,6 +189,23 @@ def q_unique_deduplicate(spark, sf_dir):
     )
 
 
+def q_siddhiql_ever_filtered(spark, sf_dir):
+    """The reference's own query-text surface end-to-end: a SiddhiQL
+    app string (filter + unique:ever window + projection) parsed by
+    siddhiql.run_app onto the same operators the function API uses —
+    pinning the front-end through the driver's oracle hash."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    define stream events (event_id long, user_id long, event_type string, value double);
+    from events[value > 100]#window.unique:ever(user_id)
+    select event_id, user_id, event_type, value
+    insert into out;
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["out"]
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -327,7 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is ordered by verification priority — groups (1)/(1b)/(1c)/(1d)/
     (1e) are every entry that has NEVER received a driver oracle row
     (oldest first), then (2) entries whose implementation changed in
-    round 5 (r04-green with the prior implementation). With 108
+    round 5 (r04-green with the prior implementation). With 109
     entries the 50-sample cannot cover every never-checked entry;
     the overflow entries (the tail of group 1e and
     `unique_length_emissions_ordered`) are the never-checked entries
@@ -335,7 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     forms or reports derived from parity-proven building blocks. Group (3) — every reference operator and the stable
     dedup/text/multimodal tier — is driver-green in CORRECTNESS_r04
     and byte-unchanged since, which is the documented evidence for
-    rows past the cap; ALL 108 entries are hash-green in the local
+    rows past the cap; ALL 109 entries are hash-green in the local
     sf0.01 full-sweep replica this round. Rotate groups if the cap
     persists next round."""
     return {
@@ -414,6 +431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomalies": lambda s, d: fana.hourly_anomalies(_events(s, d)),
         "events_funnel_latency": lambda s, d: fana.funnel_latency(_events(s, d)),
         "events_json_props": lambda s, d: fana.json_props_stats(_events(s, d)),
+        # SiddhiQL front-end driven end-to-end: the reference's QUERY
+        # TEXT parses onto this engine and hash-matches the oracle
+        "siddhiql_ever_filtered": q_siddhiql_ever_filtered,
         "join_key_health": lambda s, d: fcur.join_key_health(
             _events(s, d), load_table(s, d, "orders")
         ),
@@ -1014,5 +1034,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_anomalies": fana.hourly_anomalies_oracle(),
         "events_funnel_latency": fana.funnel_latency_oracle(),
         "events_json_props": fana.json_props_stats_oracle(),
+        "siddhiql_ever_filtered": """
+            SELECT event_id, user_id, event_type, value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events WHERE value > 100) t
+            WHERE rn = 1
+        """,
         "join_key_health": fcur.join_key_health_oracle(),
     }

@@ -1,0 +1,135 @@
+"""SiddhiQL front-end: parsed query text must build EXACTLY the plan
+the function API builds (row-level equivalence), and app-creation
+errors must raise eagerly (the SiddhiAppCreationException twin)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from siddhi_execution_unique_spark import operators as ops
+from siddhi_execution_unique_spark import siddhiql as sq
+from siddhi_execution_unique_spark.operators.keyed import ever_expired
+from siddhi_execution_unique_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def streams(spark):
+    return {"events": load_table(spark, SF_DIR, "events")}
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_ever_with_define_stream_validation(streams):
+    app = """
+    define stream events (event_id long, user_id long, value double);
+    from events#window.unique:ever(user_id)
+    select user_id, value
+    insert into out;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["out"]
+    want = ops.ever(
+        streams["events"], "user_id", ts="ts", tiebreak="event_id"
+    ).select("user_id", "value")
+    assert rows(got) == rows(want)
+
+
+def test_filter_window_and_alias(streams):
+    app = """
+    from events[value > 100]#window.unique:time(user_id, 1 hour)
+    select user_id, event_id as eid
+    insert into filtered;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["filtered"]
+    want = ops.time_window(
+        streams["events"].filter(F.col("value") > 100),
+        "user_id", "1 hour", ts="ts", tiebreak="event_id",
+    ).select("user_id", F.col("event_id").alias("eid"))
+    assert rows(got) == rows(want)
+
+
+def test_stream_processor_and_time_sugar(streams):
+    app = "from events#unique:deduplicate(user_id, 1 sec) select * insert into dd;"
+    got = sq.run_app(app, streams, tiebreak="event_id")["dd"]
+    want = ops.deduplicate(
+        streams["events"], "user_id", "1 sec", ts="ts", tiebreak="event_id"
+    )
+    assert rows(got) == rows(want)
+
+
+def test_external_time_batch_positional_timestamp(streams):
+    app = """
+    from events#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0)
+    select user_id, event_id
+    insert into etb;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["etb"]
+    want = ops.external_time_batch(
+        streams["events"], "user_id", "ts", "2 hours",
+        start_time_ms=0, tiebreak="event_id",
+    ).select("user_id", "event_id")
+    assert rows(got) == rows(want)
+
+
+def test_expired_events_channel(streams):
+    app = """
+    from events#window.unique:ever(user_id)
+    select event_id
+    insert expired events into exp;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["exp"]
+    want = ever_expired(
+        streams["events"], "user_id", ts="ts", tiebreak="event_id"
+    ).select("event_id")
+    assert rows(got) == rows(want)
+
+
+def test_length_batch_and_multi_query_app(streams):
+    app = """
+    from events#window.unique:lengthBatch(user_id, 100)
+    select user_id, event_id, batch_seq
+    insert into lb;
+
+    from events#window.unique:first(user_id)
+    select event_id
+    insert into firsts;
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")
+    assert set(out) == {"lb", "firsts"}
+    want = ops.length_batch(
+        streams["events"], "user_id", 100, ts="ts", tiebreak="event_id"
+    ).select("user_id", "event_id", "batch_seq")
+    assert rows(out["lb"]) == rows(want)
+
+
+@pytest.mark.parametrize("bad, desc", [
+    ("from events#window.unique:nope(user_id) select * insert into x;",
+     "unknown window"),
+    ("define stream events (no_col long);\n"
+     "from events#window.unique:ever(user_id) select * insert into x;",
+     "missing declared attribute"),
+    ("from events#window.unique:ever(ghost) select * insert into x;",
+     "unknown key attribute"),
+    ("from events#window.unique:length(user_id) select * insert into x;",
+     "missing window.length"),
+    ("from events#window.unique:lengthBatch(10, user_id) select * insert into x;",
+     "constants must come last"),
+    ("from events#window.unique:timeBatch(user_id, 1 hour) "
+     "select * insert expired events into x;",
+     "expired channel not wired"),
+    ("hello world", "no query"),
+])
+def test_app_creation_errors_raise_eagerly(streams, bad, desc):
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(bad, streams)
+
+
+def test_unbound_stream_raises(streams):
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(
+            "from ghosts#window.unique:ever(user_id) select * insert into x;",
+            streams,
+        )
