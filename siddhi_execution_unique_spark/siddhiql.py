@@ -223,3 +223,99 @@ def run_app(
             res = res.select(*[F.expr(s) for s in q["select"]])
         out[q["out"]] = res
     return out
+
+
+# streaming dispatch: same positional treatment, onto the Structured
+# Streaming twins (no tiebreak — streams order by arrival/event time)
+def _streaming_specs():
+    from siddhi_execution_unique_spark import streaming as stw
+
+    def keep_first(fn):
+        def wrapped(df, *a, **kw):
+            kw.setdefault("keep", "first")
+            return fn(df, *a, **kw)
+        return wrapped
+
+    return {
+        "ever": (stw.ever_stream, []),
+        "first": (stw.first_stream, []),
+        "length": (stw.length_window_stream, ["window_length"]),
+        "lengthBatch": (stw.length_batch_stream, ["window_length"]),
+        "firstLengthBatch": (keep_first(stw.length_batch_stream), ["window_length"]),
+        "time": (stw.time_window_stream, ["window_time"]),
+        "timeBatch": (stw.tumbling_batch_stream, ["window_time"]),
+        "firstTimeBatch": (keep_first(stw.tumbling_batch_stream), ["window_time"]),
+        "timeLengthBatch": (
+            stw.time_length_batch_stream, ["window_time", "window_length"]
+        ),
+        "deduplicate": (stw.deduplicate_exact_stream, ["time_interval"]),
+        "externalTimeBatch": (stw.external_time_batch_stream, ["window_time"]),
+    }
+
+
+def run_app_streaming(
+    text: str,
+    streams: dict[str, DataFrame],
+    ts: str = "ts",
+) -> dict[str, DataFrame]:
+    """Execute a SiddhiQL app against STREAMING DataFrames: the same
+    query text that drives the batch engine builds the Structured
+    Streaming twin plans (``#window.unique:time`` → the dual-channel
+    ``time_window_stream`` etc.). ``first_stream`` ignores ``ts`` by
+    design (arrival order); the dual-channel twins emit the
+    reference's current/expired protocol on their ``channel`` column,
+    so the ``insert expired events into`` channel selects
+    ``channel = 'expired'`` rows where the twin provides them."""
+    specs = _streaming_specs()
+    out: dict[str, DataFrame] = {}
+    for q in parse_app(text):
+        if q["stream"] not in streams:
+            raise SiddhiQLError(
+                f"stream {q['stream']!r} is not bound; have {sorted(streams)}"
+            )
+        df = streams[q["stream"]]
+        for a in q["args"]:
+            if not _is_const(a) and a not in df.columns:
+                raise SiddhiQLError(
+                    f"unique:{q['window']}: attribute {a!r} is not in "
+                    f"stream {q['stream']!r} ({df.columns})"
+                )
+        if q["filter"]:
+            df = df.filter(F.expr(q["filter"]))
+        window, args = q["window"], list(q["args"])
+        fn, trailing = specs[window]
+        if window == "externalTimeBatch":
+            # (key, timestamp_attr, T): the twin reads the attribute
+            # directly as its event-time column
+            if len(args) < 3:
+                raise SiddhiQLError(
+                    "unique:externalTimeBatch needs (key, timestamp, window.time)"
+                )
+            res = fn(df, args[0], _const(args[2]), ts=args[1])
+        else:
+            consts: list = []
+            while trailing and args and _is_const(args[-1]) and len(consts) < len(trailing):
+                consts.insert(0, _const(args.pop()))
+            if trailing and not consts:
+                raise SiddhiQLError(
+                    f"unique:{window} needs ({', '.join(['key'] + trailing)})"
+                )
+            keys = args if len(args) > 1 else (args[0] if args else None)
+            if keys is None:
+                raise SiddhiQLError(
+                    f"unique:{window} needs at least a unique key attribute"
+                )
+            kwargs = dict(zip(trailing or [], consts))
+            if window != "first":
+                kwargs["ts"] = ts
+            res = fn(df, keys, **kwargs)
+        if q["channel"] == "expired":
+            if "channel" not in res.columns:
+                raise SiddhiQLError(
+                    f"unique:{window}'s streaming twin has no expired channel"
+                )
+            res = res.filter(F.col("channel") == "expired")
+        if q["select"] != ["*"]:
+            res = res.select(*[F.expr(s) for s in q["select"]])
+        out[q["out"]] = res
+    return out

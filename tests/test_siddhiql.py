@@ -133,3 +133,62 @@ def test_unbound_stream_raises(streams):
             "from ghosts#window.unique:ever(user_id) select * insert into x;",
             streams,
         )
+
+
+def test_streaming_app_builds_twin_plans(spark, tmp_path):
+    import shutil
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in"
+    indir.mkdir()
+    shutil.copy(src, indir / "events.parquet")
+    schema = spark.read.parquet(src).schema
+    sdf = stream_table(spark, str(indir), schema, ts=None)
+    app = """
+    from events#window.unique:ever(user_id)
+    select user_id, value
+    insert into latest;
+    """
+    out = sq.run_app_streaming(app, {"events": sdf})["latest"]
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("sq_latest")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["value"]) for r in spark.sql("SELECT * FROM sq_latest").collect()}
+    want = {(r["user_id"], r["value"]) for r in
+            ops.ever(load_table(spark, SF_DIR, "events"), "user_id",
+                     ts="ts", tiebreak="event_id").select("user_id", "value").collect()}
+    # streaming ever has no tiebreak: equal-ts replacements may differ;
+    # the synthetic corpus has unique (user, ts) so sets match exactly
+    assert got == want
+
+
+def test_streaming_expired_channel_filter(spark, tmp_path):
+    import shutil
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in2"
+    indir.mkdir()
+    shutil.copy(src, indir / "events.parquet")
+    schema = spark.read.parquet(src).schema
+    sdf = stream_table(spark, str(indir), schema, ts=None)
+    app = """
+    from events#window.unique:length(user_id, 100)
+    select event_id
+    insert expired events into gone;
+    """
+    out = sq.run_app_streaming(app, {"events": sdf})["gone"]
+    assert out.isStreaming
+    # ever's twin has no expired channel -> eager error
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app_streaming(
+            "from events#window.unique:ever(user_id) select * "
+            "insert expired events into x;",
+            {"events": sdf},
+        )
