@@ -451,6 +451,8 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
         if len(body) < size:
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short ({size} bytes)")
             fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
         elif cid == b"data":

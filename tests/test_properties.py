@@ -578,3 +578,50 @@ def test_bloom_membership_has_no_false_negatives(build, probe):
         passes = all(_md5_mod(f"bf{i}:", key, m) in bits for i in range(k))
         if key in build:
             assert passes  # a true member can never be filtered out
+
+
+# --- parser robustness: corrupt media + malformed query text must
+# fail with the DECLARED error types, never crash or mis-shape ---
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_media_decoders_fail_closed_on_fuzz(payload):
+    from siddhi_execution_unique_spark.functions.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+    )
+    for fn in (decode_image, decode_audio, decode_video):
+        try:
+            fn(payload)
+        except (ValueError, NotImplementedError):
+            # the DECLARED failure modes; anything else (struct.error,
+            # TypeError, IndexError, silent wrong shape) fails the test
+            pass
+
+
+@given(st.binary(max_size=96))
+@settings(max_examples=200, deadline=None)
+def test_wav_decoder_fuzz_with_valid_magic(body):
+    # force the parser down the RIFF path: random chunk soup after a
+    # valid signature must raise ValueError, never return garbage
+    from siddhi_execution_unique_spark.functions.multimodal import decode_audio
+    payload = b"RIFF\x00\x00\x00\x00WAVE" + body
+    try:
+        rate, samples = decode_audio(payload)
+        # if it parsed, the invariants must hold
+        assert rate > 0 and samples.dtype.str == "<i2"
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.text(alphabet="fromselcinto#window.unique:evr()[]>1 ;\n", max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_siddhiql_parser_raises_only_typed_errors(text):
+    from siddhi_execution_unique_spark.siddhiql import SiddhiQLError, parse_app
+    try:
+        queries = parse_app(text)
+        assert isinstance(queries, list) and queries
+    except SiddhiQLError:
+        pass
