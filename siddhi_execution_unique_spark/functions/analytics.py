@@ -673,3 +673,165 @@ def json_props_stats_oracle() -> str:
         FROM parsed
         GROUP BY event_type, COALESCE(k // 10, -1)
     """
+
+
+TREND_Q = 1000  # fixed-point value quantization for the trend sums
+
+
+def value_trend_by_type(events: DataFrame) -> DataFrame:
+    """Per-event-type linear trend (OLS slope/intercept) of event
+    value over time — the grouped-regression shape behind drift
+    detection and per-segment forecasting, computed from EXACT
+    integer sufficient statistics: with t = hours since the corpus
+    start and q = floor(value·1000),
+
+        slope = (n·Σtq − Σt·Σq) / (n·Σt² − (Σt)²)
+
+    — numerator and denominator are exact int64 (units chosen so the
+    worst case is ~1e14, far inside range), the one division is IEEE
+    on identical operands, and the output quantizes to micro-units.
+    Output: (event_type, n, slope_micro, intercept_micro).
+
+    Scale shape: ONE map-side-combined aggregation per group computes
+    all five sums in a single pass — the textbook "sufficient
+    statistics, not data movement" pattern (the same reason
+    ``pca_covariance`` ships dim² sums, not vectors). The corpus
+    start rides a broadcast 1-row min."""
+    t0 = events.agg(F.min(F.expr("unix_millis(ts)")).alias("t0_ms"))
+    base = events.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr(f"(unix_millis(ts) - t0_ms) div {HOUR_MS}").alias("t"),
+        F.expr(f"cast(floor(value * {TREND_Q}) as bigint)").alias("q"),
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("t") * F.col("q")).alias("stq"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    num = "(n * stq - st * sq)"
+    den = "(n * stt - st * st)"
+    return sums.select(
+        "event_type", "n",
+        F.expr(
+            f"case when {den} > 0 then cast(floor(cast({num} as double)"
+            f" / cast({den} as double) * 1000000 / {TREND_Q}) as bigint)"
+            " else cast(0 as bigint) end"
+        ).alias("slope_micro"),
+        F.expr(
+            f"case when {den} > 0 then cast(floor((cast(sq as double) / n"
+            f" - cast({num} as double) / cast({den} as double)"
+            f" * cast(st as double) / n) * 1000000 / {TREND_Q}) as bigint)"
+            " else cast(0 as bigint) end"
+        ).alias("intercept_micro"),
+    )
+
+
+def value_trend_by_type_oracle() -> str:
+    num = "(n * stq - st * sq)"
+    den = "(n * stt - st * st)"
+    return f"""
+        WITH t0 AS (
+          SELECT min(CAST(epoch_ms(ts) AS BIGINT)) AS t0_ms FROM events
+        ),
+        base AS (
+          SELECT event_type,
+                 (CAST(epoch_ms(ts) AS BIGINT) - t0_ms) // {HOUR_MS} AS t,
+                 CAST(floor(value * {TREND_Q}) AS BIGINT) AS q
+          FROM events CROSS JOIN t0
+        ),
+        sums AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(q) AS BIGINT) AS sq,
+                 CAST(sum(t * q) AS BIGINT) AS stq,
+                 CAST(sum(t * t) AS BIGINT) AS stt
+          FROM base GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CASE WHEN {den} > 0 THEN CAST(floor(CAST({num} AS DOUBLE)
+                 / CAST({den} AS DOUBLE) * 1000000 / {TREND_Q}) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS slope_micro,
+               CASE WHEN {den} > 0 THEN CAST(floor((CAST(sq AS DOUBLE) / n
+                 - CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)
+                 * CAST(st AS DOUBLE) / n) * 1000000 / {TREND_Q}) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS intercept_micro
+        FROM sums
+    """
+
+
+CHI2_COHORTS = 8
+
+
+def chi2_type_vs_cohort(events: DataFrame, cohorts: int = CHI2_COHORTS) -> DataFrame:
+    """Chi-square independence scan between event_type and user cohort
+    (``user_id % cohorts``) — the segmentation-drift test an A/B or
+    data-quality pipeline runs over categorical pairs, chosen over
+    the G-test precisely because the statistic is RATIONAL: per cell,
+
+        (n·o − r·c)² / (r·c·n)
+
+    (o observed, r/c row/column totals, n grand total) — exact-int
+    numerator, one IEEE division, fixed-point nano-unit floor, exact
+    bigint total. No ln/exp anywhere, so the driver hash is stable.
+    Output: one row per cohort — (cohort, n_rows, chi2_nano_part) —
+    plus exact marginals; the statistic is the sum of the parts.
+
+    Scale shape: the contingency table is ONE map-side-combined agg
+    on the (type, cohort) pair (cells bounded by |types|·cohorts);
+    marginals and the statistic fold from the cell table, never
+    rescanning the corpus."""
+    if cohorts < 2:
+        raise ValueError(f"chi2 needs >= 2 cohorts, got {cohorts}")
+    cells = (
+        events.select(
+            "event_type", F.expr(f"user_id % {cohorts}").alias("cohort")
+        )
+        .groupBy("event_type", "cohort")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("cohort").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    part = (
+        cells.join(rt, "event_type").join(ct, "cohort")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cohort", "o",
+            F.expr(
+                "cast(floor(cast((n * o - r * c) as double)"
+                " * cast((n * o - r * c) as double)"
+                " / (cast(r as double) * cast(c as double) * cast(n as double))"
+                " * 1000000000) as bigint)"
+            ).alias("p"),
+        )
+    )
+    return part.groupBy("cohort").agg(
+        F.sum("o").alias("n_rows"),
+        F.sum("p").alias("chi2_nano_part"),
+    )
+
+
+def chi2_type_vs_cohort_oracle(cohorts: int = CHI2_COHORTS) -> str:
+    return f"""
+        WITH cells AS (
+          SELECT event_type, user_id % {cohorts} AS cohort, count(*) AS o
+          FROM events GROUP BY event_type, user_id % {cohorts}
+        ),
+        rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+        ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY cohort),
+        nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        part AS (
+          SELECT cells.cohort, o,
+                 CAST(floor(CAST((n * o - r * c) AS DOUBLE)
+                   * CAST((n * o - r * c) AS DOUBLE)
+                   / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                   * 1000000000) AS BIGINT) AS p
+          FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort)
+          CROSS JOIN nt
+        )
+        SELECT cohort, CAST(sum(o) AS BIGINT) AS n_rows,
+               CAST(sum(p) AS BIGINT) AS chi2_nano_part
+        FROM part GROUP BY cohort
+    """

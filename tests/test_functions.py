@@ -1231,3 +1231,47 @@ def test_json_props_counts_malformed_rows(spark):
     # malformed / missing-key / null rows are counted, never dropped
     assert out[("view", -1)].n == 3 and out[("view", -1)].n_bad == 3
     assert out[("click", 1)].n == 1
+
+
+def test_value_trend_recovers_planted_slope(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    # exact line: value = 5 + 2*t over hours t = 0..9 -> slope 2/hr
+    rows = [(t, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=t),
+             1, "view", 5.0 + 2.0 * t, "") for t in range(10)]
+    # a flat series in another type -> slope 0
+    rows += [(100 + t, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=t),
+              1, "click", 7.0, "") for t in range(10)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = {r.event_type: r for r in fana.value_trend_by_type(events).collect()}
+    assert out["view"].slope_micro == 2_000_000       # 2.0/hour exactly
+    assert out["view"].intercept_micro == 5_000_000   # 5.0 at t=0
+    assert out["click"].slope_micro == 0
+    assert out["click"].intercept_micro == 7_000_000
+
+
+def test_chi2_zero_on_independent_and_positive_on_skew(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    ts = datetime.datetime(2024, 1, 1)
+    # perfectly balanced design: every (type, cohort) cell equal ->
+    # chi2 == 0 in every part
+    rows = []
+    i = 0
+    for t in ("view", "click"):
+        for u in range(8):
+            for _ in range(3):
+                rows.append((i, ts, u, t, 0.0, "")); i += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = fana.chi2_type_vs_cohort(events).toPandas()
+    assert (out.chi2_nano_part == 0).all()
+    # now skew cohort 0 heavily toward clicks -> statistic goes positive
+    rows += [(1000 + j, ts, 0, "click", 0.0, "") for j in range(24)]
+    events2 = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out2 = fana.chi2_type_vs_cohort(events2).toPandas()
+    assert int(out2.chi2_nano_part.sum()) > 0
+    with pytest.raises(ValueError):
+        fana.chi2_type_vs_cohort(events, cohorts=1)
