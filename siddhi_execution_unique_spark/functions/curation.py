@@ -1096,12 +1096,14 @@ def data_profile(events: DataFrame, cols: tuple = PROFILE_COLS) -> DataFrame:
     of the string form. Output: (col_name, n_rows, n_null,
     n_distinct, min_repr, max_repr).
 
-    Scale shape: ONE pass over the corpus — the profile is a union of
-    per-column aggregates that Catalyst compiles into a shared-scan
-    multi-aggregate (each column's agg is map-side combined; the
-    distinct counts shuffle on the (column, value) pair, bounded by
-    distinct values per column). Nothing is windowed or collected;
-    adding a column adds one agg branch, not a scan.
+    Scale shape: ONE corpus scan — the row melts to |cols| narrow
+    (col_name, value-string) rows map-side (a Generate, no shuffle),
+    and the whole profile is a single hash aggregation keyed on
+    col_name (the distinct count rides Spark's two-stage
+    count-distinct expansion over the (col_name, value) pair, bounded
+    by per-column distinct cardinality). Adding a column adds fanout
+    rows, never a second scan — profiling 500 columns of a 100 TB
+    table still reads it once.
 
     Cross-engine note: doubles profile via their string form, and both
     engines print shortest-roundtrip decimal (parity-proven at sf0.1);
@@ -1112,24 +1114,24 @@ def data_profile(events: DataFrame, cols: tuple = PROFILE_COLS) -> DataFrame:
     for c in cols:
         if c not in events.columns:
             raise ValueError(f"data_profile: no such column {c!r}")
-    parts = []
-    for c in cols:
-        sc = F.col(c).cast("string")
-        parts.append(
-            events.select(sc.alias("v"))
-            .agg(
-                F.lit(c).alias("col_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("v").isNull().cast("bigint")).alias("n_null"),
-                F.count_distinct(F.col("v")).alias("n_distinct"),
-                F.coalesce(F.min("v"), F.lit("")).alias("min_repr"),
-                F.coalesce(F.max("v"), F.lit("")).alias("max_repr"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    melted = events.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ])
+        ).alias("m")
+    ).select("m.col_name", "m.v")
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("bigint")).alias("n_null"),
+        F.count_distinct(F.col("v")).alias("n_distinct"),
+        F.coalesce(F.min("v"), F.lit("")).alias("min_repr"),
+        F.coalesce(F.max("v"), F.lit("")).alias("max_repr"),
+    )
 
 
 def data_profile_oracle(cols: tuple = PROFILE_COLS) -> str:
