@@ -835,3 +835,82 @@ def chi2_type_vs_cohort_oracle(cohorts: int = CHI2_COHORTS) -> str:
                CAST(sum(p) AS BIGINT) AS chi2_nano_part
         FROM part GROUP BY cohort
     """
+
+
+def time_weighted_avg(events: DataFrame, cohort: int = GAP_FILL_COHORT) -> DataFrame:
+    """Per-user time-weighted average of value — TimescaleDB's
+    ``time_weight('LOCF', ...)`` shape: irregular samples must weight
+    by how LONG each value held, not how often it was sampled (a
+    sensor reporting 1000×/s during a spike would otherwise dominate
+    a plain avg). Computed as the exact integer integral
+
+        TWA = Σ qᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t₀)
+
+    with q = floor(value·1000) and millisecond deltas — the numerator
+    is an exact int64 sum (the only float op is the final division,
+    then a micro-unit floor). Output: (user_id, n_points, span_ms,
+    twa_micro) for cohort users with >= 2 events.
+
+    Scale shape: one ``lead`` window pass partitioned by the
+    high-cardinality user_id, then a per-user hash agg — the same
+    single-exchange shape as ``sessionize``."""
+    if cohort < 1:
+        raise ValueError(f"time_weighted_avg needs cohort >= 1, got {cohort}")
+    base = events.filter(F.col("user_id") < cohort).select(
+        "user_id",
+        F.expr("unix_millis(ts)").alias("t"),
+        F.expr(f"cast(floor(value * {ANOMALY_Q}) as bigint)").alias("q"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    stepped = base.select(
+        "user_id", "t", "q",
+        F.lead("t").over(w).alias("t_next"),
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            (F.max("t") - F.min("t")).alias("span_ms"),
+            F.sum(
+                F.when(
+                    F.col("t_next").isNotNull(),
+                    F.col("q") * (F.col("t_next") - F.col("t")),
+                ).otherwise(F.lit(0))
+            ).alias("num"),
+        )
+        .filter(F.col("n_points") >= 2)
+        .select(
+            "user_id", "n_points", "span_ms",
+            F.expr(
+                "cast(floor(cast(num as double) / cast(span_ms as double)"
+                f" * 1000000 / {ANOMALY_Q}) as bigint)"
+            ).alias("twa_micro"),
+        )
+    )
+
+
+def time_weighted_avg_oracle(cohort: int = GAP_FILL_COHORT) -> str:
+    return f"""
+        WITH base AS (
+          SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS t,
+                 CAST(floor(value * {ANOMALY_Q}) AS BIGINT) AS q, event_id
+          FROM events WHERE user_id < {cohort}
+        ),
+        stepped AS (
+          SELECT user_id, t, q,
+                 lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t_next
+          FROM base
+        ),
+        agg AS (
+          SELECT user_id, count(*) AS n_points,
+                 max(t) - min(t) AS span_ms,
+                 CAST(sum(CASE WHEN t_next IS NOT NULL
+                               THEN q * (t_next - t) ELSE 0 END) AS BIGINT) AS num
+          FROM stepped GROUP BY user_id
+        )
+        SELECT user_id, n_points, span_ms,
+               CAST(floor(CAST(num AS DOUBLE) / CAST(span_ms AS DOUBLE)
+                 * 1000000 / {ANOMALY_Q}) AS BIGINT) AS twa_micro
+        FROM agg WHERE n_points >= 2
+    """

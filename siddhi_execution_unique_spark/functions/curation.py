@@ -1214,3 +1214,69 @@ def join_key_health_oracle(top: int = JOIN_HEALTH_TOP) -> str:
         ORDER BY pair_rows DESC, key
         LIMIT {top}
     """
+
+
+TOPK_SALT = 16
+
+
+def vocab_top_per_lang(docs: DataFrame, k: int = 20,
+                       n_salt: int = TOPK_SALT) -> DataFrame:
+    """Per-GROUP top-k (the ``k`` most frequent tokens per language) —
+    the shape global ``vocab_top_tokens`` can't give and the naive
+    encoding gets wrong at scale: ``row_number() OVER (PARTITION BY
+    lang)`` sorts each language's ENTIRE vocabulary in one task
+    (languages are low-cardinality — the anti-pattern
+    ``running_distinct_users`` was rewritten to avoid). This is the
+    salted two-phase selection instead: token counts salt into
+    ``n_salt`` deterministic slices per language, a window ranks
+    within each (lang, salt) slice — partitions bounded by
+    vocab/n_salt — and the true top-k is a second window over the
+    k·n_salt per-language survivors (top-k of a union ⊆ union of
+    per-slice top-ks, so no candidate is lost). Output: (lang, rank,
+    token, n_occurrences).
+
+    Scale shape: one explode + map-side-combined hash agg on (lang,
+    token), then the two bounded windows; nothing ever sorts a whole
+    language's vocabulary in one task."""
+    if k < 1 or n_salt < 1:
+        raise ValueError(f"vocab_top_per_lang needs k >= 1, n_salt >= 1; "
+                         f"got k={k}, n_salt={n_salt}")
+    counts = (
+        docs.select("lang", F.explode(F.expr(SPARK_TOKS)).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    sliced = counts.withColumn(
+        "salt",
+        F.expr(
+            f"cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint) % {n_salt}"
+        ),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
+    survivors = sliced.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= k
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "token", "n_occurrences")
+    )
+
+
+def vocab_top_per_lang_oracle(k: int = 20) -> str:
+    return f"""
+        WITH counts AS (
+          SELECT lang, token, count(*) AS n_occurrences
+          FROM (SELECT lang, unnest({DUCK_TOKS}) AS token FROM documents) t
+          GROUP BY lang, token
+        )
+        SELECT lang, rank, token, n_occurrences FROM (
+          SELECT lang, token, n_occurrences,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_occurrences DESC, token ASC) AS rank
+          FROM counts
+        ) WHERE rank <= {k}
+    """

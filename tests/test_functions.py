@@ -1275,3 +1275,43 @@ def test_chi2_zero_on_independent_and_positive_on_skew(spark):
     assert int(out2.chi2_nano_part.sum()) > 0
     with pytest.raises(ValueError):
         fana.chi2_type_vs_cohort(events, cohorts=1)
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)
+    # user 1: value 10 held for 9s, then 100 for 1s -> TWA = 19, while
+    # the plain average of samples would be 55 (3 samples: 10,100,x)
+    rows = [
+        (1, mk(0), 1, "view", 10.0, ""),
+        (2, mk(9), 1, "view", 100.0, ""),
+        (3, mk(10), 1, "view", 0.0, ""),   # closes the last interval
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = fana.time_weighted_avg(events).collect()[0]
+    assert out.span_ms == 10_000 and out.n_points == 3
+    assert out.twa_micro == 19_000_000  # (10*9000 + 100*1000)/10000 = 19
+    with pytest.raises(ValueError):
+        fana.time_weighted_avg(events, cohort=0)
+
+
+def test_vocab_top_per_lang_matches_naive_window(spark, sf_dir):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.lang, r.rank): (r.token, r.n_occurrences)
+           for r in fcur.vocab_top_per_lang(docs).collect()}
+    # naive single-window form (fine at test scale) must agree exactly
+    from pyspark.sql.window import Window as W
+    counts = (docs.select("lang", F.explode(F.expr(
+        "split(trim(lower(text)), '\\\\s+')")).alias("token"))
+        .groupBy("lang", "token").count())
+    w = W.partitionBy("lang").orderBy(F.desc("count"), F.asc("token"))
+    want = {(r.lang, r.rank): (r.token, r["count"])
+            for r in counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20).collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        fcur.vocab_top_per_lang(docs, k=0)

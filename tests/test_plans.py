@@ -757,3 +757,12 @@ def test_hourly_anomalies_single_user_keyed_window(spark):
     assert plan.count("Window") == 1
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_top_per_lang_windows_are_salted(spark):
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(fcur.vocab_top_per_lang(docs))
+    # phase-1 ranking must partition on (lang, salt), never lang alone
+    assert "hashpartitioning(lang" in plan and "salt" in plan
+    assert "partial_count" in plan
