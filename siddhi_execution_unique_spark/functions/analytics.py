@@ -914,3 +914,87 @@ def time_weighted_avg_oracle(cohort: int = GAP_FILL_COHORT) -> str:
                  * 1000000 / {ANOMALY_Q}) AS BIGINT) AS twa_micro
         FROM agg WHERE n_points >= 2
     """
+
+
+DISORDER_BUCKETS = 64
+
+
+def disorder_stats(events: DataFrame, n_buckets: int = DISORDER_BUCKETS) -> DataFrame:
+    """Out-of-orderness profile of the stream — THE watermark-sizing
+    diagnostic: for every event, its lateness behind the event-time
+    front at its arrival point (``max(ts of earlier arrivals) − ts``,
+    arrival order = event_id), folded into a power-of-two histogram
+    (``bucket = bit_length(lateness_ms)``; bucket 1 = in-order or
+    ≤1 ms). Reading this histogram IS how you pick
+    ``withWatermark``'s delay — the streaming twins default to "10
+    seconds", and this report shows what that drops. Output:
+    (late_bucket, n_events, max_late_ms).
+
+    Scale shape: the running event-time front is a GLOBAL prefix max —
+    the classic single-sort trap — computed two-phase like
+    ``running_distinct_count``: events range-bucket on the arrival
+    axis (bounds from one broadcast 1-row agg), the within-bucket
+    running max is a window per bucket (parallelism = n_buckets,
+    sized to the cluster), and bucket offsets are a prefix max over
+    the n_buckets-row totals. No global sort; the final histogram is
+    a tiny hash agg."""
+    if n_buckets < 1:
+        raise ValueError(f"disorder_stats needs n_buckets >= 1, got {n_buckets}")
+    base = events.select(
+        "event_id", F.expr("unix_millis(ts)").alias("t")
+    )
+    bounds = base.agg(
+        F.min("event_id").alias("e0"), F.max("event_id").alias("e1")
+    )
+    bucketed = base.join(F.broadcast(bounds)).withColumn(
+        "bkt",
+        ((F.col("event_id") - F.col("e0")) * n_buckets
+         / (F.col("e1") - F.col("e0") + 1)).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("bkt").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = bucketed.withColumn("in_max", F.max("t").over(w_in))
+    totals = bucketed.groupBy("bkt").agg(F.max("t").alias("btot"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("boff", F.max("btot").over(w_off)).select(
+        "bkt", "boff"
+    )
+    lat = (
+        within.join(F.broadcast(offsets), "bkt")
+        .withColumn("front", F.greatest(F.col("in_max"), F.col("boff")))
+        .filter(F.col("front").isNotNull())
+        .withColumn("late_ms", F.expr("greatest(cast(0 as bigint), front - t)"))
+    )
+    return (
+        lat.select(F.expr("length(bin(late_ms))").alias("late_bucket"), "late_ms")
+        .groupBy("late_bucket")
+        .agg(F.count("*").alias("n_events"), F.max("late_ms").alias("max_late_ms"))
+    )
+
+
+def disorder_stats_oracle() -> str:
+    return """
+        WITH base AS (
+          SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS t FROM events
+        ),
+        fronts AS (
+          SELECT t,
+                 max(t) OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS front
+          FROM base
+        ),
+        lat AS (
+          -- filter BEFORE greatest: DuckDB's greatest() ignores NULLs,
+          -- so the stream's first event (front IS NULL) must drop here
+          SELECT greatest(CAST(0 AS BIGINT), front - t) AS late_ms
+          FROM fronts WHERE front IS NOT NULL
+        )
+        SELECT length(bin(late_ms)) AS late_bucket,
+               count(*) AS n_events,
+               CAST(max(late_ms) AS BIGINT) AS max_late_ms
+        FROM lat
+        GROUP BY length(bin(late_ms))
+    """

@@ -1315,3 +1315,23 @@ def test_vocab_top_per_lang_matches_naive_window(spark, sf_dir):
     assert got == want
     with pytest.raises(ValueError):
         fcur.vocab_top_per_lang(docs, k=0)
+
+
+def test_disorder_stats_flags_planted_late_event(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 10), 1, "view", 0.0, ""),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 0), 1, "view", 0.0, ""),  # 10s late
+        (3, datetime.datetime(2024, 1, 1, 0, 0, 11), 1, "view", 0.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = {r.late_bucket: r for r in fana.disorder_stats(events, n_buckets=2).collect()}
+    # 10,000 ms lateness -> bit_length 14; the in-order event -> bucket 1;
+    # the stream-first event (no front yet) is excluded
+    assert out[14].n_events == 1 and out[14].max_late_ms == 10_000
+    assert out[1].n_events == 1 and out[1].max_late_ms == 0
+    assert sum(r.n_events for r in out.values()) == 2
+    with pytest.raises(ValueError):
+        fana.disorder_stats(events, n_buckets=0)

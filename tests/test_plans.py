@@ -766,3 +766,14 @@ def test_vocab_top_per_lang_windows_are_salted(spark):
     # phase-1 ranking must partition on (lang, salt), never lang alone
     assert "hashpartitioning(lang" in plan and "salt" in plan
     assert "partial_count" in plan
+
+
+def test_disorder_prefix_max_never_sorts_globally(spark):
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(fana.disorder_stats(events))
+    # the running front must partition on the arrival bucket; a
+    # regression to one global ORDER BY window would show an empty
+    # partitionBy (SinglePartition exchange feeding a Window)
+    assert "hashpartitioning(bkt" in plan
+    assert "partial_max" in plan
