@@ -344,7 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is ordered by verification priority — groups (1)/(1b)/(1c)/(1d)/
     (1e) are every entry that has NEVER received a driver oracle row
     (oldest first), then (2) entries whose implementation changed in
-    round 5 (r04-green with the prior implementation). With 114
+    round 5 (r04-green with the prior implementation). With 115
     entries the 50-sample cannot cover every never-checked entry;
     the overflow entries (the tail of group 1e and
     `unique_length_emissions_ordered`) are the never-checked entries
@@ -352,7 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     forms or reports derived from parity-proven building blocks. Group (3) — every reference operator and the stable
     dedup/text/multimodal tier — is driver-green in CORRECTNESS_r04
     and byte-unchanged since, which is the documented evidence for
-    rows past the cap; ALL 114 entries are hash-green in the local
+    rows past the cap; ALL 115 entries are hash-green in the local
     sf0.01 full-sweep replica this round. Rotate groups if the cap
     persists next round."""
     return {
@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2_cohorts": lambda s, d: fana.chi2_type_vs_cohort(_events(s, d)),
         "events_time_weighted_avg": lambda s, d: fana.time_weighted_avg(_events(s, d)),
         "events_disorder_stats": lambda s, d: fana.disorder_stats(_events(s, d)),
+        "events_ks_cohort_drift": lambda s, d: fana.ks_cohort_drift(_events(s, d)),
         "vocab_top_per_lang": lambda s, d: fcur.vocab_top_per_lang(_docs(s, d)),
         "events_funnel_latency": lambda s, d: fana.funnel_latency(_events(s, d)),
         "events_zorder_layout": lambda s, d: fcur.zorder_layout(_events(s, d)),
@@ -1044,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "events_chi2_cohorts": fana.chi2_type_vs_cohort_oracle(),
         "events_time_weighted_avg": fana.time_weighted_avg_oracle(),
         "events_disorder_stats": fana.disorder_stats_oracle(),
+        "events_ks_cohort_drift": fana.ks_cohort_drift_oracle(),
         "vocab_top_per_lang": fcur.vocab_top_per_lang_oracle(),
         "siddhiql_ever_filtered": """
             SELECT event_id, user_id, event_type, value

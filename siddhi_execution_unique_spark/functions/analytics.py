@@ -998,3 +998,119 @@ def disorder_stats_oracle() -> str:
         FROM lat
         GROUP BY length(bin(late_ms))
     """
+
+
+KS_BUCKETS = 32
+
+
+def ks_cohort_drift(events: DataFrame, n_buckets: int = KS_BUCKETS) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two user cohorts (``user_id % 2``) — the
+    distribution-drift test an A/B or data-freshness pipeline runs,
+    EXACT: with per-cohort ECDF counts c₁,c₂ at each distinct
+    (quantized) value, ``D = max |n₂·c₁ − n₁·c₂| / (n₁·n₂)`` — the
+    maximized numerator is exact int64 (safe while n₁·n₂ < 2⁶³, i.e.
+    cohorts up to ~3·10⁹ rows; beyond that shard the statistic), and
+    only the final division is float. Output: ONE row (n_a, n_b,
+    d_num_max, at_q, ks_micro) — ``at_q`` is the smallest quantized
+    value achieving the max (deterministic argmax).
+
+    Scale shape: the value histogram is one map-side-combined agg on
+    the quantized value; the ECDF cumsum is the two-phase range-bucket
+    prefix sum (never a single global ordered window over all
+    distinct values); the max folds in one tiny agg."""
+    if n_buckets < 1:
+        raise ValueError(f"ks_cohort_drift needs n_buckets >= 1, got {n_buckets}")
+    hist = (
+        events.select(
+            F.expr(f"cast(floor(value * {ANOMALY_Q}) as bigint)").alias("q"),
+            F.expr("cast(user_id % 2 as int)").alias("g"),
+        )
+        .groupBy("q")
+        .agg(
+            F.sum(F.expr("case when g = 0 then 1 else 0 end")).alias("ca"),
+            F.sum(F.expr("case when g = 1 then 1 else 0 end")).alias("cb"),
+        )
+    )
+    bounds = hist.agg(
+        F.min("q").alias("q0"), F.max("q").alias("q1"),
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+    )
+    bucketed = hist.join(F.broadcast(bounds)).withColumn(
+        "bkt",
+        ((F.col("q") - F.col("q0")) * n_buckets
+         / (F.col("q1") - F.col("q0") + 1)).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("bkt").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.select(
+        "q", "bkt", "n_a", "n_b",
+        F.sum("ca").over(w_in).alias("cum_a_in"),
+        F.sum("cb").over(w_in).alias("cum_b_in"),
+    )
+    totals = bucketed.groupBy("bkt").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    scored = within.join(F.broadcast(offsets), "bkt").select(
+        "q", "n_a", "n_b",
+        F.expr(
+            "abs(n_b * (cum_a_in + oa) - n_a * (cum_b_in + ob))"
+        ).alias("d_num"),
+    )
+    return (
+        scored.groupBy("n_a", "n_b")
+        .agg(
+            F.max("d_num").alias("d_num_max"),
+            F.expr("min_by(q, struct(-d_num, q))").alias("at_q"),
+        )
+        .select(
+            "n_a", "n_b", "d_num_max", "at_q",
+            F.expr(
+                "cast(floor(cast(d_num_max as double)"
+                " / (cast(n_a as double) * cast(n_b as double))"
+                " * 1000000) as bigint)"
+            ).alias("ks_micro"),
+        )
+    )
+
+
+def ks_cohort_drift_oracle() -> str:
+    return """
+        WITH hist AS (
+          SELECT CAST(floor(value * 1000) AS BIGINT) AS q,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM events GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+          FROM hist
+        ),
+        ecdf AS (
+          SELECT q,
+                 CAST(sum(ca) OVER (ORDER BY q) AS BIGINT) AS cum_a,
+                 CAST(sum(cb) OVER (ORDER BY q) AS BIGINT) AS cum_b
+          FROM hist
+        ),
+        scored AS (
+          SELECT q, n_a, n_b,
+                 abs(n_b * cum_a - n_a * cum_b) AS d_num
+          FROM ecdf CROSS JOIN tot
+        )
+        SELECT n_a, n_b,
+               CAST(max(d_num) AS BIGINT) AS d_num_max,
+               CAST(min(q) FILTER (WHERE d_num = (SELECT max(d_num) FROM scored))
+                    AS BIGINT) AS at_q,
+               CAST(floor(CAST(max(d_num) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS ks_micro
+        FROM scored GROUP BY n_a, n_b
+    """

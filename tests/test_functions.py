@@ -1335,3 +1335,29 @@ def test_disorder_stats_flags_planted_late_event(spark):
     assert sum(r.n_events for r in out.values()) == 2
     with pytest.raises(ValueError):
         fana.disorder_stats(events, n_buckets=0)
+
+
+def test_ks_drift_zero_on_identical_and_one_on_disjoint(spark):
+    import datetime
+    from siddhi_execution_unique_spark.functions import analytics as fana
+    ts = datetime.datetime(2024, 1, 1)
+    # identical distributions (same values in both cohorts) -> D = 0
+    rows = []
+    i = 0
+    for v in (1.0, 2.0, 3.0):
+        for u in (0, 1, 2, 3):  # users 0,2 -> cohort A; 1,3 -> cohort B
+            rows.append((i, ts, u, "view", v, "")); i += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = fana.ks_cohort_drift(events).collect()[0]
+    assert out.ks_micro == 0 and out.d_num_max == 0
+    # disjoint supports (A all low, B all high) -> D = 1
+    rows2 = [(i, ts, 0, "view", 1.0, "") for i in range(6)]
+    rows2 += [(10 + i, ts, 1, "view", 9.0, "") for i in range(6)]
+    events2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out2 = fana.ks_cohort_drift(events2).collect()[0]
+    assert out2.ks_micro == 1_000_000
+    assert out2.at_q == 1000  # the max gap sits at the low support
+    with pytest.raises(ValueError):
+        fana.ks_cohort_drift(events, n_buckets=0)
