@@ -219,9 +219,7 @@ def run_app(
         if q["filter"]:
             df = df.filter(F.expr(q["filter"]))
         res = _build_window(q, df, ts, tiebreak)
-        if q["select"] != ["*"]:
-            res = res.select(*[F.expr(s) for s in q["select"]])
-        out[q["out"]] = res
+        out[q["out"]] = _apply_select(res, q["select"])
     return out
 
 
@@ -315,7 +313,39 @@ def run_app_streaming(
                     f"unique:{window}'s streaming twin has no expired channel"
                 )
             res = res.filter(F.col("channel") == "expired")
-        if q["select"] != ["*"]:
-            res = res.select(*[F.expr(s) for s in q["select"]])
-        out[q["out"]] = res
+        if any(_AGG_RE.search(s) for s in q["select"]):
+            # chaining an aggregation after a stateful twin means two
+            # stateful operators in one streaming query — raise the
+            # app-creation error instead of a mid-stream planner error
+            raise SiddhiQLError(
+                "aggregate select over a STREAMING window is not wired; "
+                "aggregate the sink table, or use the batch run_app"
+            )
+        out[q["out"]] = _apply_select(res, q["select"])
     return out
+
+
+_AGG_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(", re.IGNORECASE)
+
+
+def _apply_select(res: DataFrame, select: list[str]) -> DataFrame:
+    """Apply a SiddhiQL select list: plain projections, or — when any
+    item is an aggregate (``count()``, ``sum(x)``, ...) — an
+    aggregation OVER THE WINDOW CONTENTS grouped by the non-aggregate
+    items, which is exactly the reference's "aggregation over window"
+    composition (e.g. UniqueEverWindowTestCase.java:86-94's running
+    ``count(ip)``, whose final state is the per-group count of the
+    retained events). Siddhi's bare ``count()`` maps to count(*)."""
+    if select == ["*"]:
+        return res
+    items = [re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)
+             for s in select]
+    aggs = [s for s in items if _AGG_RE.search(s)]
+    if not aggs:
+        return res.select(*[F.expr(s) for s in items])
+    keys = [s for s in items if not _AGG_RE.search(s)]
+    if not keys:
+        return res.agg(*[F.expr(s) for s in aggs])
+    return res.groupBy(*[F.expr(s) for s in keys]).agg(
+        *[F.expr(s) for s in aggs]
+    )

@@ -192,3 +192,46 @@ def test_streaming_expired_channel_filter(spark, tmp_path):
             "insert expired events into x;",
             {"events": sdf},
         )
+
+
+def test_aggregate_select_over_window_contents(streams):
+    # the reference's "running count over unique:ever" composition:
+    # final state = count of retained events per group
+    app = """
+    from events#window.unique:ever(user_id)
+    select event_type, count() as n
+    insert into counts;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["counts"]
+    want = (
+        ops.ever(streams["events"], "user_id", ts="ts", tiebreak="event_id")
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    assert rows(got) == rows(want)
+    # global aggregate (no group keys)
+    app2 = """
+    from events#window.unique:first(user_id)
+    select count() as n, max(value) as vmax
+    insert into total;
+    """
+    got2 = sq.run_app(app2, streams, tiebreak="event_id")["total"].collect()[0]
+    base = ops.first(streams["events"], "user_id", ts="ts", tiebreak="event_id")
+    assert got2.n == base.count()
+    assert got2.vmax == base.agg(F.max("value")).collect()[0][0]
+
+
+def test_streaming_aggregate_select_raises_eagerly(spark, tmp_path):
+    import shutil
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in3"
+    indir.mkdir()
+    shutil.copy(src, indir / "events.parquet")
+    sdf = stream_table(spark, str(indir), spark.read.parquet(src).schema, ts=None)
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app_streaming(
+            "from events#window.unique:ever(user_id) "
+            "select event_type, count() as n insert into x;",
+            {"events": sdf},
+        )
