@@ -1365,3 +1365,40 @@ def anomaly_stream(
             fn, out_schema, _ANOMALY_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def trend_stream(events_stream: DataFrame, t0_ms: int, ts: str = "ts") -> DataFrame:
+    """Streaming maintenance of the grouped-OLS sufficient statistics
+    (:func:`functions.analytics.value_trend_by_type`): per event_type,
+    the five exact sums (n, Σt, Σq, Σtq, Σt²) stay CURRENT as events
+    arrive — micro-batches merge by addition through the state store,
+    exactly like shards, so the live table always equals the batch
+    sums over everything ingested. The slope/intercept divisions are
+    a trivial projection on the sink (or the batch expression reused);
+    state is bounded at one row per event_type forever.
+
+    ``t0_ms`` is the corpus epoch the hour offsets anchor to — in
+    batch it is a 1-row min aggregate; a stream cannot know its own
+    minimum, so the anchor is an explicit parameter (any fixed epoch
+    works: slope is translation-invariant, and passing the batch
+    side's min reproduces its sums exactly — pinned by test)."""
+    from siddhi_execution_unique_spark.functions.analytics import (
+        HOUR_MS,
+        TREND_Q,
+    )
+
+    require_column(events_stream, "event_type", "trend group")
+    require_column(events_stream, ts, "ts")
+    require_column(events_stream, "value", "trend value")
+    base = events_stream.select(
+        "event_type",
+        F.expr(f"(unix_millis({ts}) - {t0_ms}) div {HOUR_MS}").alias("t"),
+        F.expr(f"cast(floor(value * {TREND_Q}) as bigint)").alias("q"),
+    )
+    return base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("t") * F.col("q")).alias("stq"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )

@@ -890,3 +890,44 @@ def test_anomaly_stream_matches_batch_on_closed_hours(spark, workdir):
     want = {(r["user_id"], r["hb"]): (r["metric_q"], r["n_hist"], r["is_anomaly"])
             for r in batch if r["hb"] != last_hb[r["user_id"]]}
     assert got == want and len(got) > 0
+
+
+def test_trend_stream_matches_batch_sufficient_statistics(spark, workdir):
+    from pyspark.sql import functions as F
+    from siddhi_execution_unique_spark.functions.analytics import HOUR_MS, TREND_Q
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming import trend_stream
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    t0 = events.agg(F.min(F.expr("unix_millis(ts)"))).collect()[0][0]
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(workdir / "in"))
+    run_available(
+        spark, trend_stream(
+            stream_table(spark, str(workdir / "in"), events.schema, ts=None), t0
+        ), "tr_sink", workdir / "ckpt", mode="complete",
+    )
+    half2.coalesce(1).write.mode("append").parquet(str(workdir / "in"))
+    res = run_available(
+        spark, trend_stream(
+            stream_table(spark, str(workdir / "in"), events.schema, ts=None), t0
+        ), "tr_sink", workdir / "ckpt", mode="complete",
+    )
+    got = {r["event_type"]: (r["n"], r["st"], r["sq"], r["stq"], r["stt"])
+           for r in res.collect()}
+    want = {
+        r["event_type"]: (r["n"], r["st"], r["sq"], r["stq"], r["stt"])
+        for r in events.select(
+            "event_type",
+            F.expr(f"(unix_millis(ts) - {t0}) div {HOUR_MS}").alias("t"),
+            F.expr(f"cast(floor(value * {TREND_Q}) as bigint)").alias("q"),
+        ).groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("t").alias("st"),
+            F.sum("q").alias("sq"),
+            F.sum(F.expr("t * q")).alias("stq"),
+            F.sum(F.expr("t * t")).alias("stt"),
+        ).collect()
+    }
+    assert got == want and len(got) == 5
