@@ -662,7 +662,7 @@ def json_props_stats_oracle() -> str:
     return """
         WITH parsed AS (
           SELECT event_type,
-                 TRY_CAST(props::JSON->>'k' AS BIGINT) AS k
+                 TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) AS k
           FROM events
         )
         SELECT event_type,
@@ -849,7 +849,10 @@ def time_weighted_avg(events: DataFrame, cohort: int = GAP_FILL_COHORT) -> DataF
     with q = floor(value·1000) and millisecond deltas — the numerator
     is an exact int64 sum (the only float op is the final division,
     then a micro-unit floor). Output: (user_id, n_points, span_ms,
-    twa_micro) for cohort users with >= 2 events.
+    twa_micro) for cohort users with >= 2 events spanning a nonzero
+    interval (span_ms = 0 — all samples at one timestamp — would be
+    0/0; both engines drop those users rather than diverge on
+    NaN-vs-NULL cast behavior).
 
     Scale shape: one ``lead`` window pass partitioned by the
     high-cardinality user_id, then a per-user hash agg — the same
@@ -879,7 +882,7 @@ def time_weighted_avg(events: DataFrame, cohort: int = GAP_FILL_COHORT) -> DataF
                 ).otherwise(F.lit(0))
             ).alias("num"),
         )
-        .filter(F.col("n_points") >= 2)
+        .filter((F.col("n_points") >= 2) & (F.col("span_ms") > 0))
         .select(
             "user_id", "n_points", "span_ms",
             F.expr(
@@ -912,7 +915,7 @@ def time_weighted_avg_oracle(cohort: int = GAP_FILL_COHORT) -> str:
         SELECT user_id, n_points, span_ms,
                CAST(floor(CAST(num AS DOUBLE) / CAST(span_ms AS DOUBLE)
                  * 1000000 / {ANOMALY_Q}) AS BIGINT) AS twa_micro
-        FROM agg WHERE n_points >= 2
+        FROM agg WHERE n_points >= 2 AND span_ms > 0
     """
 
 

@@ -697,3 +697,407 @@ VIDEO_FRAME_STATS_ORACLE = f"""
            CAST(len(list_filter(bv, v -> v = 0)) AS BIGINT) AS luma_zero
     FROM vals
 """
+
+
+# ---------------------------------------------------------------------
+# Baseline JPEG: a REAL compressed-format decoder in pure numpy —
+# marker parse, DQT/DHT table build, huffman entropy decode with byte
+# unstuffing, run-length AC + zigzag, dequantize, 8x8 IDCT (matrix
+# form), level shift. Closes the round-5 "compressed formats are all
+# stubs" boundary for the one format where a from-scratch decoder is
+# feasible and deterministic. Progressive (SOF2), arithmetic coding,
+# 12-bit precision, and chroma-subsampled streams raise the declared
+# NotImplementedError; PNG/MP3/H.264 remain stubbed (DEFLATE/MDCT/
+# inter-prediction from scratch is out of scope).
+
+JPEG_W_BLOCKS = 16  # synthesized image width in 8x8 blocks -> 128 px
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K typical huffman tables (public spec constants)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by the canonical T.81 assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# orthonormal 8-point DCT-II basis: pixels = A.T @ coefs @ A
+_DCT_A = np.array([
+    [np.cos((2 * x + 1) * u * np.pi / 16) * (np.sqrt(0.125) if u == 0 else 0.5)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _dc_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def encode_gray_jpeg(body: bytes, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
+    """Synthesize a VALID baseline grayscale JPEG whose 8x8 blocks are
+    constant, block i's gray level = ``body[i]`` (zero-padded to full
+    block rows). With an all-ones quantization table a constant block
+    is exactly representable (only the DC coefficient is nonzero), so
+    decode is bit-exact and a SQL oracle can rebuild the pixel stats
+    from the raw bytes — same pattern as the PPM/WAV/Y4M builders."""
+    import struct
+
+    n = max(1, -(-len(body) // w_blocks)) * w_blocks
+    vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    h_blocks = n // w_blocks
+    width, height = w_blocks * 8, h_blocks * 8
+
+    dc_codes = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huffman_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for v in vals:
+        dc = 8 * (int(v) - 128)  # orthonormal DCT of a constant block
+        diff = dc - pred
+        pred = dc
+        s = _dc_category(diff)
+        code, length = dc_codes[s]
+        bw.put(code, length)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        code, length = ac_codes[0x00]  # EOB: all 63 AC coefs are zero
+        bw.put(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return b"".join([
+        b"\xff\xd8",  # SOI
+        seg(0xDB, bytes([0x00]) + bytes(64 * [1])),  # DQT: table 0, all ones
+        seg(0xC0, struct.pack(">BHHB", 8, height, width, 1)
+            + bytes([1, 0x11, 0])),  # SOF0: 8-bit, 1 component, 1x1, Tq 0
+        seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)),
+        seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)),
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),  # SOS
+        scan,
+        b"\xff\xd9",  # EOI
+    ])
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (RSTn handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("hit marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in entropy segment")
+
+
+def _extend(v: int, s: int) -> int:
+    # T.81 F.2.2.1 EXTEND: the s low bits code v, MSB 0 means negative
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder (pure numpy): returns an
+    (h, w) uint8 array for grayscale streams or (h, w, 3) RGB for
+    three-component 4:4:4 streams. Declared NotImplementedError for
+    progressive/arithmetic/12-bit/subsampled variants — real corpora
+    use those too, but this covers every stream
+    :func:`encode_gray_jpeg` emits plus any baseline 4:4:4 file."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    import struct
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (height, width, comps) ; comps = [(cid, tq)]
+    restart_interval = 0
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS scan data")
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "progressive JPEG decode is not implemented (baseline "
+                "sequential only)")
+        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError(
+                "lossless/arithmetic JPEG decode is not implemented")
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 1:
+                    table = np.frombuffer(
+                        seg[i:i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    table = np.frombuffer(
+                        seg[i:i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                qt[tq] = table
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nvals])
+                lut: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        lut[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = lut
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (huffman sequential)
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision decodes")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG is not implemented "
+                        "(4:4:4 / grayscale only)")
+                comps.append((cid, tq))
+            frame = (height, width, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            height, width, comps = frame
+            ns = seg[0]
+            scan_tables = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                (cid, tq) = next(x for x in comps if x[0] == cs)
+                scan_tables.append((huff[(0, tt >> 4)], huff[(1, tt & 0x0F)],
+                                    qt[tq]))
+            br = _BitReader(payload, pos + seglen)
+            bw_, bh_ = -(-width // 8), -(-height // 8)
+            planes = np.zeros((ns, bh_ * 8, bw_ * 8), dtype=np.float64)
+            preds = [0] * ns
+            mcu = 0
+            for by in range(bh_):
+                for bx in range(bw_):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        br.align()
+                        m = payload[br.pos:br.pos + 2]
+                        if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
+                            br.pos += 2
+                        preds = [0] * ns
+                    for ci, (dct_, act_, q) in enumerate(scan_tables):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _decode_symbol(br, dct_)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, act_)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coefs = np.zeros(64, dtype=np.float64)
+                        coefs[_ZIGZAG] = zz * q
+                        block = _DCT_A.T @ coefs.reshape(8, 8) @ _DCT_A
+                        planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+                    mcu += 1
+            planes = np.clip(np.round(planes + 128.0), 0, 255)
+            if ns == 1:
+                return planes[0, :height, :width].astype(np.uint8)
+            if ns == 3:
+                y, cb, cr = (planes[i, :height, :width] for i in range(3))
+                r = y + 1.402 * (cr - 128)
+                g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                b = y + 1.772 * (cb - 128)
+                return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                               0, 255).astype(np.uint8)
+            raise NotImplementedError("unsupported component count")
+        pos += seglen
+    raise ValueError("no SOS scan found")
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Attach a VALID baseline JPEG payload built from each doc's
+    UTF-8 bytes via :func:`encode_gray_jpeg` — partition-local
+    ``mapInPandas``, same placement as the PPM/WAV/Y4M builders."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_gray_jpeg(txt.encode("utf-8")) for txt in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def jpeg_decode_stats(docs: DataFrame) -> DataFrame:
+    """End-to-end compressed-decode pipeline: text → baseline JPEG →
+    :func:`decode_jpeg` (huffman + dequant + IDCT) → per-image pixel
+    stats, mirroring :func:`decode_stats`. Output: (doc_id,
+    n_pixel_bytes, pixel_sum, zero_bin) — integer-exact because the
+    synthesized blocks are constant, so the oracle rebuilds the same
+    numbers from the raw text bytes × 64 px/block."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(p))
+                flat = img.ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    return with_jpeg_payload(docs).mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+JPEG_DECODE_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n_raw, hx,
+             greatest(1, CAST(ceil(n_raw / CAST({JPEG_W_BLOCKS} AS DOUBLE)) AS BIGINT))
+               * {JPEG_W_BLOCKS} AS n_blocks
+      FROM h
+    ),
+    vals AS (
+      SELECT doc_id, n_raw, n_blocks,
+             list_transform(generate_series(1, CAST(n_raw AS INTEGER)),
+               i -> (strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)) AS bv
+      FROM dims
+    )
+    SELECT doc_id,
+           n_blocks * 64 AS n_pixel_bytes,
+           CAST(coalesce(list_sum(bv), 0) * 64 AS BIGINT) AS pixel_sum,
+           CAST((len(list_filter(bv, v -> v % {HIST_BINS} = 0))
+                 + (n_blocks - n_raw)) * 64 AS BIGINT) AS zero_bin
+    FROM vals
+"""

@@ -20,6 +20,7 @@ from siddhi_execution_unique_spark.operators.replay import (
     deduplicate,
     first_length_batch,
     length_batch,
+    length_batch_expired,
     time_length_batch,
     time_length_batch_distributed,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "first_length_batch",
     "first_time_batch",
     "length_batch",
+    "length_batch_expired",
     "length_window",
     "time_batch",
     "time_length_batch",

@@ -37,9 +37,13 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as SqlWindow
+
 from siddhi_execution_unique_spark import operators as ops
 from siddhi_execution_unique_spark.operators.keyed import ever_expired
+from siddhi_execution_unique_spark.operators.time_batch import event_ms
 from siddhi_execution_unique_spark.operators.time_window import time_window_expired
+from siddhi_execution_unique_spark.operators.validation import parse_time_ms
 
 _TIME_RE = re.compile(r"^\d+\s+[a-zA-Z]+$")
 _INT_RE = re.compile(r"^\d+$")
@@ -54,9 +58,42 @@ _QUERY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+
+def _side_clause(p: str) -> str:
+    return (
+        rf"(?P<{p}stream>\w+)"
+        rf"(?:\s*\[(?P<{p}filter>[^\]]+)\])?"
+        rf"\s*#\s*(?:window\.)?unique:(?P<{p}window>\w+)"
+        rf"\s*\((?P<{p}args>[^)]*)\)"
+    )
+
+
+# window-to-window join — the reference's own test text shape
+# (UniqueEverWindowTestCase.java:228-233,
+#  UniqueTimeBatchWindowTestCase.java:192-196):
+#   from A#window.unique:X(..) join B#window.unique:Y(..)
+#   on A.attr == B.attr select A.attr as x, B.attr insert into out
+_JOIN_RE = re.compile(
+    r"from\s+" + _side_clause("l")
+    + r"\s+join\s+" + _side_clause("r")
+    + r"\s+on\s+(?P<on>.+?)"
+    + r"\s+select\s+(?P<select>.+?)"
+    + r"\s+insert\s+(?:(?P<channel>expired|all)\s+events\s+)?into\s+(?P<out>\w+)",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _DEFINE_RE = re.compile(
     r"define\s+stream\s+(?P<name>\w+)\s*\((?P<cols>[^)]*)\)",
     re.IGNORECASE,
+)
+
+# `partition with (attr of Stream) begin ... end` — each partition-key
+# value gets an independent window instance (Siddhi's partitioned
+# execution). One (attr of Stream) pair per block is supported.
+_PARTITION_RE = re.compile(
+    r"partition\s+with\s*\(\s*(?P<attr>\w+)\s+of\s+(?P<pstream>\w+)\s*\)"
+    r"\s*begin\b(?P<body>.*?)\bend\b",
+    re.IGNORECASE | re.DOTALL,
 )
 
 # positional parameter spec: how many trailing args are constants,
@@ -109,7 +146,10 @@ def _translate_expr(expr: str) -> str:
 
 
 def parse_app(text: str) -> list[dict]:
-    """Parse a SiddhiQL app into query dicts (no DataFrames yet)."""
+    """Parse a SiddhiQL app into query dicts (no DataFrames yet).
+    ``partition with (attr of Stream) begin ... end`` blocks mark each
+    inner query with the partition attribute; everything else parses
+    position-independently."""
     text = re.sub(r"--[^\n]*", "", text)  # line comments
     defines = {
         m.group("name"): [
@@ -119,8 +159,73 @@ def parse_app(text: str) -> list[dict]:
         ]
         for m in _DEFINE_RE.finditer(text)
     }
+    queries: list[dict] = []
+    masked = text
+    for m in _PARTITION_RE.finditer(text):
+        inner = _scan_queries(m.group("body"), defines, m.start("body"))
+        if not inner:
+            raise SiddhiQLError("empty partition block")
+        attr, pstream = m.group("attr"), m.group("pstream")
+        for q in inner:
+            if q["kind"] == "join":
+                raise SiddhiQLError(
+                    "partitioned join queries are not wired; partition "
+                    "single-stream queries only"
+                )
+            if q["stream"] != pstream:
+                raise SiddhiQLError(
+                    f"partition is keyed on stream {pstream!r} but the "
+                    f"inner query reads {q['stream']!r}"
+                )
+            q["partition"] = attr
+        queries += inner
+        # blank the block (same length) so the outer scan skips it
+        masked = masked[:m.start()] + " " * (m.end() - m.start()) + masked[m.end():]
+    queries += _scan_queries(masked, defines, 0)
+    if not queries:
+        raise SiddhiQLError("no 'from ... insert into ...' query found")
+    queries.sort(key=lambda q: q["pos"])
+    return queries
+
+
+def _scan_queries(text: str, defines: dict, offset: int) -> list[dict]:
+    def _side(m, p: str) -> dict:
+        window = m.group(f"{p}window")
+        if window not in _SPECS:
+            raise SiddhiQLError(
+                f"unknown window unique:{window}; expected one of "
+                f"{sorted(_SPECS)}"
+            )
+        return {
+            "stream": m.group(f"{p}stream"),
+            "filter": (
+                _translate_expr(m.group(f"{p}filter"))
+                if m.group(f"{p}filter") else None
+            ),
+            "window": window,
+            "args": _split_args(m.group(f"{p}args")),
+            "declared": defines.get(m.group(f"{p}stream")),
+        }
+
     queries = []
+    join_spans: list[tuple[int, int]] = []
+    for m in _JOIN_RE.finditer(text):
+        join_spans.append(m.span())
+        queries.append(
+            {
+                "kind": "join",
+                "left": _side(m, "l"),
+                "right": _side(m, "r"),
+                "on": _translate_expr(m.group("on")),
+                "select": [s.strip() for s in m.group("select").split(",")],
+                "channel": (m.group("channel") or "current").lower(),
+                "out": m.group("out"),
+                "pos": offset + m.start(),
+            }
+        )
     for m in _QUERY_RE.finditer(text):
+        if any(a <= m.start() < b for a, b in join_spans):
+            continue
         window = m.group("window")
         if window not in _SPECS:
             raise SiddhiQLError(
@@ -129,6 +234,7 @@ def parse_app(text: str) -> list[dict]:
             )
         queries.append(
             {
+                "kind": "single",
                 "stream": m.group("stream"),
                 "filter": _translate_expr(m.group("filter")) if m.group("filter") else None,
                 "window": window,
@@ -137,20 +243,100 @@ def parse_app(text: str) -> list[dict]:
                 "channel": (m.group("channel") or "current").lower(),
                 "out": m.group("out"),
                 "declared": defines.get(m.group("stream")),
+                "pos": offset + m.start(),
             }
         )
-    if not queries:
-        raise SiddhiQLError("no 'from ... insert into ...' query found")
     return queries
+
+
+# windows whose reference processor NEVER emits expired events — for
+# these `insert all events into` is exactly the current channel
+# (UniqueFirstWindowProcessor.java:129-132 drops duplicates silently;
+# the first-batch variants and the deduplicate stream processor have
+# no expired chunk at all)
+_NEVER_EXPIRES = frozenset({"first", "firstLengthBatch", "firstTimeBatch", "deduplicate"})
+
+CHANNEL = "channel"
+
+
+def _tag(df: DataFrame, channel: str) -> DataFrame:
+    return df.withColumn(CHANNEL, F.lit(channel))
+
+
+def _need_tiebreak(window: str, tiebreak: str | None) -> str:
+    if tiebreak is None:
+        raise SiddhiQLError(
+            f"the expired/all-events channel of unique:{window} needs a "
+            "tiebreak column to address retained rows uniquely; pass "
+            "tiebreak= to run_app"
+        )
+    return tiebreak
+
+
+def _dual_channel(
+    window: str,
+    df: DataFrame,
+    keys,
+    kwargs: dict,
+    ts: str,
+    tiebreak: str | None,
+    channel: str,
+) -> DataFrame:
+    """Build the expired channel, or the reference's `insert all events
+    into` protocol (current ∪ expired, tagged on a ``channel`` column —
+    e.g. UniqueLengthWindowTestCase.java:65,95 consume both chunks of
+    one output stream). Raises SiddhiQLError for windows whose expired
+    channel has no batch form — never silently returns current-only."""
+    if window == "ever":
+        cur = ops.ever(df, keys, ts=ts, tiebreak=tiebreak)
+        exp = ever_expired(df, keys, ts=ts, tiebreak=tiebreak)
+    elif window == "time":
+        tb = _need_tiebreak(window, tiebreak)
+        cur = ops.time_window(df, keys, kwargs["window_time"], ts=ts, tiebreak=tb)
+        exp = time_window_expired(df, keys, kwargs["window_time"], ts=ts, tiebreak=tb)
+    elif window == "length":
+        tb = _need_tiebreak(window, tiebreak)
+        emissions = ops.length_window_emissions_distributed(
+            df, keys, kwargs["window_length"], ts=ts, tiebreak=tb
+        )
+        if channel == "expired":
+            return emissions.filter(F.col(CHANNEL) == "expired").drop(CHANNEL)
+        return emissions
+    elif window == "timeBatch":
+        batched = ops.time_batch(df, keys, ts=ts, tiebreak=tiebreak, **kwargs)
+        exp = ops.expired_channel(batched, kwargs["window_time"])
+        cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long"))
+    elif window == "lengthBatch":
+        batched = ops.length_batch(
+            df, keys, kwargs["window_length"], ts=ts, tiebreak=tiebreak
+        )
+        exp = ops.length_batch_expired(batched)
+        cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long"))
+    else:
+        raise SiddhiQLError(
+            f"the expired/all-events channel of unique:{window} is not "
+            "wired through SiddhiQL; use the function API variant"
+        )
+    if channel == "expired":
+        return exp
+    return _tag(cur, "current").unionByName(_tag(exp, "expired"))
 
 
 def _build_window(q: dict, df: DataFrame, ts: str, tiebreak: str | None) -> DataFrame:
     window, args = q["window"], list(q["args"])
+    channel = q["channel"]
+    if channel == "all" and window in _NEVER_EXPIRES:
+        channel = "current"
     if window == "externalTimeBatch":
         if len(args) < 3:
             raise SiddhiQLError(
                 "unique:externalTimeBatch needs (key, timestamp, window.time"
                 " [, start.time [, time.out]])"
+            )
+        if channel != "current":
+            raise SiddhiQLError(
+                "the expired/all-events channel of unique:externalTimeBatch "
+                "is not wired through SiddhiQL; use the function API variant"
             )
         key, ts_attr, wtime = args[0], args[1], _const(args[2])
         kwargs: dict = {"tiebreak": tiebreak}
@@ -174,15 +360,178 @@ def _build_window(q: dict, df: DataFrame, ts: str, tiebreak: str | None) -> Data
     keys = args if len(args) > 1 else (args[0] if args else None)
     if keys is None:
         raise SiddhiQLError(f"unique:{window} needs at least a unique key attribute")
-    if q["channel"] == "expired":
-        if expired_fn is None:
-            raise SiddhiQLError(
-                f"expired-events channel for unique:{window} is not wired "
-                "through SiddhiQL; use the function API variant"
-            )
-        fn = expired_fn
     kwargs = dict(zip(trailing or [], consts))
+    if channel == "expired" and expired_fn is not None:
+        return expired_fn(df, keys, ts=ts, tiebreak=tiebreak, **kwargs)
+    if channel in ("expired", "all"):
+        return _dual_channel(window, df, keys, kwargs, ts, tiebreak, channel)
     return fn(df, keys, ts=ts, tiebreak=tiebreak, **kwargs)
+
+
+def _bind_stream(q: dict, streams: dict[str, DataFrame]) -> DataFrame:
+    """Eager-validation binding of one windowed stream clause: the
+    stream must be bound, declared attributes must exist, identifier
+    window args must be columns; the optional ``[...]`` filter is
+    applied (SiddhiAppCreationException twin)."""
+    if q["stream"] not in streams:
+        raise SiddhiQLError(
+            f"stream {q['stream']!r} is not bound; have {sorted(streams)}"
+        )
+    df = streams[q["stream"]]
+    if q["declared"]:
+        missing = [c for c in q["declared"] if c not in df.columns]
+        if missing:
+            raise SiddhiQLError(
+                f"stream {q['stream']!r} is missing declared attributes "
+                f"{missing}; has {df.columns}"
+            )
+    for a in q["args"]:
+        if not _is_const(a) and a not in df.columns:
+            raise SiddhiQLError(
+                f"unique:{q['window']}: attribute {a!r} is not in "
+                f"stream {q['stream']!r} ({df.columns})"
+            )
+    if q["filter"]:
+        df = df.filter(F.expr(q["filter"]))
+    return df
+
+
+# join channel wiring exists for aligned tumbling time batches: both
+# windows share the tumbling grid, so co-residency (Siddhi joins an
+# arriving event against the OTHER window's current contents) is
+# exactly batch_end_ms equality
+_TIME_BATCH_WINDOWS = frozenset({"timeBatch", "firstTimeBatch"})
+
+
+def _run_join(
+    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None
+) -> DataFrame:
+    """Window-to-window join (UniqueEverWindowTestCase.java:228-233):
+    build each side's window contents, join on the user condition with
+    both sides aliased by their stream names so the Siddhi-style
+    qualified references (``cseEventStream.symbol``) resolve.
+
+    For two aligned tumbling time-batch windows the join condition
+    additionally pins the shared batch interval (contents of batch k
+    only ever co-reside with the other window's batch k,
+    UniqueTimeBatchWindowTestCase.java:192-196), and the expired/all
+    channels follow the tumbling-flush protocol: every joined batch
+    re-emits as expired when a later batch fires anywhere; the final
+    batch never expires. Other window pairs support the current
+    channel only — expired pair emission depends on replay-order
+    interleaving across two streams, which the final-state batch model
+    does not represent; SiddhiQLError, never a silent current-only."""
+    lname, rname = q["left"]["stream"], q["right"]["stream"]
+    if lname == rname:
+        raise SiddhiQLError("join sides must name two distinct streams")
+    lw, rw = q["left"]["window"], q["right"]["window"]
+    channel = q["channel"]
+    cond = q["on"]
+    aligned_batches = lw in _TIME_BATCH_WINDOWS and rw in _TIME_BATCH_WINDOWS
+    if aligned_batches:
+        lt = [a for a in q["left"]["args"] if _is_const(a)]
+        rt = [a for a in q["right"]["args"] if _is_const(a)]
+        if lt != rt:
+            raise SiddhiQLError(
+                "joined unique:timeBatch windows need identical "
+                f"window.time to share a tumbling grid; got {lt} vs {rt}"
+            )
+        cond = f"({cond}) AND {lname}.batch_end_ms = {rname}.batch_end_ms"
+    if channel != "current" and not aligned_batches:
+        raise SiddhiQLError(
+            f"the expired/all-events channel of a unique:{lw} join "
+            f"unique:{rw} is not wired through SiddhiQL; use the "
+            "function API"
+        )
+    sides: dict[str, DataFrame] = {}
+    for p in ("left", "right"):
+        side = {**q[p], "channel": "current"}
+        df = _bind_stream(side, streams)
+        sides[p] = _build_window(side, df, ts, tiebreak)
+    joined = sides["left"].alias(lname).join(
+        sides["right"].alias(rname), F.expr(cond), "inner"
+    )
+    if channel == "current":
+        return joined
+    ends = (
+        sides["left"].select("batch_end_ms")
+        .unionAll(sides["right"].select("batch_end_ms"))
+        .agg(F.max("batch_end_ms").alias("_last_end"))
+    )
+    exp = (
+        joined.crossJoin(F.broadcast(ends))
+        .filter(F.col(f"{lname}.batch_end_ms") < F.col("_last_end"))
+        .drop("_last_end")
+    )
+    if channel == "expired":
+        return exp
+    # positional union: both branches are the joined schema (which has
+    # same-named batch columns from the two sides) + the channel tag
+    return _tag(joined, "current").unionAll(_tag(exp, "expired"))
+
+
+# windows where "independent instance per partition value" is exactly
+# "prepend the partition attribute to the unique keys": per-key state
+# (ever/first) or an absolute epoch-aligned tumbling grid (timeBatch's
+# start.time modulo alignment is partition-independent)
+_PARTITION_COMPOSITE = frozenset({"ever", "first", "timeBatch", "firstTimeBatch"})
+
+
+def _build_partitioned(
+    q: dict, df: DataFrame, ts: str, tiebreak: str | None
+) -> DataFrame:
+    """`partition with (attr of Stream)`: every partition-key value
+    runs its own window instance (Siddhi partitioned execution). For
+    the per-key/absolute-grid windows that is a composite groupBy key;
+    unique:time additionally needs a PER-PARTITION event-time edge
+    (each instance's timer is driven by its own stream's front, so
+    the live set is ts > max(ts) OVER (PARTITION BY attr) - T, not
+    the global max). The length/timeLengthBatch families fire on
+    per-instance arrival chains the final-state batch model does not
+    decompose by attribute — SiddhiQLError, use the function API."""
+    p = q["partition"]
+    if p not in df.columns:
+        raise SiddhiQLError(
+            f"partition attribute {p!r} is not in stream {q['stream']!r} "
+            f"({df.columns})"
+        )
+    window = q["window"]
+    if q["channel"] != "current" and window not in ("ever", "first"):
+        raise SiddhiQLError(
+            f"the expired/all-events channel of a partitioned "
+            f"unique:{window} is not wired; use the function API"
+        )
+    if window in _PARTITION_COMPOSITE:
+        return _build_window({**q, "args": [p] + list(q["args"])}, df, ts, tiebreak)
+    if window == "deduplicate":
+        # the distributed replay keys state by one column value: stage
+        # a composite string key (partition-attr is non-null in any
+        # meaningful partitioned app; the unit separator avoids
+        # accidental concat collisions)
+        key, interval = q["args"][0], _const(q["args"][1])
+        staged = df.withColumn(
+            "_pkey",
+            F.concat_ws(
+                "\x1f", F.col(p).cast("string"), F.col(key).cast("string")
+            ),
+        )
+        return ops.deduplicate(
+            staged, "_pkey", interval, ts=ts, tiebreak=tiebreak
+        ).drop("_pkey")
+    if window == "time":
+        args = list(q["args"])
+        window_ms = parse_time_ms(_const(args.pop()), "window.time")
+        ms = event_ms(df, ts)
+        live = (
+            df.withColumn("_edge", F.max(ms).over(SqlWindow.partitionBy(p)))
+            .filter(ms > F.col("_edge") - F.lit(window_ms))
+            .drop("_edge")
+        )
+        return ops.ever(live, [p] + args, ts=ts, tiebreak=tiebreak)
+    raise SiddhiQLError(
+        f"partitioned unique:{window} is not wired through SiddhiQL; "
+        "use the function API"
+    )
 
 
 def run_app(
@@ -197,28 +546,14 @@ def run_app(
     runs."""
     out: dict[str, DataFrame] = {}
     for q in parse_app(text):
-        if q["stream"] not in streams:
-            raise SiddhiQLError(
-                f"stream {q['stream']!r} is not bound; have {sorted(streams)}"
-            )
-        df = streams[q["stream"]]
-        if q["declared"]:
-            missing = [c for c in q["declared"] if c not in df.columns]
-            if missing:
-                raise SiddhiQLError(
-                    f"stream {q['stream']!r} is missing declared attributes "
-                    f"{missing}; has {df.columns}"
-                )
-        # eager key validation: identifier args must be columns
-        for a in q["args"]:
-            if not _is_const(a) and a not in df.columns:
-                raise SiddhiQLError(
-                    f"unique:{q['window']}: attribute {a!r} is not in "
-                    f"stream {q['stream']!r} ({df.columns})"
-                )
-        if q["filter"]:
-            df = df.filter(F.expr(q["filter"]))
-        res = _build_window(q, df, ts, tiebreak)
+        if q["kind"] == "join":
+            res = _run_join(q, streams, ts, tiebreak)
+        elif q.get("partition"):
+            df = _bind_stream(q, streams)
+            res = _build_partitioned(q, df, ts, tiebreak)
+        else:
+            df = _bind_stream(q, streams)
+            res = _build_window(q, df, ts, tiebreak)
         out[q["out"]] = _apply_select(res, q["select"])
     return out
 
@@ -267,29 +602,42 @@ def run_app_streaming(
     specs = _streaming_specs()
     out: dict[str, DataFrame] = {}
     for q in parse_app(text):
-        if q["stream"] not in streams:
+        if q["kind"] == "join":
             raise SiddhiQLError(
-                f"stream {q['stream']!r} is not bound; have {sorted(streams)}"
+                "window-to-window joins are wired for the batch run_app "
+                "only; two stateful twins in one streaming query is a "
+                "multi-stage streaming topology — stage through a sink"
             )
-        df = streams[q["stream"]]
-        for a in q["args"]:
-            if not _is_const(a) and a not in df.columns:
+        df = _bind_stream(q, streams)
+        if q.get("partition"):
+            p = q["partition"]
+            if p not in df.columns:
                 raise SiddhiQLError(
-                    f"unique:{q['window']}: attribute {a!r} is not in "
-                    f"stream {q['stream']!r} ({df.columns})"
+                    f"partition attribute {p!r} is not in stream "
+                    f"{q['stream']!r} ({df.columns})"
                 )
-        if q["filter"]:
-            df = df.filter(F.expr(q["filter"]))
+            if q["window"] not in ("ever", "first"):
+                raise SiddhiQLError(
+                    f"partitioned streaming unique:{q['window']} is not "
+                    "wired; composite keys cover ever/first only"
+                )
+            q = {**q, "args": [p] + list(q["args"])}
         window, args = q["window"], list(q["args"])
         fn, trailing = specs[window]
         if window == "externalTimeBatch":
-            # (key, timestamp_attr, T): the twin reads the attribute
-            # directly as its event-time column
-            if len(args) < 3:
+            # (key, timestamp_attr, T [, start.time [, time.out]]): the
+            # twin reads the attribute directly as its event-time column
+            if len(args) < 3 or len(args) > 5:
                 raise SiddhiQLError(
-                    "unique:externalTimeBatch needs (key, timestamp, window.time)"
+                    "unique:externalTimeBatch needs (key, timestamp, "
+                    "window.time [, start.time [, time.out]])"
                 )
-            res = fn(df, args[0], _const(args[2]), ts=args[1])
+            kw: dict = {"ts": args[1]}
+            if len(args) >= 4:
+                kw["start_time_ms"] = int(args[3])
+            if len(args) == 5:
+                kw["idle_timeout"] = _const(args[4])
+            res = fn(df, args[0], _const(args[2]), **kw)
         else:
             consts: list = []
             while trailing and args and _is_const(args[-1]) and len(consts) < len(trailing):
@@ -313,6 +661,21 @@ def run_app_streaming(
                     f"unique:{window}'s streaming twin has no expired channel"
                 )
             res = res.filter(F.col("channel") == "expired")
+        elif q["channel"] == "all" and window not in _NEVER_EXPIRES:
+            # `insert all events into`: pass the dual-channel twin
+            # through UNFILTERED (both chunks, tagged on `channel`);
+            # a twin without the dual channel must not silently
+            # degrade to current-only
+            if "channel" not in res.columns:
+                raise SiddhiQLError(
+                    f"unique:{window}'s streaming twin has no expired "
+                    "channel; `insert all events into` is not wired"
+                )
+        elif q["channel"] == "current" and "channel" in res.columns:
+            # `insert into` selects only the current chunk of a
+            # dual-channel twin (the tag column is twin plumbing, not
+            # a reference attribute)
+            res = res.filter(F.col("channel") == "current").drop("channel")
         if any(_AGG_RE.search(s) for s in q["select"]):
             # chaining an aggregation after a stateful twin means two
             # stateful operators in one streaming query — raise the

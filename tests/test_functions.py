@@ -1361,3 +1361,34 @@ def test_ks_drift_zero_on_identical_and_one_on_disjoint(spark):
     assert out2.at_q == 1000  # the max gap sits at the low support
     with pytest.raises(ValueError):
         fana.ks_cohort_drift(events, n_buckets=0)
+
+
+def test_jpeg_decode_roundtrip_and_failure_modes(spark):
+    # real baseline JPEG decode: huffman entropy decode + dequant +
+    # IDCT must return the EXACT constant blocks the encoder wrote
+    # (all-ones quant table keeps the DC-only blocks representable)
+    import numpy as np
+
+    body = bytes(range(256)) + b"edge \xff\x00 bytes"
+    j = fmm.encode_gray_jpeg(body)
+    img = fmm.decode_jpeg(j)
+    n = max(1, -(-len(body) // fmm.JPEG_W_BLOCKS)) * fmm.JPEG_W_BLOCKS
+    vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    assert img.shape == (n // fmm.JPEG_W_BLOCKS * 8, fmm.JPEG_W_BLOCKS * 8)
+    for i, v in enumerate(vals):
+        r, c = divmod(i, fmm.JPEG_W_BLOCKS)
+        block = img[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8]
+        assert (block == v).all()
+    # declared boundaries fail LOUD with the declared types
+    with pytest.raises(ValueError):
+        fmm.decode_jpeg(b"\x89PNG\r\n\x1a\n")  # not a JPEG
+    progressive = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        fmm.decode_jpeg(progressive)
+    subsampled = bytearray(j)
+    sof = j.index(b"\xff\xc0")
+    subsampled[sof + 11] = 0x22  # the component's H/V sampling byte
+    with pytest.raises(NotImplementedError):
+        fmm.decode_jpeg(bytes(subsampled))
+    with pytest.raises((ValueError, IndexError)):
+        fmm.decode_jpeg(j[:40])  # truncated before the scan

@@ -777,3 +777,24 @@ def test_disorder_prefix_max_never_sorts_globally(spark):
     # partitionBy (SinglePartition exchange feeding a Window)
     assert "hashpartitioning(bkt" in plan
     assert "partial_max" in plan
+
+
+def test_length_batch_funnel_is_narrow(spark):
+    """The lengthBatch single ordered task must see ONLY the 3-column
+    (key, ts, tiebreak) funnel — payload columns ride the distributed
+    join-back, never the coalesce(1). A regression that lets the props
+    map or value column into the serial stage multiplies the one
+    unavoidable serial scan's bytes ~10x."""
+    events = load_table(spark, SF_DIR, "events")
+    plan = plan_of(
+        ops.length_batch(events, "user_id", 50, ts="ts", tiebreak="event_id")
+    )
+    # exactly one Coalesce 1 + MapInPandas (the chain), and the
+    # subtree feeding it projects only the narrow columns
+    assert plan.count("Coalesce 1") == 1
+    coalesce_idx = plan.index("Coalesce 1")
+    below = plan[coalesce_idx:]
+    assert "props" not in below and "value" not in below and "event_type" not in below
+    # the full rows come back via a distributed equi-join on the
+    # tiebreak id, not through the serial stage
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan

@@ -117,9 +117,16 @@ def test_length_batch_and_multi_query_app(streams):
      "missing window.length"),
     ("from events#window.unique:lengthBatch(10, user_id) select * insert into x;",
      "constants must come last"),
-    ("from events#window.unique:timeBatch(user_id, 1 hour) "
+    ("from events#window.unique:timeLengthBatch(user_id, 1 hour, 10) "
      "select * insert expired events into x;",
      "expired channel not wired"),
+    ("from events#window.unique:timeLengthBatch(user_id, 1 hour, 10) "
+     "select * insert all events into x;",
+     "all-events channel not wired -> must raise, never current-only"),
+    ("from events#window.unique:ever(user_id) "
+     "join events#window.unique:ever(user_id) on 1=1 "
+     "select * insert into x;",
+     "self-join needs distinct stream names"),
     ("hello world", "no query"),
 ])
 def test_app_creation_errors_raise_eagerly(streams, bad, desc):
@@ -235,3 +242,351 @@ def test_streaming_aggregate_select_raises_eagerly(spark, tmp_path):
             "select event_type, count() as n insert into x;",
             {"events": sdf},
         )
+
+
+# ---------------------------------------------------------------- round 6:
+# `insert all events into` (UniqueLengthWindowTestCase.java:65,95) and
+# window-to-window joins (UniqueEverWindowTestCase.java:228-233)
+
+
+def test_insert_all_events_ever(streams):
+    app = """
+    from events#window.unique:ever(user_id)
+    select event_id, channel
+    insert all events into both;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["both"]
+    ev = streams["events"]
+    cur = ops.ever(ev, "user_id", ts="ts", tiebreak="event_id").select(
+        "event_id", F.lit("current").alias("channel"))
+    exp = ever_expired(ev, "user_id", ts="ts", tiebreak="event_id").select(
+        "event_id", F.lit("expired").alias("channel"))
+    assert rows(got) == rows(cur.unionAll(exp))
+    # every event appears on >= 1 channel; current+expired partition the stream
+    assert got.count() == ev.count()
+
+
+def test_insert_all_events_length_is_dual_channel(streams):
+    app = """
+    from events#window.unique:length(user_id, 100)
+    select event_id, channel
+    insert all events into both;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["both"]
+    want = ops.length_window_emissions_distributed(
+        streams["events"], "user_id", 100, ts="ts", tiebreak="event_id"
+    ).select("event_id", "channel")
+    assert rows(got) == rows(want)
+
+
+def test_insert_all_events_time_batch(streams):
+    app = """
+    from events#window.unique:timeBatch(user_id, 1 hour)
+    select event_id, batch_end_ms, channel
+    insert all events into both;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["both"]
+    batched = ops.time_batch(
+        streams["events"], "user_id", "1 hour", ts="ts", tiebreak="event_id")
+    n_cur = batched.count()
+    last_end = batched.agg(F.max("batch_end_ms")).collect()[0][0]
+    n_last = batched.filter(F.col("batch_end_ms") == last_end).count()
+    by_ch = {r["channel"]: r["n"] for r in
+             got.groupBy("channel").agg(F.count("*").alias("n")).collect()}
+    assert by_ch["current"] == n_cur
+    # expired = every batch except the one that never gets flushed
+    assert by_ch["expired"] == n_cur - n_last
+
+
+def test_insert_all_events_first_equals_current(streams):
+    # unique:first never emits expired (UniqueFirstWindowProcessor.java:
+    # 129-132): all events == current events, no channel column
+    app = "from events#window.unique:first(user_id) select event_id insert all events into o;"
+    got = sq.run_app(app, streams, tiebreak="event_id")["o"]
+    want = ops.first(
+        streams["events"], "user_id", ts="ts", tiebreak="event_id").select("event_id")
+    assert rows(got) == rows(want)
+
+
+def test_expired_channel_time_batch_and_length_batch(streams):
+    # round 6 wiring: expired channel for the batch families via SiddhiQL
+    app = """
+    from events#window.unique:timeBatch(user_id, 1 hour)
+    select event_id, expired_at_ms
+    insert expired events into e1;
+
+    from events#window.unique:lengthBatch(user_id, 50)
+    select event_id, expired_at_ms
+    insert expired events into e2;
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")
+    batched = ops.time_batch(
+        streams["events"], "user_id", "1 hour", ts="ts", tiebreak="event_id")
+    want1 = ops.expired_channel(batched, "1 hour").select("event_id", "expired_at_ms")
+    assert rows(out["e1"]) == rows(want1)
+    lb = ops.length_batch(
+        streams["events"], "user_id", 50, ts="ts", tiebreak="event_id")
+    want2 = ops.length_batch_expired(lb).select("event_id", "expired_at_ms")
+    assert rows(out["e2"]) == rows(want2)
+
+
+@pytest.fixture()
+def two_streams(streams):
+    ev = streams["events"]
+    return {
+        "clicks": ev.filter(F.col("event_type") == "click"),
+        "purchases": ev.filter(F.col("event_type") == "purchase"),
+    }
+
+
+def test_join_query_reference_text(two_streams):
+    # the exact shape of UniqueEverWindowTestCase.java:228-233: two
+    # unique:ever windows joined on an attribute equality, qualified
+    # select list with aliases
+    app = """
+    define stream clicks (event_id long, user_id long, value double);
+    define stream purchases (event_id long, user_id long, value double);
+    from clicks#window.unique:ever(user_id) join purchases#window.unique:ever(user_id)
+    on clicks.user_id== purchases.user_id
+    select clicks.user_id as user_id, purchases.event_id, clicks.value
+    insert into joined ;
+    """
+    got = sq.run_app(app, two_streams, tiebreak="event_id")["joined"]
+    cl = ops.ever(two_streams["clicks"], "user_id", ts="ts", tiebreak="event_id")
+    pu = ops.ever(two_streams["purchases"], "user_id", ts="ts", tiebreak="event_id")
+    want = (
+        cl.alias("c").join(pu.alias("p"), F.expr("c.user_id = p.user_id"))
+        .select(F.col("c.user_id").alias("user_id"),
+                F.col("p.event_id"), F.col("c.value"))
+    )
+    assert rows(got) == rows(want)
+    assert got.columns == ["user_id", "event_id", "value"]
+
+
+def test_join_time_batch_all_events(two_streams):
+    # UniqueTimeBatchWindowTestCase.java:192-196: timeBatch join
+    # timeBatch with `insert all events into`
+    app = """
+    from clicks#window.unique:timeBatch(user_id, 1 hour) join purchases#window.unique:timeBatch(user_id, 1 hour)
+    on clicks.user_id== purchases.user_id
+    select clicks.user_id as user_id, purchases.event_id, channel
+    insert all events into joined ;
+    """
+    got = sq.run_app(app, two_streams, tiebreak="event_id")["joined"]
+    ch = {r["channel"] for r in got.select("channel").distinct().collect()}
+    assert ch <= {"current", "expired"}
+    # co-residency: current pairs come only from batches whose
+    # intervals coincide; expired re-emits all but the last one
+    cb = ops.time_batch(two_streams["clicks"], "user_id", "1 hour",
+                        ts="ts", tiebreak="event_id")
+    pb = ops.time_batch(two_streams["purchases"], "user_id", "1 hour",
+                        ts="ts", tiebreak="event_id")
+    want_cur = cb.alias("c").join(
+        pb.alias("p"),
+        F.expr("c.user_id = p.user_id AND c.batch_end_ms = p.batch_end_ms"),
+    ).count()
+    n_cur = got.filter(F.col("channel") == "current").count()
+    assert n_cur == want_cur
+    assert n_cur > 0
+
+
+def test_join_mismatched_batch_period_raises(two_streams):
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(
+            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
+            "join purchases#window.unique:timeBatch(user_id, 2 hours) "
+            "on clicks.user_id == purchases.user_id "
+            "select clicks.user_id insert into x;",
+            two_streams, tiebreak="event_id",
+        )
+
+
+def test_join_non_batch_all_events_raises(two_streams):
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(
+            "from clicks#window.unique:ever(user_id) "
+            "join purchases#window.unique:ever(user_id) "
+            "on clicks.user_id == purchases.user_id "
+            "select clicks.user_id insert all events into x;",
+            two_streams, tiebreak="event_id",
+        )
+
+
+def test_streaming_declared_attribute_validation(spark, tmp_path):
+    # the SiddhiAppCreationException twin now fires in streaming too
+    import shutil
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in4"
+    indir.mkdir()
+    shutil.copy(src, indir / "events.parquet")
+    sdf = stream_table(spark, str(indir), spark.read.parquet(src).schema, ts=None)
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app_streaming(
+            "define stream events (ghost_col long);\n"
+            "from events#window.unique:first(user_id) select * insert into x;",
+            {"events": sdf},
+        )
+
+
+def test_streaming_join_raises(spark, tmp_path):
+    import shutil
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in5"
+    indir.mkdir()
+    shutil.copy(src, indir / "events.parquet")
+    sdf = stream_table(spark, str(indir), spark.read.parquet(src).schema, ts=None)
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app_streaming(
+            "from a#window.unique:ever(user_id) join b#window.unique:ever(user_id) "
+            "on a.user_id == b.user_id select a.user_id insert into x;",
+            {"a": sdf, "b": sdf},
+        )
+
+
+def test_streaming_all_events_passes_dual_channel(spark, tmp_path):
+    import shutil
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in6"
+    indir.mkdir()
+    shutil.copy(src, indir / "events.parquet")
+    sdf = stream_table(spark, str(indir), spark.read.parquet(src).schema, ts=None)
+    out = sq.run_app_streaming(
+        "from events#window.unique:length(user_id, 100) "
+        "select event_id, channel insert all events into both;",
+        {"events": sdf},
+    )["both"]
+    assert out.isStreaming
+    assert "channel" in out.columns
+    # ever's twin has no dual channel -> all events must raise
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app_streaming(
+            "from events#window.unique:ever(user_id) "
+            "select event_id insert all events into x;",
+            {"events": sdf},
+        )
+
+
+# ---------------------------------------------------------------- round 6:
+# `partition with (attr of Stream) begin ... end`
+
+
+def test_partitioned_ever_equals_composite_key(streams):
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:ever(user_id)
+        select event_type, user_id, event_id
+        insert into latest;
+    end
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["latest"]
+    want = ops.ever(
+        streams["events"], ["event_type", "user_id"], ts="ts", tiebreak="event_id"
+    ).select("event_type", "user_id", "event_id")
+    assert rows(got) == rows(want)
+
+
+def test_partitioned_time_uses_per_partition_edge(streams):
+    # each partition instance's timer is driven by ITS OWN stream
+    # front: the live set is ts > per-partition max - T, not global max
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:time(user_id, 1 day)
+        select event_type, user_id, event_id
+        insert into recent;
+    end
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["recent"]
+    ev = streams["events"]
+    from pyspark.sql.window import Window as W
+    ms = F.unix_millis("ts")
+    live = (
+        ev.withColumn("_edge", F.max(ms).over(W.partitionBy("event_type")))
+        .filter(ms > F.col("_edge") - F.lit(86_400_000))
+        .drop("_edge")
+    )
+    want = ops.ever(
+        live, ["event_type", "user_id"], ts="ts", tiebreak="event_id"
+    ).select("event_type", "user_id", "event_id")
+    assert rows(got) == rows(want)
+    # and it differs from the naive composite-key global-edge form on
+    # this corpus only if partitions' maxima differ; both are valid
+    # row sets, the oracle above is the semantic pin
+
+
+def test_partitioned_time_batch_and_deduplicate(streams):
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:timeBatch(user_id, 1 hour)
+        select event_type, user_id, event_id, batch_start_ms
+        insert into tb;
+
+        from events#unique:deduplicate(user_id, 30 minutes)
+        select event_type, user_id, event_id
+        insert into dd;
+    end
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")
+    want_tb = ops.time_batch(
+        streams["events"], ["event_type", "user_id"], "1 hour",
+        ts="ts", tiebreak="event_id",
+    ).select("event_type", "user_id", "event_id", "batch_start_ms")
+    assert rows(out["tb"]) == rows(want_tb)
+    # deduplicate: independent anchored chain per (event_type, user_id)
+    ev = streams["events"]
+    got_dd = rows(out["dd"])
+    per_type = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        sub = ops.deduplicate(
+            ev.filter(F.col("event_type") == et), "user_id", "30 minutes",
+            ts="ts", tiebreak="event_id",
+        ).select("event_type", "user_id", "event_id")
+        per_type += rows(sub)
+    assert got_dd == sorted(per_type)
+
+
+def test_partitioned_outside_queries_coexist(streams):
+    app = """
+    from events#window.unique:first(user_id)
+    select event_id insert into firsts;
+
+    partition with (event_type of events)
+    begin
+        from events#window.unique:first(user_id)
+        select event_type, event_id insert into pfirsts;
+    end
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")
+    assert set(out) == {"firsts", "pfirsts"}
+    want_g = ops.first(streams["events"], "user_id", ts="ts", tiebreak="event_id")
+    want_p = ops.first(
+        streams["events"], ["event_type", "user_id"], ts="ts", tiebreak="event_id")
+    assert rows(out["firsts"]) == rows(want_g.select("event_id"))
+    assert rows(out["pfirsts"]) == rows(want_p.select("event_type", "event_id"))
+
+
+@pytest.mark.parametrize("bad", [
+    # partitioned length-family windows are not decomposable
+    "partition with (event_type of events) begin "
+    "from events#window.unique:length(user_id, 10) select * insert into x; end",
+    # wrong stream inside the block
+    "partition with (event_type of events) begin "
+    "from ghosts#window.unique:ever(user_id) select * insert into x; end",
+    # empty block
+    "partition with (event_type of events) begin end",
+    # unknown partition attribute
+    "partition with (ghost_col of events) begin "
+    "from events#window.unique:ever(user_id) select * insert into x; end",
+])
+def test_partitioned_validation_errors(streams, bad):
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(bad, streams, tiebreak="event_id")
