@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_join_time_batch_all": q_siddhiql_join_time_batch_all,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "multimodal_decode_jpeg": lambda s, d: fmm.jpeg_decode_stats(_docs(s, d)),
+        "multimodal_decode_png": lambda s, d: fmm.png_decode_stats(_docs(s, d)),
         "siddhiql_partitioned_time": q_siddhiql_partitioned_time,
         # -- (1) last certified r05: pipelines, curation,
         #    asof/range, sketch, rollup, sessionize
@@ -1169,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_status_scd2": fana.scd2_intervals_oracle(),
         "multimodal_decode_ppm": fmm.DECODE_STATS_ORACLE,
         "multimodal_decode_jpeg": fmm.JPEG_DECODE_STATS_ORACLE,
+        "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
         # partitioned unique:time: per-partition event-time edge, then
         # latest per (partition, key) inside it
         "siddhiql_partitioned_time": """

@@ -1392,3 +1392,31 @@ def test_jpeg_decode_roundtrip_and_failure_modes(spark):
         fmm.decode_jpeg(bytes(subsampled))
     with pytest.raises((ValueError, IndexError)):
         fmm.decode_jpeg(j[:40])  # truncated before the scan
+
+
+def test_png_decode_real_inflate_and_filters(spark):
+    # the from-scratch INFLATE must decode REFERENCE zlib streams
+    # (stored, fixed, dynamic huffman + LZ77 back-references), and the
+    # reference zlib must accept OUR fixed-huffman deflate — mutual
+    # validation, not a self-consistent pair of bugs
+    import zlib
+    import numpy as np
+
+    data = (b"the quick brown fox " * 200) + bytes(range(256))
+    for level in (0, 1, 9):
+        assert fmm._zlib_decompress(zlib.compress(data, level)) == data
+    ours = fmm._deflate_fixed_literals(bytes(range(200)))
+    assert zlib.decompress(ours, -15) == bytes(range(200))
+    # lossless roundtrip: decoded pixels ARE the raw bytes (+ padding)
+    body = bytes(range(256)) * 2 + b"tail\xff\x00"
+    img = fmm.decode_png(fmm.encode_gray_png(body))
+    n = max(1, -(-len(body) // fmm.PNG_W)) * fmm.PNG_W
+    want = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8).reshape(-1, fmm.PNG_W)
+    assert (img == want).all()
+    # declared boundaries fail loud
+    with pytest.raises(ValueError):
+        fmm.decode_png(b"\xff\xd8 not a png")
+    corrupted = bytearray(fmm.encode_gray_png(b"abc"))
+    corrupted[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        fmm.decode_png(bytes(corrupted))  # CRC must be verified
