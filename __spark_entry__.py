@@ -369,6 +369,45 @@ def q_streaming_dedup_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_length_parity(spark, sf_dir):
+    """Second streaming-twin driver certification, this one for a
+    DUAL-CHANNEL stateful twin: the unique:length FIFO
+    (`streaming.length_window_stream`, the reference's per-arrival
+    current/expired emission protocol) run over a file-stream replay
+    and checked against the batch emission-log CLOSED FORM oracle
+    (`_length_emissions_oracle`) — the twin's per-arrival walk and the
+    window+join algebra must produce the identical emission multiset."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_length_stream_")
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(indir, "events.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sdf = stream_table(spark, indir, schema)
+    out = stw.length_window_stream(sdf, "user_id", 100, ts="ts")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.select("event_id", "user_id", "channel")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -541,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_join_ever": q_siddhiql_join_ever,
         "siddhiql_join_time_batch_all": q_siddhiql_join_time_batch_all,
         "streaming_dedup_parity": q_streaming_dedup_parity,
+        "streaming_length_parity": q_streaming_length_parity,
         "multimodal_decode_jpeg": lambda s, d: fmm.jpeg_decode_stats(_docs(s, d)),
         "multimodal_decode_png": lambda s, d: fmm.png_decode_stats(_docs(s, d)),
         "siddhiql_partitioned_time": q_siddhiql_partitioned_time,
@@ -1071,6 +1111,9 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks JOIN purchases USING (user_id)
         """,
         "unique_length_emissions": _length_emissions_oracle(100),
+        # the dual-channel FIFO streaming twin must land on the same
+        # emission multiset as the closed form
+        "streaming_length_parity": _length_emissions_oracle(100),
         "unique_length_emissions_ordered": _length_emissions_indexed_oracle(100),
         "docs_bm25_topk": fret.bm25_topk_oracle(),
         "dedup_tfidf_cosine": fret.tfidf_cosine_pairs_oracle(),
