@@ -53,8 +53,8 @@ _QUERY_RE = re.compile(
     r"(?:\s*\[(?P<filter>[^\]]+)\])?"
     r"\s*#\s*(?:window\.)?unique:(?P<window>\w+)"
     r"\s*\((?P<args>[^)]*)\)"
-    r"\s+select\s+(?P<select>.+?)"
-    r"\s+insert\s+(?:(?P<channel>expired|all)\s+events\s+)?into\s+(?P<out>\w+)",
+    r"\s*select\s+(?P<select>.+?)"
+    r"\s+insert\s+(?:(?P<channel>expired|all|current)\s+events\s+)?into\s+(?P<out>\w+)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -77,8 +77,8 @@ _JOIN_RE = re.compile(
     r"from\s+" + _side_clause("l")
     + r"\s+join\s+" + _side_clause("r")
     + r"\s+on\s+(?P<on>.+?)"
-    + r"\s+select\s+(?P<select>.+?)"
-    + r"\s+insert\s+(?:(?P<channel>expired|all)\s+events\s+)?into\s+(?P<out>\w+)",
+    + r"\s*select\s+(?P<select>.+?)"
+    + r"\s+insert\s+(?:(?P<channel>expired|all|current)\s+events\s+)?into\s+(?P<out>\w+)",
     re.IGNORECASE | re.DOTALL,
 )
 

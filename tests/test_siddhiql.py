@@ -590,3 +590,35 @@ def test_partitioned_outside_queries_coexist(streams):
 def test_partitioned_validation_errors(streams, bad):
     with pytest.raises(sq.SiddhiQLError):
         sq.run_app(bad, streams, tiebreak="event_id")
+
+
+def test_every_reference_test_query_string_parses():
+    """Sweep the reference's OWN test suite: every SiddhiQL query
+    string containing a unique: clause (reconstructed from the java
+    string-concatenation fragments) must parse — single-stream,
+    joins, all three channels, filters, time sugar, no-space
+    `)select` forms. 95 strings at the pinned reference version."""
+    import glob
+    import re as _re
+
+    files = glob.glob(
+        "/root/reference/component/src/test/java/io/siddhi/extension/"
+        "execution/unique/*.java"
+    )
+    assert files, "reference test sources not found"
+    texts = []
+    for f in files:
+        src = open(f).read()
+        for m in _re.finditer(r'String\s+\w+\s*=\s*(.*?);\n', src, _re.DOTALL):
+            parts = _re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))
+            text = "".join(parts)
+            if "unique:" in text and "from " in text:
+                texts.append(text)
+    assert len(texts) >= 90, f"expected the reference's ~95 query strings, got {len(texts)}"
+    failures = []
+    for t in texts:
+        try:
+            sq.parse_app(t)
+        except sq.SiddhiQLError as e:
+            failures.append((str(e)[:80], t[:120]))
+    assert not failures, failures
