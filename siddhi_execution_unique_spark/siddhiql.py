@@ -703,12 +703,24 @@ def _apply_select(res: DataFrame, select: list[str]) -> DataFrame:
         return res
     items = [re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)
              for s in select]
-    aggs = [s for s in items if _AGG_RE.search(s)]
-    if not aggs:
-        return res.select(*[F.expr(s) for s in items])
-    keys = [s for s in items if not _AGG_RE.search(s)]
-    if not keys:
-        return res.agg(*[F.expr(s) for s in aggs])
-    return res.groupBy(*[F.expr(s) for s in keys]).agg(
-        *[F.expr(s) for s in aggs]
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        aggs = [s for s in items if _AGG_RE.search(s)]
+        if not aggs:
+            return res.select(*[F.expr(s) for s in items])
+        keys = [s for s in items if not _AGG_RE.search(s)]
+        if not keys:
+            return res.agg(*[F.expr(s) for s in aggs])
+        return res.groupBy(*[F.expr(s) for s in keys]).agg(
+            *[F.expr(s) for s in aggs]
+        )
+    except AnalysisException as e:
+        # the reference rejects a select list referencing unknown
+        # attributes at APP-CREATION time (SiddhiAppCreationException,
+        # e.g. its negative tests select sum(val) over streams with no
+        # `val`); surface Spark's eager analysis failure as the same
+        # error type the rest of the front-end throws
+        raise SiddhiQLError(
+            f"select list failed to resolve against the window output: {e}"
+        ) from e

@@ -622,3 +622,80 @@ def test_every_reference_test_query_string_parses():
         except sq.SiddhiQLError as e:
             failures.append((str(e)[:80], t[:120]))
     assert not failures, failures
+
+
+def test_reference_corpus_executes_or_rejects_eagerly(spark):
+    """Execute the reference's ENTIRE test-suite query corpus against
+    synthesized streams built from each file's `define stream`
+    declarations: every query must either run end-to-end or be
+    rejected with the eager SiddhiQLError (the
+    SiddhiAppCreationException twin — the corpus includes the
+    reference's invalid-parameter negative tests). Nothing may escape
+    as a raw Spark AnalysisException or crash."""
+    import datetime
+    import glob
+    import re as _re
+
+    types = {"string": "string", "int": "int", "long": "long",
+             "float": "float", "double": "double", "bool": "boolean"}
+
+    def mkdf(cols):
+        vals = {"string": ["A", "B", "A", "C", "B", "A"],
+                "int": [1, 2, 3, 4, 5, 6],
+                "long": [10, 20, 30, 40, 50, 60],
+                "float": [1.5, 2.5, 1.5, 3.5, 2.5, 4.5],
+                "double": [1.5, 2.5, 1.5, 3.5, 2.5, 4.5],
+                "boolean": [True, False, True, True, False, True]}
+        rows = [
+            tuple(vals[types[t.lower()]][i] for (_, t) in cols)
+            + (datetime.datetime(2024, 1, 1, 0, 0, i), i)
+            for i in range(6)
+        ]
+        schema = ", ".join(
+            f"{n} {types[t.lower()]}" for n, t in cols
+        ) + ", ts timestamp, event_id long"
+        return spark.createDataFrame(rows, schema)
+
+    files = glob.glob(
+        "/root/reference/component/src/test/java/io/siddhi/extension/"
+        "execution/unique/*.java"
+    )
+    n_run = n_rejected = 0
+    unexpected = []
+    for f in files:
+        src = open(f).read()
+        strings = ["".join(_re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1)))
+                   for m in _re.finditer(r'String\s+\w+\s*=\s*(.*?);\n', src, _re.DOTALL)]
+        defines = {}
+        for s in strings:
+            for dm in _re.finditer(r"define\s+stream\s+(\w+)\s*\(([^)]*)\)", s):
+                defines[dm.group(1)] = [
+                    tuple(c.strip().split()[:2])
+                    for c in dm.group(2).split(",") if c.strip()
+                ]
+        for s in strings:
+            if "unique:" not in s or "from " not in s:
+                continue
+            try:
+                qs = sq.parse_app(s)
+                streams = {}
+                for q in qs:
+                    names = ([q["stream"]] if q["kind"] == "single"
+                             else [q["left"]["stream"], q["right"]["stream"]])
+                    for nm in names:
+                        if nm in defines and nm not in streams:
+                            streams[nm] = mkdf(defines[nm])
+                out = sq.run_app(s, streams, tiebreak="event_id")
+                for df in out.values():
+                    df.collect()
+                n_run += 1
+            except sq.SiddhiQLError:
+                n_rejected += 1
+            except Exception as e:  # noqa: BLE001 - the assertion target
+                unexpected.append((f"{type(e).__name__}: {str(e)[:90]}", s[:110]))
+    assert not unexpected, unexpected
+    # the corpus splits into runnable queries and the reference's own
+    # negative tests; both counts are pinned so silent shrinkage of
+    # either bucket (a parse gap reappearing) fails here
+    assert n_run >= 40, (n_run, n_rejected)
+    assert n_run + n_rejected >= 90, (n_run, n_rejected)
