@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_length_parity": q_streaming_length_parity,
         "multimodal_decode_jpeg": lambda s, d: fmm.jpeg_decode_stats(_docs(s, d)),
         "multimodal_decode_png": lambda s, d: fmm.png_decode_stats(_docs(s, d)),
+        "docs_gunzip_ingest": lambda s, d: fmm.gunzip_text_stats(_docs(s, d)),
         "siddhiql_partitioned_time": q_siddhiql_partitioned_time,
         # -- (1) last certified r05: pipelines, curation,
         #    asof/range, sketch, rollup, sessionize
@@ -1214,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_ppm": fmm.DECODE_STATS_ORACLE,
         "multimodal_decode_jpeg": fmm.JPEG_DECODE_STATS_ORACLE,
         "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
+        "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
         # partitioned unique:time: per-partition event-time edge, then
         # latest per (partition, key) inside it
         "siddhiql_partitioned_time": """

@@ -1510,3 +1510,182 @@ PNG_DECODE_STATS_ORACLE = f"""
                 AS BIGINT) AS zero_bin
     FROM vals
 """
+
+
+# ---------------------------------------------------------------------
+# gzip (RFC 1952): the container real training corpora actually ship
+# (.jsonl.gz / .warc.gz) — a thin header/trailer wrapper over the same
+# from-scratch INFLATE the PNG decoder uses, with CRC32 + ISIZE
+# verification. gunzip_text_stats is the ingestion shape: compressed
+# binary column in, decompressed per-doc text statistics out, one
+# partition-local Arrow pass, no shuffle.
+
+
+def gunzip(data: bytes) -> bytes:
+    """RFC 1952 gzip decompression over :func:`inflate`, verifying the
+    CRC32 and ISIZE trailer. Multi-member streams, FEXTRA/FNAME/
+    FCOMMENT/FHCRC header fields are handled; reserved flags raise."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 2] != b"\x1f\x8b":
+            raise ValueError("not a gzip stream (bad magic)")
+        if data[pos + 2] != 8:
+            raise ValueError("gzip CM is not deflate")
+        flg = data[pos + 3]
+        if flg & 0xE0:
+            raise ValueError("reserved gzip FLG bits set")
+        p = pos + 10
+        if flg & 0x04:  # FEXTRA
+            xlen = data[p] | (data[p + 1] << 8)
+            p += 2 + xlen
+        if flg & 0x08:  # FNAME
+            p = data.index(b"\x00", p) + 1
+        if flg & 0x10:  # FCOMMENT
+            p = data.index(b"\x00", p) + 1
+        if flg & 0x02:  # FHCRC
+            p += 2
+        # inflate consumes an unknown number of bytes; track via reader
+        br = _LSBBitReader(data[p:])
+        member = bytearray()
+        while True:
+            bfinal = br.bits(1)
+            btype = br.bits(2)
+            if btype == 0:
+                br.align_byte()
+                sub = data[p + br.pos:]
+                ln = sub[0] | (sub[1] << 8)
+                member += sub[4:4 + ln]
+                br.pos += 4 + ln
+            elif btype in (1, 2):
+                if btype == 1:
+                    lit_lengths = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+                    dist_lengths = [5] * 30
+                else:
+                    hlit = br.bits(5) + 257
+                    hdist = br.bits(5) + 1
+                    hclen = br.bits(4) + 4
+                    clen = [0] * 19
+                    for i in range(hclen):
+                        clen[_CLEN_ORDER[i]] = br.bits(3)
+                    clt = _build_huffman(clen)
+                    lengths: list[int] = []
+                    while len(lengths) < hlit + hdist:
+                        sym = _read_code(br, clt)
+                        if sym < 16:
+                            lengths.append(sym)
+                        elif sym == 16:
+                            lengths += [lengths[-1]] * (3 + br.bits(2))
+                        elif sym == 17:
+                            lengths += [0] * (3 + br.bits(3))
+                        else:
+                            lengths += [0] * (11 + br.bits(7))
+                    lit_lengths = lengths[:hlit]
+                    dist_lengths = lengths[hlit:hlit + hdist]
+                lit_t = _build_huffman(lit_lengths)
+                dist_t = _build_huffman(dist_lengths)
+                while True:
+                    sym = _read_code(br, lit_t)
+                    if sym < 256:
+                        member.append(sym)
+                    elif sym == 256:
+                        break
+                    else:
+                        length = _LEN_BASE[sym - 257] + br.bits(_LEN_EXTRA[sym - 257])
+                        dsym = _read_code(br, dist_t)
+                        dist = _DIST_BASE[dsym] + br.bits(_DIST_EXTRA[dsym])
+                        if dist > len(member):
+                            raise ValueError("back-reference before stream start")
+                        for _ in range(length):
+                            member.append(member[-dist])
+            else:
+                raise ValueError("reserved deflate block type 3")
+            if bfinal:
+                break
+        br.align_byte()
+        trailer_at = p + br.pos
+        crc = int.from_bytes(data[trailer_at:trailer_at + 4], "little")
+        isize = int.from_bytes(data[trailer_at + 4:trailer_at + 8], "little")
+        if _crc32(bytes(member)) != crc:
+            raise ValueError("gzip CRC32 mismatch")
+        if isize != len(member) % (1 << 32):
+            raise ValueError("gzip ISIZE mismatch")
+        out += member
+        pos = trailer_at + 8
+    return bytes(out)
+
+
+def gzip_compress(raw: bytes) -> bytes:
+    """Minimal gzip writer over :func:`_deflate_fixed_literals` (MTIME
+    0 for determinism)."""
+    return (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+        + _deflate_fixed_literals(raw)
+        + _crc32(raw).to_bytes(4, "little")
+        + (len(raw) % (1 << 32)).to_bytes(4, "little")
+    )
+
+
+def with_gzip_payload(docs: DataFrame) -> DataFrame:
+    """Attach a gzip-compressed payload of each doc's UTF-8 text."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [gzip_compress(t.encode("utf-8")) for t in pdf["text"]],
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def gunzip_text_stats(docs: DataFrame) -> DataFrame:
+    """Compressed-corpus ingestion end-to-end: text → gzip →
+    :func:`gunzip` (real inflate + CRC verify) → per-doc byte stats
+    over the DECOMPRESSED text. gzip is lossless, so the oracle
+    recomputes the same stats from the raw text — pinning the
+    decompressor byte-for-byte. Output: (doc_id, n_bytes, byte_sum,
+    crc_ok)."""
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("crc_ok", LongType()),
+    ])
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "byte_sum": [], "crc_ok": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = gunzip(bytes(p))  # raises on CRC/ISIZE mismatch
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(int(arr.size))
+                out["byte_sum"].append(int(arr.astype(np.int64).sum()))
+                out["crc_ok"].append(1)
+            yield pd.DataFrame(out)
+
+    return with_gzip_payload(docs).mapInPandas(stats, schema=out_schema)
+
+
+GUNZIP_TEXT_STATS_ORACLE = """
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           n_raw AS n_bytes,
+           CAST(coalesce(list_sum(
+             list_transform(generate_series(1, CAST(n_raw AS INTEGER)),
+               i -> (strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1))), 0)
+             AS BIGINT) AS byte_sum,
+           CAST(1 AS BIGINT) AS crc_ok
+    FROM h
+"""

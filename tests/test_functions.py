@@ -1420,3 +1420,25 @@ def test_png_decode_real_inflate_and_filters(spark):
     corrupted[40] ^= 0xFF
     with pytest.raises(ValueError):
         fmm.decode_png(bytes(corrupted))  # CRC must be verified
+
+
+def test_gunzip_mutual_validation_and_failures(spark):
+    # our gunzip decodes REFERENCE gzip output (dynamic huffman + LZ77
+    # + FNAME header), reference gzip decodes our writer, multi-member
+    # streams concatenate, corrupted CRC fails loud
+    import gzip as refgzip
+    import io
+
+    data = b"corpus line\n" * 100 + bytes(range(256))
+    buf = io.BytesIO()
+    with refgzip.GzipFile(fileobj=buf, mode="wb", filename="x.jsonl") as g:
+        g.write(data)
+    assert fmm.gunzip(buf.getvalue()) == data
+    assert refgzip.decompress(fmm.gzip_compress(data)) == data
+    assert fmm.gunzip(fmm.gzip_compress(b"abc") + fmm.gzip_compress(b"def")) == b"abcdef"
+    corrupted = bytearray(fmm.gzip_compress(b"hello world"))
+    corrupted[-6] ^= 0xFF
+    with pytest.raises(ValueError):
+        fmm.gunzip(bytes(corrupted))
+    with pytest.raises(ValueError):
+        fmm.gunzip(b"\x1f\x8c not gzip")
