@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": lambda s, d: fmm.jpeg_decode_stats(_docs(s, d)),
         "multimodal_decode_png": lambda s, d: fmm.png_decode_stats(_docs(s, d)),
         "docs_gunzip_ingest": lambda s, d: fmm.gunzip_text_stats(_docs(s, d)),
+        "multimodal_decode_flac": lambda s, d: fmm.flac_audio_stats(_docs(s, d)),
         "siddhiql_partitioned_time": q_siddhiql_partitioned_time,
         # -- (1) last certified r05: pipelines, curation,
         #    asof/range, sketch, rollup, sessionize
@@ -1240,6 +1241,9 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill_locf": fana.gap_fill_locf_oracle(),
         "sample_priority_weighted": fcur.priority_sample_oracle(),
         "multimodal_decode_wav": fmm.AUDIO_STATS_ORACLE,
+        # FLAC is lossless over the same synthesized waveform, so the
+        # WAV oracle algebra pins the compressed decoder identically
+        "multimodal_decode_flac": fmm.AUDIO_STATS_ORACLE,
         "multimodal_decode_y4m": fmm.VIDEO_FRAME_STATS_ORACLE,
         "events_data_profile": fcur.data_profile_oracle(),
         "events_hourly_anomalies": fana.hourly_anomalies_oracle(),

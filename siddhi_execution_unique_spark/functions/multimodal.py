@@ -1689,3 +1689,414 @@ GUNZIP_TEXT_STATS_ORACLE = """
            CAST(1 AS BIGINT) AS crc_ok
     FROM h
 """
+
+
+# ---------------------------------------------------------------------
+# FLAC (RFC 9639 subset): compressed audio with a REAL entropy coder —
+# Rice-coded residuals of fixed linear predictors, frame CRC-8/CRC-16
+# verification, STREAMINFO parsing. Encoder emits fixed-predictor
+# (order 2) mono 16-bit frames; decoder additionally handles constant,
+# verbatim, and fixed orders 0-4 subframes and all standard block-size
+# / sample-rate / sample-size header codes. LPC subframes, stereo
+# decorrelation, and wasted-bits raise the declared
+# NotImplementedError. No FLAC implementation exists in this
+# container to cross-validate against (unlike zlib/gzip), so the
+# validation story is: bit-exact roundtrip over adversarial sample
+# patterns, header/CRC corruption tests, and the byte-level SQL
+# oracle on the synthesized corpus.
+
+FLAC_RATE = 8000
+FLAC_BLOCK = 4096
+
+_CRC8_TABLE = None
+_CRC16_TABLE = None
+
+
+def _flac_crc8(data: bytes) -> int:
+    global _CRC8_TABLE
+    if _CRC8_TABLE is None:
+        t = []
+        for b in range(256):
+            c = b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            t.append(c)
+        _CRC8_TABLE = t
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    global _CRC16_TABLE
+    if _CRC16_TABLE is None:
+        t = []
+        for b in range(256):
+            c = b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+            t.append(c)
+        _CRC16_TABLE = t
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF]
+    return crc
+
+
+class _MSBBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> bytes:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+        return bytes(self.out)
+
+
+class _MSBBitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos          # byte position of next fill
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def unary(self) -> int:
+        # RFC 9639: n zero bits followed by a one bit encode n
+        n = 0
+        while self.bits(1) == 0:
+            n += 1
+        return n
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def align_byte(self) -> None:
+        self.nbits -= self.nbits % 8
+        extra = self.nbits // 8
+        self.pos -= extra
+        self.acc = 0
+        self.nbits = 0
+
+
+def _rice_zigzag(res: np.ndarray) -> np.ndarray:
+    return np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
+
+
+def _rice_unzigzag(u: int) -> int:
+    return u // 2 if u % 2 == 0 else -(u // 2) - 1
+
+
+def _utf8_frame_number(n: int) -> bytes:
+    # frame numbers use the UTF-8-style variable-length coding
+    if n < 0x80:
+        return bytes([n])
+    if n < 0x800:
+        return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    if n < 0x10000:
+        return bytes([0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F), 0x80 | (n & 0x3F)])
+    raise ValueError("frame number too large for this encoder")
+
+
+def encode_flac(samples: np.ndarray, rate: int = FLAC_RATE) -> bytes:
+    """Mono 16-bit FLAC with fixed-order-2 predictors and Rice-coded
+    residuals (one partition per frame, parameter fitted to the mean
+    residual magnitude)."""
+    import struct
+
+    samples = samples.astype(np.int64)
+    out = bytearray(b"fLaC")
+    # STREAMINFO, last-metadata flag set
+    si = _MSBBitWriter()
+    si.put(FLAC_BLOCK, 16)  # min block
+    si.put(FLAC_BLOCK, 16)  # max block
+    si.put(0, 24)           # min frame size unknown
+    si.put(0, 24)           # max frame size unknown
+    si.put(rate, 20)
+    si.put(0, 3)            # channels - 1
+    si.put(15, 5)           # bits per sample - 1
+    si.put(len(samples), 36)
+    body = si.pad_to_byte() + b"\x00" * 16  # md5 unknown
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    # an empty input is a valid zero-frame stream (total samples 0 in
+    # STREAMINFO) — parity with the WAV path's empty-doc behavior
+    for fi in range(0, len(samples), FLAC_BLOCK):
+        block = samples[fi:fi + FLAC_BLOCK]
+        bs = block.size
+        hdr = _MSBBitWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)        # reserved
+        hdr.put(0, 1)        # fixed-blocksize stream
+        hdr.put(0b0111, 4)   # blocksize-1 follows as 16 bits
+        hdr.put(0b0000, 4)   # sample rate: from STREAMINFO
+        hdr.put(0b0000, 4)   # mono
+        hdr.put(0b100, 3)    # 16 bits/sample
+        hdr.put(0, 1)        # reserved
+        header = hdr.pad_to_byte() + _utf8_frame_number(fi // FLAC_BLOCK)
+        header += struct.pack(">H", bs - 1)
+        header += bytes([_flac_crc8(header)])
+
+        bw = _MSBBitWriter()
+        order = 2 if bs > 2 else 0
+        bw.put(0, 1)                      # subframe padding bit
+        bw.put(0b001000 | order, 6)       # FIXED, order
+        bw.put(0, 1)                      # no wasted bits
+        for w in block[:order]:
+            bw.put(int(w) & 0xFFFF, 16)   # warmup, signed 16-bit
+        if order == 2:
+            res = block[2:] - 2 * block[1:-1] + block[:-2]
+        else:
+            res = block
+        u = _rice_zigzag(res)
+        mean = int(u.mean()) if u.size else 0
+        param = min(14, max(0, int(mean).bit_length() - 1))
+        bw.put(0b00, 2)      # rice method, 4-bit params
+        bw.put(0, 4)         # partition order 0 -> one partition
+        bw.put(param, 4)
+        for val in u:
+            q, r = divmod(int(val), 1 << param)
+            for _ in range(q):
+                bw.put(0, 1)
+            bw.put(1, 1)
+            if param:
+                bw.put(r, param)
+        frame = header + bw.pad_to_byte()
+        frame += struct.pack(">H", _flac_crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+_FLAC_BS_TABLE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                  8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                  13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATE_TABLE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+                    6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+                    11: 96000}
+_FLAC_BITS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """FLAC decoder (constant/verbatim/fixed subframes, mono or
+    independent channels, Rice partitions incl. the escape code,
+    CRC-8/16 verification). Returns (sample_rate, samples) with
+    samples shaped (n,) mono or (n, channels)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC marker)")
+    import struct
+
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated metadata")
+        last = payload[pos] & 0x80
+        btype = payload[pos] & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1:pos + 4])
+        if btype == 0:
+            streaminfo = payload[pos + 4:pos + 4 + blen]
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    sr = _MSBBitReader(streaminfo)
+    sr.bits(16); sr.bits(16); sr.bits(24); sr.bits(24)
+    si_rate = sr.bits(20)
+    si_channels = sr.bits(3) + 1
+    si_bits = sr.bits(5) + 1
+    total = sr.bits(36)
+
+    chunks: list[np.ndarray] = []
+    rate = si_rate  # zero-frame streams report the STREAMINFO rate
+    while pos < len(payload):
+        frame_start = pos
+        br = _MSBBitReader(payload, pos)
+        sync = br.bits(14)
+        if sync != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.bits(1)  # reserved
+        br.bits(1)  # blocking strategy
+        bs_code = br.bits(4)
+        rate_code = br.bits(4)
+        ch_code = br.bits(4)
+        bits_code = br.bits(3)
+        br.bits(1)
+        # UTF-8 frame/sample number
+        first = br.bits(8)
+        n_cont = 0
+        v = first
+        if first >= 0xC0:
+            while (v << n_cont) & 0x40:
+                n_cont += 1
+            for _ in range(n_cont):
+                br.bits(8)
+        if bs_code == 0:
+            raise ValueError("reserved blocksize code")
+        elif bs_code == 6:
+            bs = br.bits(8) + 1
+        elif bs_code == 7:
+            bs = br.bits(16) + 1
+        else:
+            bs = _FLAC_BS_TABLE[bs_code]
+        if rate_code == 0:
+            rate = si_rate
+        elif rate_code in _FLAC_RATE_TABLE:
+            rate = _FLAC_RATE_TABLE[rate_code]
+        elif rate_code == 12:
+            rate = br.bits(8) * 1000
+        elif rate_code == 13:
+            rate = br.bits(16)
+        elif rate_code == 14:
+            rate = br.bits(16) * 10
+        else:
+            raise ValueError("invalid sample-rate code")
+        if ch_code >= 8:
+            raise NotImplementedError(
+                "stereo decorrelation (left/right/mid-side) is not implemented")
+        n_channels = ch_code + 1
+        bits = si_bits if bits_code == 0 else _FLAC_BITS_TABLE.get(bits_code)
+        if bits is None:
+            raise ValueError("reserved sample-size code")
+        br.align_byte()
+        hdr_end = br.pos
+        crc8 = br.bits(8)
+        if _flac_crc8(payload[frame_start:hdr_end]) != crc8:
+            raise ValueError("frame header CRC-8 mismatch")
+
+        frame_channels = []
+        for _ch in range(n_channels):
+            if br.bits(1):
+                raise ValueError("subframe padding bit set")
+            st = br.bits(6)
+            if br.bits(1):
+                raise NotImplementedError("wasted bits are not implemented")
+            if st == 0:  # CONSTANT
+                val = br.signed(bits)
+                frame_channels.append(np.full(bs, val, dtype=np.int64))
+            elif st == 1:  # VERBATIM
+                frame_channels.append(
+                    np.array([br.signed(bits) for _ in range(bs)], dtype=np.int64))
+            elif 8 <= st <= 12:  # FIXED order st-8
+                order = st - 8
+                warm = [br.signed(bits) for _ in range(order)]
+                method = br.bits(2)
+                if method >= 2:
+                    raise ValueError("reserved residual coding method")
+                pbits = 4 if method == 0 else 5
+                porder = br.bits(4)
+                res: list[int] = []
+                n_parts = 1 << porder
+                for p in range(n_parts):
+                    count = (bs >> porder) - (order if p == 0 else 0)
+                    param = br.bits(pbits)
+                    if param == (1 << pbits) - 1:  # escape: raw n-bit residuals
+                        raw_n = br.bits(5)
+                        res += [br.signed(raw_n) if raw_n else 0 for _ in range(count)]
+                    else:
+                        for _ in range(count):
+                            q = br.unary()
+                            r = br.bits(param) if param else 0
+                            res.append(_rice_unzigzag((q << param) | r))
+                s = warm + [0] * len(res)
+                for i in range(len(res)):
+                    j = i + order
+                    if order == 0:
+                        s[j] = res[i]
+                    elif order == 1:
+                        s[j] = res[i] + s[j - 1]
+                    elif order == 2:
+                        s[j] = res[i] + 2 * s[j - 1] - s[j - 2]
+                    elif order == 3:
+                        s[j] = res[i] + 3 * s[j - 1] - 3 * s[j - 2] + s[j - 3]
+                    else:
+                        s[j] = (res[i] + 4 * s[j - 1] - 6 * s[j - 2]
+                                + 4 * s[j - 3] - s[j - 4])
+                frame_channels.append(np.array(s, dtype=np.int64))
+            elif st >= 32:
+                raise NotImplementedError("LPC subframes are not implemented")
+            else:
+                raise ValueError(f"reserved subframe type {st}")
+        br.align_byte()
+        crc = struct.unpack(">H", payload[br.pos:br.pos + 2])[0]
+        if _flac_crc16(payload[frame_start:br.pos]) != crc:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = br.pos + 2
+        chunk = (frame_channels[0] if n_channels == 1
+                 else np.stack(frame_channels, axis=-1))
+        chunks.append(chunk)
+    samples = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+    if total and len(samples) > total:
+        samples = samples[:total]
+    return rate, samples
+
+
+def with_flac_payload(docs: DataFrame) -> DataFrame:
+    """Attach a FLAC payload of each doc's synthesized PCM16 waveform
+    (same sample mapping as :func:`with_wav_payload`, so the two
+    compressed/uncompressed audio paths share one oracle algebra)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
+                samples = ((raw.astype(np.int64) - 128 + offs) * 128)
+                payloads.append(encode_flac(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def flac_audio_stats(docs: DataFrame) -> DataFrame:
+    """text → FLAC (fixed predictor + Rice) → :func:`decode_flac` →
+    the same integer-exact audio stats as :func:`audio_stats`; FLAC is
+    lossless so the WAV oracle algebra pins this decoder too (an empty
+    doc is a zero-frame stream on both paths)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_flac(bytes(p))
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(int(s.size))
+                out["sample_rate"].append(int(rate))
+                out["amp_sum"].append(int(np.abs(s64).sum()))
+                out["peak"].append(int(np.abs(s64).max()) if s.size else 0)
+                out["zero_crossings"].append(
+                    int(((s64[:-1] * s64[1:]) < 0).sum()) if s.size > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return with_flac_payload(docs).mapInPandas(stats, schema=AUDIO_SCHEMA)

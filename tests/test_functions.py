@@ -1442,3 +1442,30 @@ def test_gunzip_mutual_validation_and_failures(spark):
         fmm.gunzip(bytes(corrupted))
     with pytest.raises(ValueError):
         fmm.gunzip(b"\x1f\x8c not gzip")
+
+
+def test_flac_roundtrip_and_failure_modes(spark):
+    # real Rice-coded fixed-predictor FLAC: adversarial waveforms must
+    # roundtrip bit-exactly; CRC corruption must fail loud; LPC /
+    # stereo-decorrelation markers raise the declared boundary
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for s in (
+        np.zeros(0, dtype=np.int64),                       # zero-frame stream
+        np.zeros(10, dtype=np.int64),
+        np.arange(-5000, 5000, 7, dtype=np.int64),
+        rng.integers(-32768, 32767, 9000),                 # 3 frames, noise
+        np.array([32767, -32768, 32767, -32768], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+    ):
+        rate, d = fmm.decode_flac(fmm.encode_flac(s))
+        assert rate == fmm.FLAC_RATE
+        assert len(d) == len(s) and (d == np.asarray(s)).all()
+    f = fmm.encode_flac(rng.integers(-1000, 1000, 500))
+    corrupted = bytearray(f)
+    corrupted[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        fmm.decode_flac(bytes(corrupted))  # frame CRC-16
+    with pytest.raises(ValueError):
+        fmm.decode_flac(b"OggS not flac")
