@@ -625,3 +625,71 @@ def test_siddhiql_parser_raises_only_typed_errors(text):
         assert isinstance(queries, list) and queries
     except SiddhiQLError:
         pass
+
+
+# ------------------------------------------------------------------ round 6:
+# codec roundtrips and fuzz for the compressed-format decoders
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_constant_block_roundtrip_exact(body):
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    img = fmm.decode_jpeg(fmm.encode_gray_jpeg(body))
+    n = max(1, -(-len(body) // fmm.JPEG_W_BLOCKS)) * fmm.JPEG_W_BLOCKS
+    vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    blocks = img.reshape(n // fmm.JPEG_W_BLOCKS, 8, fmm.JPEG_W_BLOCKS, 8)
+    # every 8x8 block is constant and equals its source byte
+    assert (blocks == vals.reshape(-1, 1, fmm.JPEG_W_BLOCKS, 1)).all()
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_png_lossless_roundtrip_exact(body):
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    img = fmm.decode_png(fmm.encode_gray_png(body))
+    n = max(1, -(-len(body) // fmm.PNG_W)) * fmm.PNG_W
+    want = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    assert (img.ravel() == want).all()
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_gzip_roundtrip_and_stdlib_agreement(body):
+    import gzip as refgzip
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    assert fmm.gunzip(fmm.gzip_compress(body)) == body
+    assert refgzip.decompress(fmm.gzip_compress(body)) == body
+    assert fmm.gunzip(refgzip.compress(body)) == body
+
+
+@given(st.lists(st.integers(-32768, 32767), max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_flac_roundtrip_exact(samples):
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = np.array(samples, dtype=np.int64)
+    rate, d = fmm.decode_flac(fmm.encode_flac(s))
+    assert rate == fmm.FLAC_RATE
+    assert len(d) == len(s) and (d == s).all()
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_inflate_fuzz_raises_only_typed_errors(junk):
+    # arbitrary bytes through the zlib/gzip/png/jpeg/flac parsers must
+    # raise the DECLARED error types, never crash or hang
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    for fn in (fmm._zlib_decompress, fmm.gunzip, fmm.decode_png,
+               fmm.decode_jpeg, fmm.decode_flac):
+        try:
+            fn(junk)
+        except (ValueError, NotImplementedError, IndexError):
+            pass
