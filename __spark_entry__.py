@@ -312,6 +312,23 @@ def q_siddhiql_partitioned_time(spark, sf_dir):
                       tiebreak="event_id")["recent"]
 
 
+def q_siddhiql_group_having(spark, sf_dir):
+    """Explicit `group by` + `having` clauses over window contents —
+    the general-Siddhi aggregation shape (group keys need not appear
+    in the select list; having filters on select aliases)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from events#window.unique:ever(user_id)
+    select event_type, count() as n, max(value) as vmax
+    group by event_type
+    having n > 20
+    insert into agg;
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["agg"]
+
+
 def q_streaming_dedup_parity(spark, sf_dir):
     """Batch/stream equivalence under the DRIVER hash (not just
     pytest): replay the events table as a file-stream, run the
@@ -586,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gunzip_ingest": lambda s, d: fmm.gunzip_text_stats(_docs(s, d)),
         "multimodal_decode_flac": lambda s, d: fmm.flac_audio_stats(_docs(s, d)),
         "siddhiql_partitioned_time": q_siddhiql_partitioned_time,
+        "siddhiql_group_having": q_siddhiql_group_having,
         # -- (1) last certified r05: pipelines, curation,
         #    asof/range, sketch, rollup, sessionize
         "pipeline_corpus_curation": lambda s, d: fpipe.corpus_curation(_docs(s, d)),
@@ -1217,6 +1235,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_jpeg": fmm.JPEG_DECODE_STATS_ORACLE,
         "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
+        "siddhiql_group_having": """
+            SELECT event_type, count(*) AS n, max(value) AS vmax
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+            GROUP BY event_type
+            HAVING count(*) > 20
+        """,
         # partitioned unique:time: per-partition event-time edge, then
         # latest per (partition, key) inside it
         "siddhiql_partitioned_time": """

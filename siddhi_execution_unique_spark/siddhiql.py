@@ -54,6 +54,8 @@ _QUERY_RE = re.compile(
     r"\s*#\s*(?:window\.)?unique:(?P<window>\w+)"
     r"\s*\((?P<args>[^)]*)\)"
     r"\s*select\s+(?P<select>.+?)"
+    r"(?:\s+group\s+by\s+(?P<groupby>.+?))?"
+    r"(?:\s+having\s+(?P<having>.+?))?"
     r"\s+insert\s+(?:(?P<channel>expired|all|current)\s+events\s+)?into\s+(?P<out>\w+)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -240,6 +242,13 @@ def _scan_queries(text: str, defines: dict, offset: int) -> list[dict]:
                 "window": window,
                 "args": _split_args(m.group("args")),
                 "select": [s.strip() for s in m.group("select").split(",")],
+                "group_by": (
+                    [g.strip() for g in m.group("groupby").split(",")]
+                    if m.group("groupby") else None
+                ),
+                "having": (
+                    _translate_expr(m.group("having")) if m.group("having") else None
+                ),
                 "channel": (m.group("channel") or "current").lower(),
                 "out": m.group("out"),
                 "declared": defines.get(m.group("stream")),
@@ -554,7 +563,9 @@ def run_app(
         else:
             df = _bind_stream(q, streams)
             res = _build_window(q, df, ts, tiebreak)
-        out[q["out"]] = _apply_select(res, q["select"])
+        out[q["out"]] = _apply_select(
+            res, q["select"], q.get("group_by"), q.get("having")
+        )
     return out
 
 
@@ -676,7 +687,11 @@ def run_app_streaming(
             # dual-channel twin (the tag column is twin plumbing, not
             # a reference attribute)
             res = res.filter(F.col("channel") == "current").drop("channel")
-        if any(_AGG_RE.search(s) for s in q["select"]):
+        if (
+            any(_AGG_RE.search(s) for s in q["select"])
+            or q.get("group_by") is not None
+            or q.get("having") is not None
+        ):
             # chaining an aggregation after a stateful twin means two
             # stateful operators in one streaming query — raise the
             # app-creation error instead of a mid-stream planner error
@@ -691,15 +706,23 @@ def run_app_streaming(
 _AGG_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(", re.IGNORECASE)
 
 
-def _apply_select(res: DataFrame, select: list[str]) -> DataFrame:
+def _apply_select(
+    res: DataFrame,
+    select: list[str],
+    group_by: list[str] | None = None,
+    having: str | None = None,
+) -> DataFrame:
     """Apply a SiddhiQL select list: plain projections, or — when any
     item is an aggregate (``count()``, ``sum(x)``, ...) — an
-    aggregation OVER THE WINDOW CONTENTS grouped by the non-aggregate
-    items, which is exactly the reference's "aggregation over window"
-    composition (e.g. UniqueEverWindowTestCase.java:86-94's running
-    ``count(ip)``, whose final state is the per-group count of the
-    retained events). Siddhi's bare ``count()`` maps to count(*)."""
-    if select == ["*"]:
+    aggregation OVER THE WINDOW CONTENTS grouped by the explicit
+    ``group by`` attributes when given, else by the non-aggregate
+    select items, which is exactly the reference's "aggregation over
+    window" composition (e.g. UniqueEverWindowTestCase.java:86-94's
+    running ``count(ip)``, whose final state is the per-group count of
+    the retained events). Siddhi's bare ``count()`` maps to count(*);
+    ``having`` filters the aggregated result (select-list aliases are
+    in scope, as in Siddhi)."""
+    if select == ["*"] and group_by is None and having is None:
         return res
     items = [re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)
              for s in select]
@@ -708,13 +731,35 @@ def _apply_select(res: DataFrame, select: list[str]) -> DataFrame:
     try:
         aggs = [s for s in items if _AGG_RE.search(s)]
         if not aggs:
+            if group_by is not None or having is not None:
+                raise SiddhiQLError(
+                    "group by / having need at least one aggregate in "
+                    "the select list"
+                )
             return res.select(*[F.expr(s) for s in items])
-        keys = [s for s in items if not _AGG_RE.search(s)]
+        keys = group_by if group_by is not None else [
+            s for s in items if not _AGG_RE.search(s)
+        ]
         if not keys:
-            return res.agg(*[F.expr(s) for s in aggs])
-        return res.groupBy(*[F.expr(s) for s in keys]).agg(
-            *[F.expr(s) for s in aggs]
-        )
+            out = res.agg(*[F.expr(s) for s in aggs])
+        else:
+            out = res.groupBy(*[F.expr(s) for s in keys]).agg(
+                *[F.expr(s) for s in aggs]
+            )
+        if having is not None:
+            out = out.filter(F.expr(having))
+        if group_by is not None:
+            # explicit group-by: the select list dictates the output
+            # columns — resolvable when every item is a plain
+            # identifier or carries an `as` alias (otherwise keep
+            # Spark's groupKeys-then-aggregates order)
+            names = []
+            for s in items:
+                am = re.search(r"\s+as\s+(\w+)\s*$", s, re.IGNORECASE)
+                names.append(am.group(1) if am else s.strip())
+            if all(re.fullmatch(r"\w+", n) for n in names):
+                out = out.select(*names)
+        return out
     except AnalysisException as e:
         # the reference rejects a select list referencing unknown
         # attributes at APP-CREATION time (SiddhiAppCreationException,

@@ -699,3 +699,46 @@ def test_reference_corpus_executes_or_rejects_eagerly(spark):
     # either bucket (a parse gap reappearing) fails here
     assert n_run >= 40, (n_run, n_rejected)
     assert n_run + n_rejected >= 90, (n_run, n_rejected)
+
+
+def test_explicit_group_by_and_having(streams):
+    app = """
+    from events#window.unique:ever(user_id)
+    select event_type, count() as n, max(value) as vmax
+    group by event_type
+    having n > 5
+    insert into agg;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["agg"]
+    assert got.columns == ["event_type", "n", "vmax"]
+    want = (
+        ops.ever(streams["events"], "user_id", ts="ts", tiebreak="event_id")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("vmax"))
+        .filter(F.col("n") > 5)
+    )
+    assert rows(got) == rows(want)
+    # group by an attribute the select list does NOT name
+    app2 = """
+    from events#window.unique:ever(user_id)
+    select count() as n
+    group by event_type
+    insert into counts;
+    """
+    got2 = sq.run_app(app2, streams, tiebreak="event_id")["counts"]
+    assert got2.columns == ["n"]
+    assert sorted(r["n"] for r in got2.collect()) == sorted(
+        r["n"] for r in want.unionAll(
+            ops.ever(streams["events"], "user_id", ts="ts", tiebreak="event_id")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.max("value").alias("vmax"))
+            .filter(F.col("n") <= 5)
+        ).select("n").collect()
+    )
+    # group by / having without an aggregate -> eager app error
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(
+            "from events#window.unique:ever(user_id) select event_id "
+            "group by event_type insert into x;",
+            streams, tiebreak="event_id",
+        )
