@@ -981,9 +981,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                     qt[tq]))
             br = _BitReader(payload, pos + seglen)
             bw_, bh_ = -(-width // 8), -(-height // 8)
-            planes = np.zeros((ns, bh_ * 8, bw_ * 8), dtype=np.float64)
             preds = [0] * ns
             mcu = 0
+            # entropy decode is inherently sequential (python loop);
+            # dequant + IDCT batch over ALL blocks afterwards in two
+            # einsums — ~2x less per-block numpy dispatch
+            all_zz = np.zeros((bh_ * bw_, ns, 64), dtype=np.int64)
             for by in range(bh_):
                 for bx in range(bw_):
                     if restart_interval and mcu and mcu % restart_interval == 0:
@@ -992,8 +995,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
                             br.pos += 2
                         preds = [0] * ns
+                    zz_mcu = all_zz[mcu]
                     for ci, (dct_, act_, q) in enumerate(scan_tables):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = zz_mcu[ci]
                         s = _decode_symbol(br, dct_)
                         diff = _extend(br.bits(s), s) if s else 0
                         preds[ci] += diff
@@ -1012,11 +1016,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 raise ValueError("AC run past block end")
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
-                        coefs = np.zeros(64, dtype=np.float64)
-                        coefs[_ZIGZAG] = zz * q
-                        block = _DCT_A.T @ coefs.reshape(8, 8) @ _DCT_A
-                        planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
                     mcu += 1
+            qmat = np.stack([q for (_, _, q) in scan_tables])  # (ns, 64)
+            coefs = np.zeros((bh_ * bw_, ns, 64), dtype=np.float64)
+            coefs[:, :, _ZIGZAG] = all_zz * qmat[None, :, :]
+            blocks = np.einsum(
+                "ux,mcxy,yv->mcuv", _DCT_A.T, coefs.reshape(-1, ns, 8, 8), _DCT_A
+            )
+            # (bh*bw, ns, 8, 8) -> (ns, bh*8, bw*8)
+            planes = (
+                blocks.reshape(bh_, bw_, ns, 8, 8)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(ns, bh_ * 8, bw_ * 8)
+            )
             planes = np.clip(np.round(planes + 128.0), 0, 255)
             if ns == 1:
                 return planes[0, :height, :width].astype(np.uint8)
