@@ -620,6 +620,7 @@ def run_app_streaming(
                 "multi-stage streaming topology — stage through a sink"
             )
         df = _bind_stream(q, streams)
+        drop_staged_key = False
         if q.get("partition"):
             p = q["partition"]
             if p not in df.columns:
@@ -627,12 +628,26 @@ def run_app_streaming(
                     f"partition attribute {p!r} is not in stream "
                     f"{q['stream']!r} ({df.columns})"
                 )
-            if q["window"] not in ("ever", "first"):
+            if q["window"] in ("ever", "first", "timeBatch", "firstTimeBatch"):
+                # composite key = independent window instance per
+                # partition value (same windows as the batch path)
+                q = {**q, "args": [p] + list(q["args"])}
+            elif q["window"] == "deduplicate":
+                key = q["args"][0]
+                df = df.withColumn(
+                    "_pkey",
+                    F.concat_ws(
+                        "\x1f", F.col(p).cast("string"), F.col(key).cast("string")
+                    ),
+                )
+                q = {**q, "args": ["_pkey"] + list(q["args"][1:])}
+                drop_staged_key = True
+            else:
                 raise SiddhiQLError(
                     f"partitioned streaming unique:{q['window']} is not "
-                    "wired; composite keys cover ever/first only"
+                    "wired; composite keys cover ever/first/timeBatch/"
+                    "firstTimeBatch/deduplicate"
                 )
-            q = {**q, "args": [p] + list(q["args"])}
         window, args = q["window"], list(q["args"])
         fn, trailing = specs[window]
         if window == "externalTimeBatch":
@@ -699,6 +714,8 @@ def run_app_streaming(
                 "aggregate select over a STREAMING window is not wired; "
                 "aggregate the sink table, or use the batch run_app"
             )
+        if drop_staged_key:
+            res = res.drop("_pkey")
         out[q["out"]] = _apply_select(res, q["select"])
     return out
 

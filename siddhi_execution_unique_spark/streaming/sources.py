@@ -32,6 +32,19 @@ def stream_table(
     )
     if ts is not None and ts in df.columns and df.schema[ts].dataType.simpleString() == "bigint":
         df = df.withColumn(ts, F.timestamp_micros(F.expr(f"{ts} div 1000")))
+    if ts is not None and ts in df.columns and df.schema[ts].dataType.simpleString() == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ; reinterpret the naive
+        # wall-clock as UTC via the same epoch-diff the batch loader
+        # uses (deterministic in any session timezone)
+        df = df.withColumn(
+            ts,
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    f"timestamp_ntz'1970-01-01 00:00:00', `{ts}`)"
+                )
+            ),
+        )
     return df
 
 

@@ -742,3 +742,37 @@ def test_explicit_group_by_and_having(streams):
             "group by event_type insert into x;",
             streams, tiebreak="event_id",
         )
+
+
+def test_streaming_partitioned_composite_windows(spark, tmp_path):
+    import shutil
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in7"
+    indir.mkdir()
+    shutil.copy(src, indir / "events.parquet")
+    sdf = stream_table(spark, str(indir), spark.read.parquet(src).schema)
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:timeBatch(user_id, 1 hour)
+        select event_type, user_id, event_id
+        insert into tb;
+
+        from events#unique:deduplicate(user_id, 30 minutes)
+        select event_type, user_id, event_id
+        insert into dd;
+    end
+    """
+    out = sq.run_app_streaming(app, {"events": sdf})
+    assert out["tb"].isStreaming and out["dd"].isStreaming
+    assert "_pkey" not in out["dd"].columns
+    # length-family partitioned streaming stays unwired -> eager error
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app_streaming(
+            "partition with (event_type of events) begin "
+            "from events#window.unique:length(user_id, 10) "
+            "select * insert into x; end",
+            {"events": sdf},
+        )
