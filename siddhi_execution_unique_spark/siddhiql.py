@@ -552,20 +552,25 @@ def run_app(
     """Execute a SiddhiQL app against bound DataFrames. Returns
     {output stream name: DataFrame}. Validation is EAGER: unknown
     streams/windows/attributes raise SiddhiQLError before any job
-    runs."""
+    runs. Queries chain through INNER streams the Siddhi way: a later
+    query may read an earlier query's output stream by name (text
+    order), e.g. query1 `insert into Temp` then query2
+    `from Temp#window.unique:...` — the intermediate is just another
+    declarative subtree, so Catalyst fuses the chain into one plan."""
     out: dict[str, DataFrame] = {}
+    avail = dict(streams)
     for q in parse_app(text):
         if q["kind"] == "join":
-            res = _run_join(q, streams, ts, tiebreak)
+            res = _run_join(q, avail, ts, tiebreak)
         elif q.get("partition"):
-            df = _bind_stream(q, streams)
+            df = _bind_stream(q, avail)
             res = _build_partitioned(q, df, ts, tiebreak)
         else:
-            df = _bind_stream(q, streams)
+            df = _bind_stream(q, avail)
             res = _build_window(q, df, ts, tiebreak)
-        out[q["out"]] = _apply_select(
-            res, q["select"], q.get("group_by"), q.get("having")
-        )
+        res = _apply_select(res, q["select"], q.get("group_by"), q.get("having"))
+        out[q["out"]] = res
+        avail[q["out"]] = res
     return out
 
 

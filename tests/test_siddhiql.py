@@ -776,3 +776,33 @@ def test_streaming_partitioned_composite_windows(spark, tmp_path):
             "select * insert into x; end",
             {"events": sdf},
         )
+
+
+def test_inner_stream_chaining(streams):
+    # Siddhi apps chain queries through inner streams: query2 reads
+    # query1's output by name; the chain fuses into one Catalyst plan
+    app = """
+    from events[value > 100]#window.unique:ever(user_id)
+    select user_id, event_id, value, ts
+    insert into HighValueLatest;
+
+    from HighValueLatest#window.unique:first(user_id)
+    select user_id, event_id
+    insert into final;
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")
+    ever1 = ops.ever(
+        streams["events"].filter(F.col("value") > 100),
+        "user_id", ts="ts", tiebreak="event_id",
+    ).select("user_id", "event_id", "value", "ts")
+    want = ops.first(ever1, "user_id", ts="ts", tiebreak="event_id").select(
+        "user_id", "event_id")
+    assert rows(out["final"]) == rows(want)
+    # an inner stream is only visible AFTER the query that fills it
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(
+            "from NotYet#window.unique:ever(user_id) select * insert into a;\n"
+            "from events#window.unique:ever(user_id) select user_id, ts "
+            "insert into NotYet;",
+            streams, tiebreak="event_id",
+        )
