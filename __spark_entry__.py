@@ -355,31 +355,24 @@ def q_streaming_dedup_parity(spark, sf_dir):
     sdf = stream_table(spark, indir, schema)
     out = stw.deduplicate_exact_stream(sdf, "user_id", HOUR, ts="ts")
     outdir = os.path.join(work, "out")
+    # project epoch-millis BEFORE the sink: parquet round-trips of
+    # timestamp columns come back TIMESTAMP_NTZ under Spark 4's
+    # inference, and reinterpreting the naive value is only correct in
+    # a UTC session — a bigint is timezone-proof in any driver session
     q = (
-        out.writeStream.format("parquet")
+        out.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id", "event_type", "value", "props",
+        )
+        .writeStream.format("parquet")
         .option("path", outdir)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    sunk = spark.read.parquet(outdir)
-    # the sink round-trips ts through parquet without the UTC-adjust
-    # flag; reinterpret the naive wall-clock as UTC the same way
-    # sources.load_table does (epoch-diff, timezone-independent)
-    from pyspark.sql.types import TimestampNTZType
-
-    if isinstance(sunk.schema["ts"].dataType, TimestampNTZType):
-        sunk = sunk.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    "timestamp_ntz'1970-01-01 00:00:00', ts)"
-                )
-            ),
-        )
-    res = _ev_out(sunk)
+    res = spark.read.parquet(outdir).select(*_EVENT_COLS)
     # materialize before the temp input/checkpoint dirs vanish
     res = res.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
