@@ -1469,3 +1469,56 @@ def test_flac_roundtrip_and_failure_modes(spark):
         fmm.decode_flac(bytes(corrupted))  # frame CRC-16
     with pytest.raises(ValueError):
         fmm.decode_flac(b"OggS not flac")
+
+
+def test_jpeg_color_444_path(spark):
+    # pin the 3-component 4:4:4 YCbCr->RGB decode path with a
+    # hand-built color stream (the module's encoder is grayscale):
+    # constant Y blocks with neutral chroma must decode to gray RGB
+    import struct
+
+    import numpy as np
+    from siddhi_execution_unique_spark.functions.multimodal import (
+        _AC_LUM_BITS, _AC_LUM_VALS, _DC_LUM_BITS, _DC_LUM_VALS,
+        _BitWriter, _dc_category, _huffman_codes, decode_jpeg,
+    )
+
+    ys = [0, 64, 128, 200, 255]  # 5 blocks wide, 1 block tall
+    dc_codes = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huffman_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for y in ys:
+        for ci, val in enumerate((y, 128, 128)):  # Y, Cb, Cr per MCU
+            dc = 8 * (val - 128)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = _dc_category(diff)
+            code, length = dc_codes[s]
+            bw.put(code, length)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            code, length = ac_codes[0x00]
+            bw.put(code, length)
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = b"".join([
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x00]) + bytes(64 * [1])),
+        seg(0xC0, struct.pack(">BHHB", 8, 8, 8 * len(ys), 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])),
+        seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)),
+        seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)),
+        seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])),
+        scan,
+        b"\xff\xd9",
+    ])
+    img = decode_jpeg(jpg)
+    assert img.shape == (8, 8 * len(ys), 3)
+    for i, y in enumerate(ys):
+        block = img[:, i * 8:(i + 1) * 8, :]
+        # neutral chroma -> R=G=B=Y exactly
+        assert (block == y).all(), (y, np.unique(block.reshape(-1, 3), axis=0))
