@@ -806,3 +806,33 @@ def test_inner_stream_chaining(streams):
             "insert into NotYet;",
             streams, tiebreak="event_id",
         )
+
+
+def test_insert_all_events_length_batch_and_first_variants(streams):
+    # lengthBatch all = current (batched rows, null expired_at_ms) ∪
+    # expired (re-emissions with flush time)
+    app = """
+    from events#window.unique:lengthBatch(user_id, 10)
+    select event_id, batch_seq, expired_at_ms, channel
+    insert all events into both;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["both"]
+    base = ops.length_batch(
+        streams["events"], "user_id", 10, ts="ts", tiebreak="event_id")
+    n_cur = base.count()
+    n_exp = ops.length_batch_expired(base).count()
+    assert n_cur > 0  # the corpus must actually fire batches
+    by_ch = {r["channel"]: r["n"] for r in
+             got.groupBy("channel").agg(F.count("*").alias("n")).collect()}
+    assert by_ch == {"current": n_cur, "expired": n_exp}
+    assert got.filter(
+        (F.col("channel") == "current") & F.col("expired_at_ms").isNotNull()
+    ).count() == 0
+    # the first-variants never expire: all == current, silently correct
+    for w, extra in (("firstTimeBatch", ", 1 hour"), ("firstLengthBatch", ", 50")):
+        out = sq.run_app(
+            f"from events#window.unique:{w}(user_id{extra}) "
+            "select event_id insert all events into o;",
+            streams, tiebreak="event_id",
+        )["o"]
+        assert "channel" not in out.columns
