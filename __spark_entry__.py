@@ -535,6 +535,64 @@ def q_length_batch_expired(spark, sf_dir):
     )
 
 
+def q_time_length_batch_expired(spark, sf_dir):
+    # EXPIRED channel of unique:timeLengthBatch: batch k re-emits at
+    # the first flush after its fire — min(next boundary, fire k+1) —
+    # iff the event-time clock demonstrably reaches it
+    # (UniqueTimeLengthBatchWindowProcessor.java:304-318; boundary
+    # flushes happen on the scheduler regardless of arrivals)
+    return ops.time_length_batch_expired(
+        _events(spark, sf_dir), "user_id", 4 * HOUR, 25, ts="ts",
+        tiebreak="event_id", start_time_ms=0,
+    ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "expired_at_ms")
+
+
+def q_external_time_batch_expired(spark, sf_dir):
+    # EXPIRED channel of unique:externalTimeBatch: flushes are purely
+    # event-driven (no scheduler without time.out), so batch rank r
+    # re-emits as expired at the first event of rank r+2 — the arrival
+    # that flushes rank r+1 and advances lastCurrentEventTime
+    # (UniqueExternalTimeBatchWindowProcessor.java:304-318,363-366)
+    return _ev_out(
+        ops.external_time_batch_expired(
+            _events(spark, sf_dir), "user_id", "ts", 2 * HOUR, tiebreak="event_id"
+        ),
+        "batch_start_ms", "batch_end_ms", "expired_at_ms",
+    )
+
+
+def q_siddhiql_external_time_batch_all(spark, sf_dir):
+    """The reference's `insert all events into` over
+    unique:externalTimeBatch (UniqueExternalTimeBatchWindowTestCase
+    uses `all events` 9x) through the SiddhiQL text surface: current
+    (all present batches, final-state convention) ∪ expired (batches
+    with a rank+2 successor), tagged on `channel`."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from events#window.unique:externalTimeBatch(user_id, ts, 2 hours)
+    select event_id, user_id, channel
+    insert all events into out;
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["out"]
+
+
+def q_siddhiql_time_length_batch_all(spark, sf_dir):
+    """`insert all events into` over unique:timeLengthBatch
+    (UniqueTimeLengthBatchWindowTestCase.java:100-101 asserts the dual
+    channel 12x) through the SiddhiQL text surface."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from events#window.unique:timeLengthBatch(user_id, 6 hours, 20)
+    select event_id, user_id, channel
+    insert all events into out;
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["out"]
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -583,6 +641,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_length_emissions_ordered": lambda s, d: ops.length_window_emissions_indexed(
             _events(s, d), "user_id", 100, ts="ts", tiebreak="event_id"
         ).select("event_id", "user_id", "channel", "emission_idx"),
+        # -- (0a) new in round 7: batch expired/all-events channels for
+        #    unique:timeLengthBatch and unique:externalTimeBatch
+        #    (VERDICT r06 item 1), function API + SiddhiQL text surface
+        "unique_time_length_batch_expired": q_time_length_batch_expired,
+        "unique_external_time_batch_expired": q_external_time_batch_expired,
+        "siddhiql_external_time_batch_all": q_siddhiql_external_time_batch_all,
+        "siddhiql_time_length_batch_all": q_siddhiql_time_length_batch_all,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -981,6 +1046,71 @@ WHERE r.rnk = 1
 """
 
 
+def _time_length_batch_expired_oracle(t_ms: int, n: int, start_ms: int | None = None) -> str:
+    """Expired-channel wrap of ``_time_length_batch_oracle``: batch k
+    re-emits at min(first boundary after its fire, fire k+1), iff that
+    flush point is witnessed by the event-time clock (<= max ts) —
+    mirroring operators/replay.py:time_length_batch_expired."""
+    anchor = str(start_ms) if start_ms is not None else "min(epoch_ms(ts))"
+    return f"""
+WITH base AS ({_time_length_batch_oracle(t_ms, n, start_ms)}),
+a AS (SELECT {anchor} AS anchor, max(epoch_ms(ts)) AS max_ms FROM events),
+fires AS (SELECT DISTINCT batch_seq, fired_at_ms FROM base),
+nxt AS (SELECT batch_seq,
+               lead(fired_at_ms) OVER (ORDER BY batch_seq) AS next_fire
+        FROM fires)
+SELECT event_id, user_id, batch_seq, fired_at_ms, expired_at_ms FROM (
+  SELECT b.event_id, b.user_id, b.batch_seq, b.fired_at_ms, a.max_ms,
+         least(((b.fired_at_ms - a.anchor) // {t_ms} + 1) * {t_ms} + a.anchor,
+               coalesce(nxt.next_fire, 9223372036854775807)) AS expired_at_ms
+  FROM base b JOIN nxt USING (batch_seq) CROSS JOIN a
+) t WHERE expired_at_ms <= max_ms
+"""
+
+
+def _external_time_batch_oracle(t_ms: int) -> str:
+    """Current channel of unique:externalTimeBatch, first-event anchor
+    (all present batches, final-state convention)."""
+    return f"""
+WITH a AS (SELECT min(epoch_ms(ts)) AS anchor FROM events),
+b AS (SELECT e.*, ((epoch_ms(e.ts) - a.anchor) // {t_ms}) * {t_ms} + a.anchor
+             AS batch_start_ms
+      FROM events e CROSS JOIN a)
+SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + {t_ms} AS batch_end_ms
+FROM (SELECT *, row_number() OVER (PARTITION BY batch_start_ms, user_id
+                                   ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM b) t
+WHERE rn = 1
+"""
+
+
+def _external_time_batch_expired_oracle(t_ms: int) -> str:
+    """Expired channel of unique:externalTimeBatch (first-event
+    anchor): batch rank r re-emits at the first event timestamp of
+    rank r+2 among the batches present — mirroring
+    operators/time_batch.py:external_time_batch_expired."""
+    return f"""
+WITH a AS (SELECT min(epoch_ms(ts)) AS anchor FROM events),
+b AS (SELECT e.*, ((epoch_ms(e.ts) - a.anchor) // {t_ms}) * {t_ms} + a.anchor
+             AS batch_start_ms
+      FROM events e CROSS JOIN a),
+r AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY batch_start_ms, user_id
+                                     ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        FROM b) t
+      WHERE rn = 1),
+log AS (SELECT batch_start_ms, min(epoch_ms(ts)) AS first_ms
+        FROM b GROUP BY batch_start_ms),
+x AS (SELECT batch_start_ms,
+             lead(first_ms, 2) OVER (ORDER BY batch_start_ms) AS expired_at_ms
+      FROM log)
+SELECT {_EVENT_SQL_COLS}, batch_start_ms,
+       batch_start_ms + {t_ms} AS batch_end_ms, expired_at_ms
+FROM r JOIN x USING (batch_start_ms)
+WHERE expired_at_ms IS NOT NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "unique_ever": _EVER_SQL,
@@ -1055,16 +1185,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM events) t
             WHERE rn = 1
         """,
-        "unique_external_time_batch": f"""
-            WITH a AS (SELECT min(epoch_ms(ts)) AS anchor FROM events),
-            b AS (SELECT e.*, ((epoch_ms(e.ts) - a.anchor) // 7200000) * 7200000 + a.anchor
-                         AS batch_start_ms
-                  FROM events e CROSS JOIN a)
-            SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 7200000 AS batch_end_ms
-            FROM (SELECT *, row_number() OVER (PARTITION BY batch_start_ms, user_id
-                                               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-                  FROM b) t
-            WHERE rn = 1
+        "unique_external_time_batch": _external_time_batch_oracle(2 * HOUR),
+        "unique_external_time_batch_expired": _external_time_batch_expired_oracle(2 * HOUR),
+        "unique_time_length_batch_expired": _time_length_batch_expired_oracle(
+            4 * HOUR, 25, start_ms=0
+        ),
+        "siddhiql_time_length_batch_all": f"""
+            SELECT event_id, user_id, 'current' AS channel
+            FROM ({_time_length_batch_oracle(6 * HOUR, 20)}) c
+            UNION ALL
+            SELECT event_id, user_id, 'expired' AS channel
+            FROM ({_time_length_batch_expired_oracle(6 * HOUR, 20)}) x
+        """,
+        "siddhiql_external_time_batch_all": f"""
+            SELECT event_id, user_id, 'current' AS channel
+            FROM ({_external_time_batch_oracle(2 * HOUR)}) c
+            UNION ALL
+            SELECT event_id, user_id, 'expired' AS channel
+            FROM ({_external_time_batch_expired_oracle(2 * HOUR)}) x
         """,
         "unique_external_time_batch_end_ts": """
             WITH b AS (SELECT e.*, (epoch_ms(e.ts) // 7200000) * 7200000 AS batch_start_ms

@@ -23,10 +23,12 @@ from siddhi_execution_unique_spark.operators.replay import (
     length_batch_expired,
     time_length_batch,
     time_length_batch_distributed,
+    time_length_batch_expired,
 )
 from siddhi_execution_unique_spark.operators.time_batch import (
     expired_channel,
     external_time_batch,
+    external_time_batch_expired,
     first_time_batch,
     time_batch,
 )
@@ -38,6 +40,7 @@ __all__ = [
     "ever_expired",
     "expired_channel",
     "external_time_batch",
+    "external_time_batch_expired",
     "first",
     "first_length_batch",
     "first_time_batch",
@@ -47,5 +50,6 @@ __all__ = [
     "time_batch",
     "time_length_batch",
     "time_length_batch_distributed",
+    "time_length_batch_expired",
     "time_window",
 ]

@@ -279,7 +279,9 @@ def length_batch_expired(batched: DataFrame) -> DataFrame:
     171-191), timestamps rewritten to that flush time. The inner join
     on the shifted fire log drops the last batch — no successor fire
     ever flushes it. Plan shape: a tiny (one row per batch) distinct
-    + a broadcast-sized equi-join back onto the batched rows."""
+    + an equi-join back onto the batched rows. No broadcast hint: the
+    fire log has rows/N entries, which at billions of rows is far past
+    broadcast size — AQE picks broadcast when it actually fits."""
     nxt = (
         batched.select(BATCH_SEQ, FIRED_AT).distinct()
         .select(
@@ -287,7 +289,7 @@ def length_batch_expired(batched: DataFrame) -> DataFrame:
             F.col(FIRED_AT).alias("expired_at_ms"),
         )
     )
-    return batched.join(F.broadcast(nxt), BATCH_SEQ)
+    return batched.join(nxt, BATCH_SEQ)
 
 
 def first_length_batch(
@@ -403,6 +405,7 @@ def time_length_batch_distributed(
     ts: str = "ts",
     tiebreak: str | None = None,
     start_time_ms: int | None = None,
+    _keep_anchor: bool = False,
 ) -> DataFrame:
     """Distributed ``unique:timeLengthBatch`` — same semantics as
     :func:`time_length_batch` (cross-checked by test and by the shared
@@ -492,4 +495,66 @@ def time_length_batch_distributed(
         F.when(F.col("_L").isNotNull(), F.lit("length"))
         .otherwise(F.lit("time"))
         .alias(FIRE_REASON),
+        *([F.col("_anchor"), F.col("_max_ms")] if _keep_anchor else []),
+    )
+
+
+def time_length_batch_expired(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """The EXPIRED channel of ``unique:timeLengthBatch``: batch ``k``
+    re-emits as expired at the first FLUSH after its own fire,
+    timestamps rewritten to that flush time (``sendEvents`` drains
+    ``eventsToBeExpired`` on every flush,
+    UniqueTimeLengthBatchWindowProcessor.java:304-318; the reference's
+    scheduler flushes at EVERY time boundary regardless of arrivals,
+    and a length fire flushes immediately). So
+
+        expired_at(k) = min( first boundary strictly after fire k,
+                             fire k+1 )
+
+    — the boundary term covers empty intervals between fires (the
+    scheduler still ticks), the fire term covers a length fire in the
+    very next interval beating its boundary. A batch expires within
+    the stream iff the event-time clock demonstrably reaches that
+    flush point, i.e. ``expired_at <= max(event ts)`` — the same
+    witness rule the distributed form already applies to time fires
+    (an interval time-fires only when a later event crosses its
+    boundary), so the two channels share one clock model.
+
+    Plan shape: the distributed batched form plus a one-row-per-fired-
+    batch distinct with a ``lead`` over it (tiny at any scale) joined
+    back on ``batch_seq`` — AQE broadcasts it when it fits.
+    """
+    from pyspark.sql.window import Window
+
+    t_ms = parse_time_ms(window_time, "window.time")
+    batched = time_length_batch_distributed(
+        df, key, window_time, window_length, ts=ts, tiebreak=tiebreak,
+        start_time_ms=start_time_ms, _keep_anchor=True,
+    )
+    fires = batched.select(BATCH_SEQ, FIRED_AT).distinct()
+    nxt = fires.withColumn(
+        "_next_fire", F.lead(FIRED_AT).over(Window.orderBy(BATCH_SEQ))
+    ).select(BATCH_SEQ, "_next_fire")
+    next_boundary = (
+        F.col("_anchor")
+        + (F.floor((F.col(FIRED_AT) - F.col("_anchor")) / t_ms) + 1) * t_ms
+    )
+    return (
+        batched.join(nxt, BATCH_SEQ)
+        # least() skips NULLs: the last fired batch has no next fire,
+        # leaving the boundary term alone
+        .withColumn(
+            "expired_at_ms",
+            F.least(next_boundary.cast("long"), F.col("_next_fire")),
+        )
+        .filter(F.col("expired_at_ms") <= F.col("_max_ms"))
+        .drop("_anchor", "_max_ms", "_next_fire")
     )

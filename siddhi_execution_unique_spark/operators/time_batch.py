@@ -163,6 +163,70 @@ def external_time_batch(
     return out
 
 
+def external_time_batch_expired(
+    df: DataFrame,
+    keys,
+    timestamp: str,
+    window_time: int | str,
+    start_time_ms: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """The EXPIRED channel of ``unique:externalTimeBatch``. The
+    reference flushes ONLY on event arrival (no scheduler unless
+    ``time.out``): when the first event beyond the forming batch's end
+    arrives, the forming batch emits as current and the PREVIOUS
+    batch's retained events re-emit as expired, timestamps rewritten
+    to ``lastCurrentEventTime`` — which that triggering arrival has
+    just advanced to its own timestamp
+    (UniqueExternalTimeBatchWindowProcessor.java:304-318,363-366).
+
+    So among the batches PRESENT in the data, ordered by start: batch
+    rank ``r``'s current flushes at the first event of rank ``r+1``,
+    and its expired re-emits at the next flush after that — the first
+    event of rank ``r+2``. A batch expires within the stream iff rank
+    ``r+2`` exists, with ``expired_at_ms`` = that event's timestamp
+    (the last two batches never expire; the current channel keeps the
+    all-batches end-of-stream convention already certified for
+    :func:`external_time_batch`).
+
+    Plan shape: the batched aggregation plus a one-row-per-present-
+    batch aggregate with ``lead(_, 2)`` over it (tiny at any scale)
+    joined back on ``batch_start_ms``; AQE broadcasts it when it
+    fits."""
+    from pyspark.sql.window import Window
+
+    window_ms = parse_time_ms(window_time, "window.time")
+    batched = external_time_batch(
+        df, keys, timestamp, window_ms,
+        start_time_ms=start_time_ms, tiebreak=tiebreak,
+    )
+    ms = event_ms(df, timestamp)
+    if start_time_ms is None:
+        anchor = df.agg(F.min(ms).alias("_anchor_ms"))
+        src = df.crossJoin(F.broadcast(anchor))
+        start: Column = F.col("_anchor_ms")
+    else:
+        src = df
+        start = F.lit(start_time_ms)
+    batch_start = (
+        F.floor((ms - start) / window_ms).cast("long") * window_ms + start
+    )
+    log = (
+        src.select(batch_start.alias(BATCH_START), ms.alias("_ms"))
+        .groupBy(BATCH_START)
+        .agg(F.min("_ms").alias("_first_ms"))
+    )
+    exp_log = (
+        log.withColumn(
+            "expired_at_ms",
+            F.lead("_first_ms", 2).over(Window.orderBy(BATCH_START)),
+        )
+        .filter(F.col("expired_at_ms").isNotNull())
+        .select(BATCH_START, "expired_at_ms")
+    )
+    return batched.join(exp_log, BATCH_START)
+
+
 def expired_channel(batched: DataFrame, window_ms: int | str) -> DataFrame:
     """The EXPIRED emission channel for any tumbling-batch operator
     output: the reference re-emits each fired batch as EXPIRED when the

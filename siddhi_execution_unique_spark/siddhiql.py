@@ -321,6 +321,15 @@ def _dual_channel(
         )
         exp = ops.length_batch_expired(batched)
         cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long"))
+    elif window == "timeLengthBatch":
+        cur = ops.time_length_batch_distributed(
+            df, keys, kwargs["window_time"], kwargs["window_length"],
+            ts=ts, tiebreak=tiebreak,
+        ).withColumn("expired_at_ms", F.lit(None).cast("long"))
+        exp = ops.time_length_batch_expired(
+            df, keys, kwargs["window_time"], kwargs["window_length"],
+            ts=ts, tiebreak=tiebreak,
+        )
     else:
         raise SiddhiQLError(
             f"the expired/all-events channel of unique:{window} is not "
@@ -342,17 +351,25 @@ def _build_window(q: dict, df: DataFrame, ts: str, tiebreak: str | None) -> Data
                 "unique:externalTimeBatch needs (key, timestamp, window.time"
                 " [, start.time [, time.out]])"
             )
-        if channel != "current":
-            raise SiddhiQLError(
-                "the expired/all-events channel of unique:externalTimeBatch "
-                "is not wired through SiddhiQL; use the function API variant"
-            )
         key, ts_attr, wtime = args[0], args[1], _const(args[2])
         kwargs: dict = {"tiebreak": tiebreak}
         if len(args) >= 4:
             kwargs["start_time_ms"] = int(args[3])
         # args[4] (time.out) is a wall-clock idle flush: batch replay
         # has no idle clock; the streaming twin honors it
+        if channel == "expired":
+            return ops.external_time_batch_expired(df, key, ts_attr, wtime, **kwargs)
+        if channel == "all":
+            cur = ops.external_time_batch(df, key, ts_attr, wtime, **kwargs)
+            return _tag(
+                cur.withColumn("expired_at_ms", F.lit(None).cast("long")),
+                "current",
+            ).unionByName(
+                _tag(
+                    ops.external_time_batch_expired(df, key, ts_attr, wtime, **kwargs),
+                    "expired",
+                )
+            )
         return ops.external_time_batch(df, key, ts_attr, wtime, **kwargs)
     fn, trailing, expired_fn = _SPECS[window]
     consts: list = []
@@ -362,9 +379,14 @@ def _build_window(q: dict, df: DataFrame, ts: str, tiebreak: str | None) -> Data
         raise SiddhiQLError(
             f"unique:{window}: constant parameters must come last, got {q['args']}"
         )
-    if trailing and not consts:
+    # every trailing constant is required except timeBatch's optional
+    # start.time — a short list (e.g. timeLengthBatch with only one
+    # constant) is the reference's invalid-parameter-count
+    # SiddhiAppCreationException
+    required = len(trailing or []) - (1 if window == "timeBatch" else 0)
+    if len(consts) < required:
         raise SiddhiQLError(
-            f"unique:{window} needs ({', '.join(['key'] + trailing)})"
+            f"unique:{window} needs ({', '.join(['key'] + (trailing or []))})"
         )
     keys = args if len(args) > 1 else (args[0] if args else None)
     if keys is None:

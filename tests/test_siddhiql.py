@@ -117,12 +117,16 @@ def test_length_batch_and_multi_query_app(streams):
      "missing window.length"),
     ("from events#window.unique:lengthBatch(10, user_id) select * insert into x;",
      "constants must come last"),
-    ("from events#window.unique:timeLengthBatch(user_id, 1 hour, 10) "
-     "select * insert expired events into x;",
-     "expired channel not wired"),
-    ("from events#window.unique:timeLengthBatch(user_id, 1 hour, 10) "
-     "select * insert all events into x;",
-     "all-events channel not wired -> must raise, never current-only"),
+    ("from clicks#window.unique:ever(user_id) "
+     "join purchases#window.unique:ever(user_id) "
+     "on clicks.user_id == purchases.user_id "
+     "select clicks.user_id insert expired events into x;",
+     "expired channel of a non-timeBatch join not wired"),
+    ("from clicks#window.unique:timeBatch(user_id, 1 hour) "
+     "join purchases#window.unique:timeBatch(user_id, 2 hours) "
+     "on clicks.user_id == purchases.user_id "
+     "select clicks.user_id insert into x;",
+     "joined timeBatch windows need a shared tumbling grid"),
     ("from events#window.unique:ever(user_id) "
      "join events#window.unique:ever(user_id) on 1=1 "
      "select * insert into x;",
@@ -328,6 +332,46 @@ def test_expired_channel_time_batch_and_length_batch(streams):
         streams["events"], "user_id", 50, ts="ts", tiebreak="event_id")
     want2 = ops.length_batch_expired(lb).select("event_id", "expired_at_ms")
     assert rows(out["e2"]) == rows(want2)
+
+
+def test_expired_channel_time_length_batch_and_external(streams):
+    # round 7 wiring: the last two reference operators with no batch
+    # expired equivalent (VERDICT r06 item 1) through SiddhiQL
+    app = """
+    from events#window.unique:timeLengthBatch(user_id, 6 hours, 20)
+    select event_id, expired_at_ms
+    insert expired events into e1;
+
+    from events#window.unique:externalTimeBatch(user_id, ts, 2 hours)
+    select event_id, expired_at_ms
+    insert expired events into e2;
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")
+    want1 = ops.time_length_batch_expired(
+        streams["events"], "user_id", "6 hours", 20, ts="ts", tiebreak="event_id"
+    ).select("event_id", "expired_at_ms")
+    assert rows(out["e1"]) == rows(want1)
+    want2 = ops.external_time_batch_expired(
+        streams["events"], "user_id", "ts", "2 hours", tiebreak="event_id"
+    ).select("event_id", "expired_at_ms")
+    assert rows(out["e2"]) == rows(want2)
+
+
+def test_all_events_time_length_batch_union_shape(streams):
+    app = """
+    from events#window.unique:timeLengthBatch(user_id, 6 hours, 20)
+    select event_id, channel
+    insert all events into both;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["both"]
+    by_ch = {r["channel"]: r["n"] for r in
+             got.groupBy("channel").agg(F.count("*").alias("n")).collect()}
+    cur = ops.time_length_batch_distributed(
+        streams["events"], "user_id", "6 hours", 20, ts="ts", tiebreak="event_id")
+    exp = ops.time_length_batch_expired(
+        streams["events"], "user_id", "6 hours", 20, ts="ts", tiebreak="event_id")
+    assert by_ch["current"] == cur.count()
+    assert by_ch["expired"] == exp.count()
 
 
 @pytest.fixture()

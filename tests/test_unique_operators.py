@@ -293,6 +293,97 @@ def test_time_length_batch_start_time(spark):
     assert got2 == {(0, "a", 170), (0, "b", 170), (0, "c", 170)}
 
 
+def test_time_length_batch_expired_channel(spark):
+    # T=100, N=3, start=0. Batch 0 length-fires at 40 -> its expired
+    # flushes at the next boundary (100, the scheduler ticks even
+    # through the discard phase). Batch 1 time-fires at 200 -> its
+    # expired flushes at boundary 300, witnessed by the event at 310.
+    # The interval [300,400) forms a trailing partial that never
+    # fires, so nothing else expires.
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_expired,
+    )
+
+    df = make(spark, [(10, 1, "a", 1.0), (20, 2, "b", 2.0), (30, 3, "a", 3.0),
+                      (40, 4, "c", 4.0), (50, 5, "d", 5.0),
+                      (120, 6, "e", 6.0), (130, 7, "f", 7.0),
+                      (310, 8, "g", 8.0), (350, 9, "h", 9.0)])
+    exp = time_length_batch_expired(df, "k", 100, 3, ts="ts",
+                                    tiebreak="event_id", start_time_ms=0)
+    assert rows_set(exp, "batch_seq", "k", "expired_at_ms") == {
+        (0, "a", 100), (0, "b", 100), (0, "c", 100),
+        (1, "e", 300), (1, "f", 300)}
+
+
+def test_time_length_batch_expired_length_fire_beats_boundary(spark):
+    # a length fire in the interval right after batch k's time fire
+    # flushes batch k's expired EARLY (sendEvents drains
+    # eventsToBeExpired on every flush, not only boundaries)
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_expired,
+    )
+
+    df = make(spark, [(10, 1, "a", 1.0),
+                      (110, 2, "b", 2.0), (120, 3, "c", 3.0),  # length fire @120
+                      (350, 4, "d", 4.0)])
+    exp = time_length_batch_expired(df, "k", 100, 2, ts="ts",
+                                    tiebreak="event_id", start_time_ms=0)
+    got = rows_set(exp, "batch_seq", "k", "expired_at_ms")
+    # batch0 {a} time-fires at 100; batch1 {b,c} length-fires at 120
+    # -> batch0 expires at min(boundary 200, fire 120) = 120; batch1
+    # expires at its next boundary 200 (witnessed by the 350 event)
+    assert got == {(0, "a", 120), (1, "b", 200), (1, "c", 200)}
+
+
+def test_time_length_batch_expired_needs_clock_witness(spark):
+    # the last fired batch's flush point lies beyond every event: the
+    # event-time clock never reaches it, so it never expires
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_expired,
+    )
+
+    df = make(spark, [(10, 1, "a", 1.0), (150, 2, "b", 2.0)])
+    exp = time_length_batch_expired(df, "k", 100, 5, ts="ts",
+                                    tiebreak="event_id", start_time_ms=0)
+    # batch0 {a} time-fires at 100 but its expiry flush (200) is past
+    # the last event (150) -> empty expired channel
+    assert exp.count() == 0
+
+
+def test_external_time_batch_expired_channel(spark):
+    # batches (anchor=first event 10, T=100): rank0 [10,110) {a,b},
+    # rank1 [110,210) {c}, rank2 [310,410) {d,e}. Rank 0's expired
+    # re-emits at the first event of rank 2 (ts=310) — the arrival
+    # that flushes rank 1 and advances lastCurrentEventTime. Ranks
+    # 1 and 2 have no rank+2 successor and never expire.
+    from siddhi_execution_unique_spark.operators.time_batch import (
+        external_time_batch_expired,
+    )
+
+    df = make(spark, [(10, 1, "a", 1.0), (20, 2, "b", 2.0),
+                      (120, 3, "c", 3.0),
+                      (310, 4, "d", 4.0), (350, 5, "e", 5.0)])
+    exp = external_time_batch_expired(df, "k", "ts", 100, tiebreak="event_id")
+    assert rows_set(exp, "k", "batch_start_ms", "expired_at_ms") == {
+        ("a", 10, 310), ("b", 10, 310)}
+
+
+def test_external_time_batch_expired_skips_empty_buckets(spark):
+    # rank is over batches PRESENT in the data, not grid cells: with
+    # empty cells between occupied ones, rank r+2 is the second next
+    # OCCUPIED batch
+    from siddhi_execution_unique_spark.operators.time_batch import (
+        external_time_batch_expired,
+    )
+
+    df = make(spark, [(0, 1, "a", 1.0),      # rank0 [0,100)
+                      (500, 2, "b", 2.0),    # rank1 [500,600)
+                      (900, 3, "c", 3.0)])   # rank2 [900,1000)
+    exp = external_time_batch_expired(df, "k", "ts", 100,
+                                      start_time_ms=0, tiebreak="event_id")
+    assert rows_set(exp, "k", "expired_at_ms") == {("a", 900)}
+
+
 # --- validation (negative tests, SURVEY §5 category 4) ---
 
 @pytest.mark.parametrize("bad", [None, [], 42])
