@@ -593,6 +593,62 @@ def q_siddhiql_time_length_batch_all(spark, sf_dir):
                       tiebreak="event_id")["out"]
 
 
+def q_siddhiql_partitioned_length(spark, sf_dir):
+    """`partition with` over unique:length (VERDICT r06 item 3): an
+    independent last-N-distinct-keys FIFO per partition value —
+    per-partition ranked top-N, which distributes BETTER than the
+    global single-ordered form (no global tail to rank)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:length(user_id, 100)
+        select event_type, user_id, event_id
+        insert into recent;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["recent"]
+
+
+def q_siddhiql_partitioned_length_batch(spark, sf_dir):
+    """`partition with` over unique:lengthBatch: every partition value
+    owns an independent N-distinct-key tumbling fire chain
+    (groupBy(attr).applyInPandas replay — distributes by the
+    partition attribute, unlike the global single-group funnel)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:lengthBatch(user_id, 50)
+        select event_type, user_id, event_id, batch_seq, fired_at_ms
+        insert into batches;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["batches"]
+
+
+def q_siddhiql_partitioned_time_length_batch(spark, sf_dir):
+    """`partition with` over unique:timeLengthBatch: per-instance fire
+    chains, each anchored at its OWN first event + T (the reference
+    allocates a fresh WindowState per partition key)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:timeLengthBatch(user_id, 6 hours, 20)
+        select event_type, user_id, event_id, batch_seq, fired_at_ms, fire_reason
+        insert into batches;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["batches"]
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -648,6 +704,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_external_time_batch_expired": q_external_time_batch_expired,
         "siddhiql_external_time_batch_all": q_siddhiql_external_time_batch_all,
         "siddhiql_time_length_batch_all": q_siddhiql_time_length_batch_all,
+        # -- (0a) new in round 7: `partition with` over the length
+        #    families (VERDICT r06 item 3) — per-instance chains
+        "siddhiql_partitioned_length": q_siddhiql_partitioned_length,
+        "siddhiql_partitioned_length_batch": q_siddhiql_partitioned_length_batch,
+        "siddhiql_partitioned_time_length_batch": q_siddhiql_partitioned_time_length_batch,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -1111,6 +1172,101 @@ WHERE expired_at_ms IS NOT NULL
 """
 
 
+def _length_batch_partitioned_oracle(n: int) -> str:
+    """Per-partition-value lengthBatch chains (`partition with`): the
+    recursive fire CTE of ``_length_batch_oracle`` stepped
+    independently per event_type — positions are numbered within each
+    partition and every correlated lookup pins the partition value, so
+    one recursion advances all instances in lockstep."""
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+  FROM events
+),
+fires(event_type, seq, start_pos, fire_pos) AS (
+  SELECT DISTINCT event_type, -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM ev
+  UNION ALL
+  SELECT f.event_type, f.seq + 1, f.fire_pos,
+         (SELECT pos FROM (
+            SELECT min(pos) AS pos FROM ev
+            WHERE ev.event_type = f.event_type AND ev.pos > f.fire_pos
+            GROUP BY user_id
+          ) t ORDER BY pos LIMIT 1 OFFSET {n - 1})
+  FROM fires f
+  WHERE (SELECT pos FROM (
+            SELECT min(pos) AS pos FROM ev
+            WHERE ev.event_type = f.event_type AND ev.pos > f.fire_pos
+            GROUP BY user_id
+          ) t ORDER BY pos LIMIT 1 OFFSET {n - 1}) IS NOT NULL
+)
+SELECT e.event_type, e.user_id, e.event_id, f.seq AS batch_seq,
+       (SELECT ms FROM ev
+        WHERE event_type = f.event_type AND pos = f.fire_pos) AS fired_at_ms
+FROM fires f
+JOIN ev e ON e.event_type = f.event_type
+ AND e.pos = (
+   SELECT max(pos) FROM ev e2
+   WHERE e2.event_type = f.event_type AND e2.user_id = e.user_id
+     AND e2.pos > f.start_pos AND e2.pos <= f.fire_pos)
+ AND e.pos > f.start_pos AND e.pos <= f.fire_pos
+WHERE f.seq >= 0
+"""
+
+
+def _time_length_batch_partitioned_oracle(t_ms: int, n: int) -> str:
+    """Per-partition-value timeLengthBatch (`partition with`): the
+    interval-independence algebra of ``_time_length_batch_oracle``
+    with every window/group additionally keyed on event_type, and each
+    instance anchored at its own first event."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos,
+         min(epoch_ms(ts)) OVER (PARTITION BY event_type) AS anchor,
+         max(epoch_ms(ts)) OVER (PARTITION BY event_type) AS max_ms
+  FROM events
+),
+iv AS (
+  SELECT *, CAST(floor((ms - anchor) / {t_ms}) AS BIGINT) AS k FROM ev
+),
+flagged AS (
+  SELECT *, (row_number() OVER (PARTITION BY event_type, k, user_id ORDER BY pos) = 1) AS is_first
+  FROM iv
+),
+running AS (
+  SELECT *, sum(CASE WHEN is_first THEN 1 ELSE 0 END)
+              OVER (PARTITION BY event_type, k ORDER BY pos) AS nd
+  FROM flagged
+),
+firepos AS (
+  SELECT event_type, k, min(CASE WHEN nd = {n} AND is_first THEN pos END) AS L
+  FROM running GROUP BY event_type, k
+),
+live AS (
+  SELECT r.*, f.L FROM running r JOIN firepos f USING (event_type, k)
+  WHERE (f.L IS NULL OR r.pos <= f.L)
+    AND (f.L IS NOT NULL OR r.anchor + (r.k + 1) * {t_ms} <= r.max_ms)
+),
+retained AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, k, user_id ORDER BY pos DESC) AS rnk
+  FROM live
+),
+seqs AS (
+  SELECT event_type, k,
+         row_number() OVER (PARTITION BY event_type ORDER BY k) - 1 AS batch_seq
+  FROM (SELECT DISTINCT event_type, k FROM live)
+)
+SELECT r.event_type, r.user_id, r.event_id, s.batch_seq,
+       CASE WHEN r.L IS NOT NULL THEN
+              (SELECT ms FROM ev WHERE event_type = r.event_type AND pos = r.L)
+            ELSE r.anchor + (r.k + 1) * {t_ms} END AS fired_at_ms,
+       CASE WHEN r.L IS NOT NULL THEN 'length' ELSE 'time' END AS fire_reason
+FROM retained r JOIN seqs s USING (event_type, k)
+WHERE r.rnk = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "unique_ever": _EVER_SQL,
@@ -1186,6 +1342,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "unique_external_time_batch": _external_time_batch_oracle(2 * HOUR),
+        "siddhiql_partitioned_length": """
+            SELECT event_type, user_id, event_id
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts DESC, event_id DESC) AS rnk
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                                 ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events) t
+              WHERE rn = 1) z
+            WHERE rnk <= 100
+        """,
+        "siddhiql_partitioned_length_batch": _length_batch_partitioned_oracle(50),
+        "siddhiql_partitioned_time_length_batch": _time_length_batch_partitioned_oracle(
+            6 * HOUR, 20
+        ),
         "unique_external_time_batch_expired": _external_time_batch_expired_oracle(2 * HOUR),
         "unique_time_length_batch_expired": _time_length_batch_expired_oracle(
             4 * HOUR, 25, start_ms=0

@@ -15,15 +15,18 @@ from siddhi_execution_unique_spark.operators.length import (
     length_window_emissions,
     length_window_emissions_distributed,
     length_window_emissions_indexed,
+    length_window_partitioned,
 )
 from siddhi_execution_unique_spark.operators.replay import (
     deduplicate,
     first_length_batch,
     length_batch,
     length_batch_expired,
+    length_batch_partitioned,
     time_length_batch,
     time_length_batch_distributed,
     time_length_batch_expired,
+    time_length_batch_partitioned,
 )
 from siddhi_execution_unique_spark.operators.time_batch import (
     expired_channel,
@@ -46,10 +49,13 @@ __all__ = [
     "first_time_batch",
     "length_batch",
     "length_batch_expired",
+    "length_batch_partitioned",
     "length_window",
+    "length_window_partitioned",
     "time_batch",
     "time_length_batch",
     "time_length_batch_distributed",
     "time_length_batch_expired",
+    "time_length_batch_partitioned",
     "time_window",
 ]

@@ -42,6 +42,39 @@ def length_window(
     return latest.orderBy(*order).limit(n)
 
 
+def length_window_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    keys,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """``partition with (attr of S) begin ... unique:length(key, N)``:
+    an independent last-N-distinct-keys FIFO per partition value. The
+    final contents per instance are the N most-recently-occurring
+    distinct keys' latest events WITHIN that partition — the same
+    buffer invariant as :func:`length_window`, ranked per partition
+    instead of globally. Plan shape: one (partition, key) hash-agg
+    shuffle + a ranked window keyed on the partition attribute — fully
+    distributed, no single-group funnel (a partitioned unique:length
+    distributes BETTER than the global one)."""
+    from pyspark.sql.window import Window
+
+    require_column(df, partition_attr, "partition attribute")
+    keys = require_keys(keys)
+    require_column(df, ts, "ts")
+    n = require_pos_int(window_length, "window.length")
+    latest = ever(df, [partition_attr] + list(keys), ts=ts, tiebreak=tiebreak)
+    order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    w = Window.partitionBy(partition_attr).orderBy(*order)
+    return (
+        latest.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n)
+        .drop("_rnk")
+    )
+
+
 CHANNEL = "channel"
 
 

@@ -147,6 +147,42 @@ FIRED_AT = "fired_at_ms"
 FIRE_REASON = "fire_reason"
 
 
+def _length_batch_assign(key_arr, ms_arr, n: int, keep: str):
+    """The sequential lengthBatch chain: retained row index per
+    (batch, key) plus the fire metadata. Inherently order-dependent —
+    the one part that must see the stream in arrival order.
+
+    Measured (1M rows, 50k keys, N=50, local): this per-row dict walk
+    runs 0.54 s — a fully vectorized alternative (prev/next same-key
+    occurrence indices + chunked cumulative fire scan, verified
+    output-identical) ran 1.8 s because the per-fire Python/numpy
+    dispatch dominates at realistic fire rates, so the simple walk
+    stays. The single task's real cost is the Arrow funnel bytes,
+    which the narrow 3-column path bounds; the chain itself is
+    ~0.5 µs/row."""
+    forming: dict = {}  # key -> row index of retained event
+    rows: list[int] = []
+    seqs: list[int] = []
+    fires: list[int] = []
+    seq = 0
+    for i in range(len(key_arr)):
+        k = key_arr[i]
+        if k in forming:
+            if keep == "last":
+                forming[k] = i
+        else:
+            forming[k] = i
+            if len(forming) == n:
+                fired_at = ms_arr[i]
+                for idx in forming.values():
+                    rows.append(idx)
+                    seqs.append(seq)
+                    fires.append(fired_at)
+                forming.clear()
+                seq += 1
+    return rows, seqs, fires
+
+
 def _single_group_replay(df: DataFrame, ts: str, tiebreak: str | None, out_schema, fn):
     """Replay the whole stream in global (ts, tiebreak) order through
     one pandas group. coalesce(1) + in-pandas sort keeps it a single
@@ -191,39 +227,7 @@ def length_batch(
         raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
 
     def assign(key_arr, ms_arr):
-        """The sequential batch chain: retained row index per (batch,
-        key) plus the fire metadata. Inherently order-dependent — the
-        one part that must see the stream in arrival order.
-
-        Measured (1M rows, 50k keys, N=50, local): this per-row dict
-        walk runs 0.54 s — a fully vectorized alternative (prev/next
-        same-key occurrence indices + chunked cumulative fire scan,
-        verified output-identical) ran 1.8 s because the per-fire
-        Python/numpy dispatch dominates at realistic fire rates, so
-        the simple walk stays. The single task's real cost is the
-        Arrow funnel bytes, which the 3-column narrow path below
-        bounds; the chain itself is ~0.5 µs/row."""
-        forming: dict = {}  # key -> row index of retained event
-        rows: list[int] = []
-        seqs: list[int] = []
-        fires: list[int] = []
-        seq = 0
-        for i in range(len(key_arr)):
-            k = key_arr[i]
-            if k in forming:
-                if keep == "last":
-                    forming[k] = i
-            else:
-                forming[k] = i
-                if len(forming) == n:
-                    fired_at = ms_arr[i]
-                    for idx in forming.values():
-                        rows.append(idx)
-                        seqs.append(seq)
-                        fires.append(fired_at)
-                    forming.clear()
-                    seq += 1
-        return rows, seqs, fires
+        return _length_batch_assign(key_arr, ms_arr, n, keep)
 
     if tiebreak is not None:
         # Narrow funnel: the single ordered task scans ONLY
@@ -339,6 +343,14 @@ def time_length_batch(
             StructField(FIRE_REASON, StringType()),
         ]
     )
+    replay = _time_length_replay(key, t_ms, n, start_time_ms, out_cols)
+    return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+
+
+def _time_length_replay(key: str, t_ms: int, n: int, start_time_ms, out_cols):
+    """Per-instance timeLengthBatch replay over an arrival-ordered
+    pandas frame (shared by the global single-group form and the
+    per-partition-value instances of ``partition with``)."""
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         key_arr = pdf[key].to_numpy()
@@ -394,7 +406,7 @@ def time_length_batch(
         out[FIRE_REASON] = pd.Series(reasons, index=out.index, dtype="object")
         return out
 
-    return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+    return replay
 
 
 def time_length_batch_distributed(
@@ -558,3 +570,102 @@ def time_length_batch_expired(
         .filter(F.col("expired_at_ms") <= F.col("_max_ms"))
         .drop("_anchor", "_max_ms", "_next_fire")
     )
+
+
+def _partitioned_replay(
+    df: DataFrame,
+    partition_attr: str,
+    ts: str,
+    tiebreak: str | None,
+    out_schema,
+    fn,
+) -> DataFrame:
+    """Run an arrival-ordered replay INDEPENDENTLY per partition-attr
+    value (Siddhi's ``partition with``: every value owns a window
+    instance with its own state). Unlike the global
+    :func:`_single_group_replay` funnel, this distributes: one shuffle
+    keyed on the partition attribute, then each instance's chain runs
+    in its own pandas group — the scale shape is bounded by the
+    LARGEST partition, not the corpus."""
+    sort_cols = _sort_cols(ts, tiebreak)
+    prepared = df.withColumn(_TS_MS, event_ms(df, ts))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        return fn(pdf)
+
+    return prepared.groupBy(partition_attr).applyInPandas(run, schema=out_schema)
+
+
+def length_batch_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    keep: str = "last",
+) -> DataFrame:
+    """``partition with (attr of S) begin ... unique:lengthBatch(key, N)``:
+    an independent N-distinct-key tumbling batch chain per partition
+    value (Siddhi partitioned execution; the chain semantics per
+    instance are UniqueLengthBatchWindowProcessor.java:106,165,210-213
+    exactly as in :func:`length_batch`). ``batch_seq`` is 0-based per
+    instance."""
+    require_column(df, partition_attr, "partition attribute")
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    n = require_pos_int(window_length, "window.length")
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+
+    out_cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(BATCH_SEQ, LongType()), StructField(FIRED_AT, LongType())]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows, seqs, fires = _length_batch_assign(
+            pdf[key].to_numpy(), pdf[_TS_MS].to_numpy(), n, keep
+        )
+        out = pdf.iloc[rows][out_cols].copy()
+        out[BATCH_SEQ] = pd.Series(seqs, index=out.index, dtype="int64")
+        out[FIRED_AT] = pd.Series(fires, index=out.index, dtype="int64")
+        return out
+
+    return _partitioned_replay(df, partition_attr, ts, tiebreak, out_schema, replay)
+
+
+def time_length_batch_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """Partitioned ``unique:timeLengthBatch``: every partition value
+    runs its own fire chain with its own anchor (without ``start.time``
+    each instance anchors at its OWN first event + T, mirroring the
+    per-instance ``WindowState`` the reference allocates per partition
+    key)."""
+    require_column(df, partition_attr, "partition attribute")
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    t_ms = parse_time_ms(window_time, "window.time")
+    n = require_pos_int(window_length, "window.length")
+
+    out_cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(BATCH_SEQ, LongType()),
+            StructField(FIRED_AT, LongType()),
+            StructField(FIRE_REASON, StringType()),
+        ]
+    )
+    fn = _time_length_replay(key, t_ms, n, start_time_ms, out_cols)
+    return _partitioned_replay(df, partition_attr, ts, tiebreak, out_schema, fn)

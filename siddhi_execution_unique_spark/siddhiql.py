@@ -517,9 +517,12 @@ def _build_partitioned(
     unique:time additionally needs a PER-PARTITION event-time edge
     (each instance's timer is driven by its own stream's front, so
     the live set is ts > max(ts) OVER (PARTITION BY attr) - T, not
-    the global max). The length/timeLengthBatch families fire on
-    per-instance arrival chains the final-state batch model does not
-    decompose by attribute — SiddhiQLError, use the function API."""
+    the global max). The length families lower to per-instance
+    forms: unique:length to a per-partition ranked top-N (distributes
+    BETTER than the global window), the lengthBatch/timeLengthBatch
+    chains to a keyed ``groupBy(attr).applyInPandas`` replay — each
+    instance's fire chain runs independently in its own group, so the
+    partitioned form has no single-group funnel at all."""
     p = q["partition"]
     if p not in df.columns:
         raise SiddhiQLError(
@@ -559,6 +562,33 @@ def _build_partitioned(
             .drop("_edge")
         )
         return ops.ever(live, [p] + args, ts=ts, tiebreak=tiebreak)
+    if window in ("length", "lengthBatch", "firstLengthBatch", "timeLengthBatch"):
+        args = list(q["args"])
+        consts: list = []
+        while args and _is_const(args[-1]):
+            consts.insert(0, _const(args.pop()))
+        if window == "length":
+            if len(consts) != 1:
+                raise SiddhiQLError("unique:length needs (key, window.length)")
+            return ops.length_window_partitioned(
+                df, p, args, consts[0], ts=ts, tiebreak=tiebreak
+            )
+        if len(args) != 1:
+            raise SiddhiQLError(f"unique:{window} takes exactly one key column")
+        if window == "timeLengthBatch":
+            if len(consts) != 2:
+                raise SiddhiQLError(
+                    "unique:timeLengthBatch needs (key, window.time, window.length)"
+                )
+            return ops.time_length_batch_partitioned(
+                df, p, args[0], consts[0], consts[1], ts=ts, tiebreak=tiebreak
+            )
+        if len(consts) != 1:
+            raise SiddhiQLError(f"unique:{window} needs (key, window.length)")
+        return ops.length_batch_partitioned(
+            df, p, args[0], consts[0], ts=ts, tiebreak=tiebreak,
+            keep="first" if window == "firstLengthBatch" else "last",
+        )
     raise SiddhiQLError(
         f"partitioned unique:{window} is not wired through SiddhiQL; "
         "use the function API"

@@ -374,6 +374,32 @@ def test_all_events_time_length_batch_union_shape(streams):
     assert by_ch["expired"] == exp.count()
 
 
+def test_partitioned_length_families(streams):
+    # round 7 wiring (VERDICT r06 item 3): partition with over
+    # length / lengthBatch / timeLengthBatch
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:length(user_id, 50)
+        select event_type, user_id, event_id
+        insert into contents;
+
+        from events#window.unique:lengthBatch(user_id, 40)
+        select event_type, user_id, event_id, batch_seq
+        insert into batches;
+    end
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")
+    want1 = ops.length_window_partitioned(
+        streams["events"], "event_type", "user_id", 50, ts="ts", tiebreak="event_id"
+    ).select("event_type", "user_id", "event_id")
+    assert rows(out["contents"]) == rows(want1)
+    want2 = ops.length_batch_partitioned(
+        streams["events"], "event_type", "user_id", 40, ts="ts", tiebreak="event_id"
+    ).select("event_type", "user_id", "event_id", "batch_seq")
+    assert rows(out["batches"]) == rows(want2)
+
+
 @pytest.fixture()
 def two_streams(streams):
     ev = streams["events"]
@@ -619,9 +645,10 @@ def test_partitioned_outside_queries_coexist(streams):
 
 
 @pytest.mark.parametrize("bad", [
-    # partitioned length-family windows are not decomposable
+    # partitioned expired channel over a length-family window
     "partition with (event_type of events) begin "
-    "from events#window.unique:length(user_id, 10) select * insert into x; end",
+    "from events#window.unique:lengthBatch(user_id, 10) select * "
+    "insert expired events into x; end",
     # wrong stream inside the block
     "partition with (event_type of events) begin "
     "from ghosts#window.unique:ever(user_id) select * insert into x; end",

@@ -384,6 +384,73 @@ def test_external_time_batch_expired_skips_empty_buckets(spark):
     assert rows_set(exp, "k", "expired_at_ms") == {("a", 900)}
 
 
+PSCHEMA = "ts long, event_id long, k string, v double, p string"
+
+
+def test_length_batch_partitioned_independent_chains(spark):
+    # two partition values with interleaved arrivals: each value runs
+    # its own N=2 chain — a global chain would fire at (a,x) crossing
+    # partitions, the partitioned form must not
+    from siddhi_execution_unique_spark.operators.replay import (
+        length_batch,
+        length_batch_partitioned,
+    )
+
+    rows = [(1, 1, "a", 1.0, "P"), (2, 2, "x", 2.0, "Q"),
+            (3, 3, "b", 3.0, "P"), (4, 4, "a", 4.0, "Q"),
+            (5, 5, "x", 5.0, "Q"), (6, 6, "c", 6.0, "P")]
+    df = spark.createDataFrame(rows, PSCHEMA)
+    out = length_batch_partitioned(df, "p", "k", 2, ts="ts", tiebreak="event_id")
+    got = rows_set(out, "p", "batch_seq", "k", "ts")
+    # P: a@1, b@3 -> fire seq0 at 3; c@6 partial. Q: x@2, a@4 -> fire
+    # seq0 at 4; x@5 partial.
+    assert got == {("P", 0, "a", 1), ("P", 0, "b", 3),
+                   ("Q", 0, "x", 2), ("Q", 0, "a", 4)}
+    # the partitioned instance must equal the global replay run on the
+    # filtered stream, for every partition value
+    for v in ("P", "Q"):
+        want = length_batch(df.filter(F.col("p") == v), "k", 2,
+                            ts="ts", tiebreak="event_id")
+        sub = out.filter(F.col("p") == v)
+        cols = ("event_id", "k", "batch_seq", "fired_at_ms")
+        assert rows_set(sub, *cols) == rows_set(want, *cols), v
+
+
+def test_time_length_batch_partitioned_matches_filtered_replay(spark):
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch,
+        time_length_batch_partitioned,
+    )
+
+    rows = []
+    for j, (p, keys) in enumerate([("P", "a b c d a e b f"),
+                                   ("Q", "x y x z w y v u")]):
+        for i, k in enumerate(keys.split()):
+            rows.append((i * 37 + j * 5, 100 * j + i, k, float(i), p))
+    df = spark.createDataFrame(rows, PSCHEMA)
+    out = time_length_batch_partitioned(df, "p", "k", 100, 3,
+                                        ts="ts", tiebreak="event_id")
+    cols = ("event_id", "k", "batch_seq", "fired_at_ms", "fire_reason")
+    for v in ("P", "Q"):
+        want = time_length_batch(df.filter(F.col("p") == v), "k", 100, 3,
+                                 ts="ts", tiebreak="event_id")
+        assert rows_set(out.filter(F.col("p") == v), *cols) == rows_set(want, *cols), v
+
+
+def test_length_window_partitioned_top_n_per_value(spark):
+    from siddhi_execution_unique_spark.operators.length import (
+        length_window_partitioned,
+    )
+
+    rows = [(1, 1, "a", 1.0, "P"), (2, 2, "b", 2.0, "P"), (3, 3, "a", 3.0, "P"),
+            (4, 4, "c", 4.0, "P"),  # P buffer(2): {a@3 replaced->back, c@4} -> b evicted
+            (5, 5, "x", 5.0, "Q")]  # Q buffer(2): {x@5}
+    df = spark.createDataFrame(rows, PSCHEMA)
+    out = length_window_partitioned(df, "p", "k", 2, ts="ts", tiebreak="event_id")
+    assert rows_set(out, "p", "k", "ts") == {("P", "a", 3), ("P", "c", 4),
+                                             ("Q", "x", 5)}
+
+
 # --- validation (negative tests, SURVEY §5 category 4) ---
 
 @pytest.mark.parametrize("bad", [None, [], 42])
