@@ -418,6 +418,115 @@ def q_streaming_length_parity(spark, sf_dir):
     return res
 
 
+def _stream_events_replay(spark, sf_dir: str, work: str):
+    """File-stream replay of the events table for the streaming-twin
+    driver certifications: one parquet file -> one micro-batch."""
+    import shutil
+
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(indir, "events.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return stream_table(spark, indir, schema)
+
+
+def _run_memory_complete(spark, out, name: str, work: str):
+    """Drive a complete-mode aggregation twin to a memory sink with an
+    availableNow trigger and return the final table, materialized."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def q_streaming_ever_parity(spark, sf_dir):
+    """Driver certification of the ``ever_stream`` twin — the
+    reference's core update-mode behavior (UniqueEverWindowProcessor
+    .java:153-166): replay the events table as a file-stream through
+    the keyed max_by aggregation; the complete-mode final state must
+    equal batch ``unique:ever`` row-for-row (oracle: the same
+    _EVER_SQL the batch entry certifies against)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_ever_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.ever_stream(sdf, "user_id", ts="ts").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    res = _run_memory_complete(spark, out, "sgraft_ever_parity_sink", work)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_time_batch_parity(spark, sf_dir):
+    """Driver certification of the ``tumbling_batch_stream`` twin
+    (unique:timeBatch): event-time tumbling window + keyed retain-one
+    aggregation over a file-stream replay; the complete-mode final
+    state must equal the batch hourly-grid operator (oracle: the
+    unique_time_batch SQL)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_tbatch_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.tumbling_batch_stream(sdf, "user_id", HOUR, ts="ts").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+        "batch_start_ms", "batch_end_ms",
+    )
+    res = _run_memory_complete(spark, out, "sgraft_tbatch_parity_sink", work)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_length_batch_parity(spark, sf_dir):
+    """Driver certification of the DUAL-CHANNEL ``length_batch_stream``
+    twin: the per-arrival N-distinct-keys fire chain with the
+    reference's expired re-emission protocol
+    (UniqueLengthBatchWindowProcessor.java:165,171-191), replayed over
+    a file-stream and checked against the batch recursive fire-chain
+    oracle: current = every fired batch, expired = every batch with a
+    successor fire, at its own batch_seq."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_lbatch_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.length_batch_stream(sdf, "user_id", 50, ts="ts")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.select("event_id", "user_id", "batch_seq", "channel")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -709,6 +818,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_length": q_siddhiql_partitioned_length,
         "siddhiql_partitioned_length_batch": q_siddhiql_partitioned_length_batch,
         "siddhiql_partitioned_time_length_batch": q_siddhiql_partitioned_time_length_batch,
+        # -- (0a) new in round 7: three more streaming twins
+        #    driver-certified via file-stream replay parity (VERDICT
+        #    r06 item 4) — ever (update-mode core), timeBatch
+        #    (tumbling agg), lengthBatch (dual-channel fire chain)
+        "streaming_ever_parity": q_streaming_ever_parity,
+        "streaming_time_batch_parity": q_streaming_time_batch_parity,
+        "streaming_length_batch_parity": q_streaming_length_batch_parity,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -883,6 +999,15 @@ WHERE rn = 1
 _FIRST_SQL = f"""
 SELECT {_EVENT_SQL_COLS}
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+_TIME_BATCH_SQL = f"""
+SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 3600000 AS batch_end_ms
+FROM (SELECT *, (epoch_ms(ts) // 3600000) * 3600000 AS batch_start_ms,
+             row_number() OVER (PARTITION BY epoch_ms(ts) // 3600000, user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
       FROM events) t
 WHERE rn = 1
 """
@@ -1325,14 +1450,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM events e) t
             WHERE NOT (in_win AND rn = 1)
         """,
-        "unique_time_batch": f"""
-            SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 3600000 AS batch_end_ms
-            FROM (SELECT *, (epoch_ms(ts) // 3600000) * 3600000 AS batch_start_ms,
-                         row_number() OVER (PARTITION BY epoch_ms(ts) // 3600000, user_id
-                                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-                  FROM events) t
-            WHERE rn = 1
-        """,
+        "unique_time_batch": _TIME_BATCH_SQL,
+        # the tumbling-window streaming twin's complete-mode final
+        # state must equal the batch hourly grid
+        "streaming_time_batch_parity": _TIME_BATCH_SQL,
         "unique_first_time_batch": f"""
             SELECT {_EVENT_SQL_COLS}, batch_start_ms, batch_start_ms + 3600000 AS batch_end_ms
             FROM (SELECT *, (epoch_ms(ts) // 3600000) * 3600000 AS batch_start_ms,
@@ -1388,6 +1509,16 @@ def oracle_sql() -> dict[str, str]:
         "unique_deduplicate": _DEDUPLICATE_SQL,
         # the streaming twin must land on the SAME anchored chain
         "streaming_dedup_parity": _DEDUPLICATE_SQL,
+        # streaming twins certified against their batch oracles
+        "streaming_ever_parity": _EVER_SQL,
+        "streaming_length_batch_parity": f"""
+            WITH base AS ({_length_batch_oracle(50, "last")}),
+            last AS (SELECT max(batch_seq) AS mx FROM base)
+            SELECT event_id, user_id, batch_seq, 'current' AS channel FROM base
+            UNION ALL
+            SELECT event_id, user_id, batch_seq, 'expired' AS channel
+            FROM base, last WHERE batch_seq < mx
+        """,
         "running_distinct_users": """
             SELECT event_id, event_type,
                    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
