@@ -766,21 +766,95 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+# The driver's CORRECTNESS harness samples the FIRST 50 queries()
+# entries. Round-7 window (VERDICT r06 items 1,3,4,5): the 10 entries
+# new this round, then every entry whose last driver check is r04 —
+# led by the 11 core reference operators (unique_ever ...
+# unique_external_time_batch_end_ts), which VERDICT r06 item 5 asks to
+# re-certify after two rounds outside the window.
+_R07_WINDOW = [
+    # new in round 7 (never driver-checked)
+    "unique_time_length_batch_expired",
+    "unique_external_time_batch_expired",
+    "siddhiql_external_time_batch_all",
+    "siddhiql_time_length_batch_all",
+    "siddhiql_partitioned_length",
+    "siddhiql_partitioned_length_batch",
+    "siddhiql_partitioned_time_length_batch",
+    "streaming_ever_parity",
+    "streaming_time_batch_parity",
+    "streaming_length_batch_parity",
+    # the 11 reference operators + host-engine surface, last driver
+    # row r04
+    "unique_ever",
+    "unique_ever_multi",
+    "unique_first",
+    "unique_ever_expired",
+    "unique_ever_expired_expr",
+    "orders_latest_per_customer",
+    "unique_length",
+    "unique_time",
+    "unique_time_expired",
+    "unique_time_batch",
+    "unique_first_time_batch",
+    "unique_external_time_batch",
+    "unique_external_time_batch_end_ts",
+    "unique_deduplicate",
+    "ever_count_by_type",
+    "ever_join_customer",
+    "first_filtered",
+    "window_join",
+    "unique_length_emissions",
+    "unique_time_length_batch",
+    "unique_time_length_batch_start",
+    "unique_time_batch_expired",
+    # lengthBatch family + two-phase running distinct (r04)
+    "unique_length_batch",
+    "unique_first_length_batch",
+    "unique_length_batch_expired",
+    "running_distinct_users",
+    # remaining r04-stale entries, by family
+    "sim_ivf_topk",
+    "sim_cell_centroids",
+    "sim_pq_topk",
+    "sim_pq_rerank",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "dedup_exact",
+    "dedup_exact_incremental",
+    "dedup_near_pairs_lsh",
+    "dedup_clusters",
+    "dedup_simhash_near_pairs",
+    "dedup_char_ngram_jaccard",
+    "multimodal_resize",
+    "text_token_stats",
+]
+
+# r04-stale entries that did not fit the 50-entry window: first in
+# line for the r08 rotation.
+_R08_NEXT = [
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_winnow_fingerprints",
+    "text_unigram_logprob",
+    "dedup_minhash_signatures",
+    "dedup_minhash_accuracy",
+    "dedup_simhash",
+    "multimodal_feature_stats",
+    "multimodal_frame_sample",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Entry order is the driver's sampling order: the harness checks
-    the FIRST 50 entries only (CORRECTNESS_r04/r05), so the dict is
-    ordered by verification priority. Group (0) is the 15 entries
-    VERDICT r05 identified as never driver-checked (they sat at
-    registry positions 50-64, one past the sample window) — they are
-    now positions 0-14 so CORRECTNESS_r06 certifies them, closing
-    driver certification to 115/115. Group (0b) is entries new or
-    changed this round. Groups (1)-(2) are entries last certified in
-    r05/r04 whose implementation is byte-unchanged; group (3) — every
-    reference operator and the stable dedup/text/multimodal tier — is
-    driver-green in r04/r05 and unchanged since, which is the
-    documented evidence for rows past the cap. ALL entries are
-    hash-green in the local sf0.01 full-sweep replica."""
-    return {
+    """Entry order is the driver's sampling order (first 50 sampled),
+    so the dict is reordered through ``_R07_WINDOW``: the 10 entries
+    new this round first, then the r04-stale tier led by the 11 core
+    reference operators. ``_R08_NEXT`` holds the r04 leftovers just
+    past the cap; everything after that was driver-certified in
+    r05/r06 and is byte-unchanged. ALL entries are hash-green in the
+    local sf0.01 full-sweep replica."""
+    registry = {
         # -- (0) never driver-checked through r05 (VERDICT r05 item 1):
         #    positions 0-14 put them inside the driver's sample window
         "events_time_weighted_avg": lambda s, d: fana.time_weighted_avg(_events(s, d)),
@@ -985,6 +1059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fmm.with_binary_payload(_docs(s, d))
         ),
     }
+    head = _R07_WINDOW + _R08_NEXT
+    assert set(head) <= set(registry), sorted(set(head) - set(registry))
+    rest = [k for k in registry if k not in set(head)]
+    return {k: registry[k] for k in head + rest}
 
 
 # ---------------------------------------------------------------- oracles
