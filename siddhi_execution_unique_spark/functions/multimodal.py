@@ -804,6 +804,15 @@ def encode_gray_jpeg(body: bytes, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
     vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
     h_blocks = n // w_blocks
     width, height = w_blocks * 8, h_blocks * 8
+    if height > 65535 or width > 65535:
+        # SOF0 packs dimensions as >H; a silently wrapped height would
+        # emit a VALID-looking but wrong image
+        raise ValueError(
+            f"synthesized image {width}x{height} exceeds JPEG's 65535-"
+            f"pixel dimension limit (body of {len(body)} bytes needs "
+            f"more than 8191 block rows at w_blocks={w_blocks}); split "
+            "the document or widen w_blocks"
+        )
 
     dc_codes = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_codes = _huffman_codes(_AC_LUM_BITS, _AC_LUM_VALS)
@@ -849,8 +858,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy segment")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy segment")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -909,10 +922,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # 0xFF fill bytes may pad between segments (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: marker byte missing")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             raise ValueError("EOI before SOS scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # length-less standalone markers: TEM, stray RSTn, repeated
+            # SOI — zero payload, keep walking
+            continue
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
                 "progressive JPEG decode is not implemented (baseline "
@@ -920,7 +942,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError(
                 "lossless/arithmetic JPEG decode is not implemented")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: segment length missing")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG: segment body missing")
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             i = 0
@@ -941,8 +967,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1:i + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated DHT segment")
                 nvals = sum(bits)
                 vals = list(seg[i + 17:i + 17 + nvals])
+                if len(vals) < nvals:
+                    raise ValueError("truncated DHT symbol table")
                 lut: dict[tuple[int, int], int] = {}
                 code, k = 0, 0
                 for length in range(1, 17):
@@ -954,7 +984,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = lut
                 i += 17 + nvals
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (huffman sequential)
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF component list")
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision decodes")
             comps = []
@@ -967,18 +1001,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, tq))
             frame = (height, width, comps)
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             height, width, comps = frame
+            if not seg:
+                raise ValueError("truncated SOS header")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             scan_tables = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                (cid, tq) = next(x for x in comps if x[0] == cs)
-                scan_tables.append((huff[(0, tt >> 4)], huff[(1, tt & 0x0F)],
-                                    qt[tq]))
+                comp = next((x for x in comps if x[0] == cs), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                (cid, tq) = comp
+                dct_t = huff.get((0, tt >> 4))
+                act_t = huff.get((1, tt & 0x0F))
+                if dct_t is None or act_t is None or tq not in qt:
+                    raise ValueError("SOS references an undefined table")
+                scan_tables.append((dct_t, act_t, qt[tq]))
             br = _BitReader(payload, pos + seglen)
             bw_, bh_ = -(-width // 8), -(-height // 8)
             preds = [0] * ns
@@ -1227,9 +1273,12 @@ _DIST_EXTRA = [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
 _CLEN_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
 
 
-def inflate(data: bytes) -> bytes:
+def _inflate_consume(data: bytes) -> tuple[bytes, int]:
     """RFC 1951 DEFLATE decompression: stored, fixed-huffman, and
-    dynamic-huffman blocks with LZ77 back-references."""
+    dynamic-huffman blocks with LZ77 back-references. Returns
+    (decompressed bytes, compressed bytes consumed) so container
+    formats with trailers (gzip) can locate what follows the deflate
+    stream without reimplementing the block loop."""
     br = _LSBBitReader(data)
     out = bytearray()
     while True:
@@ -1244,6 +1293,8 @@ def inflate(data: bytes) -> bytes:
             if ln ^ 0xFFFF != nlen:
                 raise ValueError("stored block LEN/NLEN mismatch")
             br.pos += 4
+            if br.pos + ln > len(data):
+                raise ValueError("truncated stored block body")
             out += data[br.pos:br.pos + ln]
             br.pos += ln
         elif btype in (1, 2):
@@ -1294,7 +1345,14 @@ def inflate(data: bytes) -> bytes:
         else:
             raise ValueError("reserved deflate block type 3")
         if bfinal:
-            return bytes(out)
+            # br.pos already counts the byte holding the final bits;
+            # trailing partial bits are padding per the RFC
+            return bytes(out), br.pos
+
+
+def inflate(data: bytes) -> bytes:
+    """RFC 1951 DEFLATE decompression (see :func:`_inflate_consume`)."""
+    return _inflate_consume(data)[0]
 
 
 def _zlib_decompress(data: bytes) -> bytes:
@@ -1394,11 +1452,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
+        if pos + 12 + ln > len(payload):
+            raise ValueError(f"truncated PNG {tag!r} chunk")
         data = payload[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
         if _crc32(tag + data) != crc:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError("IHDR chunk must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat += data
@@ -1542,6 +1604,8 @@ def gunzip(data: bytes) -> bytes:
     while pos < len(data):
         if data[pos:pos + 2] != b"\x1f\x8b":
             raise ValueError("not a gzip stream (bad magic)")
+        if pos + 10 > len(data):
+            raise ValueError("truncated gzip header")
         if data[pos + 2] != 8:
             raise ValueError("gzip CM is not deflate")
         flg = data[pos + 3]
@@ -1549,6 +1613,8 @@ def gunzip(data: bytes) -> bytes:
             raise ValueError("reserved gzip FLG bits set")
         p = pos + 10
         if flg & 0x04:  # FEXTRA
+            if p + 2 > len(data):
+                raise ValueError("truncated gzip FEXTRA")
             xlen = data[p] | (data[p + 1] << 8)
             p += 2 + xlen
         if flg & 0x08:  # FNAME
@@ -1557,65 +1623,14 @@ def gunzip(data: bytes) -> bytes:
             p = data.index(b"\x00", p) + 1
         if flg & 0x02:  # FHCRC
             p += 2
-        # inflate consumes an unknown number of bytes; track via reader
-        br = _LSBBitReader(data[p:])
-        member = bytearray()
-        while True:
-            bfinal = br.bits(1)
-            btype = br.bits(2)
-            if btype == 0:
-                br.align_byte()
-                sub = data[p + br.pos:]
-                ln = sub[0] | (sub[1] << 8)
-                member += sub[4:4 + ln]
-                br.pos += 4 + ln
-            elif btype in (1, 2):
-                if btype == 1:
-                    lit_lengths = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
-                    dist_lengths = [5] * 30
-                else:
-                    hlit = br.bits(5) + 257
-                    hdist = br.bits(5) + 1
-                    hclen = br.bits(4) + 4
-                    clen = [0] * 19
-                    for i in range(hclen):
-                        clen[_CLEN_ORDER[i]] = br.bits(3)
-                    clt = _build_huffman(clen)
-                    lengths: list[int] = []
-                    while len(lengths) < hlit + hdist:
-                        sym = _read_code(br, clt)
-                        if sym < 16:
-                            lengths.append(sym)
-                        elif sym == 16:
-                            lengths += [lengths[-1]] * (3 + br.bits(2))
-                        elif sym == 17:
-                            lengths += [0] * (3 + br.bits(3))
-                        else:
-                            lengths += [0] * (11 + br.bits(7))
-                    lit_lengths = lengths[:hlit]
-                    dist_lengths = lengths[hlit:hlit + hdist]
-                lit_t = _build_huffman(lit_lengths)
-                dist_t = _build_huffman(dist_lengths)
-                while True:
-                    sym = _read_code(br, lit_t)
-                    if sym < 256:
-                        member.append(sym)
-                    elif sym == 256:
-                        break
-                    else:
-                        length = _LEN_BASE[sym - 257] + br.bits(_LEN_EXTRA[sym - 257])
-                        dsym = _read_code(br, dist_t)
-                        dist = _DIST_BASE[dsym] + br.bits(_DIST_EXTRA[dsym])
-                        if dist > len(member):
-                            raise ValueError("back-reference before stream start")
-                        for _ in range(length):
-                            member.append(member[-dist])
-            else:
-                raise ValueError("reserved deflate block type 3")
-            if bfinal:
-                break
-        br.align_byte()
-        trailer_at = p + br.pos
+        if p > len(data):
+            raise ValueError("truncated gzip header")
+        # the shared inflate reports how many compressed bytes the
+        # member's deflate stream consumed — the trailer follows it
+        member, used = _inflate_consume(data[p:])
+        trailer_at = p + used
+        if trailer_at + 8 > len(data):
+            raise ValueError("truncated gzip trailer")
         crc = int.from_bytes(data[trailer_at:trailer_at + 4], "little")
         isize = int.from_bytes(data[trailer_at + 4:trailer_at + 8], "little")
         if _crc32(bytes(member)) != crc:
@@ -2053,6 +2068,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
             else:
                 raise ValueError(f"reserved subframe type {st}")
         br.align_byte()
+        if br.pos + 2 > len(payload):
+            raise ValueError("truncated FLAC frame footer")
         crc = struct.unpack(">H", payload[br.pos:br.pos + 2])[0]
         if _flac_crc16(payload[frame_start:br.pos]) != crc:
             raise ValueError("frame CRC-16 mismatch")

@@ -460,9 +460,21 @@ def _run_join(
     cond = q["on"]
     aligned_batches = lw in _TIME_BATCH_WINDOWS and rw in _TIME_BATCH_WINDOWS
     if aligned_batches:
-        lt = [a for a in q["left"]["args"] if _is_const(a)]
-        rt = [a for a in q["right"]["args"] if _is_const(a)]
-        if lt != rt:
+        # compare NORMALIZED values, not literal argument strings —
+        # '1 hour' and '3600000' describe the same tumbling grid. The
+        # first constant is window.time (duration sugar allowed); an
+        # optional second is the start.time anchor, which also shifts
+        # the grid and must match.
+        def grid(side: dict) -> list[int]:
+            consts = [a for a in side["args"] if _is_const(a)]
+            if not consts:
+                return []
+            t = parse_time_ms(_const(consts[0]), "window.time")
+            anchor = int(consts[1]) % t if len(consts) > 1 else 0
+            return [t, anchor]  # omitted start.time defaults to 0
+
+        lt, rt = grid(q["left"]), grid(q["right"])
+        if not lt or lt != rt:
             raise SiddhiQLError(
                 "joined unique:timeBatch windows need identical "
                 f"window.time to share a tumbling grid; got {lt} vs {rt}"

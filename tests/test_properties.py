@@ -687,9 +687,13 @@ def test_inflate_fuzz_raises_only_typed_errors(junk):
     # raise the DECLARED error types, never crash or hang
     from siddhi_execution_unique_spark.functions import multimodal as fmm
 
+    # the declared error contract: ValueError for malformed/truncated
+    # input, NotImplementedError for declared format boundaries —
+    # IndexError was dropped from this whitelist once the bit readers
+    # and marker/chunk walkers gained explicit bounds checks
     for fn in (fmm._zlib_decompress, fmm.gunzip, fmm.decode_png,
                fmm.decode_jpeg, fmm.decode_flac):
         try:
             fn(junk)
-        except (ValueError, NotImplementedError, IndexError):
+        except (ValueError, NotImplementedError):
             pass

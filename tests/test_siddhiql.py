@@ -374,6 +374,23 @@ def test_all_events_time_length_batch_union_shape(streams):
     assert by_ch["expired"] == exp.count()
 
 
+def test_join_time_batch_grid_normalizes_duration_sugar(two_streams):
+    # '1 hour' and '3600000' are the same tumbling grid (ADVICE r06):
+    # the shared-grid check must normalize, not compare literal text
+    app = """
+    from clicks#window.unique:timeBatch(user_id, 1 hour) join purchases#window.unique:timeBatch(user_id, 3600000)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, purchases.event_id as pe
+    insert into joined;
+    """
+    got = sq.run_app(app, two_streams, tiebreak="event_id")["joined"]
+    assert got.count() > 0
+    # ...but a different start.time anchor is a DIFFERENT grid
+    bad = app.replace("3600000)", "3600000, 60000)")
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(bad, two_streams, tiebreak="event_id")
+
+
 def test_partitioned_length_families(streams):
     # round 7 wiring (VERDICT r06 item 3): partition with over
     # length / lengthBatch / timeLengthBatch
