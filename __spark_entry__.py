@@ -784,6 +784,7 @@ _R07_WINDOW = [
     "streaming_ever_parity",
     "streaming_time_batch_parity",
     "streaming_length_batch_parity",
+    "multimodal_decode_flac_stereo",
     # the 11 reference operators + host-engine surface, last driver
     # row r04
     "unique_ever",
@@ -827,12 +828,12 @@ _R07_WINDOW = [
     "dedup_simhash_near_pairs",
     "dedup_char_ngram_jaccard",
     "multimodal_resize",
-    "text_token_stats",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
@@ -899,6 +900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ever_parity": q_streaming_ever_parity,
         "streaming_time_batch_parity": q_streaming_time_batch_parity,
         "streaming_length_batch_parity": q_streaming_length_batch_parity,
+        # -- (0a) new in round 7: stereo mid/side + LPC FLAC decode
+        #    (VERDICT r06 item 6) — the last undeclared codec boundary
+        "multimodal_decode_flac_stereo": lambda s, d: fmm.flac_stereo_audio_stats(
+            _docs(s, d)
+        ),
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -1782,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
         # FLAC is lossless over the same synthesized waveform, so the
         # WAV oracle algebra pins the compressed decoder identically
         "multimodal_decode_flac": fmm.AUDIO_STATS_ORACLE,
+        "multimodal_decode_flac_stereo": fmm.FLAC_STEREO_STATS_ORACLE,
         "multimodal_decode_y4m": fmm.VIDEO_FRAME_STATS_ORACLE,
         "events_data_profile": fcur.data_profile_oracle(),
         "events_hourly_anomalies": fana.hourly_anomalies_oracle(),

@@ -1926,9 +1926,120 @@ _FLAC_RATE_TABLE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
 _FLAC_BITS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+def _read_flac_residuals(br: _MSBBitReader, bs: int, order: int) -> list[int]:
+    """Rice-coded residual section shared by FIXED and LPC subframes
+    (RFC 9639 §9.2.7), incl. the raw-bits escape code."""
+    method = br.bits(2)
+    if method >= 2:
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    porder = br.bits(4)
+    res: list[int] = []
+    for p in range(1 << porder):
+        count = (bs >> porder) - (order if p == 0 else 0)
+        param = br.bits(pbits)
+        if param == (1 << pbits) - 1:  # escape: raw n-bit residuals
+            raw_n = br.bits(5)
+            res += [br.signed(raw_n) if raw_n else 0 for _ in range(count)]
+        else:
+            for _ in range(count):
+                q = br.unary()
+                r = br.bits(param) if param else 0
+                res.append(_rice_unzigzag((q << param) | r))
+    return res
+
+
+def encode_flac_stereo(samples_lr: np.ndarray, rate: int = FLAC_RATE) -> bytes:
+    """Stereo 16-bit FLAC with MID/SIDE decorrelation and LPC-coded
+    subframes: mid = (l+r)>>1 (16-bit), side = l-r (17-bit, the extra
+    bit RFC 9639 §9.1.3 assigns the side channel), each coded as an
+    order-2 LPC subframe with quantized coefficients [2, -1] and shift
+    0 — numerically the fixed-order-2 predictor, emitted through the
+    LPC subframe syntax so :func:`decode_flac`'s coefficient/shift
+    reconstruction path is exercised bit-exactly."""
+    import struct
+
+    if samples_lr.ndim != 2 or samples_lr.shape[1] != 2:
+        raise ValueError("encode_flac_stereo expects an (n, 2) array")
+    samples_lr = samples_lr.astype(np.int64)
+    n = samples_lr.shape[0]
+    out = bytearray(b"fLaC")
+    si = _MSBBitWriter()
+    si.put(FLAC_BLOCK, 16)
+    si.put(FLAC_BLOCK, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(rate, 20)
+    si.put(1, 3)             # channels - 1 = 1 (stereo)
+    si.put(15, 5)            # bits per sample - 1
+    si.put(n, 36)
+    body = si.pad_to_byte() + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    def put_subframe(bw: _MSBBitWriter, chan: np.ndarray, cbits: int) -> None:
+        bs = chan.size
+        order = 2 if bs > 2 else 0
+        bw.put(0, 1)  # padding bit
+        if order:
+            bw.put(0b100000 | (order - 1), 6)  # LPC, order-1 coded
+        else:
+            bw.put(0b001000, 6)                # FIXED order 0 fallback
+        bw.put(0, 1)  # no wasted bits
+        for w in chan[:order]:
+            bw.put(int(w) & ((1 << cbits) - 1), cbits)
+        if order:
+            bw.put(3, 4)   # coefficient precision - 1 -> 4 bits
+            bw.put(0, 5)   # shift 0 (5-bit signed, non-negative)
+            bw.put(2 & 0xF, 4)    # c0 = 2
+            bw.put(-1 & 0xF, 4)   # c1 = -1
+            res = chan[2:] - 2 * chan[1:-1] + chan[:-2]
+        else:
+            res = chan
+        u = _rice_zigzag(res)
+        mean = int(u.mean()) if u.size else 0
+        param = min(14, max(0, int(mean).bit_length() - 1))
+        bw.put(0b00, 2)
+        bw.put(0, 4)
+        bw.put(param, 4)
+        for val in u:
+            q, r = divmod(int(val), 1 << param)
+            for _ in range(q):
+                bw.put(0, 1)
+            bw.put(1, 1)
+            if param:
+                bw.put(r, param)
+
+    for fi in range(0, n, FLAC_BLOCK):
+        block = samples_lr[fi:fi + FLAC_BLOCK]
+        left, right = block[:, 0], block[:, 1]
+        mid = (left + right) >> 1
+        side = left - right
+        bs = block.shape[0]
+        hdr = _MSBBitWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)
+        hdr.put(0, 1)
+        hdr.put(0b0111, 4)   # blocksize-1 follows as 16 bits
+        hdr.put(0b0000, 4)   # sample rate from STREAMINFO
+        hdr.put(0b1010, 4)   # mid/side stereo
+        hdr.put(0b100, 3)    # 16 bits/sample
+        hdr.put(0, 1)
+        header = hdr.pad_to_byte() + _utf8_frame_number(fi // FLAC_BLOCK)
+        header += struct.pack(">H", bs - 1)
+        header += bytes([_flac_crc8(header)])
+        bw = _MSBBitWriter()
+        put_subframe(bw, mid, 16)
+        put_subframe(bw, side, 17)
+        frame = header + bw.pad_to_byte()
+        frame += struct.pack(">H", _flac_crc16(frame))
+        out += frame
+    return bytes(out)
+
+
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
-    """FLAC decoder (constant/verbatim/fixed subframes, mono or
-    independent channels, Rice partitions incl. the escape code,
+    """FLAC decoder (constant/verbatim/fixed/LPC subframes, mono,
+    independent channels, or decorrelated stereo — left/side,
+    right/side, mid/side — Rice partitions incl. the escape code,
     CRC-8/16 verification). Returns (sample_rate, samples) with
     samples shaped (n,) mono or (n, channels)."""
     if payload[:4] != b"fLaC":
@@ -2001,13 +2112,24 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
             rate = br.bits(16) * 10
         else:
             raise ValueError("invalid sample-rate code")
-        if ch_code >= 8:
-            raise NotImplementedError(
-                "stereo decorrelation (left/right/mid-side) is not implemented")
-        n_channels = ch_code + 1
         bits = si_bits if bits_code == 0 else _FLAC_BITS_TABLE.get(bits_code)
         if bits is None:
             raise ValueError("reserved sample-size code")
+        # RFC 9639 §9.1.3: 1000 left/side, 1001 right/side (side is
+        # channel 0), 1010 mid/side; the SIDE channel carries one
+        # extra bit of sample depth
+        if ch_code < 8:
+            n_channels = ch_code + 1
+            stereo_mode = None
+            ch_bits = [bits] * n_channels
+        elif ch_code == 8:
+            n_channels, stereo_mode, ch_bits = 2, "LS", [bits, bits + 1]
+        elif ch_code == 9:
+            n_channels, stereo_mode, ch_bits = 2, "RS", [bits + 1, bits]
+        elif ch_code == 10:
+            n_channels, stereo_mode, ch_bits = 2, "MS", [bits, bits + 1]
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code}")
         br.align_byte()
         hdr_end = br.pos
         crc8 = br.bits(8)
@@ -2016,38 +2138,22 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
 
         frame_channels = []
         for _ch in range(n_channels):
+            cbits = ch_bits[_ch]
             if br.bits(1):
                 raise ValueError("subframe padding bit set")
             st = br.bits(6)
             if br.bits(1):
                 raise NotImplementedError("wasted bits are not implemented")
             if st == 0:  # CONSTANT
-                val = br.signed(bits)
+                val = br.signed(cbits)
                 frame_channels.append(np.full(bs, val, dtype=np.int64))
             elif st == 1:  # VERBATIM
                 frame_channels.append(
-                    np.array([br.signed(bits) for _ in range(bs)], dtype=np.int64))
+                    np.array([br.signed(cbits) for _ in range(bs)], dtype=np.int64))
             elif 8 <= st <= 12:  # FIXED order st-8
                 order = st - 8
-                warm = [br.signed(bits) for _ in range(order)]
-                method = br.bits(2)
-                if method >= 2:
-                    raise ValueError("reserved residual coding method")
-                pbits = 4 if method == 0 else 5
-                porder = br.bits(4)
-                res: list[int] = []
-                n_parts = 1 << porder
-                for p in range(n_parts):
-                    count = (bs >> porder) - (order if p == 0 else 0)
-                    param = br.bits(pbits)
-                    if param == (1 << pbits) - 1:  # escape: raw n-bit residuals
-                        raw_n = br.bits(5)
-                        res += [br.signed(raw_n) if raw_n else 0 for _ in range(count)]
-                    else:
-                        for _ in range(count):
-                            q = br.unary()
-                            r = br.bits(param) if param else 0
-                            res.append(_rice_unzigzag((q << param) | r))
+                warm = [br.signed(cbits) for _ in range(order)]
+                res = _read_flac_residuals(br, bs, order)
                 s = warm + [0] * len(res)
                 for i in range(len(res)):
                     j = i + order
@@ -2063,8 +2169,24 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
                         s[j] = (res[i] + 4 * s[j - 1] - 6 * s[j - 2]
                                 + 4 * s[j - 3] - s[j - 4])
                 frame_channels.append(np.array(s, dtype=np.int64))
-            elif st >= 32:
-                raise NotImplementedError("LPC subframes are not implemented")
+            elif 32 <= st <= 63:  # LPC, order st-31 (RFC 9639 §9.2.4)
+                order = st - 31
+                warm = [br.signed(cbits) for _ in range(order)]
+                prec = br.bits(4)
+                if prec == 0b1111:
+                    raise ValueError("invalid LPC precision escape")
+                prec += 1
+                shift = br.signed(5)
+                if shift < 0:
+                    raise ValueError("negative LPC shift is invalid")
+                coefs = [br.signed(prec) for _ in range(order)]
+                res = _read_flac_residuals(br, bs, order)
+                s = warm + [0] * len(res)
+                for i in range(len(res)):
+                    j = i + order
+                    pred = sum(coefs[k] * s[j - 1 - k] for k in range(order))
+                    s[j] = res[i] + (pred >> shift)
+                frame_channels.append(np.array(s, dtype=np.int64))
             else:
                 raise ValueError(f"reserved subframe type {st}")
         br.align_byte()
@@ -2074,8 +2196,19 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         if _flac_crc16(payload[frame_start:br.pos]) != crc:
             raise ValueError("frame CRC-16 mismatch")
         pos = br.pos + 2
-        chunk = (frame_channels[0] if n_channels == 1
-                 else np.stack(frame_channels, axis=-1))
+        if stereo_mode is None:
+            chunk = (frame_channels[0] if n_channels == 1
+                     else np.stack(frame_channels, axis=-1))
+        elif stereo_mode == "LS":
+            left, side = frame_channels
+            chunk = np.stack([left, left - side], axis=-1)
+        elif stereo_mode == "RS":
+            side, right = frame_channels
+            chunk = np.stack([side + right, right], axis=-1)
+        else:  # mid/side: l+r = 2*mid + (side & 1), side = l-r — exact
+            mid, side = frame_channels
+            m2 = (mid << 1) | (side & 1)
+            chunk = np.stack([(m2 + side) >> 1, (m2 - side) >> 1], axis=-1)
         chunks.append(chunk)
     samples = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
     if total and len(samples) > total:
@@ -2104,6 +2237,90 @@ def with_flac_payload(docs: DataFrame) -> DataFrame:
             [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
         ),
     )
+
+
+def with_flac_stereo_payload(docs: DataFrame) -> DataFrame:
+    """Attach a STEREO mid/side LPC-coded FLAC payload: the left
+    channel is the doc's synthesized PCM16 waveform (same mapping as
+    :func:`with_wav_payload`), the right channel is the same waveform
+    advanced by one sample (zero-padded tail) — two genuinely
+    different channels, so mid and side both carry signal through the
+    LPC subframes."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
+                left = ((raw.astype(np.int64) - 128 + offs) * 128)
+                right = np.append(left[1:], 0)
+                payloads.append(
+                    encode_flac_stereo(np.stack([left, right], axis=-1))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def flac_stereo_audio_stats(docs: DataFrame) -> DataFrame:
+    """text → stereo mid/side LPC FLAC → :func:`decode_flac` → audio
+    stats over the interleaved (l0, r0, l1, r1, ...) sample stream.
+    FLAC is lossless and right = left shifted by one sample, so every
+    stat is a closed form of the raw text bytes (the SQL oracle):
+    duplicated neighbors add no zero-crossings, and amp_sum is
+    2*sum|l| - |l0|."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_flac(bytes(p))
+                flat = s.ravel().astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(int(flat.size))
+                out["sample_rate"].append(int(rate))
+                out["amp_sum"].append(int(np.abs(flat).sum()))
+                out["peak"].append(int(np.abs(flat).max()) if flat.size else 0)
+                out["zero_crossings"].append(
+                    int(((flat[:-1] * flat[1:]) < 0).sum()) if flat.size > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return with_flac_stereo_payload(docs).mapInPandas(stats, schema=AUDIO_SCHEMA)
+
+
+FLAC_STEREO_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, n_raw,
+             list_transform(generate_series(1, CAST(n_raw AS INTEGER)),
+               i -> ((strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)
+                     - 128 + CASE WHEN (i - 1) % 2 = 0 THEN 64 ELSE -64 END)
+                    * 128) AS sv
+      FROM h
+    )
+    SELECT doc_id,
+           2 * n_raw AS n_samples,
+           CAST({FLAC_RATE} AS BIGINT) AS sample_rate,
+           CAST(2 * coalesce(list_sum(list_transform(sv, v -> abs(v))), 0)
+                - coalesce(abs(sv[1]), 0) AS BIGINT) AS amp_sum,
+           CAST(coalesce(list_max(list_transform(sv, v -> abs(v))), 0) AS BIGINT)
+             AS peak,
+           CAST(coalesce(len(list_filter(generate_series(1, CAST(n_raw AS INTEGER) - 1),
+                i -> sv[i] * sv[i + 1] < 0)), 0) AS BIGINT) AS zero_crossings
+    FROM vals
+"""
 
 
 def flac_audio_stats(docs: DataFrame) -> DataFrame:

@@ -680,6 +680,25 @@ def test_flac_roundtrip_exact(samples):
     assert len(d) == len(s) and (d == s).all()
 
 
+@given(st.lists(st.tuples(st.integers(-32768, 32767),
+                          st.integers(-32768, 32767)), max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_flac_stereo_lpc_roundtrip_exact(pairs):
+    # mid/side decorrelation + LPC subframes must be lossless for any
+    # 16-bit stereo signal (the side channel exercises the 17-bit
+    # depth RFC 9639 assigns it)
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    lr = np.array(pairs, dtype=np.int64).reshape(-1, 2)
+    rate, d = fmm.decode_flac(fmm.encode_flac_stereo(lr))
+    assert rate == fmm.FLAC_RATE
+    if len(pairs) == 0:
+        assert d.size == 0
+    else:
+        assert d.shape == lr.shape and (d == lr).all()
+
+
 @given(st.binary(max_size=300))
 @settings(max_examples=300, deadline=None)
 def test_inflate_fuzz_raises_only_typed_errors(junk):
