@@ -134,18 +134,19 @@ def length_window_emissions_indexed(
     hash compare still verifies the sequence.
 
     Scale shape: the FIFO over unique keys is one global sequential
-    chain (inherent to the semantics — same single-ordered-task
-    caveat as :func:`length_window_emissions`), but the ordered task
-    sees ONLY (key, ts, tiebreak); the (tiebreak, channel,
-    emission_idx) assignment joins back to the full rows in a normal
-    distributed hash join, so payload columns never ride the
-    coalesce(1)."""
+    chain (inherent to the semantics), but its STATE is bounded (the
+    n buffered keys), so the ordered task streams the Arrow batches a
+    JVM external sort feeds it — no in-memory concat, no single-task
+    row ceiling — and it sees ONLY (key, ts, tiebreak); the (tiebreak,
+    channel, emission_idx) assignment joins back to the full rows in a
+    normal distributed hash join, so payload columns never ride the
+    single-partition exchange."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from siddhi_execution_unique_spark.operators.replay import _single_group_replay
+    from siddhi_execution_unique_spark.operators.replay import _sorted_stream_replay
 
     require_column(df, key, "unique.key")
     require_column(df, ts, "ts")
@@ -160,34 +161,42 @@ def length_window_emissions_indexed(
         ]
     )
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        key_arr = pdf[key].to_numpy()
-        tb_arr = pdf[tiebreak].to_numpy()
+    def scan(batches):
         buffer: dict = {}  # insertion-ordered: key -> tiebreak value
-        out_tb: list = []
-        out_ch: list = []
-        for i in range(len(pdf)):
-            k = key_arr[i]
-            if k in buffer:
-                out_tb.append(buffer.pop(k))
-                out_ch.append("expired")  # replaced: expires now
-            elif len(buffer) == n:
-                oldest = next(iter(buffer))
-                out_tb.append(buffer.pop(oldest))
-                out_ch.append("expired")  # FIFO eviction
-            buffer[k] = tb_arr[i]
-            out_tb.append(tb_arr[i])
-            out_ch.append("current")
-        return pd.DataFrame(
-            {
-                tiebreak: out_tb,
-                CHANNEL: pd.Series(out_ch, dtype="object"),
-                "emission_idx": np.arange(len(out_tb), dtype=np.int64),
-            }
-        )
+        idx = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arr = pdf[key].to_numpy()
+            tb_arr = pdf[tiebreak].to_numpy()
+            out_tb: list = []
+            out_ch: list = []
+            for i in range(len(pdf)):
+                k = key_arr[i]
+                if k in buffer:
+                    out_tb.append(buffer.pop(k))
+                    out_ch.append("expired")  # replaced: expires now
+                elif len(buffer) == n:
+                    oldest = next(iter(buffer))
+                    out_tb.append(buffer.pop(oldest))
+                    out_ch.append("expired")  # FIFO eviction
+                buffer[k] = tb_arr[i]
+                out_tb.append(tb_arr[i])
+                out_ch.append("current")
+            if out_tb:
+                yield pd.DataFrame(
+                    {
+                        tiebreak: pd.Series(out_tb),
+                        CHANNEL: pd.Series(out_ch, dtype="object"),
+                        "emission_idx": np.arange(
+                            idx, idx + len(out_tb), dtype=np.int64
+                        ),
+                    }
+                )
+                idx += len(out_tb)
 
-    assignment = _single_group_replay(
-        df.select(key, ts, tiebreak), ts, tiebreak, assign_schema, replay
+    assignment = _sorted_stream_replay(
+        df.select(key, ts, tiebreak), ts, tiebreak, assign_schema, scan
     )
     return df.join(assignment, tiebreak)
 

@@ -186,7 +186,16 @@ def _length_batch_assign(key_arr, ms_arr, n: int, keep: str):
 def _single_group_replay(df: DataFrame, ts: str, tiebreak: str | None, out_schema, fn):
     """Replay the whole stream in global (ts, tiebreak) order through
     one pandas group. coalesce(1) + in-pandas sort keeps it a single
-    narrow exchange instead of a groupBy shuffle on a constant key."""
+    narrow exchange instead of a groupBy shuffle on a constant key.
+
+    HARD ROW CEILING (documented, BASELINE.md): the single pandas task
+    concatenates every Arrow batch and sorts in memory — the frame
+    must fit one executor's Python heap. At 3 narrow columns
+    (key/ts/tiebreak) that is ~24 bytes/row plus pandas overhead, so
+    plan for ~100-200M rows per 8 GB of executor Python memory; the
+    operators whose chain state is bounded (lengthBatch,
+    length-emissions) stream through :func:`_sorted_stream_replay`
+    instead and have NO such ceiling."""
     sort_cols = _sort_cols(ts, tiebreak)
     prepared = df.withColumn(_TS_MS, event_ms(df, ts))
 
@@ -199,6 +208,25 @@ def _single_group_replay(df: DataFrame, ts: str, tiebreak: str | None, out_schem
         yield fn(pdf)
 
     return prepared.coalesce(1).mapInPandas(run, schema=out_schema)
+
+
+def _sorted_stream_replay(df: DataFrame, ts: str, tiebreak: str | None,
+                          out_schema, scan):
+    """Globally ordered replay WITHOUT the in-memory concat ceiling:
+    ``repartition(1)`` keeps the upstream scan/projection parallel,
+    the JVM sorts the single partition (UnsafeExternalSorter — spills
+    to disk at any size), and ``scan`` consumes the Arrow batches in
+    global order carrying its own state across them, yielding output
+    incrementally. Memory is bounded by the operator's chain state
+    (e.g. the N forming keys) plus one Arrow batch — unbounded input
+    streams through."""
+    sort_cols = _sort_cols(ts, tiebreak)
+    prepared = (
+        df.withColumn(_TS_MS, event_ms(df, ts))
+        .repartition(1)
+        .sortWithinPartitions(*sort_cols)
+    )
+    return prepared.mapInPandas(scan, schema=out_schema)
 
 
 def length_batch(
@@ -234,9 +262,10 @@ def length_batch(
         # (key, ts_ms, tiebreak) — the sequential chain needs nothing
         # else — and the batch assignment joins back to the full rows
         # by the unique tiebreak id in a normal distributed hash join.
-        # At window lengths worth worrying about this cuts the
-        # replay's input bytes ~10x (no payload columns ride the
-        # coalesce(1)).
+        # The chain STATE is bounded (the N forming keys), so the scan
+        # streams across Arrow batches with no concat: a JVM external
+        # sort feeds it in global order and memory stays O(N) at any
+        # input size (no single-task row ceiling on this path).
         assign_schema = StructType(
             [
                 StructField(tiebreak, df.schema[tiebreak].dataType),
@@ -245,15 +274,44 @@ def length_batch(
             ]
         )
 
-        def replay_narrow(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows, seqs, fires = assign(pdf[key].to_numpy(), pdf[_TS_MS].to_numpy())
-            out = pdf.iloc[rows][[tiebreak]].copy()
-            out[BATCH_SEQ] = pd.Series(seqs, index=out.index, dtype="int64")
-            out[FIRED_AT] = pd.Series(fires, index=out.index, dtype="int64")
-            return out
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            forming: dict = {}  # key -> retained tiebreak value
+            seq = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                key_arr = pdf[key].to_numpy()
+                ms_arr = pdf[_TS_MS].to_numpy()
+                tb_arr = pdf[tiebreak].to_numpy()
+                out_tb: list = []
+                out_seq: list[int] = []
+                out_fire: list[int] = []
+                for i in range(len(pdf)):
+                    k = key_arr[i]
+                    if k in forming:
+                        if keep == "last":
+                            forming[k] = tb_arr[i]
+                    else:
+                        forming[k] = tb_arr[i]
+                        if len(forming) == n:
+                            fired_at = int(ms_arr[i])
+                            for tb in forming.values():
+                                out_tb.append(tb)
+                                out_seq.append(seq)
+                                out_fire.append(fired_at)
+                            forming.clear()
+                            seq += 1
+                if out_tb:
+                    yield pd.DataFrame(
+                        {
+                            tiebreak: pd.Series(out_tb),
+                            BATCH_SEQ: pd.Series(out_seq, dtype="int64"),
+                            FIRED_AT: pd.Series(out_fire, dtype="int64"),
+                        }
+                    )
 
-        assignment = _single_group_replay(
-            df.select(key, ts, tiebreak), ts, tiebreak, assign_schema, replay_narrow
+        assignment = _sorted_stream_replay(
+            df.select(key, ts, tiebreak), ts, tiebreak, assign_schema, scan
         )
         return df.join(assignment, tiebreak).select(
             *df.columns, BATCH_SEQ, FIRED_AT

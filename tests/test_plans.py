@@ -789,12 +789,17 @@ def test_length_batch_funnel_is_narrow(spark):
     plan = plan_of(
         ops.length_batch(events, "user_id", 50, ts="ts", tiebreak="event_id")
     )
-    # exactly one Coalesce 1 + MapInPandas (the chain), and the
-    # subtree feeding it projects only the narrow columns
-    assert plan.count("Coalesce 1") == 1
-    coalesce_idx = plan.index("Coalesce 1")
-    below = plan[coalesce_idx:]
+    # exactly one single-partition exchange feeding a JVM Sort + the
+    # streaming MapInPandas chain (no concat ceiling), and the subtree
+    # below it projects only the narrow columns
+    assert plan.count("Exchange SinglePartition") == 1
+    funnel_idx = plan.index("Exchange SinglePartition")
+    below = plan[funnel_idx:]
     assert "props" not in below and "value" not in below and "event_type" not in below
+    # the JVM external sort (spillable) orders the chain's input —
+    # the pandas side must not re-sort/concat
+    sort_idx = plan.index("Sort [")
+    assert sort_idx < funnel_idx  # Sort sits directly above the exchange
     # the full rows come back via a distributed equi-join on the
     # tiebreak id, not through the serial stage
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
