@@ -527,6 +527,33 @@ def q_streaming_length_batch_parity(spark, sf_dir):
     return res
 
 
+def q_siddhiql_streaming_agg_parity(spark, sf_dir):
+    """VERDICT r06 item 8 driver certification: the SAME SiddhiQL
+    aggregate-select text (`select event_type, count() as n ... group
+    by ... having`) over a unique:ever window runs against a
+    file-stream replay through the foreachBatch lowering
+    (siddhiql.run_app_streaming_aggregates) and must land on the batch
+    engine's final state — the oracle is the identical SQL the batch
+    siddhiql_group_having entry certifies against."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from events#window.unique:ever(user_id)
+    select event_type, count() as n, max(value) as vmax
+    group by event_type
+    having n > 20
+    insert into agg;
+    """
+    work = tempfile.mkdtemp(prefix="sgraft_sql_agg_parity_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    res = sq.run_app_streaming_aggregates(app, {"events": sdf})["agg"]
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -785,6 +812,7 @@ _R07_WINDOW = [
     "streaming_time_batch_parity",
     "streaming_length_batch_parity",
     "multimodal_decode_flac_stereo",
+    "siddhiql_streaming_agg_parity",
     # the 11 reference operators + host-engine surface, last driver
     # row r04
     "unique_ever",
@@ -827,12 +855,12 @@ _R07_WINDOW = [
     "dedup_clusters",
     "dedup_simhash_near_pairs",
     "dedup_char_ngram_jaccard",
-    "multimodal_resize",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "multimodal_resize",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
@@ -905,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_flac_stereo": lambda s, d: fmm.flac_stereo_audio_stats(
             _docs(s, d)
         ),
+        # -- (0a) new in round 7: foreachBatch aggregate lowering for
+        #    SiddhiQL streaming aggregate selects (VERDICT r06 item 8)
+        "siddhiql_streaming_agg_parity": q_siddhiql_streaming_agg_parity,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -1752,6 +1783,17 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_jpeg": fmm.JPEG_DECODE_STATS_ORACLE,
         "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
+        # the streaming foreachBatch lowering of the same text must
+        # land on the batch engine's final state
+        "siddhiql_streaming_agg_parity": """
+            SELECT event_type, count(*) AS n, max(value) AS vmax
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+            GROUP BY event_type
+            HAVING count(*) > 20
+        """,
         "siddhiql_group_having": """
             SELECT event_type, count(*) AS n, max(value) AS vmax
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -32,6 +32,7 @@ builds, so Catalyst sees identical trees and every plan-shape test in
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -666,6 +667,76 @@ def _streaming_specs():
     }
 
 
+def _build_streaming_res(q: dict, df: DataFrame, ts: str):
+    """Build one windowed-stream clause's Structured Streaming twin
+    (shared by :func:`run_app_streaming` and the foreachBatch
+    aggregate lowering). Returns (possibly-rewritten q, twin
+    DataFrame, drop_staged_key)."""
+    specs = _streaming_specs()
+    drop_staged_key = False
+    if q.get("partition"):
+        p = q["partition"]
+        if p not in df.columns:
+            raise SiddhiQLError(
+                f"partition attribute {p!r} is not in stream "
+                f"{q['stream']!r} ({df.columns})"
+            )
+        if q["window"] in ("ever", "first", "timeBatch", "firstTimeBatch"):
+            # composite key = independent window instance per
+            # partition value (same windows as the batch path)
+            q = {**q, "args": [p] + list(q["args"])}
+        elif q["window"] == "deduplicate":
+            key = q["args"][0]
+            df = df.withColumn(
+                "_pkey",
+                F.concat_ws(
+                    "\x1f", F.col(p).cast("string"), F.col(key).cast("string")
+                ),
+            )
+            q = {**q, "args": ["_pkey"] + list(q["args"][1:])}
+            drop_staged_key = True
+        else:
+            raise SiddhiQLError(
+                f"partitioned streaming unique:{q['window']} is not "
+                "wired; composite keys cover ever/first/timeBatch/"
+                "firstTimeBatch/deduplicate"
+            )
+    window, args = q["window"], list(q["args"])
+    fn, trailing = specs[window]
+    if window == "externalTimeBatch":
+        # (key, timestamp_attr, T [, start.time [, time.out]]): the
+        # twin reads the attribute directly as its event-time column
+        if len(args) < 3 or len(args) > 5:
+            raise SiddhiQLError(
+                "unique:externalTimeBatch needs (key, timestamp, "
+                "window.time [, start.time [, time.out]])"
+            )
+        kw: dict = {"ts": args[1]}
+        if len(args) >= 4:
+            kw["start_time_ms"] = int(args[3])
+        if len(args) == 5:
+            kw["idle_timeout"] = _const(args[4])
+        res = fn(df, args[0], _const(args[2]), **kw)
+    else:
+        consts: list = []
+        while trailing and args and _is_const(args[-1]) and len(consts) < len(trailing):
+            consts.insert(0, _const(args.pop()))
+        if trailing and not consts:
+            raise SiddhiQLError(
+                f"unique:{window} needs ({', '.join(['key'] + trailing)})"
+            )
+        keys = args if len(args) > 1 else (args[0] if args else None)
+        if keys is None:
+            raise SiddhiQLError(
+                f"unique:{window} needs at least a unique key attribute"
+            )
+        kwargs = dict(zip(trailing or [], consts))
+        if window != "first":
+            kwargs["ts"] = ts
+        res = fn(df, keys, **kwargs)
+    return q, res, drop_staged_key
+
+
 def run_app_streaming(
     text: str,
     streams: dict[str, DataFrame],
@@ -679,7 +750,6 @@ def run_app_streaming(
     reference's current/expired protocol on their ``channel`` column,
     so the ``insert expired events into`` channel selects
     ``channel = 'expired'`` rows where the twin provides them."""
-    specs = _streaming_specs()
     out: dict[str, DataFrame] = {}
     for q in parse_app(text):
         if q["kind"] == "join":
@@ -689,67 +759,8 @@ def run_app_streaming(
                 "multi-stage streaming topology — stage through a sink"
             )
         df = _bind_stream(q, streams)
-        drop_staged_key = False
-        if q.get("partition"):
-            p = q["partition"]
-            if p not in df.columns:
-                raise SiddhiQLError(
-                    f"partition attribute {p!r} is not in stream "
-                    f"{q['stream']!r} ({df.columns})"
-                )
-            if q["window"] in ("ever", "first", "timeBatch", "firstTimeBatch"):
-                # composite key = independent window instance per
-                # partition value (same windows as the batch path)
-                q = {**q, "args": [p] + list(q["args"])}
-            elif q["window"] == "deduplicate":
-                key = q["args"][0]
-                df = df.withColumn(
-                    "_pkey",
-                    F.concat_ws(
-                        "\x1f", F.col(p).cast("string"), F.col(key).cast("string")
-                    ),
-                )
-                q = {**q, "args": ["_pkey"] + list(q["args"][1:])}
-                drop_staged_key = True
-            else:
-                raise SiddhiQLError(
-                    f"partitioned streaming unique:{q['window']} is not "
-                    "wired; composite keys cover ever/first/timeBatch/"
-                    "firstTimeBatch/deduplicate"
-                )
-        window, args = q["window"], list(q["args"])
-        fn, trailing = specs[window]
-        if window == "externalTimeBatch":
-            # (key, timestamp_attr, T [, start.time [, time.out]]): the
-            # twin reads the attribute directly as its event-time column
-            if len(args) < 3 or len(args) > 5:
-                raise SiddhiQLError(
-                    "unique:externalTimeBatch needs (key, timestamp, "
-                    "window.time [, start.time [, time.out]])"
-                )
-            kw: dict = {"ts": args[1]}
-            if len(args) >= 4:
-                kw["start_time_ms"] = int(args[3])
-            if len(args) == 5:
-                kw["idle_timeout"] = _const(args[4])
-            res = fn(df, args[0], _const(args[2]), **kw)
-        else:
-            consts: list = []
-            while trailing and args and _is_const(args[-1]) and len(consts) < len(trailing):
-                consts.insert(0, _const(args.pop()))
-            if trailing and not consts:
-                raise SiddhiQLError(
-                    f"unique:{window} needs ({', '.join(['key'] + trailing)})"
-                )
-            keys = args if len(args) > 1 else (args[0] if args else None)
-            if keys is None:
-                raise SiddhiQLError(
-                    f"unique:{window} needs at least a unique key attribute"
-                )
-            kwargs = dict(zip(trailing or [], consts))
-            if window != "first":
-                kwargs["ts"] = ts
-            res = fn(df, keys, **kwargs)
+        q, res, drop_staged_key = _build_streaming_res(q, df, ts)
+        window = q["window"]
         if q["channel"] == "expired":
             if "channel" not in res.columns:
                 raise SiddhiQLError(
@@ -780,8 +791,10 @@ def run_app_streaming(
             # stateful operators in one streaming query — raise the
             # app-creation error instead of a mid-stream planner error
             raise SiddhiQLError(
-                "aggregate select over a STREAMING window is not wired; "
-                "aggregate the sink table, or use the batch run_app"
+                "aggregate select over a STREAMING window cannot run as "
+                "one continuous query (two stateful operators); use "
+                "run_app_streaming_aggregates for the foreachBatch "
+                "lowering, or the batch run_app"
             )
         if drop_staged_key:
             res = res.drop("_pkey")
@@ -790,6 +803,104 @@ def run_app_streaming(
 
 
 _AGG_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(", re.IGNORECASE)
+
+
+# windows whose streaming twin's cumulative output, finalized per key,
+# IS the batch window contents — the precondition for the foreachBatch
+# aggregate lowering. ever re-emits replacements in update mode (the
+# latest epoch's row per key wins); first/deduplicate append exactly
+# the kept rows.
+_AGG_LOWERABLE = frozenset({"ever", "first", "deduplicate"})
+
+
+def run_app_streaming_aggregates(
+    text: str,
+    streams: dict[str, DataFrame],
+    ts: str = "ts",
+    workdir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Execute a SiddhiQL app with AGGREGATE select lists (``select
+    k, count() as c ...``) against STREAMING sources — the same query
+    text Siddhi runs continuously, lowered through ``foreachBatch``:
+    the stateful window twin runs as its own streaming query staging
+    its (micro-batch-tagged) output to parquet, and once the
+    availableNow replay drains, the window contents are finalized
+    per key and the aggregate select runs over them — so the returned
+    BATCH DataFrame equals the batch ``run_app``'s final state for
+    the identical text (pytest-pinned equivalence).
+
+    Wired for the per-key-state windows whose cumulative twin output
+    finalizes to the window contents: ``ever`` (update stream, latest
+    epoch per key wins), ``first`` and ``deduplicate`` (append
+    streams of exactly the kept rows). The tumbling/batch families
+    would need watermark-closed windows and are rejected eagerly."""
+    import shutil
+    import tempfile
+
+    out: dict[str, DataFrame] = {}
+    work = workdir or tempfile.mkdtemp(prefix="sgraft_sql_agg_")
+    made_work = workdir is None
+    try:
+        for qi, q in enumerate(parse_app(text)):
+            if q["kind"] == "join":
+                raise SiddhiQLError(
+                    "window-to-window joins are wired for the batch "
+                    "run_app only"
+                )
+            if q["window"] not in _AGG_LOWERABLE:
+                raise SiddhiQLError(
+                    f"the foreachBatch aggregate lowering covers "
+                    f"{sorted(_AGG_LOWERABLE)}; unique:{q['window']} needs "
+                    "watermark-closed windows — use the batch run_app"
+                )
+            df = _bind_stream(q, streams)
+            spark = df.sparkSession
+            q, res, drop_staged_key = _build_streaming_res(q, df, ts)
+            staging = os.path.join(work, f"staging_{qi}_{q['out']}")
+            ckpt = os.path.join(work, f"ckpt_{qi}_{q['out']}")
+            acc = res.withColumn("_bid", F.lit(None).cast("long"))
+
+            def append(bdf: DataFrame, epoch_id: int, _dir=staging) -> None:
+                bdf.withColumn("_bid", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(_dir)
+
+            writer = (
+                res.writeStream.foreachBatch(append)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+            )
+            if q["window"] == "ever":
+                writer = writer.outputMode("update")
+            sq = writer.start()
+            sq.awaitTermination()
+            if os.path.isdir(staging):
+                acc = spark.read.parquet(staging)
+            else:  # no data arrived: empty frame with the twin schema
+                acc = spark.createDataFrame([], acc.schema)
+            if q["window"] == "ever":
+                # the update stream re-emits a key on every
+                # replacement; the final window contents are the last
+                # epoch's row per key (one row per key within an epoch)
+                keys = [a for a in q["args"] if not _is_const(a)]
+                w = SqlWindow.partitionBy(*keys).orderBy(F.col("_bid").desc())
+                acc = (
+                    acc.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            acc = acc.drop("_bid")
+            if drop_staged_key:
+                acc = acc.drop("_pkey")
+            # materialize before the staging dir is removed
+            final = _apply_select(
+                acc, q["select"], q.get("group_by"), q.get("having")
+            ).localCheckpoint(eager=True)
+            out[q["out"]] = final
+        return out
+    finally:
+        if made_work:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def _apply_select(

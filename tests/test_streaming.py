@@ -104,6 +104,44 @@ def test_first_stream_checkpoint_resume(spark, workdir):
     assert got == {("a", 1), ("b", 2), ("d", 6)}
 
 
+def test_streaming_aggregate_select_matches_batch(spark, workdir):
+    """VERDICT r06 item 8: the same SiddhiQL aggregate-select text
+    runs on both engines — the streaming side through the
+    foreachBatch lowering — and lands on the batch run_app's final
+    state for ever (update stream, group by + having) and
+    deduplicate (append stream)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    rows1 = [(1000, 1, "a", 150.0), (2000, 2, "b", 30.0), (2500, 3, "a", 60.0)]
+    rows2 = [(3000, 4, "a", 90.0), (4000, 5, "c", 10.0), (9000, 6, "b", 70.0)]
+    write_batch(workdir / "in", "001.parquet", rows1)
+    write_batch(workdir / "in", "002.parquet", rows2)
+    app = """
+    from events#window.unique:ever(k)
+    select k, count() as n, max(v) as vmax
+    group by k
+    insert into agg;
+
+    from events#window.unique:deduplicate(k, 2 sec)
+    select k, count() as kept
+    insert into kept_counts;
+    """
+    got = sq.run_app_streaming_aggregates(
+        app, {"events": read_stream(spark, workdir / "in")}
+    )
+    import datetime
+
+    batch_rows = [
+        (datetime.datetime.utcfromtimestamp(t / 1000.0), e, k, v)
+        for (t, e, k, v) in rows1 + rows2
+    ]
+    bdf = spark.createDataFrame(batch_rows, "ts timestamp, event_id long, k string, v double")
+    want = sq.run_app(app, {"events": bdf}, tiebreak="event_id")
+    for name in ("agg", "kept_counts"):
+        assert sorted(map(tuple, got[name].collect())) == \
+            sorted(map(tuple, want[name].collect())), name
+
+
 def test_ever_stream_update_mode(spark, workdir):
     write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
     write_batch(workdir / "in", "002.parquet", [(3000, 3, "a", 3.0)])
