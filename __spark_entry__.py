@@ -554,6 +554,73 @@ def q_siddhiql_streaming_agg_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_time_length_batch_parity(spark, sf_dir):
+    """Driver certification of the ``time_length_batch_stream`` twin's
+    CURRENT channel: the single-group arrival-order fire chain
+    (length fire -> discard-until-boundary, event-driven time fires)
+    over a file-stream replay must land on the batch interval algebra
+    (oracle: _time_length_batch_oracle with the same per-type filter).
+    Filtered to one event_type to bound the single-state-group cost —
+    the semantics under certification are identical."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_tlb_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = stw.time_length_batch_stream(sdf, "user_id", 6 * HOUR, 20, ts="ts")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.filter(F.col("channel") == "current")
+        .select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_external_time_batch_parity(spark, sf_dir):
+    """Driver certification of the ``external_time_batch_stream``
+    twin: event-driven boundary flushes (first-event anchor, flush
+    when an arrival crosses the forming batch's end) over a
+    file-stream replay. The final forming batch never flushes without
+    time.out, exactly the reference's event-driven behavior — the
+    oracle is the batch externalTimeBatch algebra minus the last
+    present batch, on the same per-type filter."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_etb_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = stw.external_time_batch_stream(sdf, "user_id", 2 * HOUR, ts="ts")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.select("event_id", "user_id", "batch_start_ms", "batch_end_ms")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -813,6 +880,8 @@ _R07_WINDOW = [
     "streaming_length_batch_parity",
     "multimodal_decode_flac_stereo",
     "siddhiql_streaming_agg_parity",
+    "streaming_time_length_batch_parity",
+    "streaming_external_time_batch_parity",
     # the 11 reference operators + host-engine surface, last driver
     # row r04
     "unique_ever",
@@ -853,13 +922,13 @@ _R07_WINDOW = [
     "dedup_exact_incremental",
     "dedup_near_pairs_lsh",
     "dedup_clusters",
-    "dedup_simhash_near_pairs",
-    "dedup_char_ngram_jaccard",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "dedup_simhash_near_pairs",
+    "dedup_char_ngram_jaccard",
     "multimodal_resize",
     "text_token_stats",
     "text_quality_score",
@@ -936,6 +1005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0a) new in round 7: foreachBatch aggregate lowering for
         #    SiddhiQL streaming aggregate selects (VERDICT r06 item 8)
         "siddhiql_streaming_agg_parity": q_siddhiql_streaming_agg_parity,
+        # -- (0a) round 7 continuation: two more streaming twins
+        #    driver-certified (timeLengthBatch fire chain,
+        #    externalTimeBatch event-driven flushes) -> 7/26
+        "streaming_time_length_batch_parity": q_streaming_time_length_batch_parity,
+        "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -1289,7 +1363,9 @@ FROM hist
 """
 
 
-def _time_length_batch_oracle(t_ms: int, n: int, start_ms: int | None = None) -> str:
+def _time_length_batch_oracle(
+    t_ms: int, n: int, start_ms: int | None = None, src: str = "events"
+) -> str:
     """DuckDB oracle for unique:timeLengthBatch. Intervals are
     independent (the post-length-fire discard flag clears exactly at
     the next boundary), so no recursion is needed: per interval
@@ -1307,7 +1383,7 @@ WITH ev AS (
          row_number() OVER (ORDER BY ts, event_id) AS pos,
          {anchor} AS anchor,
          max(epoch_ms(ts)) OVER () AS max_ms
-  FROM events
+  FROM {src}
 ),
 iv AS (
   SELECT *, CAST(floor((ms - anchor) / {t_ms}) AS BIGINT) AS k FROM ev
@@ -1626,6 +1702,26 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_parity": _DEDUPLICATE_SQL,
         # streaming twins certified against their batch oracles
         "streaming_ever_parity": _EVER_SQL,
+        "streaming_time_length_batch_parity": _time_length_batch_oracle(
+            6 * HOUR, 20,
+            src="(SELECT * FROM events WHERE event_type = 'purchase')",
+        ),
+        # the twin flushes only on boundary crossings: every present
+        # batch except the last, latest per key within each
+        "streaming_external_time_batch_parity": """
+            WITH src AS (SELECT * FROM events WHERE event_type = 'purchase'),
+            a AS (SELECT min(epoch_ms(ts)) AS anchor FROM src),
+            b AS (SELECT e.*, ((epoch_ms(e.ts) - a.anchor) // 7200000) * 7200000
+                         + a.anchor AS batch_start_ms
+                  FROM src e CROSS JOIN a)
+            SELECT event_id, user_id, batch_start_ms,
+                   batch_start_ms + 7200000 AS batch_end_ms
+            FROM (SELECT *, row_number() OVER (PARTITION BY batch_start_ms, user_id
+                                               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                  FROM b) t
+            WHERE rn = 1
+              AND batch_start_ms < (SELECT max(batch_start_ms) FROM b)
+        """,
         "streaming_length_batch_parity": f"""
             WITH base AS ({_length_batch_oracle(50, "last")}),
             last AS (SELECT max(batch_seq) AS mx FROM base)

@@ -715,12 +715,20 @@ def external_time_batch_stream(
                 out[ts] = pd.to_datetime(out[ts], unit="ms")
             yield out
 
+    # ProcessingTimeTimeout ONLY when time.out is configured: the
+    # timeout mode forces Spark to keep scheduling state-cleanup
+    # micro-batches while any state exists, so an availableNow replay
+    # of the no-time.out variant would never terminate (observed:
+    # endless "No new data but cleaning up state" batches)
+    timeout_mode = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         df.withColumn("_g", F.lit(1))
         .groupBy("_g")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
-        )
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_mode)
     )
 
 
