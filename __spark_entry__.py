@@ -882,6 +882,8 @@ _R07_WINDOW = [
     "siddhiql_streaming_agg_parity",
     "streaming_time_length_batch_parity",
     "streaming_external_time_batch_parity",
+    "multimodal_decode_jpeg_420",
+    "multimodal_decode_png_palette",
     # the 11 reference operators + host-engine surface, last driver
     # row r04
     "unique_ever",
@@ -921,12 +923,12 @@ _R07_WINDOW = [
     "dedup_exact",
     "dedup_exact_incremental",
     "dedup_near_pairs_lsh",
-    "dedup_clusters",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "dedup_clusters",
     "dedup_simhash_near_pairs",
     "dedup_char_ngram_jaccard",
     "multimodal_resize",
@@ -1010,6 +1012,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    externalTimeBatch event-driven flushes) -> 7/26
         "streaming_time_length_batch_parity": q_streaming_time_length_batch_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
+        # -- (0a) round 7 continuation: chroma-subsampled JPEG (2x2
+        #    luma MCUs + upsampling) and indexed-palette PNG decode —
+        #    two more declared codec boundaries removed
+        "multimodal_decode_jpeg_420": lambda s, d: fmm.jpeg420_decode_stats(_docs(s, d)),
+        "multimodal_decode_png_palette": lambda s, d: fmm.png_palette_decode_stats(
+            _docs(s, d)
+        ),
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -1877,7 +1886,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_status_scd2": fana.scd2_intervals_oracle(),
         "multimodal_decode_ppm": fmm.DECODE_STATS_ORACLE,
         "multimodal_decode_jpeg": fmm.JPEG_DECODE_STATS_ORACLE,
+        "multimodal_decode_jpeg_420": fmm.JPEG420_DECODE_STATS_ORACLE,
         "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
+        "multimodal_decode_png_palette": fmm.PNG_PALETTE_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
         # the streaming foreachBatch lowering of the same text must
         # land on the batch engine's final state

@@ -847,6 +847,67 @@ def encode_gray_jpeg(body: bytes, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
     ])
 
 
+def encode_gray_jpeg_420(body: bytes, w_mcus: int = 8) -> bytes:
+    """Synthesize a VALID baseline 4:2:0 JPEG: the luma plane's 8x8
+    blocks are constant with block i's gray level = ``body[i]``
+    (arranged 2x2 per MCU, zero-padded to full MCU rows), chroma
+    planes constant 128 (DC 0 with the all-ones quant table). Every
+    MCU interleaves 4 Y blocks + 1 Cb + 1 Cr (T.81 A.2.3), so the
+    decoder's multi-block-per-MCU walk and nearest-neighbor chroma
+    upsampling are exercised; constant blocks are exactly
+    representable, so decode is bit-exact: RGB = (y, y, y)."""
+    import struct
+
+    per_row = w_mcus * 4
+    n = max(1, -(-len(body) // per_row)) * per_row
+    vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    h_mcus = n // per_row
+    width, height = w_mcus * 16, h_mcus * 16
+    if height > 65535 or width > 65535:
+        raise ValueError(
+            f"synthesized image {width}x{height} exceeds JPEG's 65535-"
+            "pixel dimension limit; split the document or widen w_mcus"
+        )
+
+    dc_codes = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huffman_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    eob_code, eob_len = ac_codes[0x00]
+    zero_dc_code, zero_dc_len = dc_codes[0]
+    pred = 0
+    for m in range(n // 4):
+        for b in range(4):  # the MCU's 2x2 luma blocks
+            v = int(vals[m * 4 + b])
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            s = _dc_category(diff)
+            code, length = dc_codes[s]
+            bw.put(code, length)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            bw.put(eob_code, eob_len)
+        for _chroma in range(2):  # constant-128 Cb, Cr: DC diff 0
+            bw.put(zero_dc_code, zero_dc_len)
+            bw.put(eob_code, eob_len)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x00]) + bytes(64 * [1])),
+        seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])),  # Y 2x2, C 1x1
+        seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)),
+        seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)),
+        seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])),
+        scan,
+        b"\xff\xd9",
+    ])
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
     real marker (RSTn handled by the caller)."""
@@ -994,11 +1055,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
+                h_c, v_c = hv >> 4, hv & 0x0F
+                if h_c not in (1, 2) or v_c not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG is not implemented "
-                        "(4:4:4 / grayscale only)")
-                comps.append((cid, tq))
+                        "only sampling factors 1 and 2 are implemented "
+                        "(covers 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 / gray)")
+                comps.append((cid, h_c, v_c, tq))
             frame = (height, width, comps)
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -1019,67 +1081,84 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next((x for x in comps if x[0] == cs), None)
                 if comp is None:
                     raise ValueError(f"SOS references unknown component {cs}")
-                (cid, tq) = comp
+                (cid, h_c, v_c, tq) = comp
                 dct_t = huff.get((0, tt >> 4))
                 act_t = huff.get((1, tt & 0x0F))
                 if dct_t is None or act_t is None or tq not in qt:
                     raise ValueError("SOS references an undefined table")
-                scan_tables.append((dct_t, act_t, qt[tq]))
+                scan_tables.append((dct_t, act_t, qt[tq], h_c, v_c))
             br = _BitReader(payload, pos + seglen)
-            bw_, bh_ = -(-width // 8), -(-height // 8)
+            max_h = max(h for (_, _, _, h, _) in scan_tables)
+            max_v = max(v for (_, _, _, _, v) in scan_tables)
+            mcus_x = -(-width // (8 * max_h))
+            mcus_y = -(-height // (8 * max_v))
+            n_mcu = mcus_x * mcus_y
             preds = [0] * ns
             mcu = 0
             # entropy decode is inherently sequential (python loop);
-            # dequant + IDCT batch over ALL blocks afterwards in two
-            # einsums — ~2x less per-block numpy dispatch
-            all_zz = np.zeros((bh_ * bw_, ns, 64), dtype=np.int64)
-            for by in range(bh_):
-                for bx in range(bw_):
+            # an MCU interleaves h*v blocks per component (T.81 A.2.3);
+            # dequant + IDCT batch over ALL blocks afterwards per
+            # component — vectorized numpy, no per-block dispatch
+            comp_zz = [
+                np.zeros((n_mcu * h * v, 64), dtype=np.int64)
+                for (_, _, _, h, v) in scan_tables
+            ]
+            for _my in range(mcus_y):
+                for _mx in range(mcus_x):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         br.align()
                         m = payload[br.pos:br.pos + 2]
                         if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
                             br.pos += 2
                         preds = [0] * ns
-                    zz_mcu = all_zz[mcu]
-                    for ci, (dct_, act_, q) in enumerate(scan_tables):
-                        zz = zz_mcu[ci]
-                        s = _decode_symbol(br, dct_)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(br, act_)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
+                    for ci, (dct_, act_, q, h_c, v_c) in enumerate(scan_tables):
+                        for blk in range(h_c * v_c):
+                            zz = comp_zz[ci][mcu * h_c * v_c + blk]
+                            s = _decode_symbol(br, dct_)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_symbol(br, act_)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(br.bits(s), s)
+                                k += 1
                     mcu += 1
-            qmat = np.stack([q for (_, _, q) in scan_tables])  # (ns, 64)
-            coefs = np.zeros((bh_ * bw_, ns, 64), dtype=np.float64)
-            coefs[:, :, _ZIGZAG] = all_zz * qmat[None, :, :]
-            blocks = np.einsum(
-                "ux,mcxy,yv->mcuv", _DCT_A.T, coefs.reshape(-1, ns, 8, 8), _DCT_A
-            )
-            # (bh*bw, ns, 8, 8) -> (ns, bh*8, bw*8)
-            planes = (
-                blocks.reshape(bh_, bw_, ns, 8, 8)
-                .transpose(2, 0, 3, 1, 4)
-                .reshape(ns, bh_ * 8, bw_ * 8)
-            )
-            planes = np.clip(np.round(planes + 128.0), 0, 255)
+            planes = []
+            for ci, (_, _, q, h_c, v_c) in enumerate(scan_tables):
+                coefs = np.zeros((n_mcu * h_c * v_c, 64), dtype=np.float64)
+                coefs[:, _ZIGZAG] = comp_zz[ci] * q[None, :]
+                blocks = np.einsum(
+                    "ux,mxy,yv->muv", _DCT_A.T, coefs.reshape(-1, 8, 8), _DCT_A
+                )
+                # MCU-interleaved block order -> component plane:
+                # block index = ((my*mcus_x + mx)*v + vy)*h + vx
+                plane = (
+                    blocks.reshape(mcus_y, mcus_x, v_c, h_c, 8, 8)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(mcus_y * v_c * 8, mcus_x * h_c * 8)
+                )
+                if h_c < max_h or v_c < max_v:
+                    # nearest-neighbor chroma upsampling
+                    plane = np.repeat(
+                        np.repeat(plane, max_v // v_c, axis=0),
+                        max_h // h_c, axis=1,
+                    )
+                planes.append(plane[:height, :width])
+            planes = np.clip(np.round(np.stack(planes) + 128.0), 0, 255)
             if ns == 1:
-                return planes[0, :height, :width].astype(np.uint8)
+                return planes[0].astype(np.uint8)
             if ns == 3:
-                y, cb, cr = (planes[i, :height, :width] for i in range(3))
+                y, cb, cr = planes
                 r = y + 1.402 * (cr - 128)
                 g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
                 b = y + 1.772 * (cb - 128)
@@ -1157,6 +1236,68 @@ JPEG_DECODE_STATS_ORACLE = f"""
            CAST(coalesce(list_sum(bv), 0) * 64 AS BIGINT) AS pixel_sum,
            CAST((len(list_filter(bv, v -> v % {HIST_BINS} = 0))
                  + (n_blocks - n_raw)) * 64 AS BIGINT) AS zero_bin
+    FROM vals
+"""
+
+
+def jpeg420_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → baseline 4:2:0 JPEG (2x2 luma per MCU + constant
+    chroma) → :func:`decode_jpeg`'s multi-block-per-MCU walk + chroma
+    upsampling → pixel stats over the (h, w, 3) RGB. Constant blocks
+    decode bit-exactly to RGB=(y,y,y), so every stat is the gray
+    algebra × 192 (64 px/block × 3 channels)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [encode_gray_jpeg_420(t.encode("utf-8"))
+                            for t in pdf["text"]],
+            })
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                flat = decode_jpeg(bytes(p)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+JPEG420_DECODE_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n_raw, hx,
+             greatest(1, CAST(ceil(n_raw / 32.0) AS BIGINT)) * 32 AS n_blocks
+      FROM h
+    ),
+    vals AS (
+      SELECT doc_id, n_raw, n_blocks,
+             list_transform(generate_series(1, CAST(n_raw AS INTEGER)),
+               i -> (strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)) AS bv
+      FROM dims
+    )
+    SELECT doc_id,
+           n_blocks * 192 AS n_pixel_bytes,
+           CAST(coalesce(list_sum(bv), 0) * 192 AS BIGINT) AS pixel_sum,
+           CAST((len(list_filter(bv, v -> v % {HIST_BINS} = 0))
+                 + (n_blocks - n_raw)) * 192 AS BIGINT) AS zero_bin
     FROM vals
 """
 
@@ -1436,12 +1577,44 @@ def encode_gray_png(body: bytes, width: int = PNG_W) -> bytes:
     )
 
 
+def encode_palette_png(
+    body: bytes, palette: np.ndarray, width: int = PNG_W
+) -> bytes:
+    """Synthesize a VALID 8-bit indexed-palette PNG: ``body`` bytes
+    are palette indices (reduced modulo the palette size, zero-padded
+    to full rows), ``palette`` is an (n, 3) uint8 RGB table emitted as
+    the PLTE chunk."""
+    import struct
+
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    n = len(palette)
+    idx = np.frombuffer(body.ljust(
+        max(1, -(-len(body) // width)) * width, b"\x00"), dtype=np.uint8) % n
+    h = idx.size // width
+    raw = b"".join(
+        b"\x00" + idx[r * width:(r + 1) * width].tobytes() for r in range(h)
+    )
+    deflated = _deflate_fixed_literals(raw)
+    zstream = (b"\x78\x01" + deflated
+               + _adler32(np.frombuffer(raw, dtype=np.uint8)).to_bytes(4, "big"))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", _crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 3, 0, 0, 0)  # indexed, 8-bit
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette.tobytes())
+            + chunk(b"IDAT", zstream) + chunk(b"IEND", b""))
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Real PNG decoder for 8-bit grayscale/RGB/RGBA, no interlacing:
-    chunk walk with CRC verification, zlib/inflate, and all five
-    scanline filters (None/Sub/Up/Average/Paeth). Returns (h, w) for
-    grayscale or (h, w, channels). Palette, 16-bit, sub-byte depths,
-    and Adam7 interlacing raise the declared NotImplementedError."""
+    """Real PNG decoder for 8-bit grayscale/RGB/RGBA/indexed-palette,
+    no interlacing: chunk walk with CRC verification, zlib/inflate,
+    and all five scanline filters (None/Sub/Up/Average/Paeth).
+    Returns (h, w) for grayscale or (h, w, channels); palette images
+    return the mapped (h, w, 3) RGB. 16-bit, sub-byte depths, tRNS
+    palette transparency, and Adam7 interlacing raise the declared
+    NotImplementedError."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     import struct
@@ -1449,6 +1622,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -1467,7 +1641,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         elif tag == b"PLTE":
-            raise NotImplementedError("palette PNG is not supported")
+            if ln == 0 or ln % 3:
+                raise ValueError("PLTE length must be a positive multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            raise NotImplementedError("palette transparency (tRNS) is not supported")
         pos += 12 + ln
     if ihdr is None:
         raise ValueError("missing IHDR")
@@ -1476,9 +1654,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError("only 8-bit channel depth decodes")
     if interlace:
         raise NotImplementedError("Adam7 interlacing is not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"color type {color} is not supported")
+    if color == 3 and palette is None:
+        raise ValueError("palette color type without a PLTE chunk")
     raw = _zlib_decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (stride + 1):
@@ -1513,6 +1693,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid filter type {ftype}")
         img[r] = rec.astype(np.uint8)
+    if color == 3:
+        # indexed color: map each index through the PLTE triplets
+        if int(img.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[img]  # (h, w, 3)
     if channels == 1:
         return img
     return img.reshape(height, width, channels)
@@ -1556,6 +1741,96 @@ def png_decode_stats(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_png_payload(docs).mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+_PALETTE_N = 64
+
+
+def _fixture_palette() -> np.ndarray:
+    """Deterministic 64-entry RGB palette shared by the Spark builder
+    and the SQL oracle: P[i] = ((53i+7)%256, (97i+11)%256, (193i+23)%256)."""
+    i = np.arange(_PALETTE_N, dtype=np.int64)
+    return np.stack(
+        [(53 * i + 7) % 256, (97 * i + 11) % 256, (193 * i + 23) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def png_palette_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → indexed-palette PNG (PLTE + real deflate) →
+    :func:`decode_png`'s palette mapping → pixel stats over the
+    (h, w, 3) RGB. Indices are the text bytes mod 64 against the
+    deterministic fixture palette, so every channel value is a closed
+    form of the raw bytes (the SQL oracle)."""
+    pal = _fixture_palette()
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [encode_palette_png(t.encode("utf-8"), pal)
+                            for t in pdf["text"]],
+            })
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                flat = decode_png(bytes(p)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+PNG_PALETTE_DECODE_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n_raw, hx,
+             greatest(1, CAST(ceil(n_raw / CAST({PNG_W} AS DOUBLE)) AS BIGINT))
+               * {PNG_W} AS n_pix
+      FROM h
+    ),
+    idx AS (
+      SELECT doc_id, n_raw, n_pix,
+             list_transform(generate_series(1, CAST(n_pix AS INTEGER)),
+               i -> CASE WHEN i <= n_raw THEN
+                      ((strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1))
+                      % {_PALETTE_N}
+                    ELSE 0 END) AS iv
+      FROM dims
+    ),
+    chans AS (
+      SELECT doc_id, n_pix,
+             list_transform(iv, v -> (53 * v + 7) % 256) AS c0,
+             list_transform(iv, v -> (97 * v + 11) % 256) AS c1,
+             list_transform(iv, v -> (193 * v + 23) % 256) AS c2
+      FROM idx
+    )
+    SELECT doc_id,
+           n_pix * 3 AS n_pixel_bytes,
+           CAST(coalesce(list_sum(c0), 0) + coalesce(list_sum(c1), 0)
+                + coalesce(list_sum(c2), 0) AS BIGINT) AS pixel_sum,
+           CAST(len(list_filter(c0, v -> v % {HIST_BINS} = 0))
+                + len(list_filter(c1, v -> v % {HIST_BINS} = 0))
+                + len(list_filter(c2, v -> v % {HIST_BINS} = 0))
+                AS BIGINT) AS zero_bin
+    FROM chans
+"""
 
 
 PNG_DECODE_STATS_ORACLE = f"""
@@ -1848,11 +2123,23 @@ def _utf8_frame_number(n: int) -> bytes:
     raise ValueError("frame number too large for this encoder")
 
 
-def encode_flac(samples: np.ndarray, rate: int = FLAC_RATE) -> bytes:
+def encode_flac(
+    samples: np.ndarray, rate: int = FLAC_RATE, wasted_bits: int = 0
+) -> bytes:
     """Mono 16-bit FLAC with fixed-order-2 predictors and Rice-coded
     residuals (one partition per frame, parameter fitted to the mean
-    residual magnitude)."""
+    residual magnitude). ``wasted_bits=k`` emits the RFC 9639 §9.2.2
+    wasted-bits subframe field (every sample must have k trailing zero
+    bits; the subframe codes the shifted signal at 16-k bits)."""
     import struct
+
+    if wasted_bits:
+        if not (0 < wasted_bits < 16):
+            raise ValueError("wasted_bits must be in 1..15")
+        if (samples.astype(np.int64) & ((1 << wasted_bits) - 1)).any():
+            raise ValueError(
+                f"every sample needs {wasted_bits} trailing zero bits"
+            )
 
     samples = samples.astype(np.int64)
     out = bytearray(b"fLaC")
@@ -1891,9 +2178,18 @@ def encode_flac(samples: np.ndarray, rate: int = FLAC_RATE) -> bytes:
         order = 2 if bs > 2 else 0
         bw.put(0, 1)                      # subframe padding bit
         bw.put(0b001000 | order, 6)       # FIXED, order
-        bw.put(0, 1)                      # no wasted bits
+        if wasted_bits:
+            bw.put(1, 1)                  # wasted-bits flag
+            for _ in range(wasted_bits - 1):
+                bw.put(0, 1)              # unary k-1
+            bw.put(1, 1)
+            block = block >> wasted_bits
+            eff_bits = 16 - wasted_bits
+        else:
+            bw.put(0, 1)                  # no wasted bits
+            eff_bits = 16
         for w in block[:order]:
-            bw.put(int(w) & 0xFFFF, 16)   # warmup, signed 16-bit
+            bw.put(int(w) & ((1 << eff_bits) - 1), eff_bits)  # warmup
         if order == 2:
             res = block[2:] - 2 * block[1:-1] + block[:-2]
         else:
@@ -2142,14 +2438,20 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
             if br.bits(1):
                 raise ValueError("subframe padding bit set")
             st = br.bits(6)
-            if br.bits(1):
-                raise NotImplementedError("wasted bits are not implemented")
+            # wasted-bits flag: k = unary count + 1 trailing zero bits
+            # stripped before coding; decode at cbits-k and shift back
+            # (RFC 9639 §9.2.2)
+            wasted = br.unary() + 1 if br.bits(1) else 0
+            if wasted:
+                if wasted >= cbits:
+                    raise ValueError("wasted bits exceed sample depth")
+                cbits -= wasted
             if st == 0:  # CONSTANT
                 val = br.signed(cbits)
-                frame_channels.append(np.full(bs, val, dtype=np.int64))
+                chan = np.full(bs, val, dtype=np.int64)
             elif st == 1:  # VERBATIM
-                frame_channels.append(
-                    np.array([br.signed(cbits) for _ in range(bs)], dtype=np.int64))
+                chan = np.array(
+                    [br.signed(cbits) for _ in range(bs)], dtype=np.int64)
             elif 8 <= st <= 12:  # FIXED order st-8
                 order = st - 8
                 warm = [br.signed(cbits) for _ in range(order)]
@@ -2168,7 +2470,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
                     else:
                         s[j] = (res[i] + 4 * s[j - 1] - 6 * s[j - 2]
                                 + 4 * s[j - 3] - s[j - 4])
-                frame_channels.append(np.array(s, dtype=np.int64))
+                chan = np.array(s, dtype=np.int64)
             elif 32 <= st <= 63:  # LPC, order st-31 (RFC 9639 §9.2.4)
                 order = st - 31
                 warm = [br.signed(cbits) for _ in range(order)]
@@ -2186,9 +2488,10 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
                     j = i + order
                     pred = sum(coefs[k] * s[j - 1 - k] for k in range(order))
                     s[j] = res[i] + (pred >> shift)
-                frame_channels.append(np.array(s, dtype=np.int64))
+                chan = np.array(s, dtype=np.int64)
             else:
                 raise ValueError(f"reserved subframe type {st}")
+            frame_channels.append(chan << wasted if wasted else chan)
         br.align_byte()
         if br.pos + 2 > len(payload):
             raise ValueError("truncated FLAC frame footer")

@@ -1385,12 +1385,14 @@ def test_jpeg_decode_roundtrip_and_failure_modes(spark):
     progressive = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         fmm.decode_jpeg(progressive)
+    # sampling factors 1 and 2 now decode (4:2:0 etc.); factor 3 is
+    # the declared boundary
     subsampled = bytearray(j)
     sof = j.index(b"\xff\xc0")
-    subsampled[sof + 11] = 0x22  # the component's H/V sampling byte
+    subsampled[sof + 11] = 0x31  # H=3, V=1 sampling
     with pytest.raises(NotImplementedError):
         fmm.decode_jpeg(bytes(subsampled))
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         fmm.decode_jpeg(j[:40])  # truncated before the scan
 
 

@@ -699,6 +699,55 @@ def test_flac_stereo_lpc_roundtrip_exact(pairs):
         assert d.shape == lr.shape and (d == lr).all()
 
 
+@given(st.lists(st.integers(-4000, 4000), max_size=500),
+       st.integers(1, 3))
+@settings(max_examples=100, deadline=None)
+def test_flac_wasted_bits_roundtrip_exact(samples, k):
+    # RFC 9639 §9.2.2: samples with k trailing zero bits code at
+    # 16-k bits behind the wasted-bits field; decode shifts back
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = (np.array(samples, dtype=np.int64) << k)
+    rate, d = fmm.decode_flac(fmm.encode_flac(s, wasted_bits=k))
+    assert len(d) == len(s) and (d == s).all()
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=100, deadline=None)
+def test_png_palette_roundtrip_exact(body):
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    pal = fmm._fixture_palette()
+    img = fmm.decode_png(fmm.encode_palette_png(body, pal))
+    idx = np.frombuffer(
+        body.ljust(max(1, -(-len(body) // fmm.PNG_W)) * fmm.PNG_W, b"\x00"),
+        dtype=np.uint8,
+    ) % len(pal)
+    want = pal[idx].reshape(-1, fmm.PNG_W, 3)
+    assert img.shape == want.shape and (img == want).all()
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_420_roundtrip_exact(body):
+    # the 4:2:0 MCU walk (4 luma + 2 chroma blocks) and nearest
+    # chroma upsampling must reproduce RGB=(y,y,y) bit-exactly for
+    # constant blocks
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    img = fmm.decode_jpeg(fmm.encode_gray_jpeg_420(body))
+    per_row = 8 * 4
+    n = max(1, -(-len(body) // per_row)) * per_row
+    vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    y = (vals.reshape(-1, 8, 2, 2).transpose(0, 2, 1, 3)
+         .repeat(8, axis=1).repeat(8, axis=3).reshape(-1, 128))
+    want = np.stack([y, y, y], axis=-1)
+    assert img.shape == want.shape and (img == want).all()
+
+
 @given(st.binary(max_size=300))
 @settings(max_examples=300, deadline=None)
 def test_inflate_fuzz_raises_only_typed_errors(junk):
