@@ -621,6 +621,110 @@ def q_streaming_external_time_batch_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_kmv_parity(spark, sf_dir):
+    """Driver certification of the ``kmv_stream`` sketch twin: the KMV
+    sketch is mergeable and order-independent, so the streamed
+    fold's final estimate must equal the batch operator's to the last
+    bit (same md5-derived hash, same rounded estimator). Projected to
+    (event_type, kmv_estimate) — the twin reports the sketch size
+    n_k = min(k, distinct), not the exact count."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_kmv_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.kmv_stream(sdf).select("event_type", "kmv_estimate")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgraft_kmv_parity_sink")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table("sgraft_kmv_parity_sink").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_countmin_parity(spark, sf_dir):
+    """Driver certification of the ``countmin_stream`` twin: count-min
+    cells merge by SUM, so the complete-mode final (i, cell, c) table
+    must equal the batch sketch's cells row-for-row (same md5 cell
+    hash on both engines)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_cm_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.countmin_stream(sdf)
+    res = _run_memory_complete(spark, out, "sgraft_cm_parity_sink", work)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_sessionize_parity(spark, sf_dir):
+    """Driver certification of the ``sessionize_stream`` twin: replay
+    the events file, then a far-future watermark SENTINEL event
+    (user_id -1) in a second micro-batch — the advanced watermark
+    fires every open session's EventTimeTimeout, so the closed-session
+    stream (sentinel excluded) must equal the batch sessionize
+    row-for-row, session_seq included."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_sess_stream_")
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(indir, "0_events.parquet"),
+    )
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    schema = batch.schema
+    far = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = (
+        batch.limit(1)
+        .withColumn("event_id", F.lit(-1).cast(schema["event_id"].dataType))
+        .withColumn("user_id", F.lit(-1).cast(schema["user_id"].dataType))
+        .withColumn(
+            "ts",
+            (F.lit(far).cast("timestamp") + F.expr("INTERVAL 365 DAYS"))
+            .cast(schema["ts"].dataType),
+        )
+    )
+    sent_dir = os.path.join(work, "sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    part = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(sent_dir, part), os.path.join(indir, "1_sentinel.parquet"))
+    sdf = stream_table(spark, indir, schema)
+    out = stw.sessionize_stream(sdf, 2 * HOUR, ts="ts")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = (
+        spark.read.parquet(outdir)
+        .filter(F.col("user_id") >= 0)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -884,6 +988,9 @@ _R07_WINDOW = [
     "streaming_external_time_batch_parity",
     "multimodal_decode_jpeg_420",
     "multimodal_decode_png_palette",
+    "streaming_kmv_parity",
+    "streaming_countmin_parity",
+    "streaming_sessionize_parity",
     # the 11 reference operators + host-engine surface, last driver
     # row r04
     "unique_ever",
@@ -920,14 +1027,14 @@ _R07_WINDOW = [
     "sim_pq_rerank",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
-    "dedup_exact",
-    "dedup_exact_incremental",
-    "dedup_near_pairs_lsh",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "dedup_exact",
+    "dedup_exact_incremental",
+    "dedup_near_pairs_lsh",
     "dedup_clusters",
     "dedup_simhash_near_pairs",
     "dedup_char_ngram_jaccard",
@@ -1019,6 +1126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png_palette": lambda s, d: fmm.png_palette_decode_stats(
             _docs(s, d)
         ),
+        # -- (0a) round 7 continuation: sketch/session analytics twins
+        #    driver-certified (mergeable-state parity; watermark
+        #    sentinel closes every session) -> 10/26
+        "streaming_kmv_parity": q_streaming_kmv_parity,
+        "streaming_countmin_parity": q_streaming_countmin_parity,
+        "streaming_sessionize_parity": q_streaming_sessionize_parity,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -1873,6 +1986,20 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": fasof.purchases_with_last_click_oracle(),
         "events_range_join": fasof.clicks_before_purchase_oracle(),
         "sketch_kmv_distinct": fsk.kmv_distinct_oracle(),
+        # sketch twins: mergeable state must land on the batch sketch
+        "streaming_kmv_parity": f"""
+            SELECT event_type, kmv_estimate
+            FROM ({fsk.kmv_distinct_oracle()}) t
+        """,
+        "streaming_countmin_parity": f"""
+            WITH ids AS (SELECT unnest(generate_series(0, {fsk.CM_D - 1})) AS i)
+            SELECT i, {fsk._CM_HASH_DUCK} AS cell, CAST(count(*) AS BIGINT) AS c
+            FROM events CROSS JOIN ids
+            GROUP BY 1, 2
+        """,
+        # the watermark sentinel closes every session, so the twin's
+        # closed-session stream equals the batch operator exactly
+        "streaming_sessionize_parity": fsess.sessionize_oracle(2 * HOUR),
         "events_time_rollup": fsk.time_rollup_oracle(),
         "events_funnel": fana.funnel_oracle(),
         "events_retention_cohorts": fana.retention_cohorts_oracle(),
