@@ -725,6 +725,37 @@ def q_streaming_sessionize_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_time_window_parity(spark, sf_dir):
+    """Driver certification of the dual-channel ``time_window_stream``
+    twin (unique:time): every arrival emits current and the replaced
+    event expires immediately; the retained event expires when the
+    watermark passes its ts + T (EventTimeTimeout). Closed form for
+    the replay: an event expires iff a later same-key event exists, or
+    its ts + T lies strictly below the final watermark
+    (max ts - the 10 s delay)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_tw_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.time_window_stream(sdf, "user_id", DAY, ts="ts")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.select("event_id", "user_id", "channel")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -991,6 +1022,7 @@ _R07_WINDOW = [
     "streaming_kmv_parity",
     "streaming_countmin_parity",
     "streaming_sessionize_parity",
+    "streaming_time_window_parity",
     # the 11 reference operators + host-engine surface, last driver
     # row r04
     "unique_ever",
@@ -1026,12 +1058,12 @@ _R07_WINDOW = [
     "sim_pq_topk",
     "sim_pq_rerank",
     "dedup_embedding_cosine",
-    "sim_cosine_topk",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "sim_cosine_topk",
     "dedup_exact",
     "dedup_exact_incremental",
     "dedup_near_pairs_lsh",
@@ -1132,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_parity": q_streaming_kmv_parity,
         "streaming_countmin_parity": q_streaming_countmin_parity,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
+        "streaming_time_window_parity": q_streaming_time_window_parity,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -2000,6 +2033,20 @@ def oracle_sql() -> dict[str, str]:
         # the watermark sentinel closes every session, so the twin's
         # closed-session stream equals the batch operator exactly
         "streaming_sessionize_parity": fsess.sessionize_oracle(2 * HOUR),
+        # dual-channel unique:time: expired iff replaced by a later
+        # same-key event OR ts+T strictly below the final watermark
+        "streaming_time_window_parity": """
+            SELECT event_id, user_id, 'current' AS channel FROM events
+            UNION ALL
+            SELECT event_id, user_id, 'expired' AS channel
+            FROM (SELECT e.*,
+                         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS nxt,
+                         max(epoch_ms(ts)) OVER () AS mx
+                  FROM events e) t
+            WHERE nxt IS NOT NULL
+               OR epoch_ms(ts) + 86400000 < mx - 10000
+        """,
         "events_time_rollup": fsk.time_rollup_oracle(),
         "events_funnel": fana.funnel_oracle(),
         "events_retention_cohorts": fana.retention_cohorts_oracle(),
