@@ -803,3 +803,54 @@ def test_length_batch_funnel_is_narrow(spark):
     # the full rows come back via a distributed equi-join on the
     # tiebreak id, not through the serial stage
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_partitioned_replay_is_one_keyed_exchange(spark):
+    """`partition with` over the length families must distribute by
+    the partition attribute: exactly one hash exchange on it feeding
+    the per-instance FlatMapGroupsInPandas — no single-partition
+    funnel anywhere in the plan (the partitioned form scales with the
+    number of partition values)."""
+    events = load_table(spark, SF_DIR, "events")
+    for df in (
+        ops.length_batch_partitioned(
+            events, "event_type", "user_id", 40, ts="ts", tiebreak="event_id"
+        ),
+        ops.time_length_batch_partitioned(
+            events, "event_type", "user_id", 21_600_000, 20,
+            ts="ts", tiebreak="event_id",
+        ),
+    ):
+        plan = plan_of(df)
+        assert "FlatMapGroupsInPandas [event_type" in plan
+        assert plan.count("hashpartitioning(event_type") == 1
+        assert "Exchange SinglePartition" not in plan
+        assert "Coalesce 1" not in plan
+
+
+def test_expired_channels_join_on_keys_not_forced_broadcast(spark):
+    """The expired-channel derivations join the tiny fire/batch log
+    back on its key; the STRATEGY is AQE's choice (a forced broadcast
+    of the rows/N fire log would OOM at scale — VERDICT r06), so the
+    test pins the join key and the absence of a cartesian product,
+    not the physical strategy."""
+    events = load_table(spark, SF_DIR, "events")
+    lb = ops.length_batch_expired(
+        ops.length_batch(events, "user_id", 50, ts="ts", tiebreak="event_id")
+    )
+    opt = optimized_of(lb)
+    assert "batch_seq" in opt
+    # the join-back is an equi-join on batch_seq, never a cross join
+    assert "Join Cross" not in opt
+    tlb = ops.time_length_batch_expired(
+        events, "user_id", 21_600_000, 20, ts="ts", tiebreak="event_id"
+    )
+    p = plan_of(tlb)
+    assert "Join" in p and "batch_seq" in p
+    etb = ops.external_time_batch_expired(
+        events, "user_id", "ts", 7_200_000, tiebreak="event_id"
+    )
+    p2 = plan_of(etb)
+    # the present-batch log aggregates to one row per batch, then a
+    # lead(2) window over the tiny set, joined back on batch_start_ms
+    assert "lead(_first_ms" in p2 and "batch_start_ms" in p2
