@@ -1019,6 +1019,7 @@ _R07_WINDOW = [
     "streaming_external_time_batch_parity",
     "multimodal_decode_jpeg_420",
     "multimodal_decode_png_palette",
+    "multimodal_decode_png_adam7",
     "streaming_kmv_parity",
     "streaming_countmin_parity",
     "streaming_sessionize_parity",
@@ -1057,12 +1058,12 @@ _R07_WINDOW = [
     "sim_cell_centroids",
     "sim_pq_topk",
     "sim_pq_rerank",
-    "dedup_embedding_cosine",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "dedup_exact",
     "dedup_exact_incremental",
@@ -1156,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    two more declared codec boundaries removed
         "multimodal_decode_jpeg_420": lambda s, d: fmm.jpeg420_decode_stats(_docs(s, d)),
         "multimodal_decode_png_palette": lambda s, d: fmm.png_palette_decode_stats(
+            _docs(s, d)
+        ),
+        "multimodal_decode_png_adam7": lambda s, d: fmm.png_adam7_decode_stats(
             _docs(s, d)
         ),
         # -- (0a) round 7 continuation: sketch/session analytics twins
@@ -2063,6 +2067,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_jpeg_420": fmm.JPEG420_DECODE_STATS_ORACLE,
         "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
         "multimodal_decode_png_palette": fmm.PNG_PALETTE_DECODE_STATS_ORACLE,
+        # the de-interlaced Adam7 image equals the row-major one, so
+        # the straight gray oracle pins the seven-pass decoder
+        "multimodal_decode_png_adam7": fmm.PNG_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
         # the streaming foreachBatch lowering of the same text must
         # land on the batch engine's final state

@@ -1577,6 +1577,50 @@ def encode_gray_png(body: bytes, width: int = PNG_W) -> bytes:
     )
 
 
+_ADAM7_PASSES = [  # (x0, y0, dx, dy) per PNG §8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over ``height`` lines of
+    ``stride`` bytes each (filters operate on BYTES, with the left
+    neighbor ``bpp`` bytes back regardless of depth — PNG §9.2)."""
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated filtered scanlines")
+    img = np.zeros((height, stride), dtype=np.uint8)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int64)
+        prior = img[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left recursion
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid filter type {ftype}")
+        img[r] = rec.astype(np.uint8)
+    return img
+
+
 def encode_palette_png(
     body: bytes, palette: np.ndarray, width: int = PNG_W
 ) -> bytes:
@@ -1605,6 +1649,63 @@ def encode_palette_png(
     ihdr = struct.pack(">IIBBBBB", width, h, 8, 3, 0, 0, 0)  # indexed, 8-bit
     return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette.tobytes())
             + chunk(b"IDAT", zstream) + chunk(b"IEND", b""))
+
+
+def _png_chunks(tag_payloads) -> bytes:
+    import struct
+
+    out = bytearray(_PNG_SIG)
+    for tag, payload in tag_payloads:
+        out += (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", _crc32(tag + payload)))
+    return bytes(out)
+
+
+def encode_gray16_png(samples: np.ndarray, width: int = PNG_W) -> bytes:
+    """Synthesize a VALID 16-bit grayscale PNG from a uint16 sample
+    array (zero-padded to full rows, filter 0, big-endian samples)."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.uint16).ravel()
+    n = max(1, -(-samples.size // width)) * width
+    px = np.zeros(n, dtype=np.uint16)
+    px[:samples.size] = samples
+    h = n // width
+    be = px.astype(">u2").tobytes()
+    stride = width * 2
+    raw = b"".join(
+        b"\x00" + be[r * stride:(r + 1) * stride] for r in range(h)
+    )
+    deflated = _deflate_fixed_literals(raw)
+    zstream = (b"\x78\x01" + deflated
+               + _adler32(np.frombuffer(raw, dtype=np.uint8)).to_bytes(4, "big"))
+    ihdr = struct.pack(">IIBBBBB", width, h, 16, 0, 0, 0, 0)
+    return _png_chunks([(b"IHDR", ihdr), (b"IDAT", zstream), (b"IEND", b"")])
+
+
+def encode_gray_png_adam7(body: bytes, width: int = PNG_W) -> bytes:
+    """Synthesize a VALID Adam7-interlaced 8-bit grayscale PNG: the
+    de-interlaced image equals :func:`encode_gray_png`'s (body bytes
+    row-major, zero-padded), but the stream carries the seven
+    independently filtered passes."""
+    import struct
+
+    n = max(1, -(-len(body) // width)) * width
+    px = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8).reshape(-1, width)
+    h = px.shape[0]
+    raw = bytearray()
+    for (x0, y0, dx, dy) in _ADAM7_PASSES:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            raw += b"\x00" + sub[r].tobytes()
+    raw = bytes(raw)
+    deflated = _deflate_fixed_literals(raw)
+    zstream = (b"\x78\x01" + deflated
+               + _adler32(np.frombuffer(raw, dtype=np.uint8)).to_bytes(4, "big"))
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 1)  # interlace 1
+    return _png_chunks([(b"IHDR", ihdr), (b"IDAT", zstream), (b"IEND", b"")])
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -1650,54 +1751,56 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError("only 8-bit channel depth decodes")
-    if interlace:
-        raise NotImplementedError("Adam7 interlacing is not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError("only 8/16-bit channel depths decode")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"color type {color} is not supported")
     if color == 3 and palette is None:
         raise ValueError("palette color type without a PLTE chunk")
+    if color == 3 and depth == 16:
+        raise ValueError("palette images cannot be 16-bit")
     raw = _zlib_decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("decompressed size does not match dimensions")
-    img = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels
-    for r in range(height):
-        ftype = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)], dtype=np.uint8
-        ).astype(np.int64)
-        prior = img[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
-        if ftype == 0:
-            rec = line
-        elif ftype == 2:  # Up
-            rec = (line + prior) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left recursion
-            rec = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                up = prior[i]
-                ul = prior[i - bpp] if i >= bpp else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
-                rec[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid filter type {ftype}")
-        img[r] = rec.astype(np.uint8)
+    bps = depth // 8
+    bpp = channels * bps
+    if interlace:
+        # Adam7: seven independently filtered sub-images scattered on
+        # the (x0, y0, dx, dy) grids; empty passes emit nothing
+        img = np.zeros((height, width * bpp), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7_PASSES:
+            w_p = -(-(width - x0) // dx) if width > x0 else 0
+            h_p = -(-(height - y0) // dy) if height > y0 else 0
+            if w_p <= 0 or h_p <= 0:
+                continue
+            stride_p = w_p * bpp
+            need = h_p * (stride_p + 1)
+            sub = _png_unfilter(raw[off:off + need], h_p, stride_p, bpp)
+            off += need
+            rows = y0 + dy * np.arange(h_p)
+            cols = x0 + dx * np.arange(w_p)
+            byte_cols = (cols[:, None] * bpp + np.arange(bpp)).ravel()
+            img[np.ix_(rows, byte_cols)] = sub
+        if off != len(raw):
+            raise ValueError("decompressed size does not match Adam7 passes")
+    else:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("decompressed size does not match dimensions")
+        img = _png_unfilter(raw, height, stride, bpp)
     if color == 3:
         # indexed color: map each index through the PLTE triplets
         if int(img.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
         return palette[img]  # (h, w, 3)
+    if bps == 2:  # 16-bit samples are big-endian byte pairs
+        img = (
+            img.reshape(height, width * channels, 2).astype(np.uint16)
+        )
+        img = (img[:, :, 0] << 8) | img[:, :, 1]
+        return img if channels == 1 else img.reshape(height, width, channels)
     if channels == 1:
         return img
     return img.reshape(height, width, channels)
@@ -1741,6 +1844,41 @@ def png_decode_stats(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_png_payload(docs).mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+def png_adam7_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → Adam7-INTERLACED grayscale PNG → :func:`decode_png`'s
+    seven-pass de-interlacer → pixel stats. The de-interlaced image
+    equals the straight row-major one, so the certified
+    PNG_DECODE_STATS_ORACLE pins this path with the identical
+    byte algebra."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [encode_gray_png_adam7(t.encode("utf-8"))
+                            for t in pdf["text"]],
+            })
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                flat = decode_png(bytes(p)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
 
 
 _PALETTE_N = 64

@@ -729,6 +729,33 @@ def test_png_palette_roundtrip_exact(body):
     assert img.shape == want.shape and (img == want).all()
 
 
+@given(st.binary(max_size=500), st.integers(1, 12))
+@settings(max_examples=80, deadline=None)
+def test_png_adam7_deinterlace_matches_straight(body, width):
+    # the seven-pass de-interlacer must land on the row-major image
+    # for any dimensions, including widths/heights that leave some
+    # passes empty or one pixel wide
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    a = fmm.decode_png(fmm.encode_gray_png_adam7(body, width=width))
+    b = fmm.decode_png(fmm.encode_gray_png(body, width=width))
+    assert a.shape == b.shape and (a == b).all()
+
+
+@given(st.lists(st.integers(0, 65535), max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_png_16bit_roundtrip_exact(samples):
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = np.array(samples, dtype=np.uint16)
+    img = fmm.decode_png(fmm.encode_gray16_png(s))
+    n = max(1, -(-max(s.size, 1) // fmm.PNG_W)) * fmm.PNG_W
+    want = np.zeros(n, np.uint16)
+    want[:s.size] = s
+    assert img.dtype == np.uint16 and (img.ravel() == want).all()
+
+
 @given(st.binary(max_size=400))
 @settings(max_examples=60, deadline=None)
 def test_jpeg_420_roundtrip_exact(body):
