@@ -1020,6 +1020,7 @@ _R07_WINDOW = [
     "multimodal_decode_jpeg_420",
     "multimodal_decode_png_palette",
     "multimodal_decode_png_adam7",
+    "multimodal_decode_jpeg_progressive",
     "streaming_kmv_parity",
     "streaming_countmin_parity",
     "streaming_sessionize_parity",
@@ -1057,12 +1058,12 @@ _R07_WINDOW = [
     "sim_ivf_topk",
     "sim_cell_centroids",
     "sim_pq_topk",
-    "sim_pq_rerank",
 ]
 
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    "sim_pq_rerank",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "dedup_exact",
@@ -1160,6 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "multimodal_decode_png_adam7": lambda s, d: fmm.png_adam7_decode_stats(
+            _docs(s, d)
+        ),
+        "multimodal_decode_jpeg_progressive": lambda s, d: fmm.jpeg_progressive_decode_stats(
             _docs(s, d)
         ),
         # -- (0a) round 7 continuation: sketch/session analytics twins
@@ -2070,6 +2074,9 @@ def oracle_sql() -> dict[str, str]:
         # the de-interlaced Adam7 image equals the row-major one, so
         # the straight gray oracle pins the seven-pass decoder
         "multimodal_decode_png_adam7": fmm.PNG_DECODE_STATS_ORACLE,
+        # the progressive scans reconstruct the same constant-block
+        # image as the baseline fixture
+        "multimodal_decode_jpeg_progressive": fmm.JPEG_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
         # the streaming foreachBatch lowering of the same text must
         # land on the batch engine's final state

@@ -847,6 +847,94 @@ def encode_gray_jpeg(body: bytes, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
     ])
 
 
+def encode_gray_jpeg_progressive(body: bytes, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
+    """Synthesize a VALID PROGRESSIVE (SOF2) grayscale JPEG carrying
+    the same constant-block image as :func:`encode_gray_jpeg`, split
+    into four scans that exercise every progressive decode path with
+    bit-exact reconstruction:
+
+    1. DC first pass with successive approximation Al=4 (diff-coded
+       ``dc >> 4``);
+    2. DC refinement Ah=4 -> Al=3 — the raw bit is bit 3 of
+       ``dc = 8*(v-128)``, i.e. ``(v-128) & 1``, nonzero for odd
+       grays, and bits 2..0 of dc are zero, so the two DC scans
+       reconstruct dc exactly;
+    3. AC first pass over the full band [1, 63] — all ACs are zero,
+       so the scan is pure EOB runs (EOBn + extra bits);
+    4. AC refinement Ah=1 -> Al=0 over the band — zero-history
+       everywhere, again EOB runs (the refinement EOBRUN path).
+    """
+    import struct
+
+    n = max(1, -(-len(body) // w_blocks)) * w_blocks
+    vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    h_blocks = n // w_blocks
+    width, height = w_blocks * 8, h_blocks * 8
+    if height > 65535:
+        raise ValueError(
+            "synthesized image exceeds JPEG's 65535-pixel dimension limit")
+
+    dc_codes = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    # progressive AC scans need the EOBn symbols (0x00..0xE0), which
+    # the baseline AC table does not carry — emit a custom table (id 1)
+    # of the 15 EOBn symbols, all at code length 4
+    eob_bits = [0, 0, 0, 15] + [0] * 12
+    eob_vals = [r << 4 for r in range(15)]
+    ac_codes = _huffman_codes(eob_bits, eob_vals)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int, ta: int, scan: bytes) -> bytes:
+        return seg(0xDA, bytes([1, 1, ta, ss, se, (ah << 4) | al])) + scan
+
+    # scan 1: DC first, Al=4 — diff chain over dc >> 4
+    bw = _BitWriter()
+    pred = 0
+    for v in vals:
+        hi = (8 * (int(v) - 128)) >> 4
+        diff = hi - pred
+        pred = hi
+        s = _dc_category(diff)
+        code, length = dc_codes[s]
+        bw.put(code, length)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scan_dc1 = bw.flush()
+
+    # scan 2: DC refinement Ah=4 Al=3 — one raw bit per block
+    bw = _BitWriter()
+    for v in vals:
+        bw.put(((8 * (int(v) - 128)) >> 3) & 1, 1)
+    scan_dc2 = bw.flush()
+
+    def eob_runs(m: int) -> bytes:
+        w = _BitWriter()
+        while m > 0:
+            r = min(14, m.bit_length() - 1)
+            run = min(m, (1 << (r + 1)) - 1)
+            code, length = ac_codes[r << 4]
+            w.put(code, length)
+            if r:
+                w.put(run - (1 << r), r)
+            m -= run
+        return w.flush()
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x00]) + bytes(64 * [1])),
+        seg(0xC2, struct.pack(">BHHB", 8, height, width, 1)
+            + bytes([1, 0x11, 0])),  # SOF2 progressive
+        seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)),
+        seg(0xC4, bytes([0x11]) + bytes(eob_bits) + bytes(eob_vals)),
+        sos(0, 0, 0, 4, 0x00, scan_dc1),
+        sos(0, 0, 4, 3, 0x00, scan_dc2),
+        sos(1, 63, 0, 0, 0x01, eob_runs(n)),
+        sos(1, 63, 1, 0, 0x01, eob_runs(n)),
+        b"\xff\xd9",
+    ])
+
+
 def encode_gray_jpeg_420(body: bytes, w_mcus: int = 8) -> bytes:
     """Synthesize a VALID baseline 4:2:0 JPEG: the luma plane's 8x8
     blocks are constant with block i's gray level = ``body[i]``
@@ -964,21 +1052,190 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_progressive_scan(
+    payload: bytes,
+    pos: int,
+    seg: bytes,
+    comps: list,
+    huff: dict,
+    prog_coef: list,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 G.2) into the per-component
+    coefficient store and return the payload position after its
+    entropy data. Handles DC first/refinement (interleaved over the
+    scan's components) and AC first/refinement (single component,
+    spectral band [Ss, Se], successive approximation Ah->Al, EOB
+    runs). Sampling is 1x1, so MCU order equals block raster order."""
+    ns = seg[0]
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah_al = seg[3 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 0x0F
+    if ss > se or se > 63:
+        raise ValueError("invalid spectral selection band")
+    scan_comps = []  # (comp_index, dc_table or None, ac_table or None)
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        idx = next((i for i, x in enumerate(comps) if x[0] == cs), None)
+        if idx is None:
+            raise ValueError(f"SOS references unknown component {cs}")
+        dct_t = huff.get((0, tt >> 4))
+        act_t = huff.get((1, tt & 0x0F))
+        scan_comps.append((idx, dct_t, act_t))
+    n_blocks = prog_coef[0].shape[0]
+    br = _BitReader(payload, pos)
+
+    if ss == 0:  # DC scan (se must be 0 per T.81)
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        preds = [0] * ns
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                br.align()
+                m = payload[br.pos:br.pos + 2]
+                if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
+                    br.pos += 2
+                preds = [0] * ns
+            for ci, (idx, dct_t, _) in enumerate(scan_comps):
+                coef = prog_coef[idx][b]
+                if ah == 0:  # first pass: diff-coded (value >> Al)
+                    if dct_t is None:
+                        raise ValueError("DC scan references an undefined table")
+                    s = _decode_symbol(br, dct_t)
+                    diff = _extend(br.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    coef[0] = preds[ci] << al
+                else:  # refinement: one raw bit appends the next bit
+                    if br.bits(1):
+                        coef[0] |= 1 << al
+    else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        idx, _, act_t = scan_comps[0]
+        if act_t is None:
+            raise ValueError("AC scan references an undefined table")
+        store = prog_coef[idx]
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                br.align()
+                m = payload[br.pos:br.pos + 2]
+                if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
+                    br.pos += 2
+                eobrun = 0
+            coef = store[b]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(br, act_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:  # EOBn: run of 2^r + extra blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past the spectral band")
+                    coef[k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (T.81 G.1.2.3 correction bits)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_symbol(br, act_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid refinement magnitude category")
+                            val = p1 if br.bits(1) else m1
+                        while k <= se:
+                            if coef[k] != 0:
+                                if br.bits(1) and (coef[k] & p1) == 0:
+                                    coef[k] += p1 if coef[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # correction bits only
+                        if coef[k] != 0:
+                            if br.bits(1) and (coef[k] & p1) == 0:
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    br.align()
+    return br.pos
+
+
+def _jpeg_reconstruct_1x1(
+    prog_coef: list, quants: list, height: int, width: int
+) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients
+    (1x1 sampling: block raster order) and assemble the image."""
+    bw_, bh_ = -(-width // 8), -(-height // 8)
+    planes = []
+    for coef, q in zip(prog_coef, quants):
+        coefs = np.zeros((coef.shape[0], 64), dtype=np.float64)
+        coefs[:, _ZIGZAG] = coef * q[None, :]
+        blocks = np.einsum(
+            "ux,mxy,yv->muv", _DCT_A.T, coefs.reshape(-1, 8, 8), _DCT_A
+        )
+        plane = (
+            blocks.reshape(bh_, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_ * 8, bw_ * 8)
+        )
+        planes.append(plane[:height, :width])
+    planes = np.clip(np.round(np.stack(planes) + 128.0), 0, 255)
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                       0, 255).astype(np.uint8)
+    raise NotImplementedError("unsupported component count")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decoder (pure numpy): returns an
+    """JPEG decoder (pure numpy): baseline sequential (sampling
+    factors 1-2) and PROGRESSIVE huffman (spectral selection +
+    successive approximation with EOB runs; 1x1 sampling). Returns an
     (h, w) uint8 array for grayscale streams or (h, w, 3) RGB for
-    three-component 4:4:4 streams. Declared NotImplementedError for
-    progressive/arithmetic/12-bit/subsampled variants — real corpora
-    use those too, but this covers every stream
-    :func:`encode_gray_jpeg` emits plus any baseline 4:4:4 file."""
+    three-component streams. Declared NotImplementedError for
+    arithmetic/lossless/12-bit and progressive-with-subsampling."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     import struct
 
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (height, width, comps) ; comps = [(cid, tq)]
+    frame = None  # (height, width, comps) ; comps = [(cid, h, v, tq)]
     restart_interval = 0
+    progressive = False
+    prog_coef: list[np.ndarray] | None = None  # per-comp (n_blocks, 64)
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -991,15 +1248,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and prog_coef is not None:
+                height, width, comps = frame
+                quants = []
+                for (_, _, _, tq) in comps:
+                    if tq not in qt:
+                        raise ValueError("missing quantization table")
+                    quants.append(qt[tq])
+                return _jpeg_reconstruct_1x1(prog_coef, quants, height, width)
             raise ValueError("EOI before SOS scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             # length-less standalone markers: TEM, stray RSTn, repeated
             # SOI — zero payload, keep walking
             continue
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+        if marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                "progressive JPEG decode is not implemented (baseline "
-                "sequential only)")
+                "arithmetic/differential progressive JPEG is not implemented")
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError(
                 "lossless/arithmetic JPEG decode is not implemented")
@@ -1044,7 +1308,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = lut
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -1052,6 +1316,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("truncated SOF component list")
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision decodes")
+            progressive = marker == 0xC2
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -1075,6 +1340,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = seg[0]
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated SOS component list")
+            if progressive:
+                if any(h != 1 or v != 1 for (_, h, v, _) in comps):
+                    raise NotImplementedError(
+                        "progressive JPEG with chroma subsampling is "
+                        "not implemented (1x1 progressive only)")
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated progressive SOS header")
+                if prog_coef is None:
+                    nb = (-(-width // 8)) * (-(-height // 8))
+                    prog_coef = [
+                        np.zeros((nb, 64), dtype=np.int64) for _ in comps
+                    ]
+                pos = _jpeg_progressive_scan(
+                    payload, pos + seglen, seg, comps, huff,
+                    prog_coef, restart_interval,
+                )
+                continue
             scan_tables = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -1238,6 +1520,42 @@ JPEG_DECODE_STATS_ORACLE = f"""
                  + (n_blocks - n_raw)) * 64 AS BIGINT) AS zero_bin
     FROM vals
 """
+
+
+def jpeg_progressive_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → PROGRESSIVE (SOF2) JPEG — DC successive approximation
+    split across two scans plus EOB-run AC scans — →
+    :func:`decode_jpeg`'s multi-scan coefficient accumulation →
+    pixel stats. The reconstructed image equals the baseline gray
+    fixture's, so the certified JPEG_DECODE_STATS_ORACLE pins the
+    progressive path with the identical byte algebra."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [encode_gray_jpeg_progressive(t.encode("utf-8"))
+                            for t in pdf["text"]],
+            })
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                flat = decode_jpeg(bytes(p)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
 
 
 def jpeg420_decode_stats(docs: DataFrame) -> DataFrame:

@@ -1382,9 +1382,19 @@ def test_jpeg_decode_roundtrip_and_failure_modes(spark):
     # declared boundaries fail LOUD with the declared types
     with pytest.raises(ValueError):
         fmm.decode_jpeg(b"\x89PNG\r\n\x1a\n")  # not a JPEG
-    progressive = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # progressive (SOF2) now decodes; a BASELINE stream merely
+    # relabeled SOF2 is malformed (its single scan spans the whole
+    # band with a DC table) and must fail loud as a ValueError
+    with pytest.raises(ValueError):
+        fmm.decode_jpeg(j.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(NotImplementedError):
-        fmm.decode_jpeg(progressive)
+        fmm.decode_jpeg(j.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic
+    # progressive streams with the same constant-block content decode
+    # identically to the baseline form (DC successive approximation +
+    # EOB-run AC scans)
+    prog = fmm.encode_gray_jpeg_progressive(body)
+    import numpy as np
+    assert (fmm.decode_jpeg(prog) == img).all()
     # sampling factors 1 and 2 now decode (4:2:0 etc.); factor 3 is
     # the declared boundary
     subsampled = bytearray(j)
@@ -1524,3 +1534,66 @@ def test_jpeg_color_444_path(spark):
         block = img[:, i * 8:(i + 1) * 8, :]
         # neutral chroma -> R=G=B=Y exactly
         assert (block == y).all(), (y, np.unique(block.reshape(-1, 3), axis=0))
+
+
+def test_jpeg_progressive_nonzero_ac_and_refinement_bits():
+    """Hand-built single-block progressive stream exercising the AC
+    paths the constant-block fixture cannot: a nonzero in-band
+    coefficient run (first pass at Al=1) and the refinement pass's
+    correction bits on nonzero history (T.81 G.1.2.3). Expected image
+    computed with the same IDCT matrix over the known coefficients:
+    DC=16, zigzag[1]=5, zigzag[10]=-3."""
+    import struct
+
+    import numpy as np
+
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    dc_codes = fmm._huffman_codes(fmm._DC_LUM_BITS, fmm._DC_LUM_VALS)
+    ac_bits = [0, 0, 3] + [0] * 13  # three symbols, all code length 3
+    ac_vals = [0x02, 0x81, 0x00]    # (r0,s2), (r8,s1), EOB0
+    ac_codes = fmm._huffman_codes(ac_bits, ac_vals)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # scan 1: DC first, Al=0 — diff 16 (category 5, raw bits 10000)
+    bw = fmm._BitWriter()
+    code, ln = dc_codes[5]
+    bw.put(code, ln)
+    bw.put(16, 5)
+    scan_dc = bw.flush()
+    # scan 2: AC first [1,63] Al=1 — trunc(5/2)=2 at zz1 (r0,s2),
+    # trunc(-3/2)=-1 at zz10 (r8,s1), then EOB
+    bw = fmm._BitWriter()
+    c, ln = ac_codes[0x02]; bw.put(c, ln); bw.put(2, 2)
+    c, ln = ac_codes[0x81]; bw.put(c, ln); bw.put(0, 1)  # -1 -> 0
+    c, ln = ac_codes[0x00]; bw.put(c, ln)
+    scan_ac1 = bw.flush()
+    # scan 3: AC refinement Ah=1 Al=0 — EOB0 then correction bits 1,1
+    bw = fmm._BitWriter()
+    c, ln = ac_codes[0x00]; bw.put(c, ln)
+    bw.put(1, 1)  # zz1: 4 -> 5
+    bw.put(1, 1)  # zz10: -2 -> -3
+    scan_ac2 = bw.flush()
+
+    payload = b"".join([
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x00]) + bytes(64 * [1])),
+        seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])),
+        seg(0xC4, bytes([0x00]) + bytes(fmm._DC_LUM_BITS) + bytes(fmm._DC_LUM_VALS)),
+        seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals)),
+        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + scan_dc,
+        seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x01])) + scan_ac1,
+        seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x10])) + scan_ac2,
+        b"\xff\xd9",
+    ])
+    img = fmm.decode_jpeg(payload)
+
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0], zz[1], zz[10] = 16, 5, -3
+    coefs = np.zeros(64, dtype=np.float64)
+    coefs[fmm._ZIGZAG] = zz
+    block = fmm._DCT_A.T @ coefs.reshape(8, 8) @ fmm._DCT_A
+    want = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+    assert img.shape == (8, 8) and (img == want).all()
