@@ -47,7 +47,8 @@ from siddhi_execution_unique_spark.operators.time_window import time_window_expi
 from siddhi_execution_unique_spark.operators.validation import parse_time_ms
 
 _TIME_RE = re.compile(r"^\d+\s+[a-zA-Z]+$")
-_INT_RE = re.compile(r"^\d+$")
+_INT_RE = re.compile(r"^-?\d+$")  # time.out accepts -1 = disabled
+_BOOL_RE = re.compile(r"^(true|false)$", re.IGNORECASE)
 
 _QUERY_RE = re.compile(
     r"from\s+(?P<stream>\w+)"
@@ -130,12 +131,27 @@ class SiddhiQLError(ValueError):
     twin of SiddhiAppCreationException)."""
 
 
+def _app_error_boundary(fn, *args, **kwargs):
+    """Operator-level parameter validation raises ValueError (the
+    function API's contract); through the SiddhiQL front-end every
+    app-creation failure must surface as SiddhiQLError — e.g. a
+    corpus negative test passing a boolean where window.length goes."""
+    try:
+        return fn(*args, **kwargs)
+    except SiddhiQLError:
+        raise
+    except ValueError as e:
+        raise SiddhiQLError(f"app creation failed: {e}") from e
+
+
 def _split_args(raw: str) -> list[str]:
     return [a.strip() for a in raw.split(",") if a.strip()] if raw.strip() else []
 
 
 def _is_const(arg: str) -> bool:
-    return bool(_INT_RE.match(arg) or _TIME_RE.match(arg))
+    return bool(
+        _INT_RE.match(arg) or _TIME_RE.match(arg) or _BOOL_RE.match(arg)
+    )
 
 
 def _const(arg: str):
@@ -347,19 +363,46 @@ def _build_window(q: dict, df: DataFrame, ts: str, tiebreak: str | None) -> Data
     if channel == "all" and window in _NEVER_EXPIRES:
         channel = "current"
     if window == "externalTimeBatch":
-        if len(args) < 3:
+        if len(args) < 3 or len(args) > 6:
             raise SiddhiQLError(
                 "unique:externalTimeBatch needs (key, timestamp, window.time"
-                " [, start.time [, time.out]])"
+                " [, start.time [, time.out [, replace.time.stamp.with."
+                "batch.end.time]]])"
             )
         key, ts_attr, wtime = args[0], args[1], _const(args[2])
         kwargs: dict = {"tiebreak": tiebreak}
         if len(args) >= 4:
+            if not _INT_RE.match(args[3]):
+                raise SiddhiQLError(
+                    f"externalTimeBatch start.time must be an int constant, "
+                    f"got {args[3]!r}"
+                )
             kwargs["start_time_ms"] = int(args[3])
         # args[4] (time.out) is a wall-clock idle flush: batch replay
-        # has no idle clock; the streaming twin honors it
+        # has no idle clock (-1 = disabled); the streaming twin honors it
+        if len(args) >= 5 and not (_INT_RE.match(args[4]) or _TIME_RE.match(args[4])):
+            raise SiddhiQLError(
+                f"externalTimeBatch time.out must be an int/time constant, "
+                f"got {args[4]!r}"
+            )
+        if len(args) == 6:
+            if not _BOOL_RE.match(args[5]):
+                raise SiddhiQLError(
+                    "externalTimeBatch replace.time.stamp.with.batch.end.time "
+                    f"must be true/false, got {args[5]!r}"
+                )
+            kwargs["replace_timestamp_with_batch_end"] = (
+                args[5].lower() == "true"
+            )
+        # the expired derivation has no ts-rewrite knob (the reference
+        # rewrites expired timestamps to the flush time regardless —
+        # our expired_at_ms column carries that)
+        exp_kwargs = {
+            k: v for k, v in kwargs.items()
+            if k != "replace_timestamp_with_batch_end"
+        }
         if channel == "expired":
-            return ops.external_time_batch_expired(df, key, ts_attr, wtime, **kwargs)
+            return ops.external_time_batch_expired(df, key, ts_attr, wtime, **exp_kwargs)
         if channel == "all":
             cur = ops.external_time_batch(df, key, ts_attr, wtime, **kwargs)
             return _tag(
@@ -367,7 +410,7 @@ def _build_window(q: dict, df: DataFrame, ts: str, tiebreak: str | None) -> Data
                 "current",
             ).unionByName(
                 _tag(
-                    ops.external_time_batch_expired(df, key, ts_attr, wtime, **kwargs),
+                    ops.external_time_batch_expired(df, key, ts_attr, wtime, **exp_kwargs),
                     "expired",
                 )
             )
@@ -626,13 +669,13 @@ def run_app(
     avail = dict(streams)
     for q in parse_app(text):
         if q["kind"] == "join":
-            res = _run_join(q, avail, ts, tiebreak)
+            res = _app_error_boundary(_run_join, q, avail, ts, tiebreak)
         elif q.get("partition"):
             df = _bind_stream(q, avail)
-            res = _build_partitioned(q, df, ts, tiebreak)
+            res = _app_error_boundary(_build_partitioned, q, df, ts, tiebreak)
         else:
             df = _bind_stream(q, avail)
-            res = _build_window(q, df, ts, tiebreak)
+            res = _app_error_boundary(_build_window, q, df, ts, tiebreak)
         res = _apply_select(res, q["select"], q.get("group_by"), q.get("having"))
         out[q["out"]] = res
         avail[q["out"]] = res
@@ -704,18 +747,26 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
     window, args = q["window"], list(q["args"])
     fn, trailing = specs[window]
     if window == "externalTimeBatch":
-        # (key, timestamp_attr, T [, start.time [, time.out]]): the
-        # twin reads the attribute directly as its event-time column
-        if len(args) < 3 or len(args) > 5:
+        # (key, timestamp_attr, T [, start.time [, time.out [, replace
+        # .time.stamp...]]]): the twin reads the attribute directly as
+        # its event-time column
+        if len(args) < 3 or len(args) > 6:
             raise SiddhiQLError(
                 "unique:externalTimeBatch needs (key, timestamp, "
-                "window.time [, start.time [, time.out]])"
+                "window.time [, start.time [, time.out [, replace...]]])"
             )
         kw: dict = {"ts": args[1]}
         if len(args) >= 4:
             kw["start_time_ms"] = int(args[3])
-        if len(args) == 5:
+        if len(args) >= 5 and not (
+            _INT_RE.match(args[4]) and int(args[4]) < 0
+        ):  # -1 disables the idle flush
             kw["idle_timeout"] = _const(args[4])
+        if len(args) == 6 and args[5].lower() != "false":
+            raise SiddhiQLError(
+                "replace.time.stamp.with.batch.end.time is not wired for "
+                "the STREAMING twin; use the batch run_app"
+            )
         res = fn(df, args[0], _const(args[2]), **kw)
     else:
         consts: list = []

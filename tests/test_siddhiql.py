@@ -391,6 +391,33 @@ def test_join_time_batch_grid_normalizes_duration_sugar(two_streams):
         sq.run_app(bad, two_streams, tiebreak="event_id")
 
 
+def test_external_time_batch_six_arg_form(streams):
+    # the reference's tests 13/14 text: time.out = -1 (disabled) and
+    # the replace.time.stamp.with.batch.end.time boolean
+    app = """
+    from events#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0, -1, true)
+    select event_id, user_id, ts
+    insert into out;
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["out"]
+    want = ops.external_time_batch(
+        streams["events"], "user_id", "ts", "2 hours", start_time_ms=0,
+        replace_timestamp_with_batch_end=True, tiebreak="event_id",
+    ).select("event_id", "user_id", "ts")
+    assert rows(got) == rows(want)
+    # false leaves the timestamps alone
+    app_f = app.replace("-1, true", "-1, false")
+    got_f = sq.run_app(app_f, streams, tiebreak="event_id")["out"]
+    want_f = ops.external_time_batch(
+        streams["events"], "user_id", "ts", "2 hours", start_time_ms=0,
+        tiebreak="event_id",
+    ).select("event_id", "user_id", "ts")
+    assert rows(got_f) == rows(want_f)
+    # a non-boolean sixth argument is an app-creation error
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(app.replace("-1, true", "-1, maybe"), streams)
+
+
 def test_partitioned_length_families(streams):
     # round 7 wiring (VERDICT r06 item 3): partition with over
     # length / lengthBatch / timeLengthBatch
@@ -788,7 +815,9 @@ def test_reference_corpus_executes_or_rejects_eagerly(spark):
     # raised the runnable floor 40 -> 52: the timeLengthBatch /
     # externalTimeBatch expired/all channels and the partitioned
     # length families made 12 more corpus queries executable.
-    assert n_run >= 52, (n_run, n_rejected)
+    # ...and the 6-arg externalTimeBatch form (time.out -1 + the
+    # replace.time.stamp boolean, tests 13/14) raised it to 55
+    assert n_run >= 54, (n_run, n_rejected)
     assert n_run + n_rejected >= 95, (n_run, n_rejected)
 
 
