@@ -756,6 +756,241 @@ def q_streaming_time_window_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_first_parity(spark, sf_dir):
+    """Driver certification of the ``first_stream`` twin
+    (unique:first, UniqueFirstWindowProcessor.java:129-132): streaming
+    ``dropDuplicates`` keeps the FIRST ARRIVAL per key, so the replay
+    is written pre-sorted by (ts, event_id) into one file / one map
+    partition — arrival order is then the reference's canonical
+    event-time order and the kept row per key is exactly the batch
+    unique:first row (oracle: _FIRST_SQL)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_first_stream_")
+    indir = os.path.join(work, "in")
+    (
+        _events(spark, sf_dir)
+        .repartition(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(indir)
+    )
+    schema = spark.read.parquet(indir).schema
+    out = stw.first_stream(stream_table(spark, indir, schema), "user_id")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.select(
+            "event_id", F.unix_millis("ts").alias("ts_ms"),
+            "user_id", "event_type", "value", "props",
+        )
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).select(*_EVENT_COLS)
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_ever_dual_parity(spark, sf_dir):
+    """Driver certification of ``ever_stream_dual`` — the reference's
+    exact dual-channel ever emission protocol
+    (UniqueEverWindowProcessor.java:153-166): every arrival emits
+    current, the replaced event expires immediately, and (ever keeps
+    state forever) nothing ever times out. Closed form: expired iff a
+    later same-key event exists."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_everdual_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.ever_stream_dual(sdf, "user_id", ts="ts")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.select("event_id", "user_id", "channel")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_asof_parity(spark, sf_dir):
+    """Driver certification of the ``asof_stream`` twin — continuous
+    point-in-time enrichment with the batch as-of join's inclusive
+    ``<=`` / greatest-(ts, id) tie rule: clicks are the reference
+    stream, purchases emit enriched with the last click at-or-before
+    their event time. The oracle is the SAME SQL the batch
+    ``events_asof_join`` entry certifies against."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_asof_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work).withColumn(
+        "is_ref", F.col("event_type") == F.lit("click")
+    )
+    out = stw.asof_stream(sdf, "user_id", "is_ref", ts="ts", payload="event_id")
+    out = out.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("r_id").alias("click_id"),
+        F.when(F.col("r_id") == -1, F.lit(-1).cast("long"))
+        .otherwise(F.unix_millis("ts") - F.col("r_ts_ms"))
+        .alias("gap_ms"),
+    )
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_range_agg_parity(spark, sf_dir):
+    """Driver certification of ``range_agg_stream`` — the streaming
+    trailing-interval aggregation (stream-stream interval-join
+    semantics with O(window) per-key state): every purchase emits the
+    count and milli-quantized value sum of its user's clicks in the
+    trailing hour. Oracle: the batch ``events_range_join`` SQL."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_range_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work).withColumn(
+        "is_ref", F.col("event_type") == F.lit("click")
+    )
+    out = stw.range_agg_stream(
+        sdf, "user_id", "is_ref", HOUR, ts="ts", value_col="value"
+    )
+    out = out.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("n_in_window").alias("n_clicks_1h"),
+        F.col("win_value_sum").alias("click_value_1h"),
+    )
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_funnel_parity(spark, sf_dir):
+    """Driver certification of ``funnel_stream`` — the Siddhi
+    pattern-query state machine (``every e1 -> e2[within] -> e3``):
+    replayed in one micro-batch the greedy event-time walk lands on
+    exactly the batch operator's minimum-anchored chain (ties at equal
+    ts are excluded by both engines' strict ``>`` step predicate).
+    Oracle: the batch ``events_funnel`` SQL."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_funnel_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.funnel_stream(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgraft_funnel_parity_sink")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table("sgraft_funnel_parity_sink").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_trend_parity(spark, sf_dir):
+    """Driver certification of ``trend_stream`` — the grouped-OLS
+    sufficient statistics kept current through the state store
+    (micro-batches merge by addition, exactly like shards). The
+    anchor ``t0_ms`` is the corpus epoch (a 1-row min aggregate —
+    constant-size driver collect); the complete-mode final table must
+    equal the batch sums bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_trend_stream_")
+    t0_ms = (
+        _events(spark, sf_dir)
+        .agg(F.min(F.unix_millis("ts")))
+        .collect()[0][0]
+    )
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.trend_stream(sdf, int(t0_ms), ts="ts")
+    res = _run_memory_complete(spark, out, "sgraft_trend_parity_sink", work)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_anomaly_parity(spark, sf_dir):
+    """Driver certification of ``anomaly_stream`` — live 3-sigma
+    hourly monitoring with a bounded per-user ring of closed hours.
+    A replayed corpus closes every hour except each user's final one
+    (a stream never sees its own end), so the oracle is the batch
+    ``events_hourly_anomalies`` SQL minus each user's maximum hour."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_anom_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.anomaly_stream(sdf)
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -1003,6 +1238,13 @@ def _emb(spark, sf_dir):
 # re-certify after two rounds outside the window.
 _R07_WINDOW = [
     # new in round 7 (never driver-checked)
+    "streaming_first_parity",
+    "streaming_ever_dual_parity",
+    "streaming_asof_parity",
+    "streaming_range_agg_parity",
+    "streaming_funnel_parity",
+    "streaming_trend_parity",
+    "streaming_anomaly_parity",
     "unique_time_length_batch_expired",
     "unique_external_time_batch_expired",
     "siddhiql_external_time_batch_all",
@@ -1031,8 +1273,6 @@ _R07_WINDOW = [
     "unique_ever_multi",
     "unique_first",
     "unique_ever_expired",
-    "unique_ever_expired_expr",
-    "orders_latest_per_customer",
     "unique_length",
     "unique_time",
     "unique_time_expired",
@@ -1041,8 +1281,6 @@ _R07_WINDOW = [
     "unique_external_time_batch",
     "unique_external_time_batch_end_ts",
     "unique_deduplicate",
-    "ever_count_by_type",
-    "ever_join_customer",
     "first_filtered",
     "window_join",
     "unique_length_emissions",
@@ -1063,6 +1301,12 @@ _R07_WINDOW = [
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
+    # displaced from the r07 window by the 7 new streaming parities
+    # (host-engine variants, all r04-green; first in line for r08)
+    "unique_ever_expired_expr",
+    "orders_latest_per_customer",
+    "ever_count_by_type",
+    "ever_join_customer",
     "sim_pq_rerank",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
@@ -1173,6 +1417,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_countmin_parity": q_streaming_countmin_parity,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "streaming_time_window_parity": q_streaming_time_window_parity,
+        "streaming_first_parity": q_streaming_first_parity,
+        "streaming_ever_dual_parity": q_streaming_ever_dual_parity,
+        "streaming_asof_parity": q_streaming_asof_parity,
+        "streaming_range_agg_parity": q_streaming_range_agg_parity,
+        "streaming_funnel_parity": q_streaming_funnel_parity,
+        "streaming_trend_parity": q_streaming_trend_parity,
+        "streaming_anomaly_parity": q_streaming_anomaly_parity,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -2054,6 +2305,51 @@ def oracle_sql() -> dict[str, str]:
                   FROM events e) t
             WHERE nxt IS NOT NULL
                OR epoch_ms(ts) + 86400000 < mx - 10000
+        """,
+        # first-arrival per key over the (ts, event_id)-sorted replay
+        # == the batch unique:first row
+        "streaming_first_parity": _FIRST_SQL,
+        # dual-channel ever: nothing times out, expired iff replaced
+        "streaming_ever_dual_parity": """
+            SELECT event_id, user_id, 'current' AS channel FROM events
+            UNION ALL
+            SELECT event_id, user_id, 'expired' AS channel
+            FROM (SELECT e.*,
+                         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS nxt
+                  FROM events e) t
+            WHERE nxt IS NOT NULL
+        """,
+        # the streaming as-of/interval twins must land on the SAME SQL
+        # the batch operators certify against
+        "streaming_asof_parity": fasof.purchases_with_last_click_oracle(),
+        "streaming_range_agg_parity": fasof.clicks_before_purchase_oracle(),
+        "streaming_funnel_parity": fana.funnel_oracle(),
+        # the OLS sufficient statistics, anchored at the corpus epoch
+        "streaming_trend_parity": """
+            WITH t0 AS (
+              SELECT min(CAST(epoch_ms(ts) AS BIGINT)) AS t0_ms FROM events
+            ),
+            base AS (
+              SELECT event_type,
+                     (CAST(epoch_ms(ts) AS BIGINT) - t0_ms) // 3600000 AS t,
+                     CAST(floor(value * 1000) AS BIGINT) AS q
+              FROM events CROSS JOIN t0
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(t * q) AS BIGINT) AS stq,
+                   CAST(sum(t * t) AS BIGINT) AS stt
+            FROM base GROUP BY event_type
+        """,
+        # every hour closes except each user's final (never-seen-end)
+        # one: the batch anomalies minus the per-user maximum hour
+        "streaming_anomaly_parity": f"""
+            WITH batch_rows AS ({fana.hourly_anomalies_oracle()})
+            SELECT user_id, hb, metric_q, n_hist, is_anomaly
+            FROM batch_rows
+            QUALIFY hb < max(hb) OVER (PARTITION BY user_id)
         """,
         "events_time_rollup": fsk.time_rollup_oracle(),
         "events_funnel": fana.funnel_oracle(),
