@@ -991,6 +991,79 @@ def q_streaming_anomaly_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_index_ingest_parity(spark, sf_dir):
+    """Driver certification of ``index_ingest_stream`` — stateless
+    edge tokenization: documents replayed as a file-stream emit
+    (doc_id, term, tf) posting rows whose multiset must equal the
+    batch explode of the same tokenizer (``text.SPARK_TOKS``
+    semantics, including the empty token of whitespace-only docs)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_index_stream_")
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(indir, "documents.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = stream_table(spark, indir, schema, ts=None)
+    out = stw.index_ingest_stream(sdf)
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_streaming_pq_encode_parity(spark, sf_dir):
+    """Driver certification of ``pq_encode_stream`` — streaming ANN
+    ingest with the codebook frozen from the batch corpus: embedding
+    rows replayed as a file-stream encode to (vec_id, m, code) rows
+    that must equal the batch PQ encode bit-for-bit (oracle: the
+    shared ``codes`` CTE every PQ oracle builds on)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_pq_stream_")
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(indir, "embeddings.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    sdf = stream_table(spark, indir, schema, ts=None)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    out = stw.pq_encode_stream(sdf, corpus)
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_running_distinct_users(spark, sf_dir):
     # running aggregate over window contents (SURVEY 2b "aggregation"):
     # per event, how many distinct users this event_type has seen so
@@ -1245,6 +1318,8 @@ _R07_WINDOW = [
     "streaming_funnel_parity",
     "streaming_trend_parity",
     "streaming_anomaly_parity",
+    "streaming_index_ingest_parity",
+    "streaming_pq_encode_parity",
     "unique_time_length_batch_expired",
     "unique_external_time_batch_expired",
     "siddhiql_external_time_batch_all",
@@ -1283,9 +1358,7 @@ _R07_WINDOW = [
     "unique_deduplicate",
     "first_filtered",
     "window_join",
-    "unique_length_emissions",
     "unique_time_length_batch",
-    "unique_time_length_batch_start",
     "unique_time_batch_expired",
     # lengthBatch family + two-phase running distinct (r04)
     "unique_length_batch",
@@ -1301,12 +1374,14 @@ _R07_WINDOW = [
 # r04-stale entries that did not fit the 50-entry window: first in
 # line for the r08 rotation.
 _R08_NEXT = [
-    # displaced from the r07 window by the 7 new streaming parities
+    # displaced from the r07 window by the 9 new streaming parities
     # (host-engine variants, all r04-green; first in line for r08)
     "unique_ever_expired_expr",
     "orders_latest_per_customer",
     "ever_count_by_type",
     "ever_join_customer",
+    "unique_length_emissions",
+    "unique_time_length_batch_start",
     "sim_pq_rerank",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
@@ -1424,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_funnel_parity": q_streaming_funnel_parity,
         "streaming_trend_parity": q_streaming_trend_parity,
         "streaming_anomaly_parity": q_streaming_anomaly_parity,
+        "streaming_index_ingest_parity": q_streaming_index_ingest_parity,
+        "streaming_pq_encode_parity": q_streaming_pq_encode_parity,
         # -- (0b) new in round 6: `insert all events into` and the
         #    reference's window-to-window JOIN query text through the
         #    SiddhiQL front-end
@@ -2343,6 +2420,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(t * t) AS BIGINT) AS stt
             FROM base GROUP BY event_type
         """,
+        # stateless edge-ingest twins: the streamed rows must be the
+        # batch transform of the same corpus, bit-for-bit
+        "streaming_index_ingest_parity": f"""
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({ftext.DUCK_TOKS}) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+        """,
+        "streaming_pq_encode_parity": fsim.pq_codes_oracle(),
         # every hour closes except each user's final (never-seen-end)
         # one: the batch anomalies minus the per-user maximum hour
         "streaming_anomaly_parity": f"""

@@ -798,10 +798,14 @@ def pq_rerank_topk(
     )
 
 
-def pq_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
+def _pq_codes_with() -> str:
+    """Shared CTE prefix for every PQ oracle: quantized sub-vectors,
+    codebook distances, and the argmin ``codes`` table — the SQL twin
+    of :func:`pq_codebook` + :func:`pq_encode` (same floor-1e6
+    quantization, same (d, c_idx) tie-break)."""
     sub = _EMB_DIM // PQ_M
     return f"""
-        WITH cent AS (
+        cent AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding
           FROM ({_seed_cte_duck()})
         ),
@@ -830,7 +834,23 @@ def pq_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
                  row_number() OVER (PARTITION BY vec_id, m
                                     ORDER BY d, c_idx) AS rn
           FROM dists QUALIFY rn = 1
-        ),
+        )"""
+
+
+def pq_codes_oracle() -> str:
+    """The corpus PQ code table alone — the oracle for the streaming
+    ingest twin (:func:`streaming.pq_encode_stream`): codes computed
+    at stream time with the frozen codebook must equal the batch
+    encode of the same corpus."""
+    return f"""
+        WITH {_pq_codes_with()}
+        SELECT vec_id, m, code FROM codes
+    """
+
+
+def pq_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
+    return f"""
+        WITH {_pq_codes_with()},
         qtab AS (
           SELECT vec_id AS query_id, m, c_idx, d FROM dists
           WHERE vec_id < {n_queries}
@@ -852,8 +872,6 @@ def pq_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
 def pq_rerank_topk_oracle(
     n_queries: int = 8, k: int = TOP_K, shortlist: int = 4 * TOP_K
 ) -> str:
-    sub = _EMB_DIM // PQ_M
-
     def dot(a, b):
         return _DOT_DUCK.format(a=a, b=b)
 
@@ -863,36 +881,7 @@ def pq_rerank_topk_oracle(
         f" * ({dot('q.embedding', 'q.embedding')}))"
     )
     return f"""
-        WITH cent AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding
-          FROM ({_seed_cte_duck()})
-        ),
-        vsub AS (
-          SELECT vec_id, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
-                 CAST(floor(embedding[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qv
-          FROM (SELECT vec_id, embedding,
-                       unnest(generate_series(1, {_EMB_DIM})) AS i
-                FROM embeddings)
-        ),
-        csub AS (
-          SELECT c_idx, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
-                 CAST(floor(embedding[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cv
-          FROM (SELECT c_idx, embedding,
-                       unnest(generate_series(1, {_EMB_DIM})) AS i
-                FROM cent)
-        ),
-        dists AS (
-          SELECT v.vec_id, v.m, c.c_idx,
-                 sum((v.qv - c.cv) * (v.qv - c.cv)) AS d
-          FROM vsub v JOIN csub c ON v.m = c.m AND v.j = c.j
-          GROUP BY 1, 2, 3
-        ),
-        codes AS (
-          SELECT vec_id, m, c_idx AS code,
-                 row_number() OVER (PARTITION BY vec_id, m
-                                    ORDER BY d, c_idx) AS rn
-          FROM dists QUALIFY rn = 1
-        ),
+        WITH {_pq_codes_with()},
         qtab AS (
           SELECT vec_id AS query_id, m, c_idx, d FROM dists
           WHERE vec_id < {n_queries}
