@@ -991,6 +991,75 @@ def q_streaming_anomaly_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_dedup_watermark_parity(spark, sf_dir):
+    """Driver certification of ``deduplicate_stream`` — the
+    watermark-evicted dedup (Spark's ``dropDuplicatesWithinWatermark``
+    instead of the reference's per-event anchored chain, the
+    documented divergence at streaming/__init__.py:75). The replay
+    pins the ENGINE-DEFINED semantics exactly: two event-time-ordered
+    micro-batches (sequential availableNow runs over a shared
+    checkpoint); batch 1 keeps the first arrival per key; between
+    batches the watermark advances to max(b1 ts) - delay and evicts
+    every state entry with kept_ts + delay <= watermark (boundary
+    evicts — verified empirically); batch 2 then keeps the first
+    arrival of every key not still in state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_wmdedup_stream_")
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+
+    def write_half(pred, name):
+        half_dir = os.path.join(work, name)
+        (
+            ranked.filter(pred).drop("rn")
+            .repartition(1).sortWithinPartitions("ts", "event_id")
+            .write.parquet(half_dir)
+        )
+        import glob
+
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(indir, f"{name}.parquet"))
+
+    write_half(F.col("rn") <= n // 2, "001")
+    schema = spark.read.parquet(indir).schema
+    outdir = os.path.join(work, "out")
+
+    def run_once():
+        out = stw.deduplicate_stream(
+            stream_table(spark, indir, schema), "user_id", HOUR, ts="ts"
+        )
+        q = (
+            out.select(
+                "event_id", F.unix_millis("ts").alias("ts_ms"), "user_id"
+            )
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    write_half(F.col("rn") > n // 2, "002")
+    run_once()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_index_ingest_parity(spark, sf_dir):
     """Driver certification of ``index_ingest_stream`` — stateless
     edge tokenization: documents replayed as a file-stream emit
@@ -1318,6 +1387,7 @@ _R07_WINDOW = [
     "streaming_funnel_parity",
     "streaming_trend_parity",
     "streaming_anomaly_parity",
+    "streaming_dedup_watermark_parity",
     "streaming_index_ingest_parity",
     "streaming_pq_encode_parity",
     "unique_time_length_batch_expired",
@@ -1357,7 +1427,6 @@ _R07_WINDOW = [
     "unique_external_time_batch_end_ts",
     "unique_deduplicate",
     "first_filtered",
-    "window_join",
     "unique_time_length_batch",
     "unique_time_batch_expired",
     # lengthBatch family + two-phase running distinct (r04)
@@ -1382,6 +1451,7 @@ _R08_NEXT = [
     "ever_join_customer",
     "unique_length_emissions",
     "unique_time_length_batch_start",
+    "window_join",
     "sim_pq_rerank",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
@@ -1499,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_funnel_parity": q_streaming_funnel_parity,
         "streaming_trend_parity": q_streaming_trend_parity,
         "streaming_anomaly_parity": q_streaming_anomaly_parity,
+        "streaming_dedup_watermark_parity": q_streaming_dedup_watermark_parity,
         "streaming_index_ingest_parity": q_streaming_index_ingest_parity,
         "streaming_pq_encode_parity": q_streaming_pq_encode_parity,
         # -- (0b) new in round 6: `insert all events into` and the
@@ -2419,6 +2490,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(t * q) AS BIGINT) AS stq,
                    CAST(sum(t * t) AS BIGINT) AS stt
             FROM base GROUP BY event_type
+        """,
+        # watermark-evicted dedup: first per key in batch 1; after the
+        # boundary, keys with kept_ts + delay <= max(b1) - delay are
+        # evicted and re-admitted at their first batch-2 arrival
+        "streaming_dedup_watermark_parity": """
+            WITH ranked AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                     row_number() OVER (ORDER BY ts, event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ),
+            b1 AS (SELECT * FROM ranked WHERE rn <= n // 2),
+            b2 AS (SELECT * FROM ranked WHERE rn > n // 2),
+            b1_kept AS (
+              SELECT event_id, user_id, ts_ms
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts_ms, event_id) AS krn
+                    FROM b1) t
+              WHERE krn = 1
+            ),
+            wm AS (SELECT max(ts_ms) - 3600000 AS wm1 FROM b1),
+            surviving AS (
+              SELECT user_id FROM b1_kept CROSS JOIN wm
+              WHERE ts_ms + 3600000 > wm1
+            ),
+            b2_kept AS (
+              SELECT event_id, user_id, ts_ms
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts_ms, event_id) AS krn
+                    FROM b2) t
+              WHERE krn = 1
+                AND user_id NOT IN (SELECT user_id FROM surviving)
+            )
+            SELECT * FROM b1_kept UNION ALL SELECT * FROM b2_kept
         """,
         # stateless edge-ingest twins: the streamed rows must be the
         # batch transform of the same corpus, bit-for-bit
