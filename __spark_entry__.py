@@ -1060,6 +1060,43 @@ def q_streaming_dedup_watermark_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_curation_parity(spark, sf_dir):
+    """Driver certification of ``curation_stream`` — the incremental
+    corpus-curation manifest (row-local scoring + first-wins
+    fingerprint state): documents replayed in doc_id order make
+    first-wins equal the batch min-doc_id representative, so the
+    streamed manifest must equal the batch ``corpus_curation`` SQL
+    row-for-row."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark.functions import pipeline as fpipe
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_curation_stream_")
+    indir = os.path.join(work, "in")
+    (
+        load_table(spark, sf_dir, "documents")
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.parquet(indir)
+    )
+    schema = spark.read.parquet(indir).schema
+    sdf = stream_table(spark, indir, schema, ts=None)
+    out = fpipe.curation_stream(sdf)
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_index_ingest_parity(spark, sf_dir):
     """Driver certification of ``index_ingest_stream`` — stateless
     edge tokenization: documents replayed as a file-stream emit
@@ -1388,6 +1425,7 @@ _R07_WINDOW = [
     "streaming_trend_parity",
     "streaming_anomaly_parity",
     "streaming_dedup_watermark_parity",
+    "streaming_curation_parity",
     "streaming_index_ingest_parity",
     "streaming_pq_encode_parity",
     "unique_time_length_batch_expired",
@@ -1428,7 +1466,6 @@ _R07_WINDOW = [
     "unique_deduplicate",
     "first_filtered",
     "unique_time_length_batch",
-    "unique_time_batch_expired",
     # lengthBatch family + two-phase running distinct (r04)
     "unique_length_batch",
     "unique_first_length_batch",
@@ -1451,6 +1488,7 @@ _R08_NEXT = [
     "ever_join_customer",
     "unique_length_emissions",
     "unique_time_length_batch_start",
+    "unique_time_batch_expired",
     "window_join",
     "sim_pq_rerank",
     "dedup_embedding_cosine",
@@ -1570,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trend_parity": q_streaming_trend_parity,
         "streaming_anomaly_parity": q_streaming_anomaly_parity,
         "streaming_dedup_watermark_parity": q_streaming_dedup_watermark_parity,
+        "streaming_curation_parity": q_streaming_curation_parity,
         "streaming_index_ingest_parity": q_streaming_index_ingest_parity,
         "streaming_pq_encode_parity": q_streaming_pq_encode_parity,
         # -- (0b) new in round 6: `insert all events into` and the
@@ -2534,6 +2573,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, term
         """,
         "streaming_pq_encode_parity": fsim.pq_codes_oracle(),
+        # doc_id-ordered replay makes first-wins = the batch min-doc_id
+        # representative, so the batch manifest SQL is the oracle
+        "streaming_curation_parity": fpipe.corpus_curation_oracle(),
         # every hour closes except each user's final (never-seen-end)
         # one: the batch anomalies minus the per-user maximum hour
         "streaming_anomaly_parity": f"""
