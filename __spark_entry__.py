@@ -1097,6 +1097,43 @@ def q_streaming_curation_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_lsh_ingest_parity(spark, sf_dir):
+    """Driver certification of ``lsh_ingest_stream`` — incremental
+    MinHash/LSH near-dup detection at ingest: one state long per
+    occupied band bucket instead of the batch self-join. Replayed as
+    one micro-batch the bucket rep is the minimum doc_id, so the
+    oracle is the signature algebra + a preceding-window min over each
+    bucket."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="sgraft_lsh_stream_")
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(indir, "documents.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = stream_table(spark, indir, schema, ts=None)
+    out = stw.lsh_ingest_stream(sdf)
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_index_ingest_parity(spark, sf_dir):
     """Driver certification of ``index_ingest_stream`` — stateless
     edge tokenization: documents replayed as a file-stream emit
@@ -1426,6 +1463,7 @@ _R07_WINDOW = [
     "streaming_anomaly_parity",
     "streaming_dedup_watermark_parity",
     "streaming_curation_parity",
+    "streaming_lsh_ingest_parity",
     "streaming_index_ingest_parity",
     "streaming_pq_encode_parity",
     "unique_time_length_batch_expired",
@@ -1458,7 +1496,6 @@ _R07_WINDOW = [
     "unique_ever_expired",
     "unique_length",
     "unique_time",
-    "unique_time_expired",
     "unique_time_batch",
     "unique_first_time_batch",
     "unique_external_time_batch",
@@ -1489,6 +1526,7 @@ _R08_NEXT = [
     "unique_length_emissions",
     "unique_time_length_batch_start",
     "unique_time_batch_expired",
+    "unique_time_expired",
     "window_join",
     "sim_pq_rerank",
     "dedup_embedding_cosine",
@@ -1609,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_anomaly_parity": q_streaming_anomaly_parity,
         "streaming_dedup_watermark_parity": q_streaming_dedup_watermark_parity,
         "streaming_curation_parity": q_streaming_curation_parity,
+        "streaming_lsh_ingest_parity": q_streaming_lsh_ingest_parity,
         "streaming_index_ingest_parity": q_streaming_index_ingest_parity,
         "streaming_pq_encode_parity": q_streaming_pq_encode_parity,
         # -- (0b) new in round 6: `insert all events into` and the
@@ -2576,6 +2615,8 @@ def oracle_sql() -> dict[str, str]:
         # doc_id-ordered replay makes first-wins = the batch min-doc_id
         # representative, so the batch manifest SQL is the oracle
         "streaming_curation_parity": fpipe.corpus_curation_oracle(),
+        # incremental LSH ingest: candidates vs the bucket-minimum rep
+        "streaming_lsh_ingest_parity": fdedup.lsh_ingest_oracle(),
         # every hour closes except each user's final (never-seen-end)
         # one: the batch anomalies minus the per-user maximum hour
         "streaming_anomaly_parity": f"""

@@ -134,6 +134,38 @@ def minhash_signatures_oracle() -> str:
     """
 
 
+def lsh_ingest_oracle() -> str:
+    """Closed form for the one-batch replay of
+    :func:`streaming.lsh_ingest_stream`: every (doc, band) whose
+    bucket holds a lower doc_id emits a candidate against the bucket
+    minimum (the stream's first-wins rep under doc_id-ordered
+    processing)."""
+    band_list = ", ".join(
+        "concat_ws(':', '%d', %s)"
+        % (
+            b,
+            ", ".join(
+                f"mh_{b * ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+        WITH sig AS ({minhash_signatures_oracle()}),
+        bands AS (
+          SELECT doc_id, unnest([{band_list}]) AS band_key FROM sig
+        )
+        SELECT doc_id, band_key, rep_id FROM (
+          SELECT doc_id, band_key,
+                 min(doc_id) OVER (PARTITION BY band_key ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS rep_id
+          FROM bands) t
+        WHERE rep_id IS NOT NULL
+    """
+
+
 def _band_keys(sig: DataFrame) -> DataFrame:
     """Explode a signature frame into (band_key, doc_id) rows — the
     LSH bucketing shuffle key."""

@@ -1131,6 +1131,115 @@ def index_ingest_stream(docs_stream: DataFrame) -> DataFrame:
     return docs_stream.select("doc_id", "text").mapInPandas(encode, out_schema)
 
 
+_LSH_STATE = StructType([StructField("rep", LongType())])
+
+
+def lsh_ingest_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming near-dup candidate detection AT INGEST — the
+    incremental form of the MinHash/LSH batch pipeline
+    (functions.dedup: shingle → 12-perm signature → 4 banded buckets):
+    each arriving document computes its signature row-locally (Arrow
+    batch, same hash algebra as the batch side — shared ``P``/
+    ``SEEDS``/``BANDS`` constants, md5-based shingle hash), explodes
+    to its 4 band keys, and a state store keyed by band bucket holds
+    the first document seen per bucket. Later arrivals emit
+    ``(doc_id, band_key, rep_id)`` candidate rows immediately — the
+    stream analog of the batch bucket self-join, with the self-join
+    replaced by one tiny long per bucket of state.
+
+    Within a micro-batch, documents are processed in ``doc_id`` order,
+    so the bucket representative is the minimum doc_id seen so far;
+    replayed as one batch this equals the batch rule "rep = min doc_id
+    sharing the bucket". Across arbitrary batch interleavings the rep
+    is first-wins — the same order dependence as ``unique:first``
+    (UniqueFirstWindowProcessor.java:129-132 applied to the bucket
+    key). State is ONE long per occupied bucket: bounded by distinct
+    bucket count, not candidate-pair count — a 100 TB ingest never
+    materializes the pair explosion."""
+    import hashlib
+    import re
+
+    from siddhi_execution_unique_spark.functions.dedup import (
+        BANDS,
+        MIN_TOKENS,
+        P,
+        ROWS_PER_BAND,
+        SEEDS,
+    )
+
+    require_column(docs_stream, "doc_id", "lsh doc id")
+    require_column(docs_stream, "text", "lsh text")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"doc_id": [], "band_key": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = re.split(r"\s+", str(text).strip().lower())
+                if len(toks) < MIN_TOKENS:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                hs = [
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % P
+                    for s in shingles
+                ]
+                mh = [min((a * h + b) % P for h in hs) for a, b in SEEDS]
+                for band in range(BANDS):
+                    key = ":".join(
+                        [str(band)]
+                        + [
+                            str(mh[band * ROWS_PER_BAND + r])
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                    out["doc_id"].append(int(doc_id))
+                    out["band_key"].append(key)
+            yield pd.DataFrame(out)
+
+    bands = docs_stream.select("doc_id", "text").mapInPandas(
+        sig, "doc_id long, band_key string"
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("band_key", StringType()),
+            StructField("rep_id", LongType()),
+        ]
+    )
+
+    def fn(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (rep,) = state.get if state.exists else (None,)
+        out_ids, out_reps = [], []
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                if rep is None:
+                    rep = d
+                elif d != rep:
+                    out_ids.append(d)
+                    out_reps.append(rep)
+        if rep is not None:
+            state.update((int(rep),))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "band_key": key_tuple[0],
+                    "rep_id": out_reps,
+                }
+            )
+
+    return bands.groupBy("band_key").applyInPandasWithState(
+        fn, out_schema, _LSH_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def pq_encode_stream(stream_df: DataFrame, codebook_corpus: DataFrame) -> DataFrame:
     """Streaming PQ ingest: encode arriving embedding rows into
     (vec_id, m, code) with the codebook frozen from the batch corpus —

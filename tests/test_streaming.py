@@ -476,6 +476,98 @@ def test_rate_events_schema(spark):
         "event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
+def test_lsh_ingest_stream_first_wins_across_batches(spark, workdir):
+    """Bucket reps persist across micro-batches (first-wins, like
+    unique:first applied to the band key) and every later same-bucket
+    arrival emits a candidate against the ORIGINAL rep — including a
+    batch-2 doc with a smaller id than the rep."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    def write_docs(name, rows):
+        table = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        pq_.write_table(table, str(workdir / "in" / name))
+
+    same = "alpha beta gamma delta"       # 2 shingles, 4 shared buckets
+    write_docs("001.parquet", [(4, same), (9, same), (7, "one two three four")])
+    schema = spark.read.parquet(str(workdir / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(workdir / "in"))
+    )
+    out = stw.lsh_ingest_stream(stream)
+    outdir = workdir / "out"
+
+    def run_once():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r["doc_id"], r["rep_id"])
+            for r in spark.read.parquet(str(outdir)).collect()}
+    # batch 1: 4 is rep (min within batch), 9 matches in all 4 bands
+    assert got1 == {(9, 4)}
+    assert spark.read.parquet(str(outdir)).count() == 4
+    # batch 2: doc 2 has a SMALLER id but the rep stays first-wins 4
+    write_docs("002.parquet", [(2, same)])
+    run_once()
+    got2 = {(r["doc_id"], r["rep_id"])
+            for r in spark.read.parquet(str(outdir)).collect()}
+    assert got2 == {(9, 4), (2, 4)}
+
+
+def test_lsh_ingest_stream_matches_batch_buckets(spark, workdir):
+    """Single-file replay of the corpus: candidates = every
+    (doc, band) whose bucket holds a lower doc_id, rep = the bucket
+    minimum — the closed form the driver oracle uses."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+    from siddhi_execution_unique_spark.functions import dedup as fdedup
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    _sh.copy(src, workdir / "in" / "docs.parquet")
+    docs_schema = spark.read.parquet(src).schema
+    stream = stream_table(spark, str(workdir / "in"), docs_schema, ts=None)
+    out = stw.lsh_ingest_stream(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(workdir / "out"))
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["band_key"], r["rep_id"])
+           for r in spark.read.parquet(str(workdir / "out")).collect()}
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sig = fdedup.minhash_signatures(docs)
+    bands = fdedup._band_keys(sig)
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("band_key").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = {
+        (r["doc_id"], r["band_key"], r["rep_id"])
+        for r in bands.withColumn("rep_id", F.min("doc_id").over(w))
+        .filter(F.col("rep_id").isNotNull()).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_curation_stream_matches_batch_manifest(spark, workdir):
     """The streaming curation twin (row-local scoring + first-wins
     fingerprint state) must produce the batch manifest exactly when
