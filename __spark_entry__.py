@@ -1810,10 +1810,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fmm.with_binary_payload(_docs(s, d))
         ),
     }
+    # The streaming certification entries replay tiny corpora through
+    # checkpointed micro-batches: their cost is dominated by per-batch
+    # state-store commit I/O, which scales with the shuffle-partition
+    # count (one state file per partition per operator per batch), not
+    # with data. 8 state partitions cuts the two-run checkpoint
+    # entries ~30% (measured at sf0.1) with identical results; the
+    # session conf is restored after the entry so batch plans keep the
+    # driver's setting. On a real cluster a streaming job would size
+    # this to key cardinality, not inherit a batch default.
+    for k in list(registry):
+        if k.startswith("streaming_") or k == "siddhiql_streaming_agg_parity":
+            registry[k] = _with_stream_conf(registry[k])
     head = _R07_WINDOW + _R08_NEXT
     assert set(head) <= set(registry), sorted(set(head) - set(registry))
     rest = [k for k in registry if k not in set(head)]
     return {k: registry[k] for k in head + rest}
+
+
+def _with_stream_conf(fn, parts: str = "8"):
+    def wrapped(spark, sf_dir):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return wrapped
 
 
 # ---------------------------------------------------------------- oracles
