@@ -1447,11 +1447,67 @@ def _emb(spark, sf_dir):
 
 
 # The driver's CORRECTNESS harness samples the FIRST 50 queries()
-# entries. Round-7 window (VERDICT r06 items 1,3,4,5): the 10 entries
-# new this round, then every entry whose last driver check is r04 —
-# led by the 11 core reference operators (unique_ever ...
-# unique_external_time_batch_end_ts), which VERDICT r06 item 5 asks to
-# re-certify after two rounds outside the window.
+# entries. ROTATION INVARIANT (VERDICT r07 item 1, pinned by
+# tests/test_plans.py::test_driver_window_covers_stale_entries): the
+# window must contain (a) every entry whose semantics or oracle
+# changed this round, and (b) the most-stale entries by last green
+# driver round, oldest first — computed from CORRECTNESS_r*.json, so
+# the test recomputes staleness every round without a hand-kept
+# ledger. With 160 entries and a 50-entry window a full rotation takes
+# ~4 rounds; the invariant guarantees nothing drifts past that.
+#
+# Round-8 window: the 3 entries whose expired-drain semantics changed
+# this round (timeLengthBatch family), then the 34 entries whose last
+# driver row is r04 (dedup/similarity/text/multimodal tier — VERDICT
+# r07 item 1), then new entries added this round.
+_R08_WINDOW = [
+    # changed this round: corrected timeLengthBatch expired drain
+    # (a boundary right after a length fire only clears the skip flag)
+    "unique_time_length_batch_expired",
+    "siddhiql_time_length_batch_all",
+    "streaming_time_length_batch_parity",
+    # r04-stale tier: core-operator variants + host-engine surface
+    "unique_ever_expired_expr",
+    "unique_time_expired",
+    "unique_time_batch_expired",
+    "unique_time_length_batch_start",
+    "unique_length_emissions",
+    "running_distinct_users",
+    "orders_latest_per_customer",
+    "ever_count_by_type",
+    "ever_join_customer",
+    "window_join",
+    # r04-stale tier: dedup flagship
+    "dedup_exact",
+    "dedup_exact_incremental",
+    "dedup_minhash_signatures",
+    "dedup_near_pairs_lsh",
+    "dedup_clusters",
+    "dedup_minhash_accuracy",
+    "dedup_simhash",
+    "dedup_simhash_near_pairs",
+    "dedup_char_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # r04-stale tier: similarity / ANN
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_cell_centroids",
+    "sim_pq_topk",
+    "sim_pq_rerank",
+    # r04-stale tier: text analysis
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_winnow_fingerprints",
+    "text_unigram_logprob",
+    # r04-stale tier: multimodal features
+    "multimodal_resize",
+    "multimodal_feature_stats",
+    "multimodal_frame_sample",
+]
+
+# Round-7 window kept for the historical record (last driver rows r07).
 _R07_WINDOW = [
     # new in round 7 (never driver-checked)
     "streaming_first_parity",
@@ -1554,12 +1610,12 @@ _R08_NEXT = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry order is the driver's sampling order (first 50 sampled),
-    so the dict is reordered through ``_R07_WINDOW``: the 10 entries
-    new this round first, then the r04-stale tier led by the 11 core
-    reference operators. ``_R08_NEXT`` holds the r04 leftovers just
-    past the cap; everything after that was driver-certified in
-    r05/r06 and is byte-unchanged. ALL entries are hash-green in the
-    local sf0.01 full-sweep replica."""
+    so the dict leads with ``_R08_WINDOW``: the 3 entries whose
+    semantics changed this round, the 34 r04-stale entries (oldest
+    driver signal first — the rotation invariant, see the comment on
+    ``_R08_WINDOW``), then new entries. The r07/r06-certified tiers
+    follow, byte-unchanged. ALL entries are hash-green in the local
+    sf0.01 full-sweep replica."""
     registry = {
         # -- (0) never driver-checked through r05 (VERDICT r05 item 1):
         #    positions 0-14 put them inside the driver's sample window
@@ -1822,7 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k in list(registry):
         if k.startswith("streaming_") or k == "siddhiql_streaming_agg_parity":
             registry[k] = _with_stream_conf(registry[k])
-    head = _R07_WINDOW + _R08_NEXT
+    head = _R08_WINDOW + _R07_WINDOW + _R08_NEXT
+    # dedupe preserving first occurrence (r08 window wins)
+    head = list(dict.fromkeys(head))
     assert set(head) <= set(registry), sorted(set(head) - set(registry))
     rest = [k for k in registry if k not in set(head)]
     return {k: registry[k] for k in head + rest}
@@ -2089,9 +2147,12 @@ WHERE r.rnk = 1
 
 def _time_length_batch_expired_oracle(t_ms: int, n: int, start_ms: int | None = None) -> str:
     """Expired-channel wrap of ``_time_length_batch_oracle``: batch k
-    re-emits at min(first boundary after its fire, fire k+1), iff that
-    flush point is witnessed by the event-time clock (<= max ts) —
-    mirroring operators/replay.py:time_length_batch_expired."""
+    re-emits at min(fire k+1, B(k) + T·[fire k was a length fire])
+    where B(k) is the first boundary strictly after fire k — a
+    boundary right after a length fire only resets the skip flag
+    (reference timer branch returns without sendEvents), so the drain
+    waits one more flush. Witnessed iff <= max event ts — mirroring
+    operators/replay.py:time_length_batch_expired."""
     anchor = str(start_ms) if start_ms is not None else "min(epoch_ms(ts))"
     return f"""
 WITH base AS ({_time_length_batch_oracle(t_ms, n, start_ms)}),
@@ -2102,7 +2163,8 @@ nxt AS (SELECT batch_seq,
         FROM fires)
 SELECT event_id, user_id, batch_seq, fired_at_ms, expired_at_ms FROM (
   SELECT b.event_id, b.user_id, b.batch_seq, b.fired_at_ms, a.max_ms,
-         least(((b.fired_at_ms - a.anchor) // {t_ms} + 1) * {t_ms} + a.anchor,
+         least(((b.fired_at_ms - a.anchor) // {t_ms} + 1) * {t_ms} + a.anchor
+                 + CASE WHEN b.fire_reason = 'length' THEN {t_ms} ELSE 0 END,
                coalesce(nxt.next_fire, 9223372036854775807)) AS expired_at_ms
   FROM base b JOIN nxt USING (batch_seq) CROSS JOIN a
 ) t WHERE expired_at_ms <= max_ms

@@ -582,21 +582,28 @@ def time_length_batch_expired(
     re-emits as expired at the first FLUSH after its own fire,
     timestamps rewritten to that flush time (``sendEvents`` drains
     ``eventsToBeExpired`` on every flush,
-    UniqueTimeLengthBatchWindowProcessor.java:304-318; the reference's
-    scheduler flushes at EVERY time boundary regardless of arrivals,
-    and a length fire flushes immediately). So
+    UniqueTimeLengthBatchWindowProcessor.java:304-318). After a TIME
+    fire the scheduler's next tick (one period later) flushes even
+    with no arrivals; after a LENGTH fire the first boundary only
+    RESETS the skip flag — the ``eventSent`` timer branch returns
+    WITHOUT calling ``sendEvents``
+    (UniqueTimeLengthBatchWindowProcessor.java:261-265) — so the
+    drain waits for the flush AFTER that clearing boundary. With
+    ``B(k)`` = first boundary strictly after fire ``k``:
 
-        expired_at(k) = min( first boundary strictly after fire k,
-                             fire k+1 )
+        expired_at(k) = min( fire k+1,
+                             B(k) + (T if fire k was a length fire
+                                     else 0) )
 
-    — the boundary term covers empty intervals between fires (the
-    scheduler still ticks), the fire term covers a length fire in the
-    very next interval beating its boundary. A batch expires within
-    the stream iff the event-time clock demonstrably reaches that
-    flush point, i.e. ``expired_at <= max(event ts)`` — the same
-    witness rule the distributed form already applies to time fires
-    (an interval time-fires only when a later event crosses its
-    boundary), so the two channels share one clock model.
+    The unrestricted ``lead(fired_at)`` term is safe in both cases: a
+    time fire following a length-fired batch can never precede
+    ``B(k)+T`` (no events accumulate during the skip phase, and the
+    clearing boundary itself never fires), and a time fire following a
+    time-fired batch lands exactly on its boundary term. A batch
+    expires within the stream iff the event-time clock demonstrably
+    reaches that flush point, i.e. ``expired_at <= max(event ts)`` —
+    the same witness rule the distributed form already applies to time
+    fires, so the two channels share one clock model.
 
     Plan shape: the distributed batched form plus a one-row-per-fired-
     batch distinct with a ``lead`` over it (tiny at any scale) joined
@@ -613,9 +620,14 @@ def time_length_batch_expired(
     nxt = fires.withColumn(
         "_next_fire", F.lead(FIRED_AT).over(Window.orderBy(BATCH_SEQ))
     ).select(BATCH_SEQ, "_next_fire")
-    next_boundary = (
+    # B(k): for a time fire (fired_at sits ON a boundary) floor+1
+    # already lands one period later; for a length fire it gives the
+    # clearing boundary, which only resets the skip flag — the drain
+    # is one more period out
+    drain_boundary = (
         F.col("_anchor")
         + (F.floor((F.col(FIRED_AT) - F.col("_anchor")) / t_ms) + 1) * t_ms
+        + F.when(F.col(FIRE_REASON) == "length", F.lit(t_ms)).otherwise(F.lit(0))
     )
     return (
         batched.join(nxt, BATCH_SEQ)
@@ -623,7 +635,7 @@ def time_length_batch_expired(
         # leaving the boundary term alone
         .withColumn(
             "expired_at_ms",
-            F.least(next_boundary.cast("long"), F.col("_next_fire")),
+            F.least(drain_boundary.cast("long"), F.col("_next_fire")),
         )
         .filter(F.col("expired_at_ms") <= F.col("_max_ms"))
         .drop("_anchor", "_max_ms", "_next_fire")

@@ -539,21 +539,29 @@ def time_length_batch_stream(
         recs: list[tuple] = []
 
         def fire(at_ms: int, reason: str) -> None:
+            # sendEvents drains eventsToBeExpired on EVERY flush, even
+            # when no current batch formed (the timer tick after an
+            # empty interval still flushes,
+            # UniqueTimeLengthBatchWindowProcessor.java:304-318) — so
+            # an empty-forming boundary is a drain-only flush
             nonlocal batch_seq, prev, forming
-            if not forming:
+            if not forming and not prev:
                 return
             for old in prev:
                 recs.append(
                     tuple(old[c] for c in columns)
                     + (batch_seq - 1, at_ms, reason, "expired")
                 )
-            fired = list(forming.values())
-            for ev in fired:
-                recs.append(
-                    tuple(ev[c] for c in columns) + (batch_seq, at_ms, reason, "current")
-                )
-            prev, forming = fired, {}
-            batch_seq += 1
+            prev = []
+            if forming:
+                fired = list(forming.values())
+                for ev in fired:
+                    recs.append(
+                        tuple(ev[c] for c in columns)
+                        + (batch_seq, at_ms, reason, "current")
+                    )
+                prev, forming = fired, {}
+                batch_seq += 1
 
         def cross_boundaries(up_to_ms: int) -> None:
             """Advance past every boundary <= up_to_ms: a boundary
@@ -595,8 +603,10 @@ def time_length_batch_stream(
         state.update(
             (batch_seq, next_emit, event_sent, json.dumps(forming), json.dumps(prev))
         )
-        if next_emit >= 0 and (forming or event_sent):
-            # watermark clock drives the next boundary on an idle stream
+        if next_emit >= 0 and (forming or event_sent or prev):
+            # watermark clock drives the next boundary on an idle
+            # stream — prev counts too: an undrained expired batch
+            # still needs its boundary flush
             state.setTimeoutTimestamp(
                 max(next_emit, state.getCurrentWatermarkMs() + 1)
             )
@@ -1138,14 +1148,28 @@ def lsh_ingest_stream(docs_stream: DataFrame) -> DataFrame:
     """Streaming near-dup candidate detection AT INGEST — the
     incremental form of the MinHash/LSH batch pipeline
     (functions.dedup: shingle → 12-perm signature → 4 banded buckets):
-    each arriving document computes its signature row-locally (Arrow
-    batch, same hash algebra as the batch side — shared ``P``/
-    ``SEEDS``/``BANDS`` constants, md5-based shingle hash), explodes
-    to its 4 band keys, and a state store keyed by band bucket holds
-    the first document seen per bucket. Later arrivals emit
-    ``(doc_id, band_key, rep_id)`` candidate rows immediately — the
-    stream analog of the batch bucket self-join, with the self-join
-    replaced by one tiny long per bucket of state.
+    each arriving document's band keys feed a state store keyed by
+    band bucket holding the first document seen per bucket. Later
+    arrivals emit ``(doc_id, band_key, rep_id)`` candidate rows
+    immediately — the stream analog of the batch bucket self-join,
+    with the self-join replaced by one tiny long per bucket of state.
+
+    The signature stage IS the batch pipeline's SQL: tokenize →
+    explode word-3-gram shingle rows → per-shingle ``md5`` hash, all
+    whole-stage codegen via the shared ``_shingle_rows`` /
+    ``_hash_expr`` expressions (functions/dedup.py) — so stream and
+    batch hash algebra are bit-identical by construction (tokenizer
+    included; a Python ``re.split(r'\\s+')`` here would diverge on
+    Unicode whitespace). The batch side's ``groupBy(doc_id).agg(min)``
+    is a stateful streaming aggregation — illegal in append mode
+    before ``applyInPandasWithState`` — so the 12 permutation minima
+    reduce map-side instead: a document's exploded shingle rows are
+    contiguous within their partition (projection → generate → map,
+    no exchange), so one Arrow-vectorized ``mapInPandas`` computes
+    numpy segmented minima with zero shuffle — exactly the map-side
+    partial aggregate the batch plan's first phase performs, with the
+    merge phase vacuous because each doc lives in one partition. Band
+    keys then explode JVM-side (shared ``_band_keys``).
 
     Within a micro-batch, documents are processed in ``doc_id`` order,
     so the bucket representative is the minimum doc_id seen so far;
@@ -1156,52 +1180,73 @@ def lsh_ingest_stream(docs_stream: DataFrame) -> DataFrame:
     key). State is ONE long per occupied bucket: bounded by distinct
     bucket count, not candidate-pair count — a 100 TB ingest never
     materializes the pair explosion."""
-    import hashlib
-    import re
+    import numpy as np
 
     from siddhi_execution_unique_spark.functions.dedup import (
-        BANDS,
-        MIN_TOKENS,
         P,
-        ROWS_PER_BAND,
         SEEDS,
+        _band_keys,
+        _hash_expr,
+        _shingle_rows,
     )
 
     require_column(docs_stream, "doc_id", "lsh doc id")
     require_column(docs_stream, "text", "lsh text")
 
-    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = {"doc_id": [], "band_key": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = re.split(r"\s+", str(text).strip().lower())
-                if len(toks) < MIN_TOKENS:
-                    continue
-                shingles = {
-                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
-                }
-                hs = [
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % P
-                    for s in shingles
-                ]
-                mh = [min((a * h + b) % P for h in hs) for a, b in SEEDS]
-                for band in range(BANDS):
-                    key = ":".join(
-                        [str(band)]
-                        + [
-                            str(mh[band * ROWS_PER_BAND + r])
-                            for r in range(ROWS_PER_BAND)
-                        ]
-                    )
-                    out["doc_id"].append(int(doc_id))
-                    out["band_key"].append(key)
-            yield pd.DataFrame(out)
-
-    bands = docs_stream.select("doc_id", "text").mapInPandas(
-        sig, "doc_id long, band_key string"
+    # (doc_id, h): one codegen pass — split/trim/lower, shingle rows
+    # via explode(sequence)+indexing, md5 → bigint — identical
+    # expressions to the batch minhash_signatures input
+    hashed = _shingle_rows(docs_stream.select("doc_id", "text")).select(
+        "doc_id", F.expr(_hash_expr("sh")).alias("h")
     )
+
+    seed_a = np.array([a for a, _ in SEEDS], dtype=np.int64)
+    seed_b = np.array([b for _, b in SEEDS], dtype=np.int64)
+    n_perm = len(SEEDS)
+    sig_cols = [f"mh_{j}" for j in range(n_perm)]
+
+    def sig_frame(ids: list, mins: list) -> pd.DataFrame:
+        mat = np.stack(mins, axis=1)  # (n_perm, k)
+        data = {"doc_id": np.asarray(ids, dtype=np.int64)}
+        for j in range(n_perm):
+            data[sig_cols[j]] = mat[j]
+        return pd.DataFrame(data)
+
+    def sig_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # segmented min over contiguous doc_id runs; an Arrow chunk
+        # boundary can split one doc's rows, so the last (open)
+        # segment carries into the next chunk
+        carry_id, carry_min = None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            # h < P ~ 2^30, a <= 1091 -> a*h+b < 2^41: int64-safe
+            vals = (seed_a[:, None] * hs[None, :] + seed_b[:, None]) % P
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(ids)) + 1))
+            mins = np.minimum.reduceat(vals, starts, axis=1)
+            seg_ids = ids[starts]
+            done_ids: list = []
+            done_mins: list = []
+            if carry_id is not None:
+                if int(seg_ids[0]) == carry_id:
+                    mins[:, 0] = np.minimum(mins[:, 0], carry_min)
+                else:
+                    done_ids.append(carry_id)
+                    done_mins.append(carry_min)
+            for k in range(len(seg_ids) - 1):
+                done_ids.append(int(seg_ids[k]))
+                done_mins.append(mins[:, k])
+            carry_id, carry_min = int(seg_ids[-1]), mins[:, -1]
+            if done_ids:
+                yield sig_frame(done_ids, done_mins)
+        if carry_id is not None:
+            yield sig_frame([carry_id], [carry_min])
+
+    sig_schema = ", ".join(["doc_id long"] + [f"{c} long" for c in sig_cols])
+    sigs = hashed.mapInPandas(sig_reduce, sig_schema)
+    bands = _band_keys(sigs)
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -1217,13 +1262,19 @@ def lsh_ingest_stream(docs_stream: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (rep,) = state.get if state.exists else (None,)
         out_ids, out_reps = [], []
+        # materialize ALL chunks before sorting: applyInPandasWithState
+        # may split one band-key group into several Arrow chunks with
+        # no cross-chunk ordering, so a per-chunk sort would break the
+        # "rep = min doc_id within a micro-batch" invariant
+        all_ids: list = []
         for pdf in pdfs:
-            for d in sorted(int(x) for x in pdf["doc_id"]):
-                if rep is None:
-                    rep = d
-                elif d != rep:
-                    out_ids.append(d)
-                    out_reps.append(rep)
+            all_ids.extend(int(x) for x in pdf["doc_id"])
+        for d in sorted(all_ids):
+            if rep is None:
+                rep = d
+            elif d != rep:
+                out_ids.append(d)
+                out_reps.append(rep)
         if rep is not None:
             state.update((int(rep),))
         if out_ids:

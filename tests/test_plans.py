@@ -854,3 +854,80 @@ def test_expired_channels_join_on_keys_not_forced_broadcast(spark):
     # the present-batch log aggregates to one row per batch, then a
     # lead(2) window over the tiny set, joined back on batch_start_ms
     assert "lead(_first_ms" in p2 and "batch_start_ms" in p2
+
+
+def test_driver_window_covers_stale_entries():
+    """Rotation invariant (VERDICT r07 item 1): the driver certifies
+    only the FIRST 50 ``queries()`` entries each round, so the window
+    must always contain (a) every entry never driver-checked (new this
+    round) and (b) every entry whose last green driver row is 3+
+    rounds old. Staleness is recomputed from the CORRECTNESS_r*.json
+    ledger, so this test enforces the rotation every round without a
+    hand-kept list."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    last: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        rounds.append(rnd)
+        for k, v in json.load(open(f)).items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+                and not v.get("err")
+            ):
+                last[k] = max(last.get(k, 0), rnd)
+    assert rounds, "no CORRECTNESS ledger found"
+    max_round = max(rounds)
+    names = list(entry_mod.queries())
+    window = set(names[:50])
+    never_checked = {k for k in names if k not in last}
+    assert never_checked <= window, (
+        f"new entries outside the driver window: {sorted(never_checked - window)}"
+    )
+    stale = {k for k, v in last.items() if v <= max_round - 3 and k in set(names)}
+    assert stale <= window, (
+        f"3+-round-stale entries outside the driver window: {sorted(stale - window)}"
+    )
+
+
+def test_lsh_ingest_stream_signature_stage_is_jvm(spark, tmp_path):
+    """VERDICT r07 item 2: the streaming LSH ingest twin's signature
+    stage must run the batch pipeline's codegen md5 algebra JVM-side —
+    the only Python stages are the Arrow-vectorized segmented-min
+    reduce and the stateful band-bucket operator; no per-row Python
+    hashing before the state store."""
+    import inspect
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    # source-level: no hashlib / re-based tokenizer in the twin
+    src = inspect.getsource(stw.lsh_ingest_stream)
+    assert "import hashlib" not in src and "import re" not in src
+
+    schema = "doc_id long, text string"
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(str(tmp_path))  # never started; plan-only
+    )
+    out = stw.lsh_ingest_stream(sdf)
+    # analyzed (not optimized) plan: an unstarted streaming query
+    # rejects optimizedPlan(), and the node shapes under test are
+    # already fixed at analysis
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # md5 + conv shingle hash lives in a JVM projection
+    assert "md5" in plan and "conv" in plan
+    # exactly two Python stages: the segmented-min mapInPandas and the
+    # stateful band operator — nothing row-at-a-time
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandasWithState" in plan
+    # shingle production is explode(sequence)+indexing (codegen), not
+    # an interpreted array lambda
+    assert "LambdaFunction" not in plan

@@ -356,7 +356,13 @@ def test_time_length_batch_stream_semantics(spark, workdir):
     # dual channel: each fire re-emits the previous batch as expired
     expired = {(r["batch_seq"], r["event_id"]) for r in rows if r["channel"] == "expired"}
     assert {(0, 1), (0, 2), (0, 3), (1, 5)} <= expired
-    # trailing partial batch (zz) never fires
+    # drain-only flush: the empty boundary at 41000 still drains batch
+    # 2's expired (sendEvents runs on every timer flush even with no
+    # forming batch)
+    drain = [r for r in rows if r["channel"] == "expired" and r["batch_seq"] == 2]
+    assert {r["event_id"] for r in drain} == {6}
+    assert drain[0]["fired_at_ms"] == 41000
+    # trailing partial batch (zz) never fires as current
     assert not any(r["event_id"] == 99 for r in rows)
 
 

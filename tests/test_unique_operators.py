@@ -294,12 +294,14 @@ def test_time_length_batch_start_time(spark):
 
 
 def test_time_length_batch_expired_channel(spark):
-    # T=100, N=3, start=0. Batch 0 length-fires at 40 -> its expired
-    # flushes at the next boundary (100, the scheduler ticks even
-    # through the discard phase). Batch 1 time-fires at 200 -> its
-    # expired flushes at boundary 300, witnessed by the event at 310.
-    # The interval [300,400) forms a trailing partial that never
-    # fires, so nothing else expires.
+    # T=100, N=3, start=0. Batch 0 length-fires at 40 -> the boundary
+    # at 100 only RESETS the skip flag (the reference's eventSent
+    # timer branch returns WITHOUT sendEvents,
+    # UniqueTimeLengthBatchWindowProcessor.java:261-265), so batch 0's
+    # expired drains at the NEXT flush: batch 1's time fire at 200.
+    # Batch 1 time-fires at 200 -> its expired flushes at boundary
+    # 300, witnessed by the event at 310. The interval [300,400) forms
+    # a trailing partial that never fires, so nothing else expires.
     from siddhi_execution_unique_spark.operators.replay import (
         time_length_batch_expired,
     )
@@ -311,7 +313,7 @@ def test_time_length_batch_expired_channel(spark):
     exp = time_length_batch_expired(df, "k", 100, 3, ts="ts",
                                     tiebreak="event_id", start_time_ms=0)
     assert rows_set(exp, "batch_seq", "k", "expired_at_ms") == {
-        (0, "a", 100), (0, "b", 100), (0, "c", 100),
+        (0, "a", 200), (0, "b", 200), (0, "c", 200),
         (1, "e", 300), (1, "f", 300)}
 
 
@@ -330,9 +332,32 @@ def test_time_length_batch_expired_length_fire_beats_boundary(spark):
                                     tiebreak="event_id", start_time_ms=0)
     got = rows_set(exp, "batch_seq", "k", "expired_at_ms")
     # batch0 {a} time-fires at 100; batch1 {b,c} length-fires at 120
-    # -> batch0 expires at min(boundary 200, fire 120) = 120; batch1
-    # expires at its next boundary 200 (witnessed by the 350 event)
-    assert got == {(0, "a", 120), (1, "b", 200), (1, "c", 200)}
+    # -> batch0 expires at min(B(0)+T = 200, fire 120) = 120. Batch1's
+    # clearing boundary (200) only resets the skip flag; its expired
+    # drains at the following boundary flush 300 (witnessed by the
+    # event at 350 — the scheduler ticks even through empty intervals)
+    assert got == {(0, "a", 120), (1, "b", 300), (1, "c", 300)}
+
+
+def test_time_length_batch_expired_drain_skips_clearing_boundary(spark):
+    # length fire with EMPTY following interval: T=100, N=3, start=0.
+    # Batch 0 length-fires at 40; boundary 100 only clears the skip
+    # flag (no sendEvents, reference timer branch :261-265); nothing
+    # arrives in [100,200) so the timer at 200 is a drain-only flush —
+    # batch 0's expired drains at 200 (witnessed by the 250 event),
+    # NOT 100 and NOT batch 1's later fire at 300
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_expired,
+    )
+
+    df = make(spark, [(10, 1, "a", 1.0), (20, 2, "b", 2.0), (40, 3, "c", 3.0),
+                      (250, 4, "d", 4.0), (310, 5, "e", 5.0)])
+    exp = time_length_batch_expired(df, "k", 100, 3, ts="ts",
+                                    tiebreak="event_id", start_time_ms=0)
+    got = rows_set(exp, "batch_seq", "k", "expired_at_ms")
+    # batch 1 {d} time-fires at 300; its own drain point 400 is past
+    # the last event (310) -> unwitnessed, so only batch 0 expires
+    assert got == {(0, "a", 200), (0, "b", 200), (0, "c", 200)}
 
 
 def test_time_length_batch_expired_needs_clock_witness(spark):
