@@ -588,6 +588,50 @@ def q_streaming_time_length_batch_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_rate_shape_parity(spark, sf_dir):
+    """Certification for the ``rate_events`` synthetic source — the
+    one twin a replay cannot certify end-to-end because the rate
+    source's row arrival is wall-clock nondeterministic. Its
+    value→event shaping is pure, so the shared
+    ``shape_rate_events`` projection (the exact code path
+    ``rate_events`` executes) is driven here by a DETERMINISTIC
+    file-stream of (value, timestamp) ticks derived from the events
+    table and oracle-checked column-for-column."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark.streaming.sources import shape_rate_events
+
+    work = tempfile.mkdtemp(prefix="sgraft_rate_shape_")
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    _events(spark, sf_dir).select(
+        F.col("event_id").alias("value"),
+        F.col("ts").alias("timestamp"),
+    ).write.mode("overwrite").parquet(indir)
+    schema = spark.read.parquet(indir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    out = shape_rate_events(sdf).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_external_time_batch_parity(spark, sf_dir):
     """Driver certification of the ``external_time_batch_stream``
     twin: event-driven boundary flushes (first-event anchor, flush
@@ -1420,6 +1464,51 @@ def q_siddhiql_partitioned_length_batch(spark, sf_dir):
                       tiebreak="event_id")["batches"]
 
 
+def q_siddhiql_partitioned_external_time_batch(spark, sf_dir):
+    """`partition with` over unique:externalTimeBatch WITHOUT
+    start.time (VERDICT r07 item 6): each instance anchors its batch
+    grid at its OWN first event
+    (UniqueExternalTimeBatchWindowProcessor.java:261-332 seeds the
+    grid from the first event the instance sees). Lowered to a tiny
+    per-attribute min-anchor aggregate joined back (AQE broadcast) +
+    one (batch, attr, key) hash aggregation — no per-instance
+    funnel."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:externalTimeBatch(user_id, ts, 2 hours)
+        select event_type, user_id, event_id, batch_start_ms, batch_end_ms
+        insert into batches;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["batches"]
+
+
+def q_siddhiql_partitioned_time_batch_all(spark, sf_dir):
+    """`insert all events into` over a PARTITIONED unique:timeBatch
+    (VERDICT r07 item 7): every partition value owns its window
+    instance AND its own expired stream — a batch re-emits as expired
+    iff its own instance fired a later batch (per-instance witness,
+    the same per-instance-clock convention as the partitioned
+    unique:time edge). Channel column drops expired_at_ms to keep the
+    oracle hash free of NULL/NaN sentinels."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:timeBatch(user_id, 1 hour)
+        select event_type, user_id, event_id, channel
+        insert all events into both;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["both"]
+
+
 def q_siddhiql_partitioned_time_length_batch(spark, sf_dir):
     """`partition with` over unique:timeLengthBatch: per-instance fire
     chains, each anchored at its OWN first event + T (the reference
@@ -1505,6 +1594,10 @@ _R08_WINDOW = [
     "multimodal_resize",
     "multimodal_feature_stats",
     "multimodal_frame_sample",
+    # new in round 8
+    "streaming_rate_shape_parity",
+    "siddhiql_partitioned_external_time_batch",
+    "siddhiql_partitioned_time_batch_all",
 ]
 
 # Round-7 window kept for the historical record (last driver rows r07).
@@ -1654,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_length": q_siddhiql_partitioned_length,
         "siddhiql_partitioned_length_batch": q_siddhiql_partitioned_length_batch,
         "siddhiql_partitioned_time_length_batch": q_siddhiql_partitioned_time_length_batch,
+        "siddhiql_partitioned_external_time_batch": q_siddhiql_partitioned_external_time_batch,
+        "siddhiql_partitioned_time_batch_all": q_siddhiql_partitioned_time_batch_all,
         # -- (0a) new in round 7: three more streaming twins
         #    driver-certified via file-stream replay parity (VERDICT
         #    r06 item 4) — ever (update-mode core), timeBatch
@@ -1673,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    driver-certified (timeLengthBatch fire chain,
         #    externalTimeBatch event-driven flushes) -> 7/26
         "streaming_time_length_batch_parity": q_streaming_time_length_batch_parity,
+        "streaming_rate_shape_parity": q_streaming_rate_shape_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
         # -- (0a) round 7 continuation: chroma-subsampled JPEG (2x2
         #    luma MCUs + upsampling) and indexed-palette PNG decode —
@@ -2395,6 +2491,40 @@ def oracle_sql() -> dict[str, str]:
         "siddhiql_partitioned_time_length_batch": _time_length_batch_partitioned_oracle(
             6 * HOUR, 20
         ),
+        "siddhiql_partitioned_time_batch_all": """
+            WITH b AS (
+              SELECT event_type, user_id, event_id, batch_start_ms,
+                     batch_start_ms + 3600000 AS batch_end_ms
+              FROM (SELECT *, (epoch_ms(ts) // 3600000) * 3600000 AS batch_start_ms,
+                           row_number() OVER (
+                               PARTITION BY event_type, epoch_ms(ts) // 3600000, user_id
+                               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                    FROM events) t
+              WHERE rn = 1
+            ),
+            last AS (SELECT event_type, max(batch_end_ms) AS last_end
+                     FROM b GROUP BY event_type)
+            SELECT event_type, user_id, event_id, 'current' AS channel FROM b
+            UNION ALL
+            SELECT b.event_type, b.user_id, b.event_id, 'expired' AS channel
+            FROM b JOIN last USING (event_type)
+            WHERE b.batch_end_ms < last.last_end
+        """,
+        "siddhiql_partitioned_external_time_batch": """
+            WITH a AS (SELECT event_type, min(epoch_ms(ts)) AS anchor
+                       FROM events GROUP BY event_type),
+            b AS (SELECT e.event_id, e.user_id, e.event_type,
+                         epoch_ms(e.ts) AS ms, a.anchor
+                  FROM events e JOIN a USING (event_type)),
+            c AS (SELECT *, ((ms - anchor) // 7200000) * 7200000 + anchor
+                         AS batch_start_ms FROM b)
+            SELECT event_type, user_id, event_id, batch_start_ms,
+                   batch_start_ms + 7200000 AS batch_end_ms
+            FROM (SELECT *, row_number() OVER (
+                        PARTITION BY event_type, batch_start_ms, user_id
+                        ORDER BY ms DESC, event_id DESC) AS rn FROM c) t
+            WHERE rn = 1
+        """,
         "unique_external_time_batch_expired": _external_time_batch_expired_oracle(2 * HOUR),
         "unique_time_length_batch_expired": _time_length_batch_expired_oracle(
             4 * HOUR, 25, start_ms=0
@@ -2428,6 +2558,15 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_parity": _DEDUPLICATE_SQL,
         # streaming twins certified against their batch oracles
         "streaming_ever_parity": _EVER_SQL,
+        "streaming_rate_shape_parity": """
+            SELECT event_id, event_id % 100 AS user_id,
+                   CASE WHEN event_id % 3 = 0 THEN 'click'
+                        WHEN event_id % 3 = 1 THEN 'view'
+                        ELSE 'purchase' END AS event_type,
+                   CAST(event_id % 997 AS DOUBLE) AS value,
+                   '{}' AS props
+            FROM events
+        """,
         "streaming_time_length_batch_parity": _time_length_batch_oracle(
             6 * HOUR, 20,
             src="(SELECT * FROM events WHERE event_type = 'purchase')",

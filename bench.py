@@ -85,7 +85,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
@@ -95,7 +95,24 @@ def main() -> None:
             "md5_chain_sec": calibrate(),
             "iters": CALIBRATION_ITERS,
         },
-    }))
+    }
+    # the driver keeps only a bounded stdout TAIL; a 160-entry queries
+    # map printed as one ~6 KB line overflowed it in round 7 (the
+    # captured BENCH json lost its alphabetically-early half and
+    # failed to parse). Persist the full payload to a file the judge
+    # can always read, then print the one-line contract LAST in the
+    # most compact encoding so the tail capture usually holds all of
+    # it too.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, separators=(",", ":"))
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line below still carries all data
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

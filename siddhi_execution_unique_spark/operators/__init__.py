@@ -30,8 +30,10 @@ from siddhi_execution_unique_spark.operators.replay import (
 )
 from siddhi_execution_unique_spark.operators.time_batch import (
     expired_channel,
+    expired_channel_partitioned,
     external_time_batch,
     external_time_batch_expired,
+    external_time_batch_partitioned,
     first_time_batch,
     time_batch,
 )
@@ -42,8 +44,10 @@ __all__ = [
     "ever",
     "ever_expired",
     "expired_channel",
+    "expired_channel_partitioned",
     "external_time_batch",
     "external_time_batch_expired",
+    "external_time_batch_partitioned",
     "first",
     "first_length_batch",
     "first_time_batch",

@@ -334,7 +334,7 @@ def length_batch(
     return _single_group_replay(df, ts, tiebreak, out_schema, replay)
 
 
-def length_batch_expired(batched: DataFrame) -> DataFrame:
+def length_batch_expired(batched: DataFrame, group_cols=()) -> DataFrame:
     """The EXPIRED channel of ``unique:lengthBatch``, derived from a
     :func:`length_batch` result: batch ``k`` re-emits as expired when
     fire ``k+1`` happens (UniqueLengthBatchWindowProcessor.java:
@@ -343,15 +343,23 @@ def length_batch_expired(batched: DataFrame) -> DataFrame:
     ever flushes it. Plan shape: a tiny (one row per batch) distinct
     + an equi-join back onto the batched rows. No broadcast hint: the
     fire log has rows/N entries, which at billions of rows is far past
-    broadcast size — AQE picks broadcast when it actually fits."""
+    broadcast size — AQE picks broadcast when it actually fits.
+
+    ``group_cols`` scopes the fire chain: for a ``partition with``
+    result (:func:`length_batch_partitioned`) pass the partition
+    attribute so each instance's ``batch_seq`` log shifts
+    independently — fire k+1 OF THE SAME INSTANCE is what drains
+    batch k."""
+    gcols = list(group_cols)
     nxt = (
-        batched.select(BATCH_SEQ, FIRED_AT).distinct()
+        batched.select(*gcols, BATCH_SEQ, FIRED_AT).distinct()
         .select(
+            *gcols,
             (F.col(BATCH_SEQ) - 1).alias(BATCH_SEQ),
             F.col(FIRED_AT).alias("expired_at_ms"),
         )
     )
-    return batched.join(nxt, BATCH_SEQ)
+    return batched.join(nxt, gcols + [BATCH_SEQ])
 
 
 def first_length_batch(

@@ -163,6 +163,60 @@ def external_time_batch(
     return out
 
 
+def external_time_batch_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    keys,
+    timestamp: str,
+    window_time: int | str,
+    start_time_ms: int | None = None,
+    replace_timestamp_with_batch_end: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """``partition with (attr of S) begin ... unique:externalTimeBatch
+    (key, ts, T, ...)``: an independent window instance per partition
+    value (Siddhi partitioned execution).
+
+    With ``start.time`` the batch grid is absolute
+    (``endTime = ts + (T - (ts - start) % T)``,
+    UniqueExternalTimeBatchWindowProcessor.java:454-458) — identical
+    for every instance — so the lowering is the composite grouping key
+    ``(batch, attr, key)``. Without it, each instance anchors at ITS
+    OWN first event (the reference seeds the grid from the first event
+    the instance sees, :261-332): the per-instance anchor is a tiny
+    ``groupBy(attr).agg(min(ts))`` joined back on the attribute (AQE
+    broadcasts it when it fits), then the same single hash-aggregation
+    shape as the global form — one partial-agg shuffle keyed on
+    (batch, attr, key), no per-instance funnel."""
+    keys = require_keys(keys)
+    require_column(df, partition_attr, "partition attribute")
+    require_column(df, timestamp, "time.stamp")
+    window_ms = parse_time_ms(window_time, "window.time")
+
+    if start_time_ms is None:
+        anchors = df.groupBy(partition_attr).agg(
+            F.min(event_ms(df, timestamp)).alias("_anchor_ms")
+        )
+        df = df.join(anchors, partition_attr)
+        start: Column | int = F.col("_anchor_ms")
+    else:
+        start = start_time_ms
+
+    out = _batched_retain(
+        df, [partition_attr] + list(keys), timestamp, window_ms, start,
+        tiebreak, keep="last",
+    )
+    if "_anchor_ms" in out.columns:
+        out = out.drop("_anchor_ms")
+    if replace_timestamp_with_batch_end:
+        dt = out.schema[timestamp].dataType
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            out = out.withColumn(timestamp, F.timestamp_millis(F.col(BATCH_END)))
+        else:
+            out = out.withColumn(timestamp, F.col(BATCH_END).cast(dt))
+    return out
+
+
 def external_time_batch_expired(
     df: DataFrame,
     keys,
@@ -240,6 +294,30 @@ def expired_channel(batched: DataFrame, window_ms: int | str) -> DataFrame:
     last_batch = batched.agg(F.max(F.col(BATCH_END)).alias("_last_end"))
     return (
         batched.crossJoin(F.broadcast(last_batch))
+        .filter(F.col(BATCH_END) < F.col("_last_end"))
+        .drop("_last_end")
+        .withColumn("expired_at_ms", F.col(BATCH_END) + F.lit(window_ms))
+    )
+
+
+def expired_channel_partitioned(
+    batched: DataFrame, window_ms: int | str, partition_attr: str
+) -> DataFrame:
+    """Per-instance EXPIRED channel for a partitioned tumbling-batch
+    output (``partition with``): every partition value owns a window
+    instance whose clock is its own event stream — the same
+    per-instance-edge convention the partitioned ``unique:time``
+    lowering uses — so a batch expires iff ITS instance fired a later
+    batch, at ``batch_end_ms + T``. Plan shape: a tiny
+    ``groupBy(attr).agg(max)`` joined back on the attribute (AQE
+    broadcasts when it fits), instead of the global one-row scalar the
+    unpartitioned :func:`expired_channel` cross-joins."""
+    window_ms = parse_time_ms(window_ms, "window.time")
+    last_per_instance = batched.groupBy(partition_attr).agg(
+        F.max(F.col(BATCH_END)).alias("_last_end")
+    )
+    return (
+        batched.join(last_per_instance, partition_attr)
         .filter(F.col(BATCH_END) < F.col("_last_end"))
         .drop("_last_end")
         .withColumn("expired_at_ms", F.col(BATCH_END) + F.lit(window_ms))

@@ -586,11 +586,54 @@ def _build_partitioned(
             f"({df.columns})"
         )
     window = q["window"]
-    if q["channel"] != "current" and window not in ("ever", "first"):
+    channel = q["channel"]
+    if channel == "all" and window in _NEVER_EXPIRES:
+        channel = "current"
+    if channel != "current" and window not in (
+        "ever", "first", "timeBatch", "lengthBatch"
+    ):
         raise SiddhiQLError(
             f"the expired/all-events channel of a partitioned "
             f"unique:{window} is not wired; use the function API"
         )
+    if channel != "current" and window == "timeBatch":
+        # per-instance dual channel (VERDICT r07 item 7): the
+        # composite-key lowering is reused for the batched rows, but
+        # the expired witness must be PER INSTANCE — a batch expires
+        # iff its own instance fired a later batch, not any instance
+        args = list(q["args"])
+        consts: list = []
+        while args and _is_const(args[-1]):
+            consts.insert(0, _const(args.pop()))
+        if len(consts) not in (1, 2) or not args:
+            raise SiddhiQLError(
+                "unique:timeBatch needs (key, window.time[, start.time])"
+            )
+        kwargs = {"window_time": consts[0]}
+        if len(consts) == 2:
+            kwargs["start_time_ms"] = int(consts[1])
+        batched = ops.time_batch(df, [p] + args, ts=ts, tiebreak=tiebreak, **kwargs)
+        exp = ops.expired_channel_partitioned(batched, consts[0], p)
+        if channel == "expired":
+            return exp
+        cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long"))
+        return _tag(cur, "current").unionByName(_tag(exp, "expired"))
+    if channel != "current" and window == "lengthBatch":
+        args = list(q["args"])
+        consts = []
+        while args and _is_const(args[-1]):
+            consts.insert(0, _const(args.pop()))
+        if len(consts) != 1 or len(args) != 1:
+            raise SiddhiQLError("unique:lengthBatch needs (key, window.length)")
+        batched = ops.length_batch_partitioned(
+            df, p, args[0], consts[0], ts=ts, tiebreak=tiebreak
+        )
+        # each instance's fire chain drains its own previous batch
+        exp = ops.length_batch_expired(batched, group_cols=(p,))
+        if channel == "expired":
+            return exp
+        cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long"))
+        return _tag(cur, "current").unionByName(_tag(exp, "expired"))
     if window in _PARTITION_COMPOSITE:
         return _build_window({**q, "args": [p] + list(q["args"])}, df, ts, tiebreak)
     if window == "deduplicate":
@@ -618,6 +661,43 @@ def _build_partitioned(
             .drop("_edge")
         )
         return ops.ever(live, [p] + args, ts=ts, tiebreak=tiebreak)
+    if window == "externalTimeBatch":
+        args = list(q["args"])
+        if len(args) < 3 or len(args) > 6:
+            raise SiddhiQLError(
+                "unique:externalTimeBatch needs (key, timestamp, window.time"
+                " [, start.time [, time.out [, replace.time.stamp.with."
+                "batch.end.time]]])"
+            )
+        key, ts_attr, wtime = args[0], args[1], _const(args[2])
+        kwargs: dict = {"tiebreak": tiebreak}
+        if len(args) >= 4:
+            if not _INT_RE.match(args[3]):
+                raise SiddhiQLError(
+                    f"externalTimeBatch start.time must be an int constant, "
+                    f"got {args[3]!r}"
+                )
+            # start.time fixes an absolute grid shared by every
+            # instance; without it each instance anchors at its own
+            # first event (both lowered by the partitioned op)
+            kwargs["start_time_ms"] = int(args[3])
+        if len(args) >= 5 and not (_INT_RE.match(args[4]) or _TIME_RE.match(args[4])):
+            raise SiddhiQLError(
+                f"externalTimeBatch time.out must be an int/time constant, "
+                f"got {args[4]!r}"
+            )
+        if len(args) == 6:
+            if not _BOOL_RE.match(args[5]):
+                raise SiddhiQLError(
+                    "externalTimeBatch replace.time.stamp.with.batch.end.time "
+                    f"must be true/false, got {args[5]!r}"
+                )
+            kwargs["replace_timestamp_with_batch_end"] = (
+                args[5].lower() == "true"
+            )
+        return ops.external_time_batch_partitioned(
+            df, p, [key], ts_attr, wtime, **kwargs
+        )
     if window in ("length", "lengthBatch", "firstLengthBatch", "timeLengthBatch"):
         args = list(q["args"])
         consts: list = []

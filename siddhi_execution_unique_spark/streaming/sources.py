@@ -48,6 +48,27 @@ def stream_table(
     return df
 
 
+def shape_rate_events(ticks: DataFrame, n_keys: int = 100) -> DataFrame:
+    """Deterministic projection from a ``(value, timestamp)`` tick
+    stream to the ``events``-table shape. Factored out of
+    :func:`rate_events` so the mapping itself is certifiable: the rate
+    source's row arrival is wall-clock nondeterministic, but this
+    shaping is pure — the driver entry
+    ``streaming_rate_shape_parity`` replays deterministic ticks
+    through it and oracle-checks the result."""
+    return ticks.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % n_keys).alias("user_id"),
+        F.when(F.col("value") % 3 == 0, "click")
+        .when(F.col("value") % 3 == 1, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+        (F.col("value") % 997).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
 def rate_events(
     spark: SparkSession,
     rows_per_second: int = 1000,
@@ -56,19 +77,9 @@ def rate_events(
     """Synthetic event stream shaped like the ``events`` table: the
     load-generation analog of the reference tests' hand-pumped
     ``InputHandler`` loops, useful for soak-testing streaming twins."""
-    return (
+    return shape_rate_events(
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rows_per_second))
-        .load()
-        .select(
-            F.col("value").alias("event_id"),
-            F.col("timestamp").alias("ts"),
-            (F.col("value") % n_keys).alias("user_id"),
-            F.when(F.col("value") % 3 == 0, "click")
-            .when(F.col("value") % 3 == 1, "view")
-            .otherwise("purchase")
-            .alias("event_type"),
-            (F.col("value") % 997).cast("double").alias("value"),
-            F.lit("{}").alias("props"),
-        )
+        .load(),
+        n_keys=n_keys,
     )

@@ -668,6 +668,102 @@ def test_partitioned_time_batch_and_deduplicate(streams):
     assert got_dd == sorted(per_type)
 
 
+def test_partitioned_external_time_batch_per_instance_anchor(streams):
+    # VERDICT r07 item 6: without start.time each instance anchors at
+    # its OWN first event — running the global op on each
+    # event_type's sub-stream must reproduce that instance's rows
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:externalTimeBatch(user_id, ts, 2 hours)
+        select event_type, user_id, event_id, batch_start_ms
+        insert into out;
+    end
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")["out"]
+    ev = streams["events"]
+    per_type = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        sub = ops.external_time_batch(
+            ev.filter(F.col("event_type") == et), "user_id", "ts", "2 hours",
+            tiebreak="event_id",
+        ).select("event_type", "user_id", "event_id", "batch_start_ms")
+        per_type += rows(sub)
+    assert rows(out) == sorted(per_type) and len(per_type) > 0
+
+
+def test_partitioned_external_time_batch_start_time_is_composite(streams):
+    # with start.time the grid is absolute and partition-independent:
+    # the lowering equals the composite-key global op
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0)
+        select event_type, user_id, event_id, batch_start_ms
+        insert into out;
+    end
+    """
+    out = sq.run_app(app, streams, tiebreak="event_id")["out"]
+    want = ops.external_time_batch(
+        streams["events"], ["event_type", "user_id"], "ts", "2 hours",
+        start_time_ms=0, tiebreak="event_id",
+    ).select("event_type", "user_id", "event_id", "batch_start_ms")
+    assert rows(out) == rows(want)
+
+
+def test_partitioned_time_batch_all_events_per_instance_witness(streams):
+    # VERDICT r07 item 7: each partition instance owns its expired
+    # stream — a batch expires iff ITS OWN instance fired a later
+    # batch, so per-instance the expired set equals the global op run
+    # on that instance's sub-stream
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:timeBatch(user_id, 1 hour)
+        select event_type, user_id, event_id, channel, expired_at_ms
+        insert all events into both;
+    end
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["both"]
+    ev = streams["events"]
+    per_type = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        sub = ev.filter(F.col("event_type") == et)
+        batched = ops.time_batch(sub, "user_id", "1 hour",
+                                 ts="ts", tiebreak="event_id")
+        cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long")) \
+            .withColumn("channel", F.lit("current"))
+        exp = ops.expired_channel(batched, "1 hour") \
+            .withColumn("channel", F.lit("expired"))
+        both = cur.unionByName(exp).select(
+            "event_type", "user_id", "event_id", "channel", "expired_at_ms")
+        per_type += rows(both)
+    assert rows(got) == sorted(per_type) and len(per_type) > 0
+
+
+def test_partitioned_length_batch_expired_per_instance_chain(streams):
+    # each instance's fire chain drains its own previous batch: batch
+    # k of instance p expires at fire k+1 OF p, never at another
+    # instance's fire
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:lengthBatch(user_id, 10)
+        select event_type, user_id, event_id, batch_seq, expired_at_ms
+        insert expired events into exp;
+    end
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["exp"]
+    batched = ops.length_batch_partitioned(
+        streams["events"], "event_type", "user_id", 10,
+        ts="ts", tiebreak="event_id")
+    want = ops.length_batch_expired(batched, group_cols=("event_type",)).select(
+        "event_type", "user_id", "event_id", "batch_seq", "expired_at_ms")
+    assert rows(got) == rows(want) and want.count() > 0
+
+
 def test_partitioned_outside_queries_coexist(streams):
     app = """
     from events#window.unique:first(user_id)
@@ -689,9 +785,10 @@ def test_partitioned_outside_queries_coexist(streams):
 
 
 @pytest.mark.parametrize("bad", [
-    # partitioned expired channel over a length-family window
+    # partitioned expired channel still unwired for timeLengthBatch
+    # (timeBatch and lengthBatch gained per-instance channels in r08)
     "partition with (event_type of events) begin "
-    "from events#window.unique:lengthBatch(user_id, 10) select * "
+    "from events#window.unique:timeLengthBatch(user_id, 1 hour, 10) select * "
     "insert expired events into x; end",
     # wrong stream inside the block
     "partition with (event_type of events) begin "
