@@ -1940,12 +1940,14 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def encode_palette_png(
-    body: bytes, palette: np.ndarray, width: int = PNG_W
+    body: bytes, palette: np.ndarray, width: int = PNG_W,
+    trns: np.ndarray | None = None,
 ) -> bytes:
     """Synthesize a VALID 8-bit indexed-palette PNG: ``body`` bytes
     are palette indices (reduced modulo the palette size, zero-padded
     to full rows), ``palette`` is an (n, 3) uint8 RGB table emitted as
-    the PLTE chunk."""
+    the PLTE chunk. ``trns`` (optional, uint8, len <= n) emits a tRNS
+    alpha table."""
     import struct
 
     palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
@@ -1965,8 +1967,59 @@ def encode_palette_png(
                 + struct.pack(">I", _crc32(tag + payload)))
 
     ihdr = struct.pack(">IIBBBBB", width, h, 8, 3, 0, 0, 0)  # indexed, 8-bit
+    trns_chunk = (
+        chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+        if trns is not None else b""
+    )
     return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette.tobytes())
-            + chunk(b"IDAT", zstream) + chunk(b"IEND", b""))
+            + trns_chunk + chunk(b"IDAT", zstream) + chunk(b"IEND", b""))
+
+
+def encode_graysub_png(
+    body: bytes, depth: int, width: int = PNG_W,
+    interlace: bool = False, trns_key: int | None = None,
+) -> bytes:
+    """Synthesize a VALID sub-byte (1/2/4-bit) grayscale PNG: ``body``
+    bytes are reduced modulo 2^depth into raw samples, packed
+    MSB-first with byte-padded rows (PNG §7.2), filter 0 per
+    scanline. ``interlace`` emits the Adam7 layout; ``trns_key`` emits
+    a grayscale transparent-color-key tRNS chunk."""
+    import struct
+
+    if depth not in (1, 2, 4):
+        raise ValueError("sub-byte depth must be 1, 2, or 4")
+    n = max(1, -(-len(body) // width)) * width
+    samples = np.zeros(n, dtype=np.uint8)
+    samples[: len(body)] = np.frombuffer(body, dtype=np.uint8) % (1 << depth)
+    h = n // width
+    grid = samples.reshape(h, width)
+
+    def pack_rows(rows: np.ndarray) -> bytes:
+        bits = (
+            (rows[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(rows.shape[0], -1)
+        return b"".join(
+            b"\x00" + np.packbits(bits[r]).tobytes() for r in range(rows.shape[0])
+        )
+
+    if interlace:
+        raw = b""
+        for (x0, y0, dx, dy) in _ADAM7_PASSES:
+            sub = grid[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            raw += pack_rows(sub)
+    else:
+        raw = pack_rows(grid)
+    deflated = _deflate_fixed_literals(raw)
+    zstream = (b"\x78\x01" + deflated
+               + _adler32(np.frombuffer(raw, dtype=np.uint8)).to_bytes(4, "big"))
+    ihdr = struct.pack(">IIBBBBB", width, h, depth, 0, 0, 0, int(interlace))
+    chunks = [(b"IHDR", ihdr)]
+    if trns_key is not None:
+        chunks.append((b"tRNS", struct.pack(">H", trns_key)))
+    chunks += [(b"IDAT", zstream), (b"IEND", b"")]
+    return _png_chunks(chunks)
 
 
 def _png_chunks(tag_payloads) -> bytes:
@@ -2026,14 +2079,31 @@ def encode_gray_png_adam7(body: bytes, width: int = PNG_W) -> bytes:
     return _png_chunks([(b"IHDR", ihdr), (b"IDAT", zstream), (b"IEND", b"")])
 
 
+def _png_unpack_bits(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """Unpack sub-byte PNG samples: each row of packed bytes holds
+    ``width`` samples of ``depth`` bits, MSB-first, padded to a byte
+    boundary (PNG §7.2). Returns (h, width) uint8 raw sample values
+    (NOT scaled to 8-bit)."""
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    groups = bits.reshape(rows.shape[0], width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Real PNG decoder for 8-bit grayscale/RGB/RGBA/indexed-palette,
-    no interlacing: chunk walk with CRC verification, zlib/inflate,
-    and all five scanline filters (None/Sub/Up/Average/Paeth).
+    """Real PNG decoder: grayscale/RGB/RGBA/gray+alpha/indexed-palette
+    at 8/16-bit depth, sub-byte (1/2/4-bit) grayscale and palette,
+    Adam7 interlacing (including sub-byte passes), and tRNS
+    transparency — palette alpha table for color type 3, transparent
+    color key for types 0/2 (PNG §11.3.2). Chunk walk with CRC
+    verification, zlib/inflate, all five scanline filters
+    (None/Sub/Up/Average/Paeth).
+
     Returns (h, w) for grayscale or (h, w, channels); palette images
-    return the mapped (h, w, 3) RGB. 16-bit, sub-byte depths, tRNS
-    palette transparency, and Adam7 interlacing raise the declared
-    NotImplementedError."""
+    return the mapped (h, w, 3) RGB, or (h, w, 4) RGBA with a tRNS
+    table; a tRNS color key adds an alpha plane (0 at keyed pixels).
+    Sub-byte grayscale scales exactly to 8-bit (255/(2^d-1) is an
+    integer for d in 1/2/4)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     import struct
@@ -2042,6 +2112,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     ihdr = None
     idat = bytearray()
     palette = None
+    trns = None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -2064,64 +2135,119 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError("PLTE length must be a positive multiple of 3")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
-            raise NotImplementedError("palette transparency (tRNS) is not supported")
+            trns = data
         pos += 12 + ln
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError("only 8/16-bit channel depths decode")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"color type {color} is not supported")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"bit depth {depth} is only valid for grayscale/palette")
     if color == 3 and palette is None:
         raise ValueError("palette color type without a PLTE chunk")
     if color == 3 and depth == 16:
         raise ValueError("palette images cannot be 16-bit")
+    if trns is not None and color in (4, 6):
+        raise ValueError("tRNS is invalid for color types that carry alpha")
+    if trns is not None and color == 3 and len(trns) > len(palette):
+        raise ValueError("tRNS table longer than the palette")
+    if trns is not None and color == 0 and len(trns) != 2:
+        raise ValueError("grayscale tRNS must be one 2-byte sample")
+    if trns is not None and color == 2 and len(trns) != 6:
+        raise ValueError("truecolor tRNS must be three 2-byte samples")
     raw = _zlib_decompress(bytes(idat))
     bps = depth // 8
-    bpp = channels * bps
+    # filters operate on BYTES; for sub-byte depths the left neighbor
+    # is 1 byte back (PNG §9.2)
+    bpp = max(1, channels * bps)
+
+    def row_bytes(w: int) -> int:
+        return -(-w * channels * depth // 8)
+
     if interlace:
         # Adam7: seven independently filtered sub-images scattered on
-        # the (x0, y0, dx, dy) grids; empty passes emit nothing
-        img = np.zeros((height, width * bpp), dtype=np.uint8)
+        # the (x0, y0, dx, dy) grids; empty passes emit nothing.
+        # Sub-byte passes unpack to raw samples before scattering.
+        img = np.zeros(
+            (height, width if depth < 8 else width * bpp), dtype=np.uint8
+        )
         off = 0
         for (x0, y0, dx, dy) in _ADAM7_PASSES:
             w_p = -(-(width - x0) // dx) if width > x0 else 0
             h_p = -(-(height - y0) // dy) if height > y0 else 0
             if w_p <= 0 or h_p <= 0:
                 continue
-            stride_p = w_p * bpp
+            stride_p = row_bytes(w_p)
             need = h_p * (stride_p + 1)
             sub = _png_unfilter(raw[off:off + need], h_p, stride_p, bpp)
             off += need
             rows = y0 + dy * np.arange(h_p)
             cols = x0 + dx * np.arange(w_p)
-            byte_cols = (cols[:, None] * bpp + np.arange(bpp)).ravel()
-            img[np.ix_(rows, byte_cols)] = sub
+            if depth < 8:
+                img[np.ix_(rows, cols)] = _png_unpack_bits(sub, w_p, depth)
+            else:
+                byte_cols = (cols[:, None] * bpp + np.arange(bpp)).ravel()
+                img[np.ix_(rows, byte_cols)] = sub
         if off != len(raw):
             raise ValueError("decompressed size does not match Adam7 passes")
     else:
-        stride = width * bpp
+        stride = row_bytes(width)
         if len(raw) != height * (stride + 1):
             raise ValueError("decompressed size does not match dimensions")
         img = _png_unfilter(raw, height, stride, bpp)
+        if depth < 8:
+            img = _png_unpack_bits(img, width, depth)
     if color == 3:
         # indexed color: map each index through the PLTE triplets
         if int(img.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
-        return palette[img]  # (h, w, 3)
+        rgb = palette[img]  # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(len(palette), 255, dtype=np.uint8)
+        table = np.frombuffer(trns, dtype=np.uint8)
+        alpha[: len(table)] = table
+        return np.dstack([rgb, alpha[img]])
+    if depth < 8:  # grayscale sub-byte: exact scale to 8-bit
+        scaled = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        if trns is None:
+            return scaled
+        key = int.from_bytes(trns, "big")  # raw-sample color key
+        return np.dstack(
+            [scaled, np.where(img == key, 0, 255).astype(np.uint8)]
+        )
     if bps == 2:  # 16-bit samples are big-endian byte pairs
         img = (
             img.reshape(height, width * channels, 2).astype(np.uint16)
         )
         img = (img[:, :, 0] << 8) | img[:, :, 1]
-        return img if channels == 1 else img.reshape(height, width, channels)
-    if channels == 1:
+        img = img if channels == 1 else img.reshape(height, width, channels)
+    elif channels == 1:
+        pass  # (h, w) uint8 as unfiltered
+    else:
+        img = img.reshape(height, width, channels)
+    if trns is None or color not in (0, 2):
         return img
-    return img.reshape(height, width, channels)
+    # transparent color key: alpha plane 0 where the pixel equals the
+    # key, full-scale elsewhere (key stored as 16-bit samples; only
+    # the low `depth` bits are significant)
+    keys = np.frombuffer(trns, dtype=">u2").astype(np.uint16)
+    full = np.uint16(65535) if depth == 16 else np.uint8(255)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    if color == 0:
+        key = keys[0] if depth == 16 else dtype(keys[0] & 0xFF)
+        alpha = np.where(img == key, 0, full).astype(dtype)
+        return np.dstack([img, alpha])
+    key = keys if depth == 16 else (keys & 0xFF).astype(dtype)
+    match = (img == key.reshape(1, 1, 3)).all(axis=2)
+    alpha = np.where(match, 0, full).astype(dtype)
+    return np.dstack([img, alpha])
 
 
 def with_png_payload(docs: DataFrame) -> DataFrame:

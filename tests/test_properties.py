@@ -742,6 +742,68 @@ def test_png_adam7_deinterlace_matches_straight(body, width):
     assert a.shape == b.shape and (a == b).all()
 
 
+@given(st.binary(max_size=400), st.sampled_from([1, 2, 4]), st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_png_subbyte_roundtrip_exact(body, depth, interlace):
+    # 1/2/4-bit grayscale: MSB-first packed samples with byte-padded
+    # rows must decode to the exact 8-bit scaling 255/(2^d-1), both
+    # straight and through the Adam7 scatter (sub-byte passes repack
+    # at their own row widths)
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    img = fmm.decode_png(fmm.encode_graysub_png(body, depth, interlace=interlace))
+    n = max(1, -(-len(body) // fmm.PNG_W)) * fmm.PNG_W
+    samples = np.zeros(n, dtype=np.uint8)
+    samples[: len(body)] = np.frombuffer(body, dtype=np.uint8) % (1 << depth)
+    want = (samples * (255 // ((1 << depth) - 1))).reshape(-1, fmm.PNG_W)
+    assert img.shape == want.shape and (img == want).all()
+
+
+@given(st.binary(max_size=400), st.integers(0, 15))
+@settings(max_examples=60, deadline=None)
+def test_png_gray_trns_color_key(body, key):
+    # a grayscale tRNS key adds an alpha plane: 0 exactly where the
+    # RAW sample equals the key (compared pre-scaling), 255 elsewhere
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    img = fmm.decode_png(
+        fmm.encode_graysub_png(body, 4, trns_key=key)
+    )
+    n = max(1, -(-len(body) // fmm.PNG_W)) * fmm.PNG_W
+    samples = np.zeros(n, dtype=np.uint8)
+    samples[: len(body)] = np.frombuffer(body, dtype=np.uint8) % 16
+    samples = samples.reshape(-1, fmm.PNG_W)
+    assert img.shape == samples.shape + (2,)
+    assert (img[:, :, 0] == samples * 17).all()
+    assert ((img[:, :, 1] == 0) == (samples == key)).all()
+
+
+@given(st.binary(max_size=400), st.integers(1, 8))
+@settings(max_examples=60, deadline=None)
+def test_png_palette_trns_alpha_table(body, n_trns):
+    # tRNS over PLTE: output becomes RGBA, alpha looked up from the
+    # table for covered entries and 255 for the rest
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    pal = fmm._fixture_palette()
+    n_trns = min(n_trns, len(pal))
+    table = (np.arange(n_trns, dtype=np.uint8) * 31) % 256
+    img = fmm.decode_png(fmm.encode_palette_png(body, pal, trns=table))
+    idx = np.frombuffer(
+        body.ljust(max(1, -(-len(body) // fmm.PNG_W)) * fmm.PNG_W, b"\x00"),
+        dtype=np.uint8,
+    ) % len(pal)
+    idx = idx.reshape(-1, fmm.PNG_W)
+    alpha = np.full(len(pal), 255, dtype=np.uint8)
+    alpha[:n_trns] = table
+    assert img.shape == idx.shape + (4,)
+    assert (img[:, :, :3] == pal[idx]).all()
+    assert (img[:, :, 3] == alpha[idx]).all()
+
+
 @given(st.lists(st.integers(0, 65535), max_size=400))
 @settings(max_examples=80, deadline=None)
 def test_png_16bit_roundtrip_exact(samples):
