@@ -1509,6 +1509,25 @@ def q_siddhiql_partitioned_time_batch_all(spark, sf_dir):
                       tiebreak="event_id")["both"]
 
 
+def q_siddhiql_partitioned_time_length_batch_expired(spark, sf_dir):
+    """EXPIRED channel of a PARTITIONED unique:timeLengthBatch through
+    SiddhiQL: per-instance fire chains with the corrected drain rule —
+    batch k of instance p re-emits at min(p's fire k+1,
+    B_p(k) + T·[length fire]), witnessed by p's own clock."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:timeLengthBatch(user_id, 6 hours, 20)
+        select event_type, user_id, event_id, batch_seq, expired_at_ms
+        insert expired events into exp;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["exp"]
+
+
 def q_siddhiql_partitioned_time_length_batch(spark, sf_dir):
     """`partition with` over unique:timeLengthBatch: per-instance fire
     chains, each anchored at its OWN first event + T (the reference
@@ -1598,6 +1617,41 @@ _R08_WINDOW = [
     "streaming_rate_shape_parity",
     "siddhiql_partitioned_external_time_batch",
     "siddhiql_partitioned_time_batch_all",
+    "multimodal_decode_png_subbyte",
+    "siddhiql_partitioned_time_length_batch_expired",
+]
+
+# Next-oldest tier (last driver rows r05): fills whatever remains of
+# the 50-entry window after _R08_WINDOW, so the rotation always
+# certifies the stalest signal first. Order: core-adjacent entries,
+# then by family.
+_R08_FILL = [
+    "siddhiql_ever_filtered",
+    "events_funnel",
+    "events_absence",
+    "events_hourly_anomalies",
+    "events_value_trend",
+    "events_transition_matrix",
+    "events_retention_cohorts",
+    "events_chi2_cohorts",
+    "events_json_props",
+    "orders_status_scd2",
+    "dedup_near_incremental",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    "fuzzy_match_names",
+    "docs_phrase_search",
+    "text_bigram_logprob",
+    "emb_pca_project",
+    "emb_label_outliers",
+    "join_bloom_prefilter",
+    "sketch_countmin_topk",
+    "sketch_hll_distinct",
+    "sample_train_val_test",
+    "select_token_budget",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "multimodal_decode_y4m",
 ]
 
 # Round-7 window kept for the historical record (last driver rows r07).
@@ -1749,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_time_length_batch": q_siddhiql_partitioned_time_length_batch,
         "siddhiql_partitioned_external_time_batch": q_siddhiql_partitioned_external_time_batch,
         "siddhiql_partitioned_time_batch_all": q_siddhiql_partitioned_time_batch_all,
+        "siddhiql_partitioned_time_length_batch_expired": q_siddhiql_partitioned_time_length_batch_expired,
         # -- (0a) new in round 7: three more streaming twins
         #    driver-certified via file-stream replay parity (VERDICT
         #    r06 item 4) — ever (update-mode core), timeBatch
@@ -1774,6 +1829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    luma MCUs + upsampling) and indexed-palette PNG decode —
         #    two more declared codec boundaries removed
         "multimodal_decode_jpeg_420": lambda s, d: fmm.jpeg420_decode_stats(_docs(s, d)),
+        "multimodal_decode_png_subbyte": lambda s, d: fmm.png_subbyte_decode_stats(
+            _docs(s, d)
+        ),
         "multimodal_decode_png_palette": lambda s, d: fmm.png_palette_decode_stats(
             _docs(s, d)
         ),
@@ -1974,7 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k in list(registry):
         if k.startswith("streaming_") or k == "siddhiql_streaming_agg_parity":
             registry[k] = _with_stream_conf(registry[k])
-    head = _R08_WINDOW + _R07_WINDOW + _R08_NEXT
+    head = _R08_WINDOW + _R08_FILL + _R07_WINDOW + _R08_NEXT
     # dedupe preserving first occurrence (r08 window wins)
     head = list(dict.fromkeys(head))
     assert set(head) <= set(registry), sorted(set(head) - set(registry))
@@ -2352,6 +2410,32 @@ WHERE f.seq >= 0
 """
 
 
+def _time_length_batch_expired_partitioned_oracle(t_ms: int, n: int) -> str:
+    """Per-instance expired wrap of the partitioned timeLengthBatch
+    oracle: each event_type instance applies the corrected drain rule
+    (min of its own next fire and B+T·[length fire]) against its own
+    anchor and witness clock — mirroring
+    operators/replay.py:time_length_batch_expired_partitioned."""
+    return f"""
+WITH base AS ({_time_length_batch_partitioned_oracle(t_ms, n)}),
+a AS (SELECT event_type, min(epoch_ms(ts)) AS anchor,
+             max(epoch_ms(ts)) AS max_ms
+      FROM events GROUP BY event_type),
+fires AS (SELECT DISTINCT event_type, batch_seq, fired_at_ms FROM base),
+nxt AS (SELECT event_type, batch_seq,
+               lead(fired_at_ms) OVER (PARTITION BY event_type
+                                       ORDER BY batch_seq) AS next_fire
+        FROM fires)
+SELECT event_type, user_id, event_id, batch_seq, expired_at_ms FROM (
+  SELECT b.event_type, b.user_id, b.event_id, b.batch_seq, a.max_ms,
+         least(((b.fired_at_ms - a.anchor) // {t_ms} + 1) * {t_ms} + a.anchor
+                 + CASE WHEN b.fire_reason = 'length' THEN {t_ms} ELSE 0 END,
+               coalesce(nxt.next_fire, 9223372036854775807)) AS expired_at_ms
+  FROM base b JOIN nxt USING (event_type, batch_seq) JOIN a USING (event_type)
+) t WHERE expired_at_ms <= max_ms
+"""
+
+
 def _time_length_batch_partitioned_oracle(t_ms: int, n: int) -> str:
     """Per-partition-value timeLengthBatch (`partition with`): the
     interval-independence algebra of ``_time_length_batch_oracle``
@@ -2489,6 +2573,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "siddhiql_partitioned_length_batch": _length_batch_partitioned_oracle(50),
         "siddhiql_partitioned_time_length_batch": _time_length_batch_partitioned_oracle(
+            6 * HOUR, 20
+        ),
+        "siddhiql_partitioned_time_length_batch_expired": _time_length_batch_expired_partitioned_oracle(
             6 * HOUR, 20
         ),
         "siddhiql_partitioned_time_batch_all": """
@@ -2866,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_jpeg_420": fmm.JPEG420_DECODE_STATS_ORACLE,
         "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
         "multimodal_decode_png_palette": fmm.PNG_PALETTE_DECODE_STATS_ORACLE,
+        "multimodal_decode_png_subbyte": fmm.PNG_SUBBYTE_DECODE_STATS_ORACLE,
         # the de-interlaced Adam7 image equals the row-major one, so
         # the straight gray oracle pins the seven-pass decoder
         "multimodal_decode_png_adam7": fmm.PNG_DECODE_STATS_ORACLE,

@@ -2374,6 +2374,86 @@ def png_palette_decode_stats(docs: DataFrame) -> DataFrame:
     return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
 
 
+_SUBBYTE_TRNS_KEY = 5  # nonzero so row padding stays opaque
+
+
+def png_subbyte_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → 4-bit grayscale Adam7-interlaced PNG with a tRNS
+    color key → :func:`decode_png` → pixel stats over the (h, w, 2)
+    gray+alpha output. One entry exercises all three round-8 decoder
+    paths at once (sub-byte unpack, sub-byte Adam7 passes, gray color
+    key); samples are text bytes mod 16, so gray = 17·s and
+    alpha = 0 iff s equals the key — a closed form of the raw bytes
+    (the SQL oracle)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_graysub_png(
+                        t.encode("utf-8"), 4, interlace=True,
+                        trns_key=_SUBBYTE_TRNS_KEY,
+                    )
+                    for t in pdf["text"]
+                ],
+            })
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                flat = decode_png(bytes(p)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+PNG_SUBBYTE_DECODE_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n_raw, hx,
+             greatest(1, CAST(ceil(n_raw / CAST({PNG_W} AS DOUBLE)) AS BIGINT))
+               * {PNG_W} AS n_pix
+      FROM h
+    ),
+    sv AS (
+      SELECT doc_id, n_pix,
+             list_transform(generate_series(1, CAST(n_pix AS INTEGER)),
+               i -> CASE WHEN i <= n_raw THEN
+                      ((strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1))
+                      % 16
+                    ELSE 0 END) AS s
+      FROM dims
+    )
+    SELECT doc_id,
+           n_pix * 2 AS n_pixel_bytes,
+           CAST(coalesce(list_sum(list_transform(s, v -> 17 * v)), 0)
+                + coalesce(list_sum(list_transform(s,
+                    v -> CASE WHEN v = {_SUBBYTE_TRNS_KEY} THEN 0 ELSE 255 END)), 0)
+                AS BIGINT) AS pixel_sum,
+           CAST(len(list_filter(s, v -> v = 0))
+                + len(list_filter(s, v -> v = {_SUBBYTE_TRNS_KEY}))
+                AS BIGINT) AS zero_bin
+    FROM sv
+"""
+
+
 PNG_PALETTE_DECODE_STATS_ORACLE = f"""
     WITH h AS (
       SELECT doc_id, octet_length(encode(text)) AS n_raw,

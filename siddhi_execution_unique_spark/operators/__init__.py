@@ -27,6 +27,7 @@ from siddhi_execution_unique_spark.operators.replay import (
     time_length_batch_distributed,
     time_length_batch_expired,
     time_length_batch_partitioned,
+    time_length_batch_expired_partitioned,
 )
 from siddhi_execution_unique_spark.operators.time_batch import (
     expired_channel,
@@ -61,5 +62,6 @@ __all__ = [
     "time_length_batch_distributed",
     "time_length_batch_expired",
     "time_length_batch_partitioned",
+    "time_length_batch_expired_partitioned",
     "time_window",
 ]

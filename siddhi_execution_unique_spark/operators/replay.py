@@ -747,3 +747,66 @@ def time_length_batch_partitioned(
     )
     fn = _time_length_replay(key, t_ms, n, start_time_ms, out_cols)
     return _partitioned_replay(df, partition_attr, ts, tiebreak, out_schema, fn)
+
+
+def time_length_batch_expired_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """Per-instance EXPIRED channel of a partitioned
+    ``unique:timeLengthBatch``: the :func:`time_length_batch_expired`
+    drain rule applied independently per partition value — each
+    instance has its own anchor (its first event unless ``start.time``
+    fixes the grid), its own fire log, and its own event-time witness
+    clock (the per-instance-clock convention shared with the
+    partitioned ``unique:time`` edge and ``expired_channel_partitioned``).
+    Batch ``k`` of instance ``p`` drains at
+    ``min(p's fire k+1, B_p(k) + T·[k was a length fire])`` where
+    ``B_p(k)`` is the instance's first boundary strictly after fire
+    ``k``; witnessed iff ``<= max(p's event ts)``.
+
+    Plan shape: the partitioned replay plus a per-instance
+    anchor/clock aggregate and a one-row-per-(instance, batch) fire
+    log with ``lead`` over it — both tiny, joined back on the
+    attribute (AQE broadcasts when they fit)."""
+    from pyspark.sql.window import Window
+
+    t_ms = parse_time_ms(window_time, "window.time")
+    batched = time_length_batch_partitioned(
+        df, partition_attr, key, window_time, window_length,
+        ts=ts, tiebreak=tiebreak, start_time_ms=start_time_ms,
+    )
+    ms = event_ms(df, ts)
+    stats = df.groupBy(partition_attr).agg(
+        F.min(ms).alias("_anchor"), F.max(ms).alias("_max_ms")
+    )
+    if start_time_ms is not None:
+        stats = stats.withColumn("_anchor", F.lit(start_time_ms).cast("long"))
+    fires = batched.select(partition_attr, BATCH_SEQ, FIRED_AT).distinct()
+    nxt = fires.withColumn(
+        "_next_fire",
+        F.lead(FIRED_AT).over(
+            Window.partitionBy(partition_attr).orderBy(BATCH_SEQ)
+        ),
+    ).select(partition_attr, BATCH_SEQ, "_next_fire")
+    drain_boundary = (
+        F.col("_anchor")
+        + (F.floor((F.col(FIRED_AT) - F.col("_anchor")) / t_ms) + 1) * t_ms
+        + F.when(F.col(FIRE_REASON) == "length", F.lit(t_ms)).otherwise(F.lit(0))
+    )
+    return (
+        batched.join(nxt, [partition_attr, BATCH_SEQ])
+        .join(stats, partition_attr)
+        .withColumn(
+            "expired_at_ms",
+            F.least(drain_boundary.cast("long"), F.col("_next_fire")),
+        )
+        .filter(F.col("expired_at_ms") <= F.col("_max_ms"))
+        .drop("_anchor", "_max_ms", "_next_fire")
+    )

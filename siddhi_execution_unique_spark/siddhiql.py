@@ -590,12 +590,33 @@ def _build_partitioned(
     if channel == "all" and window in _NEVER_EXPIRES:
         channel = "current"
     if channel != "current" and window not in (
-        "ever", "first", "timeBatch", "lengthBatch"
+        "ever", "first", "time", "timeBatch", "lengthBatch", "timeLengthBatch"
     ):
         raise SiddhiQLError(
             f"the expired/all-events channel of a partitioned "
             f"unique:{window} is not wired; use the function API"
         )
+    if channel != "current" and window == "timeLengthBatch":
+        args = list(q["args"])
+        consts: list = []
+        while args and _is_const(args[-1]):
+            consts.insert(0, _const(args.pop()))
+        if len(consts) != 2 or len(args) != 1:
+            raise SiddhiQLError(
+                "unique:timeLengthBatch needs (key, window.time, window.length)"
+            )
+        batched = ops.time_length_batch_partitioned(
+            df, p, args[0], consts[0], consts[1], ts=ts, tiebreak=tiebreak
+        )
+        # per-instance drain rule: batch k of instance p re-emits at
+        # p's own next flush, witnessed by p's own clock
+        exp = ops.time_length_batch_expired_partitioned(
+            df, p, args[0], consts[0], consts[1], ts=ts, tiebreak=tiebreak
+        )
+        if channel == "expired":
+            return exp
+        cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long"))
+        return _tag(cur, "current").unionByName(_tag(exp, "expired"))
     if channel != "current" and window == "timeBatch":
         # per-instance dual channel (VERDICT r07 item 7): the
         # composite-key lowering is reused for the batched rows, but
@@ -660,7 +681,19 @@ def _build_partitioned(
             .filter(ms > F.col("_edge") - F.lit(window_ms))
             .drop("_edge")
         )
-        return ops.ever(live, [p] + args, ts=ts, tiebreak=tiebreak)
+        cur = ops.ever(live, [p] + args, ts=ts, tiebreak=tiebreak)
+        if channel == "current":
+            return cur
+        # per-instance expired: the complement of the instance's final
+        # contents — timer-evicted (per-instance edge) or replaced —
+        # via a left-anti join, the partitioned analog of
+        # time_window_expired's global derivation
+        tb = _need_tiebreak(window, tiebreak)
+        on = [p] + args + [ts, tb]
+        exp = df.join(cur.select(*on), on, "left_anti")
+        if channel == "expired":
+            return exp
+        return _tag(cur, "current").unionByName(_tag(exp, "expired"))
     if window == "externalTimeBatch":
         args = list(q["args"])
         if len(args) < 3 or len(args) > 6:

@@ -764,6 +764,66 @@ def test_partitioned_length_batch_expired_per_instance_chain(streams):
     assert rows(got) == rows(want) and want.count() > 0
 
 
+def test_partitioned_time_length_batch_expired_per_instance(streams):
+    # per-instance drain rule: running the global expired derivation
+    # on each event_type's sub-stream must reproduce that instance's
+    # expired rows (anchor, fire log, and witness clock all scoped to
+    # the instance)
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_expired,
+    )
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:timeLengthBatch(user_id, 2 hours, 10)
+        select event_type, user_id, event_id, batch_seq, expired_at_ms
+        insert expired events into exp;
+    end
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["exp"]
+    ev = streams["events"]
+    per_type = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        sub = time_length_batch_expired(
+            ev.filter(F.col("event_type") == et), "user_id", "2 hours", 10,
+            ts="ts", tiebreak="event_id",
+        ).select("event_type", "user_id", "event_id", "batch_seq",
+                 "expired_at_ms")
+        per_type += rows(sub)
+    assert rows(got) == sorted(per_type) and len(per_type) > 0
+
+
+def test_partitioned_time_expired_per_instance_edge(streams):
+    # per-instance expired: each instance's complement is computed
+    # against its OWN event-time edge — equal to the global derivation
+    # on the instance's sub-stream
+    from siddhi_execution_unique_spark.operators.time_window import (
+        time_window_expired,
+    )
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:time(user_id, 6 hours)
+        select event_type, user_id, event_id
+        insert expired events into exp;
+    end
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["exp"]
+    ev = streams["events"]
+    per_type = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        sub = time_window_expired(
+            ev.filter(F.col("event_type") == et), "user_id", "6 hours",
+            ts="ts", tiebreak="event_id",
+        ).select("event_type", "user_id", "event_id")
+        per_type += rows(sub)
+    assert rows(got) == sorted(per_type) and len(per_type) > 0
+
+
 def test_partitioned_outside_queries_coexist(streams):
     app = """
     from events#window.unique:first(user_id)
@@ -785,10 +845,11 @@ def test_partitioned_outside_queries_coexist(streams):
 
 
 @pytest.mark.parametrize("bad", [
-    # partitioned expired channel still unwired for timeLengthBatch
-    # (timeBatch and lengthBatch gained per-instance channels in r08)
+    # partitioned expired channel still unwired for unique:length's
+    # per-arrival emission log (time/timeBatch/lengthBatch/
+    # timeLengthBatch gained per-instance channels in r08)
     "partition with (event_type of events) begin "
-    "from events#window.unique:timeLengthBatch(user_id, 1 hour, 10) select * "
+    "from events#window.unique:length(user_id, 10) select * "
     "insert expired events into x; end",
     # wrong stream inside the block
     "partition with (event_type of events) begin "
