@@ -1509,6 +1509,54 @@ def q_siddhiql_partitioned_time_batch_all(spark, sf_dir):
                       tiebreak="event_id")["both"]
 
 
+def q_siddhiql_partitioned_join(spark, sf_dir):
+    """Partitioned window-to-window join (`partition with (a of A,
+    b of B)` + join): each partition instance owns BOTH unique:ever
+    windows, so the join runs between per-instance contents with the
+    instances pinned to each other — lowered to composite-key evers
+    plus the partition-attr equality folded into the join condition
+    (one equi-join, AQE-planned)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    ev = _events(spark, sf_dir)
+    two = {
+        "lefties": ev.filter(F.col("event_id") % 2 == 0),
+        "righties": ev.filter(F.col("event_id") % 2 == 1),
+    }
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:ever(user_id)
+        join righties#window.unique:ever(user_id)
+        on lefties.user_id == righties.user_id
+        select lefties.event_type as event_type,
+               lefties.event_id as l_id, righties.event_id as r_id
+        insert into joined;
+    end
+    """
+    return sq.run_app(app, two, tiebreak="event_id")["joined"]
+
+
+def q_siddhiql_partitioned_length_all(spark, sf_dir):
+    """`insert all events into` over a PARTITIONED unique:length:
+    per-instance set-semantics emission log — every arrival emits
+    current, and an event emits expired iff it is NOT in its
+    instance's final FIFO contents (the per-instance buffer
+    invariant)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:length(user_id, 100)
+        select event_type, user_id, event_id, channel
+        insert all events into log;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["log"]
+
+
 def q_siddhiql_partitioned_time_length_batch_expired(spark, sf_dir):
     """EXPIRED channel of a PARTITIONED unique:timeLengthBatch through
     SiddhiQL: per-instance fire chains with the corrected drain rule —
@@ -1619,6 +1667,8 @@ _R08_WINDOW = [
     "siddhiql_partitioned_time_batch_all",
     "multimodal_decode_png_subbyte",
     "siddhiql_partitioned_time_length_batch_expired",
+    "siddhiql_partitioned_length_all",
+    "siddhiql_partitioned_join",
 ]
 
 # Next-oldest tier (last driver rows r05): fills whatever remains of
@@ -1804,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_external_time_batch": q_siddhiql_partitioned_external_time_batch,
         "siddhiql_partitioned_time_batch_all": q_siddhiql_partitioned_time_batch_all,
         "siddhiql_partitioned_time_length_batch_expired": q_siddhiql_partitioned_time_length_batch_expired,
+        "siddhiql_partitioned_length_all": q_siddhiql_partitioned_length_all,
+        "siddhiql_partitioned_join": q_siddhiql_partitioned_join,
         # -- (0a) new in round 7: three more streaming twins
         #    driver-certified via file-stream replay parity (VERDICT
         #    r06 item 4) — ever (update-mode core), timeBatch
@@ -2575,6 +2627,45 @@ def oracle_sql() -> dict[str, str]:
         "siddhiql_partitioned_time_length_batch": _time_length_batch_partitioned_oracle(
             6 * HOUR, 20
         ),
+        "siddhiql_partitioned_join": """
+            WITH l AS (
+              SELECT event_type, user_id, event_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id % 2 = 0) t WHERE rn = 1
+            ),
+            r AS (
+              SELECT event_type, user_id, event_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id % 2 = 1) t WHERE rn = 1
+            )
+            SELECT l.event_type AS event_type,
+                   l.event_id AS l_id, r.event_id AS r_id
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND l.event_type = r.event_type
+        """,
+        "siddhiql_partitioned_length_all": """
+            WITH latest AS (
+              SELECT event_type, user_id, event_id, ts FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t WHERE rn = 1
+            ),
+            kept AS (
+              SELECT event_type, event_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ts DESC, event_id DESC) AS rnk
+                FROM latest) t WHERE rnk <= 100
+            )
+            SELECT event_type, user_id, event_id, 'current' AS channel FROM events
+            UNION ALL
+            SELECT e.event_type, e.user_id, e.event_id, 'expired' AS channel
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM kept k
+                              WHERE k.event_type = e.event_type
+                                AND k.event_id = e.event_id)
+        """,
         "siddhiql_partitioned_time_length_batch_expired": _time_length_batch_expired_partitioned_oracle(
             6 * HOUR, 20
         ),

@@ -95,10 +95,12 @@ _DEFINE_RE = re.compile(
 # value gets an independent window instance (Siddhi's partitioned
 # execution). One (attr of Stream) pair per block is supported.
 _PARTITION_RE = re.compile(
-    r"partition\s+with\s*\(\s*(?P<attr>\w+)\s+of\s+(?P<pstream>\w+)\s*\)"
+    r"partition\s+with\s*\(\s*(?P<specs>\w+\s+of\s+\w+"
+    r"(?:\s*,\s*\w+\s+of\s+\w+)*)\s*\)"
     r"\s*begin\b(?P<body>.*?)\bend\b",
     re.IGNORECASE | re.DOTALL,
 )
+_PARTITION_SPEC_RE = re.compile(r"(\w+)\s+of\s+(\w+)", re.IGNORECASE)
 
 # positional parameter spec: how many trailing args are constants,
 # consumed from the END (the reference's signatures put unique keys
@@ -184,19 +186,35 @@ def parse_app(text: str) -> list[dict]:
         inner = _scan_queries(m.group("body"), defines, m.start("body"))
         if not inner:
             raise SiddhiQLError("empty partition block")
-        attr, pstream = m.group("attr"), m.group("pstream")
+        # Siddhi declares one partition key per stream:
+        # `partition with (a of A, b of B)` — a join inside the block
+        # runs per-instance, each instance owning both windows
+        attr_of: dict[str, str] = {}
+        for attr, pstream in _PARTITION_SPEC_RE.findall(m.group("specs")):
+            if pstream in attr_of:
+                raise SiddhiQLError(
+                    f"duplicate partition key for stream {pstream!r}"
+                )
+            attr_of[pstream] = attr
         for q in inner:
             if q["kind"] == "join":
+                for side in ("left", "right"):
+                    sname = q[side]["stream"]
+                    if sname not in attr_of:
+                        raise SiddhiQLError(
+                            f"partitioned join reads stream {sname!r} but "
+                            f"the partition declares keys only for "
+                            f"{sorted(attr_of)}"
+                        )
+                    q[side]["partition"] = attr_of[sname]
+                q["partitioned"] = True
+                continue
+            if q["stream"] not in attr_of:
                 raise SiddhiQLError(
-                    "partitioned join queries are not wired; partition "
-                    "single-stream queries only"
+                    f"partition is keyed on stream(s) {sorted(attr_of)} but "
+                    f"the inner query reads {q['stream']!r}"
                 )
-            if q["stream"] != pstream:
-                raise SiddhiQLError(
-                    f"partition is keyed on stream {pstream!r} but the "
-                    f"inner query reads {q['stream']!r}"
-                )
-            q["partition"] = attr
+            q["partition"] = attr_of[q["stream"]]
         queries += inner
         # blank the block (same length) so the outer scan skips it
         masked = masked[:m.start()] + " " * (m.end() - m.start()) + masked[m.end():]
@@ -524,7 +542,18 @@ def _run_join(
                 f"window.time to share a tumbling grid; got {lt} vs {rt}"
             )
         cond = f"({cond}) AND {lname}.batch_end_ms = {rname}.batch_end_ms"
-    if channel != "current" and not aligned_batches:
+    partitioned = bool(q.get("partitioned"))
+    if partitioned:
+        if channel != "current":
+            raise SiddhiQLError(
+                "the expired/all-events channel of a partitioned join is "
+                "not wired; use the function API"
+            )
+        # each instance owns both windows: join the per-instance
+        # contents and pin the instances to each other
+        lattr, rattr = q["left"]["partition"], q["right"]["partition"]
+        cond = f"({cond}) AND {lname}.{lattr} = {rname}.{rattr}"
+    elif channel != "current" and not aligned_batches:
         raise SiddhiQLError(
             f"the expired/all-events channel of a unique:{lw} join "
             f"unique:{rw} is not wired through SiddhiQL; use the "
@@ -534,7 +563,10 @@ def _run_join(
     for p in ("left", "right"):
         side = {**q[p], "channel": "current"}
         df = _bind_stream(side, streams)
-        sides[p] = _build_window(side, df, ts, tiebreak)
+        sides[p] = (
+            _build_partitioned(side, df, ts, tiebreak)
+            if partitioned else _build_window(side, df, ts, tiebreak)
+        )
     joined = sides["left"].alias(lname).join(
         sides["right"].alias(rname), F.expr(cond), "inner"
     )
@@ -590,12 +622,34 @@ def _build_partitioned(
     if channel == "all" and window in _NEVER_EXPIRES:
         channel = "current"
     if channel != "current" and window not in (
-        "ever", "first", "time", "timeBatch", "lengthBatch", "timeLengthBatch"
+        "ever", "first", "time", "length", "timeBatch", "lengthBatch",
+        "timeLengthBatch"
     ):
         raise SiddhiQLError(
             f"the expired/all-events channel of a partitioned "
             f"unique:{window} is not wired; use the function API"
         )
+    if channel != "current" and window == "length":
+        # per-instance set-semantics emission log: every arrival emits
+        # current; an event emits expired iff it is NOT in its
+        # instance's final FIFO contents (the same buffer invariant as
+        # the global length_window_emissions_distributed, ranked per
+        # instance)
+        args = list(q["args"])
+        consts: list = []
+        while args and _is_const(args[-1]):
+            consts.insert(0, _const(args.pop()))
+        if len(consts) != 1 or not args:
+            raise SiddhiQLError("unique:length needs (key, window.length)")
+        tb = _need_tiebreak(window, tiebreak)
+        retained = ops.length_window_partitioned(
+            df, p, args, consts[0], ts=ts, tiebreak=tb
+        )
+        on = [p] + args + [ts, tb]
+        exp = df.join(retained.select(*on), on, "left_anti")
+        if channel == "expired":
+            return exp
+        return _tag(df, "current").unionByName(_tag(exp, "expired"))
     if channel != "current" and window == "timeLengthBatch":
         args = list(q["args"])
         consts: list = []

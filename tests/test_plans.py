@@ -931,3 +931,48 @@ def test_lsh_ingest_stream_signature_stage_is_jvm(spark, tmp_path):
     # shingle production is explode(sequence)+indexing (codegen), not
     # an interpreted array lambda
     assert "LambdaFunction" not in plan
+
+
+def test_partitioned_external_time_batch_plan_shape(spark):
+    """r08: the anchor-free partitioned externalTimeBatch is a tiny
+    per-attribute min aggregate joined back plus ONE (batch, attr,
+    key) hash aggregation — no window function over the fact table,
+    no cartesian product."""
+    events = load_table(spark, SF_DIR, "events")
+    out = ops.external_time_batch_partitioned(
+        events, "event_type", "user_id", "ts", 7_200_000, tiebreak="event_id"
+    )
+    p = plan_of(out)
+    assert "Join Cross" not in p and "CartesianProduct" not in p
+    # the retain step is a hash aggregation (max_by partial+final),
+    # not a row_number window over the full table
+    assert "HashAggregate" in p
+    assert p.count("Window") == 0
+
+
+def test_partitioned_join_is_single_equi_join(spark):
+    """r08: a partitioned window-to-window join lowers to ONE
+    equi-join on (user condition AND partition attr) between two
+    composite-key evers — never a cartesian product or a
+    per-instance loop."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    events = load_table(spark, SF_DIR, "events")
+    two = {"lefties": events.filter(F.col("event_id") % 2 == 0),
+           "righties": events.filter(F.col("event_id") % 2 == 1)}
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:ever(user_id)
+        join righties#window.unique:ever(user_id)
+        on lefties.user_id == righties.user_id
+        select lefties.event_id as l_id, righties.event_id as r_id
+        insert into joined;
+    end
+    """
+    out = sq.run_app(app, two, tiebreak="event_id")["joined"]
+    p = plan_of(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )

@@ -824,6 +824,81 @@ def test_partitioned_time_expired_per_instance_edge(streams):
     assert rows(got) == sorted(per_type) and len(per_type) > 0
 
 
+def test_partitioned_length_emissions_per_instance(streams):
+    # per-instance set-semantics emission log: expired = complement of
+    # the instance's final FIFO contents — equal to the global
+    # derivation on each event_type sub-stream
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:length(user_id, 20)
+        select event_type, user_id, event_id, channel
+        insert all events into log;
+    end
+    """
+    got = sq.run_app(app, streams, tiebreak="event_id")["log"]
+    ev = streams["events"]
+    per_type = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        sub = ops.length_window_emissions_distributed(
+            ev.filter(F.col("event_type") == et), "user_id", 20,
+            ts="ts", tiebreak="event_id",
+        ).select("event_type", "user_id", "event_id", "channel")
+        per_type += rows(sub)
+    assert rows(got) == sorted(per_type) and len(per_type) > 0
+
+
+def test_partitioned_join_per_instance(streams):
+    # `partition with (a of A, b of B)` + join: each instance owns
+    # BOTH windows, so the join runs between per-instance contents
+    # with the instances pinned to each other
+    ev = streams["events"]
+    two = {"lefties": ev.filter(F.col("event_id") % 2 == 0),
+           "righties": ev.filter(F.col("event_id") % 2 == 1)}
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:ever(user_id)
+        join righties#window.unique:ever(user_id)
+        on lefties.user_id == righties.user_id
+        select lefties.event_id as l_id, righties.event_id as r_id
+        insert into joined;
+    end
+    """
+    got = sq.run_app(app, two, tiebreak="event_id")["joined"]
+    left = ops.ever(two["lefties"], ["event_type", "user_id"],
+                    ts="ts", tiebreak="event_id")
+    right = ops.ever(two["righties"], ["event_type", "user_id"],
+                     ts="ts", tiebreak="event_id")
+    want = (
+        left.alias("lefties").join(
+            right.alias("righties"),
+            F.expr("lefties.user_id = righties.user_id AND "
+                   "lefties.event_type = righties.event_type"),
+        ).select(F.col("lefties.event_id").alias("l_id"),
+                 F.col("righties.event_id").alias("r_id"))
+    )
+    assert rows(got) == rows(want) and want.count() > 0
+
+
+def test_partitioned_join_unknown_stream_raises(streams):
+    ev = streams["events"]
+    two = {"lefties": ev, "righties": ev.filter(F.col("event_id") % 2 == 1)}
+    app = """
+    partition with (event_type of lefties)
+    begin
+        from lefties#window.unique:ever(user_id)
+        join righties#window.unique:ever(user_id)
+        on lefties.user_id == righties.user_id
+        select lefties.event_id as l_id
+        insert into joined;
+    end
+    """
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(app, two, tiebreak="event_id")
+
+
 def test_partitioned_outside_queries_coexist(streams):
     app = """
     from events#window.unique:first(user_id)
@@ -845,11 +920,11 @@ def test_partitioned_outside_queries_coexist(streams):
 
 
 @pytest.mark.parametrize("bad", [
-    # partitioned expired channel still unwired for unique:length's
-    # per-arrival emission log (time/timeBatch/lengthBatch/
-    # timeLengthBatch gained per-instance channels in r08)
+    # deduplicate never emits expired events (reference suppresses
+    # duplicates, it does not re-emit) — the partitioned expired
+    # channel must reject eagerly like the global one
     "partition with (event_type of events) begin "
-    "from events#window.unique:length(user_id, 10) select * "
+    "from events#unique:deduplicate(user_id, 30 minutes) select * "
     "insert expired events into x; end",
     # wrong stream inside the block
     "partition with (event_type of events) begin "
