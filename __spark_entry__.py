@@ -605,10 +605,13 @@ def q_streaming_rate_shape_parity(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sgraft_rate_shape_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
+    # one file -> ONE micro-batch: the shaping is stateless, so
+    # multi-batch replay adds nothing but per-batch overhead (a
+    # 32-file write made this the most expensive bench entry)
     _events(spark, sf_dir).select(
         F.col("event_id").alias("value"),
         F.col("ts").alias("timestamp"),
-    ).write.mode("overwrite").parquet(indir)
+    ).coalesce(1).write.mode("overwrite").parquet(indir)
     schema = spark.read.parquet(indir).schema
     sdf = (
         spark.readStream.schema(schema)
