@@ -884,6 +884,7 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
     DataFrame, drop_staged_key)."""
     specs = _streaming_specs()
     drop_staged_key = False
+    part_attr = None
     if q.get("partition"):
         p = q["partition"]
         if p not in df.columns:
@@ -905,11 +906,18 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
             )
             q = {**q, "args": ["_pkey"] + list(q["args"][1:])}
             drop_staged_key = True
+        elif q["window"] in ("lengthBatch", "firstLengthBatch", "timeLengthBatch"):
+            # the stateful fire-chain twins shard their state store by
+            # the partition attribute: one state group per instance —
+            # per-instance anchor/chain AND the distributed execution
+            # shape for the otherwise single-group twin
+            part_attr = p
         else:
             raise SiddhiQLError(
                 f"partitioned streaming unique:{q['window']} is not "
                 "wired; composite keys cover ever/first/timeBatch/"
-                "firstTimeBatch/deduplicate"
+                "firstTimeBatch/deduplicate; sharded state covers "
+                "lengthBatch/firstLengthBatch/timeLengthBatch"
             )
     window, args = q["window"], list(q["args"])
     fn, trailing = specs[window]
@@ -951,6 +959,8 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
         kwargs = dict(zip(trailing or [], consts))
         if window != "first":
             kwargs["ts"] = ts
+        if part_attr is not None:
+            kwargs["partition_attr"] = part_attr
         res = fn(df, keys, **kwargs)
     return q, res, drop_staged_key
 

@@ -320,6 +320,7 @@ def length_batch_stream(
     window_length: int,
     ts: str = "ts",
     keep: str = "last",
+    partition_attr: str | None = None,
 ) -> DataFrame:
     """Streaming ``unique:lengthBatch`` / ``unique:firstLengthBatch``:
     tumbling batch that fires when ``window_length`` distinct keys
@@ -396,12 +397,17 @@ def length_batch_stream(
                 yield out
         state.update((batch_seq, json.dumps(forming), json.dumps(prev)))
 
-    return (
-        df.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    # `partition with` shards the fire chain: one state group PER
+    # partition value (each instance its own forming batch, batch_seq,
+    # and prev — the per-instance WindowState the reference allocates),
+    # which also distributes the otherwise single-group chain
+    grouped = (
+        df.groupBy(partition_attr)
+        if partition_attr
+        else df.withColumn("_g", F.lit(1)).groupBy("_g")
+    )
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 
@@ -478,6 +484,7 @@ def time_length_batch_stream(
     ts: str = "ts",
     watermark_delay: str = "10 seconds",
     start_time_ms: int | None = None,
+    partition_attr: str | None = None,
 ) -> DataFrame:
     """Streaming ``unique:timeLengthBatch``: tumbling batch fired by
     ``T`` elapsed or ``N`` distinct keys, whichever first
@@ -618,13 +625,19 @@ def time_length_batch_stream(
                 out[ts] = pd.to_datetime(out[ts], unit="ms")
             yield out
 
-    return (
-        df.withWatermark(ts, watermark_delay)
-        .withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
-        )
+    # `partition with` shards the fire chain: one state group PER
+    # partition value, each with its own anchor/boundary clock, skip
+    # flag, and expired queue — the per-instance WindowState the
+    # reference allocates, and the distributed shape for the
+    # otherwise single-group twin
+    wm = df.withWatermark(ts, watermark_delay)
+    grouped = (
+        wm.groupBy(partition_attr)
+        if partition_attr
+        else wm.withColumn("_g", F.lit(1)).groupBy("_g")
+    )
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 

@@ -1067,3 +1067,77 @@ def test_trend_stream_matches_batch_sufficient_statistics(spark, workdir):
         ).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_length_batch_stream_partitioned_state_groups(spark, workdir):
+    # r08: partition_attr shards the fire chain — one state group per
+    # value, each with its own forming batch and batch_seq. n=2 on
+    # key=v, partitions p/q interleaved.
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "p", 1.0), (2000, 2, "q", 9.0),
+                 (3000, 3, "p", 2.0), (4000, 4, "q", 8.0),
+                 (5000, 5, "p", 3.0)])
+    out = stw.length_batch_stream(
+        read_stream(spark, workdir / "in"), "v", 2, ts="ts",
+        partition_attr="k",
+    )
+    res = run_available(spark, out, "plb_sink", workdir / "ckpt")
+    rows = res.collect()
+    cur = {(r["k"], r["batch_seq"], r["event_id"])
+           for r in rows if r["channel"] == "current"}
+    # p fires {1,3} when v=2.0 (2nd distinct) arrives; q fires {2,4}
+    assert cur == {("p", 0, 1), ("p", 0, 3), ("q", 0, 2), ("q", 0, 4)}
+    # event 5 is p's forming batch — never fired
+    assert not any(r["event_id"] == 5 for r in rows)
+
+
+def test_time_length_batch_stream_partitioned_anchors(spark, workdir):
+    # r08: each instance anchors its boundary clock at ITS OWN first
+    # event. T=10s, N=3: p anchors at 1s (boundary 11s), q at 6s
+    # (boundary 16s); events crossing each instance's own boundary
+    # time-fire that instance only.
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "p", 1.0), (6000, 2, "q", 1.0),
+                 (12000, 3, "p", 2.0), (15000, 4, "q", 2.0),
+                 (17000, 5, "q", 3.0), (30000, 9, "p", 9.0)])
+    out = stw.time_length_batch_stream(
+        read_stream(spark, workdir / "in"), "v", 10_000, 3, ts="ts",
+        watermark_delay="1 second", partition_attr="k",
+    )
+    res = run_available(spark, out, "ptlb_sink", workdir / "ckpt")
+    rows = res.collect()
+    cur = {(r["k"], r["batch_seq"], r["event_id"], r["fired_at_ms"],
+            r["fire_reason"])
+           for r in rows if r["channel"] == "current"}
+    # p: {1} time-fires at its boundary 11000 (crossed by event 3 at
+    # 12000); q: {2,4} ... q's boundary is 16000, crossed by event 5
+    # at 17000 -> time fire {2,4} at 16000
+    assert ("p", 0, 1, 11000, "time") in cur
+    assert ("q", 0, 2, 16000, "time") in cur and ("q", 0, 4, 16000, "time") in cur
+    # p's second batch {3} fires at its own boundary 21000 (crossed by
+    # event 9 at 30000)
+    assert ("p", 1, 3, 21000, "time") in cur
+
+
+def test_run_app_streaming_partitioned_length_batch(spark, workdir):
+    # the SiddhiQL streaming dispatch shards the lengthBatch twin's
+    # state by the partition attribute
+    from pyspark.sql import functions as F
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "p", 1.0), (2000, 2, "q", 9.0),
+                 (3000, 3, "p", 2.0), (4000, 4, "q", 8.0)])
+    app = """
+    from events#window.unique:lengthBatch(v, 2)
+    select k, event_id, batch_seq
+    insert into out;
+    """
+    wrapped = ("partition with (k of events) begin " + app + " end")
+    out = sq.run_app_streaming(
+        wrapped, {"events": read_stream(spark, workdir / "in")}
+    )["out"]
+    assert out.isStreaming
+    res = run_available(spark, out, "sq_plb_sink", workdir / "ckpt")
+    got = {(r["k"], r["batch_seq"], r["event_id"]) for r in res.collect()}
+    assert got == {("p", 0, 1), ("p", 0, 3), ("q", 0, 2), ("q", 0, 4)}
