@@ -906,7 +906,8 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
             )
             q = {**q, "args": ["_pkey"] + list(q["args"][1:])}
             drop_staged_key = True
-        elif q["window"] in ("lengthBatch", "firstLengthBatch", "timeLengthBatch"):
+        elif q["window"] in ("lengthBatch", "firstLengthBatch",
+                             "timeLengthBatch", "externalTimeBatch"):
             # the stateful fire-chain twins shard their state store by
             # the partition attribute: one state group per instance —
             # per-instance anchor/chain AND the distributed execution
@@ -917,7 +918,8 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
                 f"partitioned streaming unique:{q['window']} is not "
                 "wired; composite keys cover ever/first/timeBatch/"
                 "firstTimeBatch/deduplicate; sharded state covers "
-                "lengthBatch/firstLengthBatch/timeLengthBatch"
+                "lengthBatch/firstLengthBatch/timeLengthBatch/"
+                "externalTimeBatch"
             )
     window, args = q["window"], list(q["args"])
     fn, trailing = specs[window]
@@ -942,6 +944,8 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
                 "replace.time.stamp.with.batch.end.time is not wired for "
                 "the STREAMING twin; use the batch run_app"
             )
+        if part_attr is not None:
+            kw["partition_attr"] = part_attr
         res = fn(df, args[0], _const(args[2]), **kw)
     else:
         consts: list = []

@@ -648,6 +648,7 @@ def external_time_batch_stream(
     ts: str = "ts",
     idle_timeout: int | str | None = None,
     start_time_ms: int | None = None,
+    partition_attr: str | None = None,
 ) -> DataFrame:
     """Streaming ``unique:externalTimeBatch`` with the reference's
     ``time.out`` idle flush (UniqueExternalTimeBatchWindowProcessor.
@@ -666,9 +667,11 @@ def external_time_batch_stream(
     partial chunk, matching the reference (flushed keys were cleared
     from the map, :296-298). Keep-latest per key within a chunk.
 
-    Single global state group (the boundary clock is global), so this
-    twin mirrors the reference's single-JVM semantics; use
-    :func:`tumbling_batch_stream` for the scale path."""
+    Single global state group by default (the boundary clock is
+    global), mirroring the reference's single-JVM semantics; use
+    :func:`tumbling_batch_stream` for the scale path, or
+    ``partition_attr`` (``partition with``) to shard the state one
+    group per partition value."""
     import json
 
     require_column(df, key, "unique.key")
@@ -748,10 +751,17 @@ def external_time_batch_stream(
         if idle_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return (
-        df.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_mode)
+    # `partition with` shards the batch clock: one state group per
+    # partition value, each anchored at its own first event — the
+    # per-instance WindowState, and the distributed shape for the
+    # otherwise single-group twin
+    grouped = (
+        df.groupBy(partition_attr)
+        if partition_attr
+        else df.withColumn("_g", F.lit(1)).groupBy("_g")
+    )
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout_mode
     )
 
 

@@ -1141,3 +1141,24 @@ def test_run_app_streaming_partitioned_length_batch(spark, workdir):
     res = run_available(spark, out, "sq_plb_sink", workdir / "ckpt")
     got = {(r["k"], r["batch_seq"], r["event_id"]) for r in res.collect()}
     assert got == {("p", 0, 1), ("p", 0, 3), ("q", 0, 2), ("q", 0, 4)}
+
+
+def test_external_time_batch_stream_partitioned_anchors(spark, workdir):
+    # r08: partition_attr shards the event-time batch clock — each
+    # instance anchors at its own first event. T=10s: p anchors at 1s
+    # ([1,11)), q at 6s ([6,16)); each flushes when an event crosses
+    # ITS boundary.
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "p", 1.0), (6000, 2, "q", 1.0),
+                 (12000, 3, "p", 2.0), (17000, 4, "q", 2.0)])
+    out = stw.external_time_batch_stream(
+        read_stream(spark, workdir / "in"), "v", 10_000, ts="ts",
+        partition_attr="k",
+    )
+    res = run_available(spark, out, "petb_sink", workdir / "ckpt")
+    rows = res.collect()
+    got = {(r["k"], r["event_id"], r["batch_start_ms"]) for r in rows}
+    # p's batch [1000,11000) flushes at event 3 (12000); q's batch
+    # [6000,16000) flushes at event 4 (17000); the two forming batches
+    # (events 3, 4) never flush without time.out
+    assert got == {("p", 1, 1000), ("q", 2, 6000)}
