@@ -854,3 +854,140 @@ def test_inflate_fuzz_raises_only_typed_errors(junk):
             fn(junk)
         except (ValueError, NotImplementedError):
             pass
+
+
+def _tlb_simulate(events, t_ms, n, start_ms=None):
+    """Event-driven simulation of the reference's
+    UniqueTimeLengthBatchWindowProcessor semantics (processEventChunk
+    :238-298 + sendEvents :304-336, written from the spec, not the
+    code): a scheduler timer fires at every boundary; a boundary with
+    the post-length-fire skip flag set only clears it (no flush); any
+    other flush drains the previous batch's expired events at the
+    flush time. Returns (current, expired):
+      current: list of (frozenset(event_ids), fired_at, reason)
+      expired: dict batch_index -> expired_at_ms
+    ``events``: sorted list of (ts, event_id, key)."""
+    if not events:
+        return [], {}
+    max_ts = events[-1][0]
+    if start_ms is not None:
+        first = events[0][0]
+        next_emit = start_ms + ((first - start_ms) // t_ms + 1) * t_ms
+    else:
+        next_emit = events[0][0] + t_ms
+    event_sent = False
+    forming: dict = {}          # key -> event_id (replace-within-batch)
+    prev_batch: int | None = None
+    current: list = []
+    expired: dict = {}
+
+    def flush(at, reason):
+        nonlocal prev_batch, forming
+        if prev_batch is not None:
+            expired[prev_batch] = at
+            prev_batch = None
+        if forming:
+            current.append((frozenset(forming.values()), at, reason))
+            prev_batch = len(current) - 1
+            forming = {}
+
+    i = 0
+    while True:
+        ev_ts = events[i][0] if i < len(events) else None
+        # the scheduler tick at next_emit precedes an event at the
+        # same instant (the arrival's own boundary branch would handle
+        # it identically)
+        if next_emit <= max_ts and (ev_ts is None or next_emit <= ev_ts):
+            if event_sent:
+                event_sent = False   # clears the skip flag, NO flush
+            else:
+                flush(next_emit, "time")
+            next_emit += t_ms
+            continue
+        if ev_ts is None:
+            break
+        ts, eid, key = events[i]
+        i += 1
+        if event_sent:
+            continue                 # discarded until the next boundary
+        forming[key] = eid
+        if len(forming) == n:
+            flush(ts, "length")
+            event_sent = True
+    return current, expired
+
+
+def _tlb_closed_form(events, t_ms, n, start_ms=None):
+    """Pure-Python mirror of the interval algebra the Spark operator
+    and DuckDB oracle implement (operators/replay.py:
+    time_length_batch_distributed / time_length_batch_expired):
+    floor-interval assignment, Nth-distinct length fire, boundary
+    witness, and the corrected drain rule
+    expired_at(k) = min(fire k+1, B(k) + T*[length fire])."""
+    if not events:
+        return [], {}
+    max_ts = events[-1][0]
+    anchor = start_ms if start_ms is not None else events[0][0]
+    by_k: dict = {}
+    for ts, eid, key in events:
+        by_k.setdefault((ts - anchor) // t_ms, []).append((ts, eid, key))
+    current = []
+    fires = []
+    for k in sorted(by_k):
+        rows = by_k[k]
+        seen: set = set()
+        L = None
+        for pos, (ts, eid, key) in enumerate(rows):
+            if key not in seen:
+                seen.add(key)
+                if len(seen) == n:
+                    L = pos
+                    break
+        boundary = anchor + (k + 1) * t_ms
+        if L is not None:
+            live = rows[: L + 1]
+            fired_at, reason = live[-1][0], "length"
+        elif boundary <= max_ts:
+            live, fired_at, reason = rows, boundary, "time"
+        else:
+            continue
+        kept = {}
+        for ts, eid, key in live:
+            kept[key] = eid
+        current.append((frozenset(kept.values()), fired_at, reason))
+        fires.append((fired_at, reason))
+    expired = {}
+    for j, (fired_at, reason) in enumerate(fires):
+        b = anchor + ((fired_at - anchor) // t_ms + 1) * t_ms
+        drain = b + (t_ms if reason == "length" else 0)
+        if j + 1 < len(fires):
+            drain = min(drain, fires[j + 1][0])
+        if drain <= max_ts:
+            expired[j] = drain
+    return current, expired
+
+
+@given(
+    st.integers(2, 4),                        # N
+    st.sampled_from([10, 25, 40]),            # T
+    st.lists(st.tuples(st.integers(0, 300), st.integers(0, 4)),
+             max_size=40),                    # (ts, key)
+    st.sampled_from([None, 0]),               # start.time
+)
+@settings(max_examples=300, deadline=None)
+def test_time_length_batch_algebra_matches_reference_simulation(
+    n, t_ms, raw, start_ms
+):
+    """The interval algebra behind time_length_batch_distributed /
+    _expired must equal an event-at-a-time simulation of the
+    reference processor for arbitrary streams — including the ADVICE
+    r07 case (a boundary right after a length fire only clears the
+    skip flag, so the drain waits for the NEXT real flush)."""
+    events = sorted(
+        ((ts, i, f"k{key}") for i, (ts, key) in enumerate(raw)),
+        key=lambda e: (e[0], e[1]),
+    )
+    sim_cur, sim_exp = _tlb_simulate(events, t_ms, n, start_ms)
+    alg_cur, alg_exp = _tlb_closed_form(events, t_ms, n, start_ms)
+    assert sim_cur == alg_cur
+    assert sim_exp == alg_exp
