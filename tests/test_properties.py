@@ -991,3 +991,86 @@ def test_time_length_batch_algebra_matches_reference_simulation(
     alg_cur, alg_exp = _tlb_closed_form(events, t_ms, n, start_ms)
     assert sim_cur == alg_cur
     assert sim_exp == alg_exp
+
+
+def _etb_simulate(events, t_ms):
+    """Event-driven simulation of
+    UniqueExternalTimeBatchWindowProcessor without time.out (spec:
+    flushes happen ONLY on arrivals — when an event lands past the
+    forming batch's end, the forming batch emits as current and the
+    previously flushed batch's retained events drain as expired with
+    timestamps rewritten to lastCurrentEventTime, which the
+    triggering arrival just advanced; :261-332,454-458). First-event
+    anchor. Returns (current, expired):
+      current: list of (frozenset(event_ids), batch_start_ms) —
+               including the final forming batch (the batch op's
+               final-state convention)
+      expired: dict batch_index -> expired_at_ms."""
+    if not events:
+        return [], {}
+    anchor = events[0][0]
+    batch_start = anchor
+    forming: dict = {}
+    prev_batch: int | None = None
+    current: list = []
+    expired: dict = {}
+    for ts, eid, key in events:
+        if ts - batch_start >= t_ms:
+            if prev_batch is not None:
+                expired[prev_batch] = ts
+                prev_batch = None
+            if forming:
+                current.append((frozenset(forming.values()), batch_start))
+                prev_batch = len(current) - 1
+                forming = {}
+            batch_start = anchor + ((ts - anchor) // t_ms) * t_ms
+        forming[key] = eid
+    if forming:
+        current.append((frozenset(forming.values()), batch_start))
+    return current, expired
+
+
+def _etb_closed_form(events, t_ms):
+    """Mirror of the batch algebra (operators/time_batch.py:
+    external_time_batch / external_time_batch_expired): present
+    batches = occupied floor-intervals off the first-event anchor,
+    keep-latest per key; rank r re-emits as expired at the FIRST
+    event timestamp of rank r+2."""
+    if not events:
+        return [], {}
+    anchor = events[0][0]
+    buckets: dict = {}
+    for ts, eid, key in events:
+        buckets.setdefault((ts - anchor) // t_ms, []).append((ts, eid, key))
+    ranks = sorted(buckets)
+    current = []
+    for k in ranks:
+        kept = {}
+        for ts, eid, key in buckets[k]:
+            kept[key] = eid
+        current.append((frozenset(kept.values()), anchor + k * t_ms))
+    expired = {
+        r: buckets[ranks[r + 2]][0][0]
+        for r in range(len(ranks) - 2)
+    }
+    return current, expired
+
+
+@given(
+    st.sampled_from([10, 25, 40]),
+    st.lists(st.tuples(st.integers(0, 300), st.integers(0, 4)), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_external_time_batch_algebra_matches_reference_simulation(t_ms, raw):
+    """The present-batch/rank+2 expired algebra must equal the
+    event-driven simulation for arbitrary streams — pinning both the
+    final-state current convention and the lastCurrentEventTime
+    expired rewrite."""
+    events = sorted(
+        ((ts, i, f"k{key}") for i, (ts, key) in enumerate(raw)),
+        key=lambda e: (e[0], e[1]),
+    )
+    sim_cur, sim_exp = _etb_simulate(events, t_ms)
+    alg_cur, alg_exp = _etb_closed_form(events, t_ms)
+    assert sim_cur == alg_cur
+    assert sim_exp == alg_exp
