@@ -3311,3 +3311,74 @@ def flac_audio_stats(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_flac_payload(docs).mapInPandas(stats, schema=AUDIO_SCHEMA)
+
+
+def encode_flac_multi(samples: np.ndarray, rate: int = FLAC_RATE) -> bytes:
+    """N-channel 16-bit FLAC with INDEPENDENT channels (channel
+    assignment code = n-1, RFC 9639 §9.1.3) — each channel its own
+    fixed-order-2 subframe, Rice-coded like :func:`encode_flac`.
+    ``samples``: (n_samples, n_channels) int array, 1 <= channels <= 8.
+    Exercises the decoder's generic multichannel path (the stereo
+    fixtures only cover decorrelated 2-channel assignments)."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim != 2 or not (1 <= samples.shape[1] <= 8):
+        raise ValueError("samples must be (n, channels) with 1..8 channels")
+    n, n_ch = samples.shape
+    out = bytearray(b"fLaC")
+    si = _MSBBitWriter()
+    si.put(FLAC_BLOCK, 16)
+    si.put(FLAC_BLOCK, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(rate, 20)
+    si.put(n_ch - 1, 3)
+    si.put(15, 5)
+    si.put(n, 36)
+    body = si.pad_to_byte() + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    for fi in range(0, n, FLAC_BLOCK):
+        block = samples[fi:fi + FLAC_BLOCK]
+        bs = block.shape[0]
+        hdr = _MSBBitWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)
+        hdr.put(0, 1)
+        hdr.put(0b0111, 4)
+        hdr.put(0b0000, 4)
+        hdr.put(n_ch - 1, 4)   # independent channels
+        hdr.put(0b100, 3)
+        hdr.put(0, 1)
+        header = hdr.pad_to_byte() + _utf8_frame_number(fi // FLAC_BLOCK)
+        header += struct.pack(">H", bs - 1)
+        header += bytes([_flac_crc8(header)])
+
+        bw = _MSBBitWriter()
+        for c in range(n_ch):
+            ch = block[:, c]
+            order = 2 if bs > 2 else 0
+            bw.put(0, 1)
+            bw.put(0b001000 | order, 6)
+            bw.put(0, 1)
+            for w in ch[:order]:
+                bw.put(int(w) & 0xFFFF, 16)
+            res = ch[2:] - 2 * ch[1:-1] + ch[:-2] if order == 2 else ch
+            u = _rice_zigzag(res)
+            mean = int(u.mean()) if u.size else 0
+            param = min(14, max(0, int(mean).bit_length() - 1))
+            bw.put(0b00, 2)
+            bw.put(0, 4)
+            bw.put(param, 4)
+            for val in u:
+                q, r = divmod(int(val), 1 << param)
+                for _ in range(q):
+                    bw.put(0, 1)
+                bw.put(1, 1)
+                if param:
+                    bw.put(r, param)
+        frame = header + bw.pad_to_byte()
+        frame += struct.pack(">H", _flac_crc16(frame))
+        out += frame
+    return bytes(out)

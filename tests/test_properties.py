@@ -1074,3 +1074,23 @@ def test_external_time_batch_algebra_matches_reference_simulation(t_ms, raw):
     alg_cur, alg_exp = _etb_closed_form(events, t_ms)
     assert sim_cur == alg_cur
     assert sim_exp == alg_exp
+
+
+@given(st.integers(3, 8),
+       st.lists(st.integers(-32768, 32767), max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_flac_multichannel_roundtrip_exact(n_ch, flat):
+    # >2 independent channels (the r07-VERDICT-listed boundary):
+    # the decoder's generic channel path must be lossless for any
+    # channel count the format allows
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    n = (len(flat) // n_ch) * n_ch
+    s = np.array(flat[:n], dtype=np.int64).reshape(-1, n_ch)
+    rate, d = fmm.decode_flac(fmm.encode_flac_multi(s))
+    assert rate == fmm.FLAC_RATE
+    if s.size == 0:
+        assert d.size == 0
+    else:
+        assert d.shape == s.shape and (d == s).all()
