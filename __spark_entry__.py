@@ -1512,6 +1512,40 @@ def q_siddhiql_partitioned_time_batch_all(spark, sf_dir):
                       tiebreak="event_id")["both"]
 
 
+def q_streaming_partitioned_time_length_batch_parity(spark, sf_dir):
+    """Driver certification of the SHARDED ``time_length_batch_stream``
+    twin (r08): one state group per partition value, each instance
+    anchoring its boundary clock at its own first event — replayed
+    over a file-stream, current channel checked against the
+    per-instance interval algebra (the same oracle the batch
+    partitioned entry certifies)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_ptlb_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.time_length_batch_stream(
+        sdf, "user_id", 6 * HOUR, 20, ts="ts", partition_attr="event_type"
+    )
+    outdir = os.path.join(work, "out")
+    q = (
+        out.filter(F.col("channel") == "current")
+        .select("event_type", "user_id", "event_id", "batch_seq",
+                "fired_at_ms", "fire_reason")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_partitioned_length_batch_parity(spark, sf_dir):
     """Driver certification of the SHARDED ``length_batch_stream``
     twin (r08): `partition with` maps to one state group per
@@ -1706,6 +1740,7 @@ _R08_WINDOW = [
     "siddhiql_partitioned_length_all",
     "siddhiql_partitioned_join",
     "streaming_partitioned_length_batch_parity",
+    "streaming_partitioned_time_length_batch_parity",
 ]
 
 # Next-oldest tier (last driver rows r05): fills whatever remains of
@@ -1894,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_length_all": q_siddhiql_partitioned_length_all,
         "siddhiql_partitioned_join": q_siddhiql_partitioned_join,
         "streaming_partitioned_length_batch_parity": q_streaming_partitioned_length_batch_parity,
+        "streaming_partitioned_time_length_batch_parity": q_streaming_partitioned_time_length_batch_parity,
         # -- (0a) new in round 7: three more streaming twins
         #    driver-certified via file-stream replay parity (VERDICT
         #    r06 item 4) — ever (update-mode core), timeBatch
@@ -2664,6 +2700,10 @@ def oracle_sql() -> dict[str, str]:
         "siddhiql_partitioned_length_batch": _length_batch_partitioned_oracle(50),
         "siddhiql_partitioned_time_length_batch": _time_length_batch_partitioned_oracle(
             6 * HOUR, 20
+        ),
+        "streaming_partitioned_time_length_batch_parity": (
+            "SELECT event_type, user_id, event_id, batch_seq, fired_at_ms, "
+            "fire_reason FROM (" + _time_length_batch_partitioned_oracle(6 * HOUR, 20) + ") t"
         ),
         "streaming_partitioned_length_batch_parity": (
             "SELECT event_type, user_id, event_id, batch_seq FROM ("

@@ -531,6 +531,7 @@ def time_length_batch_stream(
             StructField("batch_seq", LongType()),
             StructField("next_emit", LongType()),
             StructField("event_sent", LongType()),
+            StructField("seen_max", LongType()),
             StructField("forming_json", StringType()),
             StructField("prev_json", StringType()),
         ]
@@ -538,11 +539,13 @@ def time_length_batch_stream(
 
     def fn(key_tuple, pdfs, state: GroupState):
         if state.exists:
-            batch_seq, next_emit, event_sent, forming_json, prev_json = state.get
+            (batch_seq, next_emit, event_sent, seen_max,
+             forming_json, prev_json) = state.get
             forming = json.loads(forming_json)
             prev = json.loads(prev_json)
         else:
-            batch_seq, next_emit, event_sent, forming, prev = 0, -1, 0, {}, []
+            batch_seq, next_emit, event_sent, seen_max = 0, -1, 0, -1
+            forming, prev = {}, []
         recs: list[tuple] = []
 
         def fire(at_ms: int, reason: str) -> None:
@@ -582,7 +585,11 @@ def time_length_batch_stream(
                 next_emit += t_ms
 
         if state.hasTimedOut:
-            cross_boundaries(state.getCurrentWatermarkMs())
+            # the watermark is GLOBAL; this group's event-time clock is
+            # its OWN stream front (the per-instance convention every
+            # partitioned derivation uses), so timer-driven boundary
+            # crossing never advances past the group's last seen event
+            cross_boundaries(min(state.getCurrentWatermarkMs(), seen_max))
         else:
             for pdf in pdfs:
                 if pdf.empty:
@@ -591,6 +598,7 @@ def time_length_batch_stream(
                 ms = _ms_series(pdf, ts, is_timestamp)
                 for row in _row_dicts(pdf, columns, ts, ms):
                     ts_i = row[ts]
+                    seen_max = max(seen_max, int(ts_i))
                     if next_emit < 0:  # anchor on the first event
                         if start_time_ms is not None:
                             next_emit = (
@@ -608,7 +616,8 @@ def time_length_batch_stream(
                         event_sent = 1
 
         state.update(
-            (batch_seq, next_emit, event_sent, json.dumps(forming), json.dumps(prev))
+            (batch_seq, next_emit, event_sent, seen_max,
+             json.dumps(forming), json.dumps(prev))
         )
         if next_emit >= 0 and (forming or event_sent or prev):
             # watermark clock drives the next boundary on an idle
