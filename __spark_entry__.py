@@ -1741,6 +1741,7 @@ _R08_WINDOW = [
     "siddhiql_partitioned_join",
     "streaming_partitioned_length_batch_parity",
     "streaming_partitioned_time_length_batch_parity",
+    "multimodal_decode_jpeg_progressive_420",
 ]
 
 # Next-oldest tier (last driver rows r05): fills whatever remains of
@@ -1955,6 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    luma MCUs + upsampling) and indexed-palette PNG decode —
         #    two more declared codec boundaries removed
         "multimodal_decode_jpeg_420": lambda s, d: fmm.jpeg420_decode_stats(_docs(s, d)),
+        "multimodal_decode_jpeg_progressive_420": lambda s, d: (
+            fmm.jpeg_progressive_420_decode_stats(_docs(s, d))
+        ),
         "multimodal_decode_png_subbyte": lambda s, d: fmm.png_subbyte_decode_stats(
             _docs(s, d)
         ),
@@ -3124,6 +3128,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_ppm": fmm.DECODE_STATS_ORACLE,
         "multimodal_decode_jpeg": fmm.JPEG_DECODE_STATS_ORACLE,
         "multimodal_decode_jpeg_420": fmm.JPEG420_DECODE_STATS_ORACLE,
+        # the progressive 4:2:0 fixture decodes bit-identically to the
+        # baseline 4:2:0 one, so they share the closed-form algebra
+        "multimodal_decode_jpeg_progressive_420": fmm.JPEG420_DECODE_STATS_ORACLE,
         "multimodal_decode_png": fmm.PNG_DECODE_STATS_ORACLE,
         "multimodal_decode_png_palette": fmm.PNG_PALETTE_DECODE_STATS_ORACLE,
         "multimodal_decode_png_subbyte": fmm.PNG_SUBBYTE_DECODE_STATS_ORACLE,

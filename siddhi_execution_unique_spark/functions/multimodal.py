@@ -1052,6 +1052,29 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_prog_geometry(comps: list, height: int, width: int):
+    """Per-component block geometry for progressive decoding (T.81
+    A.1.1, A.2.2-A.2.4): interleaved scans walk MCU-padded grids
+    (``pad_bh`` x ``pad_bw``), non-interleaved scans walk the
+    component's OWN ceil grid (``bh`` x ``bw``); ``x``/``y`` are the
+    component's true sample dimensions."""
+    h_max = max(h for (_, h, _, _) in comps)
+    v_max = max(v for (_, _, v, _) in comps)
+    mcu_cols = -(-width // (8 * h_max))
+    mcu_rows = -(-height // (8 * v_max))
+    geo = []
+    for (_, h, v, _) in comps:
+        x_c = -(-(width * h) // h_max)
+        y_c = -(-(height * v) // v_max)
+        geo.append({
+            "h": h, "v": v,
+            "pad_bh": mcu_rows * v, "pad_bw": mcu_cols * h,
+            "bh": -(-y_c // 8), "bw": -(-x_c // 8),
+            "x": x_c, "y": y_c,
+        })
+    return geo, mcu_rows, mcu_cols
+
+
 def _jpeg_progressive_scan(
     payload: bytes,
     pos: int,
@@ -1060,13 +1083,18 @@ def _jpeg_progressive_scan(
     huff: dict,
     prog_coef: list,
     restart_interval: int,
+    height: int,
+    width: int,
 ) -> int:
     """Decode ONE progressive scan (T.81 G.2) into the per-component
     coefficient store and return the payload position after its
-    entropy data. Handles DC first/refinement (interleaved over the
-    scan's components) and AC first/refinement (single component,
+    entropy data. Handles DC first/refinement — MCU-interleaved over
+    the scan's components when Ns>1 (sampling factors honored:
+    v x h blocks per component per MCU), raster over the component's
+    own grid when Ns=1 — and AC first/refinement (single component,
     spectral band [Ss, Se], successive approximation Ah->Al, EOB
-    runs). Sampling is 1x1, so MCU order equals block raster order."""
+    runs). Coefficient stores are (pad_bh, pad_bw, 64) per
+    component."""
     ns = seg[0]
     ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
     ah_al = seg[3 + 2 * ns]
@@ -1082,49 +1110,72 @@ def _jpeg_progressive_scan(
         dct_t = huff.get((0, tt >> 4))
         act_t = huff.get((1, tt & 0x0F))
         scan_comps.append((idx, dct_t, act_t))
-    n_blocks = prog_coef[0].shape[0]
+    geo, mcu_rows, mcu_cols = _jpeg_prog_geometry(comps, height, width)
     br = _BitReader(payload, pos)
+
+    def skip_restart() -> None:
+        br.align()
+        m = payload[br.pos:br.pos + 2]
+        if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
+            br.pos += 2
 
     if ss == 0:  # DC scan (se must be 0 per T.81)
         if se != 0:
             raise ValueError("DC scan must have Se = 0")
         preds = [0] * ns
-        for b in range(n_blocks):
-            if restart_interval and b and b % restart_interval == 0:
-                br.align()
-                m = payload[br.pos:br.pos + 2]
-                if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
-                    br.pos += 2
-                preds = [0] * ns
-            for ci, (idx, dct_t, _) in enumerate(scan_comps):
-                coef = prog_coef[idx][b]
-                if ah == 0:  # first pass: diff-coded (value >> Al)
-                    if dct_t is None:
-                        raise ValueError("DC scan references an undefined table")
-                    s = _decode_symbol(br, dct_t)
-                    diff = _extend(br.bits(s), s) if s else 0
-                    preds[ci] += diff
-                    coef[0] = preds[ci] << al
-                else:  # refinement: one raw bit appends the next bit
-                    if br.bits(1):
-                        coef[0] |= 1 << al
+
+        def dc_one(ci: int, dct_t, coef) -> None:
+            if ah == 0:  # first pass: diff-coded (value >> Al)
+                if dct_t is None:
+                    raise ValueError("DC scan references an undefined table")
+                s = _decode_symbol(br, dct_t)
+                diff = _extend(br.bits(s), s) if s else 0
+                preds[ci] += diff
+                coef[0] = preds[ci] << al
+            else:  # refinement: one raw bit appends the next bit
+                if br.bits(1):
+                    coef[0] |= 1 << al
+
+        if ns > 1:  # interleaved: MCU order, v x h blocks per comp
+            unit = 0
+            for my in range(mcu_rows):
+                for mx in range(mcu_cols):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        skip_restart()
+                        preds[:] = [0] * ns
+                    unit += 1
+                    for ci, (idx, dct_t, _) in enumerate(scan_comps):
+                        g = geo[idx]
+                        for by in range(g["v"]):
+                            for bx in range(g["h"]):
+                                dc_one(ci, dct_t, prog_coef[idx][
+                                    my * g["v"] + by, mx * g["h"] + bx])
+        else:  # non-interleaved: the component's own ceil grid
+            idx, dct_t, _ = scan_comps[0]
+            g = geo[idx]
+            unit = 0
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        skip_restart()
+                        preds[:] = [0] * ns
+                    unit += 1
+                    dc_one(0, dct_t, prog_coef[idx][by, bx])
     else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
         if ns != 1:
             raise ValueError("progressive AC scan must be single-component")
         idx, _, act_t = scan_comps[0]
         if act_t is None:
             raise ValueError("AC scan references an undefined table")
+        g = geo[idx]
         store = prog_coef[idx]
         eobrun = 0
         p1, m1 = 1 << al, -1 << al
-        for b in range(n_blocks):
+        for b in range(g["bh"] * g["bw"]):
             if restart_interval and b and b % restart_interval == 0:
-                br.align()
-                m = payload[br.pos:br.pos + 2]
-                if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
-                    br.pos += 2
+                skip_restart()
                 eobrun = 0
-            coef = store[b]
+            coef = store[b // g["bw"], b % g["bw"]]
             if ah == 0:  # first pass for this band
                 if eobrun:
                     eobrun -= 1
@@ -1187,24 +1238,33 @@ def _jpeg_progressive_scan(
     return br.pos
 
 
-def _jpeg_reconstruct_1x1(
-    prog_coef: list, quants: list, height: int, width: int
+def _jpeg_reconstruct_progressive(
+    prog_coef: list, quants: list, comps: list, height: int, width: int
 ) -> np.ndarray:
-    """Dequantize + IDCT the accumulated progressive coefficients
-    (1x1 sampling: block raster order) and assemble the image."""
-    bw_, bh_ = -(-width // 8), -(-height // 8)
+    """Dequantize + IDCT the accumulated progressive coefficients —
+    each component at its own (possibly subsampled) resolution — then
+    upsample chroma nearest-neighbor to full size and assemble the
+    image (the same reconstruction the baseline subsampled path
+    performs, over per-component coefficient grids)."""
+    geo, _, _ = _jpeg_prog_geometry(comps, height, width)
+    h_max = max(h for (_, h, _, _) in comps)
+    v_max = max(v for (_, _, v, _) in comps)
     planes = []
-    for coef, q in zip(prog_coef, quants):
-        coefs = np.zeros((coef.shape[0], 64), dtype=np.float64)
-        coefs[:, _ZIGZAG] = coef * q[None, :]
+    for coef, q, g in zip(prog_coef, quants, geo):
+        pad_bh, pad_bw = g["pad_bh"], g["pad_bw"]
+        coefs = np.zeros((pad_bh * pad_bw, 64), dtype=np.float64)
+        coefs[:, _ZIGZAG] = coef.reshape(-1, 64) * q[None, :]
         blocks = np.einsum(
             "ux,mxy,yv->muv", _DCT_A.T, coefs.reshape(-1, 8, 8), _DCT_A
         )
         plane = (
-            blocks.reshape(bh_, bw_, 8, 8)
+            blocks.reshape(pad_bh, pad_bw, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh_ * 8, bw_ * 8)
-        )
+            .reshape(pad_bh * 8, pad_bw * 8)
+        )[: g["y"], : g["x"]]
+        fy, fx = v_max // g["v"], h_max // g["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:height, :width])
     planes = np.clip(np.round(np.stack(planes) + 128.0), 0, 255)
     if len(planes) == 1:
@@ -1220,12 +1280,14 @@ def _jpeg_reconstruct_1x1(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """JPEG decoder (pure numpy): baseline sequential (sampling
-    factors 1-2) and PROGRESSIVE huffman (spectral selection +
-    successive approximation with EOB runs; 1x1 sampling). Returns an
-    (h, w) uint8 array for grayscale streams or (h, w, 3) RGB for
-    three-component streams. Declared NotImplementedError for
-    arithmetic/lossless/12-bit and progressive-with-subsampling."""
+    """JPEG decoder (pure numpy): baseline sequential and PROGRESSIVE
+    huffman (spectral selection + successive approximation with EOB
+    runs), both with sampling factors 1-2 (4:4:4 / 4:2:2 / 4:4:0 /
+    4:2:0 / gray — progressive DC scans MCU-interleave the
+    subsampled grids, AC scans walk each component's own grid).
+    Returns an (h, w) uint8 array for grayscale streams or (h, w, 3)
+    RGB for three-component streams. Declared NotImplementedError
+    for arithmetic/lossless/12-bit."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     import struct
@@ -1235,7 +1297,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (height, width, comps) ; comps = [(cid, h, v, tq)]
     restart_interval = 0
     progressive = False
-    prog_coef: list[np.ndarray] | None = None  # per-comp (n_blocks, 64)
+    prog_coef: list[np.ndarray] | None = None  # per-comp (pad_bh, pad_bw, 64)
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -1255,7 +1317,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     if tq not in qt:
                         raise ValueError("missing quantization table")
                     quants.append(qt[tq])
-                return _jpeg_reconstruct_1x1(prog_coef, quants, height, width)
+                return _jpeg_reconstruct_progressive(
+                    prog_coef, quants, comps, height, width)
             raise ValueError("EOI before SOS scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             # length-less standalone markers: TEM, stray RSTn, repeated
@@ -1341,20 +1404,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated SOS component list")
             if progressive:
-                if any(h != 1 or v != 1 for (_, h, v, _) in comps):
-                    raise NotImplementedError(
-                        "progressive JPEG with chroma subsampling is "
-                        "not implemented (1x1 progressive only)")
                 if len(seg) < 1 + 2 * ns + 3:
                     raise ValueError("truncated progressive SOS header")
                 if prog_coef is None:
-                    nb = (-(-width // 8)) * (-(-height // 8))
+                    geo, _, _ = _jpeg_prog_geometry(comps, height, width)
                     prog_coef = [
-                        np.zeros((nb, 64), dtype=np.int64) for _ in comps
+                        np.zeros((g["pad_bh"], g["pad_bw"], 64),
+                                 dtype=np.int64)
+                        for g in geo
                     ]
                 pos = _jpeg_progressive_scan(
                     payload, pos + seglen, seg, comps, huff,
-                    prog_coef, restart_interval,
+                    prog_coef, restart_interval, height, width,
                 )
                 continue
             scan_tables = []
@@ -3382,3 +3443,113 @@ def encode_flac_multi(samples: np.ndarray, rate: int = FLAC_RATE) -> bytes:
         frame += struct.pack(">H", _flac_crc16(frame))
         out += frame
     return bytes(out)
+
+
+def encode_color_jpeg_420_progressive(body: bytes, w_mcus: int = 8) -> bytes:
+    """Synthesize a VALID PROGRESSIVE 4:2:0 JPEG with the same image
+    model as :func:`encode_gray_jpeg_420` (constant luma blocks from
+    ``body``, chroma 128): SOF2 + three scan groups — one
+    MCU-interleaved DC-first scan over the subsampled grids (4 Y
+    blocks + Cb + Cr per MCU) and one AC-first scan per component
+    over its OWN block grid (all-zero bands coded as one EOB per
+    block). Exercises the combined progressive+subsampling geometry;
+    decode must equal the baseline 4:2:0 encoding of the same body."""
+    import struct
+
+    per_row = w_mcus * 4
+    n = max(1, -(-len(body) // per_row)) * per_row
+    vals = np.frombuffer(body.ljust(n, b"\x00"), dtype=np.uint8)
+    h_mcus = n // per_row
+    width, height = w_mcus * 16, h_mcus * 16
+    if height > 65535 or width > 65535:
+        raise ValueError("synthesized image exceeds JPEG dimension limit")
+
+    dc_codes = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huffman_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    zero_dc_code, zero_dc_len = dc_codes[0]
+    eob_code, eob_len = ac_codes[0x00]
+
+    # scan 1: DC first, interleaved — per-component predictors
+    bw = _BitWriter()
+    pred_y = 0
+    for m in range(n // 4):
+        for b in range(4):
+            v = int(vals[m * 4 + b])
+            dc = 8 * (v - 128)
+            diff = dc - pred_y
+            pred_y = dc
+            s = _dc_category(diff)
+            code, length = dc_codes[s]
+            bw.put(code, length)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        for _chroma in range(2):
+            bw.put(zero_dc_code, zero_dc_len)
+    dc_scan = bw.flush()
+
+    def ac_scan(n_blocks: int) -> bytes:
+        w = _BitWriter()
+        for _ in range(n_blocks):
+            w.put(eob_code, eob_len)
+        return w.flush()
+
+    y_blocks = (height // 8) * (width // 8)
+    c_blocks = (height // 16) * (width // 16)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x00]) + bytes(64 * [1])),
+        seg(0xC2, struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])),
+        seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)),
+        seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)),
+        seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00])),
+        dc_scan,
+        seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])),
+        ac_scan(y_blocks),
+        seg(0xDA, bytes([1, 2, 0x00, 1, 63, 0x00])),
+        ac_scan(c_blocks),
+        seg(0xDA, bytes([1, 3, 0x00, 1, 63, 0x00])),
+        ac_scan(c_blocks),
+        b"\xff\xd9",
+    ])
+
+
+def jpeg_progressive_420_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → PROGRESSIVE 4:2:0 JPEG (MCU-interleaved DC-first scan
+    over subsampled grids + per-component AC scans) →
+    :func:`decode_jpeg` → pixel stats. The image model matches
+    :func:`jpeg420_decode_stats` exactly (constant luma blocks,
+    chroma 128 → RGB=(y,y,y) bit-exact), so the combined
+    progressive+subsampling geometry shares the baseline 4:2:0
+    oracle algebra."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [encode_color_jpeg_420_progressive(t.encode("utf-8"))
+                            for t in pdf["text"]],
+            })
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                flat = decode_jpeg(bytes(p)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)

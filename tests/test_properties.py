@@ -1094,3 +1094,21 @@ def test_flac_multichannel_roundtrip_exact(n_ch, flat):
         assert d.size == 0
     else:
         assert d.shape == s.shape and (d == s).all()
+
+
+@given(st.binary(min_size=1, max_size=256))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_progressive_420_matches_baseline(body):
+    # progressive + chroma subsampling COMBINED (the last substantive
+    # r07-VERDICT-listed JPEG boundary): an MCU-interleaved DC-first
+    # scan over subsampled grids plus per-component AC scans must
+    # decode to exactly the baseline 4:2:0 encoding of the same image
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    prog = fmm.decode_jpeg(fmm.encode_color_jpeg_420_progressive(body, w_mcus=4))
+    base = fmm.decode_jpeg(fmm.encode_gray_jpeg_420(body, w_mcus=4))
+    assert prog.shape == base.shape and (prog == base).all()
+    # and the image model itself: RGB = (v, v, v) per constant block
+    v0 = body[0]
+    assert tuple(prog[0, 0]) == (v0, v0, v0)
