@@ -700,14 +700,14 @@ VIDEO_FRAME_STATS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------
-# Baseline JPEG: a REAL compressed-format decoder in pure numpy —
-# marker parse, DQT/DHT table build, huffman entropy decode with byte
+# JPEG: a REAL compressed-format decoder in pure numpy — marker
+# parse, DQT/DHT table build, huffman entropy decode with byte
 # unstuffing, run-length AC + zigzag, dequantize, 8x8 IDCT (matrix
-# form), level shift. Closes the round-5 "compressed formats are all
-# stubs" boundary for the one format where a from-scratch decoder is
-# feasible and deterministic. Progressive (SOF2), arithmetic coding,
-# 12-bit precision, and chroma-subsampled streams raise the declared
-# NotImplementedError; PNG/MP3/H.264 remain stubbed (DEFLATE/MDCT/
+# form), level shift. Covers baseline + extended sequential (8/12
+# bit), progressive (SOF2, spectral selection + successive
+# approximation), and chroma subsampling in both modes. Only
+# arithmetic-coded and lossless streams raise the declared
+# NotImplementedError; MP3/H.264 remain stubbed (MDCT/
 # inter-prediction from scratch is out of scope).
 
 JPEG_W_BLOCKS = 16  # synthesized image width in 8x8 blocks -> 128 px
@@ -1239,7 +1239,8 @@ def _jpeg_progressive_scan(
 
 
 def _jpeg_reconstruct_progressive(
-    prog_coef: list, quants: list, comps: list, height: int, width: int
+    prog_coef: list, quants: list, comps: list, height: int, width: int,
+    precision: int = 8,
 ) -> np.ndarray:
     """Dequantize + IDCT the accumulated progressive coefficients —
     each component at its own (possibly subsampled) resolution — then
@@ -1266,16 +1267,19 @@ def _jpeg_reconstruct_progressive(
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:height, :width])
-    planes = np.clip(np.round(np.stack(planes) + 128.0), 0, 255)
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
+    planes = np.clip(np.round(np.stack(planes) + center), 0, maxv)
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)
+        return planes[0].astype(dtype)
     if len(planes) == 3:
         y, cb, cr = planes
-        r = y + 1.402 * (cr - 128)
-        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-        b = y + 1.772 * (cb - 128)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
         return np.clip(np.round(np.stack([r, g, b], axis=-1)),
-                       0, 255).astype(np.uint8)
+                       0, maxv).astype(dtype)
     raise NotImplementedError("unsupported component count")
 
 
@@ -1286,8 +1290,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     4:2:0 / gray — progressive DC scans MCU-interleave the
     subsampled grids, AC scans walk each component's own grid).
     Returns an (h, w) uint8 array for grayscale streams or (h, w, 3)
-    RGB for three-component streams. Declared NotImplementedError
-    for arithmetic/lossless/12-bit."""
+    RGB for three-component streams (uint16 at 12-bit precision).
+    Declared NotImplementedError for arithmetic/lossless coding."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     import struct
@@ -1297,6 +1301,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (height, width, comps) ; comps = [(cid, h, v, tq)]
     restart_interval = 0
     progressive = False
+    precision = 8
     prog_coef: list[np.ndarray] | None = None  # per-comp (pad_bh, pad_bw, 64)
     pos = 2
     while pos < len(payload):
@@ -1318,7 +1323,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         raise ValueError("missing quantization table")
                     quants.append(qt[tq])
                 return _jpeg_reconstruct_progressive(
-                    prog_coef, quants, comps, height, width)
+                    prog_coef, quants, comps, height, width, precision)
             raise ValueError("EOI before SOS scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             # length-less standalone markers: TEM, stray RSTn, repeated
@@ -1377,8 +1382,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF component list")
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision decodes")
+            if prec not in (8, 12):
+                raise NotImplementedError("only 8/12-bit precision decodes")
+            precision = prec
             progressive = marker == 0xC2
             comps = []
             for c in range(ncomp):
@@ -1497,16 +1503,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         max_h // h_c, axis=1,
                     )
                 planes.append(plane[:height, :width])
-            planes = np.clip(np.round(np.stack(planes) + 128.0), 0, 255)
+            center = float(1 << (precision - 1))
+            maxv = (1 << precision) - 1
+            dtype = np.uint8 if precision == 8 else np.uint16
+            planes = np.clip(np.round(np.stack(planes) + center), 0, maxv)
             if ns == 1:
-                return planes[0].astype(np.uint8)
+                return planes[0].astype(dtype)
             if ns == 3:
                 y, cb, cr = planes
-                r = y + 1.402 * (cr - 128)
-                g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-                b = y + 1.772 * (cb - 128)
+                r = y + 1.402 * (cr - center)
+                g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+                b = y + 1.772 * (cb - center)
                 return np.clip(np.round(np.stack([r, g, b], axis=-1)),
-                               0, 255).astype(np.uint8)
+                               0, maxv).astype(dtype)
             raise NotImplementedError("unsupported component count")
         pos += seglen
     raise ValueError("no SOS scan found")
@@ -3553,3 +3562,65 @@ def jpeg_progressive_420_decode_stats(docs: DataFrame) -> DataFrame:
         ),
     )
     return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+# custom huffman tables for the 12-bit fixture: DC categories 0..15
+# (12-bit DC diffs reach magnitude category 15) as 16 five-bit codes,
+# and a single 1-bit EOB for the all-zero AC bands
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_BITS = [1] + [0] * 15
+_AC12_VALS = [0x00]
+
+
+def encode_gray12_jpeg(samples: np.ndarray, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
+    """Synthesize a VALID 12-bit extended-sequential grayscale JPEG
+    (SOF1, precision 12): constant 8x8 blocks, block i's level =
+    ``samples[i]`` (0..4095, zero-padded to full block rows). With
+    the all-ones quant table a constant block is exactly
+    representable, so decode returns the levels bit-exactly as
+    uint16. Custom DHTs carry the 12-bit DC category range (0..15)
+    the 8-bit tables lack."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int64).ravel()
+    if samples.size and (samples.min() < 0 or samples.max() > 4095):
+        raise ValueError("12-bit samples must be in 0..4095")
+    n = max(1, -(-max(samples.size, 1) // w_blocks)) * w_blocks
+    vals = np.zeros(n, dtype=np.int64)
+    vals[: samples.size] = samples
+    h_blocks = n // w_blocks
+    width, height = w_blocks * 8, h_blocks * 8
+
+    dc_codes = _huffman_codes(_DC12_BITS, _DC12_VALS)
+    ac_codes = _huffman_codes(_AC12_BITS, _AC12_VALS)
+    eob_code, eob_len = ac_codes[0x00]
+    bw = _BitWriter()
+    pred = 0
+    for v in vals:
+        dc = 8 * (int(v) - 2048)
+        diff = dc - pred
+        pred = dc
+        s = _dc_category(diff)
+        code, length = dc_codes[s]
+        bw.put(code, length)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.put(eob_code, eob_len)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", 1) for _ in range(64))),  # pq=1: 16-bit ones
+        seg(0xC1, struct.pack(">BHHB", 12, height, width, 1)
+            + bytes([1, 0x11, 0])),
+        seg(0xC4, bytes([0x00]) + bytes(_DC12_BITS) + bytes(_DC12_VALS)),
+        seg(0xC4, bytes([0x10]) + bytes(_AC12_BITS) + bytes(_AC12_VALS)),
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
+        scan,
+        b"\xff\xd9",
+    ])

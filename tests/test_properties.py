@@ -1112,3 +1112,25 @@ def test_jpeg_progressive_420_matches_baseline(body):
     # and the image model itself: RGB = (v, v, v) per constant block
     v0 = body[0]
     assert tuple(prog[0, 0]) == (v0, v0, v0)
+
+
+@given(st.lists(st.integers(0, 4095), max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_jpeg_12bit_roundtrip_exact(samples):
+    # 12-bit extended-sequential precision (SOF1): constant blocks
+    # with the all-ones 16-bit quant table decode bit-exactly as
+    # uint16 levels — 2048-centered shift, 0..4095 clip, and DC
+    # magnitude categories up to 15
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = np.array(samples, dtype=np.int64)
+    img = fmm.decode_jpeg(fmm.encode_gray12_jpeg(s, w_blocks=8))
+    assert img.dtype == np.uint16
+    n = max(1, -(-max(s.size, 1) // 8)) * 8
+    want = np.zeros(n, dtype=np.int64)
+    want[: s.size] = s
+    got = img[::8, ::8].ravel()  # one sample per constant block
+    assert (got == want).all()
+    # every pixel of a block is that constant
+    assert (img[:8, :8] == img[0, 0]).all()
