@@ -1607,6 +1607,35 @@ def q_siddhiql_partitioned_join(spark, sf_dir):
     return sq.run_app(app, two, tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_partitioned_join_all(spark, sf_dir):
+    """`insert all events into` over a PARTITIONED timeBatch join:
+    both windows of each instance share the absolute tumbling grid
+    (joined pairs are batch-aligned within the instance), and a
+    joined batch re-emits as expired iff its OWN instance fired a
+    later batch on either side — the per-instance flush witness the
+    partitioned timeBatch expired channel already certifies."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    ev = _events(spark, sf_dir)
+    two = {
+        "lefties": ev.filter(F.col("event_id") % 2 == 0),
+        "righties": ev.filter(F.col("event_id") % 2 == 1),
+    }
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:timeBatch(user_id, 1 hour)
+        join righties#window.unique:timeBatch(user_id, 1 hour)
+        on lefties.user_id == righties.user_id
+        select lefties.event_type as event_type,
+               lefties.event_id as l_id, righties.event_id as r_id,
+               channel
+        insert all events into joined;
+    end
+    """
+    return sq.run_app(app, two, tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_length_all(spark, sf_dir):
     """`insert all events into` over a PARTITIONED unique:length:
     per-instance set-semantics emission log — every arrival emits
@@ -1742,6 +1771,8 @@ _R08_WINDOW = [
     "streaming_partitioned_length_batch_parity",
     "streaming_partitioned_time_length_batch_parity",
     "multimodal_decode_jpeg_progressive_420",
+    "multimodal_decode_jpeg_lossless",
+    "siddhiql_partitioned_join_all",
 ]
 
 # Next-oldest tier (last driver rows r05): fills whatever remains of
@@ -1929,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_time_length_batch_expired": q_siddhiql_partitioned_time_length_batch_expired,
         "siddhiql_partitioned_length_all": q_siddhiql_partitioned_length_all,
         "siddhiql_partitioned_join": q_siddhiql_partitioned_join,
+        "siddhiql_partitioned_join_all": q_siddhiql_partitioned_join_all,
         "streaming_partitioned_length_batch_parity": q_streaming_partitioned_length_batch_parity,
         "streaming_partitioned_time_length_batch_parity": q_streaming_partitioned_time_length_batch_parity,
         # -- (0a) new in round 7: three more streaming twins
@@ -1969,6 +2001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "multimodal_decode_jpeg_progressive": lambda s, d: fmm.jpeg_progressive_decode_stats(
+            _docs(s, d)
+        ),
+        # -- (0a) round 8 continuation: lossless (SOF3) predictive
+        #    huffman — bit-exact on arbitrary bytes, 1 px per raw byte
+        "multimodal_decode_jpeg_lossless": lambda s, d: fmm.jpeg_lossless_decode_stats(
             _docs(s, d)
         ),
         # -- (0a) round 7 continuation: sketch/session analytics twins
@@ -2752,6 +2789,36 @@ def oracle_sql() -> dict[str, str]:
                               WHERE k.event_type = e.event_type
                                 AND k.event_id = e.event_id)
         """,
+        "siddhiql_partitioned_join_all": """
+            WITH lb AS (
+              SELECT * FROM (
+                SELECT e.*, (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS batch_end_ms,
+                       row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 3600000, user_id
+                                          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_id % 2 = 0) t WHERE rn = 1),
+            rb AS (
+              SELECT * FROM (
+                SELECT e.*, (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS batch_end_ms,
+                       row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 3600000, user_id
+                                          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_id % 2 = 1) t WHERE rn = 1),
+            j AS (
+              SELECT lb.event_type AS event_type, lb.event_id AS l_id,
+                     rb.event_id AS r_id, lb.batch_end_ms AS be
+              FROM lb JOIN rb ON lb.user_id = rb.user_id
+                             AND lb.event_type = rb.event_type
+                             AND lb.batch_end_ms = rb.batch_end_ms),
+            last AS (
+              SELECT event_type, max(batch_end_ms) AS last_end FROM (
+                SELECT event_type, batch_end_ms FROM lb
+                UNION ALL SELECT event_type, batch_end_ms FROM rb)
+              GROUP BY event_type)
+            SELECT event_type, l_id, r_id, 'current' AS channel FROM j
+            UNION ALL
+            SELECT j.event_type, j.l_id, j.r_id, 'expired' AS channel
+            FROM j JOIN last USING (event_type)
+            WHERE j.be < last.last_end
+        """,
         "siddhiql_partitioned_time_length_batch_expired": _time_length_batch_expired_partitioned_oracle(
             6 * HOUR, 20
         ),
@@ -3140,6 +3207,9 @@ def oracle_sql() -> dict[str, str]:
         # the progressive scans reconstruct the same constant-block
         # image as the baseline fixture
         "multimodal_decode_jpeg_progressive": fmm.JPEG_DECODE_STATS_ORACLE,
+        # lossless decode is the identity on the raw bytes (padded to
+        # full rows), so the oracle is the direct byte algebra
+        "multimodal_decode_jpeg_lossless": fmm.JPEG_LOSSLESS_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
         # the streaming foreachBatch lowering of the same text must
         # land on the batch engine's final state

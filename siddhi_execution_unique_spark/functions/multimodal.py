@@ -1301,6 +1301,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (height, width, comps) ; comps = [(cid, h, v, tq)]
     restart_interval = 0
     progressive = False
+    lossless = False
     precision = 8
     prog_coef: list[np.ndarray] | None = None  # per-comp (pad_bh, pad_bw, 64)
     pos = 2
@@ -1332,9 +1333,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
                 "arithmetic/differential progressive JPEG is not implemented")
-        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+        if marker in (0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError(
-                "lossless/arithmetic JPEG decode is not implemented")
+                "differential/arithmetic JPEG decode is not implemented")
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG: segment length missing")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
@@ -1376,13 +1377,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = lut
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF component list")
-            if prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError("lossless precision must be 2..16")
+            elif prec not in (8, 12):
                 raise NotImplementedError("only 8/12-bit precision decodes")
             precision = prec
             progressive = marker == 0xC2
@@ -1390,6 +1396,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 h_c, v_c = hv >> 4, hv & 0x0F
+                if lossless and (h_c != 1 or v_c != 1):
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG is not implemented")
                 if h_c not in (1, 2) or v_c not in (1, 2):
                     raise NotImplementedError(
                         "only sampling factors 1 and 2 are implemented "
@@ -1409,6 +1418,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = seg[0]
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated SOS component list")
+            if lossless:
+                return _jpeg_decode_lossless(
+                    payload, pos + seglen, seg, frame, huff,
+                    restart_interval, precision)
             if progressive:
                 if len(seg) < 1 + 2 * ns + 3:
                     raise ValueError("truncated progressive SOS header")
@@ -3624,3 +3637,246 @@ def encode_gray12_jpeg(samples: np.ndarray, w_blocks: int = JPEG_W_BLOCKS) -> by
         scan,
         b"\xff\xd9",
     ])
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3) JPEG — T.81 annex H predictive coding. The reference
+# repo has no codec layer (it windows events; see README.md); this backs
+# the multimodal ingest tier's "decode opaque binary payloads" surface.
+# ---------------------------------------------------------------------------
+
+JPEG_LL_W = 32  # lossless fixture width in samples (one pixel per byte)
+_DCLL_BITS = [0, 0, 0, 0, 17] + [0] * 11  # categories 0..16, 5 bits each
+_DCLL_VALS = list(range(17))
+
+
+def _lossless_reconstruct(d: np.ndarray, predictor: int, default: int) -> np.ndarray:
+    """Undo T.81 H.1.2 prediction for one component plane of decoded
+    differences ``d``. First row chains Ra from the ``default``
+    top-left prediction; first column chains Rb; interior samples use
+    the scan's predictor. All arithmetic is modulo 2^16 (H.1.2.1);
+    linear predictors (1/2/4) vectorize as cumulative sums, 3/4 as
+    per-row shifts, 5-7 (integer >>1 nonlinearity) walk per-sample."""
+    h, w = d.shape
+    r = np.zeros((h, w), dtype=np.int64)
+    r[0] = (default + np.cumsum(d[0])) & 0xFFFF
+    if h == 1:
+        return r
+    if predictor == 1:  # Ra
+        col0 = (r[0, 0] + np.cumsum(d[1:, 0])) & 0xFFFF
+        r[1:, 0] = col0
+        if w > 1:
+            r[1:, 1:] = (col0[:, None] + np.cumsum(d[1:, 1:], axis=1)) & 0xFFFF
+    elif predictor == 2:  # Rb
+        r[1:] = (r[0][None, :] + np.cumsum(d[1:], axis=0)) & 0xFFFF
+    elif predictor == 3:  # Rc
+        for y in range(1, h):
+            r[y, 0] = (r[y - 1, 0] + d[y, 0]) & 0xFFFF
+            if w > 1:
+                r[y, 1:] = (r[y - 1, :-1] + d[y, 1:]) & 0xFFFF
+    elif predictor == 4:  # Ra + Rb - Rc
+        for y in range(1, h):
+            r[y, 0] = (r[y - 1, 0] + d[y, 0]) & 0xFFFF
+            if w > 1:
+                t = d[y, 1:] + r[y - 1, 1:] - r[y - 1, :-1]
+                r[y, 1:] = (r[y, 0] + np.cumsum(t)) & 0xFFFF
+    else:  # 5, 6, 7 — predictions with integer right-shifts
+        for y in range(1, h):
+            r[y, 0] = (r[y - 1, 0] + d[y, 0]) & 0xFFFF
+            row_p, row_c = r[y - 1], r[y]
+            for x in range(1, w):
+                ra, rb, rc = int(row_c[x - 1]), int(row_p[x]), int(row_p[x - 1])
+                if predictor == 5:
+                    px = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+                row_c[x] = (px + d[y, x]) & 0xFFFF
+    return r
+
+
+def _jpeg_decode_lossless(
+    payload: bytes,
+    data_pos: int,
+    seg: bytes,
+    frame: tuple,
+    huff: dict,
+    restart_interval: int,
+    precision: int,
+) -> np.ndarray:
+    """Lossless (SOF3) scan decode per T.81 annex H: every sample is a
+    huffman-coded difference (DC-style category + EXTEND; category 16
+    means +32768 with no extra bits) from a neighbor prediction,
+    reconstructed modulo 2^16 and shifted left by the point
+    transform. Components interleave one sample per MCU (all sampling
+    factors are 1x1 — enforced at SOF3). Returns (h, w) for one
+    component or (h, w, n) raw stacked components — T.81 defines no
+    color transform for the lossless process."""
+    height, width, comps = frame
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS header")
+    predictor = seg[1 + 2 * ns]
+    pt = seg[3 + 2 * ns] & 0x0F
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    if pt >= precision:
+        raise ValueError("point transform must be below sample precision")
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers in lossless JPEG are not implemented")
+    if ns != len(comps):
+        raise NotImplementedError(
+            "multi-scan lossless JPEG is not implemented")
+    tables = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        if not any(x[0] == cs for x in comps):
+            raise ValueError(f"SOS references unknown component {cs}")
+        t = huff.get((0, tt >> 4))
+        if t is None:
+            raise ValueError("SOS references an undefined table")
+        tables.append(t)
+    br = _BitReader(payload, data_pos)
+    diffs = np.zeros((ns, height, width), dtype=np.int64)
+    for y in range(height):
+        for x in range(width):
+            for ci in range(ns):
+                s = _decode_symbol(br, tables[ci])
+                if s == 16:
+                    diffs[ci, y, x] = 32768
+                elif s:
+                    diffs[ci, y, x] = _extend(br.bits(s), s)
+    default = 1 << (precision - pt - 1)
+    planes = [
+        (_lossless_reconstruct(diffs[ci], predictor, default) << pt) & 0xFFFF
+        for ci in range(ns)
+    ]
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    if ns == 1:
+        return planes[0].astype(dtype)
+    return np.stack(planes, axis=-1).astype(dtype)
+
+
+def encode_lossless_jpeg(
+    samples: np.ndarray,
+    width: int = JPEG_LL_W,
+    predictor: int = 1,
+    precision: int = 8,
+    pt: int = 0,
+) -> bytes:
+    """Synthesize a VALID lossless (SOF3) grayscale JPEG: one sample
+    per pixel in raster order, zero-padded to full ``width``-sample
+    rows. Lossless huffman coding round-trips any sample array
+    bit-exactly, so a SQL oracle can rebuild pixel stats directly
+    from the raw bytes — same pattern as the PPM/WAV/Y4M builders.
+    ``pt``-point-transformed fixtures require samples that are
+    multiples of ``2^pt`` (so the decode shift restores them)."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int64).ravel()
+    maxv = (1 << precision) - 1
+    if samples.size and (samples.min() < 0 or samples.max() > maxv):
+        raise ValueError(f"samples must be in 0..{maxv}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    if pt and samples.size and (samples & ((1 << pt) - 1)).any():
+        raise ValueError("point-transformed fixtures need multiples of 2^pt")
+    n = max(1, -(-max(samples.size, 1) // width)) * width
+    vals = np.zeros(n, dtype=np.int64)
+    vals[: samples.size] = samples
+    grid = (vals >> pt).reshape(-1, width)
+    h, w = grid.shape
+    default = 1 << (precision - pt - 1)
+    codes = _huffman_codes(_DCLL_BITS, _DCLL_VALS)
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            if y == 0:
+                px = default if x == 0 else int(grid[0, x - 1])
+            elif x == 0:
+                px = int(grid[y - 1, 0])
+            else:
+                ra = int(grid[y, x - 1])
+                rb = int(grid[y - 1, x])
+                rc = int(grid[y - 1, x - 1])
+                px = (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                      rb + ((ra - rc) >> 1), (ra + rb) >> 1)[predictor - 1]
+            d = (int(grid[y, x]) - px) % 65536
+            if d > 32768:
+                d -= 65536
+            if d == 32768:
+                code, length = codes[16]
+                bw.put(code, length)
+            else:
+                s = _dc_category(d)
+                code, length = codes[s]
+                bw.put(code, length)
+                if s:
+                    bw.put(d if d > 0 else d + (1 << s) - 1, s)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xC3, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])),
+        seg(0xC4, bytes([0x00]) + bytes(_DCLL_BITS) + bytes(_DCLL_VALS)),
+        seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt])),
+        scan,
+        b"\xff\xd9",
+    ])
+
+
+def jpeg_lossless_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → lossless (SOF3) JPEG, one pixel per raw UTF-8 byte →
+    :func:`decode_jpeg` (annex-H predictive huffman path) → per-image
+    pixel stats, mirroring :func:`jpeg_decode_stats`. Lossless decode
+    is bit-exact by construction, so the oracle is the identity
+    algebra on the raw bytes zero-padded to full JPEG_LL_W-sample
+    rows. Partition-local mapInPandas — no shuffle, scales with the
+    documents scan."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                flat = decode_jpeg(encode_lossless_jpeg(raw)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+JPEG_LOSSLESS_DECODE_STATS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_raw,
+             lower(hex(encode(text))) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n_raw, hx,
+             greatest(1, CAST(ceil(n_raw / CAST({JPEG_LL_W} AS DOUBLE)) AS BIGINT))
+               * {JPEG_LL_W} AS n_px
+      FROM h
+    ),
+    vals AS (
+      SELECT doc_id, n_raw, n_px,
+             list_transform(generate_series(1, CAST(n_raw AS INTEGER)),
+               i -> (strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)) AS bv
+      FROM dims
+    )
+    SELECT doc_id,
+           n_px AS n_pixel_bytes,
+           CAST(coalesce(list_sum(bv), 0) AS BIGINT) AS pixel_sum,
+           CAST(len(list_filter(bv, v -> v % {HIST_BINS} = 0))
+                + (n_px - n_raw) AS BIGINT) AS zero_bin
+    FROM vals
+"""

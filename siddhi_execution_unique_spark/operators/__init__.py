@@ -34,6 +34,7 @@ from siddhi_execution_unique_spark.operators.time_batch import (
     expired_channel_partitioned,
     external_time_batch,
     external_time_batch_expired,
+    external_time_batch_expired_partitioned,
     external_time_batch_partitioned,
     first_time_batch,
     time_batch,
@@ -48,6 +49,7 @@ __all__ = [
     "expired_channel_partitioned",
     "external_time_batch",
     "external_time_batch_expired",
+    "external_time_batch_expired_partitioned",
     "external_time_batch_partitioned",
     "first",
     "first_length_batch",

@@ -322,3 +322,68 @@ def expired_channel_partitioned(
         .drop("_last_end")
         .withColumn("expired_at_ms", F.col(BATCH_END) + F.lit(window_ms))
     )
+
+
+def external_time_batch_expired_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    keys,
+    timestamp: str,
+    window_time: int | str,
+    start_time_ms: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-instance EXPIRED channel of a PARTITIONED
+    ``unique:externalTimeBatch``. The reference's flush protocol runs
+    only on event arrival (UniqueExternalTimeBatchWindowProcessor
+    .java:304-318,363-366) and in partitioned execution each instance
+    runs its own processor — so the rank+2 rule certified for the
+    global :func:`external_time_batch_expired` applies PER INSTANCE:
+    among the batches instance ``p``'s own events form (ordered by
+    start), batch rank ``r`` re-emits as expired at the first event of
+    ``p``'s rank ``r+2`` batch, with ``expired_at_ms`` = that event's
+    timestamp; each instance's last two batches never expire. Without
+    ``start.time`` each instance anchors its grid at its own first
+    event (same as :func:`external_time_batch_partitioned`).
+
+    Plan shape: the partitioned batch aggregation plus a one-row-per-
+    (instance, present-batch) aggregate with ``lead(_, 2)`` over each
+    instance's own batch order, joined back on (attr, batch_start) —
+    the log is tiny at any scale and AQE broadcasts it."""
+    from pyspark.sql.window import Window
+
+    window_ms = parse_time_ms(window_time, "window.time")
+    batched = external_time_batch_partitioned(
+        df, partition_attr, keys, timestamp, window_ms,
+        start_time_ms=start_time_ms, tiebreak=tiebreak,
+    )
+    ms = event_ms(df, timestamp)
+    if start_time_ms is None:
+        anchors = df.groupBy(partition_attr).agg(F.min(ms).alias("_anchor_ms"))
+        src = df.join(anchors, partition_attr)
+        start: Column = F.col("_anchor_ms")
+    else:
+        src = df
+        start = F.lit(start_time_ms)
+    batch_start = (
+        F.floor((ms - start) / window_ms).cast("long") * window_ms + start
+    )
+    log = (
+        src.select(
+            F.col(partition_attr), batch_start.alias(BATCH_START),
+            ms.alias("_ms"),
+        )
+        .groupBy(partition_attr, BATCH_START)
+        .agg(F.min("_ms").alias("_first_ms"))
+    )
+    exp_log = (
+        log.withColumn(
+            "expired_at_ms",
+            F.lead("_first_ms", 2).over(
+                Window.partitionBy(partition_attr).orderBy(BATCH_START)
+            ),
+        )
+        .filter(F.col("expired_at_ms").isNotNull())
+        .select(partition_attr, BATCH_START, "expired_at_ms")
+    )
+    return batched.join(exp_log, [partition_attr, BATCH_START])

@@ -544,10 +544,11 @@ def _run_join(
         cond = f"({cond}) AND {lname}.batch_end_ms = {rname}.batch_end_ms"
     partitioned = bool(q.get("partitioned"))
     if partitioned:
-        if channel != "current":
+        if channel != "current" and not aligned_batches:
             raise SiddhiQLError(
                 "the expired/all-events channel of a partitioned join is "
-                "not wired; use the function API"
+                "wired for aligned unique:timeBatch pairs only; use the "
+                "function API"
             )
         # each instance owns both windows: join the per-instance
         # contents and pin the instances to each other
@@ -572,6 +573,27 @@ def _run_join(
     )
     if channel == "current":
         return joined
+    if partitioned:
+        # per-instance flush witness (the partitioned timeBatch
+        # expired rule, VERDICT r07 item 7): instance p's joined
+        # batch re-emits as expired iff instance p ITSELF fired a
+        # later batch on either side — another instance's flush is
+        # not p's scheduler. One tiny (instances × batches) aggregate
+        # joined back on the instance key; AQE broadcasts it.
+        ends_p = (
+            sides["left"].select(F.col(lattr).alias("_p"), "batch_end_ms")
+            .unionAll(
+                sides["right"].select(F.col(rattr).alias("_p"), "batch_end_ms"))
+            .groupBy("_p").agg(F.max("batch_end_ms").alias("_last_end"))
+        )
+        exp = (
+            joined.join(ends_p, F.col(f"{lname}.{lattr}") == F.col("_p"))
+            .filter(F.col(f"{lname}.batch_end_ms") < F.col("_last_end"))
+            .drop("_p", "_last_end")
+        )
+        if channel == "expired":
+            return exp
+        return _tag(joined, "current").unionAll(_tag(exp, "expired"))
     ends = (
         sides["left"].select("batch_end_ms")
         .unionAll(sides["right"].select("batch_end_ms"))
@@ -623,7 +645,7 @@ def _build_partitioned(
         channel = "current"
     if channel != "current" and window not in (
         "ever", "first", "time", "length", "timeBatch", "lengthBatch",
-        "timeLengthBatch"
+        "timeLengthBatch", "externalTimeBatch"
     ):
         raise SiddhiQLError(
             f"the expired/all-events channel of a partitioned "
@@ -782,6 +804,22 @@ def _build_partitioned(
             kwargs["replace_timestamp_with_batch_end"] = (
                 args[5].lower() == "true"
             )
+        if channel != "current":
+            # per-instance rank+2 flush rule (the expired derivation
+            # has no ts-rewrite knob, same as the global channel)
+            exp_kwargs = {
+                k: v for k, v in kwargs.items()
+                if k != "replace_timestamp_with_batch_end"
+            }
+            exp = ops.external_time_batch_expired_partitioned(
+                df, p, [key], ts_attr, wtime, **exp_kwargs
+            )
+            if channel == "expired":
+                return exp
+            cur = ops.external_time_batch_partitioned(
+                df, p, [key], ts_attr, wtime, **kwargs
+            ).withColumn("expired_at_ms", F.lit(None).cast("long"))
+            return _tag(cur, "current").unionByName(_tag(exp, "expired"))
         return ops.external_time_batch_partitioned(
             df, p, [key], ts_attr, wtime, **kwargs
         )

@@ -1134,3 +1134,87 @@ def test_jpeg_12bit_roundtrip_exact(samples):
     assert (got == want).all()
     # every pixel of a block is that constant
     assert (img[:8, :8] == img[0, 0]).all()
+
+
+@given(st.lists(st.integers(0, 255), max_size=200),
+       st.integers(1, 7))
+@settings(max_examples=80, deadline=None)
+def test_jpeg_lossless_roundtrip_exact(samples, predictor):
+    # lossless (SOF3) huffman: annex-H predictive coding round-trips
+    # ANY byte array bit-exactly — all seven predictors, first-row Ra
+    # chain, first-column Rb chain, modulo-2^16 reconstruction
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = np.array(samples, dtype=np.int64)
+    img = fmm.decode_jpeg(fmm.encode_lossless_jpeg(s, width=16, predictor=predictor))
+    assert img.dtype == np.uint8
+    n = max(1, -(-max(s.size, 1) // 16)) * 16
+    want = np.zeros(n, dtype=np.int64)
+    want[: s.size] = s
+    assert img.shape == (n // 16, 16)
+    assert (img.ravel() == want).all()
+
+
+@given(st.lists(st.integers(0, 65535), max_size=120),
+       st.integers(1, 7))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_lossless_16bit_roundtrip(samples, predictor):
+    # 16-bit lossless: diff categories up to 16 (the +32768 no-extra-
+    # bits escape) and uint16 output
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = np.array(samples, dtype=np.int64)
+    img = fmm.decode_jpeg(
+        fmm.encode_lossless_jpeg(s, width=10, predictor=predictor, precision=16))
+    assert img.dtype == np.uint16
+    n = max(1, -(-max(s.size, 1) // 10)) * 10
+    want = np.zeros(n, dtype=np.int64)
+    want[: s.size] = s
+    assert (img.ravel() == want).all()
+
+
+@given(st.lists(st.integers(0, 63), max_size=100))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_lossless_point_transform(samples):
+    # Pt divides samples by 2^Pt before coding; decode shifts back —
+    # multiples of 2^Pt round-trip exactly
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = np.array(samples, dtype=np.int64) * 4
+    img = fmm.decode_jpeg(fmm.encode_lossless_jpeg(s, width=8, predictor=5, pt=2))
+    assert (img.ravel()[: s.size] == s).all()
+
+
+def test_jpeg_lossless_declared_boundaries():
+    # the REMAINING lossless boundaries stay typed NotImplementedError:
+    # restart markers, subsampled components, arithmetic lossless (SOF11)
+    import re
+    import struct
+    import numpy as np
+    import pytest
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    base = fmm.encode_lossless_jpeg(np.arange(16), width=8)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # inject DRI before SOS -> restart boundary
+    sos = base.index(b"\xff\xda")
+    with_dri = base[:sos] + seg(0xDD, struct.pack(">H", 4)) + base[sos:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        fmm.decode_jpeg(with_dri)
+    # rewrite SOF3 sampling factors to 2x2 -> subsampled lossless
+    sof = base.index(b"\xff\xc3")
+    subs = bytearray(base)
+    subs[sof + 2 + 2 + 6 + 1] = 0x22  # comp 0 h/v nibble
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        fmm.decode_jpeg(bytes(subs))
+    # SOF11 (arithmetic lossless) is declared out
+    arith = bytearray(base)
+    arith[sof + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        fmm.decode_jpeg(bytes(arith))

@@ -882,6 +882,73 @@ def test_partitioned_join_per_instance(streams):
     assert rows(got) == rows(want) and want.count() > 0
 
 
+def test_partitioned_join_all_events_per_instance(streams):
+    # the expired channel of a partitioned timeBatch join uses the
+    # PER-INSTANCE flush witness: instance p's joined batch re-emits
+    # as expired iff p itself fired a later batch on either side —
+    # a later flush in another instance is not p's scheduler
+    ev = streams["events"]
+    two = {"lefties": ev.filter(F.col("event_id") % 2 == 0),
+           "righties": ev.filter(F.col("event_id") % 2 == 1)}
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:timeBatch(user_id, 1 hour)
+        join righties#window.unique:timeBatch(user_id, 1 hour)
+        on lefties.user_id == righties.user_id
+        select lefties.event_id as l_id, righties.event_id as r_id, channel
+        insert all events into joined;
+    end
+    """
+    got = sq.run_app(app, two, tiebreak="event_id")["joined"]
+    want: list = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        lt = ops.time_batch(two["lefties"].filter(F.col("event_type") == et),
+                            ["user_id"], window_time="1 hour",
+                            ts="ts", tiebreak="event_id")
+        rt = ops.time_batch(two["righties"].filter(F.col("event_type") == et),
+                            ["user_id"], window_time="1 hour",
+                            ts="ts", tiebreak="event_id")
+        j = lt.alias("l").join(
+            rt.alias("r"),
+            F.expr("l.user_id = r.user_id AND l.batch_end_ms = r.batch_end_ms"),
+        ).select(F.col("l.event_id").alias("l_id"),
+                 F.col("r.event_id").alias("r_id"),
+                 F.col("l.batch_end_ms").alias("be"))
+        ends = [r[0] for r in
+                lt.select("batch_end_ms").unionAll(rt.select("batch_end_ms"))
+                .agg(F.max("batch_end_ms")).collect()]
+        last_end = ends[0]
+        for row in j.collect():
+            want.append((row["l_id"], row["r_id"], "current"))
+            if last_end is not None and row["be"] < last_end:
+                want.append((row["l_id"], row["r_id"], "expired"))
+    assert rows(got) == sorted(want)
+    assert any(w[2] == "expired" for w in want)
+    assert any(w[2] == "current" for w in want)
+
+
+def test_partitioned_join_non_batch_channel_raises(streams):
+    # only aligned timeBatch pairs carry the flush protocol; a
+    # partitioned ever-join has no expired pair semantics
+    ev = streams["events"]
+    two = {"lefties": ev.filter(F.col("event_id") % 2 == 0),
+           "righties": ev.filter(F.col("event_id") % 2 == 1)}
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:ever(user_id)
+        join righties#window.unique:ever(user_id)
+        on lefties.user_id == righties.user_id
+        select lefties.event_id as l_id, channel
+        insert all events into joined;
+    end
+    """
+    with pytest.raises(sq.SiddhiQLError, match="aligned unique:timeBatch"):
+        sq.run_app(app, two, tiebreak="event_id")
+
+
 def test_partitioned_join_unknown_stream_raises(streams):
     ev = streams["events"]
     two = {"lefties": ev, "righties": ev.filter(F.col("event_id") % 2 == 1)}
