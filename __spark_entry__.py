@@ -1490,6 +1490,28 @@ def q_siddhiql_partitioned_external_time_batch(spark, sf_dir):
                       tiebreak="event_id")["batches"]
 
 
+def q_siddhiql_partitioned_external_time_batch_all(spark, sf_dir):
+    """`insert all events into` over a PARTITIONED
+    unique:externalTimeBatch: each instance anchors its grid at its
+    own first event AND owns its own flush protocol, so the rank+2
+    arrival-flush rule (batch rank r's retained rows re-emit as
+    expired at the first event of the instance's rank r+2 batch)
+    applies per instance. Channel column only — expired_at_ms is
+    dropped to keep the oracle hash free of NULL sentinels."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:externalTimeBatch(user_id, ts, 2 hours)
+        select event_type, user_id, event_id, channel
+        insert all events into batches;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["batches"]
+
+
 def q_siddhiql_partitioned_time_batch_all(spark, sf_dir):
     """`insert all events into` over a PARTITIONED unique:timeBatch
     (VERDICT r07 item 7): every partition value owns its window
@@ -1773,6 +1795,7 @@ _R08_WINDOW = [
     "multimodal_decode_jpeg_progressive_420",
     "multimodal_decode_jpeg_lossless",
     "siddhiql_partitioned_join_all",
+    "siddhiql_partitioned_external_time_batch_all",
 ]
 
 # Next-oldest tier (last driver rows r05): fills whatever remains of
@@ -1956,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_length_batch": q_siddhiql_partitioned_length_batch,
         "siddhiql_partitioned_time_length_batch": q_siddhiql_partitioned_time_length_batch,
         "siddhiql_partitioned_external_time_batch": q_siddhiql_partitioned_external_time_batch,
+        "siddhiql_partitioned_external_time_batch_all": q_siddhiql_partitioned_external_time_batch_all,
         "siddhiql_partitioned_time_batch_all": q_siddhiql_partitioned_time_batch_all,
         "siddhiql_partitioned_time_length_batch_expired": q_siddhiql_partitioned_time_length_batch_expired,
         "siddhiql_partitioned_length_all": q_siddhiql_partitioned_length_all,
@@ -2855,6 +2879,32 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY event_type, batch_start_ms, user_id
                         ORDER BY ms DESC, event_id DESC) AS rn FROM c) t
             WHERE rn = 1
+        """,
+        "siddhiql_partitioned_external_time_batch_all": """
+            WITH a AS (SELECT event_type, min(epoch_ms(ts)) AS anchor
+                       FROM events GROUP BY event_type),
+            b AS (SELECT e.event_id, e.user_id, e.event_type,
+                         epoch_ms(e.ts) AS ms, a.anchor
+                  FROM events e JOIN a USING (event_type)),
+            c AS (SELECT *, ((ms - anchor) // 7200000) * 7200000 + anchor
+                         AS batch_start_ms FROM b),
+            kept AS (
+              SELECT event_type, user_id, event_id, batch_start_ms
+              FROM (SELECT *, row_number() OVER (
+                          PARTITION BY event_type, batch_start_ms, user_id
+                          ORDER BY ms DESC, event_id DESC) AS rn FROM c) t
+              WHERE rn = 1),
+            ranks AS (
+              SELECT event_type, batch_start_ms,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY batch_start_ms) AS r,
+                     count(*) OVER (PARTITION BY event_type) AS nb
+              FROM (SELECT DISTINCT event_type, batch_start_ms FROM c))
+            SELECT event_type, user_id, event_id, 'current' AS channel FROM kept
+            UNION ALL
+            SELECT k.event_type, k.user_id, k.event_id, 'expired' AS channel
+            FROM kept k JOIN ranks r USING (event_type, batch_start_ms)
+            WHERE r.r + 2 <= r.nb
         """,
         "unique_external_time_batch_expired": _external_time_batch_expired_oracle(2 * HOUR),
         "unique_time_length_batch_expired": _time_length_batch_expired_oracle(

@@ -929,6 +929,37 @@ def test_partitioned_join_all_events_per_instance(streams):
     assert any(w[2] == "current" for w in want)
 
 
+def test_partitioned_external_time_batch_all_per_instance(streams):
+    # the expired channel of a partitioned externalTimeBatch is the
+    # global rank+2 arrival-flush rule applied PER INSTANCE: each
+    # instance anchors its own grid and drains batch rank r at the
+    # first event of ITS rank r+2 batch
+    ev = streams["events"]
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:externalTimeBatch(user_id, ts, 6 hours)
+        select event_type, user_id, event_id, channel
+        insert all events into batches;
+    end
+    """
+    got = sq.run_app(app, {"events": ev}, tiebreak="event_id")["batches"]
+    want: list = []
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        sub = ev.filter(F.col("event_type") == et)
+        cur = ops.external_time_batch(sub, "user_id", "ts", "6 hours",
+                                      tiebreak="event_id")
+        exp = ops.external_time_batch_expired(sub, "user_id", "ts", "6 hours",
+                                              tiebreak="event_id")
+        for row in cur.select("event_type", "user_id", "event_id").collect():
+            want.append(tuple(row) + ("current",))
+        for row in exp.select("event_type", "user_id", "event_id").collect():
+            want.append(tuple(row) + ("expired",))
+    assert rows(got) == sorted(want)
+    assert any(w[3] == "expired" for w in want)
+
+
 def test_partitioned_join_non_batch_channel_raises(streams):
     # only aligned timeBatch pairs carry the flush protocol; a
     # partitioned ever-join has no expired pair semantics
