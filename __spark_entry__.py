@@ -1796,6 +1796,7 @@ _R08_WINDOW = [
     "multimodal_decode_jpeg_lossless",
     "siddhiql_partitioned_join_all",
     "siddhiql_partitioned_external_time_batch_all",
+    "unique_length_emissions_partitioned",
 ]
 
 # Next-oldest tier (last driver rows r05): fills whatever remains of
@@ -1966,6 +1967,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_length_emissions_ordered": lambda s, d: ops.length_window_emissions_indexed(
             _events(s, d), "user_id", 100, ts="ts", tiebreak="event_id"
         ).select("event_id", "user_id", "channel", "emission_idx"),
+        # per-instance ordered emission log (partition with + ORDER):
+        # each event_type owns its own FIFO and 0-based emission_idx;
+        # distributes better than the global chain (one groupBy(attr)
+        # replay, bounded by the largest instance)
+        "unique_length_emissions_partitioned": lambda s, d: (
+            ops.length_window_emissions_indexed_partitioned(
+                _events(s, d), "event_type", "user_id", 20,
+                ts="ts", tiebreak="event_id",
+            ).select("event_type", "event_id", "user_id", "channel", "emission_idx")
+        ),
         # -- (0a) new in round 7: batch expired/all-events channels for
         #    unique:timeLengthBatch and unique:externalTimeBatch
         #    (VERDICT r06 item 1), function API + SiddhiQL text surface
@@ -2399,6 +2410,66 @@ outp AS (
   SELECT event_id, CAST(base + has_exp AS BIGINT), 'current' AS channel FROM flagged
 )
 SELECT o.event_id, e.user_id, o.channel, o.emission_idx
+FROM outp o JOIN ev e ON e.event_id = o.event_id
+"""
+
+
+def _length_emissions_indexed_partitioned_oracle(n: int) -> str:
+    """Per-instance variant of :func:`_length_emissions_indexed_oracle`
+    (operators/length.py:length_window_emissions_indexed_partitioned):
+    every clause is re-scoped to the partition attribute — positions,
+    the same-key chain, the n-th-distinct-other-key eviction join, and
+    the emission-index prefix sum all run within each event_type's own
+    FIFO, so emission_idx is 0-based per instance."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+  FROM events
+),
+linked AS (
+  SELECT *,
+         coalesce(lag(pos)  OVER (PARTITION BY event_type, user_id ORDER BY pos), 0) AS prev_pos,
+         lead(pos) OVER (PARTITION BY event_type, user_id ORDER BY pos) AS next_pos
+  FROM ev
+),
+qn AS (
+  SELECT et, p_pos, q_pos AS evict_pos FROM (
+    SELECT p.event_type AS et, p.pos AS p_pos, q.pos AS q_pos,
+           row_number() OVER (PARTITION BY p.event_type, p.pos ORDER BY q.pos) AS rq
+    FROM linked p JOIN linked q
+      ON q.event_type = p.event_type AND q.pos > p.pos
+     AND q.prev_pos <= p.pos AND q.user_id != p.user_id
+  ) WHERE rq = {n}
+),
+expiry AS (
+  SELECT l.event_type, l.pos, l.event_id,
+         least(coalesce(l.next_pos, 9223372036854775807),
+               coalesce(q.evict_pos, 9223372036854775807)) AS exp_pos
+  FROM linked l LEFT JOIN qn q ON q.et = l.event_type AND q.p_pos = l.pos
+),
+arr AS (
+  SELECT e.event_type, e.pos, e.event_id, x.event_id AS expired_eid
+  FROM ev e LEFT JOIN expiry x
+    ON x.event_type = e.event_type AND x.exp_pos = e.pos
+),
+flagged AS (
+  SELECT event_type, pos, event_id, expired_eid,
+         CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END AS has_exp,
+         (pos - 1) + coalesce(sum(CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM arr
+),
+outp AS (
+  SELECT event_type, expired_eid AS event_id, CAST(base AS BIGINT) AS emission_idx,
+         'expired' AS channel
+  FROM flagged WHERE expired_eid IS NOT NULL
+  UNION ALL
+  SELECT event_type, event_id, CAST(base + has_exp AS BIGINT), 'current' AS channel
+  FROM flagged
+)
+SELECT o.event_type, o.event_id, e.user_id, o.channel, o.emission_idx
 FROM outp o JOIN ev e ON e.event_id = o.event_id
 """
 
@@ -3025,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         # emission multiset as the closed form
         "streaming_length_parity": _length_emissions_oracle(100),
         "unique_length_emissions_ordered": _length_emissions_indexed_oracle(100),
+        "unique_length_emissions_partitioned": _length_emissions_indexed_partitioned_oracle(20),
         "docs_bm25_topk": fret.bm25_topk_oracle(),
         "dedup_tfidf_cosine": fret.tfidf_cosine_pairs_oracle(),
         "events_trailing_distinct": fsk.trailing_distinct_users_oracle(),

@@ -15,6 +15,7 @@ from siddhi_execution_unique_spark.operators.length import (
     length_window_emissions,
     length_window_emissions_distributed,
     length_window_emissions_indexed,
+    length_window_emissions_indexed_partitioned,
     length_window_partitioned,
 )
 from siddhi_execution_unique_spark.operators.replay import (

@@ -256,3 +256,79 @@ def length_window_emissions(
         return out
 
     return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+
+
+def length_window_emissions_indexed_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    *,
+    tiebreak: str,
+) -> DataFrame:
+    """Ordered emission log of a PARTITIONED ``unique:length`` with a
+    per-instance ``emission_idx``: every partition value owns an
+    independent FIFO (Siddhi partitioned execution), and within each
+    instance the reference's per-arrival order holds — the replaced or
+    FIFO-evicted event emits on ``expired`` FIRST, then the arrival
+    emits on ``current`` (UniqueLengthWindowProcessor.java:148-157,
+    158-166). ``emission_idx`` is 0-based within the instance.
+
+    Scale shape: DISTRIBUTES BETTER than the global ordered log — one
+    shuffle keyed on the partition attribute, each instance's chain
+    walks its own pandas group (bounded by the largest partition, not
+    the corpus), and the chain sees only (attr, key, ts, tiebreak);
+    payload columns join back in a normal distributed hash join."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from siddhi_execution_unique_spark.operators.replay import _partitioned_replay
+
+    require_column(df, partition_attr, "partition attribute")
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, tiebreak, "tiebreak")
+    n = require_pos_int(window_length, "window.length")
+
+    assign_schema = StructType(
+        [
+            StructField(tiebreak, df.schema[tiebreak].dataType),
+            StructField(CHANNEL, StringType()),
+            StructField("emission_idx", LongType()),
+        ]
+    )
+
+    def walk(pdf):
+        buffer: dict = {}  # insertion-ordered: key -> tiebreak value
+        key_arr = pdf[key].to_numpy()
+        tb_arr = pdf[tiebreak].to_numpy()
+        out_tb: list = []
+        out_ch: list = []
+        for i in range(len(pdf)):
+            k = key_arr[i]
+            if k in buffer:
+                out_tb.append(buffer.pop(k))
+                out_ch.append("expired")  # replaced: expires now
+            elif len(buffer) == n:
+                oldest = next(iter(buffer))
+                out_tb.append(buffer.pop(oldest))
+                out_ch.append("expired")  # FIFO eviction
+            buffer[k] = tb_arr[i]
+            out_tb.append(tb_arr[i])
+            out_ch.append("current")
+        return pd.DataFrame(
+            {
+                tiebreak: pd.Series(out_tb, dtype=tb_arr.dtype),
+                CHANNEL: pd.Series(out_ch, dtype="object"),
+                "emission_idx": np.arange(len(out_tb), dtype=np.int64),
+            }
+        )
+
+    assignment = _partitioned_replay(
+        df.select(partition_attr, key, ts, tiebreak),
+        partition_attr, ts, tiebreak, assign_schema, walk,
+    )
+    return df.join(assignment, tiebreak)

@@ -611,6 +611,44 @@ def test_length_window_emissions_replace_and_fifo(spark):
     ]
 
 
+def test_length_window_emissions_indexed_partitioned_per_instance(spark):
+    # `partition with` + the ordered emission log: each instance owns
+    # its own FIFO and 0-based emission_idx, so every instance's
+    # sequence equals the GLOBAL indexed log run on that instance's
+    # events alone
+    from siddhi_execution_unique_spark.operators.length import (
+        length_window_emissions_indexed,
+        length_window_emissions_indexed_partitioned,
+    )
+
+    seq = [("g1", k) for k in "a b a c d b e a".split()] + [
+        ("g2", k) for k in "x a x y a z".split()
+    ]
+    rows = [(grp, (i + 1) * 1000, i + 1, k) for i, (grp, k) in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "grp string, ts long, event_id long, k string"
+    )
+    got = length_window_emissions_indexed_partitioned(
+        df, "grp", "k", 2, ts="ts", tiebreak="event_id"
+    )
+    got_rows = {
+        (r["grp"], r["event_id"], r["channel"], r["emission_idx"])
+        for r in got.collect()
+    }
+    want: set = set()
+    for g in ("g1", "g2"):
+        sub = df.filter(F.col("grp") == g)
+        log = length_window_emissions_indexed(
+            sub, "k", 2, ts="ts", tiebreak="event_id"
+        )
+        want |= {
+            (g, r["event_id"], r["channel"], r["emission_idx"])
+            for r in log.collect()
+        }
+    assert got_rows == want
+    assert len(want) > len(rows)  # replaces/evictions produced expired rows
+
+
 def test_time_length_batch_trailing_window_never_fires(spark):
     # T=10s, N=3: events at 0s,1s (interval 0) then 12s (interval 1).
     # Interval 0 time-fires when the 12s event crosses the 10s
