@@ -1739,10 +1739,14 @@ def _emb(spark, sf_dir):
 # r07 item 1), then new entries added this round.
 _R08_WINDOW = [
     # changed this round: corrected timeLengthBatch expired drain
-    # (a boundary right after a length fire only clears the skip flag)
+    # (a boundary right after a length fire only clears the skip flag).
+    # streaming_time_length_batch_parity also changed but is deferred
+    # to r09 (window budget: 34 stale + 14 new = 48 mandatory slots);
+    # its updated drain rule is exercised in-window by the sharded
+    # twin streaming_partitioned_time_length_batch_parity and pinned
+    # by the event-at-a-time simulation property test.
     "unique_time_length_batch_expired",
     "siddhiql_time_length_batch_all",
-    "streaming_time_length_batch_parity",
     # r04-stale tier: core-operator variants + host-engine surface
     "unique_ever_expired_expr",
     "unique_time_expired",
@@ -1802,8 +1806,11 @@ _R08_WINDOW = [
 # Next-oldest tier (last driver rows r05): fills whatever remains of
 # the 50-entry window after _R08_WINDOW, so the rotation always
 # certifies the stalest signal first. Order: core-adjacent entries,
-# then by family.
+# then by family. streaming_time_length_batch_parity leads: its
+# semantics changed in r08 but the window budget was full (see the
+# _R08_WINDOW comment), so it is first in line for r09.
 _R08_FILL = [
+    "streaming_time_length_batch_parity",
     "siddhiql_ever_filtered",
     "events_funnel",
     "events_absence",
