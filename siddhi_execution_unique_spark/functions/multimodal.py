@@ -1302,6 +1302,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     precision = 8
     prog_coef: list[np.ndarray] | None = None  # per-comp (pad_bh, pad_bw, 64)
     pos = 2
@@ -1332,10 +1335,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                "arithmetic/differential progressive JPEG is not implemented")
-        if marker in (0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+                "progressive-arithmetic/differential JPEG is not implemented")
+        if marker == 0xCB:
             raise NotImplementedError(
-                "differential/arithmetic JPEG decode is not implemented")
+                "arithmetic lossless JPEG is not implemented")
+        if marker in (0xC5, 0xC7, 0xCD, 0xCF):
+            raise NotImplementedError(
+                "differential/hierarchical JPEG decode is not implemented")
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG: segment length missing")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
@@ -1377,13 +1383,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = lut
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
+            # SOF9 extended-sequential arithmetic
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF component list")
+            arith = marker == 0xC9
             lossless = marker == 0xC3
             if lossless:
                 if not 2 <= prec <= 16:
@@ -1409,6 +1417,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0x0F
+                val = seg[i + 1]
+                if tc == 0:
+                    lo, hi = val & 0x0F, val >> 4
+                    if lo > hi:
+                        raise ValueError("DAC DC conditioning needs L <= U")
+                    dc_cond[tb] = (lo, hi)
+                else:
+                    if not 1 <= val <= 63:
+                        raise ValueError("DAC AC Kx must be in 1..63")
+                    ac_cond[tb] = val
+                i += 2
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -1422,6 +1445,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return _jpeg_decode_lossless(
                     payload, pos + seglen, seg, frame, huff,
                     restart_interval, precision)
+            if arith:
+                return _jpeg_decode_arith_scan(
+                    payload, pos + seglen, seg, frame, qt,
+                    dc_cond, ac_cond, restart_interval, precision)
             if progressive:
                 if len(seg) < 1 + 2 * ns + 3:
                     raise ValueError("truncated progressive SOS header")
@@ -3880,3 +3907,449 @@ JPEG_LOSSLESS_DECODE_STATS_ORACLE = f"""
                 + (n_px - n_raw) AS BIGINT) AS zero_bin
     FROM vals
 """
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded (SOF9) JPEG — the ITU-T T.81 QM coder (annexes D/E/F).
+# The reference repo has no codec layer; this completes the JPEG matrix for
+# the multimodal ingest tier (baseline/progressive/12-bit/lossless done
+# above). State table = T.81 Table D.3 (Qe, NMPS, NLPS, SWITCH); row 113 is
+# the conventional self-looping fixed-estimate state used for AC signs.
+# Conformance is pinned by tests/test_properties.py against the system
+# libjpeg (transcode-to-arithmetic + coefficient dump) when available.
+# ---------------------------------------------------------------------------
+
+_ARITAB = [
+    (0x5a1d, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0), (0x080b, 4, 18, 0),
+    (0x03d8, 5, 20, 0), (0x01da, 6, 23, 0), (0x00e5, 7, 25, 0), (0x006f, 8, 28, 0),
+    (0x0036, 9, 30, 0), (0x001a, 10, 33, 0), (0x000d, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5a7f, 15, 15, 1), (0x3f25, 16, 36, 0),
+    (0x2cf2, 17, 38, 0), (0x207c, 18, 39, 0), (0x17b9, 19, 40, 0), (0x1182, 20, 42, 0),
+    (0x0cef, 21, 43, 0), (0x09a1, 22, 45, 0), (0x072f, 23, 46, 0), (0x055c, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0), (0x01b1, 28, 54, 0),
+    (0x0144, 29, 56, 0), (0x00f5, 30, 57, 0), (0x00b7, 31, 59, 0), (0x008a, 32, 60, 0),
+    (0x0068, 33, 62, 0), (0x004e, 34, 63, 0), (0x003b, 35, 32, 0), (0x002c, 9, 33, 0),
+    (0x5ae1, 37, 37, 1), (0x484c, 38, 64, 0), (0x3a0d, 39, 65, 0), (0x2ef1, 40, 67, 0),
+    (0x261f, 41, 68, 0), (0x1f33, 42, 69, 0), (0x19a8, 43, 70, 0), (0x1518, 44, 72, 0),
+    (0x1177, 45, 73, 0), (0x0e74, 46, 74, 0), (0x0bfb, 47, 75, 0), (0x09f8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05cd, 51, 48, 0), (0x04de, 52, 50, 0),
+    (0x040f, 53, 50, 0), (0x0363, 54, 51, 0), (0x02d4, 55, 52, 0), (0x025c, 56, 53, 0),
+    (0x01f8, 57, 54, 0), (0x01a4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00f6, 61, 58, 0), (0x00cb, 62, 59, 0), (0x00ab, 63, 61, 0), (0x008f, 32, 61, 0),
+    (0x5b12, 65, 65, 1), (0x4d04, 66, 80, 0), (0x412c, 67, 81, 0), (0x37d8, 68, 82, 0),
+    (0x2fe8, 69, 83, 0), (0x293c, 70, 84, 0), (0x2379, 71, 86, 0), (0x1edf, 72, 87, 0),
+    (0x1aa9, 73, 87, 0), (0x174e, 74, 72, 0), (0x1424, 75, 72, 0), (0x119c, 76, 74, 0),
+    (0x0f6b, 77, 74, 0), (0x0d51, 78, 75, 0), (0x0bb6, 79, 77, 0), (0x0a40, 48, 77, 0),
+    (0x5832, 81, 80, 1), (0x4d1c, 82, 88, 0), (0x438e, 83, 89, 0), (0x3bdd, 84, 90, 0),
+    (0x34ee, 85, 91, 0), (0x2eae, 86, 92, 0), (0x299a, 87, 93, 0), (0x2516, 71, 86, 0),
+    (0x5570, 89, 88, 1), (0x4ca9, 90, 95, 0), (0x44d9, 91, 96, 0), (0x3e22, 92, 97, 0),
+    (0x3824, 93, 99, 0), (0x32b4, 94, 99, 0), (0x2e17, 86, 93, 0), (0x56a8, 96, 95, 1),
+    (0x4f46, 97, 101, 0), (0x47e5, 98, 102, 0), (0x41cf, 99, 103, 0), (0x3c3d, 100, 104, 0),
+    (0x375e, 93, 99, 0), (0x5231, 102, 105, 0), (0x4c0f, 103, 106, 0), (0x4639, 104, 107, 0),
+    (0x415e, 99, 103, 0), (0x5627, 106, 105, 1), (0x50e7, 107, 108, 0), (0x4b85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504f, 107, 111, 0), (0x5a10, 111, 110, 1), (0x5522, 109, 112, 0),
+    (0x59eb, 111, 112, 1), (0x5a1d, 113, 113, 0),
+]
+
+
+class _QMDecoder:
+    """T.81 annex-E QM arithmetic decoder, software conventions: the
+    MPS subinterval sits at the BOTTOM of [0, A), so a decision is MPS
+    when Chigh < A - Qe. Entropy bytes use JPEG byte stuffing (0xFF00
+    = literal 0xFF); once a marker or the end of data is reached the
+    decoder feeds zero bytes (T.81 F.2.2.3). Context bins are
+    two-item lists [state_index, mps]."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.bp = pos
+        self.done = False
+        # INITDEC: three bytes prime the compare window (the encoder's
+        # INITENC starts CT=11 with byteout after the shift, so byte
+        # boundaries sit 8 bits below the 16-bit interval grain);
+        # conformance with libjpeg's codestream is pinned decision-by-
+        # decision in tests/test_properties.py
+        b0, b1, b2 = self._fetch(), self._fetch(), self._fetch()
+        self.c = ((b0 << 16) | (b1 << 8) | b2) << 8
+        self.ct = 8
+        self.a = 0x10000
+
+    def _fetch(self) -> int:
+        if self.done:
+            return 0
+        d = self.data
+        if self.bp >= len(d):
+            self.done = True
+            return 0
+        b = d[self.bp]
+        if b == 0xFF:
+            j = self.bp + 1
+            while j < len(d) and d[j] == 0xFF:
+                j += 1
+            if j < len(d) and d[j] == 0x00:
+                self.bp = j + 1
+                return 0xFF
+            self.done = True  # marker (or truncation): feed zeros
+            return 0
+        self.bp += 1
+        return b
+
+    def decode(self, st: list) -> int:
+        qe, nmps, nlps, sw = _ARITAB[st[0]]
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a & 0x8000:
+                return st[1]
+            # MPS path needing renorm: conditional exchange (F.26)
+            if self.a < qe:
+                d = 1 - st[1]
+                if sw:
+                    st[1] = 1 - st[1]
+                st[0] = nlps
+            else:
+                d = st[1]
+                st[0] = nmps
+        else:
+            self.c -= self.a << 16
+            # LPS path: conditional exchange (F.27)
+            if self.a < qe:
+                d = st[1]
+                st[0] = nmps
+            else:
+                d = 1 - st[1]
+                if sw:
+                    st[1] = 1 - st[1]
+                st[0] = nlps
+            self.a = qe
+        while True:  # RENORMD (F.28)
+            if self.ct == 0:
+                self.c = (self.c + (self._fetch() << 8)) & 0xFFFFFFFF
+                self.ct = 8
+            self.a = (self.a << 1) & 0x1FFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+def _jpeg_decode_arith_scan(
+    payload: bytes,
+    data_pos: int,
+    seg: bytes,
+    frame: tuple,
+    qt: dict,
+    dc_cond: dict,
+    ac_cond: dict,
+    restart_interval: int,
+    precision: int,
+) -> np.ndarray:
+    """Sequential arithmetic-coded (SOF9) scan decode per T.81 F.2.4:
+    DC differences and AC coefficients are binary decision sequences
+    on adaptive contexts (49 DC bins — 5 conditioning classes of 4
+    plus the shared magnitude tree; 245 AC bins — SE/S0/X1 per
+    spectral position plus low/high magnitude trees split at Kx), all
+    driven by the QM coder. AC signs use the conventional
+    self-looping fixed-estimate state. Fills per-component
+    coefficient grids and reuses the shared dequant/IDCT/upsample
+    reconstruction."""
+    height, width, comps = frame
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS header")
+    scan = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        ci = next((i for i, x in enumerate(comps) if x[0] == cs), None)
+        if ci is None:
+            raise ValueError(f"SOS references unknown component {cs}")
+        scan.append((ci, tt >> 4, tt & 0x0F))
+    if ns != len(comps):
+        raise NotImplementedError(
+            "multi-scan sequential arithmetic JPEG is not implemented")
+    for (_, _, _, tq) in comps:
+        if tq not in qt:
+            raise ValueError("missing quantization table")
+
+    geo, _, _ = _jpeg_prog_geometry(comps, height, width)
+    coef = [
+        np.zeros((g["pad_bh"], g["pad_bw"], 64), dtype=np.int64) for g in geo
+    ]
+    max_h = max(h for (_, h, _, _) in comps)
+    max_v = max(v for (_, _, v, _) in comps)
+    mcus_x = -(-width // (8 * max_h))
+    mcus_y = -(-height // (8 * max_v))
+
+    def fresh_stats():
+        dc = {t: [[0, 0] for _ in range(64)] for (_, t, _) in scan}
+        ac = {t: [[0, 0] for _ in range(256)] for (_, _, t) in scan}
+        return dc, ac
+
+    dc_stats, ac_stats = fresh_stats()
+    fixed = [113, 0]
+    last_dc = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    dec = _QMDecoder(payload, data_pos)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # re-init coder + statistics at each restart (F.2.4.3)
+                p = dec.bp
+                while p + 1 < len(payload) and not (
+                    payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
+                ):
+                    p += 1
+                if p + 1 >= len(payload):
+                    raise ValueError("missing restart marker")
+                dec = _QMDecoder(payload, p + 2)
+                dc_stats, ac_stats = fresh_stats()
+                fixed = [113, 0]
+                last_dc = [0] * len(comps)
+                dc_ctx = [0] * len(comps)
+            for (ci, tdc, tac), (_, h_c, v_c, _) in zip(scan, comps):
+                l_thr, u_thr = dc_cond.get(tdc, (0, 1))
+                kx = ac_cond.get(tac, 5)
+                dst = dc_stats[tdc]
+                ast = ac_stats[tac]
+                for blk in range(h_c * v_c):
+                    by = my * v_c + blk // h_c
+                    bx = mx * h_c + blk % h_c
+                    zz = coef[ci][by, bx]
+                    # ---- DC difference (T.81 F.2.4.1) ----
+                    base = dc_ctx[ci]
+                    if dec.decode(dst[base]) == 0:
+                        dc_ctx[ci] = 0
+                    else:
+                        sign = dec.decode(dst[base + 1])
+                        m = dec.decode(dst[base + 2 + sign])
+                        xi = base + 2 + sign
+                        if m:
+                            xi = 20
+                            while dec.decode(dst[xi]):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "arithmetic DC magnitude overflow")
+                                xi += 1
+                        if m < ((1 << l_thr) >> 1):
+                            dc_ctx[ci] = 0
+                        elif m > ((1 << u_thr) >> 1):
+                            dc_ctx[ci] = 12 + 4 * sign
+                        else:
+                            dc_ctx[ci] = 4 + 4 * sign
+                        v = m
+                        mi, mb = m, xi + 14
+                        while mi > 1:
+                            mi >>= 1
+                            if dec.decode(dst[mb]):
+                                v |= mi
+                        v += 1
+                        last_dc[ci] += -v if sign else v
+                    zz[0] = last_dc[ci]
+                    # ---- AC coefficients (T.81 F.2.4.2) ----
+                    k = 1
+                    while k <= 63:
+                        se = 3 * (k - 1)
+                        if dec.decode(ast[se]):  # EOB
+                            break
+                        while dec.decode(ast[se + 1]) == 0:
+                            k += 1
+                            if k > 63:
+                                raise ValueError(
+                                    "arithmetic AC run past block end")
+                            se = 3 * (k - 1)
+                        sign = dec.decode(fixed)
+                        m = dec.decode(ast[se + 2])
+                        xi = se + 2
+                        if m:
+                            if dec.decode(ast[se + 2]):
+                                m = 2
+                                xi = 189 if k <= kx else 217
+                                while dec.decode(ast[xi]):
+                                    m <<= 1
+                                    if m == 0x8000:
+                                        raise ValueError(
+                                            "arithmetic AC magnitude overflow")
+                                    xi += 1
+                        v = m
+                        mi, mb = m, xi + 14
+                        while mi > 1:
+                            mi >>= 1
+                            if dec.decode(ast[mb]):
+                                v |= mi
+                        v += 1
+                        zz[k] = -v if sign else v
+                        k += 1
+            mcu += 1
+    quants = [qt[tq] for (_, _, _, tq) in comps]
+    return _jpeg_reconstruct_progressive(
+        coef, quants, comps, height, width, precision)
+
+
+class _QMEncoder:
+    """T.81 annex-D QM arithmetic encoder, the exact mirror of
+    :class:`_QMDecoder` (INITENC A=0x10000, C=0, CT=11; byteout takes
+    ``C >> 19`` after the renormalization shift; stacked-0xFF carry
+    resolution per D.1.8; every emitted 0xFF byte-stuffs a 0x00).
+    Cross-conformance with libjpeg's coder is pinned in
+    tests/test_properties.py."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pending committed byte (may absorb a carry)
+        self.sc = 0       # stacked 0xFF bytes awaiting carry resolution
+        self.out = bytearray()
+
+    def _stuff(self, b: int) -> None:
+        self.out.append(b & 0xFF)
+        if (b & 0xFF) == 0xFF:
+            self.out.append(0x00)
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry ripples into the pending byte; stacked 0xFFs roll
+            # over to 0x00
+            if self.buffer >= 0:
+                self._stuff(self.buffer + 1)
+            for _ in range(self.sc):
+                self._stuff(0x00)
+            self.sc = 0
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1
+        else:
+            if self.buffer >= 0:
+                self._stuff(self.buffer)
+            for _ in range(self.sc):
+                self._stuff(0xFF)
+            self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def _renorm(self) -> None:
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+
+    def encode(self, st: list, d: int) -> None:
+        qe, nmps, nlps, sw = _ARITAB[st[0]]
+        self.a -= qe
+        if d == st[1]:  # MPS (bottom subinterval)
+            if self.a & 0x8000:
+                return
+            if self.a < qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            st[0] = nmps
+            self._renorm()
+        else:  # LPS (top subinterval)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            # else conditional exchange: keep the bottom interval
+            if sw:
+                st[1] = 1 - st[1]
+            st[0] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # D.1.8: pick the in-interval code point with the most
+        # trailing zeros, then drain the register
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            if self.buffer >= 0:
+                self._stuff(self.buffer + 1)
+            for _ in range(self.sc):
+                self._stuff(0x00)
+        else:
+            if self.buffer >= 0:
+                self._stuff(self.buffer)
+            for _ in range(self.sc):
+                self._stuff(0xFF)
+        self.sc = 0
+        if self.c & 0x7FFF800:
+            self._stuff((self.c >> 19) & 0xFF)
+            if self.c & 0x7F800:
+                self._stuff((self.c >> 11) & 0xFF)
+        return bytes(self.out)
+
+
+def encode_gray_jpeg_arith(body: bytes, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
+    """Synthesize a VALID arithmetic-coded (SOF9) grayscale JPEG with
+    the same constant-block image model as :func:`encode_gray_jpeg`
+    (block i's gray level = ``body[i]``, all-ones quant table), so
+    the decoded image is bit-identical to the baseline fixture's and
+    the certified closed-form byte algebra pins the arithmetic path.
+    DC differences are coded as T.81 F.1.4.4.1 decision sequences
+    (default conditioning L=0, U=1); every block ends with an
+    immediate EOB decision."""
+    import struct
+
+    n = max(1, -(-max(len(body), 1) // w_blocks)) * w_blocks
+    vals = bytes(body) + b"\x00" * (n - len(body))
+    h_blocks = n // w_blocks
+    width, height = w_blocks * 8, h_blocks * 8
+
+    enc = _QMEncoder()
+    dc_bins = [[0, 0] for _ in range(64)]
+    ac_bins = [[0, 0] for _ in range(256)]
+    last = 0
+    dc_ctx = 0
+    for v in vals:
+        dc = 8 * (int(v) - 128)
+        diff = dc - last
+        last = dc
+        base = dc_ctx
+        if diff == 0:
+            enc.encode(dc_bins[base], 0)
+            dc_ctx = 0
+        else:
+            enc.encode(dc_bins[base], 1)
+            sign = 1 if diff < 0 else 0
+            enc.encode(dc_bins[base + 1], sign)
+            sz = abs(diff) - 1
+            if sz == 0:
+                enc.encode(dc_bins[base + 2 + sign], 0)
+                m, xi = 0, base + 2 + sign
+            else:
+                enc.encode(dc_bins[base + 2 + sign], 1)
+                m, xi = 1, 20
+                while (m << 1) <= sz:
+                    enc.encode(dc_bins[xi], 1)
+                    m <<= 1
+                    xi += 1
+                enc.encode(dc_bins[xi], 0)
+            # conditioning classification with default L=0, U=1
+            dc_ctx = (12 if m > 1 else 4) + 4 * sign
+            mb = xi + 14
+            mi = m
+            while mi > 1:
+                mi >>= 1
+                enc.encode(dc_bins[mb], 1 if (sz & mi) else 0)
+        enc.encode(ac_bins[0], 1)  # EOB at k=1: constant block
+    scan = enc.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x00]) + bytes([1] * 64)),
+        seg(0xC9, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])),
+        seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05])),  # DC L=0 U=1; AC Kx=5
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
+        scan,
+        b"\xff\xd9",
+    ])

@@ -1387,8 +1387,11 @@ def test_jpeg_decode_roundtrip_and_failure_modes(spark):
     # band with a DC table) and must fail loud as a ValueError
     with pytest.raises(ValueError):
         fmm.decode_jpeg(j.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # sequential arithmetic (SOF9) now DECODES (conformance-pinned in
+    # test_properties); the differential/hierarchical processes stay
+    # typed boundaries
     with pytest.raises(NotImplementedError):
-        fmm.decode_jpeg(j.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic
+        fmm.decode_jpeg(j.replace(b"\xff\xc0", b"\xff\xcd", 1))
     # progressive streams with the same constant-block content decode
     # identically to the baseline form (DC successive approximation +
     # EOB-run AC scans)

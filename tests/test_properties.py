@@ -1218,3 +1218,132 @@ def test_jpeg_lossless_declared_boundaries():
     arith[sof + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="arithmetic"):
         fmm.decode_jpeg(bytes(arith))
+
+
+# --- arithmetic-coded (SOF9) JPEG: QM coder roundtrip + libjpeg
+# --- cross-conformance (ITU-T T.81 annexes D/E/F)
+
+@given(st.lists(st.integers(0, 255), max_size=150))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_arith_matches_baseline(body):
+    # the arithmetic fixture encodes the SAME constant-block image as
+    # the baseline huffman fixture, so decode must be bit-identical —
+    # this pins the full DC-decision tree (zero/sign/magnitude
+    # category/mantissa), conditioning reclassification, and EOB
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    raw = bytes(body)
+    a = fmm.decode_jpeg(fmm.encode_gray_jpeg(raw, w_blocks=8))
+    b = fmm.decode_jpeg(fmm.encode_gray_jpeg_arith(raw, w_blocks=8))
+    assert a.shape == b.shape and (a == b).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 1)),
+                max_size=4000),
+       st.integers(0, 3))
+@settings(max_examples=40, deadline=None)
+def test_qm_coder_roundtrip(seq, salt):
+    # the QM layer alone: any decision sequence over shared adaptive
+    # contexts must survive encode->flush->decode, including stacked-
+    # 0xFF carry resolution and the byte-stuffing convention
+    from siddhi_execution_unique_spark.functions.multimodal import (
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    enc = _QMEncoder()
+    be = [[0, 0] for _ in range(8)]
+    for b, d in seq:
+        enc.encode(be[(b + salt) % 8], d)
+    data = enc.flush()
+    dec = _QMDecoder(data, 0)
+    bd = [[0, 0] for _ in range(8)]
+    for b, d in seq:
+        assert dec.decode(bd[(b + salt) % 8]) == d
+
+
+def _build_jshim(tmp_path_factory):
+    import shutil
+    import subprocess
+
+    if shutil.which("gcc") is None:
+        return None
+    d = tmp_path_factory.mktemp("jshim")
+    import os
+    src = os.path.join(os.path.dirname(__file__), "jshim.c")
+    exe = str(d / "jshim")
+    r = subprocess.run(["gcc", "-O2", "-o", exe, src, "-ljpeg"],
+                       capture_output=True)
+    return exe if r.returncode == 0 else None
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="session")
+def jshim(tmp_path_factory):
+    exe = _build_jshim(tmp_path_factory)
+    if exe is None:
+        _pytest.skip("gcc/libjpeg not available for conformance check")
+    return exe
+
+
+def test_jpeg_arith_decodes_libjpeg_stream(jshim, tmp_path):
+    # CONFORMANCE, decode direction: libjpeg transcodes the huffman
+    # fixture to arithmetic coding (identical coefficients); our SOF9
+    # decoder must reproduce the huffman decode bit-for-bit — gray
+    # and 4:2:0-subsampled color
+    import subprocess
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    cases = {
+        "gray": fmm.encode_gray_jpeg(b"conformance: the quick brown fox 123"),
+        "c420": fmm.encode_gray_jpeg_420(b"subsampled arithmetic conformance!", w_mcus=4),
+    }
+    for name, payload in cases.items():
+        src = tmp_path / f"{name}.jpg"
+        dst = tmp_path / f"{name}_a.jpg"
+        src.write_bytes(payload)
+        r = subprocess.run([jshim, "toarith", str(src), str(dst)],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        blob = dst.read_bytes()
+        assert b"\xff\xc9" in blob  # really SOF9
+        a = fmm.decode_jpeg(payload)
+        b = fmm.decode_jpeg(blob)
+        assert a.shape == b.shape and (a == b).all(), name
+
+
+def test_jpeg_arith_encoder_read_by_libjpeg(jshim, tmp_path):
+    # CONFORMANCE, encode direction: libjpeg must read our QM
+    # encoder's output and see exactly the constant-block DC plan
+    import subprocess
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    body = bytes(range(37)) + b"\xff\x00\x80 arithmetic"
+    f = tmp_path / "mine.jpg"
+    f.write_bytes(fmm.encode_gray_jpeg_arith(body))
+    r = subprocess.run([jshim, "dump", str(f)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    dcs = [int(l.split()[0]) for l in lines[2:2 + len(body)]]
+    assert dcs == [8 * (c - 128) for c in body]
+    # every AC coefficient must be zero (immediate EOB per block)
+    for l in lines[2:]:
+        if l.startswith("comp"):
+            continue
+        assert all(int(x) == 0 for x in l.split()[1:])
+
+
+def test_jpeg_arith_declared_boundaries():
+    # progressive-arithmetic (SOF10/0xCA) stays a typed boundary
+    import pytest
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    base = fmm.encode_gray_jpeg_arith(bytes(range(8)))
+    sof = base.index(b"\xff\xc9")
+    prog = bytearray(base)
+    prog[sof + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="progressive-arithmetic"):
+        fmm.decode_jpeg(bytes(prog))
