@@ -9,6 +9,8 @@
 #include <stdlib.h>
 #include <jpeglib.h>
 
+static int g_restart = 0;
+
 static void transcode(const char *src, const char *dst, boolean arith) {
   struct jpeg_decompress_struct sinfo;
   struct jpeg_compress_struct dinfo;
@@ -25,6 +27,7 @@ static void transcode(const char *src, const char *dst, boolean arith) {
   jpeg_copy_critical_parameters(&sinfo, &dinfo);
   dinfo.arith_code = arith;
   dinfo.optimize_coding = arith ? FALSE : TRUE;
+  if (g_restart) dinfo.restart_interval = (unsigned int)g_restart;
   jpeg_stdio_dest(&dinfo, fo);
   jpeg_write_coefficients(&dinfo, coefs);
   jpeg_finish_compress(&dinfo);
@@ -64,7 +67,10 @@ static void dump(const char *src) {
 }
 
 int main(int argc, char **argv) {
-  if (argc >= 4 && argv[1][0] == 't' && argv[1][2] == 'a') { transcode(argv[2], argv[3], TRUE); return 0; }
+  if (argc >= 4 && argv[1][0] == 't' && argv[1][2] == 'a') {
+    if (argc >= 5) g_restart = atoi(argv[4]);
+    transcode(argv[2], argv[3], TRUE); return 0;
+  }
   if (argc >= 4 && argv[1][0] == 't') { transcode(argv[2], argv[3], FALSE); return 0; }
   if (argc >= 3 && argv[1][0] == 'd') { dump(argv[2]); return 0; }
   fprintf(stderr, "usage: jshim toarith|tohuff in out | jshim dump in\n");

@@ -1301,15 +1301,21 @@ def test_jpeg_arith_decodes_libjpeg_stream(jshim, tmp_path):
         "gray": fmm.encode_gray_jpeg(b"conformance: the quick brown fox 123"),
         "c420": fmm.encode_gray_jpeg_420(b"subsampled arithmetic conformance!", w_mcus=4),
     }
+    restarts = {"gray": "3", "c420": "0"}
     for name, payload in cases.items():
         src = tmp_path / f"{name}.jpg"
         dst = tmp_path / f"{name}_a.jpg"
         src.write_bytes(payload)
-        r = subprocess.run([jshim, "toarith", str(src), str(dst)],
-                           capture_output=True)
+        cmd = [jshim, "toarith", str(src), str(dst)]
+        if restarts[name] != "0":
+            cmd.append(restarts[name])  # exercise F.2.4.3 restart re-init
+        r = subprocess.run(cmd, capture_output=True)
         assert r.returncode == 0, r.stderr
         blob = dst.read_bytes()
         assert b"\xff\xc9" in blob  # really SOF9
+        if restarts[name] != "0":
+            assert any(blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+                       for i in range(len(blob) - 1))
         a = fmm.decode_jpeg(payload)
         b = fmm.decode_jpeg(blob)
         assert a.shape == b.shape and (a == b).all(), name
