@@ -22,6 +22,7 @@ from siddhi_execution_unique_spark.operators.replay import (
     deduplicate,
     first_length_batch,
     length_batch,
+    length_batch_all,
     length_batch_expired,
     length_batch_partitioned,
     time_length_batch,
@@ -33,7 +34,11 @@ from siddhi_execution_unique_spark.operators.replay import (
 from siddhi_execution_unique_spark.operators.time_batch import (
     expired_channel,
     expired_channel_partitioned,
+    all_channel,
+    all_channel_partitioned,
     external_time_batch,
+    external_time_batch_all,
+    external_time_batch_all_partitioned,
     external_time_batch_expired,
     external_time_batch_expired_partitioned,
     external_time_batch_partitioned,

@@ -810,3 +810,38 @@ def time_length_batch_expired_partitioned(
         .filter(F.col("expired_at_ms") <= F.col("_max_ms"))
         .drop("_anchor", "_max_ms", "_next_fire")
     )
+
+
+def length_batch_all(batched: DataFrame, group_cols=()) -> DataFrame:
+    """Single-pass ALL-events channel for a :func:`length_batch`
+    result: LEFT-join the shifted fire log of
+    :func:`length_batch_expired` and explode each row into its
+    channel tags — the expensive batched chain runs once instead of
+    once per union branch (Spark does not reuse exchanges across a
+    union)."""
+    gcols = list(group_cols)
+    nxt = (
+        batched.select(*gcols, BATCH_SEQ, FIRED_AT).distinct()
+        .select(
+            *gcols,
+            (F.col(BATCH_SEQ) - 1).alias(BATCH_SEQ),
+            F.col(FIRED_AT).alias("expired_at_ms"),
+        )
+    )
+    return (
+        batched.join(nxt, gcols + [BATCH_SEQ], "left")
+        .withColumn(
+            "channel",
+            F.explode(
+                F.when(
+                    F.col("expired_at_ms").isNotNull(),
+                    F.array(F.lit("current"), F.lit("expired")),
+                ).otherwise(F.array(F.lit("current")))
+            ),
+        )
+        .withColumn(
+            "expired_at_ms",
+            F.when(F.col("channel") == "expired", F.col("expired_at_ms"))
+            .cast("long"),
+        )
+    )

@@ -387,3 +387,176 @@ def external_time_batch_expired_partitioned(
         .select(partition_attr, BATCH_START, "expired_at_ms")
     )
     return batched.join(exp_log, [partition_attr, BATCH_START])
+
+
+def _channel_explode(window_ms: int) -> tuple[Column, Column]:
+    """(channel, expired_at_ms) expressions for a single-pass
+    `insert all events into` derivation: a row whose batch precedes
+    its witness's last flush explodes into current + expired tags.
+    One pass matters: a current∪expired UNION recomputes the whole
+    batched subtree — Spark does not reuse exchanges across union
+    branches (measured: every source scanned twice)."""
+    ch = F.explode(
+        F.when(
+            F.col(BATCH_END) < F.col("_last_end"),
+            F.array(F.lit("current"), F.lit("expired")),
+        ).otherwise(F.array(F.lit("current")))
+    )
+    exp_at = F.when(
+        F.col("channel") == "expired", F.col(BATCH_END) + F.lit(window_ms)
+    ).cast("long")
+    return ch, exp_at
+
+
+def all_channel(batched: DataFrame, window_ms: int | str) -> DataFrame:
+    """Single-pass ALL-events channel for a tumbling-batch output:
+    the rows of :func:`expired_channel` tagged 'expired' plus every
+    batched row tagged 'current', computed by ONE crossJoin with the
+    one-row last-flush aggregate and an explode — the batched
+    aggregation runs once instead of once per union branch."""
+    window_ms = parse_time_ms(window_ms, "window.time")
+    last_batch = batched.agg(F.max(F.col(BATCH_END)).alias("_last_end"))
+    ch, exp_at = _channel_explode(window_ms)
+    return (
+        batched.crossJoin(F.broadcast(last_batch))
+        .withColumn("channel", ch)
+        .withColumn("expired_at_ms", exp_at)
+        .drop("_last_end")
+    )
+
+
+def all_channel_partitioned(
+    batched: DataFrame, window_ms: int | str, partition_attr: str
+) -> DataFrame:
+    """Single-pass ALL-events channel with the PER-INSTANCE witness of
+    :func:`expired_channel_partitioned`: one tiny groupBy(attr) max
+    joined back, then the channel explode."""
+    window_ms = parse_time_ms(window_ms, "window.time")
+    last_per_instance = batched.groupBy(partition_attr).agg(
+        F.max(F.col(BATCH_END)).alias("_last_end")
+    )
+    ch, exp_at = _channel_explode(window_ms)
+    return (
+        batched.join(last_per_instance, partition_attr)
+        .withColumn("channel", ch)
+        .withColumn("expired_at_ms", exp_at)
+        .drop("_last_end")
+    )
+
+
+def _external_expiry_log(
+    df: DataFrame,
+    timestamp: str,
+    window_ms: int,
+    start_time_ms: int | None,
+    partition_attr: str | None,
+):
+    """(batch_start -> expired_at) log for externalTimeBatch's rank+2
+    arrival-flush rule, optionally per instance. One tiny aggregate
+    over present batches with ``lead(_, 2)``."""
+    from pyspark.sql.window import Window
+
+    ms = event_ms(df, timestamp)
+    gcols = [partition_attr] if partition_attr else []
+    if start_time_ms is None:
+        if partition_attr:
+            anchors = df.groupBy(partition_attr).agg(
+                F.min(ms).alias("_anchor_ms"))
+            src = df.join(anchors, partition_attr)
+        else:
+            anchor = df.agg(F.min(ms).alias("_anchor_ms"))
+            src = df.crossJoin(F.broadcast(anchor))
+        start: Column = F.col("_anchor_ms")
+    else:
+        src = df
+        start = F.lit(start_time_ms)
+    batch_start = (
+        F.floor((ms - start) / window_ms).cast("long") * window_ms + start
+    )
+    log = (
+        src.select(*gcols, batch_start.alias(BATCH_START), ms.alias("_ms"))
+        .groupBy(*gcols, BATCH_START)
+        .agg(F.min("_ms").alias("_first_ms"))
+    )
+    w = (Window.partitionBy(*gcols) if gcols else Window.partitionBy()).orderBy(
+        BATCH_START)
+    return (
+        log.withColumn("expired_at_ms", F.lead("_first_ms", 2).over(w))
+        .select(*gcols, BATCH_START, "expired_at_ms")
+    )
+
+
+def external_time_batch_all(
+    df: DataFrame,
+    keys,
+    timestamp: str,
+    window_time: int | str,
+    start_time_ms: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Single-pass ALL-events channel of ``unique:externalTimeBatch``:
+    the batched aggregation runs ONCE, left-joined with the rank+2
+    expiry log (:func:`external_time_batch_expired`'s rule), each row
+    exploding into its channel tags. Matches the union of the current
+    and expired channels row-for-row."""
+    window_ms = parse_time_ms(window_time, "window.time")
+    batched = external_time_batch(
+        df, keys, timestamp, window_ms,
+        start_time_ms=start_time_ms, tiebreak=tiebreak,
+    )
+    log = _external_expiry_log(df, timestamp, window_ms, start_time_ms, None)
+    return (
+        batched.join(log, BATCH_START, "left")
+        .withColumn(
+            "channel",
+            F.explode(
+                F.when(
+                    F.col("expired_at_ms").isNotNull(),
+                    F.array(F.lit("current"), F.lit("expired")),
+                ).otherwise(F.array(F.lit("current")))
+            ),
+        )
+        .withColumn(
+            "expired_at_ms",
+            F.when(F.col("channel") == "expired", F.col("expired_at_ms"))
+            .cast("long"),
+        )
+    )
+
+
+def external_time_batch_all_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    keys,
+    timestamp: str,
+    window_time: int | str,
+    start_time_ms: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Single-pass ALL-events channel of a PARTITIONED
+    ``unique:externalTimeBatch`` (per-instance anchors + per-instance
+    rank+2 drain, as in :func:`external_time_batch_expired_partitioned`)."""
+    window_ms = parse_time_ms(window_time, "window.time")
+    batched = external_time_batch_partitioned(
+        df, partition_attr, keys, timestamp, window_ms,
+        start_time_ms=start_time_ms, tiebreak=tiebreak,
+    )
+    log = _external_expiry_log(
+        df, timestamp, window_ms, start_time_ms, partition_attr)
+    return (
+        batched.join(log, [partition_attr, BATCH_START], "left")
+        .withColumn(
+            "channel",
+            F.explode(
+                F.when(
+                    F.col("expired_at_ms").isNotNull(),
+                    F.array(F.lit("current"), F.lit("expired")),
+                ).otherwise(F.array(F.lit("current")))
+            ),
+        )
+        .withColumn(
+            "expired_at_ms",
+            F.when(F.col("channel") == "expired", F.col("expired_at_ms"))
+            .cast("long"),
+        )
+    )
