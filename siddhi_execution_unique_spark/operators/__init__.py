@@ -23,6 +23,8 @@ from siddhi_execution_unique_spark.operators.replay import (
     first_length_batch,
     length_batch,
     length_batch_all,
+    time_length_batch_all,
+    time_length_batch_all_partitioned,
     length_batch_expired,
     length_batch_partitioned,
     time_length_batch,

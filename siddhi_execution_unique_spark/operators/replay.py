@@ -845,3 +845,122 @@ def length_batch_all(batched: DataFrame, group_cols=()) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+def time_length_batch_all(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """Single-pass ALL-events channel of ``unique:timeLengthBatch``:
+    ONE distributed batched computation joined with the tiny
+    next-fire log, each row exploding into its channel tags — the
+    union form ran the interval-partitioned aggregation once per
+    branch (no exchange reuse across a union). Drain rule and witness
+    filter are :func:`time_length_batch_expired`'s exactly."""
+    from pyspark.sql.window import Window
+
+    t_ms = parse_time_ms(window_time, "window.time")
+    batched = time_length_batch_distributed(
+        df, key, window_time, window_length, ts=ts, tiebreak=tiebreak,
+        start_time_ms=start_time_ms, _keep_anchor=True,
+    )
+    fires = batched.select(BATCH_SEQ, FIRED_AT).distinct()
+    nxt = fires.withColumn(
+        "_next_fire", F.lead(FIRED_AT).over(Window.orderBy(BATCH_SEQ))
+    ).select(BATCH_SEQ, "_next_fire")
+    drain_boundary = (
+        F.col("_anchor")
+        + (F.floor((F.col(FIRED_AT) - F.col("_anchor")) / t_ms) + 1) * t_ms
+        + F.when(F.col(FIRE_REASON) == "length", F.lit(t_ms)).otherwise(F.lit(0))
+    )
+    return (
+        batched.join(nxt, BATCH_SEQ)
+        .withColumn(
+            "_exp_at",
+            F.least(drain_boundary.cast("long"), F.col("_next_fire")),
+        )
+        .withColumn(
+            "channel",
+            F.explode(
+                F.when(
+                    F.col("_exp_at") <= F.col("_max_ms"),
+                    F.array(F.lit("current"), F.lit("expired")),
+                ).otherwise(F.array(F.lit("current")))
+            ),
+        )
+        .withColumn(
+            "expired_at_ms",
+            F.when(F.col("channel") == "expired", F.col("_exp_at"))
+            .cast("long"),
+        )
+        .drop("_anchor", "_max_ms", "_next_fire", "_exp_at")
+    )
+
+
+def time_length_batch_all_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    key: str,
+    window_time: int | str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_time_ms: int | None = None,
+) -> DataFrame:
+    """Single-pass ALL-events channel of a PARTITIONED
+    ``unique:timeLengthBatch`` — per-instance anchors, fire chains,
+    and witness clocks exactly as
+    :func:`time_length_batch_expired_partitioned`."""
+    from pyspark.sql.window import Window
+
+    t_ms = parse_time_ms(window_time, "window.time")
+    batched = time_length_batch_partitioned(
+        df, partition_attr, key, window_time, window_length,
+        ts=ts, tiebreak=tiebreak, start_time_ms=start_time_ms,
+    )
+    ms = event_ms(df, ts)
+    stats = df.groupBy(partition_attr).agg(
+        F.min(ms).alias("_anchor"), F.max(ms).alias("_max_ms")
+    )
+    if start_time_ms is not None:
+        stats = stats.withColumn("_anchor", F.lit(start_time_ms).cast("long"))
+    fires = batched.select(partition_attr, BATCH_SEQ, FIRED_AT).distinct()
+    nxt = fires.withColumn(
+        "_next_fire",
+        F.lead(FIRED_AT).over(
+            Window.partitionBy(partition_attr).orderBy(BATCH_SEQ)
+        ),
+    ).select(partition_attr, BATCH_SEQ, "_next_fire")
+    drain_boundary = (
+        F.col("_anchor")
+        + (F.floor((F.col(FIRED_AT) - F.col("_anchor")) / t_ms) + 1) * t_ms
+        + F.when(F.col(FIRE_REASON) == "length", F.lit(t_ms)).otherwise(F.lit(0))
+    )
+    return (
+        batched.join(nxt, [partition_attr, BATCH_SEQ])
+        .join(stats, partition_attr)
+        .withColumn(
+            "_exp_at",
+            F.least(drain_boundary.cast("long"), F.col("_next_fire")),
+        )
+        .withColumn(
+            "channel",
+            F.explode(
+                F.when(
+                    F.col("_exp_at") <= F.col("_max_ms"),
+                    F.array(F.lit("current"), F.lit("expired")),
+                ).otherwise(F.array(F.lit("current")))
+            ),
+        )
+        .withColumn(
+            "expired_at_ms",
+            F.when(F.col("channel") == "expired", F.col("_exp_at"))
+            .cast("long"),
+        )
+        .drop("_anchor", "_max_ms", "_next_fire", "_exp_at")
+    )

@@ -361,11 +361,12 @@ def _dual_channel(
             return ops.length_batch_expired(batched)
         return ops.length_batch_all(batched)
     elif window == "timeLengthBatch":
-        cur = ops.time_length_batch_distributed(
-            df, keys, kwargs["window_time"], kwargs["window_length"],
-            ts=ts, tiebreak=tiebreak,
-        ).withColumn("expired_at_ms", F.lit(None).cast("long"))
-        exp = ops.time_length_batch_expired(
+        if channel == "expired":
+            return ops.time_length_batch_expired(
+                df, keys, kwargs["window_time"], kwargs["window_length"],
+                ts=ts, tiebreak=tiebreak,
+            )
+        return ops.time_length_batch_all(
             df, keys, kwargs["window_time"], kwargs["window_length"],
             ts=ts, tiebreak=tiebreak,
         )
@@ -709,18 +710,16 @@ def _build_partitioned(
             raise SiddhiQLError(
                 "unique:timeLengthBatch needs (key, window.time, window.length)"
             )
-        batched = ops.time_length_batch_partitioned(
-            df, p, args[0], consts[0], consts[1], ts=ts, tiebreak=tiebreak
-        )
         # per-instance drain rule: batch k of instance p re-emits at
         # p's own next flush, witnessed by p's own clock
-        exp = ops.time_length_batch_expired_partitioned(
+        if channel == "expired":
+            return ops.time_length_batch_expired_partitioned(
+                df, p, args[0], consts[0], consts[1], ts=ts, tiebreak=tiebreak
+            )
+        # single pass (no union recompute of the per-instance chains)
+        return ops.time_length_batch_all_partitioned(
             df, p, args[0], consts[0], consts[1], ts=ts, tiebreak=tiebreak
         )
-        if channel == "expired":
-            return exp
-        cur = batched.withColumn("expired_at_ms", F.lit(None).cast("long"))
-        return _tag(cur, "current").unionByName(_tag(exp, "expired"))
     if channel != "current" and window == "timeBatch":
         # per-instance dual channel (VERDICT r07 item 7): the
         # composite-key lowering is reused for the batched rows, but
