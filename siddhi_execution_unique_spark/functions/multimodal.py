@@ -3766,15 +3766,32 @@ def _jpeg_decode_lossless(
             raise ValueError("SOS references an undefined table")
         tables.append(t)
     br = _BitReader(payload, data_pos)
-    diffs = np.zeros((ns, height, width), dtype=np.int64)
-    for y in range(height):
-        for x in range(width):
-            for ci in range(ns):
+    # fast path: a table whose codes are all one length L decodes as a
+    # fixed-width read (one bits(L) + dict hit per symbol instead of a
+    # bit-by-bit tree walk) — our fixture's table is exactly that
+    fixed = []
+    for t in tables:
+        lengths = {ln for (ln, _) in t}
+        fixed.append(lengths.pop() if len(lengths) == 1 else None)
+    out = [[] for _ in range(ns)]
+    bits = br.bits
+    ext = _extend
+    for _ in range(height * width):
+        for ci in range(ns):
+            fl = fixed[ci]
+            if fl is not None:
+                s = tables[ci].get((fl, bits(fl)))
+                if s is None:
+                    raise ValueError("invalid huffman code in entropy segment")
+            else:
                 s = _decode_symbol(br, tables[ci])
-                if s == 16:
-                    diffs[ci, y, x] = 32768
-                elif s:
-                    diffs[ci, y, x] = _extend(br.bits(s), s)
+            if s == 16:
+                out[ci].append(32768)
+            elif s:
+                out[ci].append(ext(bits(s), s))
+            else:
+                out[ci].append(0)
+    diffs = np.array(out, dtype=np.int64).reshape(ns, height, width)
     default = 1 << (precision - pt - 1)
     planes = [
         (_lossless_reconstruct(diffs[ci], predictor, default) << pt) & 0xFFFF
