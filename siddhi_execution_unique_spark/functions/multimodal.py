@@ -1333,9 +1333,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # length-less standalone markers: TEM, stray RSTn, repeated
             # SOI — zero payload, keep walking
             continue
-        if marker in (0xC6, 0xCA, 0xCE):
+        if marker in (0xC6, 0xCE):
             raise NotImplementedError(
-                "progressive-arithmetic/differential JPEG is not implemented")
+                "differential progressive JPEG is not implemented")
         if marker == 0xCB:
             raise NotImplementedError(
                 "arithmetic lossless JPEG is not implemented")
@@ -1383,15 +1383,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = lut
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
-            # SOF9 extended-sequential arithmetic
+            # SOF9 extended-sequential arithmetic, SOF10 progressive
+            # arithmetic
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF component list")
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             lossless = marker == 0xC3
             if lossless:
                 if not 2 <= prec <= 16:
@@ -1399,7 +1400,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             elif prec not in (8, 12):
                 raise NotImplementedError("only 8/12-bit precision decodes")
             precision = prec
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -1445,6 +1446,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return _jpeg_decode_lossless(
                     payload, pos + seglen, seg, frame, huff,
                     restart_interval, precision)
+            if arith and progressive:
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated progressive SOS header")
+                if prog_coef is None:
+                    geo, _, _ = _jpeg_prog_geometry(comps, height, width)
+                    prog_coef = [
+                        np.zeros((g["pad_bh"], g["pad_bw"], 64),
+                                 dtype=np.int64)
+                        for g in geo
+                    ]
+                pos = _jpeg_decode_arith_progressive_scan(
+                    payload, pos + seglen, seg, comps, dc_cond, ac_cond,
+                    prog_coef, restart_interval, height, width,
+                )
+                continue
             if arith:
                 return _jpeg_decode_arith_scan(
                     payload, pos + seglen, seg, frame, qt,
@@ -4133,71 +4149,11 @@ def _jpeg_decode_arith_scan(
                     by = my * v_c + blk // h_c
                     bx = mx * h_c + blk % h_c
                     zz = coef[ci][by, bx]
-                    # ---- DC difference (T.81 F.2.4.1) ----
-                    base = dc_ctx[ci]
-                    if dec.decode(dst[base]) == 0:
-                        dc_ctx[ci] = 0
-                    else:
-                        sign = dec.decode(dst[base + 1])
-                        m = dec.decode(dst[base + 2 + sign])
-                        xi = base + 2 + sign
-                        if m:
-                            xi = 20
-                            while dec.decode(dst[xi]):
-                                m <<= 1
-                                if m == 0x8000:
-                                    raise ValueError(
-                                        "arithmetic DC magnitude overflow")
-                                xi += 1
-                        if m < ((1 << l_thr) >> 1):
-                            dc_ctx[ci] = 0
-                        elif m > ((1 << u_thr) >> 1):
-                            dc_ctx[ci] = 12 + 4 * sign
-                        else:
-                            dc_ctx[ci] = 4 + 4 * sign
-                        v = m
-                        mi, mb = m, xi + 14
-                        while mi > 1:
-                            mi >>= 1
-                            if dec.decode(dst[mb]):
-                                v |= mi
-                        v += 1
-                        last_dc[ci] += -v if sign else v
+                    diff, dc_ctx[ci] = _arith_dc_diff(
+                        dec, dst, dc_ctx[ci], l_thr, u_thr)
+                    last_dc[ci] += diff
                     zz[0] = last_dc[ci]
-                    # ---- AC coefficients (T.81 F.2.4.2) ----
-                    k = 1
-                    while k <= 63:
-                        se = 3 * (k - 1)
-                        if dec.decode(ast[se]):  # EOB
-                            break
-                        while dec.decode(ast[se + 1]) == 0:
-                            k += 1
-                            if k > 63:
-                                raise ValueError(
-                                    "arithmetic AC run past block end")
-                            se = 3 * (k - 1)
-                        sign = dec.decode(fixed)
-                        m = dec.decode(ast[se + 2])
-                        xi = se + 2
-                        if m:
-                            if dec.decode(ast[se + 2]):
-                                m = 2
-                                xi = 189 if k <= kx else 217
-                                while dec.decode(ast[xi]):
-                                    m <<= 1
-                                    if m == 0x8000:
-                                        raise ValueError(
-                                            "arithmetic AC magnitude overflow")
-                                    xi += 1
-                        v = m
-                        mi, mb = m, xi + 14
-                        while mi > 1:
-                            mi >>= 1
-                            if dec.decode(ast[mb]):
-                                v |= mi
-                        v += 1
-                        zz[k] = -v if sign else v
-                        k += 1
+                    _arith_ac_band(dec, ast, fixed, zz, 1, 63, kx, 0)
             mcu += 1
     quants = [qt[tq] for (_, _, _, tq) in comps]
     return _jpeg_reconstruct_progressive(
@@ -4370,3 +4326,228 @@ def encode_gray_jpeg_arith(body: bytes, w_blocks: int = JPEG_W_BLOCKS) -> bytes:
         scan,
         b"\xff\xd9",
     ])
+
+
+def _arith_dc_diff(dec, dst, base, l_thr, u_thr):
+    """Decode one DC difference (T.81 F.2.4.1 decision tree) on the
+    conditioning contexts at ``base``; returns (diff, new_context)."""
+    if dec.decode(dst[base]) == 0:
+        return 0, 0
+    sign = dec.decode(dst[base + 1])
+    m = dec.decode(dst[base + 2 + sign])
+    xi = base + 2 + sign
+    if m:
+        xi = 20
+        while dec.decode(dst[xi]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            xi += 1
+    if m < ((1 << l_thr) >> 1):
+        ctx = 0
+    elif m > ((1 << u_thr) >> 1):
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    v = m
+    mi, mb = m, xi + 14
+    while mi > 1:
+        mi >>= 1
+        if dec.decode(dst[mb]):
+            v |= mi
+    v += 1
+    return (-v if sign else v), ctx
+
+
+def _arith_ac_band(dec, ast, fixed, zz, k_start, k_end, kx, al):
+    """Decode AC coefficients over [k_start, k_end] (T.81 F.2.4.2 /
+    G.2 first pass): per-position EOB decision, zero-run walk, fixed-
+    estimate sign, magnitude tree split at Kx; values shifted << al
+    into the zigzag store."""
+    k = k_start
+    while k <= k_end:
+        sta = 3 * (k - 1)
+        if dec.decode(ast[sta]):  # EOB
+            break
+        while dec.decode(ast[sta + 1]) == 0:
+            k += 1
+            if k > k_end:
+                raise ValueError("arithmetic AC run past block end")
+            sta = 3 * (k - 1)
+        sign = dec.decode(fixed)
+        m = dec.decode(ast[sta + 2])
+        xi = sta + 2
+        if m:
+            if dec.decode(ast[sta + 2]):
+                m = 2
+                xi = 189 if k <= kx else 217
+                while dec.decode(ast[xi]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    xi += 1
+        v = m
+        mi, mb = m, xi + 14
+        while mi > 1:
+            mi >>= 1
+            if dec.decode(ast[mb]):
+                v |= mi
+        v += 1
+        zz[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _jpeg_decode_arith_progressive_scan(
+    payload: bytes,
+    pos: int,
+    seg: bytes,
+    comps: list,
+    dc_cond: dict,
+    ac_cond: dict,
+    prog_coef: list,
+    restart_interval: int,
+    height: int,
+    width: int,
+) -> int:
+    """Decode ONE progressive ARITHMETIC scan (SOF10; T.81 G.2 with
+    the annex-G arithmetic decision procedures) into the per-component
+    coefficient store and return the payload position after its
+    entropy data. DC first scans run the sequential DC decision tree
+    with diffs accumulated and shifted << Al; DC refinement appends
+    one fixed-estimate decision bit per block; AC first scans are the
+    sequential per-position AC procedure over [Ss, Se] with values
+    << Al; AC refinement walks the band with the three per-position
+    contexts — EOB beyond the previous stage's end-of-block,
+    newly-nonzero (sign via the fixed estimate), and correction-bit.
+    The QM decoder and every statistics bin re-initialize per scan
+    and per restart interval."""
+    ns = seg[0]
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah_al = seg[3 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 0x0F
+    if ss > se or se > 63:
+        raise ValueError("invalid spectral selection band")
+    scan_comps = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        idx = next((i for i, x in enumerate(comps) if x[0] == cs), None)
+        if idx is None:
+            raise ValueError(f"SOS references unknown component {cs}")
+        scan_comps.append((idx, tt >> 4, tt & 0x0F))
+    geo, mcu_rows, mcu_cols = _jpeg_prog_geometry(comps, height, width)
+
+    state: dict = {}
+
+    def reset_stats() -> None:
+        state["dc"] = {
+            t: [[0, 0] for _ in range(64)] for (_, t, _) in scan_comps}
+        state["ac"] = {
+            t: [[0, 0] for _ in range(256)] for (_, _, t) in scan_comps}
+        state["fixed"] = [113, 0]
+        state["last"] = [0] * ns
+        state["ctx"] = [0] * ns
+
+    reset_stats()
+    dec = _QMDecoder(payload, pos)
+
+    def at_restart(d: "_QMDecoder") -> "_QMDecoder":
+        p = d.bp
+        while p + 1 < len(payload) and not (
+            payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            p += 1
+        if p + 1 >= len(payload):
+            raise ValueError("missing restart marker")
+        reset_stats()
+        return _QMDecoder(payload, p + 2)
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+
+        def dc_one(si: int, coef) -> None:
+            if ah == 0:
+                tdc = scan_comps[si][1]
+                l_thr, u_thr = dc_cond.get(tdc, (0, 1))
+                diff, state["ctx"][si] = _arith_dc_diff(
+                    dec, state["dc"][tdc], state["ctx"][si], l_thr, u_thr)
+                state["last"][si] += diff
+                coef[0] = state["last"][si] << al
+            else:  # refinement: one fixed-estimate decision per block
+                if dec.decode(state["fixed"]):
+                    coef[0] |= 1 << al
+
+        if ns > 1:
+            unit = 0
+            for my in range(mcu_rows):
+                for mx in range(mcu_cols):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        dec = at_restart(dec)
+                    unit += 1
+                    for si, (idx, _, _) in enumerate(scan_comps):
+                        g = geo[idx]
+                        for by in range(g["v"]):
+                            for bx in range(g["h"]):
+                                dc_one(si, prog_coef[idx][
+                                    my * g["v"] + by, mx * g["h"] + bx])
+        else:
+            idx = scan_comps[0][0]
+            g = geo[idx]
+            unit = 0
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        dec = at_restart(dec)
+                    unit += 1
+                    dc_one(0, prog_coef[idx][by, bx])
+    else:  # AC scan: single component
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        idx, _, tac = scan_comps[0]
+        kx = ac_cond.get(tac, 5)
+        g = geo[idx]
+        store = prog_coef[idx]
+        p1 = 1 << al
+        m1v = -1 << al
+        for b in range(g["bh"] * g["bw"]):
+            if restart_interval and b and b % restart_interval == 0:
+                dec = at_restart(dec)
+            zz = store[b // g["bw"], b % g["bw"]]
+            ast = state["ac"][tac]
+            if ah == 0:  # first pass for this band
+                _arith_ac_band(dec, ast, state["fixed"], zz, ss, se, kx, al)
+            else:  # refinement (T.81 G.2 correction decisions)
+                kex = 0
+                for kk in range(se, 0, -1):
+                    if zz[kk]:
+                        kex = kk
+                        break
+                k = ss
+                while k <= se:
+                    sta = 3 * (k - 1)
+                    if k > kex and dec.decode(ast[sta]):
+                        break  # EOB for the refinement stage
+                    while True:
+                        if zz[k]:
+                            if dec.decode(ast[sta + 2]):
+                                zz[k] += m1v if zz[k] < 0 else p1
+                            break
+                        if dec.decode(ast[sta + 1]):
+                            zz[k] = m1v if dec.decode(state["fixed"]) else p1
+                            break
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic refinement past the band")
+                        sta = 3 * (k - 1)
+                    k += 1
+    # the flush may leave unread tail bytes: advance to the next marker
+    p = dec.bp
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if payload[p + 1] == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: scan terminator missing")

@@ -10,6 +10,7 @@
 #include <jpeglib.h>
 
 static int g_restart = 0;
+static int g_progressive = 0;
 
 static void transcode(const char *src, const char *dst, boolean arith) {
   struct jpeg_decompress_struct sinfo;
@@ -28,6 +29,7 @@ static void transcode(const char *src, const char *dst, boolean arith) {
   dinfo.arith_code = arith;
   dinfo.optimize_coding = arith ? FALSE : TRUE;
   if (g_restart) dinfo.restart_interval = (unsigned int)g_restart;
+  if (g_progressive) jpeg_simple_progression(&dinfo);
   jpeg_stdio_dest(&dinfo, fo);
   jpeg_write_coefficients(&dinfo, coefs);
   jpeg_finish_compress(&dinfo);
@@ -69,6 +71,7 @@ static void dump(const char *src) {
 int main(int argc, char **argv) {
   if (argc >= 4 && argv[1][0] == 't' && argv[1][2] == 'a') {
     if (argc >= 5) g_restart = atoi(argv[4]);
+    if (argc >= 6) g_progressive = atoi(argv[5]);
     transcode(argv[2], argv[3], TRUE); return 0;
   }
   if (argc >= 4 && argv[1][0] == 't') { transcode(argv[2], argv[3], FALSE); return 0; }

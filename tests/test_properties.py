@@ -1343,13 +1343,48 @@ def test_jpeg_arith_encoder_read_by_libjpeg(jshim, tmp_path):
 
 
 def test_jpeg_arith_declared_boundaries():
-    # progressive-arithmetic (SOF10/0xCA) stays a typed boundary
+    # SOF10 (progressive arithmetic) now DECODES; the differential/
+    # hierarchical arithmetic processes stay typed boundaries, and a
+    # sequential stream merely relabeled SOF10 is malformed (its
+    # single scan spans the whole band as a "DC" scan) — fails LOUD
     import pytest
     from siddhi_execution_unique_spark.functions import multimodal as fmm
 
     base = fmm.encode_gray_jpeg_arith(bytes(range(8)))
     sof = base.index(b"\xff\xc9")
-    prog = bytearray(base)
-    prog[sof + 1] = 0xCA
-    with pytest.raises(NotImplementedError, match="progressive-arithmetic"):
-        fmm.decode_jpeg(bytes(prog))
+    diff = bytearray(base)
+    diff[sof + 1] = 0xCE
+    with pytest.raises(NotImplementedError, match="differential"):
+        fmm.decode_jpeg(bytes(diff))
+    relabeled = bytearray(base)
+    relabeled[sof + 1] = 0xCA
+    with pytest.raises(ValueError, match="DC scan"):
+        fmm.decode_jpeg(bytes(relabeled))
+
+
+def test_jpeg_progressive_arith_decodes_libjpeg_stream(jshim, tmp_path):
+    # CONFORMANCE: libjpeg transcodes the fixture to PROGRESSIVE
+    # arithmetic coding (SOF10, jpeg_simple_progression's multi-scan
+    # successive-approximation script: DC first+refine, AC band
+    # first+refines) — our decoder must reproduce the huffman decode
+    # bit-for-bit, including restart-marker streams and 4:2:0 color
+    import subprocess
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    cases = {
+        "gray": (fmm.encode_gray_jpeg(b"progressive arithmetic fox 314159"), "0"),
+        "rst": (fmm.encode_gray_jpeg(b"with restart markers 271828182845"), "2"),
+        "c420": (fmm.encode_gray_jpeg_420(b"subsampled progressive arith", w_mcus=4), "0"),
+    }
+    for name, (payload, rst) in cases.items():
+        src = tmp_path / f"{name}.jpg"
+        dst = tmp_path / f"{name}_pa.jpg"
+        src.write_bytes(payload)
+        r = subprocess.run([jshim, "toarith", str(src), str(dst), rst, "1"],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        blob = dst.read_bytes()
+        assert b"\xff\xca" in blob  # really SOF10
+        a = fmm.decode_jpeg(payload)
+        b = fmm.decode_jpeg(blob)
+        assert a.shape == b.shape and (a == b).all(), name
