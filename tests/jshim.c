@@ -8,6 +8,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <jpeglib.h>
+#include <png.h>
 
 static int g_restart = 0;
 static int g_progressive = 0;
@@ -68,6 +69,36 @@ static void dump(const char *src) {
   fclose(fi);
 }
 
+static void pngdump(const char *src) {
+  FILE *fi = fopen(src, "rb");
+  if (!fi) { perror("open"); exit(2); }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) { fprintf(stderr, "libpng error\n"); exit(3); }
+  png_init_io(png, fi);
+  /* EXPAND: palette->RGB, tRNS->alpha, <8-bit gray->8 (bit replication) */
+  png_read_png(png, info, PNG_TRANSFORM_EXPAND, NULL);
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int ch = png_get_channels(png, info);
+  int depth = png_get_bit_depth(png, info);
+  printf("%u %u %d %d\n", w, h, ch, depth);
+  png_bytepp rows = png_get_rows(png, info);
+  for (png_uint_32 y = 0; y < h; y++) {
+    for (png_uint_32 x = 0; x < w * ch; x++) {
+      if (depth == 16) {
+        int v = (rows[y][2*x] << 8) | rows[y][2*x+1];
+        printf("%d ", v);
+      } else {
+        printf("%d ", rows[y][x]);
+      }
+    }
+    printf("\n");
+  }
+  png_destroy_read_struct(&png, &info, NULL);
+  fclose(fi);
+}
+
 int main(int argc, char **argv) {
   if (argc >= 4 && argv[1][0] == 't' && argv[1][2] == 'a') {
     if (argc >= 5) g_restart = atoi(argv[4]);
@@ -76,6 +107,7 @@ int main(int argc, char **argv) {
   }
   if (argc >= 4 && argv[1][0] == 't') { transcode(argv[2], argv[3], FALSE); return 0; }
   if (argc >= 3 && argv[1][0] == 'd') { dump(argv[2]); return 0; }
+  if (argc >= 3 && argv[1][0] == 'p') { pngdump(argv[2]); return 0; }
   fprintf(stderr, "usage: jshim toarith|tohuff in out | jshim dump in\n");
   return 1;
 }

@@ -1273,7 +1273,7 @@ def _build_jshim(tmp_path_factory):
     import os
     src = os.path.join(os.path.dirname(__file__), "jshim.c")
     exe = str(d / "jshim")
-    r = subprocess.run(["gcc", "-O2", "-o", exe, src, "-ljpeg"],
+    r = subprocess.run(["gcc", "-O2", "-o", exe, src, "-ljpeg", "-lpng"],
                        capture_output=True)
     return exe if r.returncode == 0 else None
 
@@ -1388,3 +1388,42 @@ def test_jpeg_progressive_arith_decodes_libjpeg_stream(jshim, tmp_path):
         a = fmm.decode_jpeg(payload)
         b = fmm.decode_jpeg(blob)
         assert a.shape == b.shape and (a == b).all(), name
+
+
+def test_png_decoder_matches_libpng(jshim, tmp_path):
+    # CONFORMANCE: every PNG decode path — gray 8/16-bit, palette
+    # (with and without a tRNS alpha table), sub-byte depths 1/2/4,
+    # Adam7 interlacing, gray color-key transparency — must match the
+    # canonical libpng decode bit-for-bit (PNG_TRANSFORM_EXPAND uses
+    # the same bit-replication scaling and tRNS->alpha conventions)
+    import subprocess
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    rng = np.random.default_rng(3)
+    body = bytes(rng.integers(0, 256, size=400, dtype=np.uint8))
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    trns = rng.integers(0, 256, size=10).astype(np.uint8)
+    cases = {
+        "gray8": fmm.encode_gray_png(body),
+        "palette": fmm.encode_palette_png(body, pal),
+        "palette_trns": fmm.encode_palette_png(body, pal, trns=trns),
+        "sub1": fmm.encode_graysub_png(body, 1),
+        "sub2_adam7": fmm.encode_graysub_png(body, 2, interlace=True),
+        "sub4_key": fmm.encode_graysub_png(body, 4, trns_key=5),
+        "gray16": fmm.encode_gray16_png(rng.integers(0, 65536, size=300)),
+        "adam7": fmm.encode_gray_png_adam7(body),
+    }
+    for name, payload in cases.items():
+        f = tmp_path / f"{name}.png"
+        f.write_bytes(payload)
+        r = subprocess.run([jshim, "pngdump", str(f)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, (name, r.stderr)
+        lines = r.stdout.splitlines()
+        w, h, ch, _depth = map(int, lines[0].split())
+        theirs = np.array([list(map(int, l.split())) for l in lines[1:1 + h]])
+        theirs = theirs.reshape(h, w, ch) if ch > 1 else theirs.reshape(h, w)
+        ours = fmm.decode_png(payload)
+        assert ours.shape == theirs.shape, name
+        assert (ours.astype(np.int64) == theirs.astype(np.int64)).all(), name
