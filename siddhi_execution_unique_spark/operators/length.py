@@ -96,7 +96,9 @@ def length_window_emissions_distributed(
     latest events — i.e. :func:`length_window`'s output (invariant
     property-tested in ``tests/test_properties.py``). Plan shape: one
     keyed partial-agg shuffle + a global top-N (TakeOrderedAndProject)
-    + a left-anti equi-join — survives any corpus size.
+    + ONE left join with a channel explode — a current ∪ anti-join
+    union would scan the source twice (Spark does not reuse exchanges
+    across union branches); survives any corpus size.
 
     The per-arrival emission ORDER the reference's log defines is not
     represented here; use :func:`length_window_emissions` for the
@@ -106,13 +108,22 @@ def length_window_emissions_distributed(
     require_column(df, ts, "ts")
     require_column(df, tiebreak, "tiebreak")
     n = require_pos_int(window_length, "window.length")
-    current = df.withColumn(CHANNEL, F.lit("current"))
     retained = length_window(df, key, n, ts=ts, tiebreak=tiebreak)
     on = [key, ts, tiebreak]
-    expired = df.join(retained.select(*on), on, "left_anti").withColumn(
-        CHANNEL, F.lit("expired")
+    marker = retained.select(*on).withColumn("_keep", F.lit(1))
+    return (
+        df.join(marker, on, "left")
+        .withColumn(
+            CHANNEL,
+            F.explode(
+                F.when(
+                    F.col("_keep").isNull(),
+                    F.array(F.lit("current"), F.lit("expired")),
+                ).otherwise(F.array(F.lit("current")))
+            ),
+        )
+        .drop("_keep")
     )
-    return current.unionByName(expired)
 
 
 def length_window_emissions_indexed(

@@ -697,10 +697,24 @@ def _build_partitioned(
             df, p, args, consts[0], ts=ts, tiebreak=tb
         )
         on = [p] + args + [ts, tb]
-        exp = df.join(retained.select(*on), on, "left_anti")
         if channel == "expired":
-            return exp
-        return _tag(df, "current").unionByName(_tag(exp, "expired"))
+            return df.join(retained.select(*on), on, "left_anti")
+        # single pass (one source scan): left-join the per-instance
+        # retained set and explode the channel tags
+        marker = retained.select(*on).withColumn("_keep", F.lit(1))
+        return (
+            df.join(marker, on, "left")
+            .withColumn(
+                "channel",
+                F.explode(
+                    F.when(
+                        F.col("_keep").isNull(),
+                        F.array(F.lit("current"), F.lit("expired")),
+                    ).otherwise(F.array(F.lit("current")))
+                ),
+            )
+            .drop("_keep")
+        )
     if channel != "current" and window == "timeLengthBatch":
         args = list(q["args"])
         consts: list = []
