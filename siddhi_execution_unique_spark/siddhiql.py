@@ -317,6 +317,24 @@ def _need_tiebreak(window: str, tiebreak: str | None) -> str:
     return tiebreak
 
 
+def _complement_channels(df, retained, on: list) -> DataFrame:
+    """All-events channel when the expired stream is the EXACT
+    complement of the final contents (ever/time): one source scan —
+    rows are labeled current/expired by a left-join marker on the
+    retained set (the rows partition disjointly, so no explode);
+    a current ∪ anti-join union would scan the source twice."""
+    marker = retained.select(*on).withColumn("_keep", F.lit(1))
+    return (
+        df.join(marker, on, "left")
+        .withColumn(
+            "channel",
+            F.when(F.col("_keep").isNotNull(), F.lit("current"))
+            .otherwise(F.lit("expired")),
+        )
+        .drop("_keep")
+    )
+
+
 def _dual_channel(
     window: str,
     df: DataFrame,
@@ -332,12 +350,21 @@ def _dual_channel(
     one output stream). Raises SiddhiQLError for windows whose expired
     channel has no batch form — never silently returns current-only."""
     if window == "ever":
+        if channel == "expired":
+            return ever_expired(df, keys, ts=ts, tiebreak=tiebreak)
         cur = ops.ever(df, keys, ts=ts, tiebreak=tiebreak)
+        if tiebreak is not None:
+            key_list = [keys] if isinstance(keys, str) else list(keys)
+            return _complement_channels(df, cur, key_list + [ts, tiebreak])
         exp = ever_expired(df, keys, ts=ts, tiebreak=tiebreak)
     elif window == "time":
         tb = _need_tiebreak(window, tiebreak)
+        if channel == "expired":
+            return time_window_expired(
+                df, keys, kwargs["window_time"], ts=ts, tiebreak=tb)
         cur = ops.time_window(df, keys, kwargs["window_time"], ts=ts, tiebreak=tb)
-        exp = time_window_expired(df, keys, kwargs["window_time"], ts=ts, tiebreak=tb)
+        key_list = [keys] if isinstance(keys, str) else list(keys)
+        return _complement_channels(df, cur, key_list + [ts, tb])
     elif window == "length":
         tb = _need_tiebreak(window, tiebreak)
         emissions = ops.length_window_emissions_distributed(
@@ -804,10 +831,9 @@ def _build_partitioned(
         # time_window_expired's global derivation
         tb = _need_tiebreak(window, tiebreak)
         on = [p] + args + [ts, tb]
-        exp = df.join(cur.select(*on), on, "left_anti")
         if channel == "expired":
-            return exp
-        return _tag(cur, "current").unionByName(_tag(exp, "expired"))
+            return df.join(cur.select(*on), on, "left_anti")
+        return _complement_channels(df, cur, on)
     if window == "externalTimeBatch":
         args = list(q["args"])
         if len(args) < 3 or len(args) > 6:
