@@ -8,7 +8,9 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <jpeglib.h>
+#ifndef NO_PNG
 #include <png.h>
+#endif
 
 static int g_restart = 0;
 static int g_progressive = 0;
@@ -69,6 +71,7 @@ static void dump(const char *src) {
   fclose(fi);
 }
 
+#ifndef NO_PNG
 static void pngdump(const char *src) {
   FILE *fi = fopen(src, "rb");
   if (!fi) { perror("open"); exit(2); }
@@ -99,6 +102,8 @@ static void pngdump(const char *src) {
   fclose(fi);
 }
 
+#endif /* NO_PNG */
+
 int main(int argc, char **argv) {
   if (argc >= 4 && argv[1][0] == 't' && argv[1][2] == 'a') {
     if (argc >= 5) g_restart = atoi(argv[4]);
@@ -107,7 +112,17 @@ int main(int argc, char **argv) {
   }
   if (argc >= 4 && argv[1][0] == 't') { transcode(argv[2], argv[3], FALSE); return 0; }
   if (argc >= 3 && argv[1][0] == 'd') { dump(argv[2]); return 0; }
+#ifndef NO_PNG
   if (argc >= 3 && argv[1][0] == 'p') { pngdump(argv[2]); return 0; }
+#endif
+  if (argc >= 2 && argv[1][0] == 'c') {
+#ifndef NO_PNG
+    printf("jpeg png\n");
+#else
+    printf("jpeg\n");
+#endif
+    return 0;
+  }
   fprintf(stderr, "usage: jshim toarith|tohuff in out | jshim dump in\n");
   return 1;
 }
