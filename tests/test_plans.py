@@ -976,3 +976,34 @@ def test_partitioned_join_is_single_equi_join(spark):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
         "ShuffledHashJoin" in p
     )
+
+
+def test_all_channel_lowerings_are_single_pass(spark, sf_dir):
+    """`insert all events into` must not recompute its subtree: a
+    current∪expired union runs every exchange once per branch (Spark
+    has no cross-union exchange reuse). Each all-channel lowering's
+    plan must contain NO Union node and at most one Generate (the
+    channel explode; the complement windows need none), and its scan
+    count must equal the single-pass budget."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # entry -> (max parquet scans in the single-pass shape, unions
+    # allowed for the tiny flush-witness log — the join forms union
+    # the two sides' one-row-per-batch end lists, which is not a
+    # channel-branch recompute)
+    budgets = {
+        "siddhiql_partitioned_join_all": (8, 1),
+        "siddhiql_join_time_batch_all": (8, 1),
+        "siddhiql_partitioned_external_time_batch_all": (8, 0),
+        "siddhiql_partitioned_time_batch_all": (4, 0),
+        "siddhiql_time_length_batch_all": (8, 0),
+        "siddhiql_partitioned_length_all": (4, 0),
+    }
+    for name, (max_scans, max_unions) in budgets.items():
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        assert plan.count("Union") <= max_unions, name
+        assert plan.count("Generate") <= 1, name
+        scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert scans <= max_scans, (name, scans)
