@@ -1005,5 +1005,5 @@ def test_all_channel_lowerings_are_single_pass(spark, sf_dir):
         plan = plan_of(df)
         assert plan.count("Union") <= max_unions, name
         assert plan.count("Generate") <= 1, name
-        scans = plan.count("FileScan") + plan.count("Scan parquet")
+        scans = plan.count("FileScan")
         assert scans <= max_scans, (name, scans)
