@@ -1733,10 +1733,110 @@ def _emb(spark, sf_dir):
 # ledger. With 160 entries and a 50-entry window a full rotation takes
 # ~4 rounds; the invariant guarantees nothing drifts past that.
 #
-# Round-8 window: the 3 entries whose expired-drain semantics changed
-# this round (timeLengthBatch family), then the 34 entries whose last
-# driver row is r04 (dedup/similarity/text/multimodal tier — VERDICT
-# r07 item 1), then new entries added this round.
+# Round-9 window: the 26 entries whose last green driver row is r05
+# (3 rounds stale once CORRECTNESS_r08.json landed — ADVICE r08
+# medium), then new entries added this round. 26 + new ≤ 50, so the
+# remainder of the window is taken from the head of ``_R09_FILL``.
+_R09_WINDOW = [
+    # r05-stale tier: event analytics / time series
+    "events_funnel",
+    "events_absence",
+    "events_hourly_anomalies",
+    "events_value_trend",
+    "events_transition_matrix",
+    "events_retention_cohorts",
+    "events_chi2_cohorts",
+    "events_json_props",
+    "orders_status_scd2",
+    # r05-stale tier: SiddhiQL surface
+    "siddhiql_ever_filtered",
+    # r05-stale tier: dedup graph + incremental
+    "dedup_near_incremental",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    # r05-stale tier: retrieval / fuzzy / embeddings
+    "fuzzy_match_names",
+    "docs_phrase_search",
+    "text_bigram_logprob",
+    "emb_pca_project",
+    "emb_label_outliers",
+    "join_bloom_prefilter",
+    # r05-stale tier: sketches
+    "sketch_countmin_topk",
+    "sketch_hll_distinct",
+    # r05-stale tier: curation / sampling
+    "sample_train_val_test",
+    "select_token_budget",
+    # r05-stale tier: multimodal decoders
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "multimodal_decode_y4m",
+    # new in round 9 (never driver-checked) — appended here as they
+    # are added so the never-checked invariant holds
+]
+
+# r06-certified tier (50 entries): fills the r09 window after
+# ``_R09_WINDOW`` (the first 50-26-new of these get a fresh r09 row);
+# the spillover becomes round 10's mandatory stale set. Ordered so
+# the most load-bearing composites/joins/codecs re-certify first and
+# self-contained aggregate profiles wait for r10.
+_R09_FILL = [
+    "pipeline_dedup_corpus",
+    "pipeline_corpus_curation",
+    "pipeline_pretrain_chunks",
+    "siddhiql_join_ever",
+    "siddhiql_join_time_batch_all",
+    "siddhiql_time_all_events",
+    "siddhiql_partitioned_time",
+    "siddhiql_group_having",
+    "streaming_dedup_parity",
+    "streaming_length_parity",
+    "unique_length_emissions_ordered",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_png",
+    "multimodal_decode_flac",
+    "docs_gunzip_ingest",
+    "events_asof_join",
+    "events_range_join",
+    "events_sessionize",
+    "events_time_rollup",
+    "sketch_kmv_distinct",
+    "events_trailing_distinct",
+    "dedup_lines",
+    "dedup_semantic",
+    "dedup_tfidf_cosine",
+    "docs_bm25_topk",
+    "embedding_lsh_recall",
+    "docs_chunk_tokens",
+    "vocab_bpe_merges",
+    "vocab_top_tokens",
+    "vocab_top_per_lang",
+    "sample_stratified",
+    "sample_domain_quota",
+    "sample_temperature",
+    "sample_priority_weighted",
+    "contamination_check",
+    "corpus_mixture_stats",
+    "corpus_quality_percentiles",
+    "corpus_pack_shards",
+    "pii_redact",
+    "source_overlap_matrix",
+    "emb_pca_covariance",
+    "events_time_weighted_avg",
+    "events_disorder_stats",
+    "events_ks_cohort_drift",
+    "events_funnel_latency",
+    "events_zorder_layout",
+    "events_gap_fill_locf",
+    "events_data_profile",
+    "join_key_health",
+    "text_repetition_stats",
+]
+
+# Round-8 window kept for the historical record: the 3 entries whose
+# expired-drain semantics changed that round (timeLengthBatch family),
+# then the 34 entries whose last driver row was r04, then r08's new
+# entries.
 _R08_WINDOW = [
     # changed this round: corrected timeLengthBatch expired drain
     # (a boundary right after a length fire only clears the skip flag).
@@ -1942,12 +2042,12 @@ _R08_NEXT = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry order is the driver's sampling order (first 50 sampled),
-    so the dict leads with ``_R08_WINDOW``: the 3 entries whose
-    semantics changed this round, the 34 r04-stale entries (oldest
-    driver signal first — the rotation invariant, see the comment on
-    ``_R08_WINDOW``), then new entries. The r07/r06-certified tiers
-    follow, byte-unchanged. ALL entries are hash-green in the local
-    sf0.01 full-sweep replica."""
+    so the dict leads with ``_R09_WINDOW``: the 26 r05-stale entries
+    (oldest driver signal first — the rotation invariant, see the
+    comment on ``_R09_WINDOW``) plus entries new this round, then the
+    head of ``_R09_FILL`` (r06 tier) up to 50. The r08/r07-certified
+    tiers follow, byte-unchanged. ALL entries are hash-green in the
+    local sf0.01 full-sweep replica."""
     registry = {
         # -- (0) never driver-checked through r05 (VERDICT r05 item 1):
         #    positions 0-14 put them inside the driver's sample window
@@ -2241,7 +2341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k in list(registry):
         if k.startswith("streaming_") or k == "siddhiql_streaming_agg_parity":
             registry[k] = _with_stream_conf(registry[k])
-    head = _R08_WINDOW + _R08_FILL + _R07_WINDOW + _R08_NEXT
+    head = (
+        _R09_WINDOW + _R09_FILL + _R08_WINDOW + _R08_FILL + _R07_WINDOW + _R08_NEXT
+    )
     # dedupe preserving first occurrence (r08 window wins)
     head = list(dict.fromkeys(head))
     assert set(head) <= set(registry), sorted(set(head) - set(registry))
