@@ -4016,13 +4016,16 @@ class _QMDecoder:
             return 0
         b = d[self.bp]
         if b == 0xFF:
+            # only the immediate two-byte pair FF 00 is a stuffed
+            # literal (T.81 F.2.2.3); FF followed by anything else —
+            # a marker, another FF, or truncation — ends the entropy
+            # segment and the decoder feeds zeros. Fill FF bytes only
+            # legally precede markers, so FF FF is never data.
             j = self.bp + 1
-            while j < len(d) and d[j] == 0xFF:
-                j += 1
             if j < len(d) and d[j] == 0x00:
                 self.bp = j + 1
                 return 0xFF
-            self.done = True  # marker (or truncation): feed zeros
+            self.done = True
             return 0
         self.bp += 1
         return b
@@ -4140,7 +4143,12 @@ def _jpeg_decode_arith_scan(
                 fixed = [113, 0]
                 last_dc = [0] * len(comps)
                 dc_ctx = [0] * len(comps)
-            for (ci, tdc, tac), (_, h_c, v_c, _) in zip(scan, comps):
+            for ci, tdc, tac in scan:
+                # sampling factors come from the frame component the
+                # SOS entry RESOLVED to, not scan position — T.81
+                # B.2.3 mandates frame order, but a malformed stream
+                # must not silently pick up the wrong (h, v)
+                _, h_c, v_c, _ = comps[ci]
                 l_thr, u_thr = dc_cond.get(tdc, (0, 1))
                 kx = ac_cond.get(tac, 5)
                 dst = dc_stats[tdc]

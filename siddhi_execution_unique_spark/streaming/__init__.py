@@ -619,10 +619,16 @@ def time_length_batch_stream(
             (batch_seq, next_emit, event_sent, seen_max,
              json.dumps(forming), json.dumps(prev))
         )
-        if next_emit >= 0 and (forming or event_sent or prev):
+        if next_emit >= 0 and (forming or event_sent or prev) and seen_max >= next_emit:
             # watermark clock drives the next boundary on an idle
             # stream — prev counts too: an undrained expired batch
-            # still needs its boundary flush
+            # still needs its boundary flush. But the group's clock is
+            # capped at its OWN stream front (cross_boundaries caps at
+            # seen_max), so when seen_max lags the boundary no timer
+            # can ever make progress — only a new event can, and that
+            # re-invokes this function anyway. Registering in that
+            # state would fire a no-op timeout every micro-batch on
+            # idle partitions.
             state.setTimeoutTimestamp(
                 max(next_emit, state.getCurrentWatermarkMs() + 1)
             )

@@ -1263,6 +1263,23 @@ def test_qm_coder_roundtrip(seq, salt):
         assert dec.decode(bd[(b + salt) % 8]) == d
 
 
+def test_qm_fetch_rejects_ff_run_as_data():
+    # T.81 F.2.2.3: only the immediate pair FF 00 is a stuffed literal
+    # 0xFF; FF FF 00 is fill-then-truncation, never one data byte —
+    # a malformed run must end the entropy segment (zero fill), not
+    # silently decode as 0xFF (ADVICE r08)
+    from siddhi_execution_unique_spark.functions.multimodal import _QMDecoder
+
+    d = _QMDecoder(b"", 0)  # primed empty; reuse only _fetch
+    d.data, d.bp, d.done = b"\xff\xff\x00", 0, False
+    assert d._fetch() == 0 and d.done
+    d.data, d.bp, d.done = b"\xff\x00\x41", 0, False
+    assert d._fetch() == 0xFF and not d.done
+    assert d._fetch() == 0x41
+    d.data, d.bp, d.done = b"\xff\xd9", 0, False  # marker: end of data
+    assert d._fetch() == 0 and d.done
+
+
 def _build_jshim(tmp_path_factory):
     import shutil
     import subprocess
