@@ -1773,6 +1773,7 @@ _R09_WINDOW = [
     "multimodal_decode_y4m",
     # new in round 9 (never driver-checked) — appended here as they
     # are added so the never-checked invariant holds
+    "dedup_span_coverage",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2306,6 +2307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: fdedup.near_dup_clusters(_docs(s, d)),
         "dedup_simhash_near_pairs": lambda s, d: fdedup.simhash_near_pairs(_docs(s, d)),
         "dedup_char_ngram_jaccard": lambda s, d: fdedup.char_ngram_jaccard_pairs(_docs(s, d)),
+        # exact-substring duplicated-span coverage (Lee et al.),
+        # new in round 9
+        "dedup_span_coverage": lambda s, d: fdedup.dup_span_coverage(_docs(s, d)),
         "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
         "multimodal_resize": lambda s, d: fmm.resize_payload(fmm.with_binary_payload(_docs(s, d))),
         # ---- entries past the 50-entry driver cap: all hash-green in
@@ -3255,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": fdedup.simhash_oracle(),
         "dedup_simhash_near_pairs": fdedup.simhash_near_pairs_oracle(),
         "dedup_char_ngram_jaccard": fdedup.char_ngram_jaccard_pairs_oracle(),
+        "dedup_span_coverage": fdedup.dup_span_coverage_oracle(),
         "sim_cosine_topk": fsim.cosine_topk_oracle(),
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "sim_cell_centroids": fsim.cell_centroids_oracle(),

@@ -989,3 +989,109 @@ def incremental_near_dup_oracle(split_doc_id: int) -> str:
         JOIN sigs o ON c.old_id = o.doc_id
         WHERE ({match_expr}) >= {MIN_SIG_MATCH}
     """
+
+
+# --------------------------------------------------------------- dup spans
+
+DUP_SPAN_K = 8  # token n-gram anchor length for exact-substring coverage
+
+
+def dup_span_coverage(docs: DataFrame) -> DataFrame:
+    """Per-document duplicated-text coverage: the fraction of a
+    document's token positions covered by a ``DUP_SPAN_K``-token
+    n-gram that also occurs verbatim in at least one OTHER document —
+    the exact-substring dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") at n-gram-anchor
+    granularity. A maximal duplicated run of any length >= K is
+    covered end-to-end by its overlapping K-gram anchors, so the
+    coverage equals the Lee-et-al duplicated-span length for spans
+    >= K and is zero below the threshold, without materializing a
+    suffix array.
+
+    Plan shape (scale-first): anchors come from explode(sequence) +
+    array indexing (whole-stage codegen, no array lambdas); the
+    cross-doc duplicate test is ONE hash aggregation on the 64-bit
+    gram hash (shuffle volume = distinct grams in the corpus, never
+    doc pairs); coverage is the sorted-interval union over only the
+    duplicated anchors — equal-length intervals collapse the union
+    into a lag() difference, one per-document window pass. Output:
+    (doc_id, n_tokens, dup_tokens, dup_ratio) for every document.
+    """
+    from pyspark.sql.window import Window
+
+    k = DUP_SPAN_K
+    sizes = docs.select(
+        "doc_id", F.expr(f"cast(size({SPARK_TOKS}) AS BIGINT)").alias("n_tokens")
+    )
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
+        F.expr(f"size(toks) >= {k}")
+    )
+    gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
+    grams = toks.select(
+        "doc_id", "toks",
+        F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
+    ).select("doc_id", "i", F.expr(_hash_expr(gram)).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        hits.withColumn("prev", F.lag("i").over(w))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN prev IS NULL THEN {k} ELSE least({k}, i - prev) END"
+            ).alias("add"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("add").alias("dup_tokens"))
+    )
+    return (
+        sizes.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("coalesce(dup_tokens, 0L)").alias("dup_tokens"),
+            F.expr(
+                "coalesce(dup_tokens, 0L) / cast(n_tokens AS DOUBLE)"
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def dup_span_coverage_oracle() -> str:
+    k = DUP_SPAN_K
+    gram_hash = (
+        f"CAST(('0x' || substring(md5(array_to_string(tl[i+1:i+{k}], ' ')), 1, 15)) "
+        f"AS BIGINT) % {P}"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {DUCK_TOKS} AS tl FROM documents
+        ),
+        sizes AS (SELECT doc_id, len(tl) AS n_tokens FROM toks),
+        pos AS (
+          SELECT doc_id, tl, unnest(generate_series(0, len(tl) - {k})) AS i
+          FROM toks WHERE len(tl) >= {k}
+        ),
+        grams AS (SELECT doc_id, i, {gram_hash} AS gh FROM pos),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, i FROM grams WHERE gh IN (SELECT gh FROM dup)),
+        cov AS (
+          SELECT doc_id,
+                 sum(CASE WHEN prev IS NULL THEN {k} ELSE least({k}, i - prev) END)
+                   AS dup_tokens
+          FROM (SELECT doc_id, i,
+                       lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM hits)
+          GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_tokens,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               coalesce(c.dup_tokens, 0) / CAST(s.n_tokens AS DOUBLE) AS dup_ratio
+        FROM sizes s LEFT JOIN cov c USING (doc_id)
+    """

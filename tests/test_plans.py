@@ -856,6 +856,61 @@ def test_expired_channels_join_on_keys_not_forced_broadcast(spark):
     assert "lead(_first_ms" in p2 and "batch_start_ms" in p2
 
 
+def test_dup_span_coverage_plan_shape(spark):
+    """r09 exact-substring coverage: anchors are explode(sequence) +
+    array indexing rows (Generate, codegen — no interpreted array
+    lambdas), the cross-doc test is a hash aggregation on the gram
+    hash (shuffle = distinct grams, never doc pairs), and the
+    interval union is ONE per-doc window pass. No cartesian product
+    anywhere."""
+    from siddhi_execution_unique_spark.functions import dedup as fdedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = fdedup.dup_span_coverage(docs)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p and "Join Cross" not in p
+    assert "Generate explode" in p
+    assert "LambdaFunction" not in optimized_of(out)
+    assert p.count("Window") == 1  # the lag() interval union
+    assert "HashAggregate" in p
+
+
+def test_bench_tail_line_fits_driver_capture():
+    """The round driver keeps only the last 2000 chars of bench.py's
+    stdout and parses the final JSON line; every BENCH since r03 was
+    "parsed": null because the full 174-entry queries map is ~5 KB.
+    The budgeted tail line must fit with headroom, parse, keep the
+    full totals, lead with the driver's sample window, and declare
+    its own truncation."""
+    import json
+
+    import bench
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    payload = {
+        "metric": "total_bench_sec",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {n: round(0.5 + (i % 37) / 10, 3) for i, n in enumerate(names)},
+        "sf": 0.1,
+        "calibration": {"md5_chain_sec": 0.2169, "iters": 400_000},
+    }
+    out = bench._tail_budgeted(payload, names)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1800
+    assert json.loads(line)["value"] == 123.456
+    reported = list(out["queries"])
+    # priority = registry order: the reported set IS a prefix of it
+    assert reported == names[: len(reported)]
+    assert out["queries_total"] == len(names)
+    assert out["queries_reported"] == len(reported) >= 40
+    assert out["full"] == "BENCH_LOCAL.json"
+    # the whole driver sample window makes the line (the entries
+    # being correctness-certified this round get bench rows too)
+    assert len(reported) >= 50
+
+
 def test_driver_window_covers_stale_entries():
     """Rotation invariant (VERDICT r07 item 1): the driver certifies
     only the FIRST 50 ``queries()`` entries each round, so the window
