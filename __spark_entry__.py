@@ -588,6 +588,39 @@ def q_streaming_time_length_batch_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_join_parity(spark, sf_dir):
+    """Driver certification of the native watermarked stream-stream
+    interval join (``streaming.interval_join_stream``) — the
+    streaming analogue of the reference's window-contents joins
+    (SURVEY.md §2b): click→purchase attribution per user within 30
+    minutes, run as Spark's StreamingSymmetricHashJoin over a
+    file-stream replay, checked pair-for-pair against the plain batch
+    interval join (DuckDB oracle with the identical epoch-ms
+    predicate)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_join_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.interval_join_stream(
+        sdf, "click", "purchase", 30 * 60 * 1000, key="user_id", ts="ts"
+    )
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_rate_shape_parity(spark, sf_dir):
     """Certification for the ``rate_events`` synthetic source — the
     one twin a replay cannot certify end-to-end because the rate
@@ -1774,6 +1807,7 @@ _R09_WINDOW = [
     # new in round 9 (never driver-checked) — appended here as they
     # are added so the never-checked invariant holds
     "dedup_span_coverage",
+    "streaming_join_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2126,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    externalTimeBatch event-driven flushes) -> 7/26
         "streaming_time_length_batch_parity": q_streaming_time_length_batch_parity,
         "streaming_rate_shape_parity": q_streaming_rate_shape_parity,
+        "streaming_join_parity": q_streaming_join_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
         # -- (0a) round 7 continuation: chroma-subsampled JPEG (2x2
         #    luma MCUs + upsampling) and indexed-palette PNG decode —
@@ -3131,6 +3166,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 997 AS DOUBLE) AS value,
                    '{}' AS props
             FROM events
+        """,
+        # native stream-stream interval join: batch join with the
+        # identical epoch-ms predicate
+        "streaming_join_parity": """
+            SELECT l.event_id AS left_event_id,
+                   r.event_id AS right_event_id,
+                   l.user_id,
+                   epoch_ms(r.ts) - epoch_ms(l.ts) AS gap_ms
+            FROM events l
+            JOIN events r
+              ON l.user_id = r.user_id
+             AND epoch_ms(l.ts) <= epoch_ms(r.ts)
+             AND epoch_ms(l.ts) > epoch_ms(r.ts) - 1800000
+            WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         """,
         "streaming_time_length_batch_parity": _time_length_batch_oracle(
             6 * HOUR, 20,

@@ -1608,3 +1608,66 @@ def trend_stream(events_stream: DataFrame, t0_ms: int, ts: str = "ts") -> DataFr
         F.sum(F.col("t") * F.col("q")).alias("stq"),
         F.sum(F.col("t") * F.col("t")).alias("stt"),
     )
+
+
+def interval_join_stream(
+    events_stream: DataFrame,
+    left_type: str,
+    right_type: str,
+    within: int | str,
+    key: str = "user_id",
+    ts: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Native watermarked stream-stream event-time interval join —
+    the streaming analogue of the host-engine window-contents join
+    the reference exercises (UniqueEverWindowTestCase.java:230-232;
+    Siddhi core performs the join, SURVEY.md §2b). Each right-side
+    event (e.g. a purchase) matches the left-side events (e.g.
+    clicks) of the same key whose timestamp lies in
+    ``(right.ts - within, right.ts]``.
+
+    Scale design: this is Spark's built-in
+    StreamingSymmetricHashJoin — both sides shuffle once on the key,
+    and the explicit time-range predicate (native INTERVAL
+    arithmetic on the two watermarked timestamp columns, never
+    unix_millis, which would defeat the optimizer's state-bound
+    extraction) lets the engine evict join state past
+    ``watermark - within``: state is bounded by the window span per
+    key, not by stream history. No Python stage anywhere.
+
+    Output: one row per (left, right) match with both event ids, the
+    key, and the in-window gap in ms.
+    """
+    w_ms = parse_time_ms(within, "within")
+    require_column(events_stream, "event_type", "interval-join type")
+    require_column(events_stream, key, "unique.key")
+    require_column(events_stream, ts, "ts")
+    left = (
+        events_stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col(key).alias("l_key"),
+            F.col(ts).alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark_delay)
+    )
+    right = (
+        events_stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col(key).alias("r_key"),
+            F.col(ts).alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark_delay)
+    )
+    cond = F.expr(
+        f"l_key = r_key AND l_ts <= r_ts "
+        f"AND l_ts > r_ts - INTERVAL {w_ms // 1000} SECONDS"
+    )
+    return left.join(right, cond, "inner").select(
+        F.col("l_event_id").alias("left_event_id"),
+        F.col("r_event_id").alias("right_event_id"),
+        F.col("l_key").alias(key),
+        (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("gap_ms"),
+    )

@@ -875,6 +875,33 @@ def test_dup_span_coverage_plan_shape(spark):
     assert "HashAggregate" in p
 
 
+def test_interval_join_stream_is_native_watermarked_join(spark, tmp_path):
+    """r09 stream-stream join twin: both sides carry event-time
+    watermarks and the join condition keeps native INTERVAL
+    arithmetic on the watermarked timestamps (the form Spark's
+    state-bound extraction understands — unix_millis there would
+    leave join state unbounded). No Python stage anywhere."""
+    from siddhi_execution_unique_spark import streaming as stw
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sdf = spark.readStream.schema(schema).parquet(str(tmp_path))
+    out = stw.interval_join_stream(sdf, "click", "purchase", 30 * 60 * 1000)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    join_lines = [l for l in plan.splitlines() if "Join Inner" in l]
+    assert len(join_lines) == 1
+    # the join CONDITION keeps interval arithmetic on the raw
+    # watermarked timestamps (unix_millis appears only in the gap_ms
+    # output projection, where it's harmless)
+    assert "INTERVAL" in join_lines[0]
+    assert "unix_millis" not in join_lines[0]
+    for py_node in ("MapInPandas", "FlatMapGroupsInPandas", "PythonUDF"):
+        assert py_node not in plan
+
+
 def test_bench_tail_line_fits_driver_capture():
     """The round driver keeps only the last 2000 chars of bench.py's
     stdout and parses the final JSON line; every BENCH since r03 was
