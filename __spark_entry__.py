@@ -588,6 +588,50 @@ def q_streaming_time_length_batch_parity(spark, sf_dir):
     return res
 
 
+_RT_SCHEMA = (
+    "event_id long, ts_ms long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _q_source_roundtrip(spark, sf_dir, fmt: str):
+    """Text-format source/sink certification: events → write as
+    ``fmt`` → read back through ``sources.load_path`` with an
+    explicit schema (never inference — at 100 TB that is a second
+    full pass) → unique:ever → the same _EVER_SQL oracle the parquet
+    path certifies against. Timestamps travel as epoch-ms longs (the
+    oracle's own representation) so text serialization can't lose
+    sub-millisecond precision; doubles and JSON-bearing props survive
+    quoting round-trip exactly."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import sources as src
+
+    work = tempfile.mkdtemp(prefix=f"sgraft_{fmt}_src_")
+    path = os.path.join(work, f"events_{fmt}")
+    flat = _events(spark, sf_dir).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    src.write_table(flat, path, fmt)
+    back = src.load_path(spark, path, fmt, _RT_SCHEMA)
+    out = ops.ever(back, "user_id", ts="ts_ms", tiebreak="event_id").select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )
+    res = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_source_csv_roundtrip(spark, sf_dir):
+    return _q_source_roundtrip(spark, sf_dir, "csv")
+
+
+def q_source_jsonl_roundtrip(spark, sf_dir):
+    return _q_source_roundtrip(spark, sf_dir, "json")
+
+
 def q_streaming_join_parity(spark, sf_dir):
     """Driver certification of the native watermarked stream-stream
     interval join (``streaming.interval_join_stream``) — the
@@ -1808,6 +1852,8 @@ _R09_WINDOW = [
     # are added so the never-checked invariant holds
     "dedup_span_coverage",
     "streaming_join_parity",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2161,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_time_length_batch_parity": q_streaming_time_length_batch_parity,
         "streaming_rate_shape_parity": q_streaming_rate_shape_parity,
         "streaming_join_parity": q_streaming_join_parity,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
         # -- (0a) round 7 continuation: chroma-subsampled JPEG (2x2
         #    luma MCUs + upsampling) and indexed-palette PNG decode —
@@ -2902,6 +2950,9 @@ WHERE r.rnk = 1
 def oracle_sql() -> dict[str, str]:
     return {
         "unique_ever": _EVER_SQL,
+        # text-format source round-trips land on the identical result
+        "source_csv_roundtrip": _EVER_SQL,
+        "source_jsonl_roundtrip": _EVER_SQL,
         "unique_ever_multi": f"""
             SELECT {_EVENT_SQL_COLS}
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
