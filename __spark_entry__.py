@@ -665,6 +665,40 @@ def q_streaming_join_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_outer_join_parity(spark, sf_dir):
+    """Driver certification of the LEFT-OUTER watermarked
+    stream-stream interval join: unmatched clicks emit null-extended
+    (-1 sentinel) rows exactly when the global min-policy watermark
+    closes their match horizon. The oracle replicates the pinned
+    eviction rule: an unmatched left row appears iff
+    ``l_ms + within <= least(max_click_ms, max_purchase_ms) - delay``
+    (boundary inequality and min-watermark policy both empirically
+    pinned; see tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_ojoin_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.interval_join_stream(
+        sdf, "click", "purchase", 30 * 60 * 1000,
+        key="user_id", ts="ts", how="left_outer",
+    )
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_rate_shape_parity(spark, sf_dir):
     """Certification for the ``rate_events`` synthetic source — the
     one twin a replay cannot certify end-to-end because the rate
@@ -1854,6 +1888,7 @@ _R09_WINDOW = [
     "streaming_join_parity",
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
+    "streaming_outer_join_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2209,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_parity": q_streaming_join_parity,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+        "streaming_outer_join_parity": q_streaming_outer_join_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
         # -- (0a) round 7 continuation: chroma-subsampled JPEG (2x2
         #    luma MCUs + upsampling) and indexed-palette PNG decode —
@@ -3231,6 +3267,32 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(l.ts) <= epoch_ms(r.ts)
              AND epoch_ms(l.ts) > epoch_ms(r.ts) - 1800000
             WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        """,
+        # left-outer twin: matched pairs plus -1-sentinel rows for
+        # every unmatched click whose horizon the min-policy global
+        # watermark (least side max - 2h delay) has closed
+        "streaming_outer_join_parity": """
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+                       FROM events WHERE event_type = 'click'),
+            r AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+                  FROM events WHERE event_type = 'purchase'),
+            wm AS (SELECT least((SELECT max(ms) FROM l),
+                                (SELECT max(ms) FROM r)) - 7200000 AS w),
+            m AS (SELECT l.event_id AS left_event_id,
+                         r.event_id AS right_event_id,
+                         l.user_id, r.ms - l.ms AS gap_ms
+                  FROM l JOIN r
+                    ON l.user_id = r.user_id
+                   AND l.ms <= r.ms AND l.ms > r.ms - 1800000)
+            SELECT left_event_id, right_event_id, user_id, gap_ms FROM m
+            UNION ALL
+            SELECT l.event_id AS left_event_id,
+                   CAST(-1 AS BIGINT) AS right_event_id,
+                   l.user_id,
+                   CAST(-1 AS BIGINT) AS gap_ms
+            FROM l CROSS JOIN wm
+            WHERE l.event_id NOT IN (SELECT left_event_id FROM m)
+              AND l.ms + 1800000 <= wm.w
         """,
         "streaming_time_length_batch_parity": _time_length_batch_oracle(
             6 * HOUR, 20,

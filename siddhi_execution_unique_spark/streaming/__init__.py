@@ -1618,6 +1618,7 @@ def interval_join_stream(
     key: str = "user_id",
     ts: str = "ts",
     watermark_delay: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Native watermarked stream-stream event-time interval join —
     the streaming analogue of the host-engine window-contents join
@@ -1638,7 +1639,22 @@ def interval_join_stream(
 
     Output: one row per (left, right) match with both event ids, the
     key, and the in-window gap in ms.
+
+    ``how="left_outer"`` additionally emits every unmatched left
+    event once its match horizon is provably closed: the engine
+    emits the null-extended row when the global watermark (MIN
+    across both sides' watermark nodes, the default policy) passes
+    ``left.ts + within`` — boundary pinned empirically and by
+    ``tests/test_streaming.py``: emitted iff
+    ``l_ts + within <= min(max_l_ts, max_r_ts) - delay``. Unmatched
+    columns are coalesced to -1 sentinels (NaN breaks downstream
+    hash compares). Known engine quirk, pinned by the same test: the
+    state-cleanup math suppresses eviction when timestamps sit
+    within ``delay + within`` of the Unix epoch — irrelevant for
+    real event time.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     w_ms = parse_time_ms(within, "within")
     require_column(events_stream, "event_type", "interval-join type")
     require_column(events_stream, key, "unique.key")
@@ -1665,9 +1681,12 @@ def interval_join_stream(
         f"l_key = r_key AND l_ts <= r_ts "
         f"AND l_ts > r_ts - INTERVAL {w_ms // 1000} SECONDS"
     )
-    return left.join(right, cond, "inner").select(
+    joined = left.join(right, cond, how)
+    return joined.select(
         F.col("l_event_id").alias("left_event_id"),
-        F.col("r_event_id").alias("right_event_id"),
+        F.expr("coalesce(r_event_id, -1L)").alias("right_event_id"),
         F.col("l_key").alias(key),
-        (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("gap_ms"),
+        F.expr(
+            "coalesce(unix_millis(r_ts) - unix_millis(l_ts), -1L)"
+        ).alias("gap_ms"),
     )

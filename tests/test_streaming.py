@@ -1162,3 +1162,79 @@ def test_external_time_batch_stream_partitioned_anchors(spark, workdir):
     # [6000,16000) flushes at event 4 (17000); the two forming batches
     # (events 3, 4) never flush without time.out
     assert got == {("p", 1, 1000), ("q", 2, 6000)}
+
+
+def test_interval_join_outer_emission_boundary(spark, workdir):
+    """Pins the left-outer stream-stream join's eviction rule: an
+    unmatched left row null-emits iff ``l_ts + within <= wm`` with
+    ``wm = min(side maxima) - delay`` (min watermark policy). Also
+    pins the far-from-epoch requirement: timestamps must sit beyond
+    ``delay + within`` of the Unix epoch or the engine's state
+    cleanup suppresses eviction entirely (observed on Spark 4.1;
+    the real corpus is 2024-epoch so this never bites)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    B = 1_700_000_000_000  # 2023-11-14, far from epoch
+    delay_ms, within_ms = 7_200_000, 1_800_000
+    max_ts = B + 10_800_000
+    wm = max_ts - delay_ms
+
+    def run(click_ts, tag):
+        indir = str(workdir / f"in_{tag}")
+        pdf = pd.DataFrame(
+            [
+                (1, click_ts, 1, "click"),
+                (2, max_ts, 2, "click"),
+                (3, max_ts, 3, "purchase"),
+            ],
+            columns=["event_id", "ts_ms", "user_id", "event_type"],
+        )
+        (
+            spark.createDataFrame(pdf)
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+            .drop("ts_ms")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+        schema = spark.read.parquet(indir).schema
+        sdf = spark.readStream.schema(schema).parquet(indir)
+        out = stw.interval_join_stream(
+            sdf, "click", "purchase", within_ms, how="left_outer"
+        )
+        outdir = str(workdir / f"out_{tag}")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", str(workdir / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.read.parquet(outdir).toPandas()
+        return set(res.left_event_id) if len(res) else set()
+
+    # exactly at the horizon: l_ts + within == wm -> emitted
+    assert 1 in run(wm - within_ms, "at")
+    # one ms past: horizon still open -> held in state, not emitted
+    assert 1 not in run(wm - within_ms + 1, "past")
+
+
+def test_interval_join_stream_validation(spark, workdir):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        [(1, 0, 1, "click")],
+        columns=["event_id", "ts_ms", "user_id", "event_type"],
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .drop("ts_ms")
+    )
+    with pytest.raises(ValueError, match="how"):
+        stw.interval_join_stream(df, "click", "purchase", 1000, how="full")
