@@ -1889,6 +1889,7 @@ _R09_WINDOW = [
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
     "streaming_outer_join_parity",
+    "sketch_sample_quantiles",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2347,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "part")
         ),
         "sketch_hll_distinct": lambda s, d: fsk.hll_distinct(_events(s, d)),
+        "sketch_sample_quantiles": lambda s, d: fsk.hash_sample_quantiles(_events(s, d)),
         "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         "events_absence": lambda s, d: fana.absence(_events(s, d)),
         "events_transition_matrix": lambda s, d: fana.transition_matrix(_events(s, d)),
@@ -3585,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_logprob": ftext.bigram_logprob_oracle(),
         "fuzzy_match_names": ffuzzy.fuzzy_match_names_oracle(),
         "sketch_hll_distinct": fsk.hll_distinct_oracle(),
+        "sketch_sample_quantiles": fsk.hash_sample_quantiles_oracle(),
         "dedup_graph_pagerank": fgraph.near_dup_pagerank_oracle(),
         "events_absence": fana.absence_oracle(),
         "events_transition_matrix": fana.transition_matrix_oracle(),

@@ -664,3 +664,74 @@ def bloom_prefilter_join_oracle(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
                ELSE CAST(0 AS BIGINT) END AS fp_micro
         FROM counts
     """
+
+
+# ------------------------------------------------------- sampled quantiles
+
+QSAMPLE_DENOM = 16  # deterministic 1/16 hash sample
+
+
+def hash_sample_quantiles(events: DataFrame, denom: int = QSAMPLE_DENOM) -> DataFrame:
+    """Mergeable quantile estimates per event_type from a
+    DETERMINISTIC uniform hash sample: keep the events whose 64-bit
+    md5-derived hash of ``event_id`` falls in one residue class
+    (rate 1/``denom``), then take exact rank-order statistics of the
+    sample. Because membership is a pure function of the row, every
+    partition samples independently and the union of partial samples
+    IS the global sample — the merge property a 100 TB rollup needs
+    (contrast reservoir sampling, whose merge is weighted and
+    order-sensitive). Sample size concentrates at n/denom (Chernoff),
+    so rank error is O(sqrt(denom/n)) quantile-uniform.
+
+    The corpus-sized work is the sample filter at the scan (predicate
+    on a codegen md5 expression — no shuffle) plus ONE per-type sort
+    of the ~n/denom sample; ranks select elements (never midpoint
+    averages), so the outputs are actual data values, engine-exact.
+    Quantile ranks use integer ceil division mirrored in the oracle.
+    Output: (event_type, n_sample, p50, p90, p99)."""
+    h = (
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) "
+        f"as bigint) % {denom}"
+    )
+    sample = events.filter(F.expr(f"({h}) = 0")).select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        sample.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_sample"),
+            F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("value"))).alias("p50"),
+            F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("value"))).alias("p90"),
+            F.max(F.when(F.expr("rn = (99 * n + 99) div 100"), F.col("value"))).alias("p99"),
+        )
+        .select("event_type", F.expr("cast(n_sample as bigint)").alias("n_sample"),
+                "p50", "p90", "p99")
+    )
+
+
+def hash_sample_quantiles_oracle(denom: int = QSAMPLE_DENOM) -> str:
+    h = (
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {denom}"
+    )
+    return f"""
+        WITH sample AS (
+          SELECT event_type, value, event_id FROM events WHERE ({h}) = 0
+        ),
+        ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM sample
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_sample,
+               max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+               max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+               max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        FROM ranked GROUP BY event_type
+    """
