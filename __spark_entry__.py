@@ -1890,6 +1890,7 @@ _R09_WINDOW = [
     "source_jsonl_roundtrip",
     "streaming_outer_join_parity",
     "sketch_sample_quantiles",
+    "dedup_span_removal",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2431,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-substring duplicated-span coverage (Lee et al.),
         # new in round 9
         "dedup_span_coverage": lambda s, d: fdedup.dup_span_coverage(_docs(s, d)),
+        "dedup_span_removal": lambda s, d: fdedup.dup_span_removal(_docs(s, d)),
         "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
         "multimodal_resize": lambda s, d: fmm.resize_payload(fmm.with_binary_payload(_docs(s, d))),
         # ---- entries past the 50-entry driver cap: all hash-green in
@@ -3424,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_near_pairs": fdedup.simhash_near_pairs_oracle(),
         "dedup_char_ngram_jaccard": fdedup.char_ngram_jaccard_pairs_oracle(),
         "dedup_span_coverage": fdedup.dup_span_coverage_oracle(),
+        "dedup_span_removal": fdedup.dup_span_removal_oracle(),
         "sim_cosine_topk": fsim.cosine_topk_oracle(),
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "sim_cell_centroids": fsim.cell_centroids_oracle(),

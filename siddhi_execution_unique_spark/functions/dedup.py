@@ -996,6 +996,31 @@ def incremental_near_dup_oracle(split_doc_id: int) -> str:
 DUP_SPAN_K = 8  # token n-gram anchor length for exact-substring coverage
 
 
+def _dup_anchor_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, i): the 0-based token positions whose K-gram anchor
+    occurs verbatim in at least one OTHER document. Anchors come from
+    explode(sequence) + array indexing (codegen rows); the cross-doc
+    test is ONE hash aggregation on the 64-bit gram hash (shuffle
+    volume = distinct grams, never doc pairs) followed by a left-semi
+    back to the anchor rows."""
+    k = DUP_SPAN_K
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
+        F.expr(f"size(toks) >= {k}")
+    )
+    gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
+    grams = toks.select(
+        "doc_id", "toks",
+        F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
+    ).select("doc_id", "i", F.expr(_hash_expr(gram)).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    return grams.join(dup, "gh", "left_semi").select("doc_id", "i")
+
+
 def dup_span_coverage(docs: DataFrame) -> DataFrame:
     """Per-document duplicated-text coverage: the fraction of a
     document's token positions covered by a ``DUP_SPAN_K``-token
@@ -1023,21 +1048,7 @@ def dup_span_coverage(docs: DataFrame) -> DataFrame:
     sizes = docs.select(
         "doc_id", F.expr(f"cast(size({SPARK_TOKS}) AS BIGINT)").alias("n_tokens")
     )
-    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
-        F.expr(f"size(toks) >= {k}")
-    )
-    gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
-    grams = toks.select(
-        "doc_id", "toks",
-        F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
-    ).select("doc_id", "i", F.expr(_hash_expr(gram)).alias("gh"))
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
-    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "i")
+    hits = _dup_anchor_hits(docs)
     w = Window.partitionBy("doc_id").orderBy("i")
     cov = (
         hits.withColumn("prev", F.lag("i").over(w))
@@ -1094,4 +1105,98 @@ def dup_span_coverage_oracle() -> str:
                CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
                coalesce(c.dup_tokens, 0) / CAST(s.n_tokens AS DOUBLE) AS dup_ratio
         FROM sizes s LEFT JOIN cov c USING (doc_id)
+    """
+
+
+def dup_span_removal(docs: DataFrame) -> DataFrame:
+    """Exact-substring dedup, the action step: rebuild each document
+    with every cross-document duplicated span (as defined by
+    :func:`dup_span_coverage`'s K-gram anchors) REMOVED — the Lee et
+    al. treatment applied at n-gram-anchor granularity. A token at
+    position p is dropped iff some duplicated anchor starts in
+    ``[p-K+1, p]``.
+
+    Plan shape: the anchor set comes from the shared
+    :func:`_dup_anchor_hits` pipeline; the covered flag is ONE
+    per-document window ``max() OVER (ROWS K-1 PRECEDING)`` over the
+    token rows left-joined to anchors (no anchor×K explode, no range
+    join); the rebuild is an ordered filtered ``listagg`` — one
+    hash aggregation. Everything shuffles on doc_id once.
+    Output: (doc_id, n_tokens, kept_tokens, clean_text) for every
+    document; documents with no duplicated span round-trip to their
+    whitespace-normalized token join."""
+    from pyspark.sql.window import Window
+
+    k = DUP_SPAN_K
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(SPARK_TOKS)).alias("i", "tok")
+    )
+    hits = _dup_anchor_hits(docs).withColumn("a", F.lit(1))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    flagged = (
+        toks.join(hits, ["doc_id", "i"], "left")
+        .withColumn("covered", F.max("a").over(w))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "cast(sum(CASE WHEN covered IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("kept_tokens"),
+            F.expr(
+                "coalesce(listagg(CASE WHEN covered IS NULL THEN tok END, ' ') "
+                "WITHIN GROUP (ORDER BY i), '')"
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            F.expr("cast(n_tokens AS BIGINT)").alias("n_tokens"),
+            "kept_tokens",
+            "clean_text",
+        )
+    )
+
+
+def dup_span_removal_oracle() -> str:
+    k = DUP_SPAN_K
+    gram_hash = (
+        f"CAST(('0x' || substring(md5(array_to_string(tl[i+1:i+{k}], ' ')), 1, 15)) "
+        f"AS BIGINT) % {P}"
+    )
+    return f"""
+        WITH toks0 AS (
+          SELECT doc_id, {DUCK_TOKS} AS tl FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, tl, unnest(generate_series(0, len(tl) - {k})) AS i
+          FROM toks0 WHERE len(tl) >= {k}
+        ),
+        grams AS (SELECT doc_id, i, {gram_hash} AS gh FROM pos),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, i, 1 AS a FROM grams
+                 WHERE gh IN (SELECT gh FROM dup)),
+        toks AS (
+          SELECT doc_id, unnest(generate_series(0, len(tl) - 1)) AS i,
+                 tl[unnest(generate_series(0, len(tl) - 1)) + 1] AS tok
+          FROM toks0
+        ),
+        flagged AS (
+          SELECT t.doc_id, t.i, t.tok,
+                 max(h.a) OVER (PARTITION BY t.doc_id ORDER BY t.i
+                                ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                   AS covered
+          FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.i = h.i
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN covered IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               coalesce(string_agg(CASE WHEN covered IS NULL THEN tok END,
+                                   ' ' ORDER BY i), '') AS clean_text
+        FROM flagged GROUP BY doc_id
     """
