@@ -1453,3 +1453,22 @@ def test_png_decoder_matches_libpng(jshim, tmp_path):
         ours = fmm.decode_png(payload)
         assert ours.shape == theirs.shape, name
         assert (ours.astype(np.int64) == theirs.astype(np.int64)).all(), name
+
+
+@given(
+    st.lists(st.integers(0, 200), min_size=0, max_size=60, unique=True),
+    st.integers(2, 12),
+)
+@settings(max_examples=200, deadline=None)
+def test_dup_span_interval_union_formula(anchors, k):
+    # dup_span_coverage collapses the union of equal-length intervals
+    # [i, i+k-1] into sum(min(k, i - prev)) over sorted anchors; pin
+    # against the brute-force position-set union
+    anchors = sorted(anchors)
+    brute = len({p for i in anchors for p in range(i, i + k)})
+    total = 0
+    prev = None
+    for i in anchors:
+        total += k if prev is None else min(k, i - prev)
+        prev = i
+    assert total == brute
