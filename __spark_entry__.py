@@ -1849,6 +1849,11 @@ def _emb(spark, sf_dir):
 # medium), then new entries added this round. 26 + new ≤ 50, so the
 # remainder of the window is taken from the head of ``_R09_FILL``.
 _R09_WINDOW = [
+    # semantics changed in r08 but deferred past that round's full
+    # window (see the _R08_WINDOW comment): its r07 driver row
+    # predates the corrected timeLengthBatch expired-drain rule, so
+    # it re-certifies FIRST this round
+    "streaming_time_length_batch_parity",
     # r05-stale tier: event analytics / time series
     "events_funnel",
     "events_absence",
@@ -1891,6 +1896,7 @@ _R09_WINDOW = [
     "streaming_outer_join_parity",
     "sketch_sample_quantiles",
     "dedup_span_removal",
+    "multimodal_decode_jpeg_arith",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2270,6 +2276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0a) round 8 continuation: lossless (SOF3) predictive
         #    huffman — bit-exact on arbitrary bytes, 1 px per raw byte
         "multimodal_decode_jpeg_lossless": lambda s, d: fmm.jpeg_lossless_decode_stats(
+            _docs(s, d)
+        ),
+        # -- round 9: arithmetic (SOF9) QM-coded path, same constant-
+        #    block image model -> shares the certified byte oracle
+        "multimodal_decode_jpeg_arith": lambda s, d: fmm.jpeg_arith_decode_stats(
             _docs(s, d)
         ),
         # -- (0a) round 7 continuation: sketch/session analytics twins
@@ -3614,6 +3625,7 @@ def oracle_sql() -> dict[str, str]:
         # lossless decode is the identity on the raw bytes (padded to
         # full rows), so the oracle is the direct byte algebra
         "multimodal_decode_jpeg_lossless": fmm.JPEG_LOSSLESS_DECODE_STATS_ORACLE,
+        "multimodal_decode_jpeg_arith": fmm.JPEG_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
         # the streaming foreachBatch lowering of the same text must
         # land on the batch engine's final state

@@ -1684,6 +1684,44 @@ def jpeg_progressive_decode_stats(docs: DataFrame) -> DataFrame:
     return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
 
 
+def jpeg_arith_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → arithmetic-coded (SOF9) JPEG (T.81 QM coder, annex-D
+    encoder / annex-E decoder, conformance-pinned both directions
+    against libjpeg in tests/test_properties.py) →
+    :func:`decode_jpeg`'s QM scan path → pixel stats. The constant-
+    block image model equals the baseline gray fixture's, so the
+    certified JPEG_DECODE_STATS_ORACLE pins the arithmetic path with
+    the identical byte algebra. Partition-local mapInPandas — no
+    shuffle, scales with the documents scan."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [encode_gray_jpeg_arith(t.encode("utf-8"))
+                            for t in pdf["text"]],
+            })
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                flat = decode_jpeg(bytes(p)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
 def jpeg420_decode_stats(docs: DataFrame) -> DataFrame:
     """text → baseline 4:2:0 JPEG (2x2 luma per MCU + constant
     chroma) → :func:`decode_jpeg`'s multi-block-per-MCU walk + chroma
