@@ -902,6 +902,24 @@ def test_interval_join_stream_is_native_watermarked_join(spark, tmp_path):
         assert py_node not in plan
 
 
+def test_dup_span_removal_plan_shape(spark):
+    """r09 cleaned-text rebuild: covered flags come from ONE per-doc
+    frame window over tokens left-joined to anchors (no anchor-by-K
+    explode, no range join, no cartesian); the rebuild is one ordered
+    filtered listagg aggregation."""
+    from siddhi_execution_unique_spark.functions import dedup as fdedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = fdedup.dup_span_removal(docs)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p and "Join Cross" not in p
+    # two Window nodes total: the K-frame covered flag plus the
+    # listagg's implicit sort lives in the aggregate, not a window
+    assert p.count("Window") == 1
+    assert "Generate" in p  # posexplode token rows
+    assert "LambdaFunction" not in optimized_of(out)
+
+
 def test_bench_tail_line_fits_driver_capture():
     """The round driver keeps only the last 2000 chars of bench.py's
     stdout and parses the final JSON line; every BENCH since r03 was
