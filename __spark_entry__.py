@@ -1897,6 +1897,7 @@ _R09_WINDOW = [
     "sketch_sample_quantiles",
     "dedup_span_removal",
     "multimodal_decode_jpeg_arith",
+    "dedup_span_incremental",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2444,6 +2445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 9
         "dedup_span_coverage": lambda s, d: fdedup.dup_span_coverage(_docs(s, d)),
         "dedup_span_removal": lambda s, d: fdedup.dup_span_removal(_docs(s, d)),
+        "dedup_span_incremental": lambda s, d: fdedup.incremental_span_coverage(
+            _docs(s, d).filter(F.col("doc_id") >= 250),
+            fdedup.span_gram_manifest(_docs(s, d).filter(F.col("doc_id") < 250)),
+        ),
         "sim_cosine_topk": lambda s, d: fsim.cosine_topk(_emb(s, d)),
         "multimodal_resize": lambda s, d: fmm.resize_payload(fmm.with_binary_payload(_docs(s, d))),
         # ---- entries past the 50-entry driver cap: all hash-green in
@@ -3438,6 +3443,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_char_ngram_jaccard": fdedup.char_ngram_jaccard_pairs_oracle(),
         "dedup_span_coverage": fdedup.dup_span_coverage_oracle(),
         "dedup_span_removal": fdedup.dup_span_removal_oracle(),
+        "dedup_span_incremental": fdedup.incremental_span_coverage_oracle(250),
         "sim_cosine_topk": fsim.cosine_topk_oracle(),
         "sim_ivf_topk": fsim.ivf_topk_oracle(),
         "sim_cell_centroids": fsim.cell_centroids_oracle(),

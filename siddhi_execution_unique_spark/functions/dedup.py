@@ -1200,3 +1200,129 @@ def dup_span_removal_oracle() -> str:
                                    ' ' ORDER BY i), '') AS clean_text
         FROM flagged GROUP BY doc_id
     """
+
+
+def span_gram_manifest(docs: DataFrame) -> DataFrame:
+    """(gh): the distinct K-gram anchor hashes of an already-ingested
+    corpus — the manifest continuous exact-substring ingest checks new
+    batches against. O(distinct grams) rows, mergeable by union."""
+    k = DUP_SPAN_K
+    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
+        F.expr(f"size(toks) >= {k}")
+    )
+    gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
+    return (
+        toks.select(
+            "toks",
+            F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
+        )
+        .select(F.expr(_hash_expr(gram)).alias("gh"))
+        .distinct()
+    )
+
+
+def incremental_span_coverage(new_docs: DataFrame, known_grams: DataFrame) -> DataFrame:
+    """Incremental exact-substring coverage — the continuous-ingest
+    shape: score TODAY'S batch against the manifest of every K-gram
+    already ingested (:func:`span_gram_manifest`) plus cross-document
+    duplication within the batch itself. Equivalent to running
+    :func:`dup_span_coverage` over the combined corpus and keeping the
+    new docs' rows — without rescanning the old corpus (the manifest
+    is O(distinct grams), shuffled on the gram hash; pre-bucketing it
+    makes the probe manifest-side shuffle-free).
+
+    An anchor is duplicated iff its gram is in the manifest OR occurs
+    in >= 2 distinct batch documents (a gram repeating only within
+    ONE new document stays non-duplicated, matching the batch
+    operator's countDistinct >= 2 rule)."""
+    from pyspark.sql.window import Window
+
+    k = DUP_SPAN_K
+    sizes = new_docs.select(
+        "doc_id", F.expr(f"cast(size({SPARK_TOKS}) AS BIGINT)").alias("n_tokens")
+    )
+    toks = new_docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
+        F.expr(f"size(toks) >= {k}")
+    )
+    gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
+    grams = toks.select(
+        "doc_id", "toks",
+        F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
+    ).select("doc_id", "i", F.expr(_hash_expr(gram)).alias("gh"))
+    batch_dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup = batch_dup.unionByName(known_grams.select("gh")).distinct()
+    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        hits.withColumn("prev", F.lag("i").over(w))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN prev IS NULL THEN {k} ELSE least({k}, i - prev) END"
+            ).alias("add"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("add").alias("dup_tokens"))
+    )
+    return (
+        sizes.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("coalesce(dup_tokens, 0L)").alias("dup_tokens"),
+            F.expr(
+                "coalesce(dup_tokens, 0L) / cast(n_tokens AS DOUBLE)"
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def incremental_span_coverage_oracle(split_doc_id: int) -> str:
+    """Docs below ``split_doc_id`` play the ingested manifest, the
+    rest the new batch. Identical algebra to
+    :func:`dup_span_coverage_oracle` restricted to batch rows, with
+    the manifest folded into the duplicate-gram set."""
+    k = DUP_SPAN_K
+    gram_hash = (
+        f"CAST(('0x' || substring(md5(array_to_string(tl[i+1:i+{k}], ' ')), 1, 15)) "
+        f"AS BIGINT) % {P}"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {DUCK_TOKS} AS tl FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, tl, unnest(generate_series(0, len(tl) - {k})) AS i
+          FROM toks WHERE len(tl) >= {k}
+        ),
+        grams AS (SELECT doc_id, i, {gram_hash} AS gh FROM pos),
+        known AS (SELECT DISTINCT gh FROM grams WHERE doc_id < {split_doc_id}),
+        newg AS (SELECT doc_id, i, gh FROM grams WHERE doc_id >= {split_doc_id}),
+        dup AS (
+          SELECT gh FROM newg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+          UNION SELECT gh FROM known
+        ),
+        hits AS (SELECT doc_id, i FROM newg WHERE gh IN (SELECT gh FROM dup)),
+        cov AS (
+          SELECT doc_id,
+                 sum(CASE WHEN prev IS NULL THEN {k} ELSE least({k}, i - prev) END)
+                   AS dup_tokens
+          FROM (SELECT doc_id, i,
+                       lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM hits)
+          GROUP BY doc_id
+        ),
+        sizes AS (
+          SELECT doc_id, len(tl) AS n_tokens FROM toks
+          WHERE doc_id >= {split_doc_id}
+        )
+        SELECT s.doc_id, s.n_tokens,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               coalesce(c.dup_tokens, 0) / CAST(s.n_tokens AS DOUBLE) AS dup_ratio
+        FROM sizes s LEFT JOIN cov c USING (doc_id)
+    """
