@@ -699,6 +699,35 @@ def q_streaming_outer_join_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_quantile_parity(spark, sf_dir):
+    """Driver certification of the ``quantile_sample_stream`` twin:
+    bottom-k row-hash samples merge exactly, so the streamed fold's
+    final per-type row must equal the batch
+    ``bottomk_sample_quantiles`` bit-for-bit (same JVM md5 hash, same
+    integer-ceil rank selection) — certified against the batch
+    operator's own DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_qsk_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.quantile_sample_stream(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgraft_qsk_parity_sink")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table("sgraft_qsk_parity_sink").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_rate_shape_parity(spark, sf_dir):
     """Certification for the ``rate_events`` synthetic source — the
     one twin a replay cannot certify end-to-end because the rate
@@ -1898,6 +1927,8 @@ _R09_WINDOW = [
     "dedup_span_removal",
     "multimodal_decode_jpeg_arith",
     "dedup_span_incremental",
+    "sketch_bottomk_quantiles",
+    "streaming_quantile_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2362,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sketch_hll_distinct": lambda s, d: fsk.hll_distinct(_events(s, d)),
         "sketch_sample_quantiles": lambda s, d: fsk.hash_sample_quantiles(_events(s, d)),
+        "sketch_bottomk_quantiles": lambda s, d: fsk.bottomk_sample_quantiles(_events(s, d)),
+        "streaming_quantile_parity": q_streaming_quantile_parity,
         "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         "events_absence": lambda s, d: fana.absence(_events(s, d)),
         "events_transition_matrix": lambda s, d: fana.transition_matrix(_events(s, d)),
@@ -3608,6 +3641,11 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match_names": ffuzzy.fuzzy_match_names_oracle(),
         "sketch_hll_distinct": fsk.hll_distinct_oracle(),
         "sketch_sample_quantiles": fsk.hash_sample_quantiles_oracle(),
+        "sketch_bottomk_quantiles": fsk.bottomk_sample_quantiles_oracle(),
+        # the twin's final update row per type equals the batch
+        # bottom-k operator bit-for-bit (mergeable sample + identical
+        # integer-ceil rank selection)
+        "streaming_quantile_parity": fsk.bottomk_sample_quantiles_oracle(),
         "dedup_graph_pagerank": fgraph.near_dup_pagerank_oracle(),
         "events_absence": fana.absence_oracle(),
         "events_transition_matrix": fana.transition_matrix_oracle(),

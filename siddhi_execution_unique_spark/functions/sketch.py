@@ -735,3 +735,91 @@ def hash_sample_quantiles_oracle(denom: int = QSAMPLE_DENOM) -> str:
                max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
         FROM ranked GROUP BY event_type
     """
+
+
+# ------------------------------------------------- bottom-k quantiles
+
+BK_K = 128
+
+_BK_HASH_SPARK = (
+    "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) "
+    f"as bigint) % {P}"
+)
+_BK_HASH_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {P}"
+)
+
+
+def bottomk_sample_quantiles(events: DataFrame, k: int = BK_K) -> DataFrame:
+    """Quantile estimates per event_type from a BOTTOM-K row-hash
+    sample: the k rows with the smallest md5-derived hash of
+    ``event_id`` form a uniform fixed-size sample of the group — the
+    bounded-state sibling of :func:`hash_sample_quantiles` (whose
+    residue sample grows with n). Bottom-k merges like KMV: the
+    bottom-k of a union is the bottom-k of the parts' bottom-ks, so
+    per-partition partial sketches (and the streaming twin's state)
+    fold without bias, and state is k rows per group FOREVER.
+
+    This batch form expresses the selection as one per-type
+    row_number window (a per-group sort); on a cluster the
+    partial-merge property is what you exploit — per-partition
+    bottom-k then merge, exactly what the streaming twin does. Ranks
+    select actual values via integer ceil division, mirrored in the
+    oracle. Output: (event_type, n_sample, p50, p90, p99)."""
+    sample = (
+        events.select(
+            "event_type", "value", "event_id",
+            F.expr(_BK_HASH_SPARK).alias("h"),
+        )
+        .withColumn(
+            "hrn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "event_id")
+            ),
+        )
+        .filter(F.col("hrn") <= k)
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        sample.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_sample"),
+            F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("value"))).alias("p50"),
+            F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("value"))).alias("p90"),
+            F.max(F.when(F.expr("rn = (99 * n + 99) div 100"), F.col("value"))).alias("p99"),
+        )
+        .select("event_type", F.expr("cast(n_sample as bigint)").alias("n_sample"),
+                "p50", "p90", "p99")
+    )
+
+
+def bottomk_sample_quantiles_oracle(k: int = BK_K) -> str:
+    return f"""
+        WITH sample AS (
+          SELECT event_type, value, event_id
+          FROM (
+            SELECT event_type, value, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY {_BK_HASH_DUCK}, event_id) AS hrn
+            FROM events
+          ) t WHERE hrn <= {k}
+        ),
+        ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM sample
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_sample,
+               max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+               max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+               max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        FROM ranked GROUP BY event_type
+    """

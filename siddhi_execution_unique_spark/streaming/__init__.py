@@ -1690,3 +1690,85 @@ def interval_join_stream(
             "coalesce(unix_millis(r_ts) - unix_millis(l_ts), -1L)"
         ).alias("gap_ms"),
     )
+
+
+_QSK_STATE = StructType([StructField("sample_json", StringType())])
+
+
+def quantile_sample_stream(
+    events_stream: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`functions.sketch.bottomk_sample_quantiles` — continuous
+    quantile estimation with BOUNDED state. Bottom-k row-hash samples
+    merge exactly (bottom-k of a union = bottom-k of the parts'
+    bottom-ks), so each micro-batch folds its rows into the per-type
+    k-smallest-hash sample held in state and emits the refreshed
+    p50/p90/p99 — k rows of state per group FOREVER, the sketch
+    property the residue sample lacks.
+
+    The row hash is computed JVM-side (the same codegen md5
+    expression as the batch operator) BEFORE the state operator; the
+    Python stage only merges two sorted bounded lists. A stream that
+    has seen the same rows reports the IDENTICAL row to the batch
+    operator (same hash, same integer-ceil rank selection —
+    driver-certified)."""
+    import json
+
+    from siddhi_execution_unique_spark.functions.sketch import (
+        BK_K,
+        _BK_HASH_SPARK,
+    )
+
+    kk = BK_K if k is None else k
+    require_column(events_stream, "event_type", "sketch key")
+    require_column(events_stream, "value", "sketch value")
+    base = events_stream.select(
+        "event_type", "value", "event_id",
+        F.expr(_BK_HASH_SPARK).alias("h"),
+    )
+    out_schema = StructType(
+        [
+            base.schema["event_type"],
+            StructField("n_sample", LongType()),
+            StructField("p50", DoubleType()),
+            StructField("p90", DoubleType()),
+            StructField("p99", DoubleType()),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        (sj,) = state.get if state.exists else ("[]",)
+        sample = [tuple(x) for x in json.loads(sj)]  # (h, event_id, value)
+        for pdf in pdfs:
+            sample.extend(
+                zip(
+                    (int(x) for x in pdf["h"]),
+                    (int(x) for x in pdf["event_id"]),
+                    (float(x) for x in pdf["value"]),
+                )
+            )
+        sample = sorted(sample)[:kk]
+        vals = sorted((v, e) for (_, e, v) in sample)
+        n = len(vals)
+
+        def pick(num, den):
+            # integer ceil rank, 1-based — mirrors (num*n + den-1) div den
+            r = (num * n + den - 1) // den
+            return vals[r - 1][0] if n else None
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key_tuple[0]],
+                "n_sample": [n],
+                "p50": [pick(1, 2)],
+                "p90": [pick(9, 10)],
+                "p99": [pick(99, 100)],
+            }
+        )
+        state.update((json.dumps([[h, e, v] for (h, e, v) in sample]),))
+
+    return base.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, _QSK_STATE, "update", GroupStateTimeout.NoTimeout
+    )

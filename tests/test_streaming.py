@@ -1238,3 +1238,46 @@ def test_interval_join_stream_validation(spark, workdir):
     )
     with pytest.raises(ValueError, match="how"):
         stw.interval_join_stream(df, "click", "purchase", 1000, how="full")
+
+
+def test_quantile_sample_stream_merges_across_batches(spark, workdir):
+    """The bottom-k sample must MERGE across micro-batches: replaying
+    the events table as 4 files (4 batches) must land on the exact
+    batch-operator row per type — the mergeability claim, not just
+    single-batch parity."""
+    from pyspark.sql import functions as F
+
+    from siddhi_execution_unique_spark.functions.sketch import (
+        bottomk_sample_quantiles,
+    )
+    from siddhi_execution_unique_spark.sources import load_table
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    indir = workdir / "in"
+    for part in range(4):
+        (
+            ev.filter(F.col("event_id") % 4 == part)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(indir))
+        )
+    schema = spark.read.parquet(str(indir)).schema
+    sdf = stream_table(spark, str(indir), schema)  # 1 file per trigger
+    out = stw.quantile_sample_stream(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qsk_merge_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("qsk_merge_sink").toPandas()
+    # keep the LAST update per type (cumulative row after batch 4)
+    final = got.groupby("event_type").tail(1).reset_index(drop=True)
+    want = bottomk_sample_quantiles(ev).toPandas()
+    f = final.sort_values("event_type").reset_index(drop=True)[want.columns]
+    w = want.sort_values("event_type").reset_index(drop=True)
+    assert f.equals(w), f"\n{f}\nvs\n{w}"
