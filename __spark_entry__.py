@@ -1929,6 +1929,7 @@ _R09_WINDOW = [
     "dedup_span_incremental",
     "sketch_bottomk_quantiles",
     "streaming_quantile_parity",
+    "events_session_native",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2368,6 +2369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": lambda s, d: fsk.kmv_distinct(_events(s, d)),
         "events_time_rollup": lambda s, d: fsk.time_rollup(_events(s, d)),
         "events_sessionize": lambda s, d: fsess.sessionize(_events(s, d), 2 * HOUR),
+        "events_session_native": lambda s, d: fsess.session_window_native(
+            _events(s, d), 2 * HOUR
+        ),
         # -- (1b) new in round 5 continuation — never driver-checked:
         #    cross-document line dedup (CCNet/RefinedWeb), SemDeDup
         #    cluster-blocked semantic dedup, fixed-token chunking
@@ -3510,6 +3514,7 @@ def oracle_sql() -> dict[str, str]:
             ftext.quality_score_oracle()
         ),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
+        "events_session_native": fsess.session_window_native_oracle(2 * HOUR),
         "events_asof_join": fasof.purchases_with_last_click_oracle(),
         "events_range_join": fasof.clicks_before_purchase_oracle(),
         "sketch_kmv_distinct": fsk.kmv_distinct_oracle(),

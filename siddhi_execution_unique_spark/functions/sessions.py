@@ -76,3 +76,72 @@ def sessionize_oracle(gap_ms: int) -> str:
         FROM numbered
         GROUP BY user_id, session_seq
     """
+
+
+def session_window_native(
+    events: DataFrame,
+    gap_ms: int,
+    user: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Gap sessions via Spark's NATIVE ``session_window`` aggregate —
+    the Catalyst-managed sibling of :func:`sessionize`. The engine
+    merges overlapping per-event windows ``[ts, ts+gap)`` itself (and
+    in streaming mode manages their state + watermark eviction), so
+    this form needs no window functions at all: ONE
+    groupBy(user, session_window) aggregation, one shuffle.
+
+    Boundary semantics differ from :func:`sessionize` by design and
+    are pinned by the oracle: the native window BREAKS at
+    ``diff >= gap`` (windows merge only when they overlap), while the
+    lag-form breaks at ``diff > gap``; and the native session end is
+    ``last_ts + gap``, not ``last_ts``. Output: (user,
+    session_start_ms, session_end_ms, n_events, n_event_types)."""
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be > 0, got {gap_ms}")
+    if gap_ms % 1000:
+        raise ValueError(f"gap_ms must be whole seconds, got {gap_ms}")
+    sw = F.session_window(F.col(ts), f"{gap_ms // 1000} seconds")
+    return (
+        events.groupBy(F.col(user), sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .select(
+            user,
+            F.unix_millis("sw.start").alias("session_start_ms"),
+            F.unix_millis("sw.end").alias("session_end_ms"),
+            "n_events",
+            "n_event_types",
+        )
+    )
+
+
+def session_window_native_oracle(gap_ms: int) -> str:
+    """Gaps-and-islands mirror of the NATIVE semantics: break at
+    ``diff >= gap``, session end = last event + gap."""
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= {gap_ms}
+                      OR lag(epoch_ms(ts)) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id,
+               min(ts_ms) AS session_start_ms,
+               max(ts_ms) + {gap_ms} AS session_end_ms,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_event_types
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """
