@@ -1600,3 +1600,16 @@ def test_jpeg_progressive_nonzero_ac_and_refinement_bits():
     block = fmm._DCT_A.T @ coefs.reshape(8, 8) @ fmm._DCT_A
     want = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
     assert img.shape == (8, 8) and (img == want).all()
+
+
+def test_session_window_native_validation(spark):
+    from siddhi_execution_unique_spark.functions import sessions as fsess
+
+    ev = spark.range(1).selectExpr(
+        "id AS event_id", "timestamp_millis(id) AS ts",
+        "id AS user_id", "'click' AS event_type"
+    )
+    with pytest.raises(ValueError, match="gap_ms"):
+        fsess.session_window_native(ev, 0)
+    with pytest.raises(ValueError, match="whole seconds"):
+        fsess.session_window_native(ev, 1500)
