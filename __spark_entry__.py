@@ -699,6 +699,36 @@ def q_streaming_outer_join_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_session_native_parity(spark, sf_dir):
+    """Driver certification of Spark's NATIVE streaming
+    ``session_window`` aggregate (append mode): each session emits
+    exactly once when the watermark passes its end — pinned rule
+    (tests/test_streaming.py): emitted iff
+    ``session_end <= max(ts) - delay``, inclusive. The oracle is the
+    batch native-semantics gaps-and-islands filtered by that
+    watermark rule."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+
+    work = tempfile.mkdtemp(prefix="sgraft_snb_stream_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.session_window_native_stream(sdf, 2 * HOUR)
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_quantile_parity(spark, sf_dir):
     """Driver certification of the ``quantile_sample_stream`` twin:
     bottom-k row-hash samples merge exactly, so the streamed fold's
@@ -1930,6 +1960,7 @@ _R09_WINDOW = [
     "sketch_bottomk_quantiles",
     "streaming_quantile_parity",
     "events_session_native",
+    "streaming_session_native_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2399,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_sample_quantiles": lambda s, d: fsk.hash_sample_quantiles(_events(s, d)),
         "sketch_bottomk_quantiles": lambda s, d: fsk.bottomk_sample_quantiles(_events(s, d)),
         "streaming_quantile_parity": q_streaming_quantile_parity,
+        "streaming_session_native_parity": q_streaming_session_native_parity,
         "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         "events_absence": lambda s, d: fana.absence(_events(s, d)),
         "events_transition_matrix": lambda s, d: fana.transition_matrix(_events(s, d)),
@@ -3515,6 +3547,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sessionize": fsess.sessionize_oracle(2 * HOUR),
         "events_session_native": fsess.session_window_native_oracle(2 * HOUR),
+        # append-mode native sessions: the batch islands filtered to
+        # sessions the final watermark (max ts - delay) has closed
+        "streaming_session_native_parity": f"""
+            WITH flagged AS (
+              SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= {2 * HOUR}
+                          OR lag(epoch_ms(ts)) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT *, sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS session_seq
+              FROM flagged
+            ),
+            sess AS (
+              SELECT user_id,
+                     min(ts_ms) AS session_start_ms,
+                     max(ts_ms) + {2 * HOUR} AS session_end_ms,
+                     count(*) AS n_events
+              FROM numbered GROUP BY user_id, session_seq
+            ),
+            wm AS (SELECT max(epoch_ms(ts)) - {2 * HOUR} AS w FROM events)
+            SELECT s.user_id, s.session_start_ms, s.session_end_ms, s.n_events
+            FROM sess s CROSS JOIN wm
+            WHERE s.session_end_ms <= wm.w
+        """,
         "events_asof_join": fasof.purchases_with_last_click_oracle(),
         "events_range_join": fasof.clicks_before_purchase_oracle(),
         "sketch_kmv_distinct": fsk.kmv_distinct_oracle(),

@@ -1772,3 +1772,44 @@ def quantile_sample_stream(
     return base.groupBy("event_type").applyInPandasWithState(
         fn, out_schema, _QSK_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def session_window_native_stream(
+    events_stream: DataFrame,
+    gap_ms: int,
+    user: str = "user_id",
+    ts: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of
+    :func:`functions.sessions.session_window_native`: Spark's native
+    ``session_window`` aggregate under a watermark — the engine
+    merges overlapping per-event windows in the state store and, in
+    append mode, emits each session exactly once when the watermark
+    passes its end (state evicted with it; memory bounded by OPEN
+    sessions per key, not history). No Python stage.
+
+    Distinct aggregations are unsupported in streaming, so the twin
+    reports (user, session_start_ms, session_end_ms, n_events) —
+    the batch operator minus ``n_event_types``. The emission rule is
+    pinned empirically (tests/test_streaming.py): a session emits
+    iff ``session_end <= watermark`` with
+    ``watermark = max(ts) - delay``."""
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be > 0, got {gap_ms}")
+    if gap_ms % 1000:
+        raise ValueError(f"gap_ms must be whole seconds, got {gap_ms}")
+    require_column(events_stream, user, "session key")
+    require_column(events_stream, ts, "ts")
+    wm = events_stream.withWatermark(ts, watermark_delay)
+    sw = F.session_window(F.col(ts), f"{gap_ms // 1000} seconds")
+    return (
+        wm.groupBy(F.col(user), sw.alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user,
+            F.unix_millis("sw.start").alias("session_start_ms"),
+            F.unix_millis("sw.end").alias("session_end_ms"),
+            "n_events",
+        )
+    )

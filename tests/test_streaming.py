@@ -1281,3 +1281,50 @@ def test_quantile_sample_stream_merges_across_batches(spark, workdir):
     f = final.sort_values("event_type").reset_index(drop=True)[want.columns]
     w = want.sort_values("event_type").reset_index(drop=True)
     assert f.equals(w), f"\n{f}\nvs\n{w}"
+
+
+def test_session_native_stream_emission_boundary(spark, workdir):
+    """Pins the native streaming session_window emission rule: a
+    session emits (append mode) iff session_end <= watermark with
+    watermark = max(ts) - delay, inclusive at equality."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    B = 1_700_000_000_000
+    GAP, DELAY = 1_800_000, 7_200_000
+    M = B + 20_000_000
+    wm = M - DELAY
+
+    def run(delta, tag):
+        ts0 = wm - GAP + delta  # single-event session end = wm + delta
+        indir = str(workdir / f"in_{tag}")
+        pdf = pd.DataFrame(
+            [(1, ts0, 1, "click"), (2, M, 2, "click")],
+            columns=["event_id", "ts_ms", "user_id", "event_type"],
+        )
+        (
+            spark.createDataFrame(pdf)
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+            .drop("ts_ms")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+        schema = spark.read.parquet(indir).schema
+        sdf = spark.readStream.schema(schema).parquet(indir)
+        out = stw.session_window_native_stream(sdf, GAP)
+        outdir = str(workdir / f"out_{tag}")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", str(workdir / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.read.parquet(outdir).toPandas()
+        return 1 in set(res.user_id) if len(res) else False
+
+    assert run(0, "at")        # end == wm -> emitted
+    assert not run(1, "past")  # one ms later -> held open
