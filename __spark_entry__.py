@@ -699,6 +699,38 @@ def q_streaming_outer_join_parity(spark, sf_dir):
     return res
 
 
+def q_siddhiql_streaming_join_parity(spark, sf_dir):
+    """The reference's window-to-window JOIN text executed over
+    STREAMING inputs via siddhiql.run_app_streaming_join — the
+    two-stage topology (each side's twin staged to its final
+    contents, then the batch join lowering over the staged tables;
+    Spark cannot join two streaming aggregates in one query). Lands
+    bit-for-bit on the batch join's certified oracle."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    define stream clicks (event_id long, user_id long, value double);
+    define stream purchases (event_id long, user_id long, value double);
+    from clicks#window.unique:ever(user_id) join purchases#window.unique:ever(user_id)
+    on clicks.user_id== purchases.user_id
+    select clicks.user_id as user_id, purchases.event_id as purchase_event_id, clicks.value as click_value
+    insert into joined ;
+    """
+    work = tempfile.mkdtemp(prefix="sgraft_sqljoin_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    streams = {
+        "clicks": sdf.filter(F.col("event_type") == "click"),
+        "purchases": sdf.filter(F.col("event_type") == "purchase"),
+    }
+    res = sq.run_app_streaming_join(app, streams, work_dir=work)["joined"]
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_session_native_parity(spark, sf_dir):
     """Driver certification of Spark's NATIVE streaming
     ``session_window`` aggregate (append mode): each session emits
@@ -1961,6 +1993,7 @@ _R09_WINDOW = [
     "streaming_quantile_parity",
     "events_session_native",
     "streaming_session_native_parity",
+    "siddhiql_streaming_join_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2431,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bottomk_quantiles": lambda s, d: fsk.bottomk_sample_quantiles(_events(s, d)),
         "streaming_quantile_parity": q_streaming_quantile_parity,
         "streaming_session_native_parity": q_streaming_session_native_parity,
+        "siddhiql_streaming_join_parity": q_siddhiql_streaming_join_parity,
         "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         "events_absence": lambda s, d: fana.absence(_events(s, d)),
         "events_transition_matrix": lambda s, d: fana.transition_matrix(_events(s, d)),
@@ -3072,7 +3106,7 @@ WHERE r.rnk = 1
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "unique_ever": _EVER_SQL,
         # text-format source round-trips land on the identical result
@@ -3865,3 +3899,10 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE be < (SELECT last_end FROM last)
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    oracles = _oracle_sql_base()
+    # the staged streaming join lands on the batch join's result
+    oracles["siddhiql_streaming_join_parity"] = oracles["siddhiql_join_ever"]
+    return oracles

@@ -532,24 +532,10 @@ def _bind_stream(q: dict, streams: dict[str, DataFrame]) -> DataFrame:
 _TIME_BATCH_WINDOWS = frozenset({"timeBatch", "firstTimeBatch"})
 
 
-def _run_join(
-    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None
-) -> DataFrame:
-    """Window-to-window join (UniqueEverWindowTestCase.java:228-233):
-    build each side's window contents, join on the user condition with
-    both sides aliased by their stream names so the Siddhi-style
-    qualified references (``cseEventStream.symbol``) resolve.
-
-    For two aligned tumbling time-batch windows the join condition
-    additionally pins the shared batch interval (contents of batch k
-    only ever co-reside with the other window's batch k,
-    UniqueTimeBatchWindowTestCase.java:192-196), and the expired/all
-    channels follow the tumbling-flush protocol: every joined batch
-    re-emits as expired when a later batch fires anywhere; the final
-    batch never expires. Other window pairs support the current
-    channel only — expired pair emission depends on replay-order
-    interleaving across two streams, which the final-state batch model
-    does not represent; SiddhiQLError, never a silent current-only."""
+def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None]:
+    """Validate a join query and build its effective condition.
+    Returns (cond, aligned_batches, partitioned, lattr, rattr) —
+    shared by the batch join and the staged streaming join."""
     lname, rname = q["left"]["stream"], q["right"]["stream"]
     if lname == rname:
         raise SiddhiQLError("join sides must name two distinct streams")
@@ -596,14 +582,24 @@ def _run_join(
             f"unique:{rw} is not wired through SiddhiQL; use the "
             "function API"
         )
-    sides: dict[str, DataFrame] = {}
-    for p in ("left", "right"):
-        side = {**q[p], "channel": "current"}
-        df = _bind_stream(side, streams)
-        sides[p] = (
-            _build_partitioned(side, df, ts, tiebreak)
-            if partitioned else _build_window(side, df, ts, tiebreak)
-        )
+    lattr = q["left"].get("partition") if partitioned else None
+    rattr = q["right"].get("partition") if partitioned else None
+    return cond, aligned_batches, partitioned, lattr, rattr
+
+
+def _join_channels(
+    q: dict,
+    sides: dict[str, DataFrame],
+    cond: str,
+    partitioned: bool,
+    lattr: str | None,
+    rattr: str | None,
+) -> DataFrame:
+    """Join prebuilt window CONTENTS and derive the requested channel
+    — the tail shared by the batch join (contents built inline) and
+    the staged streaming join (contents staged from the twins)."""
+    lname, rname = q["left"]["stream"], q["right"]["stream"]
+    channel = q["channel"]
     joined = sides["left"].alias(lname).join(
         sides["right"].alias(rname), F.expr(cond), "inner"
     )
@@ -665,6 +661,36 @@ def _run_join(
     if channel == "expired":
         return tagged.filter(F.col("channel") == "expired").drop("channel")
     return tagged
+
+
+def _run_join(
+    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None
+) -> DataFrame:
+    """Window-to-window join (UniqueEverWindowTestCase.java:228-233):
+    build each side's window contents, join on the user condition with
+    both sides aliased by their stream names so the Siddhi-style
+    qualified references (``cseEventStream.symbol``) resolve.
+
+    For two aligned tumbling time-batch windows the join condition
+    additionally pins the shared batch interval (contents of batch k
+    only ever co-reside with the other window's batch k,
+    UniqueTimeBatchWindowTestCase.java:192-196), and the expired/all
+    channels follow the tumbling-flush protocol: every joined batch
+    re-emits as expired when a later batch fires anywhere; the final
+    batch never expires. Other window pairs support the current
+    channel only — expired pair emission depends on replay-order
+    interleaving across two streams, which the final-state batch model
+    does not represent; SiddhiQLError, never a silent current-only."""
+    cond, _aligned, partitioned, lattr, rattr = _join_plan(q)
+    sides: dict[str, DataFrame] = {}
+    for p in ("left", "right"):
+        side = {**q[p], "channel": "current"}
+        df = _bind_stream(side, streams)
+        sides[p] = (
+            _build_partitioned(side, df, ts, tiebreak)
+            if partitioned else _build_window(side, df, ts, tiebreak)
+        )
+    return _join_channels(q, sides, cond, partitioned, lattr, rattr)
 
 
 # windows where "independent instance per partition value" is exactly
@@ -1306,3 +1332,95 @@ def _apply_select(
         raise SiddhiQLError(
             f"select list failed to resolve against the window output: {e}"
         ) from e
+
+
+# streaming joins: Spark cannot join two streaming AGGREGATES inside
+# one query (the window twins are stateful aggs), so the topology the
+# run_app_streaming error points at is implemented first-class here —
+# stage each side's twin, then join the staged contents.
+_JOIN_STAGEABLE = frozenset({"ever", "first", "timeBatch", "firstTimeBatch"})
+
+
+def _stage_stream_contents(side: dict, df: DataFrame, ts: str, work_dir: str | None):
+    """Run one join side's Structured Streaming twin to completion
+    (availableNow) and return its final window CONTENTS as a batch
+    DataFrame. Complete-mode agg twins (ever/timeBatch families)
+    stage through a memory sink; the append twin (first) through a
+    parquet sink."""
+    import os
+    import tempfile
+    import uuid
+
+    window = side["window"]
+    if window not in _JOIN_STAGEABLE:
+        raise SiddhiQLError(
+            f"streaming join sides support unique:{sorted(_JOIN_STAGEABLE)}; "
+            f"unique:{window}'s twin does not expose final contents as a "
+            "single staged table"
+        )
+    _, res, _drop = _build_streaming_res({**side, "channel": "current"}, df, ts)
+    if "channel" in res.columns:
+        res = res.filter(F.col("channel") == "current").drop("channel")
+    work = work_dir or tempfile.mkdtemp(prefix="sgraft_sqljoin_")
+    name = f"sq_join_{uuid.uuid4().hex[:8]}"
+    spark = df.sparkSession
+    if window == "first":
+        outdir = os.path.join(work, name)
+        qs = (
+            res.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", os.path.join(work, name + "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qs.awaitTermination()
+        return spark.read.parquet(outdir).localCheckpoint(eager=True)
+    qs = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, name + "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def run_app_streaming_join(
+    text: str,
+    streams: dict[str, DataFrame],
+    ts: str = "ts",
+    work_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Execute a SiddhiQL app's window-to-window JOIN queries over
+    STREAMING inputs — the two-stage topology ``run_app_streaming``'s
+    eager error points at, first-class: each side's Structured
+    Streaming twin runs to completion and stages its final window
+    contents; the join condition and channel derivation then reuse
+    the exact batch lowering (``_join_plan``/``_join_channels``), so
+    streamed joins land bit-for-bit on the batch join's certified
+    oracle. This is the production shape too: window-state jobs
+    feeding a downstream join over their sinks — Spark does not
+    support joining two streaming aggregates in one query."""
+    out: dict[str, DataFrame] = {}
+    for q in parse_app(text):
+        if q["kind"] != "join":
+            raise SiddhiQLError(
+                "run_app_streaming_join handles join queries only; "
+                "use run_app_streaming for window queries"
+            )
+        cond, _aligned, partitioned, _la, _ra = _join_plan(q)
+        if partitioned:
+            raise SiddhiQLError(
+                "partitioned streaming joins are not wired; use the "
+                "batch run_app or the function API"
+            )
+        sides = {
+            p: _stage_stream_contents(q[p], _bind_stream({**q[p], "channel": "current"}, streams), ts, work_dir)
+            for p in ("left", "right")
+        }
+        res = _join_channels(q, sides, cond, False, None, None)
+        res = _apply_select(res, q["select"], q.get("group_by"), q.get("having"))
+        out[q["out"]] = res
+    return out
