@@ -996,22 +996,29 @@ def incremental_near_dup_oracle(split_doc_id: int) -> str:
 DUP_SPAN_K = 8  # token n-gram anchor length for exact-substring coverage
 
 
-def _dup_anchor_hits(docs: DataFrame) -> DataFrame:
-    """(doc_id, i): the 0-based token positions whose K-gram anchor
-    occurs verbatim in at least one OTHER document. Anchors come from
-    explode(sequence) + array indexing (codegen rows); the cross-doc
-    test is ONE hash aggregation on the 64-bit gram hash (shuffle
-    volume = distinct grams, never doc pairs) followed by a left-semi
-    back to the anchor rows."""
+def _span_gram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, gh): one row per K-gram anchor occurrence — the
+    shared front of every span operator. Anchors come from
+    explode(sequence) + array indexing (codegen rows, no lambdas);
+    gh is the 64-bit md5 gram hash."""
     k = DUP_SPAN_K
     toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
         F.expr(f"size(toks) >= {k}")
     )
     gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
-    grams = toks.select(
+    return toks.select(
         "doc_id", "toks",
         F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
     ).select("doc_id", "i", F.expr(_hash_expr(gram)).alias("gh"))
+
+
+def _dup_anchor_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, i): the 0-based token positions whose K-gram anchor
+    occurs verbatim in at least one OTHER document. The cross-doc
+    test is ONE hash aggregation on the gram hash (shuffle volume =
+    distinct grams, never doc pairs) followed by a left-semi back to
+    the anchor rows."""
+    grams = _span_gram_rows(docs)
     dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1206,19 +1213,7 @@ def span_gram_manifest(docs: DataFrame) -> DataFrame:
     """(gh): the distinct K-gram anchor hashes of an already-ingested
     corpus — the manifest continuous exact-substring ingest checks new
     batches against. O(distinct grams) rows, mergeable by union."""
-    k = DUP_SPAN_K
-    toks = docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
-        F.expr(f"size(toks) >= {k}")
-    )
-    gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
-    return (
-        toks.select(
-            "toks",
-            F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
-        )
-        .select(F.expr(_hash_expr(gram)).alias("gh"))
-        .distinct()
-    )
+    return _span_gram_rows(docs).select("gh").distinct()
 
 
 def incremental_span_coverage(new_docs: DataFrame, known_grams: DataFrame) -> DataFrame:
@@ -1241,14 +1236,7 @@ def incremental_span_coverage(new_docs: DataFrame, known_grams: DataFrame) -> Da
     sizes = new_docs.select(
         "doc_id", F.expr(f"cast(size({SPARK_TOKS}) AS BIGINT)").alias("n_tokens")
     )
-    toks = new_docs.select("doc_id", F.expr(SPARK_TOKS).alias("toks")).filter(
-        F.expr(f"size(toks) >= {k}")
-    )
-    gram = "concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(k)) + ")"
-    grams = toks.select(
-        "doc_id", "toks",
-        F.explode(F.expr(f"sequence(0, size(toks) - {k})")).alias("i"),
-    ).select("doc_id", "i", F.expr(_hash_expr(gram)).alias("gh"))
+    grams = _span_gram_rows(new_docs)
     batch_dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
