@@ -1287,3 +1287,23 @@ def test_insert_all_events_length_batch_and_first_variants(streams):
             streams, tiebreak="event_id",
         )["o"]
         assert "channel" not in out.columns
+
+
+def test_streaming_join_rejects_non_join_and_unstageable(spark, tmp_path):
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    sdf = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(str(tmp_path))
+    with pytest.raises(sq.SiddhiQLError, match="join queries only"):
+        sq.run_app_streaming_join(
+            "from A#window.unique:ever(user_id) select * insert into o;",
+            {"A": sdf},
+        )
+    with pytest.raises(sq.SiddhiQLError, match="staged"):
+        sq.run_app_streaming_join(
+            "from A#window.unique:length(user_id, 5) join "
+            "B#window.unique:ever(user_id) on A.user_id == B.user_id "
+            "select A.user_id insert into o;",
+            {"A": sdf, "B": sdf},
+        )
