@@ -699,6 +699,50 @@ def q_streaming_outer_join_parity(spark, sf_dir):
     return res
 
 
+def q_source_bucketed_join(spark, sf_dir):
+    """The bucketing story end-to-end: events and customer written as
+    bucketed tables on their join keys, unique:ever over the bucketed
+    events, then the dimension join — the WHOLE chain runs with ZERO
+    exchanges (pinned by tests/test_plans.py): the bucketed scan
+    satisfies the aggregation's distribution, and ever's output now
+    reuses its grouping column so the distribution carries into the
+    join. Pay the shuffle once at ingest; every later keyed pass is
+    co-located. Oracle: the same result as the broadcast-join entry."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from siddhi_execution_unique_spark.sources import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="sgraft_bucketed_")
+    te, tc = f"ev_bucketed_{tag}", f"cust_bucketed_{tag}"
+    try:
+        be = write_bucketed(
+            _events(spark, sf_dir), te, "user_id",
+            n_buckets=8, path=os.path.join(work, te),
+        )
+        bc = write_bucketed(
+            load_table(spark, sf_dir, "customer"), tc, "c_custkey",
+            n_buckets=8, path=os.path.join(work, tc),
+        )
+        latest = ops.ever(be, "user_id", ts="ts", tiebreak="event_id")
+        out = (
+            latest.select(
+                "user_id", F.unix_millis("ts").alias("ts_ms"),
+                "event_type", "value",
+            )
+            .join(bc, F.col("user_id") == F.col("c_custkey"), "inner")
+            .select("user_id", "ts_ms", "event_type", "value",
+                    "c_name", "c_mktsegment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {te}")
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_siddhiql_streaming_join_parity(spark, sf_dir):
     """The reference's window-to-window JOIN text executed over
     STREAMING inputs via siddhiql.run_app_streaming_join — the
@@ -1994,6 +2038,7 @@ _R09_WINDOW = [
     "events_session_native",
     "streaming_session_native_parity",
     "siddhiql_streaming_join_parity",
+    "source_bucketed_join",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2465,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantile_parity": q_streaming_quantile_parity,
         "streaming_session_native_parity": q_streaming_session_native_parity,
         "siddhiql_streaming_join_parity": q_siddhiql_streaming_join_parity,
+        "source_bucketed_join": q_source_bucketed_join,
         "dedup_graph_pagerank": lambda s, d: fgraph.near_dup_pagerank(_docs(s, d)),
         "events_absence": lambda s, d: fana.absence(_events(s, d)),
         "events_transition_matrix": lambda s, d: fana.transition_matrix(_events(s, d)),
@@ -3905,4 +3951,7 @@ def oracle_sql() -> dict[str, str]:
     oracles = _oracle_sql_base()
     # the staged streaming join lands on the batch join's result
     oracles["siddhiql_streaming_join_parity"] = oracles["siddhiql_join_ever"]
+    # the bucketed chain computes the same ever-join result as the
+    # broadcast entry — only the physical plan differs
+    oracles["source_bucketed_join"] = oracles["ever_join_customer"]
     return oracles

@@ -51,7 +51,20 @@ def _retain_one_per_key(
     order = F.struct(*order_cols) if len(order_cols) > 1 else order_cols[0]
     payload = F.struct(*[F.col(c) for c in df.columns])
     agg = F.max_by(payload, order) if keep == "last" else F.min_by(payload, order)
-    return df.groupBy(*key_cols(keys)).agg(agg.alias("_retained")).select("_retained.*")
+    grouped = df.groupBy(*key_cols(keys)).agg(agg.alias("_retained"))
+    # For plain-name keys, output the GROUPING column (identical value
+    # by construction) instead of the struct field: `_retained.key` is
+    # a fresh attribute Catalyst cannot link to the aggregation's hash
+    # distribution, so every downstream keyed join/agg would re-shuffle
+    # — on a bucketed source this is the difference between a
+    # zero-exchange co-located join and an avoidable exchange.
+    simple = {k for k in keys if isinstance(k, str) and k in df.columns}
+    return grouped.select(
+        *[
+            (F.col(c) if c in simple else F.col(f"_retained.{c}")).alias(c)
+            for c in df.columns
+        ]
+    )
 
 
 def ever(

@@ -186,6 +186,35 @@ def test_bucketed_table_makes_keyed_agg_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
 
 
+def test_bucketed_ever_join_chain_is_exchange_free(spark, tmp_path):
+    """r09: ever's output reuses its grouping column, so on bucketed
+    sources the WHOLE ever -> dimension-join chain runs with zero
+    exchanges — selecting the key from the max_by struct instead
+    created a fresh attribute that forced a re-shuffle before the
+    join."""
+    from siddhi_execution_unique_spark.sources import write_bucketed
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        be = write_bucketed(events, "ev_bjoin_test", "user_id",
+                            n_buckets=8, path=str(tmp_path / "ev_b"))
+        bc = write_bucketed(cust, "cust_bjoin_test", "c_custkey",
+                            n_buckets=8, path=str(tmp_path / "cust_b"))
+        latest = ops.ever(be, "user_id", ts="ts", tiebreak="event_id")
+        out = latest.join(bc, F.col("user_id") == F.col("c_custkey"), "inner")
+        p = plan_of(out)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p[:900]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS ev_bjoin_test")
+        spark.sql("DROP TABLE IF EXISTS cust_bjoin_test")
+
+
 def test_ever_expired_is_anti_join_not_window(spark):
     events = load_table(spark, SF_DIR, "events")
     plan = plan_of(
