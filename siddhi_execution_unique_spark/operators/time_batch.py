@@ -69,11 +69,23 @@ def _batched_retain(
     order = F.struct(*order_cols) if len(order_cols) > 1 else order_cols[0]
     payload = F.struct(*[F.col(c) for c in df.columns], F.col(BATCH_START))
     agg = F.max_by(payload, order) if keep == "last" else F.min_by(payload, order)
-    return (
-        with_batch.groupBy(F.col(BATCH_START), *key_cols(keys))
-        .agg(agg.alias("_retained"))
-        .select("_retained.*")
-        .withColumn(BATCH_END, F.col(BATCH_START) + F.lit(window_ms))
+    grouped = with_batch.groupBy(F.col(BATCH_START), *key_cols(keys)).agg(
+        agg.alias("_retained")
+    )
+    # reuse the GROUPING columns for the batch interval and plain-name
+    # keys (identical values by construction): the struct fields are
+    # fresh attributes Catalyst cannot link to the aggregation's hash
+    # distribution, so downstream joins/aggs keyed on (batch, key) —
+    # e.g. the aligned timeBatch window-to-window join — would
+    # re-shuffle both sides for nothing (same fix as keyed.py).
+    simple = {k for k in keys if isinstance(k, str) and k in df.columns}
+    return grouped.select(
+        *[
+            (F.col(c) if c in simple else F.col(f"_retained.{c}")).alias(c)
+            for c in df.columns
+        ],
+        F.col(BATCH_START),
+        (F.col(BATCH_START) + F.lit(window_ms)).alias(BATCH_END),
     )
 
 

@@ -141,6 +141,33 @@ def test_time_batch_is_single_shuffle_agg(spark):
     assert plan.count("Exchange") <= 2  # load_table fan-out + agg shuffle
 
 
+def test_aligned_time_batch_join_reuses_agg_distribution(spark):
+    """r09: _batched_retain outputs the GROUPING (batch, key) columns,
+    so joining two aligned timeBatch windows on (batch_start_ms, key)
+    sort-merges directly on each side's aggregation exchange — exactly
+    4 Exchanges (2 load fan-outs + 2 agg shuffles). Re-extracting the
+    columns from the max_by struct made them fresh attributes and
+    forced 2 more ENSURE_REQUIREMENTS shuffles before the join."""
+    events = load_table(spark, SF_DIR, "events")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = ops.time_batch(events, "user_id", 3_600_000, ts="ts",
+                           tiebreak="event_id")
+        b = ops.time_batch(events.filter("value > 10"), "user_id",
+                           3_600_000, ts="ts", tiebreak="event_id")
+        out = a.join(
+            b.select("batch_start_ms", "user_id",
+                     F.col("value").alias("v2")),
+            ["batch_start_ms", "user_id"],
+        )
+        p = plan_of(out)
+        assert "SortMergeJoin" in p
+        assert p.count("Exchange") <= 4, p[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
 def test_distributed_replay_forms_have_no_python_stage(spark):
     """The driver entries for timeLengthBatch and the length emission
     log run the distributed window-function/anti-join forms — a
