@@ -153,6 +153,19 @@ def test_first_time_batch_keep_first(spark):
     assert rows_set(out, "batch_start_ms", "k", "ts") == {(0, "a", 1), (10, "a", 11)}
 
 
+def test_time_batch_expression_key(spark):
+    """Expression keys take the struct-extraction path of
+    _batched_retain's output select (simple-name keys reuse the
+    grouping column); values must be identical either way."""
+    df = make(spark, [(1, 1, "a", 1.0), (5, 2, "A", 2.0), (11, 3, "a", 3.0),
+                      (12, 4, "b", 4.0)])
+    out = time_batch(df, [F.upper(F.col("k"))], 10, ts="ts",
+                     tiebreak="event_id")
+    # case-folded key: a@1 and A@5 collapse to the @5 row in batch 0
+    assert rows_set(out, "batch_start_ms", "k", "ts") == {
+        (0, "A", 5), (10, "a", 11), (10, "b", 12)}
+
+
 def test_time_batch_start_time_alignment(spark):
     # start.time modulo alignment (UniqueTimeBatchWindowProcessor.java:302-305)
     df = make(spark, [(7, 1, "a", 1.0), (12, 2, "a", 2.0)])
