@@ -225,16 +225,21 @@ def length_window_emissions(
     unique keys the oldest-inserted key's event expires (FIFO) —
     reference replace :148-157, FIFO evict :158-166.
 
-    The buffer is one global FIFO over unique keys, so the replay runs
-    as a single ordered group (documented scale caveat, SURVEY.md §7);
-    use :func:`length_window` for the distributable final-contents
+    The buffer is one global FIFO over unique keys, so the replay is a
+    single ordered SCAN — but the state is bounded (the N buffered
+    rows carried across Arrow chunks), so the stream spills through
+    the JVM external sort with no single-task row ceiling; use
+    :func:`length_window` for the fully distributable final-contents
     form.
     """
     import pandas as pd
 
     from pyspark.sql.types import StringType, StructField, StructType
 
-    from siddhi_execution_unique_spark.operators.replay import _single_group_replay
+    from siddhi_execution_unique_spark.operators.replay import (
+        _CarryScan,
+        _sorted_stream_replay,
+    )
     from siddhi_execution_unique_spark.operators.validation import require_pos_int
 
     require_column(df, key, "unique.key")
@@ -245,28 +250,29 @@ def length_window_emissions(
         list(df.schema.fields) + [StructField(CHANNEL, StringType())]
     )
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        key_arr = pdf[key].to_numpy()
-        buffer: dict = {}  # insertion-ordered: key -> row index
-        rows: list[int] = []
-        channels: list[str] = []
-        for i in range(len(pdf)):
-            k = key_arr[i]
-            if k in buffer:
-                rows.append(buffer.pop(k))
-                channels.append("expired")  # replaced: expires now
-            elif len(buffer) == n:
-                oldest = next(iter(buffer))
-                rows.append(buffer.pop(oldest))
-                channels.append("expired")  # FIFO eviction
-            buffer[k] = i
-            rows.append(i)
-            channels.append("current")
-        out = pdf.iloc[rows][out_cols].copy()
-        out[CHANNEL] = pd.Series(channels, index=out.index, dtype="object")
-        return out
+    def scan(batches) -> "pd.DataFrame":
+        buf = _CarryScan(out_cols, [(CHANNEL, "object")])
+        buffer: dict = {}  # insertion-ordered: key -> row ref
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf.begin(pdf)
+            key_arr = pdf[key].to_numpy()
+            for i in range(len(pdf)):
+                k = key_arr[i]
+                if k in buffer:
+                    buf.emit(buffer.pop(k), "expired")  # replaced: expires now
+                elif len(buffer) == n:
+                    oldest = next(iter(buffer))
+                    buf.emit(buffer.pop(oldest), "expired")  # FIFO eviction
+                buffer[k] = (1, i)
+                buf.emit((1, i), "current")
+            out, new_refs = buf.flush(list(buffer.values()))
+            buffer = dict(zip(buffer.keys(), new_refs))
+            if out is not None:
+                yield out
 
-    return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+    return _sorted_stream_replay(df, ts, tiebreak, out_schema, scan)
 
 
 def length_window_emissions_indexed_partitioned(

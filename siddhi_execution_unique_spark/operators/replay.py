@@ -31,10 +31,14 @@ that Catalyst cannot express declaratively.
 
   Batch-id assignment for these two is inherently sequential over the
   whole stream (each fire resets a distinct-key set shared by all
-  keys), so the batch API replays one globally ordered group through
-  ``applyInPandas`` — a documented scale caveat (SURVEY.md §7): use
-  the time/length-batch pure-Catalyst operators when global arrival
-  order isn't semantically required.
+  keys), so the batch API replays one globally ordered SCAN — a JVM
+  external sort (spills at any size) feeding a stateful
+  ``mapInPandas`` whose memory is bounded by the forming batch (the
+  ≤N retained rows carried across Arrow chunks via
+  :class:`_CarryScan`). Throughput of the one serial stage is the
+  remaining scale caveat (SURVEY.md §7); use the time/length-batch
+  pure-Catalyst operators when global arrival order isn't
+  semantically required.
 """
 
 from __future__ import annotations
@@ -183,31 +187,91 @@ def _length_batch_assign(key_arr, ms_arr, n: int, keep: str):
     return rows, seqs, fires
 
 
-def _single_group_replay(df: DataFrame, ts: str, tiebreak: str | None, out_schema, fn):
-    """Replay the whole stream in global (ts, tiebreak) order through
-    one pandas group. coalesce(1) + in-pandas sort keeps it a single
-    narrow exchange instead of a groupBy shuffle on a constant key.
+class _CarryScan:
+    """Cross-chunk bookkeeping for streamed replays whose retained rows
+    must ride the scan itself (no unique tiebreak id to join back on).
 
-    HARD ROW CEILING (documented, BASELINE.md): the single pandas task
-    concatenates every Arrow batch and sorts in memory — the frame
-    must fit one executor's Python heap. At 3 narrow columns
-    (key/ts/tiebreak) that is ~24 bytes/row plus pandas overhead, so
-    plan for ~100-200M rows per 8 GB of executor Python memory; the
-    operators whose chain state is bounded (lengthBatch,
-    length-emissions) stream through :func:`_sorted_stream_replay`
-    instead and have NO such ceiling."""
-    sort_cols = _sort_cols(ts, tiebreak)
-    prepared = df.withColumn(_TS_MS, event_ms(df, ts))
+    The operator walks one Arrow chunk at a time referring to rows by
+    opaque refs; refs still pending when the chunk ends (the forming
+    batch / FIFO buffer — bounded by the window length) survive the
+    boundary by being sliced ONCE, vectorized, into a small carry
+    frame. Memory is O(window length + one Arrow batch) at any input
+    size, and the upstream JVM external sort spills — so unlike the
+    retired concat-everything single-group replay there is NO
+    single-task row ceiling on these paths.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = [p for p in batches if not p.empty]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
-        yield fn(pdf)
+    Usage per chunk: ``begin(chunk)`` → ``emit(ref, *meta)`` for every
+    output row (a ref may emit more than once — e.g. an event emits on
+    the current channel now and on the expired channel later) →
+    ``flush(pending_refs)`` returns the chunk's output frame (emission
+    order preserved) plus the pending refs remapped into the new carry.
+    New-chunk refs are ``(1, row_idx)``; carry refs stay valid until
+    the next ``flush``.
+    """
 
-    return prepared.coalesce(1).mapInPandas(run, schema=out_schema)
+    def __init__(self, out_cols, meta_cols):
+        self.out_cols = out_cols
+        self.meta_cols = meta_cols  # [(name, pandas dtype), ...]
+        self.carry: pd.DataFrame | None = None
+        self.chunk: pd.DataFrame | None = None
+        self._emitted: list = []  # (origin, pos, order, meta tuple)
+
+    def begin(self, chunk: pd.DataFrame) -> None:
+        self.chunk = chunk
+        self._emitted = []
+
+    def emit(self, ref, *meta) -> None:
+        origin, pos = ref
+        self._emitted.append((origin, pos, len(self._emitted), meta))
+
+    def flush(self, pending_refs):
+        out = None
+        if self._emitted:
+            parts, order, metas = [], [], []
+            for want in (0, 1):
+                rows = [e for e in self._emitted if e[0] == want]
+                if rows:
+                    src = self.carry if want == 0 else self.chunk
+                    parts.append(src.iloc[[e[1] for e in rows]][self.out_cols])
+                    order.extend(e[2] for e in rows)
+                    metas.extend(e[3] for e in rows)
+            out = (
+                pd.concat(parts, ignore_index=True)
+                if len(parts) > 1
+                else parts[0].reset_index(drop=True)
+            )
+            for j, (name, dtype) in enumerate(self.meta_cols):
+                out[name] = pd.Series([m[j] for m in metas], dtype=dtype)
+            if len(parts) > 1:  # restore emission order across origins
+                out = (
+                    out.assign(_eord=order)
+                    .sort_values("_eord", kind="mergesort", ignore_index=True)
+                    .drop(columns="_eord")
+                )
+        # roll still-pending rows (bounded by the window length) into
+        # the next carry frame; one vectorized slice per origin
+        new_refs = []
+        parts = []
+        pos = 0
+        for want in (0, 1):
+            idxs = [r[1] for r in pending_refs if r[0] == want]
+            if idxs:
+                src = self.carry if want == 0 else self.chunk
+                parts.append(src.iloc[idxs][self.out_cols])
+        remap = {}
+        for want in (0, 1):
+            for r in pending_refs:
+                if r[0] == want:
+                    remap[r] = (0, pos)
+                    pos += 1
+        new_refs = [remap[r] for r in pending_refs]
+        self.carry = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else (parts[0].reset_index(drop=True) if parts else None)
+        )
+        self.chunk = None
+        return out, new_refs
 
 
 def _sorted_stream_replay(df: DataFrame, ts: str, tiebreak: str | None,
@@ -253,9 +317,6 @@ def length_batch(
     n = require_pos_int(window_length, "window.length")
     if keep not in ("last", "first"):
         raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
-
-    def assign(key_arr, ms_arr):
-        return _length_batch_assign(key_arr, ms_arr, n, keep)
 
     if tiebreak is not None:
         # Narrow funnel: the single ordered task scans ONLY
@@ -317,21 +378,45 @@ def length_batch(
             *df.columns, BATCH_SEQ, FIRED_AT
         )
 
-    # no unique id to join back on -> full rows ride the replay
+    # no unique id to join back on -> full rows ride the streamed
+    # scan, with the <=N-1 forming rows carried across Arrow chunks
+    # (bounded state; the JVM external sort upstream spills, so this
+    # path has no single-task row ceiling either)
     out_cols = list(df.columns)
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField(BATCH_SEQ, LongType()), StructField(FIRED_AT, LongType())]
     )
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows, seqs, fires = assign(pdf[key].to_numpy(), pdf[_TS_MS].to_numpy())
-        out = pdf.iloc[rows][out_cols].copy()
-        out[BATCH_SEQ] = pd.Series(seqs, index=out.index, dtype="int64")
-        out[FIRED_AT] = pd.Series(fires, index=out.index, dtype="int64")
-        return out
+    def scan_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = _CarryScan(out_cols, [(BATCH_SEQ, "int64"), (FIRED_AT, "int64")])
+        forming: dict = {}  # key -> row ref of retained event
+        seq = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf.begin(pdf)
+            key_arr = pdf[key].to_numpy()
+            ms_arr = pdf[_TS_MS].to_numpy()
+            for i in range(len(pdf)):
+                k = key_arr[i]
+                if k in forming:
+                    if keep == "last":
+                        forming[k] = (1, i)
+                else:
+                    forming[k] = (1, i)
+                    if len(forming) == n:
+                        fired_at = int(ms_arr[i])
+                        for ref in forming.values():
+                            buf.emit(ref, seq, fired_at)
+                        forming.clear()
+                        seq += 1
+            out, new_refs = buf.flush(list(forming.values()))
+            forming = dict(zip(forming.keys(), new_refs))
+            if out is not None:
+                yield out
 
-    return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+    return _sorted_stream_replay(df, ts, tiebreak, out_schema, scan_rows)
 
 
 def length_batch_expired(batched: DataFrame, group_cols=()) -> DataFrame:
@@ -409,14 +494,66 @@ def time_length_batch(
             StructField(FIRE_REASON, StringType()),
         ]
     )
-    replay = _time_length_replay(key, t_ms, n, start_time_ms, out_cols)
-    return _single_group_replay(df, ts, tiebreak, out_schema, replay)
+    def scan_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = _CarryScan(
+            out_cols,
+            [(BATCH_SEQ, "int64"), (FIRED_AT, "int64"), (FIRE_REASON, "object")],
+        )
+        forming: dict = {}  # key -> row ref of retained event
+        seq = 0
+        event_sent = False
+        next_emit: int | None = None  # set from the globally-first row
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf.begin(pdf)
+            key_arr = pdf[key].to_numpy()
+            ms_arr = pdf[_TS_MS].to_numpy()
+
+            def fire(at_ms: int, reason: str) -> None:
+                nonlocal seq
+                if forming:
+                    for ref in forming.values():
+                        buf.emit(ref, seq, at_ms, reason)
+                    forming.clear()
+                    seq += 1
+
+            for i in range(len(pdf)):
+                ts_i = int(ms_arr[i])
+                if next_emit is None:
+                    if start_time_ms is not None:
+                        next_emit = (
+                            start_time_ms
+                            + ((ts_i - start_time_ms) // t_ms + 1) * t_ms
+                        )
+                    else:
+                        next_emit = ts_i + t_ms
+                while ts_i >= next_emit:
+                    if event_sent:
+                        event_sent = False  # boundary clears the skip flag
+                    else:
+                        fire(next_emit, "time")
+                    next_emit += t_ms
+                if event_sent:
+                    continue  # discarded until next boundary
+                forming[key_arr[i]] = (1, i)
+                if len(forming) == n:
+                    fire(ts_i, "length")
+                    event_sent = True
+            out, new_refs = buf.flush(list(forming.values()))
+            forming = dict(zip(forming.keys(), new_refs))
+            if out is not None:
+                yield out
+
+    return _sorted_stream_replay(df, ts, tiebreak, out_schema, scan_rows)
 
 
 def _time_length_replay(key: str, t_ms: int, n: int, start_time_ms, out_cols):
     """Per-instance timeLengthBatch replay over an arrival-ordered
-    pandas frame (shared by the global single-group form and the
-    per-partition-value instances of ``partition with``)."""
+    pandas frame (the per-partition-value instances of ``partition
+    with``; the global form streams via its own :class:`_CarryScan`
+    scan in :func:`time_length_batch`)."""
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         key_arr = pdf[key].to_numpy()
@@ -660,8 +797,8 @@ def _partitioned_replay(
 ) -> DataFrame:
     """Run an arrival-ordered replay INDEPENDENTLY per partition-attr
     value (Siddhi's ``partition with``: every value owns a window
-    instance with its own state). Unlike the global
-    :func:`_single_group_replay` funnel, this distributes: one shuffle
+    instance with its own state). Unlike the global ordered-scan
+    funnel, this distributes: one shuffle
     keyed on the partition attribute, then each instance's chain runs
     in its own pandas group — the scale shape is bounded by the
     LARGEST partition, not the corpus."""

@@ -696,3 +696,112 @@ def test_api_unknown_name_raises(spark):
     df = make(spark, [(1, 1, "a", 1.0)])
     with _pytest.raises(ValueError, match="unknown window"):
         api.window(df, "unique:nope", "k")
+
+
+# --- cross-chunk carry (the streamed full-row replays) ---
+
+def test_carry_scan_survives_tiny_arrow_batches(spark):
+    """The full-row replay paths (length_batch without tiebreak,
+    time_length_batch, length_window_emissions) buffer the forming
+    batch / FIFO rows across Arrow chunk boundaries via _CarryScan.
+    Force 16-row chunks over a 600-row stream so pending rows cross
+    dozens of boundaries, and check each path against its
+    independently-derived twin (tiebreak funnel / distributed form)."""
+    import random
+
+    from siddhi_execution_unique_spark.operators.length import (
+        length_window_emissions_distributed,
+    )
+    from siddhi_execution_unique_spark.operators.replay import (
+        time_length_batch_distributed,
+    )
+
+    rng = random.Random(42)
+    keys = [f"k{rng.randrange(11)}" for _ in range(600)]
+    rows = [((i + 1) * 13, i + 1, k, float(i)) for i, k in enumerate(keys)]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        df = make(spark, rows)
+
+        # 1. lengthBatch fallback (full rows ride the scan) vs the
+        # narrow-funnel tiebreak path — ts values are unique, so both
+        # orderings agree
+        fb = length_batch(df, "k", 7, ts="ts")
+        tb = length_batch(df, "k", 7, ts="ts", tiebreak="event_id")
+        cols = ("event_id", "batch_seq", "fired_at_ms")
+        assert rows_set(fb, *cols) == rows_set(tb, *cols)
+
+        # keep='first' variant through the same fallback
+        fb_f = first_length_batch(df, "k", 7, ts="ts")
+        tb_f = first_length_batch(df, "k", 7, ts="ts", tiebreak="event_id")
+        assert rows_set(fb_f, *cols) == rows_set(tb_f, *cols)
+
+        # 2. timeLengthBatch ordered scan vs the interval-partitioned
+        # distributed form (independent algebra)
+        for kwargs in ({}, {"start_time_ms": 0}):
+            rep = time_length_batch(df, "k", 700, 9, ts="ts",
+                                    tiebreak="event_id", **kwargs)
+            dist = time_length_batch_distributed(df, "k", 700, 9, ts="ts",
+                                                 tiebreak="event_id", **kwargs)
+            tl_cols = ("event_id", "k", "batch_seq", "fired_at_ms", "fire_reason")
+            assert rows_set(rep, *tl_cols) == rows_set(dist, *tl_cols), kwargs
+
+        # 3. emission log (rows emit current now, expired later — the
+        # same physical row crosses chunks between its two emissions)
+        rep_e = length_window_emissions(df, "k", 5, ts="ts", tiebreak="event_id")
+        dist_e = length_window_emissions_distributed(
+            df, "k", 5, ts="ts", tiebreak="event_id"
+        )
+        e_cols = ("event_id", "channel")
+        assert rows_set(rep_e, *e_cols) == rows_set(dist_e, *e_cols)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_full_row_replays_stream_one_million_rows(spark):
+    """The full-row replay paths (no-tiebreak lengthBatch fallback and
+    the exact timeLengthBatch scan) stream across Arrow batches with
+    only the forming rows buffered — the retired concat-everything
+    form would hold all 1M rows in one pandas frame. Same key pattern
+    as the narrow-funnel 1M test: keys cycle 0..999, N=100, so the
+    chain fires every 100 rows. For timeLengthBatch, T=200 gives each
+    interval 200 arrivals: the first 100 distinct keys length-fire,
+    the rest are discarded until the boundary (the reference's
+    eventSent skip) — 5000 length-fired batches of 100 rows."""
+    n_rows, n_keys, n = 1_000_000, 1_000, 100
+    df = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("ts"),
+            F.col("id").alias("event_id"),
+            (F.col("id") % n_keys).cast("string").alias("k"),
+        )
+    )
+    out = length_batch(df, "k", n, ts="ts")  # no tiebreak -> full-row scan
+    agg = out.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("batch_seq").alias("batches"),
+        F.sum(F.when(F.col("fired_at_ms") == F.col("batch_seq") * n + n - 1, 1)
+              .otherwise(0)).alias("fired_ok"),
+    ).collect()[0]
+    assert agg["rows"] == n_rows
+    assert agg["batches"] == n_rows // n
+    assert agg["fired_ok"] == n_rows
+
+    t_win = 2 * n  # 200 arrivals per interval; first 100 fire, rest skip
+    tlb = time_length_batch(df, "k", t_win, n, ts="ts", start_time_ms=0)
+    agg2 = tlb.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("batch_seq").alias("batches"),
+        F.sum(F.when(F.col("fire_reason") == "length", 1).otherwise(0)).alias(
+            "len_fires"
+        ),
+        F.sum(
+            F.when(F.col("fired_at_ms") % t_win == n - 1, 1).otherwise(0)
+        ).alias("fired_ok"),
+    ).collect()[0]
+    assert agg2["rows"] == n_rows // 2
+    assert agg2["batches"] == n_rows // t_win
+    assert agg2["len_fires"] == n_rows // 2
+    assert agg2["fired_ok"] == n_rows // 2
