@@ -600,6 +600,20 @@ def _join_channels(
     the staged streaming join (contents staged from the twins)."""
     lname, rname = q["left"]["stream"], q["right"]["stream"]
     channel = q["channel"]
+    # The flush witness below re-reads each side's retained contents.
+    # Since the (batch, key) distribution propagation, column pruning
+    # rewrites the witness branch's aggregate to a bare distinct over
+    # the grouping columns (the max_by is dead code there), so the
+    # subtrees stop being exchange-reuse-identical and the witness
+    # re-scans each raw stream. Measured trade-off (BASELINE.md r09):
+    # the witness re-scan reads a 3-column pruned projection and a
+    # cheap distinct (~+0.2 s at sf0.1, ~+0.3 s at sf1) while the
+    # propagation HALVES the heavy max_by final aggregations and
+    # unlocks exchange-free downstream keyed joins engine-wide.
+    # Materializing the sides (localCheckpoint) to share them was
+    # tried and is ~25% SLOWER still: the retained set is near
+    # raw-sized for fine-grained keys, and block storage + codegen
+    # breaks cost more than a pruned columnar scan.
     joined = sides["left"].alias(lname).join(
         sides["right"].alias(rname), F.expr(cond), "inner"
     )
