@@ -624,6 +624,38 @@ def _q_source_roundtrip(spark, sf_dir, fmt: str):
     return res
 
 
+def q_source_python_datasource(spark, sf_dir):
+    """Spark 4 PYTHON DATA SOURCE certification
+    (``pyspark.sql.datasource``): events travel through the
+    from-scratch ``evtlog`` sink (one JSON array per line,
+    per-write-task files) and back through its reader — both
+    registered Python classes Spark schedules as ordinary write/scan
+    tasks — then unique:ever runs over the round-tripped stream,
+    certified against the same _EVER_SQL oracle as the parquet and
+    csv/jsonl source paths (sources/eventlog.py; the reference's
+    custom-io extension surface, SURVEY.md §2b)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark.sources.eventlog import register_eventlog
+
+    register_eventlog(spark)
+    work = tempfile.mkdtemp(prefix="sgraft_pyds_")
+    path = os.path.join(work, "events_evtlog")
+    flat = _events(spark, sf_dir).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    flat.write.format("evtlog").mode("overwrite").option("path", path).save()
+    back = spark.read.format("evtlog").option("path", path).load()
+    out = ops.ever(back, "user_id", ts="ts_ms", tiebreak="event_id").select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )
+    res = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_source_csv_roundtrip(spark, sf_dir):
     return _q_source_roundtrip(spark, sf_dir, "csv")
 
@@ -1574,8 +1606,8 @@ def q_first_length_batch(spark, sf_dir):
 
 def q_time_length_batch(spark, sf_dir):
     # distributed form (window functions partitioned by interval); the
-    # single-group replay twin ops.time_length_batch is cross-checked
-    # against it in tests/test_unique_operators.py
+    # ordered-scan twin ops.time_length_batch (streamed, _CarryScan)
+    # is cross-checked against it in tests/test_unique_operators.py
     return ops.time_length_batch_distributed(
         _events(spark, sf_dir), "user_id", 6 * HOUR, 20, ts="ts", tiebreak="event_id"
     ).select("event_id", "user_id", "batch_seq", "fired_at_ms", "fire_reason")
@@ -2039,6 +2071,7 @@ _R09_WINDOW = [
     "streaming_session_native_parity",
     "siddhiql_streaming_join_parity",
     "source_bucketed_join",
+    "source_python_datasource",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2393,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rate_shape_parity": q_streaming_rate_shape_parity,
         "streaming_join_parity": q_streaming_join_parity,
         "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_python_datasource": q_source_python_datasource,
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "streaming_outer_join_parity": q_streaming_outer_join_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
@@ -3157,6 +3191,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "unique_ever": _EVER_SQL,
         # text-format source round-trips land on the identical result
         "source_csv_roundtrip": _EVER_SQL,
+        "source_python_datasource": _EVER_SQL,
         "source_jsonl_roundtrip": _EVER_SQL,
         "unique_ever_multi": f"""
             SELECT {_EVENT_SQL_COLS}

@@ -1613,3 +1613,45 @@ def test_session_window_native_validation(spark):
         fsess.session_window_native(ev, 0)
     with pytest.raises(ValueError, match="whole seconds"):
         fsess.session_window_native(ev, 1500)
+
+
+def test_python_datasource_eventlog_round_trip(spark, tmp_path):
+    """The Spark 4 Python DataSource pair (sources/eventlog.py): the
+    evtlog sink writes one JSON-array line per row and one file per
+    write task; the reader schedules one task per file. Exact
+    round-trip including JSON-bearing props, overwrite semantics, and
+    validation of the fixed column order / missing path option."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from siddhi_execution_unique_spark import sources as src
+    from siddhi_execution_unique_spark.sources.eventlog import register_eventlog
+
+    register_eventlog(spark)
+    register_eventlog(spark)  # idempotent re-registration
+    flat = src.load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    path = str(tmp_path / "ev")
+    flat.write.format("evtlog").mode("overwrite").option("path", path).save()
+    files = [f for f in os.listdir(path) if f.endswith(".evt")]
+    assert files  # one file per non-empty write task
+    back = spark.read.format("evtlog").option("path", path).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, flat.collect()))
+
+    # overwrite replaces prior contents (stale task files removed)
+    flat.limit(7).repartition(2).write.format("evtlog").mode(
+        "overwrite").option("path", path).save()
+    assert spark.read.format("evtlog").option("path", path).load().count() == 7
+
+    # wrong column order is rejected eagerly at write planning
+    with pytest.raises(Exception, match="fixed column order"):
+        flat.select("ts_ms", "event_id", "user_id", "event_type",
+                    "value", "props").write.format("evtlog").mode(
+            "overwrite").option("path", path).save()
+    # missing path option
+    with pytest.raises(Exception, match="requires option 'path'"):
+        flat.write.format("evtlog").mode("overwrite").save()
