@@ -656,6 +656,46 @@ def q_source_python_datasource(spark, sf_dir):
     return res
 
 
+def q_streaming_python_sink_parity(spark, sf_dir):
+    """CUSTOM STREAMING SINK certification (Spark 4
+    ``DataSourceStreamWriter``): the evtlog Python sink stages each
+    micro-batch task's rows and atomically publishes them in
+    ``commit`` under deterministic ``part-<batchId>-<task>`` names
+    (a replayed batch re-publishes the same names — exactly-once per
+    batch id; ``abort`` unstages). It receives the
+    ``deduplicate_exact_stream`` twin's append output over a
+    file-stream replay; reading the published files back through the
+    evtlog batch reader must hash-match the same batch
+    recursive-chain oracle as ``streaming_dedup_parity``
+    (sources/eventlog.py)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.sources.eventlog import register_eventlog
+
+    register_eventlog(spark)
+    work = tempfile.mkdtemp(prefix="sgraft_pysink_")
+    sdf = _stream_events_replay(spark, sf_dir, work)
+    out = stw.deduplicate_exact_stream(sdf, "user_id", HOUR, ts="ts").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    outdir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("evtlog")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.format("evtlog").option("path", outdir).load()
+    res = back.select(*_EVENT_COLS).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_source_csv_roundtrip(spark, sf_dir):
     return _q_source_roundtrip(spark, sf_dir, "csv")
 
@@ -2072,6 +2112,7 @@ _R09_WINDOW = [
     "siddhiql_streaming_join_parity",
     "source_bucketed_join",
     "source_python_datasource",
+    "streaming_python_sink_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2427,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_parity": q_streaming_join_parity,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_python_datasource": q_source_python_datasource,
+        "streaming_python_sink_parity": q_streaming_python_sink_parity,
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "streaming_outer_join_parity": q_streaming_outer_join_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
@@ -3192,6 +3234,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # text-format source round-trips land on the identical result
         "source_csv_roundtrip": _EVER_SQL,
         "source_python_datasource": _EVER_SQL,
+        "streaming_python_sink_parity": _DEDUPLICATE_SQL,
         "source_jsonl_roundtrip": _EVER_SQL,
         "unique_ever_multi": f"""
             SELECT {_EVENT_SQL_COLS}

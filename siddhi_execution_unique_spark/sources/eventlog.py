@@ -30,6 +30,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -84,6 +85,58 @@ class _EventLogWriter(DataSourceWriter):
         return WriterCommitMessage()
 
 
+class _EvtCommit(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _EventLogStreamWriter(DataSourceStreamWriter):
+    """Streaming evtlog sink with per-micro-batch atomic publish:
+    ``write`` stages each task's rows to a temp file and returns its
+    path in the commit message; ``commit`` renames the staged files to
+    deterministic ``part-<batchId>-<task>.evt`` names (a replayed
+    batch after restart re-publishes the SAME names via ``os.replace``
+    — idempotent, so the sink is exactly-once per batch id); ``abort``
+    deletes the staged files so a failed batch publishes nothing."""
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("evtlog write requires option 'path'")
+
+    def write(self, iterator) -> _EvtCommit:
+        import uuid
+
+        staging = os.path.join(self._dir, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, f"{uuid.uuid4().hex}.tmp")
+        with open(path, "w", encoding="utf-8") as fh:
+            for r in iterator:
+                fh.write(json.dumps([r[f] for f in _FIELDS]) + "\n")
+        return _EvtCommit(path)
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = [m for m in messages if m is not None]
+        for i, msg in enumerate(staged):
+            dst = os.path.join(self._dir, f"part-{batchId:08d}-{i:05d}.evt")
+            if os.path.exists(msg.path):
+                os.replace(msg.path, dst)
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.path):
+                os.remove(msg.path)
+
+
+def _check_write_schema(schema) -> None:
+    names = [f.name for f in schema.fields]
+    if names != list(_FIELDS):
+        raise ValueError(
+            f"evtlog writes the fixed column order {list(_FIELDS)}, "
+            f"got {names}"
+        )
+
+
 class EventLogDataSource(DataSource):
     """``spark.read.format("evtlog")`` / ``df.write.format("evtlog")``
     after :func:`register_eventlog`."""
@@ -99,12 +152,7 @@ class EventLogDataSource(DataSource):
         return _EventLogReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> _EventLogWriter:
-        names = [f.name for f in schema.fields]
-        if names != list(_FIELDS):
-            raise ValueError(
-                f"evtlog writes the fixed column order {list(_FIELDS)}, "
-                f"got {names}"
-            )
+        _check_write_schema(schema)
         path = self.options.get("path")
         if not path:
             raise ValueError("evtlog write requires option 'path'")
@@ -114,6 +162,10 @@ class EventLogDataSource(DataSource):
                 if f.endswith(".evt"):
                     os.remove(os.path.join(path, f))
         return _EventLogWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> _EventLogStreamWriter:
+        _check_write_schema(schema)
+        return _EventLogStreamWriter(self.options)
 
 
 def register_eventlog(spark) -> None:

@@ -1328,3 +1328,64 @@ def test_session_native_stream_emission_boundary(spark, workdir):
 
     assert run(0, "at")        # end == wm -> emitted
     assert not run(1, "past")  # one ms later -> held open
+
+
+def test_python_stream_sink_publishes_per_batch(spark, workdir):
+    """The evtlog DataSourceStreamWriter (sources/eventlog.py) stages
+    each micro-batch's task files and publishes them atomically in
+    commit() under part-<batchId>-<task> names. Two input files at
+    maxFilesPerTrigger=1 -> two batch ids -> two published name
+    prefixes, an empty staging dir, and the dedup chain's cross-batch
+    state intact through the custom sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark.sql import functions as F
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.sources.eventlog import register_eventlog
+    from siddhi_execution_unique_spark.streaming.sources import stream_table
+
+    register_eventlog(spark)
+    indir = str(workdir / "in")  # pre-created by the fixture
+
+    def evfile(name, rows):
+        pq_.write_table(pa.table({
+            "ts": pa.array([r[0] * 1000 for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }), os.path.join(indir, name))
+
+    # interval=100ms chain: user 7 keeps 0 and 120 (50 dropped, anchor
+    # stays at the KEPT event); user 8 keeps 200 and 350
+    evfile("a.parquet", [(0, 1, 7, "c", 1.0, "{}"), (50, 2, 7, "c", 2.0, "{}"),
+                         (200, 3, 8, "v", 3.0, '{"x":"|"}')])
+    evfile("b.parquet", [(120, 4, 7, "c", 4.0, "{}"),
+                         (350, 5, 8, "v", 5.0, "{}")])
+    schema = spark.read.parquet(indir).schema
+    sdf = stream_table(spark, indir, schema)
+    out = stw.deduplicate_exact_stream(sdf, "user_id", 100, ts="ts").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    outdir = str(workdir / "out")
+    q = (
+        out.writeStream.format("evtlog")
+        .option("path", outdir)
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    published = sorted(f for f in os.listdir(outdir) if f.endswith(".evt"))
+    batches = {f.split("-")[1] for f in published}
+    assert batches == {"00000000", "00000001"}, published
+    staging = os.path.join(outdir, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+    back = spark.read.format("evtlog").option("path", outdir).load()
+    got = sorted((r["event_id"], r["ts_ms"], r["props"]) for r in back.collect())
+    assert got == [(1, 0, "{}"), (3, 200, '{"x":"|"}'),
+                   (4, 120, "{}"), (5, 350, "{}")]
