@@ -696,6 +696,50 @@ def q_streaming_python_sink_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_python_source_parity(spark, sf_dir):
+    """CUSTOM STREAMING SOURCE certification (Spark 4
+    ``SimpleDataSourceStreamReader``): events written through the
+    evtlog batch sink stream back in through the evtlog streaming
+    reader (offset = sorted-file position; an availableNow run
+    snapshots ONE read() call as the available end, so the entry
+    consumes all files in one batch — cross-restart offset
+    persistence is pinned by the two-run shared-checkpoint pytest)
+    feeding the complete-mode ever twin; the final state must
+    hash-match the same _EVER_SQL oracle as every other ever path
+    (sources/eventlog.py). With the batch entry, the stream sink, and
+    this, all four quadrants of the Python DataSource API
+    (batch/stream x read/write) are oracle-certified."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.sources.eventlog import (
+        EVENTLOG_SCHEMA,
+        register_eventlog,
+    )
+
+    register_eventlog(spark)
+    work = tempfile.mkdtemp(prefix="sgraft_pysrc_")
+    path = os.path.join(work, "in")
+    flat = _events(spark, sf_dir).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    flat.write.format("evtlog").mode("overwrite").option("path", path).save()
+    sdf = (
+        spark.readStream.format("evtlog")
+        .schema(EVENTLOG_SCHEMA)
+        .option("path", path)
+        .load()
+    )
+    out = stw.ever_stream(sdf, "user_id", ts="ts_ms")
+    res = _run_memory_complete(spark, out, "pysrc_ever", work).select(
+        *_EVENT_COLS
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_source_csv_roundtrip(spark, sf_dir):
     return _q_source_roundtrip(spark, sf_dir, "csv")
 
@@ -2113,6 +2157,7 @@ _R09_WINDOW = [
     "source_bucketed_join",
     "source_python_datasource",
     "streaming_python_sink_parity",
+    "streaming_python_source_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2469,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_python_datasource": q_source_python_datasource,
         "streaming_python_sink_parity": q_streaming_python_sink_parity,
+        "streaming_python_source_parity": q_streaming_python_source_parity,
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "streaming_outer_join_parity": q_streaming_outer_join_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
@@ -3235,6 +3281,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "source_csv_roundtrip": _EVER_SQL,
         "source_python_datasource": _EVER_SQL,
         "streaming_python_sink_parity": _DEDUPLICATE_SQL,
+        "streaming_python_source_parity": _EVER_SQL,
         "source_jsonl_roundtrip": _EVER_SQL,
         "unique_ever_multi": f"""
             SELECT {_EVENT_SQL_COLS}
