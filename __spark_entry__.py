@@ -740,6 +740,57 @@ def q_streaming_python_source_parity(spark, sf_dir):
     return res
 
 
+def q_streaming_python_source_partitioned_parity(spark, sf_dir):
+    """The SCALE-PATH custom streaming reader
+    (``DataSourceStreamReader``, ``option("reader", "partitioned")``):
+    the driver plans only file-position offsets and one InputPartition
+    per file; rows are read ON THE EXECUTORS (the simple variant
+    prefetches driver-side), so batch size is bounded by cluster
+    width, not driver memory. The exact-dedup twin consumes the
+    custom stream and must hash-match the batch recursive-chain
+    oracle (sources/eventlog.py)."""
+    import shutil
+    import tempfile
+
+    from siddhi_execution_unique_spark import streaming as stw
+    from siddhi_execution_unique_spark.sources.eventlog import (
+        EVENTLOG_SCHEMA,
+        register_eventlog,
+    )
+
+    register_eventlog(spark)
+    work = tempfile.mkdtemp(prefix="sgraft_pysrcp_")
+    path = os.path.join(work, "in")
+    flat = _events(spark, sf_dir).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "user_id", "event_type", "value", "props",
+    )
+    flat.write.format("evtlog").mode("overwrite").option("path", path).save()
+    sdf = (
+        spark.readStream.format("evtlog")
+        .schema(EVENTLOG_SCHEMA)
+        .option("path", path)
+        .option("reader", "partitioned")
+        .load()
+    )
+    out = stw.deduplicate_exact_stream(sdf, "user_id", HOUR, ts="ts_ms")
+    outdir = os.path.join(work, "out")
+    q = (
+        out.select(*_EVENT_COLS)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(outdir).select(*_EVENT_COLS).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_source_csv_roundtrip(spark, sf_dir):
     return _q_source_roundtrip(spark, sf_dir, "csv")
 
@@ -2158,6 +2209,7 @@ _R09_WINDOW = [
     "source_python_datasource",
     "streaming_python_sink_parity",
     "streaming_python_source_parity",
+    "streaming_python_source_partitioned_parity",
 ]
 
 # r06-certified tier (50 entries): fills the r09 window after
@@ -2515,6 +2567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_python_datasource": q_source_python_datasource,
         "streaming_python_sink_parity": q_streaming_python_sink_parity,
         "streaming_python_source_parity": q_streaming_python_source_parity,
+        "streaming_python_source_partitioned_parity": (
+            q_streaming_python_source_partitioned_parity
+        ),
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "streaming_outer_join_parity": q_streaming_outer_join_parity,
         "streaming_external_time_batch_parity": q_streaming_external_time_batch_parity,
@@ -3282,6 +3337,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "source_python_datasource": _EVER_SQL,
         "streaming_python_sink_parity": _DEDUPLICATE_SQL,
         "streaming_python_source_parity": _EVER_SQL,
+        "streaming_python_source_partitioned_parity": _DEDUPLICATE_SQL,
         "source_jsonl_roundtrip": _EVER_SQL,
         "unique_ever_multi": f"""
             SELECT {_EVENT_SQL_COLS}

@@ -30,6 +30,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -84,6 +85,47 @@ class _EventLogWriter(DataSourceWriter):
                 fh.write(json.dumps([r[f] for f in _FIELDS]) + "\n")
                 n += 1
         return WriterCommitMessage()
+
+
+class _EventLogPartitionedStreamReader(DataSourceStreamReader):
+    """The SCALE-PATH streaming reader (``option("reader",
+    "partitioned")``): the driver plans only OFFSETS (sorted-file
+    positions) and one :class:`InputPartition` per file; the rows are
+    read on the EXECUTORS — unlike the simple reader, no record ever
+    passes through the driver, so a micro-batch's size is bounded by
+    cluster width, not driver memory. This is the shape a 100 TB
+    ingest uses; the simple reader stays as the minimal-API
+    demonstration."""
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("evtlog read requires option 'path'")
+
+    def _files(self):
+        return sorted(
+            f for f in os.listdir(self._dir) if f.endswith(".evt")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["pos"]:end["pos"]]
+        return [_FilePartition(os.path.join(self._dir, f)) for f in files]
+
+    def read(self, partition):
+        # executor-side: a generator is fine here (consumed in the
+        # worker, never pickled — unlike the simple reader's batches)
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                yield tuple(json.loads(line))
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to clean up
 
 
 class _EvtCommit(WriterCommitMessage):
@@ -220,6 +262,13 @@ class EventLogDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool) -> _EventLogStreamWriter:
         _check_write_schema(schema)
         return _EventLogStreamWriter(self.options)
+
+    def streamReader(self, schema) -> _EventLogPartitionedStreamReader:
+        if self.options.get("reader", "simple") == "partitioned":
+            return _EventLogPartitionedStreamReader(self.options)
+        # raises PySparkNotImplementedError -> Spark falls back to
+        # the simpleStreamReader below
+        return super().streamReader(schema)
 
     def simpleStreamReader(self, schema) -> _EventLogSimpleStreamReader:
         return _EventLogSimpleStreamReader(self.options)

@@ -1391,13 +1391,16 @@ def test_python_stream_sink_publishes_per_batch(spark, workdir):
                    (4, 120, "{}"), (5, 350, "{}")]
 
 
-def test_python_stream_source_offsets_survive_restart(spark, workdir):
-    """The evtlog SimpleDataSourceStreamReader's offset (sorted-file
-    position) persists through the checkpoint: run 1 consumes the
-    initial files; new files land; run 2 on the SAME checkpoint must
-    emit only the new files' rows (complete-mode state then covers
-    both) — proving initialOffset/read/commit round-trip through
-    recovery rather than re-reading from scratch."""
+@pytest.mark.parametrize("mode", ["simple", "partitioned"])
+def test_python_stream_source_offsets_survive_restart(spark, workdir, mode):
+    """Both evtlog streaming readers' offsets (sorted-file position)
+    persist through the checkpoint — the driver-prefetching
+    SimpleDataSourceStreamReader and the executor-side partitioned
+    DataSourceStreamReader: run 1 consumes the initial files; new
+    files land; run 2 on the SAME checkpoint must emit only the new
+    files' rows (complete-mode state then covers both) — proving
+    offset round-trip through recovery rather than re-reading from
+    scratch."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1419,7 +1422,7 @@ def test_python_stream_source_offsets_survive_restart(spark, workdir):
 
     def run_once():
         sdf = (spark.readStream.format("evtlog").schema(EVENTLOG_SCHEMA)
-               .option("path", indir).load())
+               .option("path", indir).option("reader", mode).load())
         agg = sdf.groupBy("user_id").agg(
             F.max("ts_ms").alias("last_ms"), F.count("*").alias("n"))
         q = (agg.writeStream.format("memory").queryName("pysrc_restart")
