@@ -2136,345 +2136,87 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
-# The driver's CORRECTNESS harness samples the FIRST 50 queries()
-# entries. ROTATION INVARIANT (VERDICT r07 item 1, pinned by
+# The driver's CORRECTNESS harness samples the FIRST 50 ``queries()``
+# entries each round. ROTATION INVARIANT (VERDICT r07 item 1, made
+# self-maintaining in r10 per VERDICT r09 item 1, pinned by
 # tests/test_plans.py::test_driver_window_covers_stale_entries): the
-# window must contain (a) every entry whose semantics or oracle
-# changed this round, and (b) the most-stale entries by last green
-# driver round, oldest first — computed from CORRECTNESS_r*.json, so
-# the test recomputes staleness every round without a hand-kept
-# ledger. With 160 entries and a 50-entry window a full rotation takes
-# ~4 rounds; the invariant guarantees nothing drifts past that.
-#
-# Round-9 window: the 26 entries whose last green driver row is r05
-# (3 rounds stale once CORRECTNESS_r08.json landed — ADVICE r08
-# medium), then new entries added this round. 26 + new ≤ 50, so the
-# remainder of the window is taken from the head of ``_R09_FILL``.
-_R09_WINDOW = [
-    # semantics changed in r08 but deferred past that round's full
-    # window (see the _R08_WINDOW comment): its r07 driver row
-    # predates the corrected timeLengthBatch expired-drain rule, so
-    # it re-certifies FIRST this round
-    "streaming_time_length_batch_parity",
-    # r05-stale tier: event analytics / time series
-    "events_funnel",
-    "events_absence",
-    "events_hourly_anomalies",
-    "events_value_trend",
-    "events_transition_matrix",
-    "events_retention_cohorts",
-    "events_chi2_cohorts",
-    "events_json_props",
-    "orders_status_scd2",
-    # r05-stale tier: SiddhiQL surface
-    "siddhiql_ever_filtered",
-    # r05-stale tier: dedup graph + incremental
-    "dedup_near_incremental",
-    "dedup_graph_pagerank",
-    "dedup_graph_triangles",
-    # r05-stale tier: retrieval / fuzzy / embeddings
-    "fuzzy_match_names",
-    "docs_phrase_search",
-    "text_bigram_logprob",
-    "emb_pca_project",
-    "emb_label_outliers",
-    "join_bloom_prefilter",
-    # r05-stale tier: sketches
-    "sketch_countmin_topk",
-    "sketch_hll_distinct",
-    # r05-stale tier: curation / sampling
-    "sample_train_val_test",
-    "select_token_budget",
-    # r05-stale tier: multimodal decoders
-    "multimodal_decode_ppm",
-    "multimodal_decode_wav",
-    "multimodal_decode_y4m",
-    # new in round 9 (never driver-checked) — appended here as they
-    # are added so the never-checked invariant holds
-    "dedup_span_coverage",
-    "streaming_join_parity",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "streaming_outer_join_parity",
-    "sketch_sample_quantiles",
+# window must contain (a) every entry never driver-checked and
+# (b) every entry whose last green driver row is 3+ rounds old.
+# Through r09 the order was a hand-kept list, which went red every
+# time a new CORRECTNESS_r*.json landed after the round closed (the
+# r08 _R08_FILL and r09 _R09_FILL failures). Now the order is DERIVED
+# from the ledger at call time: never-checked entries lead, then all
+# checked entries ascending by last green round (stalest first, so
+# the mandatory stale tier is always inside the window), with
+# ``_CHANGED_THIS_ROUND`` slotted between them so re-implemented
+# entries re-certify as soon as budget allows. A ledger drop can
+# therefore never redden a committed tree: the same files that define
+# staleness define the order.
+
+# Entries whose implementation or plan changed this round and should
+# re-certify ahead of the fresh tiers (best-effort: they rank after
+# the mandatory never-checked + stale sets, so they only consume
+# window slots the invariant doesn't need).
+_CHANGED_THIS_ROUND = [
     "dedup_span_removal",
-    "multimodal_decode_jpeg_arith",
-    "dedup_span_incremental",
-    "sketch_bottomk_quantiles",
-    "streaming_quantile_parity",
-    "events_session_native",
-    "streaming_session_native_parity",
-    "siddhiql_streaming_join_parity",
-    "source_bucketed_join",
-    "source_python_datasource",
-    "streaming_python_sink_parity",
-    "streaming_python_source_parity",
-    "streaming_python_source_partitioned_parity",
+    "streaming_join_parity",
+    "streaming_outer_join_parity",
 ]
 
-# r06-certified tier (50 entries): fills the r09 window after
-# ``_R09_WINDOW`` (the first 50-26-new of these get a fresh r09 row);
-# the spillover becomes round 10's mandatory stale set. Ordered so
-# the most load-bearing composites/joins/codecs re-certify first and
-# self-contained aggregate profiles wait for r10.
-_R09_FILL = [
-    "pipeline_dedup_corpus",
-    "pipeline_corpus_curation",
-    "pipeline_pretrain_chunks",
-    "siddhiql_join_ever",
-    "siddhiql_join_time_batch_all",
-    "siddhiql_time_all_events",
-    "siddhiql_partitioned_time",
-    "siddhiql_group_having",
-    "streaming_dedup_parity",
-    "streaming_length_parity",
-    "unique_length_emissions_ordered",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_png",
-    "multimodal_decode_flac",
-    "docs_gunzip_ingest",
-    "events_asof_join",
-    "events_range_join",
-    "events_sessionize",
-    "events_time_rollup",
-    "sketch_kmv_distinct",
-    "events_trailing_distinct",
-    "dedup_lines",
-    "dedup_semantic",
-    "dedup_tfidf_cosine",
-    "docs_bm25_topk",
-    "embedding_lsh_recall",
-    "docs_chunk_tokens",
-    "vocab_bpe_merges",
-    "vocab_top_tokens",
-    "vocab_top_per_lang",
-    "sample_stratified",
-    "sample_domain_quota",
-    "sample_temperature",
-    "sample_priority_weighted",
-    "contamination_check",
-    "corpus_mixture_stats",
-    "corpus_quality_percentiles",
-    "corpus_pack_shards",
-    "pii_redact",
-    "source_overlap_matrix",
-    "emb_pca_covariance",
-    "events_time_weighted_avg",
-    "events_disorder_stats",
-    "events_ks_cohort_drift",
-    "events_funnel_latency",
-    "events_zorder_layout",
-    "events_gap_fill_locf",
-    "events_data_profile",
-    "join_key_health",
-    "text_repetition_stats",
-]
 
-# Round-8 window kept for the historical record: the 3 entries whose
-# expired-drain semantics changed that round (timeLengthBatch family),
-# then the 34 entries whose last driver row was r04, then r08's new
-# entries.
-_R08_WINDOW = [
-    # changed this round: corrected timeLengthBatch expired drain
-    # (a boundary right after a length fire only clears the skip flag).
-    # streaming_time_length_batch_parity also changed but is deferred
-    # to r09 (window budget: 34 stale + 14 new = 48 mandatory slots);
-    # its updated drain rule is exercised in-window by the sharded
-    # twin streaming_partitioned_time_length_batch_parity and pinned
-    # by the event-at-a-time simulation property test.
-    "unique_time_length_batch_expired",
-    "siddhiql_time_length_batch_all",
-    # r04-stale tier: core-operator variants + host-engine surface
-    "unique_ever_expired_expr",
-    "unique_time_expired",
-    "unique_time_batch_expired",
-    "unique_time_length_batch_start",
-    "unique_length_emissions",
-    "running_distinct_users",
-    "orders_latest_per_customer",
-    "ever_count_by_type",
-    "ever_join_customer",
-    "window_join",
-    # r04-stale tier: dedup flagship
-    "dedup_exact",
-    "dedup_exact_incremental",
-    "dedup_minhash_signatures",
-    "dedup_near_pairs_lsh",
-    "dedup_clusters",
-    "dedup_minhash_accuracy",
-    "dedup_simhash",
-    "dedup_simhash_near_pairs",
-    "dedup_char_ngram_jaccard",
-    "dedup_embedding_cosine",
-    # r04-stale tier: similarity / ANN
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_cell_centroids",
-    "sim_pq_topk",
-    "sim_pq_rerank",
-    # r04-stale tier: text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_winnow_fingerprints",
-    "text_unigram_logprob",
-    # r04-stale tier: multimodal features
-    "multimodal_resize",
-    "multimodal_feature_stats",
-    "multimodal_frame_sample",
-    # new in round 8
-    "streaming_rate_shape_parity",
-    "siddhiql_partitioned_external_time_batch",
-    "siddhiql_partitioned_time_batch_all",
-    "multimodal_decode_png_subbyte",
-    "siddhiql_partitioned_time_length_batch_expired",
-    "siddhiql_partitioned_length_all",
-    "siddhiql_partitioned_join",
-    "streaming_partitioned_length_batch_parity",
-    "streaming_partitioned_time_length_batch_parity",
-    "multimodal_decode_jpeg_progressive_420",
-    "multimodal_decode_jpeg_lossless",
-    "siddhiql_partitioned_join_all",
-    "siddhiql_partitioned_external_time_batch_all",
-    "unique_length_emissions_partitioned",
-]
+def _ledger_last() -> tuple[dict[str, int], int]:
+    """Latest green driver round per entry, and the max round seen,
+    from the CORRECTNESS_r*.json ledger next to this file. Mirrors
+    the parsing in test_driver_window_covers_stale_entries exactly —
+    both sides reading the same files is what makes the rotation
+    self-maintaining."""
+    import glob as _glob
+    import json
+    import os
 
-# Next-oldest tier (last driver rows r05): fills whatever remains of
-# the 50-entry window after _R08_WINDOW, so the rotation always
-# certifies the stalest signal first. Order: core-adjacent entries,
-# then by family. streaming_time_length_batch_parity leads: its
-# semantics changed in r08 but the window budget was full (see the
-# _R08_WINDOW comment), so it is first in line for r09.
-_R08_FILL = [
-    "streaming_time_length_batch_parity",
-    "siddhiql_ever_filtered",
-    "events_funnel",
-    "events_absence",
-    "events_hourly_anomalies",
-    "events_value_trend",
-    "events_transition_matrix",
-    "events_retention_cohorts",
-    "events_chi2_cohorts",
-    "events_json_props",
-    "orders_status_scd2",
-    "dedup_near_incremental",
-    "dedup_graph_pagerank",
-    "dedup_graph_triangles",
-    "fuzzy_match_names",
-    "docs_phrase_search",
-    "text_bigram_logprob",
-    "emb_pca_project",
-    "emb_label_outliers",
-    "join_bloom_prefilter",
-    "sketch_countmin_topk",
-    "sketch_hll_distinct",
-    "sample_train_val_test",
-    "select_token_budget",
-    "multimodal_decode_ppm",
-    "multimodal_decode_wav",
-    "multimodal_decode_y4m",
-]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    max_round = 0
+    for f in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+            rows = json.loads(open(f).read())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        max_round = max(max_round, rnd)
+        for k, v in rows.items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+                and not v.get("err")
+            ):
+                last[k] = max(last.get(k, 0), rnd)
+    return last, max_round
 
-# Round-7 window kept for the historical record (last driver rows r07).
-_R07_WINDOW = [
-    # new in round 7 (never driver-checked)
-    "streaming_first_parity",
-    "streaming_ever_dual_parity",
-    "streaming_asof_parity",
-    "streaming_range_agg_parity",
-    "streaming_funnel_parity",
-    "streaming_trend_parity",
-    "streaming_anomaly_parity",
-    "streaming_dedup_watermark_parity",
-    "streaming_curation_parity",
-    "streaming_lsh_ingest_parity",
-    "streaming_index_ingest_parity",
-    "streaming_pq_encode_parity",
-    "unique_time_length_batch_expired",
-    "unique_external_time_batch_expired",
-    "siddhiql_external_time_batch_all",
-    "siddhiql_time_length_batch_all",
-    "siddhiql_partitioned_length",
-    "siddhiql_partitioned_length_batch",
-    "siddhiql_partitioned_time_length_batch",
-    "streaming_ever_parity",
-    "streaming_time_batch_parity",
-    "streaming_length_batch_parity",
-    "multimodal_decode_flac_stereo",
-    "siddhiql_streaming_agg_parity",
-    "streaming_time_length_batch_parity",
-    "streaming_external_time_batch_parity",
-    "multimodal_decode_jpeg_420",
-    "multimodal_decode_png_palette",
-    "multimodal_decode_png_adam7",
-    "multimodal_decode_jpeg_progressive",
-    "streaming_kmv_parity",
-    "streaming_countmin_parity",
-    "streaming_sessionize_parity",
-    "streaming_time_window_parity",
-    # the 11 reference operators + host-engine surface, last driver
-    # row r04
-    "unique_ever",
-    "unique_ever_multi",
-    "unique_first",
-    "unique_ever_expired",
-    "unique_length",
-    "unique_time",
-    "unique_time_batch",
-    "unique_first_time_batch",
-    "unique_external_time_batch",
-    "unique_external_time_batch_end_ts",
-    "unique_deduplicate",
-    "first_filtered",
-    "unique_time_length_batch",
-    # lengthBatch family + two-phase running distinct (r04)
-    "unique_length_batch",
-    "unique_first_length_batch",
-    "unique_length_batch_expired",
-    "running_distinct_users",
-    # remaining r04-stale entries, by family
-    "sim_ivf_topk",
-    "sim_cell_centroids",
-    "sim_pq_topk",
-]
 
-# r04-stale entries that did not fit the 50-entry window: first in
-# line for the r08 rotation.
-_R08_NEXT = [
-    # displaced from the r07 window by the 9 new streaming parities
-    # (host-engine variants, all r04-green; first in line for r08)
-    "unique_ever_expired_expr",
-    "orders_latest_per_customer",
-    "ever_count_by_type",
-    "ever_join_customer",
-    "unique_length_emissions",
-    "unique_time_length_batch_start",
-    "unique_time_batch_expired",
-    "unique_time_expired",
-    "window_join",
-    "sim_pq_rerank",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "dedup_exact",
-    "dedup_exact_incremental",
-    "dedup_near_pairs_lsh",
-    "dedup_clusters",
-    "dedup_simhash_near_pairs",
-    "dedup_char_ngram_jaccard",
-    "multimodal_resize",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_winnow_fingerprints",
-    "text_unigram_logprob",
-    "dedup_minhash_signatures",
-    "dedup_minhash_accuracy",
-    "dedup_simhash",
-    "multimodal_feature_stats",
-    "multimodal_frame_sample",
-]
+def _ledger_order(names: list, ledger=None) -> list:
+    """Driver sampling order. Tiers: (0) never driver-checked —
+    mandatory in the first 50; (1) 3+-round-stale — mandatory;
+    (2) changed this round — best-effort; (3) everything else,
+    stalest first so the next round's mandatory tier is already
+    queued at the head. Ties break on registry insertion order.
+    ``ledger`` injects a (last, max_round) pair for testing the
+    rotation against a simulated future ledger drop."""
+    last, max_round = _ledger_last() if ledger is None else ledger
+    idx = {k: i for i, k in enumerate(names)}
+    changed = set(_CHANGED_THIS_ROUND)
+
+    def key(k):
+        if k not in last:
+            return (0, 0, idx[k])
+        if last[k] <= max_round - 3:
+            return (1, last[k], idx[k])
+        if k in changed:
+            return (2, last[k], idx[k])
+        return (3, last[k], idx[k])
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2810,14 +2552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k in list(registry):
         if k.startswith("streaming_") or k == "siddhiql_streaming_agg_parity":
             registry[k] = _with_stream_conf(registry[k])
-    head = (
-        _R09_WINDOW + _R09_FILL + _R08_WINDOW + _R08_FILL + _R07_WINDOW + _R08_NEXT
-    )
-    # dedupe preserving first occurrence (r08 window wins)
-    head = list(dict.fromkeys(head))
-    assert set(head) <= set(registry), sorted(set(head) - set(registry))
-    rest = [k for k in registry if k not in set(head)]
-    return {k: registry[k] for k in head + rest}
+    order = _ledger_order(list(registry))
+    return {k: registry[k] for k in order}
 
 
 def _with_stream_conf(fn, parts: str = "8"):

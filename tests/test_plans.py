@@ -1054,6 +1054,36 @@ def test_driver_window_covers_stale_entries():
     )
 
 
+def test_driver_window_self_maintains_after_ledger_drop():
+    """VERDICT r09 item 1: the rotation order is DERIVED from the
+    CORRECTNESS ledger, so a new CORRECTNESS_r*.json landing after a
+    round closes can never redden the committed tree (the failure
+    mode of r08's _R08_FILL and r09's _R09_FILL hand-kept lists).
+    Simulate the next round's ledger drop — the driver certifies the
+    current first 50 — and re-derive the order: the newly-stale tier
+    must rotate into the window automatically."""
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    last, max_round = entry_mod._ledger_last()
+    # simulated next-round ledger: current window gets fresh rows
+    sim_last = dict(last)
+    sim_round = max_round + 1
+    for k in names[:50]:
+        sim_last[k] = sim_round
+    # re-derive the order against the simulated ledger via the REAL
+    # code path (ledger injection), not a reimplementation
+    sim_order = entry_mod._ledger_order(names, ledger=(sim_last, sim_round))
+    window = set(sim_order[:50])
+    stale = {k for k, v in sim_last.items() if v <= sim_round - 3 and k in set(names)}
+    never = {k for k in names if k not in sim_last}
+    assert len(stale | never) <= 50, (
+        f"mandatory tier ({len(stale | never)}) exceeds the 50-entry "
+        "window — too many entries added without rotation budget"
+    )
+    assert (stale | never) <= window, sorted((stale | never) - window)
+
+
 def test_lsh_ingest_stream_signature_stage_is_jvm(spark, tmp_path):
     """VERDICT r07 item 2: the streaming LSH ingest twin's signature
     stage must run the batch pipeline's codegen md5 algebra JVM-side —
