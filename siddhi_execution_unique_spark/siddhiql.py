@@ -1388,7 +1388,13 @@ def _stage_stream_contents(side: dict, df: DataFrame, ts: str, work_dir: str | N
             .start()
         )
         qs.awaitTermination()
-        return spark.read.parquet(outdir).localCheckpoint(eager=True)
+        # explicit schema (ADVICE r09): a zero-row staged side leaves
+        # only _spark_metadata in outdir and schema inference raises
+        # instead of yielding an empty join side
+        return (
+            spark.read.schema(res.schema).parquet(outdir)
+            .localCheckpoint(eager=True)
+        )
     qs = (
         res.writeStream.format("memory")
         .queryName(name)

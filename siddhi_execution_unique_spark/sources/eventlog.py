@@ -69,22 +69,54 @@ class _EventLogReader(DataSourceReader):
 
 
 class _EventLogWriter(DataSourceWriter):
-    def __init__(self, options):
+    """Batch evtlog sink with a staged, job-level atomic publish
+    (ADVICE r09): each task writes to ``_staging/<uuid>.tmp`` and the
+    final names carry that uuid, so (a) ``mode("append")`` can never
+    collide with — and silently truncate — a prior write's files,
+    (b) a failed job or abandoned speculative/retried task leaves
+    only staging garbage invisible to readers (``*.evt`` filter),
+    and (c) overwrite deletes the old generation only at COMMIT time,
+    after the new data is fully staged."""
+
+    def __init__(self, options, overwrite: bool):
         self._dir = options.get("path")
+        self._overwrite = overwrite
         if not self._dir:
             raise ValueError("evtlog write requires option 'path'")
 
-    def write(self, rows) -> WriterCommitMessage:
+    def write(self, rows) -> "_EvtCommit":
+        import uuid
+
         from pyspark import TaskContext
 
+        staging = os.path.join(self._dir, "_staging")
+        os.makedirs(staging, exist_ok=True)
         pid = TaskContext.get().partitionId()
-        path = os.path.join(self._dir, f"part-{pid:05d}.evt")
-        n = 0
+        token = f"{pid:05d}-{uuid.uuid4().hex}"
+        path = os.path.join(staging, f"{token}.tmp")
         with open(path, "w", encoding="utf-8") as fh:
             for r in rows:
                 fh.write(json.dumps([r[f] for f in _FIELDS]) + "\n")
-                n += 1
-        return WriterCommitMessage()
+        return _EvtCommit(path)
+
+    def commit(self, messages) -> None:
+        staged = [m for m in messages if m is not None]
+        new_names = set()
+        for msg in staged:
+            token = os.path.splitext(os.path.basename(msg.path))[0]
+            name = f"part-{token}.evt"
+            new_names.add(name)
+            if os.path.exists(msg.path):
+                os.replace(msg.path, os.path.join(self._dir, name))
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.endswith(".evt") and f not in new_names:
+                    os.remove(os.path.join(self._dir, f))
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.path):
+                os.remove(msg.path)
 
 
 class _EventLogPartitionedStreamReader(DataSourceStreamReader):
@@ -129,18 +161,23 @@ class _EventLogPartitionedStreamReader(DataSourceStreamReader):
 
 
 class _EvtCommit(WriterCommitMessage):
-    def __init__(self, path: str):
+    def __init__(self, path: str, pid: int = -1):
         self.path = path
+        self.pid = pid
 
 
 class _EventLogStreamWriter(DataSourceStreamWriter):
     """Streaming evtlog sink with per-micro-batch atomic publish:
     ``write`` stages each task's rows to a temp file and returns its
-    path in the commit message; ``commit`` renames the staged files to
-    deterministic ``part-<batchId>-<task>.evt`` names (a replayed
-    batch after restart re-publishes the SAME names via ``os.replace``
-    — idempotent, so the sink is exactly-once per batch id); ``abort``
-    deletes the staged files so a failed batch publishes nothing."""
+    path AND task partition id in the commit message; ``commit``
+    renames the staged files to ``part-<batchId>-<partitionId>.evt``
+    — a STABLE task identity, not an enumeration index (ADVICE r09:
+    index-based names only replay identically if the replayed batch
+    plans the same task order) — then sweeps any ``part-<batchId>-*``
+    stragglers a differently-planned replay left behind, so a
+    restart-replayed batch id is exactly-once regardless of replan;
+    ``abort`` deletes the staged files so a failed batch publishes
+    nothing."""
 
     def __init__(self, options):
         self._dir = options.get("path")
@@ -150,20 +187,30 @@ class _EventLogStreamWriter(DataSourceStreamWriter):
     def write(self, iterator) -> _EvtCommit:
         import uuid
 
+        from pyspark import TaskContext
+
         staging = os.path.join(self._dir, "_staging")
         os.makedirs(staging, exist_ok=True)
         path = os.path.join(staging, f"{uuid.uuid4().hex}.tmp")
         with open(path, "w", encoding="utf-8") as fh:
             for r in iterator:
                 fh.write(json.dumps([r[f] for f in _FIELDS]) + "\n")
-        return _EvtCommit(path)
+        return _EvtCommit(path, TaskContext.get().partitionId())
 
     def commit(self, messages, batchId: int) -> None:
         staged = [m for m in messages if m is not None]
-        for i, msg in enumerate(staged):
-            dst = os.path.join(self._dir, f"part-{batchId:08d}-{i:05d}.evt")
+        published = set()
+        for msg in staged:
+            name = f"part-{batchId:08d}-{msg.pid:05d}.evt"
+            published.add(name)
             if os.path.exists(msg.path):
-                os.replace(msg.path, dst)
+                os.replace(msg.path, os.path.join(self._dir, name))
+        # a replay planned with DIFFERENT partitioning must not leave
+        # the old plan's files alongside the new ones
+        prefix = f"part-{batchId:08d}-"
+        for f in os.listdir(self._dir):
+            if f.startswith(prefix) and f.endswith(".evt") and f not in published:
+                os.remove(os.path.join(self._dir, f))
 
     def abort(self, messages, batchId: int) -> None:
         for msg in messages:
@@ -253,11 +300,7 @@ class EventLogDataSource(DataSource):
         if not path:
             raise ValueError("evtlog write requires option 'path'")
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            for f in os.listdir(path):
-                if f.endswith(".evt"):
-                    os.remove(os.path.join(path, f))
-        return _EventLogWriter(self.options)
+        return _EventLogWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> _EventLogStreamWriter:
         _check_write_schema(schema)

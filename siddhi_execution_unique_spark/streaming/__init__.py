@@ -1677,9 +1677,13 @@ def interval_join_stream(
         )
         .withWatermark("r_ts", watermark_delay)
     )
+    # INTERVAL in MILLISECOND units: a sub-second `within` (legal per
+    # parse_time_ms) must not truncate to INTERVAL 0 SECONDS — that
+    # would make the range predicate unsatisfiable and the join
+    # silently empty (ADVICE r09).
     cond = F.expr(
         f"l_key = r_key AND l_ts <= r_ts "
-        f"AND l_ts > r_ts - INTERVAL {w_ms // 1000} SECONDS"
+        f"AND l_ts > r_ts - INTERVAL {w_ms} MILLISECOND"
     )
     joined = left.join(right, cond, how)
     return joined.select(

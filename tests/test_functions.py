@@ -1647,6 +1647,16 @@ def test_python_datasource_eventlog_round_trip(spark, tmp_path):
         "overwrite").option("path", path).save()
     assert spark.read.format("evtlog").option("path", path).load().count() == 7
 
+    # append mode accumulates (ADVICE r09: uuid-named publishes can
+    # never collide with a prior write's files, so a second append
+    # must not truncate the first)
+    flat.limit(7).repartition(2).write.format("evtlog").mode(
+        "append").option("path", path).save()
+    assert spark.read.format("evtlog").option("path", path).load().count() == 14
+    # publish is staged: no .tmp leftovers visible, no partial files
+    staging = os.path.join(path, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
     # wrong column order is rejected eagerly at write planning
     with pytest.raises(Exception, match="fixed column order"):
         flat.select("ts_ms", "event_id", "user_id", "event_type",
@@ -1655,3 +1665,12 @@ def test_python_datasource_eventlog_round_trip(spark, tmp_path):
     # missing path option
     with pytest.raises(Exception, match="requires option 'path'"):
         flat.write.format("evtlog").mode("overwrite").save()
+
+    # a failed job publishes nothing: overwrite with a poisoned row
+    # must leave the prior 14-row generation fully intact
+    bad = flat.limit(3).withColumn(
+        "props", F.when(F.lit(True), F.raise_error(F.lit("boom"))).otherwise(F.col("props"))
+    )
+    with pytest.raises(Exception):
+        bad.write.format("evtlog").mode("overwrite").option("path", path).save()
+    assert spark.read.format("evtlog").option("path", path).load().count() == 14

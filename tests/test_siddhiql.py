@@ -1289,6 +1289,48 @@ def test_insert_all_events_length_batch_and_first_variants(streams):
         assert "channel" not in out.columns
 
 
+def test_streaming_join_empty_first_side_yields_empty_result(spark, tmp_path):
+    """ADVICE r09: a `first`-window join side whose staged twin emits
+    ZERO rows leaves only _spark_metadata in the parquet sink dir;
+    reading it back with schema inference raised AnalysisException.
+    The staged read now passes the twin's known schema, so an empty
+    side round-trips as an empty DataFrame and the join is empty."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    pdf = pd.DataFrame(
+        [(1, 1_700_000_000_000, 7, "purchase", 1.0),
+         (2, 1_700_000_060_000, 8, "purchase", 2.0)],
+        columns=["event_id", "ts_ms", "user_id", "event_type", "value"],
+    )
+    indir = str(tmp_path / "in")
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+        .coalesce(1).write.mode("overwrite").parquet(indir)
+    )
+    schema = spark.read.parquet(indir).schema
+    sdf = spark.readStream.schema(schema).parquet(indir)
+    app = """
+    define stream clicks (event_id long, user_id long, value double);
+    define stream purchases (event_id long, user_id long, value double);
+    from clicks#window.unique:first(user_id) join purchases#window.unique:ever(user_id)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, purchases.event_id as purchase_event_id
+    insert into joined;
+    """
+    streams = {
+        "clicks": sdf.filter(F.col("event_type") == "click"),  # matches nothing
+        "purchases": sdf.filter(F.col("event_type") == "purchase"),
+    }
+    res = sq.run_app_streaming_join(app, streams, work_dir=str(tmp_path / "wk"))
+    assert res["joined"].count() == 0
+    assert set(res["joined"].columns) == {"user_id", "purchase_event_id"}
+
+
 def test_streaming_join_rejects_non_join_and_unstageable(spark, tmp_path):
     from siddhi_execution_unique_spark import siddhiql as sq
 

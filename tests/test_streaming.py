@@ -1240,6 +1240,51 @@ def test_interval_join_stream_validation(spark, workdir):
         stw.interval_join_stream(df, "click", "purchase", 1000, how="full")
 
 
+def test_interval_join_stream_subsecond_within(spark, workdir):
+    """ADVICE r09: a sub-second ``within`` (legal per parse_time_ms)
+    must keep millisecond semantics — the old ``w_ms // 1000``
+    SECONDS interval truncated 500 ms to INTERVAL 0 SECONDS, making
+    the range predicate unsatisfiable and the join silently empty."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    B = 1_700_000_000_000
+    pdf = pd.DataFrame(
+        [
+            (1, B, 1, "click"),
+            (2, B + 400, 1, "purchase"),   # 400 ms gap: inside 500 ms
+            (3, B + 5000, 2, "click"),
+            (4, B + 5600, 2, "purchase"),  # 600 ms gap: outside
+        ],
+        columns=["event_id", "ts_ms", "user_id", "event_type"],
+    )
+    indir = str(workdir / "in")
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .drop("ts_ms")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(indir)
+    )
+    schema = spark.read.parquet(indir).schema
+    sdf = spark.readStream.schema(schema).parquet(indir)
+    out = stw.interval_join_stream(sdf, "click", "purchase", "500 ms")
+    outdir = str(workdir / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(outdir).toPandas()
+    assert set(zip(res.left_event_id, res.right_event_id)) == {(1, 2)}
+    assert set(res.gap_ms) == {400}
+
+
 def test_quantile_sample_stream_merges_across_batches(spark, workdir):
     """The bottom-k sample must MERGE across micro-batches: replaying
     the events table as 4 files (4 batches) must land on the exact
@@ -1389,6 +1434,51 @@ def test_python_stream_sink_publishes_per_batch(spark, workdir):
     got = sorted((r["event_id"], r["ts_ms"], r["props"]) for r in back.collect())
     assert got == [(1, 0, "{}"), (3, 200, '{"x":"|"}'),
                    (4, 120, "{}"), (5, 350, "{}")]
+
+
+def test_python_stream_sink_replayed_batch_with_replan_is_exactly_once(workdir):
+    """ADVICE r09: the stream sink's published names derive from the
+    TASK PARTITION ID carried in the commit message, and commit()
+    sweeps same-batch stragglers — so a checkpoint-replayed batch that
+    Spark replans with a different task count/order replaces the old
+    plan's files instead of duplicating rows alongside them. Driven
+    directly through the writer's write/commit contract."""
+    import os
+
+    from siddhi_execution_unique_spark.sources.eventlog import (
+        _EventLogStreamWriter,
+        _EvtCommit,
+    )
+
+    outdir = str(workdir / "out")
+    os.makedirs(outdir, exist_ok=True)
+    w = _EventLogStreamWriter({"path": outdir})
+
+    def stage(rows):
+        import json as _json
+        import uuid as _uuid
+
+        staging = os.path.join(outdir, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"{_uuid.uuid4().hex}.tmp")
+        with open(p, "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        return p
+
+    # original plan for batch 5: three tasks, pids 0/1/2
+    msgs = [_EvtCommit(stage([[i, 0, i, "c", 1.0, "{}"]]), pid=i) for i in range(3)]
+    w.commit(msgs, batchId=5)
+    first = sorted(f for f in os.listdir(outdir) if f.endswith(".evt"))
+    assert first == [f"part-00000005-{i:05d}.evt" for i in range(3)]
+
+    # replayed batch 5, replanned into ONE task with all three rows
+    replay = [_EvtCommit(stage([[i, 0, i, "c", 1.0, "{}"] for i in range(3)]), pid=0)]
+    w.commit(replay, batchId=5)
+    second = sorted(f for f in os.listdir(outdir) if f.endswith(".evt"))
+    assert second == ["part-00000005-00000.evt"], second  # old plan swept
+    rows = open(os.path.join(outdir, second[0]), encoding="utf-8").read().splitlines()
+    assert len(rows) == 3  # same payload once, not duplicated
 
 
 @pytest.mark.parametrize("mode", ["simple", "partitioned"])
