@@ -2071,6 +2071,41 @@ def q_siddhiql_partitioned_join_all(spark, sf_dir):
     return sq.run_app(app, two, tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_partitioned_join_external_time_batch(spark, sf_dir):
+    """Partitioned join over START.TIME-ANCHORED
+    unique:externalTimeBatch pairs (VERDICT r09 item 3): with an
+    explicit start.time on both sides the reference's
+    ``endTime = ts + (T - (ts - start) % T)``
+    (UniqueExternalTimeBatchWindowProcessor.java:454-458) is an
+    ABSOLUTE grid — the same batch-co-residency algebra as the
+    aligned timeBatch join, so the identical lowering applies:
+    per-instance (batch, key) retains, the batch_end_ms equality
+    folded into the join condition, and the per-instance flush
+    witness for the all-events channel. Pairs WITHOUT start.time
+    keep the documented eager error (each side anchors at its own
+    first event)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    ev = _events(spark, sf_dir)
+    two = {
+        "lefties": ev.filter(F.col("event_id") % 2 == 0),
+        "righties": ev.filter(F.col("event_id") % 2 == 1),
+    }
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0)
+        join righties#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0)
+        on lefties.user_id == righties.user_id
+        select lefties.event_type as event_type,
+               lefties.event_id as l_id, righties.event_id as r_id,
+               channel
+        insert all events into joined;
+    end
+    """
+    return sq.run_app(app, two, tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_length_all(spark, sf_dir):
     """`insert all events into` over a PARTITIONED unique:length:
     per-instance set-semantics emission log — every arrival emits
@@ -2282,6 +2317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_partitioned_length_all": q_siddhiql_partitioned_length_all,
         "siddhiql_partitioned_join": q_siddhiql_partitioned_join,
         "siddhiql_partitioned_join_all": q_siddhiql_partitioned_join_all,
+        # -- new in round 10: aligned externalTimeBatch partitioned
+        #    join (VERDICT r09 item 3)
+        "siddhiql_partitioned_join_external_time_batch": q_siddhiql_partitioned_join_external_time_batch,
         "streaming_partitioned_length_batch_parity": q_streaming_partitioned_length_batch_parity,
         "streaming_partitioned_time_length_batch_parity": q_streaming_partitioned_time_length_batch_parity,
         # -- (0a) new in round 7: three more streaming twins
@@ -3216,6 +3254,36 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT * FROM (
                 SELECT e.*, (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS batch_end_ms,
                        row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 3600000, user_id
+                                          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_id % 2 = 1) t WHERE rn = 1),
+            j AS (
+              SELECT lb.event_type AS event_type, lb.event_id AS l_id,
+                     rb.event_id AS r_id, lb.batch_end_ms AS be
+              FROM lb JOIN rb ON lb.user_id = rb.user_id
+                             AND lb.event_type = rb.event_type
+                             AND lb.batch_end_ms = rb.batch_end_ms),
+            last AS (
+              SELECT event_type, max(batch_end_ms) AS last_end FROM (
+                SELECT event_type, batch_end_ms FROM lb
+                UNION ALL SELECT event_type, batch_end_ms FROM rb)
+              GROUP BY event_type)
+            SELECT event_type, l_id, r_id, 'current' AS channel FROM j
+            UNION ALL
+            SELECT j.event_type, j.l_id, j.r_id, 'expired' AS channel
+            FROM j JOIN last USING (event_type)
+            WHERE j.be < last.last_end
+        """,
+        "siddhiql_partitioned_join_external_time_batch": """
+            WITH lb AS (
+              SELECT * FROM (
+                SELECT e.*, (epoch_ms(ts) // 7200000) * 7200000 + 7200000 AS batch_end_ms,
+                       row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 7200000, user_id
+                                          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_id % 2 = 0) t WHERE rn = 1),
+            rb AS (
+              SELECT * FROM (
+                SELECT e.*, (epoch_ms(ts) // 7200000) * 7200000 + 7200000 AS batch_end_ms,
+                       row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 7200000, user_id
                                           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
                 FROM events e WHERE event_id % 2 = 1) t WHERE rn = 1),
             j AS (

@@ -543,6 +543,7 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None]:
     channel = q["channel"]
     cond = q["on"]
     aligned_batches = lw in _TIME_BATCH_WINDOWS and rw in _TIME_BATCH_WINDOWS
+    aligned_external = lw == "externalTimeBatch" and rw == "externalTimeBatch"
     if aligned_batches:
         # compare NORMALIZED values, not literal argument strings —
         # '1 hour' and '3600000' describe the same tumbling grid. The
@@ -564,12 +565,42 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None]:
                 f"window.time to share a tumbling grid; got {lt} vs {rt}"
             )
         cond = f"({cond}) AND {lname}.batch_end_ms = {rname}.batch_end_ms"
+    elif aligned_external:
+        # externalTimeBatch pairs align exactly like timeBatch when
+        # BOTH sides carry an explicit start.time: the reference's
+        # endTime = ts + (T - (ts - start) % T) is an absolute grid,
+        # so batch k of one window only ever co-resides with batch k
+        # of the other (VERDICT r09 item 3). Without start.time each
+        # side anchors at its own first event — grids generally
+        # differ, so that stays the documented eager error.
+        def egrid(side: dict) -> list[int]:
+            consts = [a for a in side["args"] if _is_const(a)]
+            if len(consts) < 2:
+                raise SiddhiQLError(
+                    "joined unique:externalTimeBatch windows need an "
+                    "explicit start.time on both sides to share an "
+                    "absolute tumbling grid (without it each side "
+                    "anchors at its own first event); use the "
+                    "function API for first-event-anchored joins"
+                )
+            t = parse_time_ms(_const(consts[0]), "window.time")
+            return [t, int(consts[1]) % t]
+
+        lt, rt = egrid(q["left"]), egrid(q["right"])
+        if lt != rt:
+            raise SiddhiQLError(
+                "joined unique:externalTimeBatch windows need identical "
+                f"(window.time, start.time) grids; got {lt} vs {rt}"
+            )
+        cond = f"({cond}) AND {lname}.batch_end_ms = {rname}.batch_end_ms"
+        aligned_batches = True  # joins the tumbling-flush protocol
     partitioned = bool(q.get("partitioned"))
     if partitioned:
         if channel != "current" and not aligned_batches:
             raise SiddhiQLError(
                 "the expired/all-events channel of a partitioned join is "
-                "wired for aligned unique:timeBatch pairs only; use the "
+                "wired for aligned unique:timeBatch pairs and start.time-"
+                "anchored unique:externalTimeBatch pairs only; use the "
                 "function API"
             )
         # each instance owns both windows: join the per-instance

@@ -515,6 +515,65 @@ def test_join_mismatched_batch_period_raises(two_streams):
         )
 
 
+def test_join_external_time_batch_aligned_and_negatives(two_streams):
+    """VERDICT r09 item 3: externalTimeBatch pairs with an explicit,
+    identical start.time share an absolute grid and join with the
+    batch-co-residency lowering; missing start.time on either side,
+    or mismatched grids, raise eagerly."""
+    # aligned: runs and pins batch co-residency (grid = 1h anchored 0)
+    out = sq.run_app(
+        "from clicks#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
+        "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.user_id as user_id, clicks.event_id as l_id, "
+        "purchases.event_id as r_id insert into x;",
+        two_streams, tiebreak="event_id",
+    )["x"]
+    import siddhi_execution_unique_spark.operators as ops
+
+    l = ops.external_time_batch(
+        two_streams["clicks"], "user_id", "ts", 3_600_000,
+        start_time_ms=0, tiebreak="event_id")
+    r = ops.external_time_batch(
+        two_streams["purchases"], "user_id", "ts", 3_600_000,
+        start_time_ms=0, tiebreak="event_id")
+    want = l.alias("l").join(
+        r.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.batch_end_ms") == F.col("r.batch_end_ms")),
+    ).select(F.col("l.user_id").alias("user_id"),
+             F.col("l.event_id").alias("l_id"),
+             F.col("r.event_id").alias("r_id"))
+    assert rows(out) == rows(want)
+    # no start.time: each side anchors at its own first event
+    with pytest.raises(sq.SiddhiQLError, match="start.time"):
+        sq.run_app(
+            "from clicks#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
+            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
+            "on clicks.user_id == purchases.user_id "
+            "select clicks.user_id insert into x;",
+            two_streams, tiebreak="event_id",
+        )
+    # mismatched anchor: different absolute grids
+    with pytest.raises(sq.SiddhiQLError, match="grids"):
+        sq.run_app(
+            "from clicks#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
+            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 60000) "
+            "on clicks.user_id == purchases.user_id "
+            "select clicks.user_id insert into x;",
+            two_streams, tiebreak="event_id",
+        )
+    # mixed timeBatch/externalTimeBatch pair keeps the eager error
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(
+            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
+            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
+            "on clicks.user_id == purchases.user_id "
+            "select clicks.user_id insert all events into x;",
+            two_streams, tiebreak="event_id",
+        )
+
+
 def test_join_non_batch_all_events_raises(two_streams):
     with pytest.raises(sq.SiddhiQLError):
         sq.run_app(
