@@ -329,6 +329,32 @@ def q_siddhiql_group_having(spark, sf_dir):
                       tiebreak="event_id")["agg"]
 
 
+def q_siddhiql_partitioned_expr_key_agg(spark, sf_dir):
+    """The last composition square (VERDICT r09 item 5): EXPRESSION
+    keys × `partition with` × group-by/having in one SiddhiQL text.
+    The reference evaluates arbitrary ExpressionExecutors as unique
+    keys (UniqueEverWindowProcessor.java:216-222); here `user_id % 4`
+    is the key, each event_type instance owns its own window, and the
+    aggregate select runs over the per-instance retained rows.
+    Lowered to one composite-key hash aggregation (instance attr +
+    staged expression key) feeding one group-by — no funnel."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    partition with (event_type of events)
+    begin
+        from events#window.unique:ever(user_id % 4)
+        select event_type, count() as n_buckets,
+               min(event_id) as min_id, max(event_id) as max_id
+        group by event_type
+        having n_buckets > 2
+        insert into agg;
+    end
+    """
+    return sq.run_app(app, {"events": _events(spark, sf_dir)},
+                      tiebreak="event_id")["agg"]
+
+
 def q_streaming_dedup_parity(spark, sf_dir):
     """Batch/stream equivalence under the DRIVER hash (not just
     pytest): replay the events table as a file-stream, run the
@@ -2415,6 +2441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_flac": lambda s, d: fmm.flac_audio_stats(_docs(s, d)),
         "siddhiql_partitioned_time": q_siddhiql_partitioned_time,
         "siddhiql_group_having": q_siddhiql_group_having,
+        # -- new in round 10: expression keys x partition x
+        #    group-by/having (VERDICT r09 item 5)
+        "siddhiql_partitioned_expr_key_agg": q_siddhiql_partitioned_expr_key_agg,
         # -- (1) last certified r05: pipelines, curation,
         #    asof/range, sketch, rollup, sessionize
         "pipeline_corpus_curation": lambda s, d: fpipe.corpus_curation(_docs(s, d)),
@@ -3813,6 +3842,17 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE rn = 1
             GROUP BY event_type
             HAVING count(*) > 20
+        """,
+        "siddhiql_partitioned_expr_key_agg": """
+            WITH ret AS (
+              SELECT event_type, event_id FROM (
+                SELECT event_type, event_id, row_number() OVER (
+                         PARTITION BY event_type, user_id % 4
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t WHERE rn = 1)
+            SELECT event_type, count(*) AS n_buckets,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM ret GROUP BY event_type HAVING count(*) > 2
         """,
         "siddhiql_group_having": """
             SELECT event_type, count(*) AS n, max(value) AS vmax

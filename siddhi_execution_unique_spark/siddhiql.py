@@ -54,7 +54,9 @@ _QUERY_RE = re.compile(
     r"from\s+(?P<stream>\w+)"
     r"(?:\s*\[(?P<filter>[^\]]+)\])?"
     r"\s*#\s*(?:window\.)?unique:(?P<window>\w+)"
-    r"\s*\((?P<args>[^)]*)\)"
+    # args allow two levels of nested parens (expression keys like
+    # coalesce(a, b))
+    r"\s*\((?P<args>(?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)"
     r"\s*select\s+(?P<select>.+?)"
     r"(?:\s+group\s+by\s+(?P<groupby>.+?))?"
     r"(?:\s+having\s+(?P<having>.+?))?"
@@ -68,7 +70,7 @@ def _side_clause(p: str) -> str:
         rf"(?P<{p}stream>\w+)"
         rf"(?:\s*\[(?P<{p}filter>[^\]]+)\])?"
         rf"\s*#\s*(?:window\.)?unique:(?P<{p}window>\w+)"
-        rf"\s*\((?P<{p}args>[^)]*)\)"
+        rf"\s*\((?P<{p}args>(?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)"
     )
 
 
@@ -147,7 +149,36 @@ def _app_error_boundary(fn, *args, **kwargs):
 
 
 def _split_args(raw: str) -> list[str]:
-    return [a.strip() for a in raw.split(",") if a.strip()] if raw.strip() else []
+    """Split a window's argument list on TOP-LEVEL commas only, so an
+    expression key like ``coalesce(a, b)`` survives as one argument
+    (the reference accepts arbitrary ExpressionExecutors as unique
+    keys, UniqueEverWindowProcessor.java:216-222)."""
+    if not raw.strip():
+        return []
+    out: list[str] = []
+    depth, cur = 0, []
+    for ch in raw:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return [a for a in out if a]
+
+
+# windows accepting EXPRESSION keys through the text front-end: the
+# per-key retains, whose lowering passes keys straight to ops.* (which
+# stage arbitrary Column expressions). Other windows keep the eager
+# attribute validation.
+_EXPR_KEY_WINDOWS = frozenset({"ever", "first"})
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _is_const(arg: str) -> bool:
@@ -486,6 +517,25 @@ def _build_window(q: dict, df: DataFrame, ts: str, tiebreak: str | None) -> Data
         raise SiddhiQLError(
             f"unique:{window} needs ({', '.join(['key'] + (trailing or []))})"
         )
+    # expression keys (validated in _bind_stream; ever/first only):
+    # lower to Column expressions, which ops.* stage and drop
+    has_expr_keys = any(
+        not _IDENT_RE.fullmatch(a) for a in args if isinstance(a, str)
+    )
+    if has_expr_keys:
+        if window not in _EXPR_KEY_WINDOWS:
+            raise SiddhiQLError(
+                f"unique:{window} takes attribute keys, not expressions; "
+                f"got {q['args']}"
+            )
+        if channel == "all":
+            raise SiddhiQLError(
+                f"the all-events channel of unique:{window} with "
+                "expression keys is not wired through SiddhiQL (the "
+                "channel complement joins on key columns); use the "
+                "expired channel or the function API"
+            )
+        args = [a if _IDENT_RE.fullmatch(a) else F.expr(a) for a in args]
     keys = args if len(args) > 1 else (args[0] if args else None)
     if keys is None:
         raise SiddhiQLError(f"unique:{window} needs at least a unique key attribute")
@@ -515,11 +565,24 @@ def _bind_stream(q: dict, streams: dict[str, DataFrame]) -> DataFrame:
                 f"{missing}; has {df.columns}"
             )
     for a in q["args"]:
-        if not _is_const(a) and a not in df.columns:
-            raise SiddhiQLError(
-                f"unique:{q['window']}: attribute {a!r} is not in "
-                f"stream {q['stream']!r} ({df.columns})"
-            )
+        if _is_const(a) or a in df.columns:
+            continue
+        if q["window"] in _EXPR_KEY_WINDOWS and not _IDENT_RE.fullmatch(a):
+            # expression key: validate it ANALYZES against the stream
+            # eagerly (SiddhiAppCreationException twin), run it later
+            try:
+                df.select(F.expr(a))
+            except Exception as e:
+                raise SiddhiQLError(
+                    f"unique:{q['window']}: key expression {a!r} does "
+                    f"not resolve against stream {q['stream']!r} "
+                    f"({df.columns}): {e}"
+                ) from None
+            continue
+        raise SiddhiQLError(
+            f"unique:{q['window']}: attribute {a!r} is not in "
+            f"stream {q['stream']!r} ({df.columns})"
+        )
     if q["filter"]:
         df = df.filter(F.expr(q["filter"]))
     return df
@@ -1060,9 +1123,11 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
     """Build one windowed-stream clause's Structured Streaming twin
     (shared by :func:`run_app_streaming` and the foreachBatch
     aggregate lowering). Returns (possibly-rewritten q, twin
-    DataFrame, drop_staged_key)."""
+    DataFrame, drop_staged) where drop_staged lists the staged
+    helper columns (composite dedup key, expression keys) to drop
+    from emitted rows."""
     specs = _streaming_specs()
-    drop_staged_key = False
+    drop_staged: list[str] = []
     part_attr = None
     if q.get("partition"):
         p = q["partition"]
@@ -1084,7 +1149,7 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
                 ),
             )
             q = {**q, "args": ["_pkey"] + list(q["args"][1:])}
-            drop_staged_key = True
+            drop_staged.append("_pkey")
         elif q["window"] in ("lengthBatch", "firstLengthBatch",
                              "timeLengthBatch", "externalTimeBatch"):
             # the stateful fire-chain twins shard their state store by
@@ -1101,6 +1166,20 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
                 "externalTimeBatch"
             )
     window, args = q["window"], list(q["args"])
+    if window in _EXPR_KEY_WINDOWS:
+        # expression keys (validated in _bind_stream): stage each as a
+        # computed column so the stateful twin keys on a real column,
+        # dropped from the emitted rows
+        new_args = []
+        for i, a in enumerate(args):
+            if _is_const(a) or _IDENT_RE.fullmatch(a):
+                new_args.append(a)
+            else:
+                c = f"_ekey{i}"
+                df = df.withColumn(c, F.expr(a))
+                new_args.append(c)
+                drop_staged.append(c)
+        args = new_args
     fn, trailing = specs[window]
     if window == "externalTimeBatch":
         # (key, timestamp_attr, T [, start.time [, time.out [, replace
@@ -1145,7 +1224,7 @@ def _build_streaming_res(q: dict, df: DataFrame, ts: str):
         if part_attr is not None:
             kwargs["partition_attr"] = part_attr
         res = fn(df, keys, **kwargs)
-    return q, res, drop_staged_key
+    return q, res, drop_staged
 
 
 def run_app_streaming(
@@ -1170,7 +1249,7 @@ def run_app_streaming(
                 "multi-stage streaming topology — stage through a sink"
             )
         df = _bind_stream(q, streams)
-        q, res, drop_staged_key = _build_streaming_res(q, df, ts)
+        q, res, drop_staged = _build_streaming_res(q, df, ts)
         window = q["window"]
         if q["channel"] == "expired":
             if "channel" not in res.columns:
@@ -1207,8 +1286,8 @@ def run_app_streaming(
                 "run_app_streaming_aggregates for the foreachBatch "
                 "lowering, or the batch run_app"
             )
-        if drop_staged_key:
-            res = res.drop("_pkey")
+        if drop_staged:
+            res = res.drop(*drop_staged)
         out[q["out"]] = _apply_select(res, q["select"])
     return out
 
@@ -1266,7 +1345,7 @@ def run_app_streaming_aggregates(
                 )
             df = _bind_stream(q, streams)
             spark = df.sparkSession
-            q, res, drop_staged_key = _build_streaming_res(q, df, ts)
+            q, res, drop_staged = _build_streaming_res(q, df, ts)
             staging = os.path.join(work, f"staging_{qi}_{q['out']}")
             ckpt = os.path.join(work, f"ckpt_{qi}_{q['out']}")
             acc = res.withColumn("_bid", F.lit(None).cast("long"))
@@ -1301,8 +1380,8 @@ def run_app_streaming_aggregates(
                     .drop("_rn")
                 )
             acc = acc.drop("_bid")
-            if drop_staged_key:
-                acc = acc.drop("_pkey")
+            if drop_staged:
+                acc = acc.drop(*drop_staged)
             # materialize before the staging dir is removed
             final = _apply_select(
                 acc, q["select"], q.get("group_by"), q.get("having")
@@ -1404,6 +1483,8 @@ def _stage_stream_contents(side: dict, df: DataFrame, ts: str, work_dir: str | N
             "single staged table"
         )
     _, res, _drop = _build_streaming_res({**side, "channel": "current"}, df, ts)
+    if _drop:
+        res = res.drop(*_drop)
     if "channel" in res.columns:
         res = res.filter(F.col("channel") == "current").drop("channel")
     work = work_dir or tempfile.mkdtemp(prefix="sgraft_sqljoin_")

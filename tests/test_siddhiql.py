@@ -515,6 +515,121 @@ def test_join_mismatched_batch_period_raises(two_streams):
         )
 
 
+def test_expression_keys_batch_partition_agg_and_negatives(streams):
+    """VERDICT r09 item 5: expression keys × partition × group-by/
+    having. unique:ever/first accept arbitrary key expressions (the
+    reference's ExpressionExecutor keys); illegal combos raise
+    eagerly."""
+    # expression key alone: latest per (user_id % 4) bucket
+    out = sq.run_app(
+        "from events#window.unique:ever(user_id % 4) "
+        "select event_id, user_id insert into o;",
+        streams, tiebreak="event_id",
+    )["o"]
+    want = ops.ever(
+        streams["events"], F.expr("user_id % 4"), ts="ts", tiebreak="event_id"
+    ).select("event_id", "user_id")
+    assert rows(out) == rows(want)
+    # expired channel with an expression key
+    exp = sq.run_app(
+        "from events#window.unique:ever(user_id % 4) "
+        "select event_id insert expired events into o;",
+        streams, tiebreak="event_id",
+    )["o"]
+    want_exp = ops.ever_expired(
+        streams["events"], F.expr("user_id % 4"), ts="ts", tiebreak="event_id"
+    ).select("event_id")
+    assert rows(exp) == rows(want_exp)
+    # the full composition: partition with + expression key + agg
+    comp = sq.run_app(
+        "partition with (event_type of events) begin "
+        "from events#window.unique:first(user_id % 4) "
+        "select event_type, count() as n group by event_type having n > 0 "
+        "insert into o; end",
+        streams, tiebreak="event_id",
+    )["o"]
+    want_comp = (
+        ops.first(streams["events"], ["event_type", F.expr("user_id % 4")],
+                  ts="ts", tiebreak="event_id")
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+        .filter("n > 0")
+    )
+    assert rows(comp) == rows(want_comp)
+    # multi-arg expression keys survive top-level comma splitting
+    two = sq.run_app(
+        "from events#window.unique:ever(coalesce(user_id, event_id), event_type) "
+        "select event_id insert into o;",
+        streams, tiebreak="event_id",
+    )["o"]
+    want_two = ops.ever(
+        streams["events"],
+        [F.expr("coalesce(user_id, event_id)"), F.col("event_type")],
+        ts="ts", tiebreak="event_id",
+    ).select("event_id")
+    assert rows(two) == rows(want_two)
+    # ILLEGAL: expression key on a non-ever/first window
+    with pytest.raises(sq.SiddhiQLError, match="attribute"):
+        sq.run_app(
+            "from events#window.unique:length(user_id % 4, 10) "
+            "select event_id insert into o;",
+            streams, tiebreak="event_id",
+        )
+    # ILLEGAL: all-events channel with expression keys (the channel
+    # complement joins on key columns)
+    with pytest.raises(sq.SiddhiQLError, match="all-events"):
+        sq.run_app(
+            "from events#window.unique:ever(user_id % 4) "
+            "select event_id insert all events into o;",
+            streams, tiebreak="event_id",
+        )
+    # ILLEGAL: expression referencing a missing attribute (eager)
+    with pytest.raises(sq.SiddhiQLError, match="does not resolve"):
+        sq.run_app(
+            "from events#window.unique:ever(no_such % 4) "
+            "select event_id insert into o;",
+            streams, tiebreak="event_id",
+        )
+
+
+def test_expression_keys_streaming_parity(spark, tmp_path):
+    """The streaming twin stages expression keys as computed columns
+    (keyed state needs a real column), drops them from emissions, and
+    lands on the batch retain."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(1, 1_700_000_000_000, 3, "click", 1.0),
+         (2, 1_700_000_060_000, 7, "click", 2.0),   # 7 % 4 == 3 % 4
+         (3, 1_700_000_120_000, 4, "view", 3.0)],
+        columns=["event_id", "ts_ms", "user_id", "event_type", "value"],
+    )
+    indir = str(tmp_path / "in")
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+        .coalesce(1).write.mode("overwrite").parquet(indir)
+    )
+    schema = spark.read.parquet(indir).schema
+    sdf = spark.readStream.schema(schema).parquet(indir)
+    res = sq.run_app_streaming(
+        "from events#window.unique:first(user_id % 4) "
+        "select event_id, user_id insert into o;",
+        {"events": sdf},
+    )["o"]
+    assert "_ekey0" not in res.columns
+    outdir = str(tmp_path / "out")
+    q = (
+        res.writeStream.format("parquet").option("path", outdir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(outdir).collect()))
+    # first per bucket: event 1 (bucket 3), event 3 (bucket 0);
+    # event 2 duplicates bucket 3 and is dropped
+    assert got == [(1, 3), (3, 4)]
+
+
 def test_join_external_time_batch_aligned_and_negatives(two_streams):
     """VERDICT r09 item 3: externalTimeBatch pairs with an explicit,
     identical start.time share an absolute grid and join with the
