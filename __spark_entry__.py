@@ -2219,8 +2219,8 @@ def _emb(spark, sf_dir):
 # the mandatory never-checked + stale sets, so they only consume
 # window slots the invariant doesn't need).
 _CHANGED_THIS_ROUND = [
-    "dedup_span_removal",
-    "streaming_join_parity",
+    "dedup_span_removal",        # r10: anchor-interval covered flag
+    "streaming_join_parity",     # r10: INTERVAL MILLISECOND condition
     "streaming_outer_join_parity",
 ]
 
@@ -2266,7 +2266,9 @@ def _ledger_order(names: list, ledger=None) -> list:
     rotation against a simulated future ledger drop."""
     last, max_round = _ledger_last() if ledger is None else ledger
     idx = {k: i for i, k in enumerate(names)}
-    changed = set(_CHANGED_THIS_ROUND)
+    # list position = re-certification priority (the head of the list
+    # wins the last window slots when mandatory tiers nearly fill 50)
+    changed = {k: i for i, k in enumerate(_CHANGED_THIS_ROUND)}
 
     def key(k):
         if k not in last:
@@ -2274,7 +2276,7 @@ def _ledger_order(names: list, ledger=None) -> list:
         if last[k] <= max_round - 3:
             return (1, last[k], idx[k])
         if k in changed:
-            return (2, last[k], idx[k])
+            return (2, changed[k], idx[k])
         return (3, last[k], idx[k])
 
     return sorted(names, key=key)

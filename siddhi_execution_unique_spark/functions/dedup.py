@@ -1123,49 +1123,61 @@ def dup_span_removal(docs: DataFrame) -> DataFrame:
     position p is dropped iff some duplicated anchor starts in
     ``[p-K+1, p]``.
 
-    Plan shape: the anchor set comes from the shared
-    :func:`_dup_anchor_hits` pipeline; the covered flag is ONE
-    per-document window ``max() OVER (ROWS K-1 PRECEDING)`` over the
-    token rows left-joined to anchors (no anchor×K explode, no range
-    join); the rebuild is an ordered filtered ``listagg`` — one
-    hash aggregation. Everything shuffles on doc_id once.
+    Plan shape (r10, VERDICT r09 item 6): ANCHOR-INTERVAL MERGE — the
+    per-token covered flag (every token row through a K-frame window)
+    was the heaviest span op at sf1 (3.7x at 10x rows); now only the
+    duplicated ANCHORS flow through windows. Two anchors i < j cover
+    contiguous tokens iff ``j - i <= K``, so a lag-island pass over
+    the anchors yields the merged covered intervals directly
+    (O(duplicated anchors), not O(tokens)); the rebuild then SLICES
+    the document's token array between intervals — tokens are never
+    exploded at all, and the ordered listagg sort-aggregation is gone.
+    The interval arrays are tiny per doc, so the higher-order
+    zip_with/slice runs over per-doc interval counts, never tokens.
     Output: (doc_id, n_tokens, kept_tokens, clean_text) for every
     document; documents with no duplicated span round-trip to their
     whitespace-normalized token join."""
     from pyspark.sql.window import Window
 
     k = DUP_SPAN_K
-    toks = docs.select(
-        "doc_id", F.posexplode(F.expr(SPARK_TOKS)).alias("i", "tok")
-    )
-    hits = _dup_anchor_hits(docs).withColumn("a", F.lit(1))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(k - 1), Window.currentRow)
-    )
-    flagged = (
-        toks.join(hits, ["doc_id", "i"], "left")
-        .withColumn("covered", F.max("a").over(w))
-    )
-    return (
-        flagged.groupBy("doc_id")
+    base = docs.select("doc_id", F.expr(SPARK_TOKS).alias("tl"))
+    hits = _dup_anchor_hits(docs)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = (
+        hits.withColumn("prev", F.lag("i").over(w))
+        .withColumn(
+            "new_isl",
+            F.expr(f"CASE WHEN prev IS NULL OR i - prev > {k} THEN 1 ELSE 0 END"),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w))
+        .groupBy("doc_id", "isl")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.expr(
-                "cast(sum(CASE WHEN covered IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-            ).alias("kept_tokens"),
-            F.expr(
-                "coalesce(listagg(CASE WHEN covered IS NULL THEN tok END, ' ') "
-                "WITHIN GROUP (ORDER BY i), '')"
-            ).alias("clean_text"),
+            F.min("i").cast("long").alias("s"),
+            (F.max("i") + F.lit(k - 1)).cast("long").alias("e"),
         )
-        .select(
-            "doc_id",
-            F.expr("cast(n_tokens AS BIGINT)").alias("n_tokens"),
-            "kept_tokens",
-            "clean_text",
-        )
+    )
+    iv = islands.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(struct(s, e)))").alias("iv"),
+        F.expr("cast(sum(e - s + 1) AS BIGINT)").alias("dup_tokens"),
+    )
+    # gap g sits between interval g-1's end and interval g's start
+    # (document edges padded with sentinels); slice each gap out of
+    # the intact token array and join once
+    rebuild = (
+        "array_join(flatten(zip_with("
+        "  concat(array(0L), transform(iv, x -> x.e + 1L)),"
+        "  concat(transform(iv, x -> x.s), array(cast(size(tl) AS BIGINT))),"
+        "  (s, e) -> slice(tl, cast(s + 1 AS INT), cast(e - s AS INT)))), ' ')"
+    )
+    return base.join(iv, "doc_id", "left").select(
+        "doc_id",
+        F.expr("cast(size(tl) AS BIGINT)").alias("n_tokens"),
+        F.expr("cast(size(tl) - coalesce(dup_tokens, 0L) AS BIGINT)").alias(
+            "kept_tokens"
+        ),
+        F.expr(
+            f"CASE WHEN iv IS NULL THEN array_join(tl, ' ') ELSE {rebuild} END"
+        ).alias("clean_text"),
     )
 
 
