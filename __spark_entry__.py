@@ -2410,6 +2410,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg_arith": lambda s, d: fmm.jpeg_arith_decode_stats(
             _docs(s, d)
         ),
+        # -- round 10: SOF11 arithmetic LOSSLESS — the last cell of
+        #    the T.81 process matrix (annex-H predictor walk x QM
+        #    coder); bit-exact, shares the lossless identity oracle
+        "multimodal_decode_jpeg_arith_lossless": lambda s, d: (
+            fmm.jpeg_arith_lossless_decode_stats(_docs(s, d))
+        ),
         # -- (0a) round 7 continuation: sketch/session analytics twins
         #    driver-certified (mergeable-state parity; watermark
         #    sentinel closes every session) -> 10/26
@@ -3833,6 +3839,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # full rows), so the oracle is the direct byte algebra
         "multimodal_decode_jpeg_lossless": fmm.JPEG_LOSSLESS_DECODE_STATS_ORACLE,
         "multimodal_decode_jpeg_arith": fmm.JPEG_DECODE_STATS_ORACLE,
+        "multimodal_decode_jpeg_arith_lossless": fmm.JPEG_LOSSLESS_DECODE_STATS_ORACLE,
         "docs_gunzip_ingest": fmm.GUNZIP_TEXT_STATS_ORACLE,
         # the streaming foreachBatch lowering of the same text must
         # land on the batch engine's final state

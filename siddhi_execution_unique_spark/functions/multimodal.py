@@ -705,10 +705,11 @@ VIDEO_FRAME_STATS_ORACLE = f"""
 # unstuffing, run-length AC + zigzag, dequantize, 8x8 IDCT (matrix
 # form), level shift. Covers baseline + extended sequential (8/12
 # bit), progressive (SOF2, spectral selection + successive
-# approximation), and chroma subsampling in both modes. Only
-# arithmetic-coded and lossless streams raise the declared
-# NotImplementedError; MP3/H.264 remain stubbed (MDCT/
-# inter-prediction from scratch is out of scope).
+# approximation), chroma subsampling in both modes, lossless (SOF3),
+# and all three arithmetic-coded processes (SOF9/SOF10/SOF11, annex-D
+# QM coder) — the full T.81 process matrix except hierarchical/
+# differential. MP3/H.264 remain stubbed (MDCT/inter-prediction from
+# scratch is out of scope).
 
 JPEG_W_BLOCKS = 16  # synthesized image width in 8x8 blocks -> 128 px
 
@@ -1336,9 +1337,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xC6, 0xCE):
             raise NotImplementedError(
                 "differential progressive JPEG is not implemented")
-        if marker == 0xCB:
-            raise NotImplementedError(
-                "arithmetic lossless JPEG is not implemented")
         if marker in (0xC5, 0xC7, 0xCD, 0xCF):
             raise NotImplementedError(
                 "differential/hierarchical JPEG decode is not implemented")
@@ -1383,17 +1381,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = lut
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
             # SOF9 extended-sequential arithmetic, SOF10 progressive
-            # arithmetic
+            # arithmetic, SOF11 lossless arithmetic
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF component list")
-            arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
+            arith = marker in (0xC9, 0xCA, 0xCB)
+            lossless = marker in (0xC3, 0xCB)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError("lossless precision must be 2..16")
@@ -1442,6 +1440,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = seg[0]
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated SOS component list")
+            if lossless and arith:
+                return _jpeg_decode_arith_lossless(
+                    payload, pos + seglen, seg, frame, dc_cond,
+                    restart_interval, precision)
             if lossless:
                 return _jpeg_decode_lossless(
                     payload, pos + seglen, seg, frame, huff,
@@ -3952,6 +3954,30 @@ def jpeg_lossless_decode_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(stats, schema=DECODE_SCHEMA)
 
 
+def jpeg_arith_lossless_decode_stats(docs: DataFrame) -> DataFrame:
+    """text → arithmetic-coded lossless (SOF11) JPEG → the
+    :func:`_jpeg_decode_arith_lossless` QM predictor path → pixel
+    stats. SOF11 decode is bit-exact on arbitrary bytes (pinned
+    against the huffman SOF3 twin in tests/test_properties.py), so
+    the certified identity-algebra JPEG_LOSSLESS_DECODE_STATS_ORACLE
+    pins this path unchanged. Partition-local mapInPandas — no
+    shuffle, scales with the documents scan."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                flat = decode_jpeg(encode_lossless_jpeg_arith(raw)).ravel()
+                out["doc_id"].append(doc_id)
+                out["n_pixel_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
 JPEG_LOSSLESS_DECODE_STATS_ORACLE = f"""
     WITH h AS (
       SELECT doc_id, octet_length(encode(text)) AS n_raw,
@@ -4403,6 +4429,215 @@ def _arith_dc_diff(dec, dst, base, l_thr, u_thr):
             v |= mi
     v += 1
     return (-v if sign else v), ctx
+
+
+def _arith_lossless_diff(dec, dst, ca, cb, l_thr, u_thr):
+    """Decode one lossless prediction difference (T.81 annex H.1.1):
+    the DC decision tree on a TWO-dimensional conditioning context —
+    ``ca``/``cb`` are the 5-way classifications (0 zero, 1/2 small
+    +/-, 3/4 large +/-) of the left and upper neighbors' differences,
+    giving 25 context groups of 4 bins; the magnitude tree
+    (X2..X15 / M2..M15) is selected by whether Db is large
+    (Table H.1's two X/M conditioning states). Returns
+    ``(diff, class)`` with the class feeding the neighbors' contexts.
+    Statistics layout: bins [0,100) = 25 contexts x (zero, sign, sp,
+    sn); [100,129) / [129,158) = small-Db / large-Db X+M trees."""
+    base = 4 * (5 * cb + ca)
+    if dec.decode(dst[base]) == 0:
+        return 0, 0
+    sign = dec.decode(dst[base + 1])
+    m = dec.decode(dst[base + 2 + sign])
+    xi = base + 2 + sign
+    if m:
+        xi = 100 + 29 * (1 if cb >= 3 else 0)
+        while dec.decode(dst[xi]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic lossless magnitude overflow")
+            xi += 1
+    if m < ((1 << l_thr) >> 1):
+        cls = 0
+    elif m > ((1 << u_thr) >> 1):
+        cls = 3 + sign
+    else:
+        cls = 1 + sign
+    v = m
+    mi, mb = m, xi + 14
+    while mi > 1:
+        mi >>= 1
+        if dec.decode(dst[mb]):
+            v |= mi
+    v += 1
+    return (-v if sign else v), cls
+
+
+def _jpeg_decode_arith_lossless(
+    payload: bytes,
+    data_pos: int,
+    seg: bytes,
+    frame: tuple,
+    dc_cond: dict,
+    restart_interval: int,
+    precision: int,
+) -> np.ndarray:
+    """Arithmetic-coded lossless (SOF11) scan decode — the last cell
+    of the T.81 process matrix: the annex-H predictor walk of the
+    SOF3 path driven by the annex-D QM coder of the SOF9 path, with
+    the H.1.1 two-neighbor conditioning model
+    (:func:`_arith_lossless_diff`). Statistics areas are per DC
+    conditioning-table destination, as in the sequential coder;
+    components interleave one sample per MCU (sampling enforced 1x1
+    at SOF)."""
+    height, width, comps = frame
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS header")
+    predictor = seg[1 + 2 * ns]
+    pt = seg[3 + 2 * ns] & 0x0F
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    if pt >= precision:
+        raise ValueError("point transform must be below sample precision")
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers in lossless JPEG are not implemented")
+    if ns != len(comps):
+        raise NotImplementedError(
+            "multi-scan lossless JPEG is not implemented")
+    tdcs, conds = [], []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        if not any(x[0] == cs for x in comps):
+            raise ValueError(f"SOS references unknown component {cs}")
+        tdcs.append(tt >> 4)
+        conds.append(dc_cond.get(tt >> 4, (0, 1)))
+    stats = {t: [[0, 0] for _ in range(158)] for t in set(tdcs)}
+    dec = _QMDecoder(payload, data_pos)
+    diffs = np.zeros((ns, height, width), dtype=np.int64)
+    above = [np.zeros(width, dtype=np.int64) for _ in range(ns)]
+    for y in range(height):
+        cur = [np.zeros(width, dtype=np.int64) for _ in range(ns)]
+        for x in range(width):
+            for ci in range(ns):
+                ca = int(cur[ci][x - 1]) if x else 0
+                cb = int(above[ci][x])
+                l_thr, u_thr = conds[ci]
+                d, cls = _arith_lossless_diff(
+                    dec, stats[tdcs[ci]], ca, cb, l_thr, u_thr)
+                diffs[ci, y, x] = d
+                cur[ci][x] = cls
+        above = cur
+    default = 1 << (precision - pt - 1)
+    planes = [
+        (_lossless_reconstruct(diffs[ci], predictor, default) << pt) & 0xFFFF
+        for ci in range(ns)
+    ]
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    if ns == 1:
+        return planes[0].astype(dtype)
+    return np.stack(planes, axis=-1).astype(dtype)
+
+
+def encode_lossless_jpeg_arith(
+    samples: np.ndarray,
+    width: int = JPEG_LL_W,
+    predictor: int = 1,
+    precision: int = 8,
+    pt: int = 0,
+) -> bytes:
+    """Synthesize a VALID arithmetic-coded lossless (SOF11) grayscale
+    JPEG: the same raster/prediction model as
+    :func:`encode_lossless_jpeg`, entropy-coded with the QM coder on
+    the H.1.1 two-neighbor contexts — the exact mirror of
+    :func:`_jpeg_decode_arith_lossless`. Ground truth for the decode
+    tests is the huffman SOF3 twin of the same samples (lossless
+    round-trips bit-exactly through BOTH entropy coders)."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int64).ravel()
+    maxv = (1 << precision) - 1
+    if samples.size and (samples.min() < 0 or samples.max() > maxv):
+        raise ValueError(f"samples must be in 0..{maxv}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    if pt and samples.size and (samples & ((1 << pt) - 1)).any():
+        raise ValueError("point-transformed fixtures need multiples of 2^pt")
+    n = max(1, -(-max(samples.size, 1) // width)) * width
+    vals = np.zeros(n, dtype=np.int64)
+    vals[: samples.size] = samples
+    grid = (vals >> pt).reshape(-1, width)
+    h, w = grid.shape
+    default = 1 << (precision - pt - 1)
+    l_thr, u_thr = 0, 1
+    enc = _QMEncoder()
+    stats = [[0, 0] for _ in range(158)]
+    above = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        cur = np.zeros(w, dtype=np.int64)
+        for x in range(w):
+            if y == 0:
+                px = default if x == 0 else int(grid[0, x - 1])
+            elif x == 0:
+                px = int(grid[y - 1, 0])
+            else:
+                ra = int(grid[y, x - 1])
+                rb = int(grid[y - 1, x])
+                rc = int(grid[y - 1, x - 1])
+                px = (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                      rb + ((ra - rc) >> 1), (ra + rb) >> 1)[predictor - 1]
+            d = (int(grid[y, x]) - px) % 65536
+            if d > 32768:
+                d -= 65536
+            ca = int(cur[x - 1]) if x else 0
+            cb = int(above[x])
+            base = 4 * (5 * cb + ca)
+            if d == 0:
+                enc.encode(stats[base], 0)
+                cls = 0
+            else:
+                enc.encode(stats[base], 1)
+                sign = 1 if d < 0 else 0
+                enc.encode(stats[base + 1], sign)
+                sz = abs(d) - 1
+                if sz == 0:
+                    enc.encode(stats[base + 2 + sign], 0)
+                    m = 0
+                    xi = base + 2 + sign
+                else:
+                    enc.encode(stats[base + 2 + sign], 1)
+                    m = 1
+                    xi = 100 + 29 * (1 if cb >= 3 else 0)
+                    while (m << 1) <= sz:
+                        enc.encode(stats[xi], 1)
+                        m <<= 1
+                        xi += 1
+                    enc.encode(stats[xi], 0)
+                if m < ((1 << l_thr) >> 1):
+                    cls = 0
+                elif m > ((1 << u_thr) >> 1):
+                    cls = 3 + sign
+                else:
+                    cls = 1 + sign
+                mb = xi + 14
+                mi = m
+                while mi > 1:
+                    mi >>= 1
+                    enc.encode(stats[mb], 1 if (sz & mi) else 0)
+            cur[x] = cls
+        above = cur
+    scan = enc.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xCB, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])),
+        seg(0xCC, bytes([0x00, (u_thr << 4) | l_thr])),
+        seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt])),
+        scan,
+        b"\xff\xd9",
+    ])
 
 
 def _arith_ac_band(dec, ast, fixed, zz, k_start, k_end, kx, al):

@@ -1190,8 +1190,7 @@ def test_jpeg_lossless_point_transform(samples):
 
 def test_jpeg_lossless_declared_boundaries():
     # the REMAINING lossless boundaries stay typed NotImplementedError:
-    # restart markers, subsampled components, arithmetic lossless (SOF11)
-    import re
+    # restart markers, subsampled components (SOF11 decodes since r10)
     import struct
     import numpy as np
     import pytest
@@ -1213,11 +1212,54 @@ def test_jpeg_lossless_declared_boundaries():
     subs[sof + 2 + 2 + 6 + 1] = 0x22  # comp 0 h/v nibble
     with pytest.raises(NotImplementedError, match="subsampled lossless"):
         fmm.decode_jpeg(bytes(subs))
-    # SOF11 (arithmetic lossless) is declared out
-    arith = bytearray(base)
-    arith[sof + 1] = 0xCB
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        fmm.decode_jpeg(bytes(arith))
+    # the restart boundary holds on the SOF11 path too
+    a = fmm.encode_lossless_jpeg_arith(np.arange(16), width=8)
+    asos = a.index(b"\xff\xda")
+    with pytest.raises(NotImplementedError, match="restart"):
+        fmm.decode_jpeg(a[:asos] + seg(0xDD, struct.pack(">H", 4)) + a[asos:])
+
+
+# --- arithmetic-coded LOSSLESS (SOF11) JPEG: the last cell of the
+# --- T.81 process matrix (annex H predictor walk x annex D QM coder)
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=200),
+       st.integers(1, 7))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_arith_lossless_matches_huffman_lossless(body, predictor):
+    # ground truth is the SOF3 huffman twin of the same samples: both
+    # entropy coders must reproduce the input bit-exactly, pinning the
+    # H.1.1 two-neighbor conditioning model (25 contexts + Db-selected
+    # magnitude trees) against the certified predictor walk
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    s = np.array(body, dtype=np.int64)
+    a = fmm.decode_jpeg(fmm.encode_lossless_jpeg_arith(s, width=8,
+                                                       predictor=predictor))
+    h = fmm.decode_jpeg(fmm.encode_lossless_jpeg(s, width=8,
+                                                 predictor=predictor))
+    assert a.shape == h.shape and (a == h).all()
+    assert (a.ravel()[: s.size] == s).all()
+
+
+def test_jpeg_arith_lossless_precision_and_pt():
+    # 12/16-bit precisions and the point transform through the SOF11
+    # path; adversarial alternating extremes maximize |diff| (exercises
+    # the deep X/M magnitude trees and the large-context classes)
+    import numpy as np
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    for prec in (8, 12, 16):
+        maxv = (1 << prec) - 1
+        s = np.tile(np.array([0, maxv, 0, maxv - 1, 1, maxv], dtype=np.int64), 9)
+        img = fmm.decode_jpeg(
+            fmm.encode_lossless_jpeg_arith(s, width=6, precision=prec))
+        assert (img.ravel()[: s.size] == s).all()
+        assert img.dtype == (np.uint8 if prec <= 8 else np.uint16)
+    s = np.arange(24, dtype=np.int64) * 4
+    img = fmm.decode_jpeg(
+        fmm.encode_lossless_jpeg_arith(s, width=8, predictor=5, pt=2))
+    assert (img.ravel()[: s.size] == s).all()
 
 
 # --- arithmetic-coded (SOF9) JPEG: QM coder roundtrip + libjpeg
