@@ -959,21 +959,29 @@ def test_interval_join_stream_is_native_watermarked_join(spark, tmp_path):
 
 
 def test_dup_span_removal_plan_shape(spark):
-    """r09 cleaned-text rebuild: covered flags come from ONE per-doc
-    frame window over tokens left-joined to anchors (no anchor-by-K
-    explode, no range join, no cartesian); the rebuild is one ordered
-    filtered listagg aggregation."""
+    """r10 anchor-interval rebuild (VERDICT r09 item 6): document
+    TOKENS never explode — the only Generate nodes belong to the
+    shared anchor-gram pipeline; the covered intervals come from the
+    lag-island window over duplicated ANCHORS only, and the rebuild
+    slices the intact token array (per-doc interval arrays, so the
+    higher-order zip_with runs over interval counts, never tokens).
+    No cartesian, no range join, no ordered listagg sort-agg."""
     from siddhi_execution_unique_spark.functions import dedup as fdedup
 
     docs = load_table(spark, SF_DIR, "documents")
     out = fdedup.dup_span_removal(docs)
     p = plan_of(out)
     assert "CartesianProduct" not in p and "Join Cross" not in p
-    # two Window nodes total: the K-frame covered flag plus the
-    # listagg's implicit sort lives in the aggregate, not a window
-    assert p.count("Window") == 1
-    assert "Generate" in p  # posexplode token rows
-    assert "LambdaFunction" not in optimized_of(out)
+    # the anchor-gram pipeline explodes gram positions once; the
+    # rebuild side adds NO token explode (compare: the coverage
+    # entry's plan has the same single Generate)
+    cov = plan_of(fdedup.dup_span_coverage(docs))
+    assert p.count("Generate") == cov.count("Generate")
+    # lag + island-sum over anchors: two window passes, both anchor-
+    # bound; the old per-token K-frame covered window is gone with
+    # the token explode itself
+    assert p.count("Window") == 2
+    assert "listagg" not in p.lower()
 
 
 def test_bench_tail_line_fits_driver_capture():
