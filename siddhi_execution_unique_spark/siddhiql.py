@@ -1542,17 +1542,18 @@ def run_app_streaming_join(
                 "run_app_streaming_join handles join queries only; "
                 "use run_app_streaming for window queries"
             )
-        cond, _aligned, partitioned, _la, _ra = _join_plan(q)
-        if partitioned:
-            raise SiddhiQLError(
-                "partitioned streaming joins are not wired; use the "
-                "batch run_app or the function API"
-            )
+        cond, _aligned, partitioned, lattr, rattr = _join_plan(q)
+        # `partition with` composes: each side's staged twin is the
+        # composite-key (partition attr + unique key) streaming
+        # window — _build_streaming_res already lowers partitioned
+        # ever/first/timeBatch that way — and the partition-pinned
+        # equality is folded into the join condition by _join_plan,
+        # exactly as in the batch lowering.
         sides = {
             p: _stage_stream_contents(q[p], _bind_stream({**q[p], "channel": "current"}, streams), ts, work_dir)
             for p in ("left", "right")
         }
-        res = _join_channels(q, sides, cond, False, None, None)
+        res = _join_channels(q, sides, cond, partitioned, lattr, rattr)
         res = _apply_select(res, q["select"], q.get("group_by"), q.get("having"))
         out[q["out"]] = res
     return out

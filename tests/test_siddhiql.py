@@ -1463,6 +1463,64 @@ def test_insert_all_events_length_batch_and_first_variants(streams):
         assert "channel" not in out.columns
 
 
+def test_streaming_partitioned_join_matches_batch(spark, tmp_path):
+    """`partition with` through the two-stage STREAMING join topology:
+    each side's staged twin is the composite-key streaming window and
+    the partition-pinned equality folds into the join condition — the
+    result must land row-for-row on the batch run_app lowering of the
+    same app text over the same data."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    B = 1_700_000_000_000
+    rows_in = []
+    eid = 0
+    for et in ("web", "app"):
+        for u in (1, 2, 3):
+            for rep in range(2):  # a replaced event per (et, user)
+                eid += 1
+                rows_in.append((eid, B + eid * 60_000, u, et, float(eid)))
+    pdf = pd.DataFrame(
+        rows_in, columns=["event_id", "ts_ms", "user_id", "event_type", "value"]
+    )
+    indir = str(tmp_path / "in")
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+        .coalesce(1).write.mode("overwrite").parquet(indir)
+    )
+    batch_df = spark.read.parquet(indir)
+    schema = batch_df.schema
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:ever(user_id)
+        join righties#window.unique:ever(user_id)
+        on lefties.user_id == righties.user_id
+        select lefties.event_type as event_type,
+               lefties.event_id as l_id, righties.event_id as r_id
+        insert into joined;
+    end
+    """
+
+    def split(df):
+        return {
+            "lefties": df.filter(F.col("event_id") % 2 == 0),
+            "righties": df.filter(F.col("event_id") % 2 == 1),
+        }
+
+    sdf = spark.readStream.schema(schema).parquet(indir)
+    got = sq.run_app_streaming_join(
+        app, split(sdf), work_dir=str(tmp_path / "wk")
+    )["joined"]
+    want = sq.run_app(app, split(batch_df), tiebreak="event_id")["joined"]
+    assert rows(got) == rows(want)
+    assert len(rows(got)) > 0  # the corpus must actually join
+
+
 def test_streaming_join_empty_first_side_yields_empty_result(spark, tmp_path):
     """ADVICE r09: a `first`-window join side whose staged twin emits
     ZERO rows leaves only _spark_metadata in the parquet sink dir;
