@@ -2244,10 +2244,13 @@ def _ledger_last() -> tuple[dict[str, int], int]:
             rows = json.loads(open(f).read())
         except (ValueError, OSError, json.JSONDecodeError):
             continue
+        if not isinstance(rows, dict):
+            continue  # a malformed ledger file must never break queries()
         max_round = max(max_round, rnd)
         for k, v in rows.items():
             if (
-                v.get("rows_match")
+                isinstance(v, dict)
+                and v.get("rows_match")
                 and v.get("schema_match")
                 and v.get("hash_match") in (True, None)
                 and not v.get("err")

@@ -1092,6 +1092,28 @@ def test_driver_window_self_maintains_after_ledger_drop():
     assert (stale | never) <= window, sorted((stale | never) - window)
 
 
+def test_ledger_parse_survives_malformed_files(tmp_path, monkeypatch):
+    """_ledger_last gates queries() entirely now, so a malformed
+    CORRECTNESS file (truncated JSON, a list payload, non-dict rows)
+    must be SKIPPED, never crash the registry import."""
+    import json
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    good = {"q_a": {"rows_match": True, "schema_match": True, "hash_match": True},
+            "q_b": {"rows_match": True, "schema_match": True, "hash_match": False},
+            "q_c": "not-a-dict"}
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_r04.json").write_text("{truncated")
+    (tmp_path / "CORRECTNESS_r05.json").write_text("[1, 2, 3]")
+    (tmp_path / "CORRECTNESS_rXX.json").write_text("{}")
+    monkeypatch.setattr(entry_mod, "__file__", str(tmp_path / "__spark_entry__.py"))
+    last, max_round = entry_mod._ledger_last()
+    assert last == {"q_a": 3}          # hash-false and non-dict rows excluded
+    assert max_round == 3              # r04/r05/rXX skipped, not crashed
+
+
 def test_lsh_ingest_stream_signature_stage_is_jvm(spark, tmp_path):
     """VERDICT r07 item 2: the streaming LSH ingest twin's signature
     stage must run the batch pipeline's codegen md5 algebra JVM-side —
