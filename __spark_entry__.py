@@ -2629,9 +2629,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this to key cardinality, not inherit a batch default.
     for k in list(registry):
         if k.startswith("streaming_") or k == "siddhiql_streaming_agg_parity":
-            registry[k] = _with_stream_conf(registry[k])
+            registry[k] = _with_stream_conf(registry[k], _STREAM_PARTS.get(k, "8"))
     order = _ledger_order(list(registry))
     return {k: registry[k] for k in order}
+
+
+# Per-entry state-partition overrides, measured r10 (interleaved
+# min-of-2 at sf0.1, local[32]): the Python-stateful-heavy twins gain
+# 15-20% from 16 partitions (more Arrow worker parallelism outweighs
+# the extra per-batch state files: lsh_ingest 5.1->3.9, sessionize
+# 4.7->3.5, time_window 4.6->3.5, ever_dual 4.2->3.5, asof 2.7->2.5);
+# the small/native-state and two-run checkpoint entries measured
+# FASTER at 8 (outer_join 3.4 vs 4.3, dedup_watermark 4.4 vs 4.7,
+# python_source_partitioned 5.1 vs 5.6), so 8 stays the default. On a
+# real cluster a streaming job sizes this to key cardinality.
+_STREAM_PARTS = {
+    "streaming_lsh_ingest_parity": "16",
+    "streaming_sessionize_parity": "16",
+    "streaming_time_window_parity": "16",
+    "streaming_ever_dual_parity": "16",
+    "streaming_asof_parity": "16",
+}
 
 
 def _with_stream_conf(fn, parts: str = "8"):
