@@ -2628,7 +2628,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver's setting. On a real cluster a streaming job would size
     # this to key cardinality, not inherit a batch default.
     for k in list(registry):
-        if k.startswith("streaming_") or k == "siddhiql_streaming_agg_parity":
+        if k.startswith("streaming_") or k in (
+            "siddhiql_streaming_agg_parity",
+            # its two staged twins otherwise run at the ambient 32
+            # shuffle partitions: 32 state files per micro-batch per
+            # side (measured 2.5 s -> 1.7 s at 8, r10)
+            "siddhiql_streaming_join_parity",
+        ):
             registry[k] = _with_stream_conf(registry[k], _STREAM_PARTS.get(k, "8"))
     order = _ledger_order(list(registry))
     return {k: registry[k] for k in order}
