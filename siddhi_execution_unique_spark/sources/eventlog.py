@@ -33,7 +33,10 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
     InputPartition,
+    LessThan,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -55,6 +58,7 @@ class _EventLogReader(DataSourceReader):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("evtlog read requires option 'path'")
+        self._preds: list = []  # (field index, operator, literal)
 
     def partitions(self):
         files = sorted(
@@ -63,9 +67,53 @@ class _EventLogReader(DataSourceReader):
         return [_FilePartition(os.path.join(self._dir, f)) for f in files]
 
     def read(self, partition):
+        preds = self._preds
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
-                yield tuple(json.loads(line))
+                row = json.loads(line)
+                # SQL comparison semantics: NULL never matches
+                if all(
+                    row[i] is not None and op(row[i], v)
+                    for (i, op, v) in preds
+                ):
+                    yield tuple(row)
+
+
+class _EventLogPushdownReader(_EventLogReader):
+    """Selected by ``option("pushdown", "true")``: Spark REFUSES a
+    reader that merely defines ``pushFilters`` while the session conf
+    ``spark.sql.python.filterPushdown.enabled`` is false, so the
+    pushdown surface lives on this opt-in subclass — both switches on
+    together enable it, the plain reader stays valid everywhere
+    else."""
+
+    def pushFilters(self, filters):
+        """Spark 4.1 Python-source FILTER PUSHDOWN (opt-in via
+        ``spark.sql.python.filterPushdown.enabled``): accept simple
+        comparisons on top-level columns and evaluate them inside the
+        per-file read loop, so filtered-out rows never cross the
+        Python→Arrow→JVM boundary; anything else is yielded back for
+        Spark to apply above the scan. evtlog files carry no min/max
+        stats, so the win is transfer volume, not I/O — on a stats-
+        bearing format this hook is where file pruning would live."""
+        import operator
+
+        ops = {EqualTo: operator.eq, GreaterThan: operator.gt,
+               LessThan: operator.lt}
+        for f in filters:
+            op = ops.get(type(f))
+            attr = getattr(f, "attribute", None)
+            value = getattr(f, "value", None)
+            if (
+                op is not None
+                and attr is not None
+                and len(attr) == 1
+                and attr[0] in _FIELDS
+                and value is not None
+            ):
+                self._preds.append((_FIELDS.index(attr[0]), op, value))
+            else:
+                yield f  # unsupported: Spark re-applies it
 
 
 class _EventLogWriter(DataSourceWriter):
@@ -292,6 +340,8 @@ class EventLogDataSource(DataSource):
         return EVENTLOG_SCHEMA
 
     def reader(self, schema) -> _EventLogReader:
+        if self.options.get("pushdown", "").lower() == "true":
+            return _EventLogPushdownReader(self.options)
         return _EventLogReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> _EventLogWriter:

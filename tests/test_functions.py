@@ -1666,6 +1666,43 @@ def test_python_datasource_eventlog_round_trip(spark, tmp_path):
     with pytest.raises(Exception, match="requires option 'path'"):
         flat.write.format("evtlog").mode("overwrite").save()
 
+    # Spark 4.1 filter pushdown (opt-in conf): pushed comparisons are
+    # evaluated inside the Python read loop; unsupported filters are
+    # yielded back and re-applied by Spark — results must be
+    # identical either way
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+    from siddhi_execution_unique_spark.sources.eventlog import (
+        _EventLogPushdownReader,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pushed = (
+            spark.read.format("evtlog").option("path", path)
+            .option("pushdown", "true").load()
+            .filter("event_type = 'click' AND value > 0.5")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    plain = (
+        spark.read.format("evtlog").option("path", path).load()
+        .filter("event_type = 'click' AND value > 0.5")
+        .collect()
+    )
+    assert sorted(map(tuple, pushed)) == sorted(map(tuple, plain))
+    assert len(plain) > 0  # the corpus must exercise the pushed path
+    # unit level: supported filters are retained, others yielded back
+    r = _EventLogPushdownReader({"path": path})
+    leftover = list(r.pushFilters([
+        EqualTo(("event_type",), "click"),
+        GreaterThan(("value",), 0.5),
+        LessThan(("no_such",), 1),          # unknown column -> back
+        EqualTo(("user_id", "nested"), 1),  # nested path -> back
+    ]))
+    assert len(r._preds) == 2
+    assert len(leftover) == 2
+
     # a failed job publishes nothing: overwrite with a poisoned row
     # must leave the prior 14-row generation fully intact
     bad = flat.limit(3).withColumn(
