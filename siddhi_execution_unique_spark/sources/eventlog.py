@@ -116,6 +116,53 @@ class _EventLogPushdownReader(_EventLogReader):
                 yield f  # unsupported: Spark re-applies it
 
 
+class _EventLogArrowReader(_EventLogReader):
+    """Selected by ``option("arrow", "true")``: ``read`` yields ONE
+    ``pyarrow.RecordBatch`` per file instead of per-row tuples — the
+    Spark-4 columnar return path for Python sources. Honest
+    measurement (sf0.1, 100k rows): FLAT vs the tuple path, because
+    the generic worker already converts tuple iterators to Arrow
+    batches and line-JSON parsing dominates both; the batch return
+    matters when row materialization itself is the cost (wide rows,
+    nested values) or when the source can produce columns natively.
+    Kept as the API-complete variant with a parity pin."""
+
+    _TYPES = None  # built lazily: pyarrow import stays off the module path
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        if _EventLogArrowReader._TYPES is None:
+            _EventLogArrowReader._TYPES = [
+                pa.int64(), pa.int64(), pa.int64(),
+                pa.string(), pa.float64(), pa.string(),
+            ]
+        preds = self._preds
+        rows = []
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                r = json.loads(line)
+                if all(
+                    r[i] is not None and op(r[i], v)
+                    for (i, op, v) in preds
+                ):
+                    rows.append(r)
+        cols = list(zip(*rows)) if rows else [[] for _ in _FIELDS]
+        yield pa.record_batch(
+            [pa.array(list(c), t)
+             for c, t in zip(cols, _EventLogArrowReader._TYPES)],
+            names=list(_FIELDS),
+        )
+
+
+class _EventLogArrowPushdownReader(_EventLogArrowReader):
+    """arrow + pushdown composed (separate class because defining
+    ``pushFilters`` is itself an opt-in — see
+    :class:`_EventLogPushdownReader`)."""
+
+    pushFilters = _EventLogPushdownReader.pushFilters
+
+
 class _EventLogWriter(DataSourceWriter):
     """Batch evtlog sink with a staged, job-level atomic publish
     (ADVICE r09): each task writes to ``_staging/<uuid>.tmp`` and the
@@ -340,9 +387,15 @@ class EventLogDataSource(DataSource):
         return EVENTLOG_SCHEMA
 
     def reader(self, schema) -> _EventLogReader:
-        if self.options.get("pushdown", "").lower() == "true":
-            return _EventLogPushdownReader(self.options)
-        return _EventLogReader(self.options)
+        arrow = self.options.get("arrow", "").lower() == "true"
+        push = self.options.get("pushdown", "").lower() == "true"
+        cls = {
+            (False, False): _EventLogReader,
+            (False, True): _EventLogPushdownReader,
+            (True, False): _EventLogArrowReader,
+            (True, True): _EventLogArrowPushdownReader,
+        }[(arrow, push)]
+        return cls(self.options)
 
     def writer(self, schema, overwrite: bool) -> _EventLogWriter:
         _check_write_schema(schema)

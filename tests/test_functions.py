@@ -1692,6 +1692,26 @@ def test_python_datasource_eventlog_round_trip(spark, tmp_path):
     )
     assert sorted(map(tuple, pushed)) == sorted(map(tuple, plain))
     assert len(plain) > 0  # the corpus must exercise the pushed path
+    # arrow-batch return path (option("arrow","true")): one
+    # RecordBatch per file, identical rows; composes with pushdown
+    arrow_rows = (
+        spark.read.format("evtlog").option("path", path)
+        .option("arrow", "true").load().collect()
+    )
+    tuple_rows = spark.read.format("evtlog").option("path", path).load().collect()
+    assert sorted(map(tuple, arrow_rows)) == sorted(map(tuple, tuple_rows))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        both = (
+            spark.read.format("evtlog").option("path", path)
+            .option("arrow", "true").option("pushdown", "true").load()
+            .filter("event_type = 'click' AND value > 0.5")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    assert sorted(map(tuple, both)) == sorted(map(tuple, plain))
+
     # unit level: supported filters are retained, others yielded back
     r = _EventLogPushdownReader({"path": path})
     leftover = list(r.pushFilters([
