@@ -1260,6 +1260,18 @@ def test_jpeg_arith_lossless_precision_and_pt():
     img = fmm.decode_jpeg(
         fmm.encode_lossless_jpeg_arith(s, width=8, predictor=5, pt=2))
     assert (img.ravel()[: s.size] == s).all()
+    # error contract: a truncated stream either raises a TYPED error
+    # or decodes to a FULL-SHAPE image (T.81's QM decoder pads 1-bits
+    # past the data end, so mid-scan truncation legally yields a
+    # garbage-tail image of the declared dimensions) — never a hang,
+    # an untyped crash, or a short array
+    blob = fmm.encode_lossless_jpeg_arith(np.arange(64), width=8)
+    for cut in range(2, len(blob)):
+        try:
+            img = fmm.decode_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        assert img.shape == (8, 8)
 
 
 # --- arithmetic-coded (SOF9) JPEG: QM coder roundtrip + libjpeg
