@@ -1092,6 +1092,36 @@ def test_driver_window_self_maintains_after_ledger_drop():
     assert (stale | never) <= window, sorted((stale | never) - window)
 
 
+def test_ledger_rotation_certifies_every_entry_within_cycle(tmp_path):
+    """Long-game invariant: iterating the self-maintaining rotation
+    (each simulated round certifies the first 50 of the derived
+    order) must hand EVERY entry a fresh driver row within
+    ceil(total/50) rounds, and the stale set must stay inside the
+    window at every step — the rotation can never starve an entry."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    last, max_round = entry_mod._ledger_last()
+    sim_last = dict(last)
+    sim_round = max_round
+    cycle = math.ceil(len(names) / 50)
+    for _ in range(cycle + 2):
+        sim_round += 1
+        order = entry_mod._ledger_order(names, ledger=(sim_last, sim_round - 1))
+        window = set(order[:50])
+        stale = {k for k in names
+                 if sim_last.get(k, -1) <= (sim_round - 1) - 3}
+        assert stale <= window, sorted(stale - window)[:5]
+        for k in order[:50]:
+            sim_last[k] = sim_round
+    oldest = min(sim_last.get(k, -1) for k in names)
+    assert oldest >= sim_round - cycle, (
+        f"an entry starved: oldest row {oldest} vs round {sim_round}"
+    )
+
+
 def test_ledger_parse_survives_malformed_files(tmp_path, monkeypatch):
     """_ledger_last gates queries() entirely now, so a malformed
     CORRECTNESS file (truncated JSON, a list payload, non-dict rows)
