@@ -1240,6 +1240,9 @@ def test_all_channel_lowerings_are_single_pass(spark, sf_dir):
     # channel-branch recompute)
     budgets = {
         "siddhiql_partitioned_join_all": (8, 1),
+        # r10: the aligned externalTimeBatch partitioned join lowers
+        # through the same single-pass shape as the timeBatch analog
+        "siddhiql_partitioned_join_external_time_batch": (8, 1),
         "siddhiql_join_time_batch_all": (8, 1),
         "siddhiql_partitioned_external_time_batch_all": (8, 0),
         "siddhiql_partitioned_time_batch_all": (4, 0),
