@@ -23,6 +23,7 @@ from siddhi_execution_unique_spark.operators.replay import (
     first_length_batch,
     length_batch,
     length_batch_all,
+    length_batch_forming,
     time_length_batch_all,
     time_length_batch_all_partitioned,
     length_batch_expired,
@@ -64,6 +65,7 @@ __all__ = [
     "first_time_batch",
     "length_batch",
     "length_batch_expired",
+    "length_batch_forming",
     "length_batch_partitioned",
     "length_window",
     "length_window_partitioned",

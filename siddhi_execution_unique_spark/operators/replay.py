@@ -447,6 +447,65 @@ def length_batch_expired(batched: DataFrame, group_cols=()) -> DataFrame:
     return batched.join(nxt, gcols + [BATCH_SEQ])
 
 
+def length_batch_forming(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    keep: str = "last",
+) -> DataFrame:
+    """Final FORMING contents of ``unique:lengthBatch`` — the unique
+    map a window-to-window JOIN probes: the reference's
+    ``find()`` searches ``uniqueEventMap.values()``
+    (UniqueLengthBatchWindowProcessor.java:226-233), i.e. the current
+    UNFIRED batch, never the fired log. The final-state analog is the
+    per-key retained event among arrivals after the last fire (or the
+    whole stream when nothing fired) — at most ``N - 1`` rows.
+
+    Same streamed single-task funnel as :func:`length_batch` (the
+    chain is order-dependent), but the scan emits only the forming
+    refs at end of stream, so output is tiny regardless of input."""
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    n = require_pos_int(window_length, "window.length")
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+    tb = tiebreak
+    if tb is None:
+        raise ValueError(
+            "length_batch_forming needs a tiebreak id column to join the "
+            "forming refs back to full rows"
+        )
+    assign_schema = StructType(
+        [StructField(tb, df.schema[tb].dataType)]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        forming: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arr = pdf[key].to_numpy()
+            tb_arr = pdf[tb].to_numpy()
+            for i in range(len(pdf)):
+                k = key_arr[i]
+                if k in forming:
+                    if keep == "last":
+                        forming[k] = tb_arr[i]
+                else:
+                    forming[k] = tb_arr[i]
+                    if len(forming) == n:
+                        forming.clear()
+        if forming:
+            yield pd.DataFrame({tb: pd.Series(list(forming.values()))})
+
+    refs = _sorted_stream_replay(
+        df.select(key, ts, tb), ts, tb, assign_schema, scan
+    )
+    return df.join(refs, tb).select(*df.columns)
+
+
 def first_length_batch(
     df: DataFrame,
     key: str,

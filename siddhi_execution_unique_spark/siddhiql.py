@@ -794,6 +794,46 @@ def _run_join(
     for p in ("left", "right"):
         side = {**q[p], "channel": "current"}
         df = _bind_stream(side, streams)
+        window = side["window"]
+        if window in ("lengthBatch", "firstLengthBatch"):
+            # the reference's lengthBatch find() probes the FORMING
+            # unique map, never the fired log (UniqueLengthBatch-
+            # WindowProcessor.java:226-233 searches uniqueEventMap.
+            # values()) — so the join side is the final forming set
+            # (<= N-1 per-key retained rows after the last fire),
+            # exactly the contents an arriving probe would match
+            if partitioned:
+                raise SiddhiQLError(
+                    "partitioned unique:lengthBatch join sides are not "
+                    "wired; use the function API"
+                )
+            args = list(side["args"])
+            consts: list = []
+            while args and _is_const(args[-1]):
+                consts.insert(0, _const(args.pop()))
+            if len(consts) != 1 or len(args) != 1:
+                raise SiddhiQLError(
+                    f"unique:{window} needs (key, window.length)"
+                )
+            sides[p] = ops.length_batch_forming(
+                df, args[0], consts[0], ts=ts,
+                tiebreak=_need_tiebreak(window, tiebreak),
+                keep="first" if window == "firstLengthBatch" else "last",
+            )
+            continue
+        if window == "timeLengthBatch" and not partitioned:
+            # timeLengthBatch find() probes eventsToBeExpired — the
+            # LAST FIRED batch only (UniqueTimeLengthBatchWindow-
+            # Processor.java:377-384); fires reset the clock, so no
+            # cross-batch grid exists to align on
+            batched = _build_window(side, df, ts, tiebreak)
+            last = batched.agg(F.max("batch_seq").alias("_last_seq"))
+            sides[p] = (
+                batched.crossJoin(F.broadcast(last))
+                .filter(F.col("batch_seq") == F.col("_last_seq"))
+                .drop("_last_seq")
+            )
+            continue
         sides[p] = (
             _build_partitioned(side, df, ts, tiebreak)
             if partitioned else _build_window(side, df, ts, tiebreak)
