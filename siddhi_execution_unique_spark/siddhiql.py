@@ -788,7 +788,18 @@ def _run_join(
     batch never expires. Other window pairs support the current
     channel only — expired pair emission depends on replay-order
     interleaving across two streams, which the final-state batch model
-    does not represent; SiddhiQLError, never a silent current-only."""
+    does not represent; SiddhiQLError, never a silent current-only.
+
+    Per-window join CONTENTS follow each processor's ``find()``
+    target: lengthBatch/firstLengthBatch probe the forming unique map
+    (:226-233), timeLengthBatch probes the last fired batch
+    (:377-384) — both lowered below; ever/first/time/length probe
+    their retained maps (= the window contents already built). For
+    same-window timeBatch / start.time-anchored externalTimeBatch
+    pairs the certified batch-co-residency convention applies (their
+    grids align across history). MIXED pairs of batch windows are an
+    extrapolation the reference never tests; they join full final
+    contents, documented here rather than guessed further."""
     cond, _aligned, partitioned, lattr, rattr = _join_plan(q)
     sides: dict[str, DataFrame] = {}
     for p in ("left", "right"):
