@@ -239,6 +239,48 @@ def test_length_batch_never_fires_below_n(spark):
     assert length_batch(df, "k", 10, ts="ts", tiebreak="event_id").count() == 0
 
 
+def test_length_batch_forming_matches_simulation(spark):
+    """length_batch_forming (r10, join-contents op) must equal an
+    event-at-a-time simulation of the reference's forming unique map
+    (UniqueLengthBatchWindowProcessor.java:165-193 put/clear walk) —
+    randomized sequences, both keeps, plus the never-fired and
+    exactly-at-fire edges."""
+    import random
+
+    from siddhi_execution_unique_spark.operators import length_batch_forming
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n = rng.choice([2, 3, 5])
+        keep = rng.choice(["last", "first"])
+        # SCHEMA order: (ts, event_id, k, v); ts == event_id here so
+        # arrival order is unambiguous
+        seq = [(i + 1, i + 1, f"k{rng.randrange(n + 2)}", float(i))
+               for i in range(rng.randrange(0, 25))]
+        # simulate the forming map
+        forming: dict = {}
+        for (ts, eid, k, v) in seq:
+            if k in forming:
+                if keep == "last":
+                    forming[k] = eid
+            else:
+                forming[k] = eid
+                if len(forming) == n:
+                    forming.clear()
+        want = set(forming.values())
+        df = make(spark, seq)
+        got = {
+            r["event_id"]
+            for r in length_batch_forming(
+                df, "k", n, ts="ts", tiebreak="event_id", keep=keep
+            ).collect()
+        }
+        assert got == want, (trial, n, keep, seq)
+    # tiebreak is required (the refs join back on it)
+    with pytest.raises(ValueError, match="tiebreak"):
+        length_batch_forming(make(spark, [(1, 1, "a", 1.0)]), "k", 2, ts="ts")
+
+
 def test_first_length_batch_keeps_first(spark):
     df = make(spark, [(1, 1, "a", 1.0), (2, 2, "a", 2.0), (3, 3, "b", 3.0)])
     out = first_length_batch(df, "k", 2, ts="ts", tiebreak="event_id")
