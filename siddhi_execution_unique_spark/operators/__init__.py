@@ -24,6 +24,7 @@ from siddhi_execution_unique_spark.operators.replay import (
     length_batch,
     length_batch_all,
     length_batch_forming,
+    length_batch_forming_partitioned,
     time_length_batch_all,
     time_length_batch_all_partitioned,
     length_batch_expired,
@@ -66,6 +67,7 @@ __all__ = [
     "length_batch",
     "length_batch_expired",
     "length_batch_forming",
+    "length_batch_forming_partitioned",
     "length_batch_partitioned",
     "length_window",
     "length_window_partitioned",

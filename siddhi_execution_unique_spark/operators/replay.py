@@ -911,6 +911,48 @@ def length_batch_partitioned(
     return _partitioned_replay(df, partition_attr, ts, tiebreak, out_schema, replay)
 
 
+def length_batch_forming_partitioned(
+    df: DataFrame,
+    partition_attr: str,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    keep: str = "last",
+) -> DataFrame:
+    """Per-instance FORMING contents of a partitioned
+    ``unique:lengthBatch`` — the join-probe state
+    (:func:`length_batch_forming`, UniqueLengthBatchWindowProcessor.
+    java:226-233) with every partition value owning its own forming
+    map. Distributes like :func:`length_batch_partitioned`: one
+    shuffle on the partition attribute, <= N-1 output rows per
+    instance."""
+    require_column(df, partition_attr, "partition attribute")
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    n = require_pos_int(window_length, "window.length")
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+    out_cols = list(df.columns)
+    out_schema = StructType(list(df.schema.fields))
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        forming: dict = {}
+        key_arr = pdf[key].to_numpy()
+        for i in range(len(key_arr)):
+            k = key_arr[i]
+            if k in forming:
+                if keep == "last":
+                    forming[k] = i
+            else:
+                forming[k] = i
+                if len(forming) == n:
+                    forming.clear()
+        return pdf.iloc[list(forming.values())][out_cols].copy()
+
+    return _partitioned_replay(df, partition_attr, ts, tiebreak, out_schema, replay)
+
+
 def time_length_batch_partitioned(
     df: DataFrame,
     partition_attr: str,

@@ -813,11 +813,6 @@ def _run_join(
             # values()) — so the join side is the final forming set
             # (<= N-1 per-key retained rows after the last fire),
             # exactly the contents an arriving probe would match
-            if partitioned:
-                raise SiddhiQLError(
-                    "partitioned unique:lengthBatch join sides are not "
-                    "wired; use the function API"
-                )
             args = list(side["args"])
             consts: list = []
             while args and _is_const(args[-1]):
@@ -826,24 +821,44 @@ def _run_join(
                 raise SiddhiQLError(
                     f"unique:{window} needs (key, window.length)"
                 )
-            sides[p] = ops.length_batch_forming(
-                df, args[0], consts[0], ts=ts,
-                tiebreak=_need_tiebreak(window, tiebreak),
-                keep="first" if window == "firstLengthBatch" else "last",
-            )
+            keep = "first" if window == "firstLengthBatch" else "last"
+            if partitioned:
+                # per-instance forming map (each instance its own
+                # probe state), one shuffle on the partition attr
+                sides[p] = ops.length_batch_forming_partitioned(
+                    df, side["partition"], args[0], consts[0], ts=ts,
+                    tiebreak=_need_tiebreak(window, tiebreak), keep=keep,
+                )
+            else:
+                sides[p] = ops.length_batch_forming(
+                    df, args[0], consts[0], ts=ts,
+                    tiebreak=_need_tiebreak(window, tiebreak), keep=keep,
+                )
             continue
-        if window == "timeLengthBatch" and not partitioned:
+        if window == "timeLengthBatch":
             # timeLengthBatch find() probes eventsToBeExpired — the
             # LAST FIRED batch only (UniqueTimeLengthBatchWindow-
             # Processor.java:377-384); fires reset the clock, so no
-            # cross-batch grid exists to align on
-            batched = _build_window(side, df, ts, tiebreak)
-            last = batched.agg(F.max("batch_seq").alias("_last_seq"))
-            sides[p] = (
-                batched.crossJoin(F.broadcast(last))
-                .filter(F.col("batch_seq") == F.col("_last_seq"))
-                .drop("_last_seq")
-            )
+            # cross-batch grid exists to align on. Partitioned: each
+            # instance's own last batch (per-instance max batch_seq).
+            if partitioned:
+                batched = _build_partitioned(side, df, ts, tiebreak)
+                pcol = side["partition"]
+                w = SqlWindow.partitionBy(pcol)
+                sides[p] = (
+                    batched.withColumn(
+                        "_last_seq", F.max("batch_seq").over(w))
+                    .filter(F.col("batch_seq") == F.col("_last_seq"))
+                    .drop("_last_seq")
+                )
+            else:
+                batched = _build_window(side, df, ts, tiebreak)
+                last = batched.agg(F.max("batch_seq").alias("_last_seq"))
+                sides[p] = (
+                    batched.crossJoin(F.broadcast(last))
+                    .filter(F.col("batch_seq") == F.col("_last_seq"))
+                    .drop("_last_seq")
+                )
             continue
         sides[p] = (
             _build_partitioned(side, df, ts, tiebreak)

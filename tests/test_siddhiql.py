@@ -750,6 +750,73 @@ def test_join_length_batch_probes_forming_set(spark):
     assert rows4 == [("WSO2", "Hello World", 57.6)]
 
 
+def test_partitioned_join_length_batch_and_tlb_probe_per_instance(streams):
+    """`partition with` + lengthBatch/timeLengthBatch joins: each
+    instance's probe state is its OWN forming map / last fired batch
+    (the reference's per-instance WindowState), verified against the
+    function-API twins."""
+    ev = streams["events"]
+    two = {
+        "lefties": ev.filter(F.col("event_id") % 2 == 0),
+        "righties": ev.filter(F.col("event_id") % 2 == 1),
+    }
+    app = """
+    partition with (event_type of lefties, event_type of righties)
+    begin
+        from lefties#window.unique:lengthBatch(user_id, 5)
+        join righties#window.unique:lengthBatch(user_id, 5)
+        on lefties.user_id == righties.user_id
+        select lefties.event_type as event_type,
+               lefties.event_id as l_id, righties.event_id as r_id
+        insert into joined;
+    end
+    """
+    got = sq.run_app(app, two, tiebreak="event_id")["joined"]
+
+    def forming(df):
+        return ops.length_batch_forming_partitioned(
+            df, "event_type", "user_id", 5, ts="ts", tiebreak="event_id")
+
+    l, r = forming(two["lefties"]), forming(two["righties"])
+    want = l.alias("l").join(
+        r.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.event_type") == F.col("r.event_type")),
+    ).select(F.col("l.event_type").alias("event_type"),
+             F.col("l.event_id").alias("l_id"),
+             F.col("r.event_id").alias("r_id"))
+    assert rows(got) == rows(want)
+    # per-instance forming is NOT the global forming: the instances'
+    # chains fire at different points
+    g = ops.length_batch_forming(
+        two["lefties"], "user_id", 5, ts="ts", tiebreak="event_id")
+    assert rows(l.select("event_id")) != rows(g.select("event_id"))
+    # partitioned timeLengthBatch join: per-instance LAST batch
+    app_tlb = app.replace("unique:lengthBatch(user_id, 5)",
+                          "unique:timeLengthBatch(user_id, 6 hours, 20)")
+    got_tlb = sq.run_app(app_tlb, two, tiebreak="event_id")["joined"]
+
+    def last_per_instance(df):
+        from pyspark.sql.window import Window as W
+
+        b = ops.time_length_batch_partitioned(
+            df, "event_type", "user_id", 6 * 3600 * 1000, 20,
+            ts="ts", tiebreak="event_id")
+        return (b.withColumn("_m", F.max("batch_seq").over(
+                    W.partitionBy("event_type")))
+                .filter("batch_seq = _m").drop("_m"))
+
+    lt, rt = last_per_instance(two["lefties"]), last_per_instance(two["righties"])
+    want_tlb = lt.alias("l").join(
+        rt.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.event_type") == F.col("r.event_type")),
+    ).select(F.col("l.event_type").alias("event_type"),
+             F.col("l.event_id").alias("l_id"),
+             F.col("r.event_id").alias("r_id"))
+    assert rows(got_tlb) == rows(want_tlb)
+
+
 def test_join_time_length_batch_probes_last_fired_batch(streams):
     """UniqueTimeLengthBatchWindowTestCase joins two timeLengthBatch
     windows; the reference's find() probes eventsToBeExpired — the
