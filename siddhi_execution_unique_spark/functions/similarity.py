@@ -1158,9 +1158,12 @@ def pca_project_oracle(sf_dir: str | None = None,
             "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
         )
     con = duckdb.connect()
-    con.sql(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
-    )
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        # rebuilt scale corpora (e.g. /tmp/sf1) are Spark-written
+        # parquet directories; driver testdata is a single file
+        path += "/*.parquet"
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
     cov = [tuple(r) for r in con.sql(pca_covariance_oracle()).fetchall()]
     comps = _pca_components_from_cov(cov, k)
     sel = ", ".join(

@@ -605,9 +605,10 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None]:
     lw, rw = q["left"]["window"], q["right"]["window"]
     channel = q["channel"]
     cond = q["on"]
-    aligned_batches = lw in _TIME_BATCH_WINDOWS and rw in _TIME_BATCH_WINDOWS
-    aligned_external = lw == "externalTimeBatch" and rw == "externalTimeBatch"
-    if aligned_batches:
+    same_family = lw in _TIME_BATCH_WINDOWS and rw in _TIME_BATCH_WINDOWS
+    same_external = lw == "externalTimeBatch" and rw == "externalTimeBatch"
+    aligned_batches = False
+    if same_family:
         # compare NORMALIZED values, not literal argument strings —
         # '1 hour' and '3600000' describe the same tumbling grid. The
         # first constant is window.time (duration sugar allowed); an
@@ -622,41 +623,33 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None]:
             return [t, anchor]  # omitted start.time defaults to 0
 
         lt, rt = grid(q["left"]), grid(q["right"])
-        if not lt or lt != rt:
-            raise SiddhiQLError(
-                "joined unique:timeBatch windows need identical "
-                f"window.time to share a tumbling grid; got {lt} vs {rt}"
-            )
-        cond = f"({cond}) AND {lname}.batch_end_ms = {rname}.batch_end_ms"
-    elif aligned_external:
+        # identical grids: batch k of one window only ever co-resides
+        # with batch k of the other, so the join pins the shared
+        # interval. DIFFERENT grids fall through to the mixed-pair
+        # find()-state lowering in _run_join (each side probes its
+        # last fired batch) instead of the old eager error.
+        aligned_batches = bool(lt) and lt == rt
+    elif same_external:
         # externalTimeBatch pairs align exactly like timeBatch when
         # BOTH sides carry an explicit start.time: the reference's
         # endTime = ts + (T - (ts - start) % T) is an absolute grid,
         # so batch k of one window only ever co-resides with batch k
         # of the other (VERDICT r09 item 3). Without start.time each
         # side anchors at its own first event — grids generally
-        # differ, so that stays the documented eager error.
-        def egrid(side: dict) -> list[int]:
+        # differ, so those pairs take the mixed find()-state lowering.
+        def egrid(side: dict) -> list[int] | None:
             consts = [a for a in side["args"] if _is_const(a)]
             if len(consts) < 2:
-                raise SiddhiQLError(
-                    "joined unique:externalTimeBatch windows need an "
-                    "explicit start.time on both sides to share an "
-                    "absolute tumbling grid (without it each side "
-                    "anchors at its own first event); use the "
-                    "function API for first-event-anchored joins"
-                )
+                # first-event-anchored: no absolute grid to align on —
+                # the pair takes the mixed find()-state lowering
+                return None
             t = parse_time_ms(_const(consts[0]), "window.time")
             return [t, int(consts[1]) % t]
 
         lt, rt = egrid(q["left"]), egrid(q["right"])
-        if lt != rt:
-            raise SiddhiQLError(
-                "joined unique:externalTimeBatch windows need identical "
-                f"(window.time, start.time) grids; got {lt} vs {rt}"
-            )
+        aligned_batches = lt is not None and lt == rt
+    if aligned_batches:
         cond = f"({cond}) AND {lname}.batch_end_ms = {rname}.batch_end_ms"
-        aligned_batches = True  # joins the tumbling-flush protocol
     partitioned = bool(q.get("partitioned"))
     if partitioned:
         if channel != "current" and not aligned_batches:
@@ -771,6 +764,57 @@ def _join_channels(
     return tagged
 
 
+def _batch_find_state(window: str, batched: DataFrame,
+                      pcol: str | None = None) -> DataFrame:
+    """Filter a batched window's contents down to the reference's
+    ``find()`` probe state — the join contents for MIXED pairs (no
+    shared aligned grid). timeBatch/firstTimeBatch ``find()`` probes
+    ``eventsToBeExpired``, the most recently FIRED batch
+    (UniqueTimeBatchWindowProcessor.java:318-328); under the certified
+    final-state model every present batch has fired, so that is the
+    max ``batch_end_ms``. externalTimeBatch ``find()`` probes
+    ``expiredEvents``, the last FLUSHED batch
+    (UniqueExternalTimeBatchWindowProcessor.java:491-503,383-393) —
+    and flushes happen only when a LATER event arrives (:283-318), so
+    the final forming batch is never in it: the probe state is the
+    batch with the second-highest ``batch_end_ms`` (empty when only
+    one batch exists). ``pcol`` scopes either rule per partition
+    instance. Plan shape: one distinct over the batched contents'
+    (instance,) batch ends, a tiny scalar/grouped max, joined back —
+    AQE broadcasts it."""
+    col = "batch_end_ms"
+    second = window == "externalTimeBatch"
+    if pcol is not None:
+        ends = batched.select(pcol, col).distinct()
+        m = ends.groupBy(pcol).agg(F.max(col).alias("_m1"))
+        if second:
+            tgt = (
+                ends.join(m, pcol)
+                .filter(F.col(col) < F.col("_m1"))
+                .groupBy(pcol).agg(F.max(col).alias("_tgt"))
+            )
+        else:
+            tgt = m.withColumnRenamed("_m1", "_tgt")
+        return (
+            batched.join(tgt, pcol)
+            .filter(F.col(col) == F.col("_tgt")).drop("_tgt")
+        )
+    ends = batched.select(col).distinct()
+    m = ends.agg(F.max(col).alias("_m1"))
+    if second:
+        tgt = (
+            ends.crossJoin(F.broadcast(m))
+            .filter(F.col(col) < F.col("_m1"))
+            .agg(F.max(col).alias("_tgt"))
+        )
+    else:
+        tgt = m.select(F.col("_m1").alias("_tgt"))
+    return (
+        batched.crossJoin(F.broadcast(tgt))
+        .filter(F.col(col) == F.col("_tgt")).drop("_tgt")
+    )
+
+
 def _run_join(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None
 ) -> DataFrame:
@@ -797,10 +841,14 @@ def _run_join(
     their retained maps (= the window contents already built). For
     same-window timeBatch / start.time-anchored externalTimeBatch
     pairs the certified batch-co-residency convention applies (their
-    grids align across history). MIXED pairs of batch windows are an
-    extrapolation the reference never tests; they join full final
-    contents, documented here rather than guessed further."""
-    cond, _aligned, partitioned, lattr, rattr = _join_plan(q)
+    grids align across history). MIXED pairs (different batch windows,
+    misaligned grids, first-event-anchored externalTimeBatch) lower
+    each timeBatch-family side to its find() probe state —
+    ``eventsToBeExpired`` = last fired batch for timeBatch,
+    ``expiredEvents`` = last flushed batch for externalTimeBatch — via
+    :func:`_batch_find_state`, so every side joins exactly the
+    contents an arriving probe would match at end of stream."""
+    cond, aligned, partitioned, lattr, rattr = _join_plan(q)
     sides: dict[str, DataFrame] = {}
     for p in ("left", "right"):
         side = {**q[p], "channel": "current"}
@@ -860,10 +908,19 @@ def _run_join(
                     .drop("_last_seq")
                 )
             continue
-        sides[p] = (
+        built = (
             _build_partitioned(side, df, ts, tiebreak)
             if partitioned else _build_window(side, df, ts, tiebreak)
         )
+        if not aligned and window in (
+            "timeBatch", "firstTimeBatch", "externalTimeBatch"
+        ):
+            # mixed pair: probe this side's find() state, not its full
+            # batch history (which only aligned pairs may pin batchwise)
+            built = _batch_find_state(
+                window, built, side["partition"] if partitioned else None
+            )
+        sides[p] = built
     return _join_channels(q, sides, cond, partitioned, lattr, rattr)
 
 
@@ -1608,7 +1665,7 @@ def run_app_streaming_join(
                 "run_app_streaming_join handles join queries only; "
                 "use run_app_streaming for window queries"
             )
-        cond, _aligned, partitioned, lattr, rattr = _join_plan(q)
+        cond, aligned, partitioned, lattr, rattr = _join_plan(q)
         # `partition with` composes: each side's staged twin is the
         # composite-key (partition attr + unique key) streaming
         # window — _build_streaming_res already lowers partitioned
@@ -1619,6 +1676,16 @@ def run_app_streaming_join(
             p: _stage_stream_contents(q[p], _bind_stream({**q[p], "channel": "current"}, streams), ts, work_dir)
             for p in ("left", "right")
         }
+        for p in ("left", "right"):
+            w = q[p]["window"]
+            if not aligned and w in ("timeBatch", "firstTimeBatch"):
+                # mixed pair: the staged twin holds the full fired-batch
+                # history; the join probes only this side's find() state
+                # (same rule as the batch lowering)
+                sides[p] = _batch_find_state(
+                    w, sides[p],
+                    q[p].get("partition") if partitioned else None,
+                )
         res = _join_channels(q, sides, cond, partitioned, lattr, rattr)
         res = _apply_select(res, q["select"], q.get("group_by"), q.get("having"))
         out[q["out"]] = res

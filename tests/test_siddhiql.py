@@ -125,8 +125,9 @@ def test_length_batch_and_multi_query_app(streams):
     ("from clicks#window.unique:timeBatch(user_id, 1 hour) "
      "join purchases#window.unique:timeBatch(user_id, 2 hours) "
      "on clicks.user_id == purchases.user_id "
-     "select clicks.user_id insert into x;",
-     "joined timeBatch windows need a shared tumbling grid"),
+     "select clicks.user_id insert expired events into x;",
+     "expired channel of a MISALIGNED pair not wired (the current "
+     "channel now lowers to find()-state contents)"),
     ("from events#window.unique:ever(user_id) "
      "join events#window.unique:ever(user_id) on 1=1 "
      "select * insert into x;",
@@ -385,10 +386,26 @@ def test_join_time_batch_grid_normalizes_duration_sugar(two_streams):
     """
     got = sq.run_app(app, two_streams, tiebreak="event_id")["joined"]
     assert got.count() > 0
-    # ...but a different start.time anchor is a DIFFERENT grid
-    bad = app.replace("3600000)", "3600000, 60000)")
-    with pytest.raises(sq.SiddhiQLError):
-        sq.run_app(bad, two_streams, tiebreak="event_id")
+    # ...but a different start.time anchor is a DIFFERENT grid — a
+    # MIXED pair: each side probes its find() state (last fired batch)
+    # instead of pinning batch co-residency
+    mixed = app.replace("3600000)", "3600000, 60000)")
+    got_mixed = sq.run_app(mixed, two_streams, tiebreak="event_id")["joined"]
+
+    def last_batch(df, **kw):
+        b = ops.time_batch(df, "user_id", ts="ts", window_time=3_600_000,
+                           tiebreak="event_id", **kw)
+        m = b.agg(F.max("batch_end_ms").alias("_m"))
+        return b.crossJoin(F.broadcast(m)).filter(
+            F.col("batch_end_ms") == F.col("_m")).drop("_m")
+
+    l = last_batch(two_streams["clicks"])
+    r = last_batch(two_streams["purchases"], start_time_ms=60000)
+    want = l.alias("l").join(
+        r.alias("r"), F.col("l.user_id") == F.col("r.user_id")
+    ).select(F.col("l.user_id").alias("user_id"),
+             F.col("r.event_id").alias("pe"))
+    assert rows(got_mixed) == rows(want)
 
 
 def test_external_time_batch_six_arg_form(streams):
@@ -504,15 +521,38 @@ def test_join_time_batch_all_events(two_streams):
     assert n_cur > 0
 
 
-def test_join_mismatched_batch_period_raises(two_streams):
-    with pytest.raises(sq.SiddhiQLError):
-        sq.run_app(
-            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
-            "join purchases#window.unique:timeBatch(user_id, 2 hours) "
-            "on clicks.user_id == purchases.user_id "
-            "select clicks.user_id insert into x;",
-            two_streams, tiebreak="event_id",
-        )
+def test_join_mismatched_batch_period_probes_last_batches(two_streams):
+    """A timeBatch pair with DIFFERENT grids is a mixed pair: no shared
+    tumbling interval exists, so each side joins its find() probe state
+    — ``eventsToBeExpired``, the last fired batch
+    (UniqueTimeBatchWindowProcessor.java:318-328) — not its full batch
+    history and not an eager error."""
+    out = sq.run_app(
+        "from clicks#window.unique:timeBatch(user_id, 1 hour) "
+        "join purchases#window.unique:timeBatch(user_id, 2 hours) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.user_id as user_id, clicks.event_id as l_id, "
+        "purchases.event_id as r_id insert into x;",
+        two_streams, tiebreak="event_id",
+    )["x"]
+    import siddhi_execution_unique_spark.operators as ops
+
+    def last_batch(df, window_ms):
+        b = ops.time_batch(df, "user_id", ts="ts", window_time=window_ms,
+                           tiebreak="event_id")
+        m = b.agg(F.max("batch_end_ms").alias("_m"))
+        return b.crossJoin(F.broadcast(m)).filter(
+            F.col("batch_end_ms") == F.col("_m")).drop("_m")
+
+    l = last_batch(two_streams["clicks"], 3_600_000)
+    r = last_batch(two_streams["purchases"], 7_200_000)
+    want = l.alias("l").join(
+        r.alias("r"), F.col("l.user_id") == F.col("r.user_id")
+    ).select(F.col("l.user_id").alias("user_id"),
+             F.col("l.event_id").alias("l_id"),
+             F.col("r.event_id").alias("r_id"))
+    assert rows(out) == rows(want)
+    assert out.count() > 0
 
 
 def test_expression_keys_batch_partition_agg_and_negatives(streams):
@@ -631,10 +671,11 @@ def test_expression_keys_streaming_parity(spark, tmp_path):
 
 
 def test_join_external_time_batch_aligned_and_negatives(two_streams):
-    """VERDICT r09 item 3: externalTimeBatch pairs with an explicit,
-    identical start.time share an absolute grid and join with the
-    batch-co-residency lowering; missing start.time on either side,
-    or mismatched grids, raise eagerly."""
+    """VERDICT r09 item 3 + r10 item 3: externalTimeBatch pairs with
+    an explicit, identical start.time share an absolute grid and join
+    with the batch-co-residency lowering; without it the pair is MIXED
+    and each side probes its find() state (last flushed batch). The
+    expired/all channels of non-aligned pairs still raise eagerly."""
     # aligned: runs and pins batch co-residency (grid = 1h anchored 0)
     out = sq.run_app(
         "from clicks#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
@@ -660,25 +701,43 @@ def test_join_external_time_batch_aligned_and_negatives(two_streams):
              F.col("l.event_id").alias("l_id"),
              F.col("r.event_id").alias("r_id"))
     assert rows(out) == rows(want)
-    # no start.time: each side anchors at its own first event
-    with pytest.raises(sq.SiddhiQLError, match="start.time"):
-        sq.run_app(
-            "from clicks#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
-            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
-            "on clicks.user_id == purchases.user_id "
-            "select clicks.user_id insert into x;",
-            two_streams, tiebreak="event_id",
-        )
-    # mismatched anchor: different absolute grids
-    with pytest.raises(sq.SiddhiQLError, match="grids"):
-        sq.run_app(
-            "from clicks#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
-            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 60000) "
-            "on clicks.user_id == purchases.user_id "
-            "select clicks.user_id insert into x;",
-            two_streams, tiebreak="event_id",
-        )
-    # mixed timeBatch/externalTimeBatch pair keeps the eager error
+    # no start.time: each side anchors at its own first event — no
+    # shared grid, so the pair is MIXED and each side probes its
+    # find() state: expiredEvents, the last FLUSHED batch = the
+    # second-highest present batch end (the final forming batch never
+    # flushes without a later arrival,
+    # UniqueExternalTimeBatchWindowProcessor.java:283-318,383-393)
+    out2 = sq.run_app(
+        "from clicks#window.unique:externalTimeBatch(user_id, ts, 5 days) "
+        "join purchases#window.unique:externalTimeBatch(user_id, ts, 5 days) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.user_id as user_id, clicks.event_id as l_id, "
+        "purchases.event_id as r_id insert into x;",
+        two_streams, tiebreak="event_id",
+    )["x"]
+
+    def last_flushed(df):
+        b = ops.external_time_batch(df, "user_id", "ts", 432_000_000,
+                                    tiebreak="event_id")
+        ends = b.select("batch_end_ms").distinct()
+        m = ends.agg(F.max("batch_end_ms").alias("_m1"))
+        tgt = (ends.crossJoin(F.broadcast(m))
+               .filter(F.col("batch_end_ms") < F.col("_m1"))
+               .agg(F.max("batch_end_ms").alias("_tgt")))
+        return b.crossJoin(F.broadcast(tgt)).filter(
+            F.col("batch_end_ms") == F.col("_tgt")).drop("_tgt")
+
+    lf, rf = last_flushed(two_streams["clicks"]), last_flushed(
+        two_streams["purchases"])
+    want2 = lf.alias("l").join(
+        rf.alias("r"), F.col("l.user_id") == F.col("r.user_id")
+    ).select(F.col("l.user_id").alias("user_id"),
+             F.col("l.event_id").alias("l_id"),
+             F.col("r.event_id").alias("r_id"))
+    assert rows(out2) == rows(want2)
+    assert out2.count() > 0
+    # mixed timeBatch/externalTimeBatch pair: the expired/all channel
+    # keeps the eager error (only aligned pairs model batch expiry)
     with pytest.raises(sq.SiddhiQLError):
         sq.run_app(
             "from clicks#window.unique:timeBatch(user_id, 1 hour) "
@@ -748,6 +807,61 @@ def test_join_length_batch_probes_forming_set(spark):
                       tiebreak="event_id")["joined"]
     rows4 = [(r["symbol"], r["tweet"], r["price"]) for r in out4.collect()]
     assert rows4 == [("WSO2", "Hello World", 57.6)]
+
+
+def test_join_mixed_pair_probes_find_state(spark):
+    """Mixed batch-window join pairs (VERDICT r10 item 3): each side
+    joins its find() probe state. lengthBatch probes the FORMING map
+    (UniqueLengthBatchWindowProcessor.java:226-233); timeBatch probes
+    ``eventsToBeExpired`` = the LAST fired batch
+    (UniqueTimeBatchWindowProcessor.java:318-328); externalTimeBatch
+    probes ``expiredEvents`` = the last FLUSHED batch, one behind the
+    forming batch (UniqueExternalTimeBatchWindowProcessor.java:
+    283-318,383-393). The expected rows below are a hand event-at-a-
+    time replay of each processor."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def mk(rows, cols):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts_ms"] + cols)
+        return (spark.createDataFrame(pdf)
+                .withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms"))
+
+    # cse walk (lengthBatch(symbol, 3)): put WSO2, put IBM -> size 2 < 3,
+    # never fires -> final forming map {WSO2, IBM}
+    cse = mk([(1, 1000, "WSO2", 55.6), (2, 2000, "IBM", 59.6)],
+             ["symbol", "price"])
+    # twitter walk (timeBatch(company, 1 hour), epoch grid): batch
+    # [0,1h) holds tweet1(WSO2) + tweet3(IBM), fires at 1h and moves to
+    # eventsToBeExpired; tweet2(WSO2) lands in [2h,3h) which fires last
+    # -> final eventsToBeExpired = {WSO2: tweet2}
+    twitter = mk([(3, 1000, "User1", "tweet1", "WSO2"),
+                  (5, 2000, "User3", "tweet3", "IBM"),
+                  (4, 7_200_500, "User2", "tweet2", "WSO2")],
+                 ["user", "tweet", "company"])
+    app = """
+    from cse#window.unique:lengthBatch(symbol, 3)
+    join twitter#window.unique:timeBatch(company, 1 hour)
+    on cse.symbol == twitter.company
+    select cse.symbol as symbol, twitter.tweet as tweet
+    insert into joined;
+    """
+    out = sq.run_app(app, {"cse": cse, "twitter": twitter},
+                     tiebreak="event_id")["joined"]
+    got = [(r["symbol"], r["tweet"]) for r in out.collect()]
+    # IBM is in cse's forming map, but tweet3 sits in a non-last batch
+    assert got == [("WSO2", "tweet2")]
+    # externalTimeBatch probes ONE BATCH EARLIER (last flushed): the
+    # same twitter data joins tweet1/tweet3 (their batch flushed when
+    # tweet2 arrived), never tweet2 (still forming at end of stream)
+    app_ext = app.replace(
+        "twitter#window.unique:timeBatch(company, 1 hour)",
+        "twitter#window.unique:externalTimeBatch(company, ts, 1 hour)")
+    out2 = sq.run_app(app_ext, {"cse": cse, "twitter": twitter},
+                      tiebreak="event_id")["joined"]
+    got2 = sorted((r["symbol"], r["tweet"]) for r in out2.collect())
+    assert got2 == [("IBM", "tweet3"), ("WSO2", "tweet1")]
 
 
 def test_partitioned_join_length_batch_and_tlb_probe_per_instance(streams):

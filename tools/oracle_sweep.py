@@ -126,7 +126,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # rebuilt 10x tables are Spark-written parquet DIRECTORIES;
+        # driver-generated ones are single files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     def flush() -> None:
         tmp = out + ".tmp"
