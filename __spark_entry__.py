@@ -291,6 +291,25 @@ def q_siddhiql_join_time_batch_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_mixed(spark, sf_dir):
+    """MIXED-pair batch-window join (VERDICT r10 item 3): lengthBatch
+    ⋈ timeBatch shares no tumbling grid, so each side joins its
+    find() probe state — the FORMING unique map for lengthBatch
+    (UniqueLengthBatchWindowProcessor.java:226-233), the last fired
+    batch (``eventsToBeExpired``) for timeBatch
+    (UniqueTimeBatchWindowProcessor.java:318-328)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:lengthBatch(user_id, 50) join purchases#window.unique:timeBatch(user_id, 1 hour)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id
+    insert into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2218,10 +2237,11 @@ def _emb(spark, sf_dir):
 # re-certify ahead of the fresh tiers (best-effort: they rank after
 # the mandatory never-checked + stale sets, so they only consume
 # window slots the invariant doesn't need).
-_CHANGED_THIS_ROUND = [
-    "dedup_span_removal",        # r10: anchor-interval covered flag
-    "streaming_join_parity",     # r10: INTERVAL MILLISECOND condition
-    "streaming_outer_join_parity",
+_CHANGED_THIS_ROUND: list = [
+    # r11: no existing entry's plan changed (the mixed-pair join
+    # lowering adds new paths only; the two r11 additions are
+    # never-checked => rotation tier 0 handles them). The r11 window
+    # budget belongs to the 47 r07-stale entries + the 2 new ones.
 ]
 
 
@@ -2444,6 +2464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_time_all_events": q_siddhiql_time_all_events,
         "siddhiql_join_ever": q_siddhiql_join_ever,
         "siddhiql_join_time_batch_all": q_siddhiql_join_time_batch_all,
+        # -- new in round 11: mixed-pair find()-state join + iterative
+        #    BPE trainer (never driver-checked => rotation tier 0)
+        "siddhiql_join_mixed": q_siddhiql_join_mixed,
+        "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_length_parity": q_streaming_length_parity,
         "multimodal_decode_jpeg": lambda s, d: fmm.jpeg_decode_stats(_docs(s, d)),
@@ -3668,6 +3692,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "sample_temperature": fcur.temperature_resample_oracle(),
         "pipeline_pretrain_chunks": fpipe.pretrain_chunks_oracle(),
         "vocab_bpe_merges": fcur.bpe_merge_pairs_oracle(),
+        "vocab_bpe_train": fcur.bpe_train_oracle(),
         "source_overlap_matrix": fcur.source_overlap_matrix_oracle(),
         "emb_pca_covariance": fsim.pca_covariance_oracle(),
         "emb_pca_project": fsim.pca_project_oracle(),
@@ -3978,6 +4003,50 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT cl.user_id AS user_id, pu.event_id AS purchase_event_id,
                    cl.value AS click_value
             FROM cl JOIN pu ON cl.user_id = pu.user_id
+        """,
+        # mixed pair: clicks lengthBatch(user_id, 50) forming map
+        # (events after the LAST fire of the recursive fire chain,
+        # keep-last per key) x purchases timeBatch last fired batch
+        "siddhiql_join_mixed": """
+            WITH RECURSIVE ev AS (
+              SELECT event_id, user_id,
+                     row_number() OVER (ORDER BY ts, event_id) AS pos
+              FROM events WHERE event_type = 'click'
+            ),
+            fires(seq, start_pos, fire_pos) AS (
+              SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT f.seq + 1, f.fire_pos,
+                     (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ev
+                        WHERE ev.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49)
+              FROM fires f
+              WHERE (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ev
+                        WHERE ev.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49) IS NOT NULL
+            ),
+            last_fire AS (SELECT max(fire_pos) AS lf FROM fires),
+            forming AS (
+              SELECT e.event_id, e.user_id FROM ev e, last_fire
+              WHERE e.pos > last_fire.lf
+                AND e.pos = (SELECT max(pos) FROM ev e2
+                             WHERE e2.user_id = e.user_id
+                               AND e2.pos > last_fire.lf)
+            ),
+            pb AS (
+              SELECT * FROM (
+                SELECT e.*, (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS batch_end_ms,
+                       row_number() OVER (PARTITION BY epoch_ms(ts) // 3600000, user_id
+                                          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t WHERE rn = 1),
+            lastb AS (
+              SELECT * FROM pb
+              WHERE batch_end_ms = (SELECT max(batch_end_ms) FROM pb))
+            SELECT f.user_id AS user_id, f.event_id AS click_event_id,
+                   lb.event_id AS purchase_event_id
+            FROM forming f JOIN lastb lb ON f.user_id = lb.user_id
         """,
         "siddhiql_join_time_batch_all": """
             WITH cb AS (

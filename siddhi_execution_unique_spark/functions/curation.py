@@ -826,6 +826,138 @@ def bpe_merge_pairs_oracle(k: int = 50) -> str:
     """
 
 
+def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Iterative BPE vocabulary training over word-level units:
+    ``n_merges`` rounds of (count adjacent pairs → merge the most
+    frequent pair greedily left-to-right, non-overlapping → recount).
+    Closes the loop :func:`bpe_merge_pairs` computes ONE round of, the
+    way ``connected_components`` did for clustering. Output: the
+    learned merge table, one row per round —
+    (merge_round, left, right, n_pairs).
+
+    Scale shape per round: one ``lead()`` window partitioned by doc,
+    ONE map-side-combined pair count, a 1-row TakeOrdered best-pair
+    broadcast back, and the greedy re-segmentation as gaps-and-islands
+    window algebra. Exact-BPE greedy semantics: pair counts include
+    overlapping occurrences (Sennrich ``get_stats``); the merge
+    consumes left-to-right, so within a run of CONSECUTIVE matches
+    (only possible when left == right) the 1st, 3rd, … merge and the
+    even ones are consumed — row-number parity within each island
+    (island = pos − running-match-count, constant exactly over
+    consecutive matches). Inter-round state is ``localCheckpoint()``ed
+    (the connected-components discipline: truncate lineage, never
+    re-run the previous round's chain). Ties break
+    (n desc, left asc, right asc) — deterministic, oracle-comparable.
+    """
+    from pyspark.sql.window import Window
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cur = docs.select(
+        "doc_id", F.posexplode(F.expr(SPARK_TOKS)).alias("pos", "tok")
+    ).localCheckpoint()
+    bests = []
+    for rnd in range(1, n_merges + 1):
+        paired = cur.withColumn("nxt", F.lead("tok").over(w))
+        best = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("_bl"), F.col("nxt").alias("_br"))
+            .agg(F.count("*").alias("_bn"))
+            .orderBy(F.desc("_bn"), F.asc("_bl"), F.asc("_br"))
+            .limit(1)
+        )
+        bests.append(best.select(
+            F.lit(rnd).alias("merge_round"),
+            F.col("_bl").alias("left"),
+            F.col("_br").alias("right"),
+            F.col("_bn").alias("n_pairs"),
+        ))
+        g = (
+            paired.crossJoin(F.broadcast(best))
+            .withColumn(
+                "_match",
+                (F.col("tok") == F.col("_bl")) & (F.col("nxt") == F.col("_br")),
+            )
+        )
+        g = g.withColumn("_mc", F.sum(F.col("_match").cast("int")).over(w))
+        g = g.withColumn(
+            "_rni",
+            F.row_number().over(
+                Window.partitionBy(
+                    "doc_id",
+                    F.when(F.col("_match"), F.col("pos") - F.col("_mc")),
+                ).orderBy("pos")
+            ),
+        )
+        g = g.withColumn("_keep", F.col("_match") & (F.col("_rni") % 2 == 1))
+        g = g.withColumn("_consumed", F.lag("_keep").over(w))
+        nxt = (
+            g.filter(~F.coalesce(F.col("_consumed"), F.lit(False)))
+            .select(
+                "doc_id", "pos",
+                F.when(F.col("_keep"), F.concat_ws(" ", "tok", "nxt"))
+                .otherwise(F.col("tok")).alias("tok"),
+            )
+            .withColumn("pos", F.row_number().over(w))
+        )
+        cur = nxt.localCheckpoint()
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def bpe_train_oracle(n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_train`: the identical per-round
+    algebra (lead-pairs count → deterministic top-1 → island-parity
+    greedy merge → re-number), unrolled ``n_merges`` times as a CTE
+    chain — each round's state table t{r} feeds the next. Every
+    CTE is MATERIALIZED: each round references its predecessors
+    more than once, and DuckDB's default inlining would expand the
+    chain exponentially (~4^n document scans — observed as an FD
+    exhaustion at n=8)."""
+    parts = [f"""t0 AS MATERIALIZED (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks))) AS u(i)
+)"""]
+    results = []
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM t{r - 1})""")
+        parts.append(f"""b{r} AS MATERIALIZED (
+  SELECT tok AS l, nxt AS r, count(*) AS n
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1)""")
+        parts.append(f"""g{r} AS MATERIALIZED (
+  SELECT p.*, (p.tok = b.l AND p.nxt = b.r) AS mt,
+         sum(CASE WHEN p.tok = b.l AND p.nxt = b.r THEN 1 ELSE 0 END)
+           OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS mc
+  FROM p{r} p, b{r} b)""")
+        parts.append(f"""k{r} AS MATERIALIZED (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id, pos - mc ORDER BY pos) AS rni
+    FROM g{r} WHERE mt) WHERE rni % 2 = 1)""")
+        parts.append(f"""t{r} AS MATERIALIZED (
+  SELECT g.doc_id,
+         row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS pos,
+         CASE WHEN k.pos IS NOT NULL THEN g.tok || ' ' || g.nxt
+              ELSE g.tok END AS tok
+  FROM g{r} g
+  LEFT JOIN k{r} k ON k.doc_id = g.doc_id AND k.pos = g.pos
+  LEFT JOIN k{r} c ON c.doc_id = g.doc_id AND c.pos = g.pos - 1
+  WHERE c.pos IS NULL)""")
+        results.append(
+            f'SELECT {r} AS merge_round, l AS "left", r AS "right",\n'
+            f"       CAST(n AS BIGINT) AS n_pairs FROM b{r}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(results)
+
+
 # ------------------------------------------- source-overlap diagnostic
 
 def source_overlap_matrix(docs: DataFrame) -> DataFrame:

@@ -673,6 +673,29 @@ def test_bpe_merge_pairs_hand_corpus(spark):
         fcur.bpe_merge_pairs(docs, k=0)
 
 
+def test_bpe_train_greedy_merge_rounds(spark):
+    """Iterative BPE (VERDICT r10 item 7): pair counts include
+    overlapping occurrences (Sennrich get_stats), but the merge
+    consumes greedily left-to-right — within a run of k consecutive
+    equal tokens only floor(k/2) pairs merge. Hand-replayed below."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7), (2, "a a b c", "en", "s", 7),
+         (3, "a a a", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["merge_round"]: (r["left"], r["right"], r["n_pairs"])
+           for r in fcur.bpe_train(docs, n_merges=3).collect()}
+    # round 1: (a,a) counted WITH overlaps = 2+1+2 = 5, beats (a,b)=2
+    assert out[1] == ("a", "a", 5)
+    # greedy: [a,a,a,b]->[aa,a,b]; [a,a,b,c]->[aa,b,c]; [a,a,a]->[aa,a]
+    # round 2: (aa,a)=2 beats (aa,b)=1,(a,b)=1,(b,c)=1
+    assert out[2] == ("a a", "a", 2)
+    # round 3: n=1 ties ("a a a",b), ("a a",b), (b,c) -> left-asc wins
+    assert out[3] == ("a a", "b", 1)
+    with pytest.raises(ValueError):
+        fcur.bpe_train(docs, n_merges=0)
+
+
 def test_source_overlap_matrix_counts_shared_shingles(spark):
     from siddhi_execution_unique_spark.functions import curation as fcur
     docs = spark.createDataFrame(
