@@ -56,12 +56,36 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _await_quiet_host() -> float:
+    """Act on the load witness, don't just record it (VERDICT r10
+    item 5): if the 1-min load average exceeds
+    ``SPARK_GRAFT_BENCH_LOAD_MAX`` (default 2.0), wait up to
+    ``SPARK_GRAFT_BENCH_LOAD_WAIT`` seconds (default 600, in 30 s
+    polls) for a co-tenant to drain before measuring — BENCH_r10 was
+    taken at load 11.45 and read +10% across untouched code. Returns
+    the seconds actually waited (stamped in the artifact); never
+    fails the bench, a loaded host just measures annotated."""
+    limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+    waited = 0.0
+    while waited < budget:
+        load = _loadavg()
+        if not load or load[0] <= limit:
+            break
+        print(f"# bench: 1-min load {load[0]} > {limit}, waiting "
+              f"({int(waited)}s/{int(budget)}s)", file=sys.stderr, flush=True)
+        time.sleep(30)
+        waited += 30
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     # timed executions per query after the warm run (min is reported);
     # raise via SPARK_GRAFT_BENCH_RUNS for noise-hardened runs
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    load_waited = _await_quiet_host()
     load_start = _loadavg()
     spark = get_spark(app_name="siddhi-unique-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -115,6 +139,10 @@ def main() -> None:
         # session started and after the sweep (1/5/15-min)
         "load_avg_start": load_start,
         "load_avg_end": _loadavg(),
+        # seconds spent waiting for a quiet host before the session
+        # started (0 = started quiet); a nonzero value with a still-high
+        # load_avg_start means the wait budget expired under load
+        "load_wait_sec": load_waited,
         "timed_runs_per_query": runs,
     }
     # the driver keeps only the LAST 2000 chars of stdout and parses
