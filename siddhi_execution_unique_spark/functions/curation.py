@@ -835,34 +835,78 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     learned merge table, one row per round —
     (merge_round, left, right, n_pairs).
 
-    Scale shape per round: one ``lead()`` window partitioned by doc,
-    ONE map-side-combined pair count, a 1-row TakeOrdered best-pair
-    broadcast back, and the greedy re-segmentation as gaps-and-islands
-    window algebra. Exact-BPE greedy semantics: pair counts include
-    overlapping occurrences (Sennrich ``get_stats``); the merge
-    consumes left-to-right, so within a run of CONSECUTIVE matches
-    (only possible when left == right) the 1st, 3rd, … merge and the
-    even ones are consumed — row-number parity within each island
-    (island = pos − running-match-count, constant exactly over
-    consecutive matches). Inter-round state is ``localCheckpoint()``ed
-    (the connected-components discipline: truncate lineage, never
-    re-run the previous round's chain). Ties break
+    Scale shape per round: token sequences stay as ARRAYS in place —
+    no full-corpus shuffle anywhere. Pair counting is
+    ``explode(sequence) + array indexing`` (codegen, no lambdas) into
+    ONE map-side-combined hash aggregation whose shuffle volume is
+    distinct pairs, and the 1-row TakeOrdered best pair broadcasts
+    back; the greedy re-segmentation is one Arrow-vectorized
+    ``mapInPandas`` pass, partition-local and embarrassingly parallel
+    (the PQ-encode discipline — an earlier row-based window lowering
+    cost 5 doc-partitioned sorts per round, 8 full-corpus shuffles
+    total, and measured 5× slower). Exact-BPE greedy semantics: pair
+    counts include overlapping occurrences (Sennrich ``get_stats``);
+    merges consume left-to-right, so in a run of consecutive matches
+    (only possible when left == right) alternating positions merge —
+    the numpy pass loops only over match positions, never tokens.
+    Inter-round state is ``localCheckpoint()``ed (the
+    connected-components discipline: truncate lineage, never re-run
+    the previous round's chain). Ties break
     (n desc, left asc, right asc) — deterministic, oracle-comparable.
     """
-    from pyspark.sql.window import Window
+    import numpy as np
 
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    w = Window.partitionBy("doc_id").orderBy("pos")
     cur = docs.select(
-        "doc_id", F.posexplode(F.expr(SPARK_TOKS)).alias("pos", "tok")
+        "doc_id", F.expr(SPARK_TOKS).alias("toks")
     ).localCheckpoint()
+    out_schema = cur.schema
+
+    def resegment(frames):
+        for pdf in frames:
+            if pdf.empty:
+                yield pdf[["doc_id", "toks"]]
+                continue
+            bl, br = pdf["_bl"].iloc[0], pdf["_br"].iloc[0]
+            merged_col = []
+            for toks in pdf["toks"]:
+                t = np.asarray(toks, dtype=object)
+                if t.size < 2:
+                    merged_col.append(toks)
+                    continue
+                idx = np.flatnonzero((t[:-1] == bl) & (t[1:] == br))
+                if idx.size == 0:
+                    merged_col.append(toks)
+                    continue
+                take, prev_end = [], -1
+                for i in idx:  # greedy left-to-right, matches only
+                    if i <= prev_end:
+                        continue
+                    take.append(i)
+                    prev_end = i + 1
+                take = np.asarray(take, dtype=np.int64)
+                t[take] = [t[i] + " " + t[i + 1] for i in take]
+                keep = np.ones(t.size, dtype=bool)
+                keep[take + 1] = False
+                merged_col.append(list(t[keep]))
+            res = pdf[["doc_id"]].copy()
+            res["toks"] = merged_col
+            yield res
+
     bests = []
     for rnd in range(1, n_merges + 1):
-        paired = cur.withColumn("nxt", F.lead("tok").over(w))
         best = (
-            paired.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("tok").alias("_bl"), F.col("nxt").alias("_br"))
+            cur.filter(F.expr("size(toks) >= 2"))
+            .select(
+                "toks",
+                F.explode(F.expr("sequence(0, size(toks) - 2)")).alias("i"),
+            )
+            .select(
+                F.expr("toks[i]").alias("_bl"),
+                F.expr("toks[i+1]").alias("_br"),
+            )
+            .groupBy("_bl", "_br")
             .agg(F.count("*").alias("_bn"))
             .orderBy(F.desc("_bn"), F.asc("_bl"), F.asc("_br"))
             .limit(1)
@@ -873,35 +917,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             F.col("_br").alias("right"),
             F.col("_bn").alias("n_pairs"),
         ))
-        g = (
-            paired.crossJoin(F.broadcast(best))
-            .withColumn(
-                "_match",
-                (F.col("tok") == F.col("_bl")) & (F.col("nxt") == F.col("_br")),
-            )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .mapInPandas(resegment, out_schema)
+            .localCheckpoint()
         )
-        g = g.withColumn("_mc", F.sum(F.col("_match").cast("int")).over(w))
-        g = g.withColumn(
-            "_rni",
-            F.row_number().over(
-                Window.partitionBy(
-                    "doc_id",
-                    F.when(F.col("_match"), F.col("pos") - F.col("_mc")),
-                ).orderBy("pos")
-            ),
-        )
-        g = g.withColumn("_keep", F.col("_match") & (F.col("_rni") % 2 == 1))
-        g = g.withColumn("_consumed", F.lag("_keep").over(w))
-        nxt = (
-            g.filter(~F.coalesce(F.col("_consumed"), F.lit(False)))
-            .select(
-                "doc_id", "pos",
-                F.when(F.col("_keep"), F.concat_ws(" ", "tok", "nxt"))
-                .otherwise(F.col("tok")).alias("tok"),
-            )
-            .withColumn("pos", F.row_number().over(w))
-        )
-        cur = nxt.localCheckpoint()
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)
