@@ -310,6 +310,25 @@ def q_siddhiql_join_mixed(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_mixed_external(spark, sf_dir):
+    """MIXED pair with an externalTimeBatch side: its find() probes
+    ``expiredEvents`` — the last FLUSHED batch, i.e. the SECOND-highest
+    present batch end, because the forming batch never flushes without
+    a later arrival (UniqueExternalTimeBatchWindowProcessor.java:
+    283-318,383-393). The ever side probes its retained map (its
+    find() target is the window contents)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:externalTimeBatch(user_id, ts, 2 days) join purchases#window.unique:ever(user_id)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id
+    insert into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2467,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 11: mixed-pair find()-state join + iterative
         #    BPE trainer (never driver-checked => rotation tier 0)
         "siddhiql_join_mixed": q_siddhiql_join_mixed,
+        "siddhiql_join_mixed_external": q_siddhiql_join_mixed_external,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_length_parity": q_streaming_length_parity,
@@ -4003,6 +4023,35 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT cl.user_id AS user_id, pu.event_id AS purchase_event_id,
                    cl.value AS click_value
             FROM cl JOIN pu ON cl.user_id = pu.user_id
+        """,
+        # mixed pair with an externalTimeBatch side: last FLUSHED batch
+        # (second-highest present batch end; first-event-anchored grid)
+        # x the ever side's retained map
+        "siddhiql_join_mixed_external": """
+            WITH cl AS (
+              SELECT e.*, epoch_ms(ts) AS ms FROM events e
+              WHERE event_type = 'click'),
+            a AS (SELECT min(ms) AS anchor FROM cl),
+            cb AS (
+              SELECT * FROM (
+                SELECT cl.*,
+                       anchor + ((ms - anchor) // 172800000 + 1) * 172800000 AS batch_end_ms,
+                       row_number() OVER (PARTITION BY (ms - anchor) // 172800000, user_id
+                                          ORDER BY ms DESC, event_id DESC) AS rn
+                FROM cl, a) t WHERE rn = 1),
+            flushed AS (
+              SELECT * FROM cb
+              WHERE batch_end_ms = (
+                SELECT max(batch_end_ms) FROM cb
+                WHERE batch_end_ms < (SELECT max(batch_end_ms) FROM cb))),
+            pu AS (
+              SELECT * FROM (
+                SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t WHERE rn = 1)
+            SELECT f.user_id AS user_id, f.event_id AS click_event_id,
+                   pu.event_id AS purchase_event_id
+            FROM flushed f JOIN pu ON f.user_id = pu.user_id
         """,
         # mixed pair: clicks lengthBatch(user_id, 50) forming map
         # (events after the LAST fire of the recursive fire chain,
