@@ -2257,10 +2257,23 @@ def _emb(spark, sf_dir):
 # the mandatory never-checked + stale sets, so they only consume
 # window slots the invariant doesn't need).
 _CHANGED_THIS_ROUND: list = [
-    # r11: no existing entry's plan changed (the mixed-pair join
-    # lowering adds new paths only; the two r11 additions are
-    # never-checked => rotation tier 0 handles them). The r11 window
-    # budget belongs to the 47 r07-stale entries + the 2 new ones.
+    # r11: the keyed order-sensitive streaming twins now drain+sort a
+    # group's Arrow chunks ONCE (cross-chunk interleave broke the
+    # order contract at sf1 — caught by the full-registry sweep,
+    # streaming_python_source_partitioned_parity 913,013 vs 915,720).
+    # All twins re-verified at sf1 by the sweep; queue their driver
+    # entries best-effort (the r11 window is already 50 mandatory:
+    # 47 r07-stale + 3 new, so these ride the following rounds).
+    "streaming_python_source_partitioned_parity",
+    "streaming_dedup_parity",
+    "streaming_time_window_parity",
+    "streaming_ever_dual_parity",
+    "streaming_asof_parity",
+    "streaming_range_agg_parity",
+    "streaming_sessionize_parity",
+    "streaming_funnel_parity",
+    "streaming_anomaly_parity",
+    "streaming_python_sink_parity",
 ]
 
 

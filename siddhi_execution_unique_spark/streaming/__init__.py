@@ -108,7 +108,14 @@ def deduplicate_exact_stream(
 
     Events are processed in event-time order within each micro-batch;
     cross-batch disorder beyond that is the stream's own ordering
-    contract (the reference assumes arrival order too)."""
+    contract (the reference assumes arrival order too). The group's
+    Arrow chunks are drained and sorted ONCE: a key whose rows
+    straddle a chunk boundary arrives as multiple frames with
+    interleaved time ranges, and per-chunk sorting silently broke the
+    order contract (caught by the sf1 full-registry sweep — ~2,700 of
+    915,720 chain decisions flipped at 1M rows). Memory is bounded by
+    ONE KEY's rows per micro-batch — the sort needs them all in any
+    case."""
     require_column(df, key, "unique.key")
     require_column(df, ts, "ts")
     interval_ms = parse_time_ms(time_interval, "time.interval")
@@ -121,10 +128,8 @@ def deduplicate_exact_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (last_kept_ms,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(ts, kind="mergesort")
+        pdf = _drain_sorted(pdfs, ts)
+        if pdf is not None:
             ms = _ms_series(pdf, ts, ts_is_timestamp)
             keep = [False] * len(pdf)
             for i, m in enumerate(ms):
@@ -181,6 +186,29 @@ def tumbling_batch_stream(
 
 # ---------------------------------------------------------------------
 # Stateful tier: applyInPandasWithState twins
+
+
+def _drain_sorted(pdfs, *sort_cols) -> pd.DataFrame | None:
+    """Drain a state group's Arrow-chunk iterator and sort ONCE.
+
+    ``applyInPandasWithState`` hands a group's micro-batch rows over
+    as multiple frames whenever they straddle an Arrow batch boundary
+    (default 10k rows per transfer batch), and the chunks' time ranges
+    interleave — rows within a group carry no order after the keyed
+    shuffle. Any ORDER-SENSITIVE walk must therefore sort the whole
+    group, not each chunk: per-chunk sorting passed every small-SF
+    gate and broke only at sf1, where ~2,700 of 915,720 dedup-chain
+    decisions flipped at the straddle points. Only the keyed twins use
+    this (memory = one key's rows per micro-batch); the single-group
+    chain twins (lengthBatch family) keep streaming chunks and instead
+    document their partition-ordered feed contract."""
+    frames = [p for p in pdfs if not p.empty]
+    if not frames:
+        return None
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    if not sort_cols:
+        return pdf  # caller sorts on derived columns
+    return pdf.sort_values(list(sort_cols), kind="mergesort")
 
 
 def _ms_series(pdf: pd.DataFrame, ts: str, is_timestamp: bool):
@@ -262,10 +290,10 @@ def time_window_stream(
         if state.exists:
             ts_ms, payload_json = state.get
             stored = json.loads(payload_json)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(ts, kind="mergesort")
+        # drain + sort ONCE: a key straddling an Arrow chunk boundary
+        # arrives as interleaved frames (see _drain_sorted)
+        pdf = _drain_sorted(pdfs, ts)
+        if pdf is not None:
             ms = _ms_series(pdf, ts, is_timestamp)
             recs = []
             for row in _row_dicts(pdf, columns, ts, ms):
@@ -334,7 +362,19 @@ def length_batch_stream(
     The distinct-key count is global, so this runs as a single state
     group — the reference's own single-JVM semantics. It cannot
     scale out by key; at scale use the per-window ``time_batch``
-    family or the batch-mode replay operator."""
+    family or the batch-mode replay operator.
+
+    FEED-ORDER CONTRACT: the chain walk streams the group's Arrow
+    chunks without materializing the micro-batch (O(chunk) memory —
+    the whole batch funnels into this one group), sorting each chunk
+    only. Chunks of a single-partition input arrive in row order, so
+    a feed that is ts-sorted within each input partition replays the
+    reference's arrival order exactly (the certification entries and
+    the 1M-row soak feed this way); a multi-partition unsorted feed
+    gets arrival-order semantics over an unspecified interleaving —
+    same as the reference consuming an unordered transport. The keyed
+    twins instead drain-and-sort per key (:func:`_drain_sorted`),
+    where memory is bounded by one key's rows."""
     import json
 
     require_column(df, key, "unique.key")
@@ -932,9 +972,8 @@ def asof_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         r_ts, r_id = state.get if state.exists else (None, None)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        pdf = _drain_sorted(pdfs)  # sort below needs derived columns
+        if pdf is not None:
             pdf = pdf.copy()
             ms = _ms_series(pdf, ts, ts_is_timestamp)
             pdf["__ms"] = ms
@@ -1085,9 +1124,8 @@ def range_agg_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         buf = json.loads(state.get[0]) if state.exists else []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        pdf = _drain_sorted(pdfs)  # sort below needs derived columns
+        if pdf is not None:
             pdf = pdf.copy()
             pdf["__ms"] = _ms_series(pdf, ts, ts_is_timestamp)
             # reference rows first at equal ts -> inclusive <=
@@ -1201,10 +1239,8 @@ def sessionize_stream(
             return
 
         closed_rows = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(ts, kind="mergesort")
+        pdf = _drain_sorted(pdfs, ts)
+        if pdf is not None:
             ms = _ms_series(pdf, ts, is_timestamp)
             for t, ev_type in zip(ms, pdf[type_col]):
                 t = int(t)
@@ -1519,10 +1555,8 @@ def funnel_stream(
     ) -> Iterator[pd.DataFrame]:
         t1, t2, t3 = state.get if state.exists else (0, 0, 0)
         advanced = False
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(ts, kind="mergesort")
+        pdf = _drain_sorted(pdfs, ts)
+        if pdf is not None:
             ms = _ms_series(pdf, ts, is_timestamp)
             for t, ev in zip(ms, pdf[type_col]):
                 t = int(t)
@@ -1650,10 +1684,8 @@ def anomaly_stream(
             hbs = (hbs + [open_hb])[-hist:]
             xs = (xs + [open_x])[-hist:]
 
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(ts, kind="mergesort")
+        pdf = _drain_sorted(pdfs, ts)
+        if pdf is not None:
             ms = _ms_series(pdf, ts, is_timestamp)
             for t, v in zip(ms, pdf[value]):
                 hb = int(t) // 3_600_000
