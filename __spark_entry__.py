@@ -411,11 +411,8 @@ def q_streaming_dedup_parity(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sgraft_dedup_stream_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(indir, "events.parquet"),
-    )
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _stage_replay_file(
+        spark, sf_dir, "events", os.path.join(indir, "events.parquet"))
     sdf = stream_table(spark, indir, schema)
     out = stw.deduplicate_exact_stream(sdf, "user_id", HOUR, ts="ts")
     outdir = os.path.join(work, "out")
@@ -460,11 +457,8 @@ def q_streaming_length_parity(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sgraft_length_stream_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(indir, "events.parquet"),
-    )
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _stage_replay_file(
+        spark, sf_dir, "events", os.path.join(indir, "events.parquet"))
     sdf = stream_table(spark, indir, schema)
     out = stw.length_window_stream(sdf, "user_id", 100, ts="ts")
     outdir = os.path.join(work, "out")
@@ -482,6 +476,37 @@ def q_streaming_length_parity(spark, sf_dir):
     return res
 
 
+_REPLAY_SORT = {"events": ("ts", "event_id"), "documents": ("doc_id",),
+                "embeddings": ("vec_id",)}
+
+
+def _stage_replay_file(spark, sf_dir: str, table: str, dest: str):
+    """Stage one table as a SINGLE parquet file for file-stream replay
+    (one file -> one micro-batch). Driver testdata ships single-file
+    tables (copied as-is); rebuilt scale corpora (/tmp/sf1) are
+    Spark-written parquet DIRECTORIES, consolidated here into one
+    single-partition file sorted by the replay convention's arrival
+    order (the same (ts, tiebreak) the oracles replay) so the
+    certification feeds at any scale. Returns the table schema."""
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, table + ".parquet")
+    if not os.path.isdir(src):
+        shutil.copy(src, dest)
+        return spark.read.parquet(src).schema
+    df = spark.read.parquet(src).repartition(1)
+    sort_cols = _REPLAY_SORT.get(table)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    tmp = tempfile.mkdtemp(prefix="sgraft_consol_")
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return df.schema
+
+
 def _stream_events_replay(spark, sf_dir: str, work: str):
     """File-stream replay of the events table for the streaming-twin
     driver certifications: one parquet file -> one micro-batch."""
@@ -491,11 +516,8 @@ def _stream_events_replay(spark, sf_dir: str, work: str):
 
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(indir, "events.parquet"),
-    )
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _stage_replay_file(
+        spark, sf_dir, "events", os.path.join(indir, "events.parquet"))
     return stream_table(spark, indir, schema)
 
 
@@ -1208,11 +1230,9 @@ def q_streaming_sessionize_parity(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sgraft_sess_stream_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(indir, "0_events.parquet"),
-    )
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    _stage_replay_file(
+        spark, sf_dir, "events", os.path.join(indir, "0_events.parquet"))
+    batch = spark.read.parquet(os.path.join(indir, "0_events.parquet"))
     schema = batch.schema
     far = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sentinel = (
@@ -1637,11 +1657,8 @@ def q_streaming_lsh_ingest_parity(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sgraft_lsh_stream_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    shutil.copy(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(indir, "documents.parquet"),
-    )
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    schema = _stage_replay_file(
+        spark, sf_dir, "documents", os.path.join(indir, "documents.parquet"))
     sdf = stream_table(spark, indir, schema, ts=None)
     out = stw.lsh_ingest_stream(sdf)
     outdir = os.path.join(work, "out")
@@ -1673,11 +1690,8 @@ def q_streaming_index_ingest_parity(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sgraft_index_stream_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    shutil.copy(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(indir, "documents.parquet"),
-    )
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    schema = _stage_replay_file(
+        spark, sf_dir, "documents", os.path.join(indir, "documents.parquet"))
     sdf = stream_table(spark, indir, schema, ts=None)
     out = stw.index_ingest_stream(sdf)
     outdir = os.path.join(work, "out")
@@ -1709,11 +1723,8 @@ def q_streaming_pq_encode_parity(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sgraft_pq_stream_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    shutil.copy(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        os.path.join(indir, "embeddings.parquet"),
-    )
-    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    schema = _stage_replay_file(
+        spark, sf_dir, "embeddings", os.path.join(indir, "embeddings.parquet"))
     sdf = stream_table(spark, indir, schema, ts=None)
     corpus = load_table(spark, sf_dir, "embeddings")
     out = stw.pq_encode_stream(sdf, corpus)
