@@ -21,6 +21,13 @@ Deterministic — no randomness, no timestamps-of-now. Output layout is
 one single-file ``<table>.parquet`` per table, same as the driver's
 testdata, so both Spark and the DuckDB oracle read it unchanged.
 
+Row groups are sized to ~1/32 of each table (min 1,024 rows) rather
+than pyarrow's 1M-row default: parquet scan parallelism — in Spark
+tasks AND DuckDB oracle threads — is row-group granular, and a 50k-doc
+table in ONE row group serializes every scan (measured: the char-ngram
+oracle's 11.7M-pair probe ran single-threaded for 25+ min against a
+one-row-group file).
+
 Usage: python tools/build_sf1.py [SRC_DIR] [DST_DIR]
 """
 
@@ -95,7 +102,8 @@ def main() -> None:
     spans = _id_spans(tables)
     for name, tab in tables.items():
         out = _replicate(name, tab, spans)
-        pq.write_table(out, f"{dst}/{name}.parquet")
+        pq.write_table(out, f"{dst}/{name}.parquet",
+                       row_group_size=max(out.num_rows // 32, 1024))
         print(f"{name}: {tab.num_rows} -> {out.num_rows}", flush=True)
     for name in COPY_TABLES:
         tab = pq.read_table(f"{src}/{name}.parquet")
