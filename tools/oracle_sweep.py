@@ -162,12 +162,25 @@ def main() -> None:
     if only:
         todo = [n for n in todo if n in set(only.split(","))]
     print(f"sweep {sf_dir}: {len(todo)}/{len(queries)} to run", flush=True)
+    # chain oracles whose WITH RECURSIVE rescans events per step are
+    # super-linear at sf1; use the selfchecked linear rewrites there
+    # (tools/scale_oracles.py — chain walked in Python, certified tail
+    # SQL verbatim; proven equal to the certified SQL at sf0.01/0.001)
+    from scale_oracles import SCALE_ORACLES
+
     for i, name in enumerate(todo):
         t0 = time.perf_counter()
         try:
             spark_df = queries[name](spark, sf_dir).toPandas()
             t_spark = round(time.perf_counter() - t0, 2)
-            if name in oracles:
+            if name in SCALE_ORACLES:
+                t1 = time.perf_counter()
+                duck_df = SCALE_ORACLES[name](con)
+                t_duck = round(time.perf_counter() - t1, 2)
+                rec = _compare(name, spark_df, duck_df, con)
+                rec["duck_sec"] = t_duck
+                rec["oracle"] = "linear-rewrite(selfchecked sf0.01+sf0.001)"
+            elif name in oracles:
                 t1 = time.perf_counter()
                 duck_df = con.sql(oracles[name]).df()
                 t_duck = round(time.perf_counter() - t1, 2)

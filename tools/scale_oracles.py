@@ -1,0 +1,302 @@
+"""Linear-time evaluators for the recursive chain oracles at scale.
+
+The certified DuckDB oracles for the lengthBatch-fires and
+deduplicate-kept chains are WITH RECURSIVE statements whose each
+recursion step rescans the event table (`min(pos) ... GROUP BY user
+... OFFSET 49`). That is exact and fine at the driver's sf0.01 gate
+(~100 steps) but super-linear at sf1: 1M events / ~52-event batches
+= ~19k steps x a 1M-row scan per step — the partitioned entry alone
+ran 35+ min of 22-core DuckDB without finishing.
+
+These evaluators compute ONLY the recursive CTE (the sequential chain
+— a single O(N) walk by definition of the operator) in Python, register
+the result as a DuckDB temp table, and run the certified oracle's
+non-recursive tail verbatim against it. They are still independent of
+the Spark implementation: the walk is a direct transliteration of the
+reference's event-at-a-time semantics
+(UniqueLengthBatchWindowProcessor.java:117-160 — put into the forming
+map, fire when it holds `length` keys; DeduplicateStreamProcessor —
+keep an arrival iff no kept arrival for its key within `time` before
+it).
+
+`selfcheck(sf_dir)` proves each rewrite equal to the certified
+recursive SQL on the same corpus; the sweep runs it at sf0.01/sf0.001
+(where the recursion is cheap) before trusting the rewrite at sf1.
+
+Usage as a script:  python tools/scale_oracles.py SF_DIR   # selfcheck
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+LENGTH_N = 50
+DEDUP_MS = 3_600_000
+
+
+# ---------------------------------------------------------------- walks
+
+def _fires_walk(ev: pd.DataFrame, n: int = LENGTH_N) -> pd.DataFrame:
+    """One lengthBatch chain: ev sorted by pos (1-based, consecutive).
+
+    Fire when the n-th DISTINCT key since the last fire arrives; the
+    batch is positions (start_pos, fire_pos]. Returns ev plus
+    batch_seq / start_pos / fire_pos / fired_at_ms for events inside a
+    FIRED batch (forming-tail events get batch_seq = -1: the certified
+    oracles exclude them via `seq >= 0`, siddhiql_join_mixed's
+    `forming` CTE selects exactly them)."""
+    users = ev["user_id"].to_numpy()
+    ms = ev["ms"].to_numpy()
+    batch_seq = [-1] * len(ev)
+    meta = []  # (seq, start_pos, fire_pos, fired_at_ms)
+    seen: set = set()
+    seq = 0
+    start = 0  # previous fire_pos, 0-seeded like the SQL
+    for i in range(len(ev)):
+        seen.add(users[i])
+        if len(seen) == n:
+            for j in range(start, i + 1):
+                batch_seq[j] = seq
+            meta.append((seq, start, i + 1, int(ms[i])))
+            seen.clear()
+            start = i + 1
+            seq += 1
+    out = ev.copy()
+    out["batch_seq"] = batch_seq
+    fm = pd.DataFrame(meta, columns=["batch_seq", "start_pos", "fire_pos",
+                                     "fired_at_ms"])
+    return out.merge(fm, on="batch_seq", how="left")
+
+
+def _ev_batched(con, *, part_col: str | None = None,
+                where: str = "") -> pd.DataFrame:
+    """events -> per-event batch assignment via the linear fires walk,
+    partitioned by `part_col` when given (independent chain each)."""
+    part_sel = f"{part_col}," if part_col else ""
+    ev = con.sql(f"""
+        SELECT {part_sel} event_id, user_id, epoch_ms(ts) AS ms
+        FROM events {where}
+        ORDER BY {part_sel} ts, event_id
+    """).df()
+    if part_col is None:
+        out = _fires_walk(ev.reset_index(drop=True))
+        out["pos"] = range(1, len(out) + 1)
+        return out
+    parts = []
+    for _, grp in ev.groupby(part_col, sort=False):
+        g = _fires_walk(grp.reset_index(drop=True))
+        g["pos"] = range(1, len(g) + 1)
+        parts.append(g)
+    return pd.concat(parts, ignore_index=True)
+
+
+def _kept_walk(con) -> pd.DataFrame:
+    """deduplicate chain: per user, keep the first arrival ts, then
+    repeatedly the first ts strictly more than DEDUP_MS after the last
+    kept one. Matches the certified recursive `kept` CTE row-for-row
+    (it seeds min(ts) per user and steps to min(ts) > kept + 1h)."""
+    df = con.sql("""
+        SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events
+        ORDER BY user_id, ts_ms
+    """).df()
+    users = df["user_id"].to_numpy()
+    ts = df["ts_ms"].to_numpy()
+    keep = []
+    cur_user = None
+    last = 0
+    for i in range(len(df)):
+        if users[i] != cur_user:
+            cur_user = users[i]
+            last = ts[i]
+            keep.append(i)
+        elif ts[i] > last + DEDUP_MS:
+            last = ts[i]
+            keep.append(i)
+    return df.iloc[keep].reset_index(drop=True)
+
+
+# ------------------------------------------------------- certified tails
+
+_DEDUP_TAIL = """
+    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+    FROM (SELECT e.*, row_number() OVER (PARTITION BY e.user_id, epoch_ms(e.ts)
+                                         ORDER BY e.event_id) AS rn
+          FROM events e
+          JOIN kept k ON e.user_id = k.user_id AND epoch_ms(e.ts) = k.ts_ms) t
+    WHERE rn = 1
+"""
+
+# last (or first) event per user inside each fired batch — the window
+# form of the certified `e.pos = (SELECT max(pos) ... )` join
+_LB_BASE = """
+    SELECT event_id, user_id, batch_seq,
+           CAST(fired_at_ms AS BIGINT) AS fired_at_ms
+    FROM (SELECT eb.*, row_number() OVER (PARTITION BY batch_seq, user_id
+                                          ORDER BY pos {order}) AS rn
+          FROM ev_batched eb WHERE batch_seq >= 0) t
+    WHERE rn = 1
+"""
+
+
+def _run(con, helper_tables: dict[str, pd.DataFrame], sql: str):
+    for tname, frame in helper_tables.items():
+        con.register(tname, frame)
+    try:
+        return con.sql(sql).df()
+    finally:
+        for tname in helper_tables:
+            con.unregister(tname)
+
+
+def _dedup_family(con):
+    return _run(con, {"kept": _kept_walk(con)}, _DEDUP_TAIL)
+
+
+def _unique_length_batch(con):
+    return _run(con, {"ev_batched": _ev_batched(con)},
+                _LB_BASE.format(order="DESC"))
+
+
+def _unique_first_length_batch(con):
+    return _run(con, {"ev_batched": _ev_batched(con)},
+                _LB_BASE.format(order="ASC"))
+
+
+def _unique_length_batch_expired(con):
+    base = _LB_BASE.format(order="DESC")
+    return _run(con, {"ev_batched": _ev_batched(con)}, f"""
+        WITH base AS ({base}),
+        nxt AS (
+          SELECT batch_seq - 1 AS batch_seq, fired_at_ms AS expired_at_ms
+          FROM (SELECT DISTINCT batch_seq, fired_at_ms FROM base)
+        )
+        SELECT base.event_id, base.user_id, base.batch_seq,
+               base.fired_at_ms, nxt.expired_at_ms
+        FROM base JOIN nxt USING (batch_seq)
+    """)
+
+
+def _streaming_length_batch_parity(con):
+    base = _LB_BASE.format(order="DESC")
+    return _run(con, {"ev_batched": _ev_batched(con)}, f"""
+        WITH base AS ({base}),
+        last AS (SELECT max(batch_seq) AS mx FROM base)
+        SELECT event_id, user_id, batch_seq, 'current' AS channel FROM base
+        UNION ALL
+        SELECT event_id, user_id, batch_seq, 'expired' AS channel
+        FROM base, last WHERE batch_seq < mx
+    """)
+
+
+def _partitioned_base(order: str) -> str:
+    return f"""
+    SELECT event_type, user_id, event_id, batch_seq,
+           CAST(fired_at_ms AS BIGINT) AS fired_at_ms
+    FROM (SELECT eb.*, row_number() OVER (PARTITION BY event_type, batch_seq,
+                                                       user_id
+                                          ORDER BY pos {order}) AS rn
+          FROM ev_batched eb WHERE batch_seq >= 0) t
+    WHERE rn = 1
+    """
+
+
+def _siddhiql_partitioned_length_batch(con):
+    return _run(con, {"ev_batched": _ev_batched(con, part_col="event_type")},
+                "SELECT event_type, user_id, event_id, batch_seq, fired_at_ms"
+                " FROM (" + _partitioned_base("DESC") + ") t")
+
+
+def _streaming_partitioned_length_batch_parity(con):
+    return _run(con, {"ev_batched": _ev_batched(con, part_col="event_type")},
+                "SELECT event_type, user_id, event_id, batch_seq"
+                " FROM (" + _partitioned_base("DESC") + ") t")
+
+
+def _siddhiql_join_mixed(con):
+    eb = _ev_batched(con, where="WHERE event_type = 'click'")
+    return _run(con, {"ev_batched": eb}, """
+        WITH forming AS (
+          SELECT event_id, user_id
+          FROM (SELECT eb.*, row_number() OVER (PARTITION BY user_id
+                                                ORDER BY pos DESC) AS rn
+                FROM ev_batched eb WHERE batch_seq < 0) t
+          WHERE rn = 1
+        ),
+        pb AS (
+          SELECT * FROM (
+            SELECT e.*, (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS batch_end_ms,
+                   row_number() OVER (PARTITION BY epoch_ms(ts) // 3600000, user_id
+                                      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM events e WHERE event_type = 'purchase') t WHERE rn = 1),
+        lastb AS (
+          SELECT * FROM pb
+          WHERE batch_end_ms = (SELECT max(batch_end_ms) FROM pb))
+        SELECT f.user_id AS user_id, f.event_id AS click_event_id,
+               lb.event_id AS purchase_event_id
+        FROM forming f JOIN lastb lb ON f.user_id = lb.user_id
+    """)
+
+
+SCALE_ORACLES = {
+    "unique_deduplicate": _dedup_family,
+    "streaming_dedup_parity": _dedup_family,
+    "streaming_python_sink_parity": _dedup_family,
+    "streaming_python_source_partitioned_parity": _dedup_family,
+    "unique_length_batch": _unique_length_batch,
+    "unique_first_length_batch": _unique_first_length_batch,
+    "unique_length_batch_expired": _unique_length_batch_expired,
+    "streaming_length_batch_parity": _streaming_length_batch_parity,
+    "siddhiql_partitioned_length_batch": _siddhiql_partitioned_length_batch,
+    "streaming_partitioned_length_batch_parity":
+        _streaming_partitioned_length_batch_parity,
+    "siddhiql_join_mixed": _siddhiql_join_mixed,
+}
+
+
+# ------------------------------------------------------------ selfcheck
+
+def selfcheck(sf_dir: str) -> bool:
+    """Every rewrite must equal the certified recursive SQL, value for
+    value, on the given (small) corpus."""
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry_mod
+
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    ok = True
+    for name, fn in sorted(SCALE_ORACLES.items()):
+        certified = con.sql(oracles[name]).df()
+        rewritten = fn(con)
+        cols = sorted(certified.columns)
+        if sorted(rewritten.columns) != cols:
+            print(f"{name}: SCHEMA MISMATCH {sorted(rewritten.columns)} "
+                  f"vs {cols}")
+            ok = False
+            continue
+        a = certified[cols].sort_values(cols).reset_index(drop=True)
+        b = rewritten[cols].sort_values(cols).reset_index(drop=True)
+        if len(a) != len(b) or not a.equals(b.astype(a.dtypes.to_dict())):
+            print(f"{name}: MISMATCH rows {len(a)} vs {len(b)}")
+            ok = False
+        else:
+            print(f"{name}: equal ({len(a)} rows)")
+    return ok
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(0 if selfcheck(sf) else 1)
