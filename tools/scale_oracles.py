@@ -121,6 +121,86 @@ def _kept_walk(con) -> pd.DataFrame:
     return df.iloc[keep].reset_index(drop=True)
 
 
+class _Fenwick:
+    """k-th smallest active position in O(log N)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.tree = [0] * (n + 1)
+        self.total = 0
+
+    def add(self, i: int, v: int) -> None:
+        self.total += v
+        while i <= self.n:
+            self.tree[i] += v
+            i += i & -i
+
+    def kth(self, k: int):
+        if self.total < k:
+            return None
+        pos, rem = 0, k
+        pw = 1 << self.n.bit_length()
+        while pw:
+            npos = pos + pw
+            if npos <= self.n and self.tree[npos] < rem:
+                pos = npos
+                rem -= self.tree[npos]
+            pw >>= 1
+        return pos + 1
+
+
+def _evict_walk(users, k: int):
+    """For each 1-based position p, the certified `qn` value: the
+    position of the k-th smallest q > p whose user's previous
+    occurrence is <= p (i.e. the k-th distinct OTHER user's first
+    occurrence after p) — the unique:length eviction point. The SQL
+    computes it as a range join + row_number()=k, O(N x window) and an
+    80GB DuckDB spill at sf1; here the \"first occurrence after p\" set
+    (at most one position per user, each position enters exactly when
+    its predecessor is crossed and leaves when p passes it) is a
+    Fenwick tree, O(N log N)."""
+    n = len(users)
+    next_pos = [0] * (n + 1)
+    last: dict = {}
+    for i in range(n, 0, -1):
+        u = users[i - 1]
+        next_pos[i] = last.get(u, 0)
+        last[u] = i
+    bit = _Fenwick(n)
+    for first in last.values():  # first occurrence of every user
+        bit.add(first, 1)
+    out = []
+    for p in range(1, n + 1):
+        bit.add(p, -1)
+        np_ = next_pos[p]
+        if np_:
+            bit.add(np_, 1)
+        kth = bit.kth(k)
+        if kth is not None and np_ and np_ <= kth:
+            kth = bit.kth(k + 1)
+        if kth is not None:
+            out.append((p, kth))
+    return out
+
+
+def _emissions_qn(con, k: int, part_col: str | None = None) -> pd.DataFrame:
+    part_sel = f"{part_col}," if part_col else ""
+    ev = con.sql(f"""
+        SELECT {part_sel} user_id FROM events
+        ORDER BY {part_sel} ts, event_id
+    """).df()
+    if part_col is None:
+        rows = _evict_walk(ev["user_id"].to_numpy(), k)
+        return pd.DataFrame(rows, columns=["p_pos", "evict_pos"])
+    frames = []
+    for val, grp in ev.groupby(part_col, sort=False):
+        rows = _evict_walk(grp["user_id"].to_numpy(), k)
+        f = pd.DataFrame(rows, columns=["p_pos", "evict_pos"])
+        f.insert(0, "et", val)
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
+
+
 # ------------------------------------------------------- certified tails
 
 _DEDUP_TAIL = """
@@ -243,7 +323,92 @@ def _siddhiql_join_mixed(con):
     """)
 
 
+def _unique_length_emissions_ordered(con):
+    return _run(con, {"qn": _emissions_qn(con, 100)}, """
+        WITH ev AS (
+          SELECT event_id, user_id, row_number() OVER (ORDER BY ts, event_id) AS pos FROM events
+        ),
+        linked AS (
+          SELECT *,
+                 lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS next_pos
+          FROM ev
+        ),
+        expiry AS (
+          SELECT l.pos, l.event_id,
+                 least(coalesce(l.next_pos, 9223372036854775807),
+                       coalesce(q.evict_pos, 9223372036854775807)) AS exp_pos
+          FROM linked l LEFT JOIN qn q ON q.p_pos = l.pos
+        ),
+        arr AS (
+          SELECT e.pos, e.event_id, x.event_id AS expired_eid
+          FROM ev e LEFT JOIN expiry x ON x.exp_pos = e.pos
+        ),
+        flagged AS (
+          SELECT pos, event_id, expired_eid,
+                 CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END AS has_exp,
+                 (pos - 1) + coalesce(sum(CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+          FROM arr
+        ),
+        outp AS (
+          SELECT expired_eid AS event_id, CAST(base AS BIGINT) AS emission_idx,
+                 'expired' AS channel
+          FROM flagged WHERE expired_eid IS NOT NULL
+          UNION ALL
+          SELECT event_id, CAST(base + has_exp AS BIGINT), 'current' AS channel FROM flagged
+        )
+        SELECT o.event_id, e.user_id, o.channel, o.emission_idx
+        FROM outp o JOIN ev e ON e.event_id = o.event_id
+    """)
+
+
+def _unique_length_emissions_partitioned(con):
+    return _run(con, {"qn": _emissions_qn(con, 20, part_col="event_type")}, """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+          FROM events
+        ),
+        linked AS (
+          SELECT *,
+                 lead(pos) OVER (PARTITION BY event_type, user_id ORDER BY pos) AS next_pos
+          FROM ev
+        ),
+        expiry AS (
+          SELECT l.event_type, l.pos, l.event_id,
+                 least(coalesce(l.next_pos, 9223372036854775807),
+                       coalesce(q.evict_pos, 9223372036854775807)) AS exp_pos
+          FROM linked l LEFT JOIN qn q ON q.et = l.event_type AND q.p_pos = l.pos
+        ),
+        arr AS (
+          SELECT e.event_type, e.pos, e.event_id, x.event_id AS expired_eid
+          FROM ev e LEFT JOIN expiry x
+            ON x.event_type = e.event_type AND x.exp_pos = e.pos
+        ),
+        flagged AS (
+          SELECT event_type, pos, event_id, expired_eid,
+                 CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END AS has_exp,
+                 (pos - 1) + coalesce(sum(CASE WHEN expired_eid IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_type ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+          FROM arr
+        ),
+        outp AS (
+          SELECT event_type, expired_eid AS event_id, CAST(base AS BIGINT) AS emission_idx,
+                 'expired' AS channel
+          FROM flagged WHERE expired_eid IS NOT NULL
+          UNION ALL
+          SELECT event_type, event_id, CAST(base + has_exp AS BIGINT), 'current' AS channel
+          FROM flagged
+        )
+        SELECT o.event_type, o.event_id, e.user_id, o.channel, o.emission_idx
+        FROM outp o JOIN ev e ON e.event_id = o.event_id
+    """)
+
+
 SCALE_ORACLES = {
+    "unique_length_emissions_ordered": _unique_length_emissions_ordered,
+    "unique_length_emissions_partitioned": _unique_length_emissions_partitioned,
     "unique_deduplicate": _dedup_family,
     "streaming_dedup_parity": _dedup_family,
     "streaming_python_sink_parity": _dedup_family,
