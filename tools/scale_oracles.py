@@ -51,6 +51,11 @@ def _fires_walk(ev: pd.DataFrame, n: int = LENGTH_N) -> pd.DataFrame:
     FIRED batch (forming-tail events get batch_seq = -1: the certified
     oracles exclude them via `seq >= 0`, siddhiql_join_mixed's
     `forming` CTE selects exactly them)."""
+    if not len(ev):
+        out = ev.copy()
+        for col in ("batch_seq", "start_pos", "fire_pos", "fired_at_ms"):
+            out[col] = pd.Series([], dtype="int64")
+        return out
     users = ev["user_id"].to_numpy()
     ms = ev["ms"].to_numpy()
     batch_seq = [-1] * len(ev)
