@@ -1639,10 +1639,14 @@ def test_streaming_soak_one_million_rows(spark, tmp_path):
         states = [so for p in (q.recentProgress or []) if p
                   for so in (p.get("stateOperators") or [])]
         res = spark.read.parquet(sink)
+        has_channel = "channel" in res.columns
         return {
             "wall_s": _time.perf_counter() - t0,
-            "current": res.filter("channel='current'").count(),
-            "expired": res.filter("channel='expired'").count(),
+            "total": res.count(),
+            "current": (res.filter("channel='current'").count()
+                        if has_channel else None),
+            "expired": (res.filter("channel='expired'").count()
+                        if has_channel else None),
             "max_seq": (res.agg(F.max("batch_seq")).collect()[0][0]
                         if "batch_seq" in res.columns else None),
             "peak_state_rows": max(
@@ -1669,3 +1673,15 @@ def test_streaming_soak_one_million_rows(spark, tmp_path):
     assert tw["expired"] == n_rows - n_keys
     assert tw["peak_state_rows"] == n_keys  # one state row per live key
     assert tw["wall_s"] < 300
+
+    # deduplicate(60s), the keyed _drain_sorted twin at volume: each
+    # key re-arrives every 1,000 ms, and the anchored chain keeps
+    # arrival m iff 1000*m jumps the last KEPT anchor by >60,000 ms
+    # -> m = 0, 61, 122, ..., 976: exactly 17 kept per key. Any
+    # chunk-straddle order break flips chain decisions and changes
+    # the count (the bug class the sf1 sweep caught at 915,720 rows).
+    dd = run("dd", lambda s: stw.deduplicate_exact_stream(
+        s, "k", 60_000, ts="ts"))
+    assert dd["total"] == 17 * n_keys
+    assert dd["peak_state_rows"] == n_keys  # one 8-byte anchor per key
+    assert dd["wall_s"] < 300
