@@ -507,6 +507,19 @@ def _stage_replay_file(spark, sf_dir: str, table: str, dest: str):
     return df.schema
 
 
+def _stamp_arrival_order(indir: str, names: list) -> None:
+    """Pin a multi-file stream feed's ARRIVAL ORDER: FileStreamSource
+    sorts new files by Hadoop mtime, which is millisecond-granular,
+    so two files landing in the same ms tie and fall back to listing
+    order (inode order on a local fs) — a real full-suite flake in
+    the two-file sink test. Stamp strictly increasing mtimes in the
+    intended order."""
+    base = 1_000_000_000.0
+    for i, name in enumerate(names):
+        t = base + i
+        os.utime(os.path.join(indir, name), (t, t))
+
+
 def _stream_events_replay(spark, sf_dir: str, work: str):
     """File-stream replay of the events table for the streaming-twin
     driver certifications: one parquet file -> one micro-batch."""
@@ -1249,6 +1262,7 @@ def q_streaming_sessionize_parity(spark, sf_dir):
     sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
     part = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
     shutil.copy(os.path.join(sent_dir, part), os.path.join(indir, "1_sentinel.parquet"))
+    _stamp_arrival_order(indir, ["0_events.parquet", "1_sentinel.parquet"])
     sdf = stream_table(spark, indir, schema)
     out = stw.sessionize_stream(sdf, 2 * HOUR, ts="ts")
     outdir = os.path.join(work, "out")

@@ -28,6 +28,24 @@ SCHEMA = StructType([
 ])
 
 
+def stamp_arrival(dirname, filename):
+    """Make the intended arrival order the PROCESSED order:
+    FileStreamSource sorts new files by Hadoop mtime, which is
+    MILLISECOND-granular, so two files written back-to-back tie and
+    fall back to listing order (inode order on local fs) — observed
+    as a full-suite-only flake where batch 1's input processed before
+    batch 0's. Stamp each written file one second after every file
+    already in the directory."""
+    path = os.path.join(dirname, filename)
+    others = [
+        os.path.getmtime(os.path.join(dirname, f))
+        for f in os.listdir(dirname)
+        if f != filename and not f.startswith(("_", "."))
+    ]
+    t = max([1_000_000_000.0] + [m + 1.0 for m in others])
+    os.utime(path, (t, t))
+
+
 def write_batch(dirname, filename, rows):
     """rows: list of (ts_ms, event_id, k, v)"""
     table = pa.table({
@@ -37,6 +55,7 @@ def write_batch(dirname, filename, rows):
         "v": pa.array([r[3] for r in rows], pa.float64()),
     })
     pq.write_table(table, os.path.join(dirname, filename))
+    stamp_arrival(dirname, filename)
 
 
 @pytest.fixture()
@@ -550,6 +569,7 @@ def test_lsh_ingest_stream_first_wins_across_batches(spark, workdir):
             "text": pa.array([r[1] for r in rows], pa.string()),
         })
         pq_.write_table(table, str(workdir / "in" / name))
+        stamp_arrival(str(workdir / "in"), name)
 
     same = "alpha beta gamma delta"       # 2 shingles, 4 shared buckets
     write_docs("001.parquet", [(4, same), (9, same), (7, "one two three four")])
@@ -915,6 +935,7 @@ def write_funnel_batch(dirname, filename, rows):
         "event_type": pa.array([r[3] for r in rows], pa.string()),
     })
     pq.write_table(table, os.path.join(dirname, filename))
+    stamp_arrival(dirname, filename)
 
 
 def test_funnel_stream_matches_batch(spark, workdir):
@@ -1459,6 +1480,7 @@ def test_python_stream_sink_publishes_per_batch(spark, workdir):
             "value": pa.array([r[4] for r in rows], pa.float64()),
             "props": pa.array([r[5] for r in rows], pa.string()),
         }), os.path.join(indir, name))
+        stamp_arrival(indir, name)
 
     # interval=100ms chain: user 7 keeps 0 and 120 (50 dropped, anchor
     # stays at the KEPT event); user 8 keeps 200 and 350
@@ -1625,6 +1647,7 @@ def test_streaming_soak_one_million_rows(spark, tmp_path):
             "v": pa.array((ids % 7).astype(float), pa.float64()),
         })
         pq.write_table(t, str(indir / f"{f:03d}.parquet"))
+        stamp_arrival(str(indir), f"{f:03d}.parquet")
     schema = spark.read.parquet(str(indir)).schema
 
     def run(name, build):
