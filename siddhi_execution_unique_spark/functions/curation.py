@@ -854,6 +854,17 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     the previous round's chain). Ties break
     (n desc, left asc, right asc) — deterministic, oracle-comparable.
     """
+    _, bests = _bpe_fit(docs, n_merges)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def _bpe_fit(docs: DataFrame, n_merges: int):
+    """Shared BPE iteration: returns (final token state, per-round
+    best-merge DataFrames). :func:`bpe_train` reports the merge
+    table; :func:`bpe_encode` aggregates the final segmentation."""
     import numpy as np
 
     if n_merges < 1:
@@ -922,10 +933,40 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             .mapInPandas(resegment, out_schema)
             .localCheckpoint()
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out
+    return cur, bests
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — the other
+    half of the tokenizer-training story (:func:`bpe_train` learns the
+    merge table; this re-tokenizes with it). Output per document with
+    at least one token: (doc_id, n_tokens, n_distinct_tokens,
+    compression) where compression = merged-token count / raw-token
+    count as an IEEE double (exact division of exact ints —
+    engine-identical, no transcendentals).
+
+    Scale shape is :func:`bpe_train`'s: the per-round pair count is
+    one map-side-combined hash agg (shuffle volume = distinct pairs),
+    re-segmentation is a partition-local Arrow pass, and the final
+    per-doc aggregation is array algebra in place (`size`,
+    `array_distinct`) — tokens never leave their partition.
+
+    NOT yet registered as a driver entry: the r11 window is exactly
+    50 mandatory entries (SURVEY §2l) — queued for r12, where the
+    ledger-derived rotation fronts it automatically."""
+    cur, _ = _bpe_fit(docs, n_merges)
+    raw = docs.select(
+        "doc_id", F.expr(f"size({SPARK_TOKS})").alias("n_raw")
+    ).filter("n_raw >= 1")
+    return (
+        cur.join(raw, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_tokens"),
+            F.expr("size(array_distinct(toks))").alias("n_distinct_tokens"),
+            F.expr("size(toks) / cast(n_raw as double)").alias("compression"),
+        )
+    )
 
 
 def bpe_train_oracle(n_merges: int = 8) -> str:
@@ -937,6 +978,29 @@ def bpe_train_oracle(n_merges: int = 8) -> str:
     more than once, and DuckDB's default inlining would expand the
     chain exponentially (~4^n document scans — observed as an FD
     exhaustion at n=8)."""
+    parts, results = _bpe_oracle_parts(n_merges)
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(results)
+
+
+def bpe_encode_oracle(n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_encode`: the same unrolled CTE chain
+    as :func:`bpe_train_oracle`, with the final round's segmentation
+    t{n} aggregated per document instead of the merge table."""
+    parts, _ = _bpe_oracle_parts(n_merges)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+raw AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_raw FROM t0 GROUP BY doc_id)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       count(DISTINCT t.tok) AS n_distinct_tokens,
+       count(*) / CAST(any_value(raw.n_raw) AS DOUBLE) AS compression
+FROM t{n_merges} t JOIN raw USING (doc_id)
+GROUP BY t.doc_id"""
+    )
+
+
+def _bpe_oracle_parts(n_merges: int):
     parts = [f"""t0 AS MATERIALIZED (
   SELECT doc_id, i AS pos, toks[i] AS tok
   FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents) d,
@@ -975,7 +1039,7 @@ def bpe_train_oracle(n_merges: int = 8) -> str:
             f'SELECT {r} AS merge_round, l AS "left", r AS "right",\n'
             f"       CAST(n AS BIGINT) AS n_pairs FROM b{r}"
         )
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(results)
+    return parts, results
 
 
 # ------------------------------------------- source-overlap diagnostic

@@ -1754,3 +1754,27 @@ def test_python_datasource_eventlog_round_trip(spark, tmp_path):
     with pytest.raises(Exception):
         bad.write.format("evtlog").mode("overwrite").option("path", path).save()
     assert spark.read.format("evtlog").option("path", path).load().count() == 14
+
+
+def test_bpe_encode_matches_unrolled_oracle(spark, sf_dir):
+    """bpe_encode (apply the learned merges; queued for r12
+    registration — SURVEY §2l) vs the unrolled DuckDB CTE chain, at a
+    reduced n_merges to keep the oracle chain cheap. Shares _bpe_fit
+    with the certified vocab_bpe_train entry, so this also pins the
+    r11 refactor as behavior-preserving."""
+    from siddhi_execution_unique_spark.functions import curation as fcur
+
+    from tests.test_oracle_parity import _duck, _normalize
+
+    got = fcur.bpe_encode(
+        load_table(spark, sf_dir, "documents"), n_merges=4
+    ).toPandas()
+    con = _duck(sf_dir)
+    exp = con.sql(fcur.bpe_encode_oracle(4)).df()
+    assert len(got) == len(exp)
+    assert sorted(got.columns) == sorted(exp.columns)
+    for col in got.columns:
+        sk, dk = got[col].dtype.kind, exp[col].dtype.kind
+        if {sk, dk} <= {"i", "u", "f"}:
+            assert (sk in "iu") == (dk in "iu"), col
+    assert _normalize(got) == _normalize(exp)
