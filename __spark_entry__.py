@@ -2282,23 +2282,12 @@ def _emb(spark, sf_dir):
 # the mandatory never-checked + stale sets, so they only consume
 # window slots the invariant doesn't need).
 _CHANGED_THIS_ROUND: list = [
-    # r11: the keyed order-sensitive streaming twins now drain+sort a
-    # group's Arrow chunks ONCE (cross-chunk interleave broke the
-    # order contract at sf1 — caught by the full-registry sweep,
-    # streaming_python_source_partitioned_parity 913,013 vs 915,720).
-    # All twins re-verified at sf1 by the sweep; queue their driver
-    # entries best-effort (the r11 window is already 50 mandatory:
-    # 47 r07-stale + 3 new, so these ride the following rounds).
-    "streaming_python_source_partitioned_parity",
-    "streaming_dedup_parity",
-    "streaming_time_window_parity",
-    "streaming_ever_dual_parity",
-    "streaming_asof_parity",
-    "streaming_range_agg_parity",
-    "streaming_sessionize_parity",
-    "streaming_funnel_parity",
-    "streaming_anomaly_parity",
-    "streaming_python_sink_parity",
+    # r12: nothing queued yet — the r11 streaming-twin re-sorts all
+    # earned driver rows in r11 (ledger confirms), and the r12 window
+    # is already over-full: 1 never-checked (vocab_bpe_encode) + 50
+    # r08-stale = 51 mandatory vs 50 slots, so the lowest-priority
+    # stale entry waits exactly one round (capacity-overflow shape
+    # pinned in test_driver_window_covers_stale_entries).
 ]
 
 
@@ -2526,6 +2515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_join_mixed": q_siddhiql_join_mixed,
         "siddhiql_join_mixed_external": q_siddhiql_join_mixed_external,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
+        # -- new in round 12: apply the learned BPE merges back to the
+        #    corpus (train -> encode completes the tokenizer story;
+        #    parity-tested at two SFs in r11, registration deferred to
+        #    keep the r11 window at its 50 mandatory entries)
+        "vocab_bpe_encode": lambda s, d: fcur.bpe_encode(_docs(s, d)),
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_length_parity": q_streaming_length_parity,
         "multimodal_decode_jpeg": lambda s, d: fmm.jpeg_decode_stats(_docs(s, d)),
@@ -3751,6 +3745,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "pipeline_pretrain_chunks": fpipe.pretrain_chunks_oracle(),
         "vocab_bpe_merges": fcur.bpe_merge_pairs_oracle(),
         "vocab_bpe_train": fcur.bpe_train_oracle(),
+        "vocab_bpe_encode": fcur.bpe_encode_oracle(),
         "source_overlap_matrix": fcur.source_overlap_matrix_oracle(),
         "emb_pca_covariance": fsim.pca_covariance_oracle(),
         "emb_pca_project": fsim.pca_project_oracle(),

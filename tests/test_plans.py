@@ -1057,9 +1057,39 @@ def test_driver_window_covers_stale_entries():
         f"new entries outside the driver window: {sorted(never_checked - window)}"
     )
     stale = {k for k, v in last.items() if v <= max_round - 3 and k in set(names)}
-    assert stale <= window, (
-        f"3+-round-stale entries outside the driver window: {sorted(stale - window)}"
-    )
+    mandatory = never_checked | stale
+    if len(mandatory) <= 50:
+        assert stale <= window, (
+            f"3+-round-stale entries outside the driver window: {sorted(stale - window)}"
+        )
+    else:
+        # Capacity overflow: at 200 entries the 4-round cycle is
+        # exactly full (4 x 50), so the round that registers a new
+        # entry has |mandatory| = 51 > window. The rotation handles
+        # this deterministically: never-checked first, then stalest
+        # entries by ledger round; the overflow (lowest-priority
+        # stale) waits exactly one round and, being then the stalest
+        # entry in the ledger, is guaranteed the head of the next
+        # window. Enforce that degraded-mode shape rather than the
+        # impossible full-coverage form:
+        # (a) every window slot is spent on a mandatory entry —
+        #     no fresh entry rides while a stale one waits;
+        assert window <= mandatory, (
+            f"non-mandatory entries in an overflowing window: "
+            f"{sorted(window - mandatory)}"
+        )
+        # (b) the overflow clears next round: it fits the window
+        #     even after the currently-fresh tiers age one round.
+        overflow = mandatory - window
+        next_stale = {
+            k for k, v in last.items()
+            if v == max_round - 2 and k in set(names) and k not in window
+        }
+        assert len(overflow) + len(next_stale) <= 50, (
+            f"overflow ({len(overflow)}) + next round's newly-stale "
+            f"({len(next_stale)}) exceeds the window — the rotation "
+            "cannot recover"
+        )
 
 
 def test_driver_window_self_maintains_after_ledger_drop():
@@ -1113,7 +1143,14 @@ def test_ledger_rotation_certifies_every_entry_within_cycle(tmp_path):
         window = set(order[:50])
         stale = {k for k in names
                  if sim_last.get(k, -1) <= (sim_round - 1) - 3}
-        assert stale <= window, sorted(stale - window)[:5]
+        if len(stale) <= 50:
+            assert stale <= window, sorted(stale - window)[:5]
+        else:
+            # full-capacity overflow round (see
+            # test_driver_window_covers_stale_entries): every slot
+            # must at least be spent on a stale entry, and the
+            # starvation bound below still holds.
+            assert window <= stale, sorted(window - stale)[:5]
         for k in order[:50]:
             sim_last[k] = sim_round
     oldest = min(sim_last.get(k, -1) for k in names)
