@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -513,8 +514,13 @@ def _stamp_arrival_order(indir: str, names: list) -> None:
     so two files landing in the same ms tie and fall back to listing
     order (inode order on a local fs) — a real full-suite flake in
     the two-file sink test. Stamp strictly increasing mtimes in the
-    intended order."""
-    base = 1_000_000_000.0
+    intended order. The base is a few minutes in the PAST of the real
+    clock, not a fixed ancient epoch (ADVICE r11): FileStreamSource's
+    default maxFileAge=7d purges listings older than (newest file −
+    7d), so an epoch-2001 base would silently drop every stamped file
+    the moment any unstamped file (mtime ~now) landed in the same
+    directory."""
+    base = float(int(time.time())) - 600.0
     for i, name in enumerate(names):
         t = base + i
         os.utime(os.path.join(indir, name), (t, t))

@@ -79,6 +79,47 @@ def _await_quiet_host() -> float:
     return waited
 
 
+class _LoadSampler:
+    """Mid-run load witness (VERDICT r11 'what's wrong' #3): the
+    start/end samples can both look quiet around a contended middle —
+    BENCH_r11 was taken while load climbed 1.9 -> 17 AFTER the start
+    gate passed. Sample the 1-min load average every ``interval``
+    seconds on a daemon thread for the whole measurement window and
+    stamp the p95/max into the artifact so a contended-mid-run bench
+    is machine-detectable."""
+
+    def __init__(self, interval: float = 10.0):
+        import threading
+
+        self.interval = interval
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            load = _loadavg()
+            if load:
+                self.samples.append(load[0])
+            self._stop.wait(self.interval)
+
+    def start(self) -> "_LoadSampler":
+        self._t.start()
+        return self
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._t.join(timeout=2)
+        s = sorted(self.samples)
+        if not s:
+            return {"samples": 0, "p95": None, "max": None}
+        return {
+            "samples": len(s),
+            "p95": round(s[min(len(s) - 1, int(0.95 * (len(s) - 1)))], 2),
+            "max": round(s[-1], 2),
+        }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -87,6 +128,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     load_waited = _await_quiet_host()
     load_start = _loadavg()
+    sampler = _LoadSampler().start()
     spark = get_spark(app_name="siddhi-unique-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -136,9 +178,12 @@ def main() -> None:
             "iters": CALIBRATION_ITERS,
         },
         # co-tenant noise witnesses: load average sampled before the
-        # session started and after the sweep (1/5/15-min)
+        # session started and after the sweep (1/5/15-min), plus the
+        # 10s-interval mid-run 1-min-load distribution — start/end can
+        # both be quiet around a contended middle (BENCH_r11)
         "load_avg_start": load_start,
         "load_avg_end": _loadavg(),
+        "load_mid_run": sampler.stop(),
         # seconds spent waiting for a quiet host before the session
         # started (0 = started quiet); a nonzero value with a still-high
         # load_avg_start means the wait budget expired under load

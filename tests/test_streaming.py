@@ -4,6 +4,7 @@ tests, UniqueEverWindowTestCase.java:141-219)."""
 
 import os
 import shutil
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -35,14 +36,20 @@ def stamp_arrival(dirname, filename):
     fall back to listing order (inode order on local fs) — observed
     as a full-suite-only flake where batch 1's input processed before
     batch 0's. Stamp each written file one second after every file
-    already in the directory."""
+    already in the directory. The first file's base sits a few
+    minutes in the PAST of the real clock, not at a fixed ancient
+    epoch (ADVICE r11): FileStreamSource's default maxFileAge=7d
+    purges listings older than (newest file − 7d), so an epoch-2001
+    base would silently drop every stamped file if any unstamped
+    file (mtime ~now) ever landed in the same directory."""
     path = os.path.join(dirname, filename)
     others = [
         os.path.getmtime(os.path.join(dirname, f))
         for f in os.listdir(dirname)
         if f != filename and not f.startswith(("_", "."))
     ]
-    t = max([1_000_000_000.0] + [m + 1.0 for m in others])
+    base = float(int(time.time())) - 600.0
+    t = max([base] + [m + 1.0 for m in others])
     os.utime(path, (t, t))
 
 

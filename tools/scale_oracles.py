@@ -98,6 +98,10 @@ def _ev_batched(con, *, part_col: str | None = None,
         g = _fires_walk(grp.reset_index(drop=True))
         g["pos"] = range(1, len(g) + 1)
         parts.append(g)
+    if not parts:  # empty events table: pd.concat([]) raises (ADVICE r11)
+        out = _fires_walk(ev)
+        out["pos"] = pd.Series(dtype="int64")
+        return out
     return pd.concat(parts, ignore_index=True)
 
 
