@@ -330,6 +330,31 @@ def q_siddhiql_join_mixed_external(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_mixed_all(spark, sf_dir):
+    """Expired/all channels for a NON-aligned mixed-pair join
+    (VERDICT r11 item 4): lengthBatch ⋈ timeBatch shares no tumbling
+    grid, so the channels are the full event-at-a-time EMISSION LOG —
+    each side's current/expired chunks probe the other window's
+    find() state *as of the emission time* (lengthBatch fires are
+    arrival-driven, timeBatch flushes are tick-driven; ticks precede
+    same-instant arrivals). Lowered as the interval algebra
+    simulation-certified in tests/test_properties.py::
+    test_mixed_join_channels_algebra_matches_simulation: a
+    clamped-slot equi-join for arrival-driven probes of the tick
+    grid, a T-banded interval join for tick-driven probes of the
+    forming map (siddhiql.py:_run_join_mixed_channels)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:lengthBatch(user_id, 50) join purchases#window.unique:timeBatch(user_id, 1 hour)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2331,16 +2356,33 @@ def _ledger_last() -> tuple[dict[str, int], int]:
     return last, max_round
 
 
+def _stale_after(n_entries: int) -> int:
+    """Rounds after which an unrechecked entry counts as STALE
+    (mandatory in the next driver window). The driver certifies 50
+    entries per round, so the structurally best achievable freshness
+    for N entries is a ceil(N/50)-round cycle — at 150 entries every
+    entry can be ≤3 rounds old (the original hand-pinned threshold),
+    at 200 the optimum is 4, at 201-250 it is 5. Deriving the
+    threshold keeps the invariant both TRUE and OPTIMAL as the
+    registry grows; pinning it at 3 past 150 entries would make the
+    mandatory tier permanently exceed the window."""
+    import math
+
+    return max(3, math.ceil(n_entries / 50))
+
+
 def _ledger_order(names: list, ledger=None) -> list:
     """Driver sampling order. Tiers: (0) never driver-checked —
-    mandatory in the first 50; (1) 3+-round-stale — mandatory;
-    (2) changed this round — best-effort; (3) everything else,
-    stalest first so the next round's mandatory tier is already
+    mandatory in the first 50; (1) stale (ledger row older than the
+    derived ceil(N/50)-round cycle — see :func:`_stale_after`) —
+    mandatory; (2) changed this round — best-effort; (3) everything
+    else, stalest first so the next round's mandatory tier is already
     queued at the head. Ties break on registry insertion order.
     ``ledger`` injects a (last, max_round) pair for testing the
     rotation against a simulated future ledger drop."""
     last, max_round = _ledger_last() if ledger is None else ledger
     idx = {k: i for i, k in enumerate(names)}
+    stale_cut = max_round - _stale_after(len(names))
     # list position = re-certification priority (the head of the list
     # wins the last window slots when mandatory tiers nearly fill 50)
     changed = {k: i for i, k in enumerate(_CHANGED_THIS_ROUND)}
@@ -2348,7 +2390,7 @@ def _ledger_order(names: list, ledger=None) -> list:
     def key(k):
         if k not in last:
             return (0, 0, idx[k])
-        if last[k] <= max_round - 3:
+        if last[k] <= stale_cut:
             return (1, last[k], idx[k])
         if k in changed:
             return (2, changed[k], idx[k])
@@ -2520,6 +2562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    BPE trainer (never driver-checked => rotation tier 0)
         "siddhiql_join_mixed": q_siddhiql_join_mixed,
         "siddhiql_join_mixed_external": q_siddhiql_join_mixed_external,
+        # -- new in round 12: expired/all channels for the NON-aligned
+        #    mixed pair (emission-log interval algebra, VERDICT r11
+        #    item 4); never driver-checked => rotation tier 0
+        "siddhiql_join_mixed_all": q_siddhiql_join_mixed_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -4091,6 +4137,119 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT f.user_id AS user_id, f.event_id AS click_event_id,
                    pu.event_id AS purchase_event_id
             FROM flushed f JOIN pu ON f.user_id = pu.user_id
+        """,
+        # mixed pair, all-events channel: the full emission log (the
+        # interval algebra certified by test_mixed_join_channels_
+        # algebra_matches_simulation). clicks lengthBatch(50):
+        # recursive fire chain gives fired batches (current at fire
+        # p, expired at fire p+1) and forming periods (count of fires
+        # before pos); purchases timeBatch(1h): slot batches findable
+        # one slot after their end (last batch clamped findable
+        # forever), current at end, expired one slot later.
+        "siddhiql_join_mixed_all": """
+            WITH RECURSIVE ev AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                     row_number() OVER (ORDER BY ts, event_id) AS pos
+              FROM events WHERE event_type = 'click'
+            ),
+            fires(seq, start_pos, fire_pos) AS (
+              SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT f.seq + 1, f.fire_pos,
+                     (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ev
+                        WHERE ev.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49)
+              FROM fires f
+              WHERE (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ev
+                        WHERE ev.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49) IS NOT NULL
+            ),
+            f2 AS MATERIALIZED (
+              SELECT f.seq, f.start_pos, f.fire_pos,
+                     (SELECT ms FROM ev WHERE pos = f.fire_pos) AS fire_ms
+              FROM fires f WHERE f.seq >= 0
+            ),
+            abat AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, f.seq, f.fire_ms
+              FROM f2 f JOIN ev e
+                ON e.pos > f.start_pos AND e.pos <= f.fire_pos
+               AND e.pos = (SELECT max(pos) FROM ev e2
+                            WHERE e2.user_id = e.user_id
+                              AND e2.pos > f.start_pos
+                              AND e2.pos <= f.fire_pos)
+            ),
+            pb AS MATERIALIZED (
+              SELECT event_id, user_id, m FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS m,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            ml AS MATERIALIZED (SELECT max(m) AS ml FROM pb),
+            aprobe AS (
+              SELECT event_id, user_id, 'current' AS channel,
+                     fire_ms AS pt
+              FROM abat
+              UNION ALL
+              SELECT a.event_id, a.user_id, 'expired', nf.fire_ms
+              FROM abat a JOIN f2 nf ON nf.seq = a.seq + 1
+            ),
+            e12 AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     pb.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap CROSS JOIN ml
+              JOIN pb ON least(ap.pt // 3600000, ml.ml + 1) = pb.m + 1
+                     AND ap.user_id = pb.user_id
+            ),
+            per AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, e.ms, e.pos,
+                     (SELECT count(*) FROM f2
+                      WHERE f2.fire_pos < e.pos) AS pseq
+              FROM ev e
+            ),
+            iv0 AS (
+              SELECT p.*,
+                     lead(ms) OVER (PARTITION BY pseq, user_id
+                                    ORDER BY pos) AS nxt,
+                     (SELECT fire_ms FROM f2
+                      WHERE f2.seq = p.pseq) AS fire
+              FROM per p
+            ),
+            iv AS MATERIALIZED (
+              SELECT user_id, event_id, ms AS frm,
+                     CASE WHEN nxt IS NOT NULL AND fire IS NOT NULL
+                          THEN least(nxt, fire)
+                          WHEN nxt IS NOT NULL THEN nxt
+                          ELSE fire END AS tto
+              FROM iv0
+            ),
+            bprobe AS (
+              SELECT event_id, user_id, 'current' AS channel,
+                     (m + 1) * 3600000 AS pt
+              FROM pb
+              UNION ALL
+              SELECT pb.event_id, pb.user_id, 'expired',
+                     (pb.m + 2) * 3600000
+              FROM pb CROSS JOIN ml WHERE pb.m < ml.ml
+            ),
+            e34 AS (
+              SELECT iv.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN iv
+                ON iv.user_id = bp.user_id
+               AND iv.frm < bp.pt
+               AND (iv.tto IS NULL OR bp.pt <= iv.tto)
+            )
+            SELECT * FROM e12 UNION ALL SELECT * FROM e34
         """,
         # mixed pair: clicks lengthBatch(user_id, 50) forming map
         # (events after the LAST fire of the recursive fire chain,

@@ -25,6 +25,7 @@ from siddhi_execution_unique_spark.operators.replay import (
     length_batch_all,
     length_batch_forming,
     length_batch_forming_partitioned,
+    length_batch_periods,
     time_length_batch_all,
     time_length_batch_all_partitioned,
     length_batch_expired,
@@ -68,6 +69,7 @@ __all__ = [
     "length_batch_expired",
     "length_batch_forming",
     "length_batch_forming_partitioned",
+    "length_batch_periods",
     "length_batch_partitioned",
     "length_window",
     "length_window_partitioned",

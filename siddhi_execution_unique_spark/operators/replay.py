@@ -447,6 +447,71 @@ def length_batch_expired(batched: DataFrame, group_cols=()) -> DataFrame:
     return batched.join(nxt, gcols + [BATCH_SEQ])
 
 
+def length_batch_periods(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign every event its lengthBatch FORMING-PERIOD index: period
+    ``p`` spans the arrivals after fire ``p-1`` up to and including
+    the arrival that completes fire ``p`` (``period_seq`` == the
+    ``batch_seq`` the period closes with; the trailing open period
+    gets the next index and never appears in the fire log).
+
+    This is the piece the MIXED-pair join channels need to
+    reconstruct the forming unique map *as of any probe time*
+    (reference ``find()`` searches ``uniqueEventMap.values()``,
+    UniqueLengthBatchWindowProcessor.java:226-233): an event is in
+    the map from its arrival until it is displaced by a same-key
+    arrival in the same period or the period fires — both derivable
+    from ``period_seq`` with one window function, so the serial chain
+    walk stays minimal (the same (key, ts, tiebreak) funnel as
+    :func:`length_batch`, emitting one ref per event immediately —
+    zero carried state beyond the N forming keys)."""
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    n = require_pos_int(window_length, "window.length")
+    if tiebreak is None:
+        raise ValueError(
+            "length_batch_periods needs a tiebreak id column to join the "
+            "period refs back to full rows"
+        )
+    assign_schema = StructType(
+        [
+            StructField(tiebreak, df.schema[tiebreak].dataType),
+            StructField("period_seq", LongType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        forming: set = set()
+        seq = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arr = pdf[key].to_numpy()
+            tb_arr = pdf[tiebreak].to_numpy()
+            out_seq = np.empty(len(pdf), dtype="int64")
+            for i in range(len(pdf)):
+                out_seq[i] = seq
+                k = key_arr[i]
+                if k not in forming:
+                    forming.add(k)
+                    if len(forming) == n:
+                        forming.clear()
+                        seq += 1
+            yield pd.DataFrame(
+                {tiebreak: pd.Series(tb_arr), "period_seq": out_seq}
+            )
+
+    refs = _sorted_stream_replay(
+        df.select(key, ts, tiebreak), ts, tiebreak, assign_schema, scan
+    )
+    return df.join(refs, tiebreak).select(*df.columns, "period_seq")
+
+
 def length_batch_forming(
     df: DataFrame,
     key: str,

@@ -593,12 +593,18 @@ def _bind_stream(q: dict, streams: dict[str, DataFrame]) -> DataFrame:
 # arriving event against the OTHER window's current contents) is
 # exactly batch_end_ms equality
 _TIME_BATCH_WINDOWS = frozenset({"timeBatch", "firstTimeBatch"})
+# mixed-pair channel lowering support (emission-log interval algebra)
+_MIXED_LENGTH = frozenset({"lengthBatch", "firstLengthBatch"})
+_MIXED_TIME = frozenset({"timeBatch", "firstTimeBatch"})
 
 
-def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None]:
+def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
     """Validate a join query and build its effective condition.
-    Returns (cond, aligned_batches, partitioned, lattr, rattr) —
-    shared by the batch join and the staged streaming join."""
+    Returns (cond, aligned_batches, partitioned, lattr, rattr,
+    mixed_channels) — shared by the batch join and the staged
+    streaming join; ``mixed_channels`` routes expired/all channels of
+    a lengthBatch-family ⋈ timeBatch-family pair to the emission-log
+    lowering (:func:`_run_join_mixed_channels`)."""
     lname, rname = q["left"]["stream"], q["right"]["stream"]
     if lname == rname:
         raise SiddhiQLError("join sides must name two distinct streams")
@@ -663,15 +669,25 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None]:
         # contents and pin the instances to each other
         lattr, rattr = q["left"]["partition"], q["right"]["partition"]
         cond = f"({cond}) AND {lname}.{lattr} = {rname}.{rattr}"
-    elif channel != "current" and not aligned_batches:
-        raise SiddhiQLError(
-            f"the expired/all-events channel of a unique:{lw} join "
-            f"unique:{rw} is not wired through SiddhiQL; use the "
-            "function API"
-        )
+    mixed_channels = False
+    if not partitioned and channel != "current" and not aligned_batches:
+        wins = {lw, rw}
+        if wins & _MIXED_LENGTH and wins & _MIXED_TIME:
+            # lengthBatch-family ⋈ timeBatch-family: the emission-log
+            # interval algebra is simulation-certified
+            # (tests/test_properties.py::test_mixed_join_channels_
+            # algebra_matches_simulation) — lower it in _run_join
+            mixed_channels = True
+        else:
+            raise SiddhiQLError(
+                f"the expired/all-events channel of a unique:{lw} join "
+                f"unique:{rw} is wired for aligned batch pairs and for "
+                "lengthBatch-family ⋈ timeBatch-family mixed pairs only; "
+                "use the function API"
+            )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
-    return cond, aligned_batches, partitioned, lattr, rattr
+    return cond, aligned_batches, partitioned, lattr, rattr, mixed_channels
 
 
 def _join_channels(
@@ -815,6 +831,218 @@ def _batch_find_state(window: str, batched: DataFrame,
     )
 
 
+def _run_join_mixed_channels(
+    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
+    cond: str,
+) -> DataFrame:
+    """Expired/all-events channels for a MIXED ``lengthBatch``-family
+    ⋈ ``timeBatch``-family join (VERDICT r11 item 4) — the full
+    event-at-a-time EMISSION LOG, not a final-state snapshot, lowered
+    as an interval algebra that is property-pinned against a
+    reference simulation (tests/test_properties.py::
+    test_mixed_join_channels_algebra_matches_simulation, 300
+    hypothesis cases + a 4,000-trial randomized sweep).
+
+    Semantics (from the reference processors' protocols —
+    UniqueLengthBatchWindowProcessor.java:171-191 fire/expire +
+    :226-233 find(); UniqueTimeBatchWindowProcessor.java:235-266
+    flush + :318-328 find() over ``eventsToBeExpired``; scheduler
+    ticks at an instant precede arrivals at that instant, and the
+    timeBatch window's clock is its own event stream — the certified
+    per-instance-edge convention):
+
+    - timeBatch batch in slot ``m`` (interval [anchor+mT, anchor+
+      (m+1)T)) emits CURRENT at its end, is *findable* during the
+      following slot — the LAST batch stays findable forever — and
+      re-emits EXPIRED one slot after its end (every batch but the
+      last). A probe at time ``f`` therefore matches the batch with
+      slot ``least(floor((f-anchor)/T), m_last+1) - 1`` — ONE
+      clamped-slot equi-join, no inequality join.
+    - lengthBatch batch ``p`` emits CURRENT at fire ``p`` and
+      re-emits EXPIRED at fire ``p+1``; its forming unique map row
+      arriving at ``ts`` is findable during ``(ts, to]`` with
+      ``to`` = min(next same-key arrival in the same forming period,
+      the period's fire) — open at end of stream when the period
+      never closes. Tick-driven probes land only on grid points, so
+      the interval join explodes each forming row over its covered
+      T-slots (banded equi-join) and applies the exact boundary
+      filter — probe volume is O(batches), never O(events²).
+
+    The four emission joins collapse to TWO (each side's
+    current∪expired probe log against the other side's findable
+    state). The user's select list is applied per branch (the union
+    erases the stream aliases), so this path returns a PROJECTED
+    frame — run_app skips its outer select via the
+    ``_sq_select_applied`` marker. Aggregate select lists over mixed
+    channels raise eagerly."""
+    channel = q["channel"]
+    if q["select"] == ["*"] or any(_AGG_RE.search(s) for s in q["select"]):
+        raise SiddhiQLError(
+            "the expired/all-events channel of a mixed batch-window join "
+            "needs an explicit plain-attribute select list (no * and no "
+            "aggregates; aggregate the output stream in a second query)"
+        )
+    sideL = q["left"] if q["left"]["window"] in _MIXED_LENGTH else q["right"]
+    sideT = q["right"] if sideL is q["left"] else q["left"]
+    aname, bname = sideL["stream"], sideT["stream"]
+    tb = _need_tiebreak(sideL["window"], tiebreak)
+    dfA = _bind_stream({**sideL, "channel": "current"}, streams)
+    dfB = _bind_stream({**sideT, "channel": "current"}, streams)
+
+    def _tail_consts(side: dict) -> tuple[list, list]:
+        args = list(side["args"])
+        consts: list = []
+        while args and _is_const(args[-1]):
+            consts.insert(0, _const(args.pop()))
+        return args, consts
+
+    la, lc = _tail_consts(sideL)
+    if len(la) != 1 or len(lc) != 1:
+        raise SiddhiQLError(
+            f"unique:{sideL['window']} needs (key, window.length)"
+        )
+    key_a, n_a = la[0], lc[0]
+    keep_a = "first" if sideL["window"] == "firstLengthBatch" else "last"
+    ta, tc = _tail_consts(sideT)
+    if len(ta) != 1 or not 1 <= len(tc) <= 2:
+        raise SiddhiQLError(
+            f"unique:{sideT['window']} needs (key, window.time [, start.time])"
+        )
+    key_b = ta[0]
+    t_b = parse_time_ms(tc[0], "window.time")
+    anchor = (int(tc[1]) % t_b) if len(tc) > 1 else 0
+    keep_b = "first" if sideT["window"] == "firstTimeBatch" else "last"
+
+    # --- timeBatch side artifacts ---
+    batched_b = ops.time_batch(
+        dfB, key_b, t_b, ts=ts, tiebreak=tiebreak,
+        start_time_ms=anchor, keep=keep_b,
+    )
+    slot_of_end = f"cast((batch_end_ms - {anchor}) div {t_b} as long)"
+    b_find = batched_b.withColumn("__mx_fslot", F.expr(slot_of_end))
+    m_last = batched_b.agg(
+        F.max(F.expr(f"cast((batch_start_ms - {anchor}) div {t_b} as long)"))
+        .alias("__mx_mlast")
+    )
+    b_cur = batched_b.withColumn("__mx_pt", F.col("batch_end_ms")).withColumn(
+        CHANNEL, F.lit("current"))
+    b_exp = (
+        ops.expired_channel(batched_b, t_b)
+        .withColumn("__mx_pt", F.col("expired_at_ms"))
+        .drop("expired_at_ms")
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    b_probes = b_cur.unionByName(b_exp) if channel == "all" else b_exp
+    b_probes = b_probes.withColumn(
+        "__mx_bslot", F.expr(f"cast((__mx_pt - {anchor}) div {t_b} as long)")
+    )
+
+    # --- lengthBatch side artifacts ---
+    batched_a = ops.length_batch(
+        dfA, key_a, n_a, ts=ts, tiebreak=tb, keep=keep_a
+    )
+    a_cur = batched_a.withColumn("__mx_pt", F.col("fired_at_ms")).withColumn(
+        CHANNEL, F.lit("current"))
+    a_exp = (
+        ops.length_batch_expired(batched_a)
+        .withColumn("__mx_pt", F.col("expired_at_ms"))
+        .drop("expired_at_ms")
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    a_probes = a_cur.unionByName(a_exp) if channel == "all" else a_exp
+    # clamp the probe slot so the last batch stays findable forever;
+    # Spark's least() is null-poisoned, so an empty B side yields a
+    # NULL slot and the equi-join (on an empty build side) stays empty
+    a_probes = (
+        a_probes.crossJoin(F.broadcast(m_last))
+        .withColumn(
+            "__mx_pslot",
+            F.least(
+                F.expr(f"cast((__mx_pt - {anchor}) div {t_b} as long)"),
+                F.col("__mx_mlast") + F.lit(1),
+            ),
+        )
+        .drop("__mx_mlast")
+    )
+    e12 = a_probes.alias(aname).join(
+        b_find.alias(bname),
+        F.expr(f"({cond}) AND {aname}.__mx_pslot = {bname}.__mx_fslot"),
+        "inner",
+    )
+
+    # --- forming-map intervals, exploded over the B grid ---
+    periods = ops.length_batch_periods(dfA, key_a, n_a, ts=ts, tiebreak=tb)
+    fire_log = batched_a.select(
+        F.col("batch_seq").alias("period_seq"),
+        F.col("fired_at_ms").alias("__mx_fire"),
+    ).distinct()
+    per = (
+        periods.withColumn("__mx_from", event_ms(periods, ts))
+        .join(fire_log, "period_seq", "left")
+    )
+    if keep_a == "last":
+        w = SqlWindow.partitionBy("period_seq", key_a).orderBy(
+            "__mx_from", tb)
+        per = per.withColumn("__mx_nxt", F.lead("__mx_from").over(w))
+    else:
+        # keep=first: repeat keys never enter the map; the first
+        # arrival per (period, key) is findable until the fire
+        w = SqlWindow.partitionBy("period_seq", key_a).orderBy(
+            "__mx_from", tb)
+        per = (
+            per.withColumn("__mx_rn", F.row_number().over(w))
+            .filter(F.col("__mx_rn") == 1).drop("__mx_rn")
+            .withColumn("__mx_nxt", F.lit(None).cast("long"))
+        )
+    per = per.withColumn(
+        "__mx_to",
+        F.when(
+            F.col("__mx_nxt").isNotNull() & F.col("__mx_fire").isNotNull(),
+            F.least("__mx_nxt", "__mx_fire"),
+        ).otherwise(F.coalesce("__mx_nxt", "__mx_fire")),
+    ).drop("__mx_nxt", "__mx_fire", "period_seq")
+    forming = (
+        per.crossJoin(F.broadcast(m_last))
+        .withColumn(
+            "__mx_lo",
+            F.greatest(
+                F.expr(f"cast((__mx_from - {anchor}) div {t_b} as long)"),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "__mx_hi",
+            F.when(
+                F.col("__mx_to").isNotNull(),
+                F.least(
+                    F.expr(f"cast((__mx_to - {anchor}) div {t_b} as long)"),
+                    F.col("__mx_mlast") + F.lit(1),
+                ),
+            ).otherwise(F.col("__mx_mlast") + F.lit(1)),
+        )
+        .filter(F.col("__mx_hi") >= F.col("__mx_lo"))
+        .withColumn(
+            "__mx_aslot",
+            F.explode(F.expr("sequence(__mx_lo, __mx_hi)")),
+        )
+        .drop("__mx_lo", "__mx_hi", "__mx_mlast")
+    )
+    e34 = forming.alias(aname).join(
+        b_probes.alias(bname),
+        F.expr(
+            f"({cond}) AND {aname}.__mx_aslot = {bname}.__mx_bslot"
+            f" AND {aname}.__mx_from < {bname}.__mx_pt"
+            f" AND ({aname}.__mx_to IS NULL OR"
+            f" {bname}.__mx_pt <= {aname}.__mx_to)"
+        ),
+        "inner",
+    )
+    items = [F.expr(s) for s in q["select"]]
+    out = e12.select(*items).unionByName(e34.select(*items))
+    out._sq_select_applied = True
+    return out
+
+
 def _run_join(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None
 ) -> DataFrame:
@@ -848,7 +1076,9 @@ def _run_join(
     ``expiredEvents`` = last flushed batch for externalTimeBatch — via
     :func:`_batch_find_state`, so every side joins exactly the
     contents an arriving probe would match at end of stream."""
-    cond, aligned, partitioned, lattr, rattr = _join_plan(q)
+    cond, aligned, partitioned, lattr, rattr, mixed = _join_plan(q)
+    if mixed:
+        return _run_join_mixed_channels(q, streams, ts, tiebreak, cond)
     sides: dict[str, DataFrame] = {}
     for p in ("left", "right"):
         side = {**q[p], "channel": "current"}
@@ -1202,6 +1432,12 @@ def run_app(
     for q in parse_app(text):
         if q["kind"] == "join":
             res = _app_error_boundary(_run_join, q, avail, ts, tiebreak)
+            if getattr(res, "_sq_select_applied", False):
+                # mixed-channel joins project per branch (the union
+                # erases the stream aliases the select would need)
+                out[q["out"]] = res
+                avail[q["out"]] = res
+                continue
         elif q.get("partition"):
             df = _bind_stream(q, avail)
             res = _app_error_boundary(_build_partitioned, q, df, ts, tiebreak)
@@ -1665,7 +1901,13 @@ def run_app_streaming_join(
                 "run_app_streaming_join handles join queries only; "
                 "use run_app_streaming for window queries"
             )
-        cond, aligned, partitioned, lattr, rattr = _join_plan(q)
+        cond, aligned, partitioned, lattr, rattr, mixed = _join_plan(q)
+        if mixed:
+            raise SiddhiQLError(
+                "the expired/all-events channel of a mixed batch-window "
+                "pair is lowered in batch mode only; the streaming twin "
+                "stages current-channel joins"
+            )
         # `partition with` composes: each side's staged twin is the
         # composite-key (partition attr + unique key) streaming
         # window — _build_streaming_res already lowers partitioned

@@ -1056,7 +1056,8 @@ def test_driver_window_covers_stale_entries():
     assert never_checked <= window, (
         f"new entries outside the driver window: {sorted(never_checked - window)}"
     )
-    stale = {k for k, v in last.items() if v <= max_round - 3 and k in set(names)}
+    cut = max_round - entry_mod._stale_after(len(names))
+    stale = {k for k, v in last.items() if v <= cut and k in set(names)}
     mandatory = never_checked | stale
     if len(mandatory) <= 50:
         assert stale <= window, (
@@ -1113,7 +1114,9 @@ def test_driver_window_self_maintains_after_ledger_drop():
     # code path (ledger injection), not a reimplementation
     sim_order = entry_mod._ledger_order(names, ledger=(sim_last, sim_round))
     window = set(sim_order[:50])
-    stale = {k for k, v in sim_last.items() if v <= sim_round - 3 and k in set(names)}
+    stale = {k for k, v in sim_last.items()
+             if v <= sim_round - entry_mod._stale_after(len(names))
+             and k in set(names)}
     never = {k for k in names if k not in sim_last}
     assert len(stale | never) <= 50, (
         f"mandatory tier ({len(stale | never)}) exceeds the 50-entry "
@@ -1142,7 +1145,8 @@ def test_ledger_rotation_certifies_every_entry_within_cycle(tmp_path):
         order = entry_mod._ledger_order(names, ledger=(sim_last, sim_round - 1))
         window = set(order[:50])
         stale = {k for k in names
-                 if sim_last.get(k, -1) <= (sim_round - 1) - 3}
+                 if sim_last.get(k, -1)
+                 <= (sim_round - 1) - entry_mod._stale_after(len(names))}
         if len(stale) <= 50:
             assert stale <= window, sorted(stale - window)[:5]
         else:

@@ -1526,3 +1526,190 @@ def test_dup_span_interval_union_formula(anchors, k):
         total += k if prev is None else min(k, i - prev)
         prev = i
     assert total == brute
+
+
+# --- mixed-pair join channels: lengthBatch ⋈ timeBatch emission log ---
+# (VERDICT r11 item 4: derive the per-pair expiry rule from the
+# reference's event-at-a-time join semantics, then lower what the
+# simulation pins)
+
+
+def _mixed_join_simulate(a_events, b_events, n, t_ms):
+    """Event-at-a-time simulation of a Siddhi window-to-window join
+    ``A#window.unique:lengthBatch(key, n) join
+    B#window.unique:timeBatch(key, t_ms)`` on key equality, written
+    from the reference processors' specs (UniqueLengthBatchWindow-
+    Processor.java:171-191 fire/expire protocol + :226-233 find();
+    UniqueTimeBatchWindowProcessor.java:235-266 flush + :318-328
+    find() over eventsToBeExpired):
+
+    - arrivals from both streams process in global (ts, event_id)
+      order; B's scheduler ticks at every multiple of t_ms up to and
+      including the end of B's LAST nonempty batch (the window's
+      clock is its own event stream — the same per-instance-edge
+      convention the partitioned operators certify; ticks at an
+      instant precede arrivals at that instant);
+    - a B tick flushes: the forming per-key map becomes the new
+      findable batch (replacing the old one, possibly with an empty
+      map), the flushed chunk probes A's forming unique map and emits
+      CURRENT pairs, and the replaced batch probes A's forming map
+      and emits EXPIRED pairs — all at the tick time;
+    - an A arrival updates A's forming map (keep=last); the Nth
+      distinct key fires: the fired chunk probes B's findable batch
+      for CURRENT pairs and the previous A batch re-emits against
+      B's findable batch as EXPIRED pairs, at the arrival's ts.
+
+    Returns a sorted list of (channel, a_eid, b_eid, t) emissions
+    (a multiset — one pair can emit several times through different
+    probes, exactly as in the reference)."""
+    out = []
+    ticks = []
+    if b_events:
+        last_end = (max(ts for ts, _, _ in b_events) // t_ms + 1) * t_ms
+        ticks = list(range(t_ms, last_end + 1, t_ms))
+    arrivals = sorted(
+        [(ts, eid, key, "A") for ts, eid, key in a_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    forming_a: dict = {}   # key -> a_eid (keep=last)
+    prev_a: dict = {}      # previous fired A batch: key -> a_eid
+    a_fired_once = False
+    forming_b: dict = {}
+    findable_b: dict = {}
+    ti = ai = 0
+    while ti < len(ticks) or ai < len(arrivals):
+        tick = ticks[ti] if ti < len(ticks) else None
+        arr = arrivals[ai] if ai < len(arrivals) else None
+        if tick is not None and (arr is None or tick <= arr[0]):
+            ti += 1
+            flushed = dict(forming_b)
+            replaced = dict(findable_b)
+            for key, b_eid in flushed.items():
+                if key in forming_a:
+                    out.append(("current", forming_a[key], b_eid, tick))
+            for key, b_eid in replaced.items():
+                if key in forming_a:
+                    out.append(("expired", forming_a[key], b_eid, tick))
+            findable_b = flushed
+            forming_b = {}
+            continue
+        ts, eid, key, side = arr
+        ai += 1
+        if side == "B":
+            forming_b[key] = eid
+            continue
+        forming_a[key] = eid
+        if len(forming_a) == n:
+            for k2, a_eid in forming_a.items():
+                if k2 in findable_b:
+                    out.append(("current", a_eid, findable_b[k2], ts))
+            if a_fired_once:
+                for k2, a_eid in prev_a.items():
+                    if k2 in findable_b:
+                        out.append(("expired", a_eid, findable_b[k2], ts))
+            prev_a = dict(forming_a)
+            a_fired_once = True
+            forming_a = {}
+    return sorted(out)
+
+
+def _mixed_join_closed_form(a_events, b_events, n, t_ms):
+    """Pure-Python mirror of the batch interval algebra the Spark
+    lowering and DuckDB oracle implement (siddhiql._join_mixed_
+    channels): four emission logs joined against the other side's
+    probe-validity intervals.
+
+    B (timeBatch): batch in slot k holds the per-key last event of
+    [kT,(k+1)T); it is findable during [(k+1)T,(k+2)T) — clamped so
+    the LAST batch stays findable forever — emits CURRENT at (k+1)T
+    and EXPIRED at (k+2)T (every batch but the last). A probe at
+    time f therefore matches the batch with slot
+    min(f//T, k_last+1) - 1.
+
+    A (lengthBatch): fired batch p emits CURRENT at fire p and
+    EXPIRED at fire p+1 against B's findable rule; a forming-map row
+    arriving at ``ts`` is probe-valid during (ts, to] with
+    to = min(next same-key arrival in the same forming period, the
+    period's fire) — ∞ when the period never closes — because B's
+    tick at an instant precedes arrivals at that instant."""
+    out = []
+    if b_events:
+        by_slot: dict = {}
+        for ts, eid, key in sorted(b_events, key=lambda e: (e[0], e[1])):
+            by_slot.setdefault(ts // t_ms, {})[key] = eid
+        k_last = max(by_slot)
+    else:
+        by_slot, k_last = {}, None
+
+    def b_findable(f):
+        if k_last is None:
+            return {}
+        return by_slot.get(min(f // t_ms, k_last + 1) - 1, {})
+
+    # A chain walk: fired batches + per-event forming intervals
+    a_sorted = sorted(a_events, key=lambda e: (e[0], e[1]))
+    batches: list = []   # (fire_ts, {key: eid})
+    forming: dict = {}   # key -> (ts, eid)
+    intervals: list = []  # (key, a_eid, from_ts, to_ts|None)
+    open_rows: dict = {}  # key -> (ts, eid) of currently-valid forming row
+    period_rows: list = []  # rows opened in the current period
+    for ts, eid, key in a_sorted:
+        if key in open_rows:
+            o_ts, o_eid = open_rows[key]
+            intervals.append((key, o_eid, o_ts, ts))  # displaced
+        open_rows[key] = (ts, eid)
+        forming[key] = eid
+        if len(forming) == n:
+            for k2, (o_ts, o_eid) in open_rows.items():
+                intervals.append((k2, o_eid, o_ts, ts))  # fired
+            batches.append((ts, dict(forming)))
+            forming = {}
+            open_rows = {}
+    for k2, (o_ts, o_eid) in open_rows.items():
+        intervals.append((k2, o_eid, o_ts, None))  # never closes
+    # e1/e2: A chunks probe B's findable batch
+    for p, (fire_ts, rows) in enumerate(batches):
+        fb = b_findable(fire_ts)
+        for key, a_eid in rows.items():
+            if key in fb:
+                out.append(("current", a_eid, fb[key], fire_ts))
+        if p + 1 < len(batches):
+            nxt_fire = batches[p + 1][0]
+            fb2 = b_findable(nxt_fire)
+            for key, a_eid in rows.items():
+                if key in fb2:
+                    out.append(("expired", a_eid, fb2[key], nxt_fire))
+    # e3/e4: B chunks probe A's forming intervals
+    for k, rows in by_slot.items():
+        for channel, tau in (("current", (k + 1) * t_ms),
+                             ("expired", (k + 2) * t_ms)):
+            if channel == "expired" and k == k_last:
+                continue  # the last batch never expires
+            for key, b_eid in rows.items():
+                for ikey, a_eid, frm, to in intervals:
+                    if ikey == key and frm < tau and (to is None or tau <= to):
+                        out.append((channel, a_eid, b_eid, tau))
+    return sorted(out)
+
+
+@given(
+    st.integers(2, 4),                       # lengthBatch N
+    st.sampled_from([7, 10, 25]),            # timeBatch T
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),  # (ts, key, side)
+)
+@settings(max_examples=300, deadline=None)
+def test_mixed_join_channels_algebra_matches_simulation(n, t_ms, raw):
+    """The emission-log interval algebra for a MIXED lengthBatch ⋈
+    timeBatch join's current/expired channels must equal the
+    event-at-a-time reference simulation for arbitrary two-stream
+    interleavings — including arrivals at tick instants, same-ms
+    arrivals on both streams, displacement chains, and empty B
+    slots."""
+    a_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _mixed_join_simulate(a_events, b_events, n, t_ms)
+    alg = _mixed_join_closed_form(a_events, b_events, n, t_ms)
+    assert sim == alg

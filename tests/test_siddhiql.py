@@ -1860,3 +1860,101 @@ def test_streaming_join_rejects_non_join_and_unstageable(spark, tmp_path):
             "select A.user_id insert into o;",
             {"A": sdf, "B": sdf},
         )
+
+
+def test_join_mixed_channels_match_certified_algebra(spark):
+    """The MIXED lengthBatch ⋈ timeBatch expired/all channel lowering
+    (VERDICT r11 item 4) must reproduce the emission-log interval
+    algebra that tests/test_properties.py pins against the
+    event-at-a-time reference simulation — across randomized
+    two-stream interleavings, both side orders, and both channels."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import _mixed_join_closed_form
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(424242)
+    for trial in range(4):
+        n = random.randint(2, 4)
+        t = random.choice([7, 10, 25])
+        raw = [
+            (random.randint(0, 150), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(10, 55))
+        ]
+        a = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        flip = trial % 2 == 1
+        chan = "expired" if trial == 2 else "all"
+        left = (f"purchases#window.unique:timeBatch(user_id, {t})"
+                if flip else
+                f"clicks#window.unique:lengthBatch(user_id, {n})")
+        right = (f"clicks#window.unique:lengthBatch(user_id, {n})"
+                 if flip else
+                 f"purchases#window.unique:timeBatch(user_id, {t})")
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from {left} join {right}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(a), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        alg = _mixed_join_closed_form(a, b, n, t)
+        if chan == "expired":
+            exp = sorted((ae, be) for ch, ae, be, _ in alg
+                         if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted((ch, ae, be) for ch, ae, be, _ in alg)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, n, t, got[:6], exp[:6])
+
+
+def test_join_mixed_channels_validation(two_streams):
+    """Mixed-channel joins reject star and aggregate select lists
+    eagerly (the union lowering projects per branch), and pairs
+    outside the lengthBatch-family ⋈ timeBatch-family support set
+    keep the eager error."""
+    base = ("from clicks#window.unique:lengthBatch(user_id, 5) "
+            "join purchases#window.unique:timeBatch(user_id, 1 hour) "
+            "on clicks.user_id == purchases.user_id ")
+    with pytest.raises(sq.SiddhiQLError, match="plain-attribute"):
+        sq.run_app(base + "select * insert all events into x;",
+                   two_streams, tiebreak="event_id")
+    with pytest.raises(sq.SiddhiQLError, match="plain-attribute"):
+        sq.run_app(
+            base + "select count() as n insert all events into x;",
+            two_streams, tiebreak="event_id",
+        )
+    # misaligned timeBatch pair: still eager (neither side is a
+    # lengthBatch; tick-vs-tick interleave is not lowered)
+    with pytest.raises(sq.SiddhiQLError, match="mixed pairs only"):
+        sq.run_app(
+            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
+            "join purchases#window.unique:timeBatch(user_id, 2 hours) "
+            "on clicks.user_id == purchases.user_id "
+            "select clicks.user_id as u insert all events into x;",
+            two_streams, tiebreak="event_id",
+        )
