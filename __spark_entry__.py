@@ -355,6 +355,30 @@ def q_siddhiql_join_mixed_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_mixed_grids_all(spark, sf_dir):
+    """Expired/all channels for a MISALIGNED timeBatch ⋈ timeBatch
+    pair (1 hour vs 2 hours — no shared tumbling grid), under the
+    co-residency convention that generalizes the certified
+    aligned-pair protocol: a key-matched pair of batches with
+    intersecting findable intervals ([end, end+T); the last batch
+    forever) emits current once and re-emits expired when the
+    earlier side's interval ends. Simulation-certified
+    (tests/test_properties.py::test_tt_mixed_join_coresidency_
+    matches_simulation); lowered as ONE banded clamped-slot
+    equi-join + post-join channel arithmetic
+    (siddhiql.py:_run_join_mixed_tt)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:timeBatch(user_id, 1 hour) join purchases#window.unique:timeBatch(user_id, 2 hours)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2563,9 +2587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_join_mixed": q_siddhiql_join_mixed,
         "siddhiql_join_mixed_external": q_siddhiql_join_mixed_external,
         # -- new in round 12: expired/all channels for the NON-aligned
-        #    mixed pair (emission-log interval algebra, VERDICT r11
-        #    item 4); never driver-checked => rotation tier 0
+        #    mixed pairs (emission-log / co-residency interval
+        #    algebras, VERDICT r11 item 4); never driver-checked =>
+        #    rotation tier 0
         "siddhiql_join_mixed_all": q_siddhiql_join_mixed_all,
+        "siddhiql_join_mixed_grids_all": q_siddhiql_join_mixed_grids_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -4137,6 +4163,65 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT f.user_id AS user_id, f.event_id AS click_event_id,
                    pu.event_id AS purchase_event_id
             FROM flushed f JOIN pu ON f.user_id = pu.user_id
+        """,
+        # misaligned timeBatch pair, all-events channel: co-residency
+        # of findable intervals ([end, end+T), last batch forever) —
+        # every intersecting key-matched batch pair emits current
+        # once and expired when the earlier side's interval ends
+        # (certified by test_tt_mixed_join_coresidency_matches_
+        # simulation)
+        "siddhiql_join_mixed_grids_all": """
+            WITH ca AS (
+              SELECT event_id, user_id, m FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS m,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'click') t
+              WHERE rn = 1
+            ),
+            cb AS (
+              SELECT event_id, user_id, m FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 7200000 AS m,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 7200000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            la AS (SELECT max(m) AS lm FROM ca),
+            lb AS (SELECT max(m) AS lm FROM cb),
+            fa AS (
+              SELECT ca.*, (m + 1) * 3600000 AS e,
+                     CASE WHEN ca.m < la.lm
+                          THEN (m + 2) * 3600000 END AS x
+              FROM ca CROSS JOIN la
+            ),
+            fb AS (
+              SELECT cb.*, (m + 1) * 7200000 AS e,
+                     CASE WHEN cb.m < lb.lm
+                          THEN (m + 2) * 7200000 END AS x
+              FROM cb CROSS JOIN lb
+            ),
+            pairs AS (
+              SELECT fa.user_id AS user_id,
+                     fa.event_id AS click_event_id,
+                     fb.event_id AS purchase_event_id,
+                     CASE WHEN fa.x IS NULL THEN fb.x
+                          WHEN fb.x IS NULL THEN fa.x
+                          ELSE least(fa.x, fb.x) END AS ex
+              FROM fa JOIN fb ON fa.user_id = fb.user_id
+               AND (fa.x IS NULL OR fa.x > fb.e)
+               AND (fb.x IS NULL OR fb.x > fa.e)
+            )
+            SELECT user_id, click_event_id, purchase_event_id,
+                   'current' AS channel
+            FROM pairs
+            UNION ALL
+            SELECT user_id, click_event_id, purchase_event_id, 'expired'
+            FROM pairs WHERE ex IS NOT NULL
         """,
         # mixed pair, all-events channel: the full emission log (the
         # interval algebra certified by test_mixed_join_channels_

@@ -672,17 +672,19 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
     mixed_channels = False
     if not partitioned and channel != "current" and not aligned_batches:
         wins = {lw, rw}
-        if wins & _MIXED_LENGTH and wins & _MIXED_TIME:
-            # lengthBatch-family ⋈ timeBatch-family: the emission-log
-            # interval algebra is simulation-certified
+        if (wins & _MIXED_LENGTH and wins & _MIXED_TIME) or wins <= _MIXED_TIME:
+            # lengthBatch-family ⋈ timeBatch-family, or two
+            # timeBatch-family windows on DIFFERENT grids: the
+            # emission-log interval algebras are simulation-certified
             # (tests/test_properties.py::test_mixed_join_channels_
-            # algebra_matches_simulation) — lower it in _run_join
+            # algebra_matches_simulation / test_tt_mixed_join_
+            # coresidency_matches_simulation) — lower in _run_join
             mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
                 f"unique:{rw} is wired for aligned batch pairs and for "
-                "lengthBatch-family ⋈ timeBatch-family mixed pairs only; "
+                "lengthBatch/timeBatch-family mixed pairs only; "
                 "use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
@@ -882,19 +884,23 @@ def _run_join_mixed_channels(
             "needs an explicit plain-attribute select list (no * and no "
             "aggregates; aggregate the output stream in a second query)"
         )
-    sideL = q["left"] if q["left"]["window"] in _MIXED_LENGTH else q["right"]
-    sideT = q["right"] if sideL is q["left"] else q["left"]
-    aname, bname = sideL["stream"], sideT["stream"]
-    tb = _need_tiebreak(sideL["window"], tiebreak)
-    dfA = _bind_stream({**sideL, "channel": "current"}, streams)
-    dfB = _bind_stream({**sideT, "channel": "current"}, streams)
-
     def _tail_consts(side: dict) -> tuple[list, list]:
         args = list(side["args"])
         consts: list = []
         while args and _is_const(args[-1]):
             consts.insert(0, _const(args.pop()))
         return args, consts
+
+    if (q["left"]["window"] in _MIXED_TIME
+            and q["right"]["window"] in _MIXED_TIME):
+        return _run_join_mixed_tt(q, streams, ts, tiebreak, cond, _tail_consts)
+
+    sideL = q["left"] if q["left"]["window"] in _MIXED_LENGTH else q["right"]
+    sideT = q["right"] if sideL is q["left"] else q["left"]
+    aname, bname = sideL["stream"], sideT["stream"]
+    tb = _need_tiebreak(sideL["window"], tiebreak)
+    dfA = _bind_stream({**sideL, "channel": "current"}, streams)
+    dfB = _bind_stream({**sideT, "channel": "current"}, streams)
 
     la, lc = _tail_consts(sideL)
     if len(la) != 1 or len(lc) != 1:
@@ -1039,6 +1045,142 @@ def _run_join_mixed_channels(
     )
     items = [F.expr(s) for s in q["select"]]
     out = e12.select(*items).unionByName(e34.select(*items))
+    out._sq_select_applied = True
+    return out
+
+
+def _run_join_mixed_tt(
+    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
+    cond: str, _tail_consts,
+) -> DataFrame:
+    """Expired/all channels for a MIXED ``timeBatch``-family pair on
+    DIFFERENT tumbling grids (different window.time and/or start.time
+    anchors), under the CO-RESIDENCY convention that generalizes the
+    certified aligned-pair protocol and reduces to it on identical
+    grids — simulation-certified in tests/test_properties.py::
+    test_tt_mixed_join_coresidency_matches_simulation (300 hypothesis
+    cases + a 4,000-trial randomized sweep):
+
+    - batch in slot ``m`` is findable during [end, end + T) — the
+      LAST batch forever (per-instance-edge convention);
+    - a key-matched pair with intersecting findable intervals emits
+      CURRENT once, when the later batch flushes, and re-emits
+      EXPIRED when the earlier side's interval ends (never, when both
+      sides are final).
+
+    Plan shape: ONE banded equi-join — the left side's findable
+    interval explodes over the right grid's slots it covers (count ~
+    T_left/T_right + 1, the inherent co-residency fan-out), both
+    clamps folding the last batches' open intervals onto one slot
+    key — then the channels derive from pure column arithmetic on the
+    joined row (greatest of the ends, null-safe least of the exits);
+    no second join, no inequality join, no union re-scan."""
+    lname, rname = q["left"]["stream"], q["right"]["stream"]
+    channel = q["channel"]
+
+    def build(side: dict):
+        args, consts = _tail_consts(side)
+        if len(args) != 1 or not 1 <= len(consts) <= 2:
+            raise SiddhiQLError(
+                f"unique:{side['window']} needs (key, window.time"
+                " [, start.time])"
+            )
+        t_ms = parse_time_ms(consts[0], "window.time")
+        anchor = (int(consts[1]) % t_ms) if len(consts) > 1 else 0
+        keep = "first" if side["window"] == "firstTimeBatch" else "last"
+        df = _bind_stream({**side, "channel": "current"}, streams)
+        batched = ops.time_batch(
+            df, args[0], t_ms, ts=ts, tiebreak=tiebreak,
+            start_time_ms=anchor, keep=keep,
+        )
+        last = batched.agg(F.max("batch_end_ms").alias("__mx_lastend"))
+        # exit = end + T for every batch but the last (NULL = forever)
+        framed = (
+            batched.crossJoin(F.broadcast(last))
+            .withColumn(
+                "__mx_exit",
+                F.when(
+                    F.col("batch_end_ms") < F.col("__mx_lastend"),
+                    F.col("batch_end_ms") + F.lit(t_ms),
+                ),
+            )
+        )
+        return framed, t_ms, anchor
+
+    lframe, lt, lanchor = build(q["left"])
+    rframe, rt, ranchor = build(q["right"])
+    # right side's findable-slot key: batch at slot m is findable
+    # during right-grid slot m+1 = (end - anchor)/T; its last batch
+    # keeps that key but its open interval is handled by the clamps
+    rframe = rframe.withColumn(
+        "__mx_fslot", F.expr(f"cast((batch_end_ms - {ranchor}) div {rt} as long)")
+    ).drop("__mx_lastend")
+    # left side explodes its findable interval over the right-grid
+    # slots it covers, both bounds clamped to the right's last
+    # findable slot so the two open intervals meet on one key
+    rlast_slot = (
+        rframe.agg(F.max("__mx_fslot").alias("__mx_rlast"))
+    )
+    lframe = (
+        lframe.drop("__mx_lastend")
+        .crossJoin(F.broadcast(rlast_slot))
+        .withColumn(
+            "__mx_lo",
+            F.least(
+                F.expr(f"cast((batch_end_ms - {ranchor}) div {rt} as long)"),
+                F.col("__mx_rlast"),
+            ),
+        )
+        .withColumn(
+            "__mx_hi",
+            F.when(
+                F.col("__mx_exit").isNotNull(),
+                F.least(
+                    F.expr(
+                        f"cast((__mx_exit - 1 - {ranchor}) div {rt} as long)"
+                    ),
+                    F.col("__mx_rlast"),
+                ),
+            ).otherwise(F.col("__mx_rlast")),
+        )
+        .filter(F.col("__mx_hi") >= F.col("__mx_lo"))
+        .withColumn("__mx_aslot", F.explode(F.expr("sequence(__mx_lo, __mx_hi)")))
+        .drop("__mx_lo", "__mx_hi", "__mx_rlast")
+    )
+    joined = lframe.alias(lname).join(
+        rframe.alias(rname),
+        F.expr(
+            f"({cond}) AND {lname}.__mx_aslot = {rname}.__mx_fslot"
+            # redundant by the slot-coverage analysis (the floors and
+            # clamps are exact) — kept as cheap invariant guards
+            f" AND ({lname}.__mx_exit IS NULL OR"
+            f" {lname}.__mx_exit > {rname}.batch_end_ms)"
+            f" AND ({rname}.__mx_exit IS NULL OR"
+            f" {rname}.__mx_exit > {lname}.batch_end_ms)"
+        ),
+        "inner",
+    )
+    exit_expr = F.expr(
+        f"CASE WHEN {lname}.__mx_exit IS NULL THEN {rname}.__mx_exit"
+        f" WHEN {rname}.__mx_exit IS NULL THEN {lname}.__mx_exit"
+        f" ELSE least({lname}.__mx_exit, {rname}.__mx_exit) END"
+    )
+    if channel == "expired":
+        out_rows = joined.filter(exit_expr.isNotNull())
+        items = [F.expr(s) for s in q["select"]]
+        out = out_rows.select(*items)
+    else:
+        tagged = joined.withColumn(
+            CHANNEL,
+            F.explode(
+                F.when(
+                    exit_expr.isNotNull(),
+                    F.array(F.lit("current"), F.lit("expired")),
+                ).otherwise(F.array(F.lit("current")))
+            ),
+        )
+        items = [F.expr(s) for s in q["select"]]
+        out = tagged.select(*items)
     out._sq_select_applied = True
     return out
 

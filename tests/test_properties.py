@@ -1713,3 +1713,168 @@ def test_mixed_join_channels_algebra_matches_simulation(n, t_ms, raw):
     sim = _mixed_join_simulate(a_events, b_events, n, t_ms)
     alg = _mixed_join_closed_form(a_events, b_events, n, t_ms)
     assert sim == alg
+
+
+# --- mixed timeBatch ⋈ timeBatch (different grids): co-residency ---
+
+
+def _tt_join_simulate(a_events, b_events, ta, tb, anchor_a=0, anchor_b=0):
+    """Event-at-a-time simulation of two unique:timeBatch windows with
+    DIFFERENT tumbling grids joined on key equality, under the
+    co-residency convention that generalizes the certified
+    aligned-pair protocol (and reduces to it on identical grids):
+
+    - each window's batch becomes findable at its flush tick and is
+      replaced at its next tick (the LAST batch stays findable
+      forever — per-instance-edge convention, ticks stop at the
+      window's own last batch end);
+    - a key-matched pair emits CURRENT once, at the instant the
+      LATER of the two batches becomes findable while the other is
+      (still) findable — at a shared tick both flushes precede the
+      probe, exactly the aligned batch-k ⋈ batch-k rule;
+    - the pair re-emits EXPIRED at the instant the EARLIER side's
+      findable interval ends (its expired chunk probes the other
+      side pre-transition at shared instants — again the aligned
+      rule); pairs where both sides are final never expire.
+
+    Implemented as a timeline scan over both windows' transition
+    instants with explicit per-pair bookkeeping — mechanically
+    independent of the closed form's interval arithmetic."""
+    out = []
+
+    def batches(events, t, anchor):
+        by = {}
+        for ts, eid, key in sorted(events, key=lambda e: (e[0], e[1])):
+            by.setdefault((ts - anchor) // t, {})[key] = eid
+        return by
+
+    ba, bb = batches(a_events, ta, anchor_a), batches(b_events, tb, anchor_b)
+    if not ba or not bb:
+        return []
+    la, lb = max(ba), max(bb)
+
+    def transitions(by, t, anchor, last):
+        # (instant, kind, slot): batch enters findable at its end,
+        # leaves (emitting its expired chunk) one slot later
+        evs = []
+        for m in by:
+            evs.append((anchor + (m + 1) * t, "enter", m))
+            if m != last:
+                evs.append((anchor + (m + 2) * t, "exit", m))
+        return evs
+
+    timeline = sorted(
+        [(at, "A", kind, m) for at, kind, m in transitions(ba, ta, anchor_a, la)]
+        + [(at, "B", kind, m) for at, kind, m in transitions(bb, tb, anchor_b, lb)],
+        key=lambda e: (e[0], e[1]),
+    )
+    find_a: dict | None = None
+    find_b: dict | None = None
+    live_pairs: set = set()
+    i = 0
+    while i < len(timeline):
+        at = timeline[i][0]
+        group = []
+        while i < len(timeline) and timeline[i][0] == at:
+            group.append(timeline[i])
+            i += 1
+        # exits probe PRE-transition state of the other side
+        for _, side, kind, m in group:
+            if kind != "exit":
+                continue
+            chunk, other = (ba[m], find_b) if side == "A" else (bb[m], find_a)
+            if other is None:
+                continue
+            for key, eid in chunk.items():
+                if key in other:
+                    pair = (eid, other[key]) if side == "A" else (other[key], eid)
+                    if pair in live_pairs:
+                        out.append(("expired", pair[0], pair[1], at))
+                        live_pairs.discard(pair)
+        # then ALL enters transition state...
+        for _, side, kind, m in group:
+            if kind != "exit":
+                if side == "A":
+                    find_a = ba[m]
+                else:
+                    find_b = bb[m]
+            elif (side == "A" and find_a is ba[m]):
+                find_a = None
+            elif (side == "B" and find_b is bb[m]):
+                find_b = None
+        # ...then each entering chunk probes POST-transition state,
+        # emitting each co-starting pair once
+        entered = [(side, m) for _, side, kind, m in group if kind == "enter"]
+        seen_here: set = set()
+        for side, m in entered:
+            chunk, other = (ba[m], find_b) if side == "A" else (bb[m], find_a)
+            if other is None:
+                continue
+            for key, eid in chunk.items():
+                if key in other:
+                    pair = (eid, other[key]) if side == "A" else (other[key], eid)
+                    if pair not in seen_here and pair not in live_pairs:
+                        out.append(("current", pair[0], pair[1], at))
+                        live_pairs.add(pair)
+                        seen_here.add(pair)
+    return sorted(out)
+
+
+def _tt_join_closed_form(a_events, b_events, ta, tb, anchor_a=0, anchor_b=0):
+    """Interval algebra (what the Spark lowering and DuckDB oracle
+    implement): batch slot m is findable during [end, end + T) —
+    [end, ∞) for the last batch — and a key-matched pair with
+    intersecting findable intervals emits CURRENT at
+    max(end_a, end_b) and EXPIRED at min(exit_a, exit_b) when that
+    is finite."""
+    def batches(events, t, anchor):
+        by = {}
+        for ts, eid, key in sorted(events, key=lambda e: (e[0], e[1])):
+            by.setdefault((ts - anchor) // t, {})[key] = eid
+        return by
+
+    ba, bb = batches(a_events, ta, anchor_a), batches(b_events, tb, anchor_b)
+    out = []
+    if not ba or not bb:
+        return []
+    la, lb = max(ba), max(bb)
+    for ma, rows_a in ba.items():
+        ea = anchor_a + (ma + 1) * ta
+        va = None if ma == la else ea + ta
+        for mb, rows_b in bb.items():
+            eb = anchor_b + (mb + 1) * tb
+            vb = None if mb == lb else eb + tb
+            start = max(ea, eb)
+            if (va is not None and start >= va) or (vb is not None and start >= vb):
+                continue  # intervals do not intersect
+            for key, a_eid in rows_a.items():
+                if key in rows_b:
+                    out.append(("current", a_eid, rows_b[key], start))
+                    if va is not None or vb is not None:
+                        exit_at = min(x for x in (va, vb) if x is not None)
+                        out.append(("expired", a_eid, rows_b[key], exit_at))
+    return sorted(out)
+
+
+@given(
+    st.sampled_from([(5, 7), (10, 25), (7, 21), (10, 10)]),  # (T_A, T_B)
+    st.sampled_from([(0, 0), (0, 3), (2, 5)]),               # anchors
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_tt_mixed_join_coresidency_matches_simulation(ts_pair, anchors, raw):
+    """The co-residency interval algebra for a MIXED timeBatch ⋈
+    timeBatch join must equal the event-at-a-time simulation for
+    arbitrary grids (coprime, multiple, identical) and anchors —
+    including coinciding lcm ticks, empty slots, and last-batch
+    clamps. On identical grids both must reduce to the certified
+    aligned batch-k ⋈ batch-k protocol."""
+    ta, tb = ts_pair
+    aa, ab = anchors
+    a_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _tt_join_simulate(a_events, b_events, ta, tb, aa, ab)
+    alg = _tt_join_closed_form(a_events, b_events, ta, tb, aa, ab)
+    assert sim == alg

@@ -1948,13 +1948,85 @@ def test_join_mixed_channels_validation(two_streams):
             base + "select count() as n insert all events into x;",
             two_streams, tiebreak="event_id",
         )
-    # misaligned timeBatch pair: still eager (neither side is a
-    # lengthBatch; tick-vs-tick interleave is not lowered)
+    # externalTimeBatch mixed pairs: still eager (arrival-driven
+    # flush interleave against another window is not lowered)
     with pytest.raises(sq.SiddhiQLError, match="mixed pairs only"):
         sq.run_app(
-            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
-            "join purchases#window.unique:timeBatch(user_id, 2 hours) "
+            "from clicks#window.unique:lengthBatch(user_id, 5) "
+            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id as u insert all events into x;",
             two_streams, tiebreak="event_id",
         )
+
+
+def test_join_mixed_tt_channels_match_certified_algebra(spark):
+    """Misaligned timeBatch ⋈ timeBatch expired/all channels must
+    reproduce the co-residency interval algebra pinned against the
+    event-at-a-time simulation in test_properties.py — across
+    coprime/multiple grids, shifted anchors, and both channels."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import _tt_join_closed_form
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(313131)
+    ran = 0
+    for trial in range(5):
+        ta = random.choice([5, 7, 10, 25])
+        t_b = random.choice([3, 7, 10, 21])
+        aa = random.choice([0, 2])
+        ab = random.choice([0, 3])
+        raw = [
+            (random.randint(0, 180), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(10, 55))
+        ]
+        a = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        if not a or not b:
+            continue
+        chan = "expired" if trial == 2 else "all"
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (
+            f"from clicks#window.unique:timeBatch(user_id, {ta}, {aa}) "
+            f"join purchases#window.unique:timeBatch(user_id, {t_b}, {ab})\n"
+            "on clicks.user_id == purchases.user_id\n"
+            f"{sel}\ninsert {chan} events into joined ;"
+        )
+        out = sq.run_app(
+            app, {"clicks": mkdf(a), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        alg = _tt_join_closed_form(a, b, ta, t_b, aa % ta, ab % t_b)
+        if chan == "expired":
+            exp = sorted((ae, be) for ch, ae, be, _ in alg
+                         if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted((ch, ae, be) for ch, ae, be, _ in alg)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, ta, t_b, got[:6], exp[:6])
+        ran += 1
+    assert ran >= 3
