@@ -332,6 +332,96 @@ def _siddhiql_join_mixed(con):
     """)
 
 
+def _siddhiql_join_mixed_all(con):
+    """Linear rewrite of the r12 emission-log oracle: the recursive
+    ``fires`` CTE is replaced by the walked chain (``_ev_batched``
+    gives every click its batch_seq/fire metadata and ``pos``), the
+    interval/probe tail runs verbatim SQL. Forming-tail events carry
+    batch_seq = -1, so their period index is the fire count."""
+    eb = _ev_batched(con, where="WHERE event_type = 'click'")
+    return _run(con, {"ev_batched": eb}, """
+        WITH f2 AS (
+          SELECT DISTINCT batch_seq AS seq,
+                 CAST(fired_at_ms AS BIGINT) AS fire_ms,
+                 fire_pos
+          FROM ev_batched WHERE batch_seq >= 0
+        ),
+        nf AS (SELECT count(*) AS n FROM f2),
+        abat AS (
+          SELECT event_id, user_id, batch_seq AS seq,
+                 CAST(fired_at_ms AS BIGINT) AS fire_ms
+          FROM (SELECT eb.*, row_number() OVER (
+                  PARTITION BY batch_seq, user_id
+                  ORDER BY pos DESC) AS rn
+                FROM ev_batched eb WHERE batch_seq >= 0) t
+          WHERE rn = 1
+        ),
+        pb AS (
+          SELECT event_id, user_id, m FROM (
+            SELECT e.event_id, e.user_id,
+                   epoch_ms(ts) // 3600000 AS m,
+                   row_number() OVER (
+                     PARTITION BY epoch_ms(ts) // 3600000, user_id
+                     ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM events e WHERE event_type = 'purchase') t
+          WHERE rn = 1
+        ),
+        ml AS (SELECT max(m) AS ml FROM pb),
+        aprobe AS (
+          SELECT event_id, user_id, 'current' AS channel, fire_ms AS pt
+          FROM abat
+          UNION ALL
+          SELECT a.event_id, a.user_id, 'expired', n2.fire_ms
+          FROM abat a JOIN f2 n2 ON n2.seq = a.seq + 1
+        ),
+        e12 AS (
+          SELECT ap.user_id AS user_id, ap.event_id AS click_event_id,
+                 pb.event_id AS purchase_event_id, ap.channel AS channel
+          FROM aprobe ap CROSS JOIN ml
+          JOIN pb ON least(ap.pt // 3600000, ml.ml + 1) = pb.m + 1
+                 AND ap.user_id = pb.user_id
+        ),
+        per AS (
+          SELECT eb.event_id, eb.user_id, eb.ms, eb.pos,
+                 CASE WHEN eb.batch_seq >= 0 THEN eb.batch_seq
+                      ELSE (SELECT n FROM nf) END AS pseq
+          FROM ev_batched eb
+        ),
+        iv0 AS (
+          SELECT p.*,
+                 lead(ms) OVER (PARTITION BY pseq, user_id
+                                ORDER BY pos) AS nxt,
+                 (SELECT fire_ms FROM f2 WHERE f2.seq = p.pseq) AS fire
+          FROM per p
+        ),
+        iv AS (
+          SELECT user_id, event_id, ms AS frm,
+                 CASE WHEN nxt IS NOT NULL AND fire IS NOT NULL
+                      THEN least(nxt, fire)
+                      WHEN nxt IS NOT NULL THEN nxt
+                      ELSE fire END AS tto
+          FROM iv0
+        ),
+        bprobe AS (
+          SELECT event_id, user_id, 'current' AS channel,
+                 (m + 1) * 3600000 AS pt
+          FROM pb
+          UNION ALL
+          SELECT pb.event_id, pb.user_id, 'expired', (pb.m + 2) * 3600000
+          FROM pb CROSS JOIN ml WHERE pb.m < ml.ml
+        ),
+        e34 AS (
+          SELECT iv.user_id AS user_id, iv.event_id AS click_event_id,
+                 bp.event_id AS purchase_event_id, bp.channel AS channel
+          FROM bprobe bp JOIN iv
+            ON iv.user_id = bp.user_id
+           AND iv.frm < bp.pt
+           AND (iv.tto IS NULL OR bp.pt <= iv.tto)
+        )
+        SELECT * FROM e12 UNION ALL SELECT * FROM e34
+    """)
+
+
 def _unique_length_emissions_ordered(con):
     return _run(con, {"qn": _emissions_qn(con, 100)}, """
         WITH ev AS (
@@ -430,6 +520,7 @@ SCALE_ORACLES = {
     "streaming_partitioned_length_batch_parity":
         _streaming_partitioned_length_batch_parity,
     "siddhiql_join_mixed": _siddhiql_join_mixed,
+    "siddhiql_join_mixed_all": _siddhiql_join_mixed_all,
 }
 
 
