@@ -379,6 +379,31 @@ def q_siddhiql_join_mixed_grids_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_mixed_external_all(spark, sf_dir):
+    """Expired/all channels for an externalTimeBatch ⋈ timeBatch
+    mixed pair: the external side's PRESENT batches in rank order
+    flush (emit current, become the find()-able ``expiredEvents``) at
+    the first event of the next rank and re-emit expired at the first
+    event of rank+2 (the certified rank+2 rule,
+    UniqueExternalTimeBatchWindowProcessor.java:283-318,363-366) —
+    all arrival-driven probes of the timeBatch tick grid; the
+    timeBatch side's tick-driven chunks probe the external side's
+    flushed-batch intervals (flush(i), flush(i+1)]. Simulation-
+    certified (tests/test_properties.py::test_etb_tb_mixed_join_
+    algebra_matches_simulation); lowered via the shared mixed-channel
+    machinery (siddhiql.py:_external_side_artifacts)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0) join purchases#window.unique:timeBatch(user_id, 1 hour)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2592,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation tier 0
         "siddhiql_join_mixed_all": q_siddhiql_join_mixed_all,
         "siddhiql_join_mixed_grids_all": q_siddhiql_join_mixed_grids_all,
+        "siddhiql_join_mixed_external_all": q_siddhiql_join_mixed_external_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -4163,6 +4189,87 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT f.user_id AS user_id, f.event_id AS click_event_id,
                    pu.event_id AS purchase_event_id
             FROM flushed f JOIN pu ON f.user_id = pu.user_id
+        """,
+        # externalTimeBatch ⋈ timeBatch mixed pair, all-events
+        # channel: E present-batch rank i flushes at the first event
+        # of rank i+1 (current; enters the findable expiredEvents),
+        # re-emits expired at the first event of rank i+2, and is
+        # findable during (flush(i), flush(i+1)] for tick probes; E's
+        # arrival-driven chunks probe the timeBatch findable slot via
+        # the clamp rule (certified by test_etb_tb_mixed_join_
+        # algebra_matches_simulation)
+        "siddhiql_join_mixed_external_all": """
+            WITH ce AS (
+              SELECT event_id, user_id, s FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 7200000 AS s,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 7200000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'click') t
+              WHERE rn = 1
+            ),
+            fl AS (
+              SELECT s,
+                     lead(first_ms, 1) OVER (ORDER BY s) AS flush,
+                     lead(first_ms, 2) OVER (ORDER BY s) AS expat
+              FROM (SELECT epoch_ms(ts) // 7200000 AS s,
+                           min(epoch_ms(ts)) AS first_ms
+                    FROM events WHERE event_type = 'click' GROUP BY 1)
+            ),
+            pb AS (
+              SELECT event_id, user_id, m FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS m,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            ml AS (SELECT max(m) AS ml FROM pb),
+            eprobe AS (
+              SELECT ce.event_id, ce.user_id, 'current' AS channel,
+                     fl.flush AS pt
+              FROM ce JOIN fl USING (s) WHERE fl.flush IS NOT NULL
+              UNION ALL
+              SELECT ce.event_id, ce.user_id, 'expired', fl.expat
+              FROM ce JOIN fl USING (s) WHERE fl.expat IS NOT NULL
+            ),
+            e12 AS (
+              SELECT ep.user_id AS user_id,
+                     ep.event_id AS click_event_id,
+                     pb.event_id AS purchase_event_id,
+                     ep.channel AS channel
+              FROM eprobe ep CROSS JOIN ml
+              JOIN pb ON least(ep.pt // 3600000, ml.ml + 1) = pb.m + 1
+                     AND ep.user_id = pb.user_id
+            ),
+            iv AS (
+              SELECT ce.event_id, ce.user_id,
+                     fl.flush AS frm, fl.expat AS tto
+              FROM ce JOIN fl USING (s) WHERE fl.flush IS NOT NULL
+            ),
+            bprobe AS (
+              SELECT event_id, user_id, 'current' AS channel,
+                     (m + 1) * 3600000 AS pt
+              FROM pb
+              UNION ALL
+              SELECT pb.event_id, pb.user_id, 'expired',
+                     (pb.m + 2) * 3600000
+              FROM pb CROSS JOIN ml WHERE pb.m < ml.ml
+            ),
+            e34 AS (
+              SELECT iv.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN iv
+                ON iv.user_id = bp.user_id
+               AND iv.frm < bp.pt
+               AND (iv.tto IS NULL OR bp.pt <= iv.tto)
+            )
+            SELECT * FROM e12 UNION ALL SELECT * FROM e34
         """,
         # misaligned timeBatch pair, all-events channel: co-residency
         # of findable intervals ([end, end+T), last batch forever) —

@@ -672,20 +672,26 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
     mixed_channels = False
     if not partitioned and channel != "current" and not aligned_batches:
         wins = {lw, rw}
-        if (wins & _MIXED_LENGTH and wins & _MIXED_TIME) or wins <= _MIXED_TIME:
-            # lengthBatch-family ⋈ timeBatch-family, or two
-            # timeBatch-family windows on DIFFERENT grids: the
-            # emission-log interval algebras are simulation-certified
-            # (tests/test_properties.py::test_mixed_join_channels_
-            # algebra_matches_simulation / test_tt_mixed_join_
-            # coresidency_matches_simulation) — lower in _run_join
+        if (
+            (wins & _MIXED_LENGTH and wins & _MIXED_TIME)
+            or wins <= _MIXED_TIME
+            or ("externalTimeBatch" in wins and wins & _MIXED_TIME)
+        ):
+            # lengthBatch-family ⋈ timeBatch-family, two timeBatch-
+            # family windows on DIFFERENT grids, or externalTimeBatch
+            # ⋈ timeBatch-family: the emission-log interval algebras
+            # are simulation-certified (tests/test_properties.py::
+            # test_mixed_join_channels_algebra_matches_simulation /
+            # test_tt_mixed_join_coresidency_matches_simulation /
+            # test_etb_tb_mixed_join_algebra_matches_simulation) —
+            # lowered in _run_join
             mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
                 f"unique:{rw} is wired for aligned batch pairs and for "
-                "lengthBatch/timeBatch-family mixed pairs only; "
-                "use the function API"
+                "lengthBatch/timeBatch/externalTimeBatch-family mixed "
+                "pairs with a timeBatch side only; use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
@@ -833,6 +839,139 @@ def _batch_find_state(window: str, batched: DataFrame,
     )
 
 
+def _length_side_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
+    """lengthBatch-family side of a mixed-channel join: emission log
+    (fired batches at their fire, re-emitted at the next fire) and
+    forming-unique-map findable intervals — a row is in the map from
+    its arrival until it is displaced by a same-key arrival in the
+    same forming period (keep=last only) or the period fires; open
+    when the trailing period never closes."""
+    tb = _need_tiebreak(side["window"], tiebreak)
+    la, lc = _tail_consts(side)
+    if len(la) != 1 or len(lc) != 1:
+        raise SiddhiQLError(
+            f"unique:{side['window']} needs (key, window.length)"
+        )
+    key_a, n_a = la[0], lc[0]
+    keep_a = "first" if side["window"] == "firstLengthBatch" else "last"
+    batched_a = ops.length_batch(
+        df, key_a, n_a, ts=ts, tiebreak=tb, keep=keep_a
+    )
+    a_cur = batched_a.withColumn("__mx_pt", F.col("fired_at_ms")).withColumn(
+        CHANNEL, F.lit("current"))
+    a_exp = (
+        ops.length_batch_expired(batched_a)
+        .withColumn("__mx_pt", F.col("expired_at_ms"))
+        .drop("expired_at_ms")
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    a_probes = a_cur.unionByName(a_exp) if channel == "all" else a_exp
+
+    periods = ops.length_batch_periods(df, key_a, n_a, ts=ts, tiebreak=tb)
+    fire_log = batched_a.select(
+        F.col("batch_seq").alias("period_seq"),
+        F.col("fired_at_ms").alias("__mx_fire"),
+    ).distinct()
+    per = (
+        periods.withColumn("__mx_from", event_ms(periods, ts))
+        .join(fire_log, "period_seq", "left")
+    )
+    w = SqlWindow.partitionBy("period_seq", key_a).orderBy("__mx_from", tb)
+    if keep_a == "last":
+        per = per.withColumn("__mx_nxt", F.lead("__mx_from").over(w))
+    else:
+        # keep=first: repeat keys never enter the map; the first
+        # arrival per (period, key) is findable until the fire
+        per = (
+            per.withColumn("__mx_rn", F.row_number().over(w))
+            .filter(F.col("__mx_rn") == 1).drop("__mx_rn")
+            .withColumn("__mx_nxt", F.lit(None).cast("long"))
+        )
+    a_iv = per.withColumn(
+        "__mx_to",
+        F.when(
+            F.col("__mx_nxt").isNotNull() & F.col("__mx_fire").isNotNull(),
+            F.least("__mx_nxt", "__mx_fire"),
+        ).otherwise(F.coalesce("__mx_nxt", "__mx_fire")),
+    ).drop("__mx_nxt", "__mx_fire", "period_seq")
+    return a_probes, a_iv
+
+
+def _external_side_artifacts(side, df, ts, tiebreak, channel):
+    """externalTimeBatch side of a mixed-channel join: among the
+    PRESENT batches in rank order, rank i flushes (emits CURRENT and
+    becomes the ``find()``-able ``expiredEvents``) at the first event
+    of rank i+1, re-emits EXPIRED at the first event of rank i+2
+    (the certified rank+2 rule), and is findable during
+    (flush(i), flush(i+1)] — open for the last flushed batch, since
+    tick-driven probes at an instant precede that instant's arrivals.
+    Certified against the event-at-a-time simulation in
+    tests/test_properties.py::test_etb_tb_mixed_join_algebra_
+    matches_simulation. Both anchor modes (start.time and
+    first-event) are supported — the flush log derives from the
+    batched output's own ``batch_start_ms``."""
+    args = list(side["args"])
+    if len(args) < 3 or len(args) > 4:
+        raise SiddhiQLError(
+            "unique:externalTimeBatch in a mixed-channel join needs "
+            "(key, timestamp, window.time [, start.time])"
+        )
+    key_e, ts_attr = args[0], args[1]
+    wtime = parse_time_ms(_const(args[2]), "window.time")
+    start_ms = None
+    if len(args) == 4:
+        if not _INT_RE.match(args[3]):
+            raise SiddhiQLError(
+                f"externalTimeBatch start.time must be an int constant, "
+                f"got {args[3]!r}"
+            )
+        start_ms = int(args[3])
+    batched_e = ops.external_time_batch(
+        df, key_e, ts_attr, wtime, start_time_ms=start_ms, tiebreak=tiebreak,
+    )
+    # first event per PRESENT batch -> flush/expiry instants by rank
+    ms = event_ms(df, ts_attr)
+    if start_ms is None:
+        anchor = df.agg(F.min(ms).alias("_anchor_ms"))
+        src = df.crossJoin(F.broadcast(anchor))
+        start: object = F.col("_anchor_ms")
+    else:
+        src = df
+        start = F.lit(start_ms)
+    batch_start = (
+        F.floor((ms - start) / wtime).cast("long") * wtime + start
+    )
+    w = SqlWindow.orderBy("batch_start_ms")
+    log = (
+        src.select(batch_start.alias("batch_start_ms"), ms.alias("_ms"))
+        .groupBy("batch_start_ms")
+        .agg(F.min("_ms").alias("_first_ms"))
+        .withColumn("__mx_flush", F.lead("_first_ms", 1).over(w))
+        .withColumn("__mx_expat", F.lead("_first_ms", 2).over(w))
+        .select("batch_start_ms", "__mx_flush", "__mx_expat")
+    )
+    framed = batched_e.join(log, "batch_start_ms")
+    e_cur = (
+        framed.filter(F.col("__mx_flush").isNotNull())
+        .withColumn("__mx_pt", F.col("__mx_flush"))
+        .withColumn(CHANNEL, F.lit("current"))
+    )
+    e_exp = (
+        framed.filter(F.col("__mx_expat").isNotNull())
+        .withColumn("__mx_pt", F.col("__mx_expat"))
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    a_probes = (e_cur.unionByName(e_exp) if channel == "all" else e_exp)
+    a_probes = a_probes.drop("__mx_flush", "__mx_expat")
+    a_iv = (
+        framed.filter(F.col("__mx_flush").isNotNull())
+        .withColumn("__mx_from", F.col("__mx_flush"))
+        .withColumn("__mx_to", F.col("__mx_expat"))
+        .drop("__mx_flush", "__mx_expat")
+    )
+    return a_probes, a_iv
+
+
 def _run_join_mixed_channels(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str,
@@ -895,20 +1034,13 @@ def _run_join_mixed_channels(
             and q["right"]["window"] in _MIXED_TIME):
         return _run_join_mixed_tt(q, streams, ts, tiebreak, cond, _tail_consts)
 
-    sideL = q["left"] if q["left"]["window"] in _MIXED_LENGTH else q["right"]
+    sideL = (q["left"] if q["left"]["window"] not in _MIXED_TIME
+             else q["right"])
     sideT = q["right"] if sideL is q["left"] else q["left"]
     aname, bname = sideL["stream"], sideT["stream"]
-    tb = _need_tiebreak(sideL["window"], tiebreak)
     dfA = _bind_stream({**sideL, "channel": "current"}, streams)
     dfB = _bind_stream({**sideT, "channel": "current"}, streams)
 
-    la, lc = _tail_consts(sideL)
-    if len(la) != 1 or len(lc) != 1:
-        raise SiddhiQLError(
-            f"unique:{sideL['window']} needs (key, window.length)"
-        )
-    key_a, n_a = la[0], lc[0]
-    keep_a = "first" if sideL["window"] == "firstLengthBatch" else "last"
     ta, tc = _tail_consts(sideT)
     if len(ta) != 1 or not 1 <= len(tc) <= 2:
         raise SiddhiQLError(
@@ -943,19 +1075,14 @@ def _run_join_mixed_channels(
         "__mx_bslot", F.expr(f"cast((__mx_pt - {anchor}) div {t_b} as long)")
     )
 
-    # --- lengthBatch side artifacts ---
-    batched_a = ops.length_batch(
-        dfA, key_a, n_a, ts=ts, tiebreak=tb, keep=keep_a
-    )
-    a_cur = batched_a.withColumn("__mx_pt", F.col("fired_at_ms")).withColumn(
-        CHANNEL, F.lit("current"))
-    a_exp = (
-        ops.length_batch_expired(batched_a)
-        .withColumn("__mx_pt", F.col("expired_at_ms"))
-        .drop("expired_at_ms")
-        .withColumn(CHANNEL, F.lit("expired"))
-    )
-    a_probes = a_cur.unionByName(a_exp) if channel == "all" else a_exp
+    # --- arrival-driven side artifacts: (a_probes = rows + __mx_pt +
+    #     channel tag, a_iv = findable rows + __mx_from/__mx_to) ---
+    if sideL["window"] in _MIXED_LENGTH:
+        a_probes, a_iv = _length_side_artifacts(
+            sideL, dfA, ts, tiebreak, channel, _tail_consts)
+    else:
+        a_probes, a_iv = _external_side_artifacts(
+            sideL, dfA, ts, tiebreak, channel)
     # clamp the probe slot so the last batch stays findable forever;
     # Spark's least() is null-poisoned, so an empty B side yields a
     # NULL slot and the equi-join (on an empty build side) stays empty
@@ -976,39 +1103,9 @@ def _run_join_mixed_channels(
         "inner",
     )
 
-    # --- forming-map intervals, exploded over the B grid ---
-    periods = ops.length_batch_periods(dfA, key_a, n_a, ts=ts, tiebreak=tb)
-    fire_log = batched_a.select(
-        F.col("batch_seq").alias("period_seq"),
-        F.col("fired_at_ms").alias("__mx_fire"),
-    ).distinct()
-    per = (
-        periods.withColumn("__mx_from", event_ms(periods, ts))
-        .join(fire_log, "period_seq", "left")
-    )
-    if keep_a == "last":
-        w = SqlWindow.partitionBy("period_seq", key_a).orderBy(
-            "__mx_from", tb)
-        per = per.withColumn("__mx_nxt", F.lead("__mx_from").over(w))
-    else:
-        # keep=first: repeat keys never enter the map; the first
-        # arrival per (period, key) is findable until the fire
-        w = SqlWindow.partitionBy("period_seq", key_a).orderBy(
-            "__mx_from", tb)
-        per = (
-            per.withColumn("__mx_rn", F.row_number().over(w))
-            .filter(F.col("__mx_rn") == 1).drop("__mx_rn")
-            .withColumn("__mx_nxt", F.lit(None).cast("long"))
-        )
-    per = per.withColumn(
-        "__mx_to",
-        F.when(
-            F.col("__mx_nxt").isNotNull() & F.col("__mx_fire").isNotNull(),
-            F.least("__mx_nxt", "__mx_fire"),
-        ).otherwise(F.coalesce("__mx_nxt", "__mx_fire")),
-    ).drop("__mx_nxt", "__mx_fire", "period_seq")
+    # --- findable intervals, exploded over the B grid ---
     forming = (
-        per.crossJoin(F.broadcast(m_last))
+        a_iv.crossJoin(F.broadcast(m_last))
         .withColumn(
             "__mx_lo",
             F.greatest(

@@ -1878,3 +1878,166 @@ def test_tt_mixed_join_coresidency_matches_simulation(ts_pair, anchors, raw):
     sim = _tt_join_simulate(a_events, b_events, ta, tb, aa, ab)
     alg = _tt_join_closed_form(a_events, b_events, ta, tb, aa, ab)
     assert sim == alg
+
+
+# --- mixed externalTimeBatch ⋈ timeBatch: emission-log channels ---
+
+
+def _etb_tb_join_simulate(e_events, b_events, te, tb, anchor_e=0):
+    """Event-at-a-time simulation of ``E#window.unique:
+    externalTimeBatch(key, ts, te, anchor_e) join
+    B#window.unique:timeBatch(key, tb)`` on key equality.
+
+    externalTimeBatch (UniqueExternalTimeBatchWindowProcessor.java:
+    283-318,363-366,491-503): flushes ONLY on an arrival crossing the
+    forming batch's end — the forming batch emits CURRENT and the
+    previously-flushed batch re-emits EXPIRED, both probing the other
+    window at the arrival's instant; ``find()`` exposes the last
+    FLUSHED batch. timeBatch is tick-driven as in the certified
+    conventions (ticks precede same-instant arrivals; the last batch
+    stays findable forever). Returns sorted (channel, e_eid, b_eid, t)
+    emissions."""
+    out = []
+    ticks = []
+    if b_events:
+        last_end = (max(ts for ts, _, _ in b_events) // tb + 1) * tb
+        ticks = list(range(tb, last_end + 1, tb))
+    arrivals = sorted(
+        [(ts, eid, key, "E") for ts, eid, key in e_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    forming_e: dict = {}      # key -> eid (keep=last)
+    forming_slot: int | None = None
+    flushed_e: dict = {}      # expiredEvents: last flushed batch
+    has_flushed = False
+    forming_b: dict = {}
+    findable_b: dict = {}
+    ti = ai = 0
+    while ti < len(ticks) or ai < len(arrivals):
+        tick = ticks[ti] if ti < len(ticks) else None
+        arr = arrivals[ai] if ai < len(arrivals) else None
+        if tick is not None and (arr is None or tick <= arr[0]):
+            ti += 1
+            flushed = dict(forming_b)
+            replaced = dict(findable_b)
+            probe = flushed_e if has_flushed else {}
+            for key, b_eid in flushed.items():
+                if key in probe:
+                    out.append(("current", probe[key], b_eid, tick))
+            for key, b_eid in replaced.items():
+                if key in probe:
+                    out.append(("expired", probe[key], b_eid, tick))
+            findable_b = flushed
+            forming_b = {}
+            continue
+        ts, eid, key, side = arr
+        ai += 1
+        if side == "B":
+            forming_b[key] = eid
+            continue
+        slot = (ts - anchor_e) // te
+        if forming_slot is not None and slot != forming_slot:
+            # crossing arrival: the forming batch flushes as CURRENT
+            # and the batch sitting in expiredEvents re-emits as
+            # EXPIRED, both probing the other window at this instant;
+            # then the flushed batch replaces expiredEvents
+            for k2, e_eid in forming_e.items():
+                if k2 in findable_b:
+                    out.append(("current", e_eid, findable_b[k2], ts))
+            if has_flushed:
+                for k2, e_eid in flushed_e.items():
+                    if k2 in findable_b:
+                        out.append(("expired", e_eid, findable_b[k2], ts))
+            flushed_e, has_flushed = dict(forming_e), True
+            forming_e = {}
+        forming_slot = slot
+        forming_e[key] = eid
+    return sorted(out)
+
+
+def _etb_tb_join_closed_form(e_events, b_events, te, tb, anchor_e=0):
+    """Batch interval algebra (the Spark lowering / DuckDB oracle):
+    E's PRESENT batches in rank order flush at the first event of the
+    next rank — batch rank i emits CURRENT at flush(i), re-emits
+    EXPIRED at flush(i+1)'s... i.e. the first event of rank i+2, and
+    is findable (as ``expiredEvents``) during (flush(i),
+    flush(i+1)] for tick-driven probes — open for the last flushed
+    batch. Arrival-driven probes match timeBatch's findable slot via
+    the clamp rule."""
+    out = []
+    eb: dict = {}
+    first_ms: dict = {}
+    for ts, eid, key in sorted(e_events, key=lambda e: (e[0], e[1])):
+        slot = (ts - anchor_e) // te
+        eb.setdefault(slot, {})[key] = eid
+        first_ms.setdefault(slot, ts)
+    ranks = sorted(eb)
+    if b_events:
+        by_slot: dict = {}
+        for ts, eid, key in sorted(b_events, key=lambda e: (e[0], e[1])):
+            by_slot.setdefault(ts // tb, {})[key] = eid
+        k_last = max(by_slot)
+    else:
+        by_slot, k_last = {}, None
+
+    def b_findable(f):
+        if k_last is None:
+            return {}
+        return by_slot.get(min(f // tb, k_last + 1) - 1, {})
+
+    # e1/e2: E chunks probe B's findable batch
+    for i, slot in enumerate(ranks):
+        flush = first_ms[ranks[i + 1]] if i + 1 < len(ranks) else None
+        if flush is not None:
+            fb = b_findable(flush)
+            for key, e_eid in eb[slot].items():
+                if key in fb:
+                    out.append(("current", e_eid, fb[key], flush))
+        exp_at = first_ms[ranks[i + 2]] if i + 2 < len(ranks) else None
+        if exp_at is not None:
+            fb2 = b_findable(exp_at)
+            for key, e_eid in eb[slot].items():
+                if key in fb2:
+                    out.append(("expired", e_eid, fb2[key], exp_at))
+    # e3/e4: B chunks probe E's flushed-batch intervals
+    intervals = []
+    for i, slot in enumerate(ranks):
+        if i + 1 >= len(ranks):
+            continue  # never flushed
+        frm = first_ms[ranks[i + 1]]
+        tto = first_ms[ranks[i + 2]] if i + 2 < len(ranks) else None
+        intervals.append((slot, frm, tto))
+    for k, rows_b in by_slot.items():
+        for channel, tau in (("current", (k + 1) * tb),
+                             ("expired", (k + 2) * tb)):
+            if channel == "expired" and k == k_last:
+                continue
+            for slot, frm, tto in intervals:
+                if frm < tau and (tto is None or tau <= tto):
+                    for key, b_eid in rows_b.items():
+                        if key in eb[slot]:
+                            out.append((channel, eb[slot][key], b_eid, tau))
+    return sorted(out)
+
+
+@given(
+    st.sampled_from([(5, 7), (10, 25), (21, 7), (10, 10)]),  # (T_E, T_B)
+    st.sampled_from([0, 3]),                                  # E anchor
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_etb_tb_mixed_join_algebra_matches_simulation(ts_pair, ae, raw):
+    """The emission-log algebra for a MIXED externalTimeBatch ⋈
+    timeBatch join must equal the event-at-a-time simulation —
+    including skipped slots (external flushes only on present
+    ranks), flush arrivals landing on B ticks, and the
+    last-flushed-batch open interval."""
+    te, tb = ts_pair
+    e_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _etb_tb_join_simulate(e_events, b_events, te, tb, ae)
+    alg = _etb_tb_join_closed_form(e_events, b_events, te, tb, ae)
+    assert sim == alg

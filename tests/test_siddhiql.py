@@ -736,12 +736,14 @@ def test_join_external_time_batch_aligned_and_negatives(two_streams):
              F.col("r.event_id").alias("r_id"))
     assert rows(out2) == rows(want2)
     assert out2.count() > 0
-    # mixed timeBatch/externalTimeBatch pair: the expired/all channel
-    # keeps the eager error (only aligned pairs model batch expiry)
+    # mixed externalTimeBatch/externalTimeBatch pair (first-event
+    # anchored, no shared grid): the expired/all channel keeps the
+    # eager error — arrival-vs-arrival flush interleave is the one
+    # shape not lowered (r12 lowered external ⋈ timeBatch-family)
     with pytest.raises(sq.SiddhiQLError):
         sq.run_app(
-            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
-            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
+            "from clicks#window.unique:externalTimeBatch(user_id, ts, 2 hours) "
+            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id insert all events into x;",
             two_streams, tiebreak="event_id",
@@ -1948,9 +1950,10 @@ def test_join_mixed_channels_validation(two_streams):
             base + "select count() as n insert all events into x;",
             two_streams, tiebreak="event_id",
         )
-    # externalTimeBatch mixed pairs: still eager (arrival-driven
-    # flush interleave against another window is not lowered)
-    with pytest.raises(sq.SiddhiQLError, match="mixed pairs only"):
+    # lengthBatch ⋈ externalTimeBatch: still eager (arrival-vs-
+    # arrival flush interleave; only pairs with a timeBatch side are
+    # lowered)
+    with pytest.raises(sq.SiddhiQLError, match="timeBatch side"):
         sq.run_app(
             "from clicks#window.unique:lengthBatch(user_id, 5) "
             "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
@@ -2028,5 +2031,81 @@ def test_join_mixed_tt_channels_match_certified_algebra(spark):
             got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
                          for r in out.itertuples())
         assert got == exp, (trial, ta, t_b, got[:6], exp[:6])
+        ran += 1
+    assert ran >= 3
+
+
+def test_join_mixed_etb_channels_match_certified_algebra(spark):
+    """externalTimeBatch ⋈ timeBatch expired/all channels must
+    reproduce the emission-log algebra pinned against the
+    event-at-a-time simulation in test_properties.py — across both
+    anchor modes (start.time and first-event), both side orders, and
+    both channels."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import _etb_tb_join_closed_form
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(616161)
+    ran = 0
+    for trial in range(5):
+        te = random.choice([5, 10, 21])
+        t_b = random.choice([3, 7, 10])
+        anchored = trial % 2 == 0
+        raw = [
+            (random.randint(5, 180), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(10, 55))
+        ]
+        e = [(ts, x, k) for ts, x, k, s in raw if s]
+        b = [(ts, x, k) for ts, x, k, s in raw if not s]
+        if not e or not b:
+            continue
+        chan = "expired" if trial == 4 else "all"
+        ext = (
+            f"clicks#window.unique:externalTimeBatch(user_id, ts, {te}, 3)"
+            if anchored else
+            f"clicks#window.unique:externalTimeBatch(user_id, ts, {te})"
+        )
+        tbc = f"purchases#window.unique:timeBatch(user_id, {t_b})"
+        left, right = (tbc, ext) if trial in (1, 3) else (ext, tbc)
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from {left} join {right}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(e), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        anchor_eff = (3 % te) if anchored else min(t for t, _, _ in e)
+        alg = _etb_tb_join_closed_form(e, b, te, t_b, anchor_eff)
+        if chan == "expired":
+            exp = sorted((x, y) for ch, x, y, _ in alg if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted((ch, x, y) for ch, x, y, _ in alg)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, te, t_b, got[:6], exp[:6])
         ran += 1
     assert ran >= 3
