@@ -2109,3 +2109,43 @@ def test_join_mixed_etb_channels_match_certified_algebra(spark):
         assert got == exp, (trial, te, t_b, got[:6], exp[:6])
         ran += 1
     assert ran >= 3
+
+
+def test_join_mixed_channels_empty_sides(spark):
+    """Mixed-channel joins must return empty (never crash) when
+    either stream is empty — the clamp scalars go NULL and the
+    interval explode bounds filter out, by design."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+    full = spark.createDataFrame(
+        [(10, 1, "a"), (12, 2, "b"), (30, 3, "a"), (55, 4, "c")], schema)
+    empty = spark.createDataFrame([], schema)
+    apps = [
+        ("from clicks#window.unique:lengthBatch(user_id, 2) "
+         "join purchases#window.unique:timeBatch(user_id, 10) "),
+        ("from clicks#window.unique:timeBatch(user_id, 10) "
+         "join purchases#window.unique:timeBatch(user_id, 25) "),
+        ("from clicks#window.unique:externalTimeBatch(user_id, ts, 10, 0) "
+         "join purchases#window.unique:timeBatch(user_id, 7) "),
+    ]
+    tail = ("on clicks.user_id == purchases.user_id "
+            "select clicks.event_id as a_eid, purchases.event_id as b_eid, "
+            "channel insert all events into x;")
+    for head in apps:
+        for clicks, purchases in ((full, empty), (empty, full),
+                                  (empty, empty)):
+            out = sq.run_app(
+                head + tail, {"clicks": clicks, "purchases": purchases},
+                ts="ts", tiebreak="event_id",
+            )["x"]
+            assert out.count() == 0
