@@ -404,6 +404,29 @@ def q_siddhiql_join_mixed_external_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_mixed_lengths_all(spark, sf_dir):
+    """Expired/all channels for a lengthBatch ⋈ lengthBatch mixed
+    pair — both windows transition on ARRIVALS, so the emission order
+    is the engine's pinned global (ts, tiebreak) arrival order. Each
+    side's fired chunk (current) and previous batch (expired at the
+    same fire) probe the other side's forming unique map at that
+    lexicographic instant. Simulation-certified
+    (tests/test_properties.py::test_ll_mixed_join_algebra_matches_
+    simulation); lowered as two banded probe-vs-interval joins whose
+    band width follows the probing side's fire cadence
+    (siddhiql.py:_run_join_mixed_ll)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:lengthBatch(user_id, 50) join purchases#window.unique:lengthBatch(user_id, 30)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2618,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_join_mixed_all": q_siddhiql_join_mixed_all,
         "siddhiql_join_mixed_grids_all": q_siddhiql_join_mixed_grids_all,
         "siddhiql_join_mixed_external_all": q_siddhiql_join_mixed_external_all,
+        "siddhiql_join_mixed_lengths_all": q_siddhiql_join_mixed_lengths_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -4189,6 +4213,171 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT f.user_id AS user_id, f.event_id AS click_event_id,
                    pu.event_id AS purchase_event_id
             FROM flushed f JOIN pu ON f.user_id = pu.user_id
+        """,
+        # lengthBatch ⋈ lengthBatch mixed pair, all-events channel:
+        # both sides arrival-driven, ordered by the global
+        # (ms, event_id) instant; each side's fired chunks probe the
+        # other's forming map — visible iff enter < probe < leave in
+        # lexicographic instants (certified by
+        # test_ll_mixed_join_algebra_matches_simulation)
+        "siddhiql_join_mixed_lengths_all": """
+            WITH RECURSIVE ca AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                     row_number() OVER (ORDER BY ts, event_id) AS pos
+              FROM events WHERE event_type = 'click'
+            ),
+            fa(seq, start_pos, fire_pos) AS (
+              SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT f.seq + 1, f.fire_pos,
+                     (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ca
+                        WHERE ca.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49)
+              FROM fa f
+              WHERE (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ca
+                        WHERE ca.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49) IS NOT NULL
+            ),
+            cb AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                     row_number() OVER (ORDER BY ts, event_id) AS pos
+              FROM events WHERE event_type = 'purchase'
+            ),
+            fb(seq, start_pos, fire_pos) AS (
+              SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT f.seq + 1, f.fire_pos,
+                     (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM cb
+                        WHERE cb.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 29)
+              FROM fb f
+              WHERE (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM cb
+                        WHERE cb.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 29) IS NOT NULL
+            ),
+            fa2 AS MATERIALIZED (
+              SELECT f.seq, f.start_pos, f.fire_pos,
+                     (SELECT ms FROM ca WHERE pos = f.fire_pos) AS pms,
+                     (SELECT event_id FROM ca
+                      WHERE pos = f.fire_pos) AS ptb
+              FROM fa f WHERE f.seq >= 0
+            ),
+            fb2 AS MATERIALIZED (
+              SELECT f.seq, f.start_pos, f.fire_pos,
+                     (SELECT ms FROM cb WHERE pos = f.fire_pos) AS pms,
+                     (SELECT event_id FROM cb
+                      WHERE pos = f.fire_pos) AS ptb
+              FROM fb f WHERE f.seq >= 0
+            ),
+            aret AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, f.seq
+              FROM fa2 f JOIN ca e
+                ON e.pos > f.start_pos AND e.pos <= f.fire_pos
+               AND e.pos = (SELECT max(pos) FROM ca e2
+                            WHERE e2.user_id = e.user_id
+                              AND e2.pos > f.start_pos
+                              AND e2.pos <= f.fire_pos)
+            ),
+            bret AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, f.seq
+              FROM fb2 f JOIN cb e
+                ON e.pos > f.start_pos AND e.pos <= f.fire_pos
+               AND e.pos = (SELECT max(pos) FROM cb e2
+                            WHERE e2.user_id = e.user_id
+                              AND e2.pos > f.start_pos
+                              AND e2.pos <= f.fire_pos)
+            ),
+            aprobe AS (
+              SELECT r.event_id, r.user_id, 'current' AS channel,
+                     f.pms, f.ptb
+              FROM aret r JOIN fa2 f ON f.seq = r.seq
+              UNION ALL
+              SELECT r.event_id, r.user_id, 'expired', f.pms, f.ptb
+              FROM aret r JOIN fa2 f ON f.seq = r.seq + 1
+            ),
+            bprobe AS (
+              SELECT r.event_id, r.user_id, 'current' AS channel,
+                     f.pms, f.ptb
+              FROM bret r JOIN fb2 f ON f.seq = r.seq
+              UNION ALL
+              SELECT r.event_id, r.user_id, 'expired', f.pms, f.ptb
+              FROM bret r JOIN fb2 f ON f.seq = r.seq + 1
+            ),
+            aper AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, e.ms, e.pos,
+                     (SELECT count(*) FROM fa2
+                      WHERE fa2.fire_pos < e.pos) AS pseq
+              FROM ca e
+            ),
+            bper AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, e.ms, e.pos,
+                     (SELECT count(*) FROM fb2
+                      WHERE fb2.fire_pos < e.pos) AS pseq
+              FROM cb e
+            ),
+            aiv AS MATERIALIZED (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN nms ELSE fms END AS lms,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN ntb ELSE ftb END AS ltb
+              FROM (
+                SELECT p.*,
+                       lead(ms) OVER (PARTITION BY pseq, user_id
+                                      ORDER BY pos) AS nms,
+                       lead(event_id) OVER (PARTITION BY pseq, user_id
+                                            ORDER BY pos) AS ntb,
+                       (SELECT pms FROM fa2 WHERE seq = p.pseq) AS fms,
+                       (SELECT ptb FROM fa2 WHERE seq = p.pseq) AS ftb
+                FROM aper p)
+            ),
+            biv AS MATERIALIZED (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN nms ELSE fms END AS lms,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN ntb ELSE ftb END AS ltb
+              FROM (
+                SELECT p.*,
+                       lead(ms) OVER (PARTITION BY pseq, user_id
+                                      ORDER BY pos) AS nms,
+                       lead(event_id) OVER (PARTITION BY pseq, user_id
+                                            ORDER BY pos) AS ntb,
+                       (SELECT pms FROM fb2 WHERE seq = p.pseq) AS fms,
+                       (SELECT ptb FROM fb2 WHERE seq = p.pseq) AS ftb
+                FROM bper p)
+            ),
+            e_ab AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap JOIN biv iv
+                ON ap.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (ap.pms, ap.ptb)
+               AND (iv.lms IS NULL OR
+                    (ap.pms, ap.ptb) < (iv.lms, iv.ltb))
+            ),
+            e_ba AS (
+              SELECT bp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN aiv iv
+                ON bp.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (bp.pms, bp.ptb)
+               AND (iv.lms IS NULL OR
+                    (bp.pms, bp.ptb) < (iv.lms, iv.ltb))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
         """,
         # externalTimeBatch ⋈ timeBatch mixed pair, all-events
         # channel: E present-batch rank i flushes at the first event

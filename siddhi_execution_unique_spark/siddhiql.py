@@ -675,6 +675,7 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
         if (
             (wins & _MIXED_LENGTH and wins & _MIXED_TIME)
             or wins <= _MIXED_TIME
+            or wins <= _MIXED_LENGTH
             or ("externalTimeBatch" in wins and wins & _MIXED_TIME)
         ):
             # lengthBatch-family ⋈ timeBatch-family, two timeBatch-
@@ -689,9 +690,10 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
-                f"unique:{rw} is wired for aligned batch pairs and for "
-                "lengthBatch/timeBatch/externalTimeBatch-family mixed "
-                "pairs with a timeBatch side only; use the function API"
+                f"unique:{rw} is wired for aligned batch pairs, "
+                "lengthBatch/timeBatch-family mixed pairs, and "
+                "externalTimeBatch with a timeBatch side only; "
+                "use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
@@ -972,6 +974,186 @@ def _external_side_artifacts(side, df, ts, tiebreak, channel):
     return a_probes, a_iv
 
 
+def _ll_side_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
+    """One lengthBatch side of an arrival-vs-arrival mixed join:
+    probe emission log with LEXICOGRAPHIC (ms, tiebreak) instants —
+    the fire instant is the max (ms, tiebreak) over the batch's
+    retained rows, i.e. the firing arrival itself, for both keeps —
+    and forming-map validity intervals in the same instant space
+    (enter = the arrival; leave = min(same-key displacement in the
+    period, the period's fire); open when the trailing period never
+    closes)."""
+    tb = _need_tiebreak(side["window"], tiebreak)
+    la, lc = _tail_consts(side)
+    if len(la) != 1 or len(lc) != 1:
+        raise SiddhiQLError(
+            f"unique:{side['window']} needs (key, window.length)"
+        )
+    key, n = la[0], lc[0]
+    keep = "first" if side["window"] == "firstLengthBatch" else "last"
+    batched = ops.length_batch(df, key, n, ts=ts, tiebreak=tb, keep=keep)
+    fire_log = (
+        batched.withColumn("__mx_ms", event_ms(batched, ts))
+        .groupBy("batch_seq")
+        .agg(F.max(F.struct(F.col("__mx_ms").alias("m"),
+                            F.col(tb).alias("t"))).alias("__mx_f"))
+        .select("batch_seq",
+                F.col("__mx_f.m").alias("__mx_pms"),
+                F.col("__mx_f.t").alias("__mx_ptb"))
+    )
+    cur = (
+        batched.join(fire_log, "batch_seq")
+        .withColumn(CHANNEL, F.lit("current"))
+    )
+    nxt_log = fire_log.select(
+        (F.col("batch_seq") - 1).alias("batch_seq"), "__mx_pms", "__mx_ptb")
+    exp = (
+        batched.join(nxt_log, "batch_seq")
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    probes = (cur.unionByName(exp) if channel == "all" else exp).drop(
+        "batch_seq")
+
+    periods = ops.length_batch_periods(df, key, n, ts=ts, tiebreak=tb)
+    pf = fire_log.select(
+        F.col("batch_seq").alias("period_seq"),
+        F.col("__mx_pms").alias("__mx_fms"),
+        F.col("__mx_ptb").alias("__mx_ftb"),
+    )
+    per = (
+        periods.withColumn("__mx_ems", event_ms(periods, ts))
+        .withColumn("__mx_etb", F.col(tb))
+        .join(pf, "period_seq", "left")
+    )
+    w = SqlWindow.partitionBy("period_seq", key).orderBy("__mx_ems", tb)
+    if keep == "last":
+        per = (
+            per.withColumn("__mx_nms", F.lead("__mx_ems").over(w))
+            .withColumn("__mx_ntb", F.lead(tb).over(w))
+        )
+    else:
+        per = (
+            per.withColumn("__mx_rn", F.row_number().over(w))
+            .filter(F.col("__mx_rn") == 1).drop("__mx_rn")
+            .withColumn("__mx_nms", F.lit(None).cast("long"))
+            .withColumn("__mx_ntb", F.lit(None).cast(df.schema[tb].dataType))
+        )
+    # leave = lexicographic min(displacement, fire); NULL = open
+    nxt_first = F.expr(
+        "__mx_nms IS NOT NULL AND (__mx_fms IS NULL OR __mx_nms < __mx_fms"
+        " OR (__mx_nms = __mx_fms AND __mx_ntb < __mx_ftb))"
+    )
+    a_iv = (
+        per.withColumn(
+            "__mx_lms",
+            F.when(nxt_first, F.col("__mx_nms")).otherwise(F.col("__mx_fms")))
+        .withColumn(
+            "__mx_ltb",
+            F.when(nxt_first, F.col("__mx_ntb")).otherwise(F.col("__mx_ftb")))
+        .drop("__mx_nms", "__mx_ntb", "__mx_fms", "__mx_ftb", "period_seq")
+    )
+    n_fires = fire_log.agg(F.count("*").alias("__mx_nf"))
+    return probes, a_iv, n_fires
+
+
+def _run_join_mixed_ll(
+    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
+    cond: str, _tail_consts,
+) -> DataFrame:
+    """Expired/all channels for a MIXED ``lengthBatch``-family pair —
+    the one join whose BOTH sides transition on arrivals, so the
+    emission order is the engine's pinned global (ms, tiebreak)
+    arrival order (tiebreak ids unique across both streams; the
+    reference leaves same-instant cross-stream order to its
+    scheduler, this engine pins it like every other tie). Certified
+    against an event-at-a-time simulation in tests/test_properties.py
+    ::test_ll_mixed_join_algebra_matches_simulation.
+
+    Each side's fired chunks (current at their fire, previous batch
+    expired at the same fire) probe the OTHER side's forming unique
+    map at that instant: visible iff enter < probe < leave in
+    lexicographic (ms, tiebreak) instants — instants are unique
+    across the union, so there are no boundary ties. Plan shape per
+    direction: the probe log band-joins the interval log, with the
+    band width derived from the PROBING side's fire cadence
+    (span / fires), so each interval explodes into ~(probes crossing
+    it) bands — the fan-out is output-law bound, never O(n²)."""
+    channel = q["channel"]
+    sideA, sideB = q["left"], q["right"]
+    aname, bname = sideA["stream"], sideB["stream"]
+    dfA = _bind_stream({**sideA, "channel": "current"}, streams)
+    dfB = _bind_stream({**sideB, "channel": "current"}, streams)
+    a_probes, a_iv, a_nf = _ll_side_artifacts(
+        sideA, dfA, ts, tiebreak, channel, _tail_consts)
+    b_probes, b_iv, b_nf = _ll_side_artifacts(
+        sideB, dfB, ts, tiebreak, channel, _tail_consts)
+    span = (
+        dfA.select(event_ms(dfA, ts).alias("__mx_m"))
+        .unionByName(dfB.select(event_ms(dfB, ts).alias("__mx_m")))
+        .agg(F.min("__mx_m").alias("__mx_gmin"),
+             F.max("__mx_m").alias("__mx_gmax"))
+    )
+
+    def direction(probes, ivs, nf, pn, vn):
+        """probes of side `pn` against intervals of side `vn`."""
+        scal = F.broadcast(span.crossJoin(nf))
+        p2 = (
+            probes.crossJoin(scal)
+            .withColumn(
+                "__mx_w",
+                F.greatest(
+                    F.expr("(__mx_gmax - __mx_gmin + 1) div (__mx_nf + 1)"),
+                    F.lit(1).cast("long"),
+                ),
+            )
+            .withColumn("__mx_band",
+                        F.expr("(__mx_pms - __mx_gmin) div __mx_w"))
+            .drop("__mx_gmin", "__mx_gmax", "__mx_nf", "__mx_w")
+        )
+        v2 = (
+            ivs.crossJoin(scal)
+            .withColumn(
+                "__mx_w",
+                F.greatest(
+                    F.expr("(__mx_gmax - __mx_gmin + 1) div (__mx_nf + 1)"),
+                    F.lit(1).cast("long"),
+                ),
+            )
+            .withColumn("__mx_blo",
+                        F.expr("(__mx_ems - __mx_gmin) div __mx_w"))
+            .withColumn(
+                "__mx_bhi",
+                F.expr("(coalesce(__mx_lms, __mx_gmax) - __mx_gmin)"
+                       " div __mx_w"))
+            .filter(F.col("__mx_bhi") >= F.col("__mx_blo"))
+            .withColumn("__mx_iband",
+                        F.explode(F.expr("sequence(__mx_blo, __mx_bhi)")))
+            .drop("__mx_gmin", "__mx_gmax", "__mx_nf", "__mx_w",
+                  "__mx_blo", "__mx_bhi")
+        )
+        return p2.alias(pn).join(
+            v2.alias(vn),
+            F.expr(
+                f"({cond}) AND {pn}.__mx_band = {vn}.__mx_iband"
+                f" AND ({vn}.__mx_ems < {pn}.__mx_pms OR"
+                f" ({vn}.__mx_ems = {pn}.__mx_pms AND"
+                f" {vn}.__mx_etb < {pn}.__mx_ptb))"
+                f" AND ({vn}.__mx_lms IS NULL OR"
+                f" {pn}.__mx_pms < {vn}.__mx_lms OR"
+                f" ({pn}.__mx_pms = {vn}.__mx_lms AND"
+                f" {pn}.__mx_ptb < {vn}.__mx_ltb))"
+            ),
+            "inner",
+        )
+
+    d1 = direction(a_probes, b_iv, a_nf, aname, bname)
+    d2 = direction(b_probes, a_iv, b_nf, bname, aname)
+    items = [F.expr(s) for s in q["select"]]
+    out = d1.select(*items).unionByName(d2.select(*items))
+    out._sq_select_applied = True
+    return out
+
+
 def _run_join_mixed_channels(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str,
@@ -1033,6 +1215,9 @@ def _run_join_mixed_channels(
     if (q["left"]["window"] in _MIXED_TIME
             and q["right"]["window"] in _MIXED_TIME):
         return _run_join_mixed_tt(q, streams, ts, tiebreak, cond, _tail_consts)
+    if (q["left"]["window"] in _MIXED_LENGTH
+            and q["right"]["window"] in _MIXED_LENGTH):
+        return _run_join_mixed_ll(q, streams, ts, tiebreak, cond, _tail_consts)
 
     sideL = (q["left"] if q["left"]["window"] not in _MIXED_TIME
              else q["right"])

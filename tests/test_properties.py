@@ -2041,3 +2041,130 @@ def test_etb_tb_mixed_join_algebra_matches_simulation(ts_pair, ae, raw):
     sim = _etb_tb_join_simulate(e_events, b_events, te, tb, ae)
     alg = _etb_tb_join_closed_form(e_events, b_events, te, tb, ae)
     assert sim == alg
+
+
+# --- mixed lengthBatch ⋈ lengthBatch: arrival-ordered emission log ---
+
+
+def _ll_join_simulate(a_events, b_events, na, nb):
+    """Event-at-a-time simulation of ``A#window.unique:lengthBatch
+    (key, na) join B#window.unique:lengthBatch(key, nb)`` on key
+    equality. Both windows are arrival-driven; the engine pins the
+    cross-stream arrival order as global (ts, tiebreak) — tiebreak
+    ids are unique across both streams — so every interleave is
+    deterministic. A fire's current chunk (the fired batch) and
+    expired chunk (the previous batch) probe the OTHER window's
+    forming unique map at that arrival (reference find() searches
+    uniqueEventMap.values(), UniqueLengthBatchWindowProcessor.java:
+    226-233). Returns sorted (channel, a_eid, b_eid) emissions (times
+    omitted — instants are (ms, tiebreak) pairs)."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "A") for ts, eid, key in a_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    forming = {"A": {}, "B": {}}
+    prev_batch = {"A": {}, "B": {}}
+    fired_once = {"A": False, "B": False}
+    n_of = {"A": na, "B": nb}
+    for ts, eid, key, side in arrivals:
+        other = "B" if side == "A" else "A"
+        forming[side][key] = eid
+        if len(forming[side]) == n_of[side]:
+            for k2, eid2 in forming[side].items():
+                if k2 in forming[other]:
+                    pair = ((eid2, forming[other][k2]) if side == "A"
+                            else (forming[other][k2], eid2))
+                    out.append(("current", pair[0], pair[1]))
+            if fired_once[side]:
+                for k2, eid2 in prev_batch[side].items():
+                    if k2 in forming[other]:
+                        pair = ((eid2, forming[other][k2]) if side == "A"
+                                else (forming[other][k2], eid2))
+                        out.append(("expired", pair[0], pair[1]))
+            prev_batch[side] = dict(forming[side])
+            fired_once[side] = True
+            forming[side] = {}
+    return sorted(out)
+
+
+def _ll_join_closed_form(a_events, b_events, na, nb):
+    """Batch algebra (the Spark lowering / DuckDB oracle): per side,
+    fired batches with their fire INSTANT (the lexicographic max
+    (ms, tiebreak) over the batch's retained rows = the firing
+    arrival) and forming-map validity intervals in (ms, tiebreak)
+    instants — a row is visible to a probe p iff enter < p < leave
+    (instants are unique across the union, so no boundary ties).
+    Emissions: each side's current chunk (at its fire instant) and
+    expired chunk (at the NEXT fire instant) probe the other side's
+    intervals."""
+    def chain(events, n):
+        ev = sorted(events, key=lambda e: (e[0], e[1]))
+        batches = []   # (fire_instant, {key: eid})
+        intervals = []  # (key, eid, enter, leave|None)
+        open_rows: dict = {}
+        forming: dict = {}
+        for ts, eid, key in ev:
+            inst = (ts, eid)
+            if key in open_rows:
+                o_inst, o_eid = open_rows[key]
+                intervals.append((key, o_eid, o_inst, inst))
+            open_rows[key] = (inst, eid)
+            forming[key] = eid
+            if len(forming) == n:
+                for k2, (o_inst, o_eid) in open_rows.items():
+                    intervals.append((k2, o_eid, o_inst, inst))
+                batches.append((inst, dict(forming)))
+                forming = {}
+                open_rows = {}
+        for k2, (o_inst, o_eid) in open_rows.items():
+            intervals.append((k2, o_eid, o_inst, None))
+        return batches, intervals
+
+    out = []
+    ba, iva = chain(a_events, na)
+    bb, ivb = chain(b_events, nb)
+
+    def emit(batches, ivs, a_side):
+        for i, (fire, rows) in enumerate(batches):
+            # current chunk of batch i probes at fire(i); the
+            # expired chunk at fire(i) is batch i-1
+            probes = [("current", fire)]
+            if i >= 1:
+                probes.append(("expired_prev", fire))
+            for channel, p in probes:
+                chunk = rows if channel == "current" else batches[i - 1][1]
+                ch = "current" if channel == "current" else "expired"
+                for key, eid in chunk.items():
+                    for k2, eid2, enter, leave in ivs:
+                        if k2 != key:
+                            continue
+                        if enter < p and (leave is None or p < leave):
+                            pair = (eid, eid2) if a_side else (eid2, eid)
+                            out.append((ch, pair[0], pair[1]))
+
+    emit(ba, ivb, True)
+    emit(bb, iva, False)
+    return sorted(out)
+
+
+@given(
+    st.integers(2, 4),
+    st.integers(2, 4),
+    st.lists(st.tuples(st.integers(0, 60), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_ll_mixed_join_algebra_matches_simulation(na, nb, raw):
+    """The arrival-ordered emission-log algebra for a lengthBatch ⋈
+    lengthBatch join's channels must equal the event-at-a-time
+    simulation — including same-ms cross-stream arrivals (tiebreak
+    decides), displacement chains on both sides, and trailing open
+    periods."""
+    a_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _ll_join_simulate(a_events, b_events, na, nb)
+    alg = _ll_join_closed_form(a_events, b_events, na, nb)
+    assert sim == alg

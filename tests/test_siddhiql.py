@@ -2149,3 +2149,72 @@ def test_join_mixed_channels_empty_sides(spark):
                 ts="ts", tiebreak="event_id",
             )["x"]
             assert out.count() == 0
+
+
+def test_join_mixed_ll_channels_match_certified_algebra(spark):
+    """lengthBatch ⋈ lengthBatch expired/all channels must reproduce
+    the arrival-ordered emission-log algebra pinned against the
+    event-at-a-time simulation in test_properties.py — across
+    randomized interleavings, window lengths, and both channels."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import _ll_join_closed_form
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(515151)
+    ran = 0
+    for trial in range(4):
+        na = random.randint(2, 4)
+        nb = random.randint(2, 4)
+        raw = [
+            (random.randint(0, 150), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(10, 60))
+        ]
+        a = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        if not a or not b:
+            continue
+        chan = "expired" if trial == 2 else "all"
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (
+            f"from clicks#window.unique:lengthBatch(user_id, {na}) "
+            f"join purchases#window.unique:lengthBatch(user_id, {nb})\n"
+            "on clicks.user_id == purchases.user_id\n"
+            f"{sel}\ninsert {chan} events into joined ;"
+        )
+        out = sq.run_app(
+            app, {"clicks": mkdf(a), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        alg = _ll_join_closed_form(a, b, na, nb)
+        if chan == "expired":
+            exp = sorted((x, y) for ch, x, y in alg if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted(alg)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, na, nb, got[:6], exp[:6])
+        ran += 1
+    assert ran >= 3

@@ -80,9 +80,11 @@ def _fires_walk(ev: pd.DataFrame, n: int = LENGTH_N) -> pd.DataFrame:
 
 
 def _ev_batched(con, *, part_col: str | None = None,
-                where: str = "") -> pd.DataFrame:
+                where: str = "", n: int = LENGTH_N) -> pd.DataFrame:
     """events -> per-event batch assignment via the linear fires walk,
-    partitioned by `part_col` when given (independent chain each)."""
+    partitioned by `part_col` when given (independent chain each);
+    ``n`` overrides the distinct-key window length (the mixed
+    lengthBatch pair runs a 30-key chain on the purchase side)."""
     part_sel = f"{part_col}," if part_col else ""
     ev = con.sql(f"""
         SELECT {part_sel} event_id, user_id, epoch_ms(ts) AS ms
@@ -90,16 +92,16 @@ def _ev_batched(con, *, part_col: str | None = None,
         ORDER BY {part_sel} ts, event_id
     """).df()
     if part_col is None:
-        out = _fires_walk(ev.reset_index(drop=True))
+        out = _fires_walk(ev.reset_index(drop=True), n)
         out["pos"] = range(1, len(out) + 1)
         return out
     parts = []
     for _, grp in ev.groupby(part_col, sort=False):
-        g = _fires_walk(grp.reset_index(drop=True))
+        g = _fires_walk(grp.reset_index(drop=True), n)
         g["pos"] = range(1, len(g) + 1)
         parts.append(g)
     if not parts:  # empty events table: pd.concat([]) raises (ADVICE r11)
-        out = _fires_walk(ev)
+        out = _fires_walk(ev, n)
         out["pos"] = pd.Series(dtype="int64")
         return out
     return pd.concat(parts, ignore_index=True)
@@ -422,6 +424,90 @@ def _siddhiql_join_mixed_all(con):
     """)
 
 
+def _siddhiql_join_mixed_lengths_all(con):
+    """Linear rewrite of the r12 lengthBatch ⋈ lengthBatch emission
+    log: both recursive fires chains come from the walk (clicks
+    n=50, purchases n=30), the instant/interval tail runs verbatim
+    SQL with lexicographic (ms, event_id) comparisons."""
+    aw = _ev_batched(con, where="WHERE event_type = 'click'", n=50)
+    bw = _ev_batched(con, where="WHERE event_type = 'purchase'", n=30)
+
+    def side_sql(tab: str) -> str:
+        return f"""
+        f2_{tab} AS (
+          SELECT DISTINCT w.batch_seq AS seq, w.fire_pos
+          FROM {tab} w WHERE w.batch_seq >= 0
+        ),
+        fi_{tab} AS (
+          SELECT f.seq, f.fire_pos, e.ms AS pms, e.event_id AS ptb
+          FROM f2_{tab} f JOIN {tab} e ON e.pos = f.fire_pos
+        ),
+        nf_{tab} AS (SELECT count(*) AS n FROM fi_{tab}),
+        ret_{tab} AS (
+          SELECT event_id, user_id, batch_seq AS seq FROM (
+            SELECT w.*, row_number() OVER (
+              PARTITION BY batch_seq, user_id ORDER BY pos DESC) AS rn
+            FROM {tab} w WHERE batch_seq >= 0) t
+          WHERE rn = 1
+        ),
+        probe_{tab} AS (
+          SELECT r.event_id, r.user_id, 'current' AS channel,
+                 f.pms, f.ptb
+          FROM ret_{tab} r JOIN fi_{tab} f ON f.seq = r.seq
+          UNION ALL
+          SELECT r.event_id, r.user_id, 'expired', f.pms, f.ptb
+          FROM ret_{tab} r JOIN fi_{tab} f ON f.seq = r.seq + 1
+        ),
+        iv_{tab} AS (
+          SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                 CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                           (nms, ntb) < (fms, ftb))
+                      THEN nms ELSE fms END AS lms,
+                 CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                           (nms, ntb) < (fms, ftb))
+                      THEN ntb ELSE ftb END AS ltb
+          FROM (
+            SELECT p.*,
+                   lead(ms) OVER (PARTITION BY pseq, user_id
+                                  ORDER BY pos) AS nms,
+                   lead(event_id) OVER (PARTITION BY pseq, user_id
+                                        ORDER BY pos) AS ntb,
+                   (SELECT pms FROM fi_{tab} WHERE seq = p.pseq) AS fms,
+                   (SELECT ptb FROM fi_{tab} WHERE seq = p.pseq) AS ftb
+            FROM (
+              SELECT w.event_id, w.user_id, w.ms, w.pos,
+                     CASE WHEN w.batch_seq >= 0 THEN w.batch_seq
+                          ELSE (SELECT n FROM nf_{tab}) END AS pseq
+              FROM {tab} w) p)
+        )"""
+
+    return _run(con, {"aw": aw, "bw": bw}, f"""
+        WITH {side_sql('aw')},
+        {side_sql('bw')},
+        e_ab AS (
+          SELECT ap.user_id AS user_id,
+                 ap.event_id AS click_event_id,
+                 iv.event_id AS purchase_event_id,
+                 ap.channel AS channel
+          FROM probe_aw ap JOIN iv_bw iv
+            ON ap.user_id = iv.user_id
+           AND (iv.ems, iv.etb) < (ap.pms, ap.ptb)
+           AND (iv.lms IS NULL OR (ap.pms, ap.ptb) < (iv.lms, iv.ltb))
+        ),
+        e_ba AS (
+          SELECT bp.user_id AS user_id,
+                 iv.event_id AS click_event_id,
+                 bp.event_id AS purchase_event_id,
+                 bp.channel AS channel
+          FROM probe_bw bp JOIN iv_aw iv
+            ON bp.user_id = iv.user_id
+           AND (iv.ems, iv.etb) < (bp.pms, bp.ptb)
+           AND (iv.lms IS NULL OR (bp.pms, bp.ptb) < (iv.lms, iv.ltb))
+        )
+        SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
+    """)
+
+
 def _unique_length_emissions_ordered(con):
     return _run(con, {"qn": _emissions_qn(con, 100)}, """
         WITH ev AS (
@@ -521,6 +607,7 @@ SCALE_ORACLES = {
         _streaming_partitioned_length_batch_parity,
     "siddhiql_join_mixed": _siddhiql_join_mixed,
     "siddhiql_join_mixed_all": _siddhiql_join_mixed_all,
+    "siddhiql_join_mixed_lengths_all": _siddhiql_join_mixed_lengths_all,
 }
 
 
