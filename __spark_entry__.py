@@ -427,6 +427,48 @@ def q_siddhiql_join_mixed_lengths_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_mixed_lb_external_all(spark, sf_dir):
+    """Expired/all channels for a lengthBatch ⋈ externalTimeBatch
+    pair — both sides arrival-driven, ordered by the global
+    (ts, tiebreak) instant. The lengthBatch side's fires probe the
+    external side's last FLUSHED batch (its find() target); the
+    external side's flush chunks probe the lengthBatch forming map.
+    Simulation-certified (tests/test_properties.py::
+    test_lb_etb_mixed_join_algebra_matches_simulation); lowered via
+    the shared arrival-instant machinery
+    (siddhiql.py:_run_join_mixed_ll + _etb_instant_artifacts)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:lengthBatch(user_id, 50) join purchases#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
+def q_siddhiql_join_mixed_external_pair_all(spark, sf_dir):
+    """Expired/all channels for two externalTimeBatch windows on
+    DIFFERENT grids (2 h vs 1 h): each side's flush chunks probe the
+    other side's last flushed batch at the flushing arrival's
+    (ts, tiebreak) instant. Simulation-certified
+    (tests/test_properties.py::test_etb_etb_mixed_join_algebra_
+    matches_simulation). With this, EVERY mixed batch-window pair
+    channel is lowered — no eager edges remain for batch pairs."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:externalTimeBatch(user_id, ts, 2 hours, 0) join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2642,6 +2684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_join_mixed_grids_all": q_siddhiql_join_mixed_grids_all,
         "siddhiql_join_mixed_external_all": q_siddhiql_join_mixed_external_all,
         "siddhiql_join_mixed_lengths_all": q_siddhiql_join_mixed_lengths_all,
+        "siddhiql_join_mixed_lb_external_all":
+            q_siddhiql_join_mixed_lb_external_all,
+        "siddhiql_join_mixed_external_pair_all":
+            q_siddhiql_join_mixed_external_pair_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -4213,6 +4259,254 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT f.user_id AS user_id, f.event_id AS click_event_id,
                    pu.event_id AS purchase_event_id
             FROM flushed f JOIN pu ON f.user_id = pu.user_id
+        """,
+        # lengthBatch ⋈ externalTimeBatch mixed pair (both arrival-
+        # driven, global (ms, event_id) instants): the lB chain's
+        # probes/intervals as in siddhiql_join_mixed_lengths_all; the
+        # external side's present slots flush at the next slot's
+        # first event and are findable until the slot after that
+        # (certified by test_lb_etb_mixed_join_algebra_matches_
+        # simulation)
+        "siddhiql_join_mixed_lb_external_all": """
+            WITH RECURSIVE ca AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                     row_number() OVER (ORDER BY ts, event_id) AS pos
+              FROM events WHERE event_type = 'click'
+            ),
+            fa(seq, start_pos, fire_pos) AS (
+              SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT f.seq + 1, f.fire_pos,
+                     (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ca
+                        WHERE ca.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49)
+              FROM fa f
+              WHERE (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ca
+                        WHERE ca.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49) IS NOT NULL
+            ),
+            fa2 AS MATERIALIZED (
+              SELECT f.seq, f.start_pos, f.fire_pos,
+                     (SELECT ms FROM ca WHERE pos = f.fire_pos) AS pms,
+                     (SELECT event_id FROM ca
+                      WHERE pos = f.fire_pos) AS ptb
+              FROM fa f WHERE f.seq >= 0
+            ),
+            aret AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, f.seq
+              FROM fa2 f JOIN ca e
+                ON e.pos > f.start_pos AND e.pos <= f.fire_pos
+               AND e.pos = (SELECT max(pos) FROM ca e2
+                            WHERE e2.user_id = e.user_id
+                              AND e2.pos > f.start_pos
+                              AND e2.pos <= f.fire_pos)
+            ),
+            aprobe AS (
+              SELECT r.event_id, r.user_id, 'current' AS channel,
+                     f.pms, f.ptb
+              FROM aret r JOIN fa2 f ON f.seq = r.seq
+              UNION ALL
+              SELECT r.event_id, r.user_id, 'expired', f.pms, f.ptb
+              FROM aret r JOIN fa2 f ON f.seq = r.seq + 1
+            ),
+            aiv AS MATERIALIZED (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN nms ELSE fms END AS lms,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN ntb ELSE ftb END AS ltb
+              FROM (
+                SELECT p.*,
+                       lead(ms) OVER (PARTITION BY pseq, user_id
+                                      ORDER BY pos) AS nms,
+                       lead(event_id) OVER (PARTITION BY pseq, user_id
+                                            ORDER BY pos) AS ntb,
+                       (SELECT pms FROM fa2 WHERE seq = p.pseq) AS fms,
+                       (SELECT ptb FROM fa2 WHERE seq = p.pseq) AS ftb
+                FROM (
+                  SELECT e.event_id, e.user_id, e.ms, e.pos,
+                         (SELECT count(*) FROM fa2
+                          WHERE fa2.fire_pos < e.pos) AS pseq
+                  FROM ca e) p)
+            ),
+            es AS (
+              SELECT event_id, user_id, s FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 7200000 AS s,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 7200000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            el AS (
+              SELECT s,
+                     lead(fm, 1) OVER (ORDER BY s) AS flms,
+                     lead(ftb, 1) OVER (ORDER BY s) AS fltb,
+                     lead(fm, 2) OVER (ORDER BY s) AS exms,
+                     lead(ftb, 2) OVER (ORDER BY s) AS extb
+              FROM (
+                SELECT s, ms AS fm, event_id AS ftb FROM (
+                  SELECT epoch_ms(ts) // 7200000 AS s,
+                         epoch_ms(ts) AS ms, event_id,
+                         row_number() OVER (
+                           PARTITION BY epoch_ms(ts) // 7200000
+                           ORDER BY epoch_ms(ts), event_id) AS rn
+                  FROM events WHERE event_type = 'purchase') t
+                WHERE rn = 1)
+            ),
+            bprobe AS (
+              SELECT es.event_id, es.user_id, 'current' AS channel,
+                     el.flms AS pms, el.fltb AS ptb
+              FROM es JOIN el USING (s) WHERE el.flms IS NOT NULL
+              UNION ALL
+              SELECT es.event_id, es.user_id, 'expired',
+                     el.exms, el.extb
+              FROM es JOIN el USING (s) WHERE el.exms IS NOT NULL
+            ),
+            biv AS (
+              SELECT es.user_id, es.event_id,
+                     el.flms AS ems, el.fltb AS etb,
+                     el.exms AS lms, el.extb AS ltb
+              FROM es JOIN el USING (s) WHERE el.flms IS NOT NULL
+            ),
+            e_ab AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap JOIN biv iv
+                ON ap.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (ap.pms, ap.ptb)
+               AND (iv.lms IS NULL OR
+                    (ap.pms, ap.ptb) < (iv.lms, iv.ltb))
+            ),
+            e_ba AS (
+              SELECT bp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN aiv iv
+                ON bp.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (bp.pms, bp.ptb)
+               AND (iv.lms IS NULL OR
+                    (bp.pms, bp.ptb) < (iv.lms, iv.ltb))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
+        """,
+        # externalTimeBatch ⋈ externalTimeBatch on DIFFERENT grids
+        # (2h vs 1h, both start.time-anchored): each side's slot log
+        # flushes at the next present slot's first event; strict
+        # instant bounds both directions (certified by
+        # test_etb_etb_mixed_join_algebra_matches_simulation)
+        "siddhiql_join_mixed_external_pair_all": """
+            WITH ca AS (
+              SELECT event_id, user_id, s FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 7200000 AS s,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 7200000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'click') t
+              WHERE rn = 1
+            ),
+            la AS (
+              SELECT s,
+                     lead(fm, 1) OVER (ORDER BY s) AS flms,
+                     lead(ftb, 1) OVER (ORDER BY s) AS fltb,
+                     lead(fm, 2) OVER (ORDER BY s) AS exms,
+                     lead(ftb, 2) OVER (ORDER BY s) AS extb
+              FROM (
+                SELECT s, ms AS fm, event_id AS ftb FROM (
+                  SELECT epoch_ms(ts) // 7200000 AS s,
+                         epoch_ms(ts) AS ms, event_id,
+                         row_number() OVER (
+                           PARTITION BY epoch_ms(ts) // 7200000
+                           ORDER BY epoch_ms(ts), event_id) AS rn
+                  FROM events WHERE event_type = 'click') t
+                WHERE rn = 1)
+            ),
+            cb AS (
+              SELECT event_id, user_id, s FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS s,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            lb AS (
+              SELECT s,
+                     lead(fm, 1) OVER (ORDER BY s) AS flms,
+                     lead(ftb, 1) OVER (ORDER BY s) AS fltb,
+                     lead(fm, 2) OVER (ORDER BY s) AS exms,
+                     lead(ftb, 2) OVER (ORDER BY s) AS extb
+              FROM (
+                SELECT s, ms AS fm, event_id AS ftb FROM (
+                  SELECT epoch_ms(ts) // 3600000 AS s,
+                         epoch_ms(ts) AS ms, event_id,
+                         row_number() OVER (
+                           PARTITION BY epoch_ms(ts) // 3600000
+                           ORDER BY epoch_ms(ts), event_id) AS rn
+                  FROM events WHERE event_type = 'purchase') t
+                WHERE rn = 1)
+            ),
+            aprobe AS (
+              SELECT c.event_id, c.user_id, 'current' AS channel,
+                     l.flms AS pms, l.fltb AS ptb
+              FROM ca c JOIN la l USING (s) WHERE l.flms IS NOT NULL
+              UNION ALL
+              SELECT c.event_id, c.user_id, 'expired', l.exms, l.extb
+              FROM ca c JOIN la l USING (s) WHERE l.exms IS NOT NULL
+            ),
+            aiv AS (
+              SELECT c.user_id, c.event_id,
+                     l.flms AS ems, l.fltb AS etb,
+                     l.exms AS lms, l.extb AS ltb
+              FROM ca c JOIN la l USING (s) WHERE l.flms IS NOT NULL
+            ),
+            bprobe AS (
+              SELECT c.event_id, c.user_id, 'current' AS channel,
+                     l.flms AS pms, l.fltb AS ptb
+              FROM cb c JOIN lb l USING (s) WHERE l.flms IS NOT NULL
+              UNION ALL
+              SELECT c.event_id, c.user_id, 'expired', l.exms, l.extb
+              FROM cb c JOIN lb l USING (s) WHERE l.exms IS NOT NULL
+            ),
+            biv AS (
+              SELECT c.user_id, c.event_id,
+                     l.flms AS ems, l.fltb AS etb,
+                     l.exms AS lms, l.extb AS ltb
+              FROM cb c JOIN lb l USING (s) WHERE l.flms IS NOT NULL
+            ),
+            e_ab AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap JOIN biv iv
+                ON ap.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (ap.pms, ap.ptb)
+               AND (iv.lms IS NULL OR
+                    (ap.pms, ap.ptb) < (iv.lms, iv.ltb))
+            ),
+            e_ba AS (
+              SELECT bp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN aiv iv
+                ON bp.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (bp.pms, bp.ptb)
+               AND (iv.lms IS NULL OR
+                    (bp.pms, bp.ptb) < (iv.lms, iv.ltb))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
         """,
         # lengthBatch ⋈ lengthBatch mixed pair, all-events channel:
         # both sides arrival-driven, ordered by the global

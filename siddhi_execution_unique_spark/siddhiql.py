@@ -672,27 +672,22 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
     mixed_channels = False
     if not partitioned and channel != "current" and not aligned_batches:
         wins = {lw, rw}
-        if (
-            (wins & _MIXED_LENGTH and wins & _MIXED_TIME)
-            or wins <= _MIXED_TIME
-            or wins <= _MIXED_LENGTH
-            or ("externalTimeBatch" in wins and wins & _MIXED_TIME)
-        ):
-            # lengthBatch-family ⋈ timeBatch-family, two timeBatch-
-            # family windows on DIFFERENT grids, or externalTimeBatch
-            # ⋈ timeBatch-family: the emission-log interval algebras
-            # are simulation-certified (tests/test_properties.py::
-            # test_mixed_join_channels_algebra_matches_simulation /
-            # test_tt_mixed_join_coresidency_matches_simulation /
-            # test_etb_tb_mixed_join_algebra_matches_simulation) —
-            # lowered in _run_join
+        _batch_wins = _MIXED_LENGTH | _MIXED_TIME | {"externalTimeBatch"}
+        if wins <= _batch_wins:
+            # every non-aligned batch-window pair is lowered: tick ⋈
+            # tick (co-residency), arrival ⋈ tick (emission-log over
+            # the grid), arrival ⋈ arrival (global-instant emission
+            # log). Each algebra is simulation-certified in
+            # tests/test_properties.py (test_mixed_join_channels_ /
+            # test_tt_mixed_join_coresidency_ / test_etb_tb_ /
+            # test_ll_ / test_lb_etb_ / test_etb_etb_..._matches_
+            # simulation) — lowered in _run_join
             mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
-                f"unique:{rw} is wired for aligned batch pairs, "
-                "lengthBatch/timeBatch-family mixed pairs, and "
-                "externalTimeBatch with a timeBatch side only; "
+                f"unique:{rw} is wired for batch-window pairs only "
+                "(lengthBatch/timeBatch/externalTimeBatch families); "
                 "use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
@@ -1056,37 +1051,131 @@ def _ll_side_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
     return probes, a_iv, n_fires
 
 
+def _etb_instant_artifacts(side, df, ts, tiebreak, channel):
+    """externalTimeBatch side of an arrival-vs-arrival mixed join, in
+    LEXICOGRAPHIC (ms, tiebreak) instant space: each present batch's
+    flush/expiry instants are the first EVENT of the next / next-next
+    rank (those events carry ids, so the instants are exact), and the
+    findable ``expiredEvents`` interval is (flush(i), flush(i+1)) —
+    strict bounds, since the probing side's arrivals are distinct
+    instants. Certified in tests/test_properties.py::
+    test_lb_etb_mixed_join_algebra_matches_simulation /
+    test_etb_etb_mixed_join_algebra_matches_simulation."""
+    tb = _need_tiebreak(side["window"], tiebreak)
+    args = list(side["args"])
+    if len(args) < 3 or len(args) > 4:
+        raise SiddhiQLError(
+            "unique:externalTimeBatch in a mixed-channel join needs "
+            "(key, timestamp, window.time [, start.time])"
+        )
+    key_e, ts_attr = args[0], args[1]
+    wtime = parse_time_ms(_const(args[2]), "window.time")
+    start_ms = None
+    if len(args) == 4:
+        if not _INT_RE.match(args[3]):
+            raise SiddhiQLError(
+                f"externalTimeBatch start.time must be an int constant, "
+                f"got {args[3]!r}"
+            )
+        start_ms = int(args[3])
+    batched_e = ops.external_time_batch(
+        df, key_e, ts_attr, wtime, start_time_ms=start_ms, tiebreak=tiebreak,
+    )
+    ms = event_ms(df, ts_attr)
+    if start_ms is None:
+        anchor = df.agg(F.min(ms).alias("_anchor_ms"))
+        src = df.crossJoin(F.broadcast(anchor))
+        start: object = F.col("_anchor_ms")
+    else:
+        src = df
+        start = F.lit(start_ms)
+    batch_start = (
+        F.floor((ms - start) / wtime).cast("long") * wtime + start
+    )
+    w = SqlWindow.orderBy("batch_start_ms")
+    log = (
+        src.select(batch_start.alias("batch_start_ms"),
+                   ms.alias("__mx_m"), F.col(tb).alias("__mx_t"))
+        .groupBy("batch_start_ms")
+        .agg(F.min(F.struct("__mx_m", "__mx_t")).alias("__mx_f"))
+        .select("batch_start_ms",
+                F.col("__mx_f.__mx_m").alias("__mx_fm"),
+                F.col("__mx_f.__mx_t").alias("__mx_ft"))
+        .withColumn("__mx_flms", F.lead("__mx_fm", 1).over(w))
+        .withColumn("__mx_fltb", F.lead("__mx_ft", 1).over(w))
+        .withColumn("__mx_exms", F.lead("__mx_fm", 2).over(w))
+        .withColumn("__mx_extb", F.lead("__mx_ft", 2).over(w))
+        .drop("__mx_fm", "__mx_ft")
+    )
+    framed = batched_e.join(log, "batch_start_ms")
+    cur = (
+        framed.filter(F.col("__mx_flms").isNotNull())
+        .withColumn("__mx_pms", F.col("__mx_flms"))
+        .withColumn("__mx_ptb", F.col("__mx_fltb"))
+        .withColumn(CHANNEL, F.lit("current"))
+    )
+    exp = (
+        framed.filter(F.col("__mx_exms").isNotNull())
+        .withColumn("__mx_pms", F.col("__mx_exms"))
+        .withColumn("__mx_ptb", F.col("__mx_extb"))
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    drop = ["__mx_flms", "__mx_fltb", "__mx_exms", "__mx_extb"]
+    probes = (cur.unionByName(exp) if channel == "all" else exp).drop(*drop)
+    a_iv = (
+        framed.filter(F.col("__mx_flms").isNotNull())
+        .withColumn("__mx_ems", F.col("__mx_flms"))
+        .withColumn("__mx_etb", F.col("__mx_fltb"))
+        .withColumn("__mx_lms", F.col("__mx_exms"))
+        .withColumn("__mx_ltb", F.col("__mx_extb"))
+        .drop(*drop)
+    )
+    n_fires = log.filter(F.col("__mx_flms").isNotNull()).agg(
+        F.count("*").alias("__mx_nf"))
+    return probes, a_iv, n_fires
+
+
 def _run_join_mixed_ll(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str, _tail_consts,
 ) -> DataFrame:
-    """Expired/all channels for a MIXED ``lengthBatch``-family pair —
-    the one join whose BOTH sides transition on arrivals, so the
-    emission order is the engine's pinned global (ms, tiebreak)
-    arrival order (tiebreak ids unique across both streams; the
-    reference leaves same-instant cross-stream order to its
-    scheduler, this engine pins it like every other tie). Certified
-    against an event-at-a-time simulation in tests/test_properties.py
-    ::test_ll_mixed_join_algebra_matches_simulation.
+    """Expired/all channels for the MIXED pairs whose BOTH sides
+    transition on arrivals (lengthBatch ⋈ lengthBatch, lengthBatch ⋈
+    externalTimeBatch, externalTimeBatch ⋈ externalTimeBatch on
+    different grids): the emission order is the engine's pinned
+    global (ms, tiebreak) arrival order (tiebreak ids unique across
+    both streams; the reference leaves same-instant cross-stream
+    order to its scheduler, this engine pins it like every other
+    tie). Certified against event-at-a-time simulations in
+    tests/test_properties.py (test_ll_mixed_join_ /
+    test_lb_etb_mixed_join_ / test_etb_etb_mixed_join_
+    algebra_matches_simulation).
 
-    Each side's fired chunks (current at their fire, previous batch
-    expired at the same fire) probe the OTHER side's forming unique
-    map at that instant: visible iff enter < probe < leave in
-    lexicographic (ms, tiebreak) instants — instants are unique
-    across the union, so there are no boundary ties. Plan shape per
-    direction: the probe log band-joins the interval log, with the
-    band width derived from the PROBING side's fire cadence
-    (span / fires), so each interval explodes into ~(probes crossing
-    it) bands — the fan-out is output-law bound, never O(n²)."""
+    Each side's emitted chunks (current at their fire/flush, the
+    previous batch expired) probe the OTHER side's find() state —
+    the forming unique map for lengthBatch, the last flushed batch
+    for externalTimeBatch — at that instant: visible iff
+    enter < probe < leave in lexicographic (ms, tiebreak) instants —
+    instants are unique across the union, so there are no boundary
+    ties. Plan shape per direction: the probe log band-joins the
+    interval log, with the band width derived from the PROBING
+    side's fire cadence (span / fires), so each interval explodes
+    into ~(probes crossing it) bands — the fan-out is output-law
+    bound, never O(n²)."""
     channel = q["channel"]
     sideA, sideB = q["left"], q["right"]
     aname, bname = sideA["stream"], sideB["stream"]
     dfA = _bind_stream({**sideA, "channel": "current"}, streams)
     dfB = _bind_stream({**sideB, "channel": "current"}, streams)
-    a_probes, a_iv, a_nf = _ll_side_artifacts(
-        sideA, dfA, ts, tiebreak, channel, _tail_consts)
-    b_probes, b_iv, b_nf = _ll_side_artifacts(
-        sideB, dfB, ts, tiebreak, channel, _tail_consts)
+
+    def artifacts(side, df):
+        if side["window"] in _MIXED_LENGTH:
+            return _ll_side_artifacts(
+                side, df, ts, tiebreak, channel, _tail_consts)
+        return _etb_instant_artifacts(side, df, ts, tiebreak, channel)
+
+    a_probes, a_iv, a_nf = artifacts(sideA, dfA)
+    b_probes, b_iv, b_nf = artifacts(sideB, dfB)
     span = (
         dfA.select(event_ms(dfA, ts).alias("__mx_m"))
         .unionByName(dfB.select(event_ms(dfB, ts).alias("__mx_m")))
@@ -1215,8 +1304,9 @@ def _run_join_mixed_channels(
     if (q["left"]["window"] in _MIXED_TIME
             and q["right"]["window"] in _MIXED_TIME):
         return _run_join_mixed_tt(q, streams, ts, tiebreak, cond, _tail_consts)
-    if (q["left"]["window"] in _MIXED_LENGTH
-            and q["right"]["window"] in _MIXED_LENGTH):
+    _arrival = _MIXED_LENGTH | {"externalTimeBatch"}
+    if (q["left"]["window"] in _arrival
+            and q["right"]["window"] in _arrival):
         return _run_join_mixed_ll(q, streams, ts, tiebreak, cond, _tail_consts)
 
     sideL = (q["left"] if q["left"]["window"] not in _MIXED_TIME

@@ -2168,3 +2168,213 @@ def test_ll_mixed_join_algebra_matches_simulation(na, nb, raw):
     sim = _ll_join_simulate(a_events, b_events, na, nb)
     alg = _ll_join_closed_form(a_events, b_events, na, nb)
     assert sim == alg
+
+
+# --- remaining arrival-pair mixed joins: lB ⋈ eTB and eTB ⋈ eTB ---
+
+
+def _lb_probe_model(events, n):
+    """lengthBatch side in INSTANT space ((ms, eid) pairs): probe
+    chunks [(channel, instant, {key: eid})] and forming-map validity
+    intervals [(key, eid, enter, leave|None)]."""
+    ev = sorted(events, key=lambda e: (e[0], e[1]))
+    batches, intervals = [], []
+    open_rows: dict = {}
+    forming: dict = {}
+    for ts, eid, key in ev:
+        inst = (ts, eid)
+        if key in open_rows:
+            o_inst, o_eid = open_rows[key]
+            intervals.append((key, o_eid, o_inst, inst))
+        open_rows[key] = (inst, eid)
+        forming[key] = eid
+        if len(forming) == n:
+            for k2, (o_inst, o_eid) in open_rows.items():
+                intervals.append((k2, o_eid, o_inst, inst))
+            batches.append((inst, dict(forming)))
+            forming = {}
+            open_rows = {}
+    for k2, (o_inst, o_eid) in open_rows.items():
+        intervals.append((k2, o_eid, o_inst, None))
+    probes = []
+    for i, (fire, rows) in enumerate(batches):
+        probes.append(("current", fire, rows))
+        if i >= 1:
+            probes.append(("expired", fire, batches[i - 1][1]))
+    return probes, intervals
+
+
+def _etb_probe_model(events, te, anchor):
+    """externalTimeBatch side in INSTANT space: present batches in
+    rank order flush at the first event of the next rank (an instant,
+    since that event has an id); batch i emits current at flush(i),
+    expired at flush(i+1), and is findable (expiredEvents) during
+    (flush(i), flush(i+1)) — open for the last flushed batch."""
+    by: dict = {}
+    first: dict = {}
+    for ts, eid, key in sorted(events, key=lambda e: (e[0], e[1])):
+        slot = (ts - anchor) // te
+        by.setdefault(slot, {})[key] = eid
+        if slot not in first:
+            first[slot] = (ts, eid)
+    ranks = sorted(by)
+    probes, intervals = [], []
+    for i, slot in enumerate(ranks):
+        flush = first[ranks[i + 1]] if i + 1 < len(ranks) else None
+        exp_at = first[ranks[i + 2]] if i + 2 < len(ranks) else None
+        if flush is not None:
+            probes.append(("current", flush, by[slot]))
+            for key, eid in by[slot].items():
+                intervals.append((key, eid, flush, exp_at))
+        if exp_at is not None:
+            probes.append(("expired", exp_at, by[slot]))
+    return probes, intervals
+
+
+def _instant_pair_closed_form(model_a, model_b):
+    """Generic pair emission: each side's probe chunks against the
+    other side's validity intervals with STRICT lexicographic instant
+    bounds (instants are unique across the union)."""
+    probes_a, iv_a = model_a
+    probes_b, iv_b = model_b
+    out = []
+    for a_side, probes, ivs in ((True, probes_a, iv_b),
+                                (False, probes_b, iv_a)):
+        for channel, p, chunk in probes:
+            for key, eid in chunk.items():
+                for k2, eid2, enter, leave in ivs:
+                    if k2 != key:
+                        continue
+                    if enter < p and (leave is None or p < leave):
+                        pair = (eid, eid2) if a_side else (eid2, eid)
+                        out.append((channel, pair[0], pair[1]))
+    return sorted(out)
+
+
+def _lb_etb_join_simulate(a_events, b_events, n, te, anchor):
+    """Event-at-a-time: lengthBatch(key, n) ⋈ externalTimeBatch(key,
+    ts, te, anchor) in global (ms, eid) arrival order. lB fires probe
+    the eTB side's expiredEvents (last flushed batch); eTB flushes
+    probe the lB side's forming map."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "A") for ts, eid, key in a_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    forming_a: dict = {}
+    prev_a: dict = {}
+    a_fired = False
+    forming_b: dict = {}
+    b_slot = None
+    flushed_b: dict = {}
+    b_flushed = False
+    for ts, eid, key, side in arrivals:
+        if side == "A":
+            forming_a[key] = eid
+            if len(forming_a) == n:
+                probe = flushed_b if b_flushed else {}
+                for k2, a_eid in forming_a.items():
+                    if k2 in probe:
+                        out.append(("current", a_eid, probe[k2]))
+                if a_fired:
+                    for k2, a_eid in prev_a.items():
+                        if k2 in probe:
+                            out.append(("expired", a_eid, probe[k2]))
+                prev_a, a_fired = dict(forming_a), True
+                forming_a = {}
+            continue
+        slot = (ts - anchor) // te
+        if b_slot is not None and slot != b_slot:
+            for k2, b_eid in forming_b.items():
+                if k2 in forming_a:
+                    out.append(("current", forming_a[k2], b_eid))
+            if b_flushed:
+                for k2, b_eid in flushed_b.items():
+                    if k2 in forming_a:
+                        out.append(("expired", forming_a[k2], b_eid))
+            flushed_b, b_flushed = dict(forming_b), True
+            forming_b = {}
+        b_slot = slot
+        forming_b[key] = eid
+    return sorted(out)
+
+
+def _etb_etb_join_simulate(a_events, b_events, ta, tb_, aa, ab):
+    """Event-at-a-time: two externalTimeBatch windows on different
+    grids in global (ms, eid) arrival order; each side's flush chunks
+    probe the other side's expiredEvents state."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "A") for ts, eid, key in a_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    st = {
+        "A": {"t": ta, "anchor": aa, "forming": {}, "slot": None,
+              "flushed": {}, "has": False},
+        "B": {"t": tb_, "anchor": ab, "forming": {}, "slot": None,
+              "flushed": {}, "has": False},
+    }
+    for ts, eid, key, side in arrivals:
+        s = st[side]
+        o = st["B" if side == "A" else "A"]
+        slot = (ts - s["anchor"]) // s["t"]
+        if s["slot"] is not None and slot != s["slot"]:
+            probe = o["flushed"] if o["has"] else {}
+            for k2, eid2 in s["forming"].items():
+                if k2 in probe:
+                    pair = ((eid2, probe[k2]) if side == "A"
+                            else (probe[k2], eid2))
+                    out.append(("current", pair[0], pair[1]))
+            if s["has"]:
+                for k2, eid2 in s["flushed"].items():
+                    if k2 in probe:
+                        pair = ((eid2, probe[k2]) if side == "A"
+                                else (probe[k2], eid2))
+                        out.append(("expired", pair[0], pair[1]))
+            s["flushed"], s["has"] = dict(s["forming"]), True
+            s["forming"] = {}
+        s["slot"] = slot
+        s["forming"][key] = eid
+    return sorted(out)
+
+
+@given(
+    st.integers(2, 4),
+    st.sampled_from([(5, 0), (10, 3), (21, 0)]),
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_lb_etb_mixed_join_algebra_matches_simulation(n, te_a, raw):
+    """lengthBatch ⋈ externalTimeBatch emission-log algebra vs the
+    event-at-a-time simulation — both sides arrival-driven, strict
+    instant bounds."""
+    te, anchor = te_a
+    a = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if not s]
+    sim = _lb_etb_join_simulate(a, b, n, te, anchor)
+    alg = _instant_pair_closed_form(
+        _lb_probe_model(a, n), _etb_probe_model(b, te, anchor))
+    assert sim == alg
+
+
+@given(
+    st.sampled_from([(5, 7), (10, 25), (21, 7), (10, 10)]),
+    st.sampled_from([(0, 0), (3, 0), (2, 5)]),
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_etb_etb_mixed_join_algebra_matches_simulation(tpair, apair, raw):
+    """externalTimeBatch ⋈ externalTimeBatch (different grids)
+    emission-log algebra vs the event-at-a-time simulation."""
+    ta, tb_ = tpair
+    aa, ab = apair
+    a = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if not s]
+    sim = _etb_etb_join_simulate(a, b, ta, tb_, aa, ab)
+    alg = _instant_pair_closed_form(
+        _etb_probe_model(a, ta, aa), _etb_probe_model(b, tb_, ab))
+    assert sim == alg

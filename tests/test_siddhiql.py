@@ -736,13 +736,12 @@ def test_join_external_time_batch_aligned_and_negatives(two_streams):
              F.col("r.event_id").alias("r_id"))
     assert rows(out2) == rows(want2)
     assert out2.count() > 0
-    # mixed externalTimeBatch/externalTimeBatch pair (first-event
-    # anchored, no shared grid): the expired/all channel keeps the
-    # eager error — arrival-vs-arrival flush interleave is the one
-    # shape not lowered (r12 lowered external ⋈ timeBatch-family)
+    # non-batch window in the pair: the expired/all channel keeps
+    # the eager error (r12 lowered every BATCH-window pair; ever's
+    # channel complement has no batch protocol to join on)
     with pytest.raises(sq.SiddhiQLError):
         sq.run_app(
-            "from clicks#window.unique:externalTimeBatch(user_id, ts, 2 hours) "
+            "from clicks#window.unique:ever(user_id) "
             "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id insert all events into x;",
@@ -1950,13 +1949,12 @@ def test_join_mixed_channels_validation(two_streams):
             base + "select count() as n insert all events into x;",
             two_streams, tiebreak="event_id",
         )
-    # lengthBatch ⋈ externalTimeBatch: still eager (arrival-vs-
-    # arrival flush interleave; only pairs with a timeBatch side are
-    # lowered)
-    with pytest.raises(sq.SiddhiQLError, match="timeBatch side"):
+    # a non-batch window in the pair: eager (only batch-window
+    # families carry a channel protocol to join on)
+    with pytest.raises(sq.SiddhiQLError, match="batch-window pairs"):
         sq.run_app(
-            "from clicks#window.unique:lengthBatch(user_id, 5) "
-            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0) "
+            "from clicks#window.unique:time(user_id, 1 hour) "
+            "join purchases#window.unique:lengthBatch(user_id, 5) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id as u insert all events into x;",
             two_streams, tiebreak="event_id",
@@ -2218,3 +2216,88 @@ def test_join_mixed_ll_channels_match_certified_algebra(spark):
         assert got == exp, (trial, na, nb, got[:6], exp[:6])
         ran += 1
     assert ran >= 3
+
+
+def test_join_mixed_arrival_pairs_match_certified_algebra(spark):
+    """The remaining arrival-vs-arrival mixed pairs (lengthBatch ⋈
+    externalTimeBatch and externalTimeBatch ⋈ externalTimeBatch on
+    different grids) must reproduce the instant-space emission-log
+    algebra pinned against the event-at-a-time simulations in
+    test_properties.py."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import (
+        _etb_probe_model,
+        _instant_pair_closed_form,
+        _lb_probe_model,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(717171)
+    ran = 0
+    for trial in range(6):
+        raw = [
+            (random.randint(5, 300), i, f"k{random.randint(0, 3)}",
+             random.random() < 0.5)
+            for i in range(random.randint(25, 70))
+        ]
+        a = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        if not a or not b:
+            continue
+        chan = "expired" if trial in (2, 5) else "all"
+        if trial < 3:
+            n = random.randint(2, 3)
+            te = random.choice([10, 21])
+            lw = f"clicks#window.unique:lengthBatch(user_id, {n})"
+            rw = (f"purchases#window.unique:externalTimeBatch"
+                  f"(user_id, ts, {te}, 0)")
+            model = _instant_pair_closed_form(
+                _lb_probe_model(a, n), _etb_probe_model(b, te, 0))
+        else:
+            ta = random.choice([10, 21])
+            t2 = random.choice([7, 25])
+            lw = (f"clicks#window.unique:externalTimeBatch"
+                  f"(user_id, ts, {ta}, 0)")
+            rw = (f"purchases#window.unique:externalTimeBatch"
+                  f"(user_id, ts, {t2}, 0)")
+            model = _instant_pair_closed_form(
+                _etb_probe_model(a, ta, 0), _etb_probe_model(b, t2, 0))
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from {lw} join {rw}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(a), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        if chan == "expired":
+            exp = sorted((x, y) for ch, x, y in model if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted(model)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, got[:6], exp[:6])
+        ran += 1
+    assert ran >= 4
