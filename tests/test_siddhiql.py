@@ -2135,6 +2135,12 @@ def test_join_mixed_channels_empty_sides(spark):
          "join purchases#window.unique:timeBatch(user_id, 25) "),
         ("from clicks#window.unique:externalTimeBatch(user_id, ts, 10, 0) "
          "join purchases#window.unique:timeBatch(user_id, 7) "),
+        ("from clicks#window.unique:lengthBatch(user_id, 2) "
+         "join purchases#window.unique:lengthBatch(user_id, 3) "),
+        ("from clicks#window.unique:lengthBatch(user_id, 2) "
+         "join purchases#window.unique:externalTimeBatch(user_id, ts, 10, 0) "),
+        ("from clicks#window.unique:externalTimeBatch(user_id, ts, 10, 0) "
+         "join purchases#window.unique:externalTimeBatch(user_id, ts, 7, 0) "),
     ]
     tail = ("on clicks.user_id == purchases.user_id "
             "select clicks.event_id as a_eid, purchases.event_id as b_eid, "
