@@ -951,9 +951,8 @@ def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     per-doc aggregation is array algebra in place (`size`,
     `array_distinct`) — tokens never leave their partition.
 
-    NOT yet registered as a driver entry: the r11 window is exactly
-    50 mandatory entries (SURVEY §2l) — queued for r12, where the
-    ledger-derived rotation fronts it automatically."""
+    Registered and certified as driver entry ``vocab_bpe_encode``
+    (r12, hash-green against the DuckDB replay oracle)."""
     cur, _ = _bpe_fit(docs, n_merges)
     raw = docs.select(
         "doc_id", F.expr(f"size({SPARK_TOKS})").alias("n_raw")

@@ -478,6 +478,7 @@ def length_batch_periods(
             "length_batch_periods needs a tiebreak id column to join the "
             "period refs back to full rows"
         )
+    require_column(df, tiebreak, "tiebreak")
     assign_schema = StructType(
         [
             StructField(tiebreak, df.schema[tiebreak].dataType),

@@ -598,6 +598,23 @@ _MIXED_LENGTH = frozenset({"lengthBatch", "firstLengthBatch"})
 _MIXED_TIME = frozenset({"timeBatch", "firstTimeBatch"})
 
 
+def _floor_slot(v: str, anchor: int, t: int) -> str:
+    """SQL for the exact ``floor((v - anchor) / t)`` slot over longs.
+
+    Spark's integer ``div`` truncates toward zero, which disagrees
+    with the certified floor bucketing whenever the operand is
+    negative and NOT a grid multiple (an arrival-driven probe or
+    interval endpoint before a ``start.time`` anchor, or one grid's
+    batch end mapped onto a DIFFERENT grid). Subtracting ``pmod``
+    (non-negative for positive ``t``) first makes the operand an
+    exact multiple of ``t``, where truncation and floor coincide —
+    all-integer, no double round-trip. Grid-aligned operands
+    (``batch_start_ms``/``batch_end_ms`` against their OWN anchor)
+    may keep plain ``div``: exact multiples divide exactly."""
+    d = f"(({v}) - {anchor})"
+    return f"cast(({d} - pmod({d}, {t})) div {t} as long)"
+
+
 def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
     """Validate a join query and build its effective condition.
     Returns (cond, aligned_batches, partitioned, lattr, rattr,
@@ -1335,7 +1352,9 @@ def _run_join_mixed_channels(
     b_find = batched_b.withColumn("__mx_fslot", F.expr(slot_of_end))
     m_last = batched_b.agg(
         F.max(F.expr(f"cast((batch_start_ms - {anchor}) div {t_b} as long)"))
-        .alias("__mx_mlast")
+        .alias("__mx_mlast"),
+        F.min(F.expr(f"cast((batch_start_ms - {anchor}) div {t_b} as long)"))
+        .alias("__mx_mfirst"),
     )
     b_cur = batched_b.withColumn("__mx_pt", F.col("batch_end_ms")).withColumn(
         CHANNEL, F.lit("current"))
@@ -1358,19 +1377,24 @@ def _run_join_mixed_channels(
     else:
         a_probes, a_iv = _external_side_artifacts(
             sideL, dfA, ts, tiebreak, channel)
-    # clamp the probe slot so the last batch stays findable forever;
-    # Spark's least() is null-poisoned, so an empty B side yields a
-    # NULL slot and the equi-join (on an empty build side) stays empty
+    # clamp the probe slot so the last batch stays findable forever.
+    # Probe times are arbitrary arrival instants (never grid-aligned),
+    # so the slot needs true FLOOR bucketing — a probe firing in
+    # (anchor - T, anchor) sits in slot -1, and `div`'s toward-zero
+    # truncation would alias it onto slot 0's find() state. An empty
+    # B side is handled by the join itself: the equi-join's build side
+    # (b_find) is empty, so no row survives regardless of the slot
+    # value (least() SKIPS nulls in Spark, it does not propagate them).
     a_probes = (
         a_probes.crossJoin(F.broadcast(m_last))
         .withColumn(
             "__mx_pslot",
             F.least(
-                F.expr(f"cast((__mx_pt - {anchor}) div {t_b} as long)"),
+                F.expr(_floor_slot("__mx_pt", anchor, t_b)),
                 F.col("__mx_mlast") + F.lit(1),
             ),
         )
-        .drop("__mx_mlast")
+        .drop("__mx_mlast", "__mx_mfirst")
     )
     e12 = a_probes.alias(aname).join(
         b_find.alias(bname),
@@ -1379,13 +1403,17 @@ def _run_join_mixed_channels(
     )
 
     # --- findable intervals, exploded over the B grid ---
+    # interval endpoints are arrival instants too — FLOOR slots, and
+    # the explode lower bound clamps to the FIRST batch's probe slot
+    # (m_first + 1), which is negative when events precede the anchor
+    # (a fixed 0 would skip those batches' emissions entirely)
     forming = (
         a_iv.crossJoin(F.broadcast(m_last))
         .withColumn(
             "__mx_lo",
             F.greatest(
-                F.expr(f"cast((__mx_from - {anchor}) div {t_b} as long)"),
-                F.lit(0).cast("long"),
+                F.expr(_floor_slot("__mx_from", anchor, t_b)),
+                F.col("__mx_mfirst") + F.lit(1),
             ),
         )
         .withColumn(
@@ -1393,7 +1421,7 @@ def _run_join_mixed_channels(
             F.when(
                 F.col("__mx_to").isNotNull(),
                 F.least(
-                    F.expr(f"cast((__mx_to - {anchor}) div {t_b} as long)"),
+                    F.expr(_floor_slot("__mx_to", anchor, t_b)),
                     F.col("__mx_mlast") + F.lit(1),
                 ),
             ).otherwise(F.col("__mx_mlast") + F.lit(1)),
@@ -1403,7 +1431,7 @@ def _run_join_mixed_channels(
             "__mx_aslot",
             F.explode(F.expr("sequence(__mx_lo, __mx_hi)")),
         )
-        .drop("__mx_lo", "__mx_hi", "__mx_mlast")
+        .drop("__mx_lo", "__mx_hi", "__mx_mlast", "__mx_mfirst")
     )
     e34 = forming.alias(aname).join(
         b_probes.alias(bname),
@@ -1489,7 +1517,11 @@ def _run_join_mixed_tt(
     ).drop("__mx_lastend")
     # left side explodes its findable interval over the right-grid
     # slots it covers, both bounds clamped to the right's last
-    # findable slot so the two open intervals meet on one key
+    # findable slot so the two open intervals meet on one key.
+    # The LEFT side's instants are grid-aligned only to the LEFT
+    # anchor/period — mapped onto the RIGHT grid they are arbitrary
+    # (and can precede the right anchor), so both bounds need true
+    # FLOOR bucketing, not `div`'s toward-zero truncation.
     rlast_slot = (
         rframe.agg(F.max("__mx_fslot").alias("__mx_rlast"))
     )
@@ -1499,7 +1531,7 @@ def _run_join_mixed_tt(
         .withColumn(
             "__mx_lo",
             F.least(
-                F.expr(f"cast((batch_end_ms - {ranchor}) div {rt} as long)"),
+                F.expr(_floor_slot("batch_end_ms", ranchor, rt)),
                 F.col("__mx_rlast"),
             ),
         )
@@ -1508,9 +1540,7 @@ def _run_join_mixed_tt(
             F.when(
                 F.col("__mx_exit").isNotNull(),
                 F.least(
-                    F.expr(
-                        f"cast((__mx_exit - 1 - {ranchor}) div {rt} as long)"
-                    ),
+                    F.expr(_floor_slot("__mx_exit - 1", ranchor, rt)),
                     F.col("__mx_rlast"),
                 ),
             ).otherwise(F.col("__mx_rlast")),
@@ -1523,8 +1553,10 @@ def _run_join_mixed_tt(
         rframe.alias(rname),
         F.expr(
             f"({cond}) AND {lname}.__mx_aslot = {rname}.__mx_fslot"
-            # redundant by the slot-coverage analysis (the floors and
-            # clamps are exact) — kept as cheap invariant guards
+            # interval-intersection guards: load-bearing for the
+            # clamped last-batch slots (both open intervals fold onto
+            # __mx_rlast, where the slot key alone cannot order the
+            # two ends) and a backstop for any future bucketing edge
             f" AND ({lname}.__mx_exit IS NULL OR"
             f" {lname}.__mx_exit > {rname}.batch_end_ms)"
             f" AND ({rname}.__mx_exit IS NULL OR"

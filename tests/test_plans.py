@@ -1023,6 +1023,57 @@ def test_bench_tail_line_fits_driver_capture():
     assert len(reported) >= 45
 
 
+def test_bench_contention_detector():
+    """VERDICT r12 'what's wrong' #1: the p95-envelope heuristic
+    passed a run whose stragglers were 6x inflated. The replacement
+    flags (a) a start load above 1.0 — sampled post-gate,
+    pre-session, so it is pure co-tenant CPU — and (b) 3+ queries
+    inflated >2x against the last CLEAN solo payload after
+    calibration normalization; a clean quiet run stays unflagged,
+    and host-drift (calibration moves WITH the timings) does not
+    false-positive."""
+    import bench
+
+    prev = {
+        "queries": {f"q{i}": 2.0 for i in range(10)},
+        "calibration": {"md5_chain_sec": 0.2},
+        "contended": {"flag": False, "reasons": []},
+    }
+    clean = {
+        "queries": {f"q{i}": 2.1 for i in range(10)},
+        "calibration": {"md5_chain_sec": 0.2},
+        "load_avg_start": [0.4, 0.5, 0.6],
+    }
+    assert bench._detect_contention(clean, prev)["flag"] is False
+    # start load witness
+    hot_start = dict(clean, load_avg_start=[1.88, 1.0, 0.8])
+    v = bench._detect_contention(hot_start, prev)
+    assert v["flag"] and "load_avg_start" in v["reasons"][0]
+    # straggler inflation vs the last clean solo run
+    stragglers = dict(clean)
+    stragglers["queries"] = {**clean["queries"],
+                             "q0": 12.0, "q1": 6.4, "q2": 5.0}
+    v = bench._detect_contention(stragglers, prev)
+    assert v["flag"] and ">2x" in v["reasons"][0]
+    # host drift: everything 2.5x slower INCLUDING calibration — clean
+    drifted = {
+        "queries": {f"q{i}": 5.0 for i in range(10)},
+        "calibration": {"md5_chain_sec": 0.5},
+        "load_avg_start": [0.2, 0.2, 0.2],
+    }
+    assert bench._detect_contention(drifted, prev)["flag"] is False
+    # a previously-CONTENDED payload is not a baseline
+    prev_bad = dict(prev, contended={"flag": True, "reasons": ["x"]})
+    assert bench._detect_contention(stragglers, prev_bad)["flag"] is False
+    # the tail line carries the flag as a compact boolean
+    tagged = dict(stragglers, contended={"flag": True, "reasons": ["r"]},
+                  metric="total_bench_sec", value=1.0, unit="sec", sf=0.1)
+    out = bench._tail_budgeted(tagged, list(tagged["queries"]),
+                               full="BENCH_LAST_RUN.json")
+    assert out["contended"] is True
+    assert out["full"] == "BENCH_LAST_RUN.json"
+
+
 def test_driver_window_covers_stale_entries():
     """Rotation invariant (VERDICT r07 item 1): the driver certifies
     only the FIRST 50 ``queries()`` entries each round, so the window

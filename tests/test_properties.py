@@ -1534,7 +1534,7 @@ def test_dup_span_interval_union_formula(anchors, k):
 # simulation pins)
 
 
-def _mixed_join_simulate(a_events, b_events, n, t_ms):
+def _mixed_join_simulate(a_events, b_events, n, t_ms, anchor=0):
     """Event-at-a-time simulation of a Siddhi window-to-window join
     ``A#window.unique:lengthBatch(key, n) join
     B#window.unique:timeBatch(key, t_ms)`` on key equality, written
@@ -1565,8 +1565,13 @@ def _mixed_join_simulate(a_events, b_events, n, t_ms):
     out = []
     ticks = []
     if b_events:
-        last_end = (max(ts for ts, _, _ in b_events) // t_ms + 1) * t_ms
-        ticks = list(range(t_ms, last_end + 1, t_ms))
+        # ticks run on the anchored grid (start.time): slot of ts is
+        # floor((ts - anchor)/T), so pre-anchor events live in
+        # NEGATIVE slots whose ticks fire before the anchor + T line
+        b_ts = [ts for ts, _, _ in b_events]
+        k0 = (min(b_ts) - anchor) // t_ms
+        k1 = (max(b_ts) - anchor) // t_ms
+        ticks = [anchor + (k + 1) * t_ms for k in range(k0, k1 + 1)]
     arrivals = sorted(
         [(ts, eid, key, "A") for ts, eid, key in a_events]
         + [(ts, eid, key, "B") for ts, eid, key in b_events],
@@ -1614,7 +1619,7 @@ def _mixed_join_simulate(a_events, b_events, n, t_ms):
     return sorted(out)
 
 
-def _mixed_join_closed_form(a_events, b_events, n, t_ms):
+def _mixed_join_closed_form(a_events, b_events, n, t_ms, anchor=0):
     """Pure-Python mirror of the batch interval algebra the Spark
     lowering and DuckDB oracle implement (siddhiql._join_mixed_
     channels): four emission logs joined against the other side's
@@ -1637,15 +1642,17 @@ def _mixed_join_closed_form(a_events, b_events, n, t_ms):
     if b_events:
         by_slot: dict = {}
         for ts, eid, key in sorted(b_events, key=lambda e: (e[0], e[1])):
-            by_slot.setdefault(ts // t_ms, {})[key] = eid
+            by_slot.setdefault((ts - anchor) // t_ms, {})[key] = eid
         k_last = max(by_slot)
     else:
         by_slot, k_last = {}, None
 
     def b_findable(f):
+        # floor bucketing, NOT truncation toward zero: a probe before
+        # the anchor sits in a negative slot (the ADVICE r12 edge)
         if k_last is None:
             return {}
-        return by_slot.get(min(f // t_ms, k_last + 1) - 1, {})
+        return by_slot.get(min((f - anchor) // t_ms, k_last + 1) - 1, {})
 
     # A chain walk: fired batches + per-event forming intervals
     a_sorted = sorted(a_events, key=lambda e: (e[0], e[1]))
@@ -1682,8 +1689,8 @@ def _mixed_join_closed_form(a_events, b_events, n, t_ms):
                     out.append(("expired", a_eid, fb2[key], nxt_fire))
     # e3/e4: B chunks probe A's forming intervals
     for k, rows in by_slot.items():
-        for channel, tau in (("current", (k + 1) * t_ms),
-                             ("expired", (k + 2) * t_ms)):
+        for channel, tau in (("current", anchor + (k + 1) * t_ms),
+                             ("expired", anchor + (k + 2) * t_ms)):
             if channel == "expired" and k == k_last:
                 continue  # the last batch never expires
             for key, b_eid in rows.items():
@@ -1696,22 +1703,24 @@ def _mixed_join_closed_form(a_events, b_events, n, t_ms):
 @given(
     st.integers(2, 4),                       # lengthBatch N
     st.sampled_from([7, 10, 25]),            # timeBatch T
+    st.sampled_from([0, 3, 5]),              # start.time anchor
     st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
                        st.booleans()), max_size=40),  # (ts, key, side)
 )
 @settings(max_examples=300, deadline=None)
-def test_mixed_join_channels_algebra_matches_simulation(n, t_ms, raw):
+def test_mixed_join_channels_algebra_matches_simulation(n, t_ms, anchor, raw):
     """The emission-log interval algebra for a MIXED lengthBatch ⋈
     timeBatch join's current/expired channels must equal the
     event-at-a-time reference simulation for arbitrary two-stream
     interleavings — including arrivals at tick instants, same-ms
-    arrivals on both streams, displacement chains, and empty B
-    slots."""
+    arrivals on both streams, displacement chains, empty B slots,
+    and a start.time anchor with PRE-ANCHOR events (negative slots,
+    the ADVICE r12 floor-vs-truncation edge)."""
     a_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
     b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
                 if not s]
-    sim = _mixed_join_simulate(a_events, b_events, n, t_ms)
-    alg = _mixed_join_closed_form(a_events, b_events, n, t_ms)
+    sim = _mixed_join_simulate(a_events, b_events, n, t_ms, anchor)
+    alg = _mixed_join_closed_form(a_events, b_events, n, t_ms, anchor)
     assert sim == alg
 
 

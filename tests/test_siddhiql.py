@@ -1892,9 +1892,13 @@ def test_join_mixed_channels_match_certified_algebra(spark):
         )
 
     random.seed(424242)
-    for trial in range(4):
+    for trial in range(6):
         n = random.randint(2, 4)
         t = random.choice([7, 10, 25])
+        # trials 4-5 anchor the grid (start.time) so events BEFORE the
+        # anchor land in negative slots — the ADVICE r12 edge where
+        # `div` truncation and floor bucketing disagree
+        anchor = random.choice([3, 5]) if trial >= 4 else 0
         raw = [
             (random.randint(0, 150), i, f"k{random.randint(0, 4)}",
              random.random() < 0.5)
@@ -1904,12 +1908,13 @@ def test_join_mixed_channels_match_certified_algebra(spark):
         b = [(ts, e, k) for ts, e, k, s in raw if not s]
         flip = trial % 2 == 1
         chan = "expired" if trial == 2 else "all"
-        left = (f"purchases#window.unique:timeBatch(user_id, {t})"
+        tb_args = f"user_id, {t}" + (f", {anchor}" if anchor else "")
+        left = (f"purchases#window.unique:timeBatch({tb_args})"
                 if flip else
                 f"clicks#window.unique:lengthBatch(user_id, {n})")
         right = (f"clicks#window.unique:lengthBatch(user_id, {n})"
                  if flip else
-                 f"purchases#window.unique:timeBatch(user_id, {t})")
+                 f"purchases#window.unique:timeBatch({tb_args})")
         sel = ("select clicks.event_id as a_eid, "
                "purchases.event_id as b_eid"
                + ("" if chan == "expired" else ", channel"))
@@ -1920,7 +1925,7 @@ def test_join_mixed_channels_match_certified_algebra(spark):
             app, {"clicks": mkdf(a), "purchases": mkdf(b)},
             ts="ts", tiebreak="event_id",
         )["joined"].toPandas()
-        alg = _mixed_join_closed_form(a, b, n, t)
+        alg = _mixed_join_closed_form(a, b, n, t, anchor)
         if chan == "expired":
             exp = sorted((ae, be) for ch, ae, be, _ in alg
                          if ch == "expired")
@@ -1930,7 +1935,53 @@ def test_join_mixed_channels_match_certified_algebra(spark):
             exp = sorted((ch, ae, be) for ch, ae, be, _ in alg)
             got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
                          for r in out.itertuples())
-        assert got == exp, (trial, n, t, got[:6], exp[:6])
+        assert got == exp, (trial, n, t, anchor, got[:6], exp[:6])
+
+
+def test_join_mixed_preanchor_probe_emits_nothing(spark):
+    """Regression for the ADVICE r12 medium: with timeBatch(10,
+    start.time 5) and a purchase at ts=2 (slot -1, flushing only AT
+    the anchor ts=5), a lengthBatch fire at ts=4 probes slot
+    floor((4-5)/10) = -1 — NOT the `div`-truncated 0 that would
+    spuriously equi-join the not-yet-flushed batch. The certified
+    algebra and the event-at-a-time simulation both emit nothing."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import (
+        _mixed_join_closed_form,
+        _mixed_join_simulate,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+    a = [(3, 1, "k0"), (4, 2, "k1")]   # lengthBatch(2) fires at ts=4
+    b = [(2, 10, "k1")]                # slot -1 of the anchored grid
+    assert _mixed_join_simulate(a, b, 2, 10, 5) == []
+    assert _mixed_join_closed_form(a, b, 2, 10, 5) == []
+    app = (
+        "from clicks#window.unique:lengthBatch(user_id, 2) "
+        "join purchases#window.unique:timeBatch(user_id, 10, 5)\n"
+        "on clicks.user_id == purchases.user_id\n"
+        "select clicks.event_id as a_eid, purchases.event_id as b_eid, "
+        "channel\ninsert all events into joined ;"
+    )
+    out = sq.run_app(
+        app,
+        {
+            "clicks": spark.createDataFrame(a, schema=schema),
+            "purchases": spark.createDataFrame(b, schema=schema),
+        },
+        ts="ts", tiebreak="event_id",
+    )["joined"]
+    assert out.count() == 0
 
 
 def test_join_mixed_channels_validation(two_streams):
