@@ -469,6 +469,78 @@ def q_siddhiql_join_mixed_external_pair_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_ever_tb_all(spark, sf_dir):
+    """Expired/all channels for a NON-BATCH window ⋈ batch window
+    join (VERDICT r12 item 2 — the last join-channel family):
+    unique:ever holds the latest event per key FOREVER, the displaced
+    event expiring at the displacing arrival
+    (UniqueEverWindowProcessor.java:157-165), so its live intervals
+    [arrival, next same-key arrival) probe the timeBatch find() state
+    at both ends while the batch window's tick chunks probe whichever
+    interval covers the tick. Simulation-certified
+    (tests/test_properties.py::test_x_tb_join_channels_algebra_
+    matches_simulation); lowered as ONE clamped-slot equi-join + ONE
+    T-banded interval join (siddhiql.py:_run_join_mixed_x_tb) — the
+    banded fan-out is (live keys x slots), never O(n^2)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:ever(user_id) join purchases#window.unique:timeBatch(user_id, 1 hour)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
+def q_siddhiql_join_time_tb_all(spark, sf_dir):
+    """unique:time(30 min) ⋈ unique:timeBatch(1 hour) expired/all
+    channels: the sliding window's TIMER exits (enter + T unless
+    displaced first, UniqueTimeWindowProcessor.java:177-215) probe
+    the batch window's PRE-flush find() state when a timer collides
+    with a flush tick (scheduler exits precede enters at a shared
+    instant — the certified convention), while displacement exits
+    probe post-flush. The hardest X-window algebra: timer/tick
+    collisions, kind-dependent visibility at interval ends.
+    Simulation-certified (test_x_tb_join_channels_algebra_matches_
+    simulation, 400 hypothesis cases + 6,000-trial sweep)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:time(user_id, 30 min) join purchases#window.unique:timeBatch(user_id, 1 hour)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
+def q_siddhiql_join_length_tb_all(spark, sf_dir):
+    """unique:length(20) ⋈ unique:timeBatch(1 hour) expired/all
+    channels: the sliding FIFO's live intervals end at a same-key
+    replacement (UniqueLengthWindowProcessor.java:148-157) or the
+    FIFO eviction by the 20th distinct other key (:158-166) — the
+    idealized-FIFO convention pinned since r01. Eviction instants
+    come from the bounded-state serial scan
+    (operators/length.py:length_exit_instants); the join itself stays
+    the two-join interval algebra. The DuckDB oracle derives the same
+    exits positionally (the n-th distinct OTHER key first-occurring
+    after p — the certified closed form of the ordered emission
+    oracle) with a gap-bounded join, no recursion."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:length(user_id, 20) join purchases#window.unique:timeBatch(user_id, 1 hour)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2427,12 +2499,13 @@ def _emb(spark, sf_dir):
 # the mandatory never-checked + stale sets, so they only consume
 # window slots the invariant doesn't need).
 _CHANGED_THIS_ROUND: list = [
-    # r12: nothing queued yet — the r11 streaming-twin re-sorts all
-    # earned driver rows in r11 (ledger confirms), and the r12 window
-    # is already over-full: 1 never-checked (vocab_bpe_encode) + 50
-    # r08-stale = 51 mandatory vs 50 slots, so the lowest-priority
-    # stale entry waits exactly one round (capacity-overflow shape
-    # pinned in test_driver_window_covers_stale_entries).
+    # r13: the mixed-join slot bucketing moved from `div` truncation
+    # to exact floor (ADVICE r12 medium) — behavior is identical on
+    # the anchor-0 driver corpora (floor == trunc on non-negative
+    # operands) but the lowerings changed, so re-certify ahead of the
+    # fresh tier.
+    "siddhiql_join_mixed_all",
+    "siddhiql_join_mixed_grids_all",
 ]
 
 
@@ -2688,6 +2761,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_siddhiql_join_mixed_lb_external_all,
         "siddhiql_join_mixed_external_pair_all":
             q_siddhiql_join_mixed_external_pair_all,
+        # -- new in round 13: expired/all channels for NON-BATCH
+        #    windows against the timeBatch family (live-interval
+        #    algebra, VERDICT r12 item 2 — the last join-channel
+        #    family); never driver-checked => rotation tier 0
+        "siddhiql_join_ever_tb_all": q_siddhiql_join_ever_tb_all,
+        "siddhiql_join_time_tb_all": q_siddhiql_join_time_tb_all,
+        "siddhiql_join_length_tb_all": q_siddhiql_join_length_tb_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -4904,6 +4984,228 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN nxt IS NOT NULL THEN nxt
                           ELSE fire END AS tto
               FROM iv0
+            ),
+            bprobe AS (
+              SELECT event_id, user_id, 'current' AS channel,
+                     (m + 1) * 3600000 AS pt
+              FROM pb
+              UNION ALL
+              SELECT pb.event_id, pb.user_id, 'expired',
+                     (pb.m + 2) * 3600000
+              FROM pb CROSS JOIN ml WHERE pb.m < ml.ml
+            ),
+            e34 AS (
+              SELECT iv.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN iv
+                ON iv.user_id = bp.user_id
+               AND iv.frm < bp.pt
+               AND (iv.tto IS NULL OR bp.pt <= iv.tto)
+            )
+            SELECT * FROM e12 UNION ALL SELECT * FROM e34
+        """,
+        # NON-BATCH x batch (r13, VERDICT r12 item 2): unique:ever's
+        # live intervals [arrival, next same-key arrival) — both
+        # probe directions of the certified interval algebra
+        "siddhiql_join_ever_tb_all": """
+            WITH x AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms
+              FROM events WHERE event_type = 'click'
+            ),
+            iv AS (
+              SELECT user_id, event_id, ms AS frm,
+                     lead(ms) OVER (PARTITION BY user_id
+                                    ORDER BY ms, event_id) AS tto
+              FROM x
+            ),
+            pb AS (
+              SELECT event_id, user_id, m FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS m,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            ml AS (SELECT max(m) AS ml FROM pb),
+            aprobe AS (
+              SELECT user_id, event_id, 'current' AS channel, frm AS pf
+              FROM iv
+              UNION ALL
+              SELECT user_id, event_id, 'expired', tto
+              FROM iv WHERE tto IS NOT NULL
+            ),
+            e12 AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     pb.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap CROSS JOIN ml
+              JOIN pb ON least(ap.pf // 3600000, ml.ml + 1) = pb.m + 1
+                     AND ap.user_id = pb.user_id
+            ),
+            bprobe AS (
+              SELECT event_id, user_id, 'current' AS channel,
+                     (m + 1) * 3600000 AS pt
+              FROM pb
+              UNION ALL
+              SELECT pb.event_id, pb.user_id, 'expired',
+                     (pb.m + 2) * 3600000
+              FROM pb CROSS JOIN ml WHERE pb.m < ml.ml
+            ),
+            e34 AS (
+              SELECT iv.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN iv
+                ON iv.user_id = bp.user_id
+               AND iv.frm < bp.pt
+               AND (iv.tto IS NULL OR bp.pt <= iv.tto)
+            )
+            SELECT * FROM e12 UNION ALL SELECT * FROM e34
+        """,
+        # NON-BATCH x batch (r13): unique:time(30 min)'s intervals
+        # end at min(next same-key, enter + T); TIMER exits (kind
+        # 't') probe the PRE-flush batch (pf = exit - 1) and are
+        # invisible to the flush chunk at their own instant —
+        # kind-dependent guards per the certified convention
+        "siddhiql_join_time_tb_all": """
+            WITH x AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms
+              FROM events WHERE event_type = 'click'
+            ),
+            iv AS (
+              SELECT user_id, event_id, ms AS frm,
+                     CASE WHEN nxt IS NULL OR ms + 1800000 <= nxt
+                          THEN ms + 1800000 ELSE nxt END AS tto,
+                     CASE WHEN nxt IS NULL OR ms + 1800000 <= nxt
+                          THEN 't' ELSE 'a' END AS tk
+              FROM (
+                SELECT user_id, event_id, ms,
+                       lead(ms) OVER (PARTITION BY user_id
+                                      ORDER BY ms, event_id) AS nxt
+                FROM x)
+            ),
+            pb AS (
+              SELECT event_id, user_id, m FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS m,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            ml AS (SELECT max(m) AS ml FROM pb),
+            aprobe AS (
+              SELECT user_id, event_id, 'current' AS channel, frm AS pf
+              FROM iv
+              UNION ALL
+              SELECT user_id, event_id, 'expired',
+                     tto - CASE WHEN tk = 't' THEN 1 ELSE 0 END
+              FROM iv
+            ),
+            e12 AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     pb.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap CROSS JOIN ml
+              JOIN pb ON least(ap.pf // 3600000, ml.ml + 1) = pb.m + 1
+                     AND ap.user_id = pb.user_id
+            ),
+            bprobe AS (
+              SELECT event_id, user_id, 'current' AS channel,
+                     (m + 1) * 3600000 AS pt
+              FROM pb
+              UNION ALL
+              SELECT pb.event_id, pb.user_id, 'expired',
+                     (pb.m + 2) * 3600000
+              FROM pb CROSS JOIN ml WHERE pb.m < ml.ml
+            ),
+            e34 AS (
+              SELECT iv.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN iv
+                ON iv.user_id = bp.user_id
+               AND iv.frm < bp.pt
+               AND (bp.pt < iv.tto OR
+                    (bp.pt = iv.tto AND (iv.tk = 'a' OR
+                                         bp.channel = 'expired')))
+            )
+            SELECT * FROM e12 UNION ALL SELECT * FROM e34
+        """,
+        # NON-BATCH x batch (r13): unique:length(20)'s exits =
+        # min(next same-key, FIFO eviction by the 20th distinct OTHER
+        # key first-occurring after p) — the certified positional
+        # closed form of the ordered emission oracle, mapped from
+        # positions to instants with a gap-bounded join
+        "siddhiql_join_length_tb_all": """
+            WITH x AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                     row_number() OVER (ORDER BY ts, event_id) AS pos
+              FROM events WHERE event_type = 'click'
+            ),
+            linked AS (
+              SELECT *,
+                     coalesce(lag(pos) OVER (PARTITION BY user_id
+                                             ORDER BY pos), 0) AS prev_pos,
+                     lead(pos) OVER (PARTITION BY user_id
+                                     ORDER BY pos) AS next_pos
+              FROM x
+            ),
+            qn AS (
+              SELECT p_pos, q_pos AS evict_pos FROM (
+                SELECT p.pos AS p_pos, q.pos AS q_pos,
+                       row_number() OVER (PARTITION BY p.pos
+                                          ORDER BY q.pos) AS rq
+                FROM linked p JOIN linked q
+                  ON q.pos > p.pos AND q.prev_pos <= p.pos
+                 AND q.user_id != p.user_id
+              ) WHERE rq = 20
+            ),
+            iv AS (
+              SELECT l.user_id, l.event_id, l.ms AS frm, x2.ms AS tto
+              FROM (
+                SELECT l.user_id, l.event_id, l.ms,
+                       least(coalesce(l.next_pos, 9223372036854775807),
+                             coalesce(q.evict_pos, 9223372036854775807))
+                         AS exp_pos
+                FROM linked l LEFT JOIN qn q ON q.p_pos = l.pos
+              ) l LEFT JOIN x x2 ON x2.pos = l.exp_pos
+            ),
+            pb AS (
+              SELECT event_id, user_id, m FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS m,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            ml AS (SELECT max(m) AS ml FROM pb),
+            aprobe AS (
+              SELECT user_id, event_id, 'current' AS channel, frm AS pf
+              FROM iv
+              UNION ALL
+              SELECT user_id, event_id, 'expired', tto
+              FROM iv WHERE tto IS NOT NULL
+            ),
+            e12 AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     pb.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap CROSS JOIN ml
+              JOIN pb ON least(ap.pf // 3600000, ml.ml + 1) = pb.m + 1
+                     AND ap.user_id = pb.user_id
             ),
             bprobe AS (
               SELECT event_id, user_id, 'current' AS channel,

@@ -11,6 +11,7 @@ Stateful replay tier (Arrow/pandas):
 
 from siddhi_execution_unique_spark.operators.keyed import ever, ever_expired, first
 from siddhi_execution_unique_spark.operators.length import (
+    length_exit_instants,
     length_window,
     length_window_emissions,
     length_window_emissions_distributed,
@@ -71,6 +72,7 @@ __all__ = [
     "length_batch_forming_partitioned",
     "length_batch_periods",
     "length_batch_partitioned",
+    "length_exit_instants",
     "length_window",
     "length_window_partitioned",
     "time_batch",

@@ -349,3 +349,88 @@ def length_window_emissions_indexed_partitioned(
         partition_attr, ts, tiebreak, assign_schema, walk,
     )
     return df.join(assignment, tiebreak)
+
+
+def length_exit_instants(
+    df: DataFrame,
+    key: str,
+    window_length: int,
+    ts: str = "ts",
+    *,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-event EXIT instant of ``unique:length``'s live FIFO: the
+    event-time millisecond of the arrival that removes the event —
+    a same-key replacement (UniqueLengthWindowProcessor.java:148-157)
+    or the FIFO eviction by the N-th distinct other key
+    (:158-166) — NULL while the event is still buffered at end of
+    stream. This is the interval log the mixed-channel join lowering
+    probes (``find()`` searches the live ``expiredEventChunk``,
+    :190-196), under the idealized-FIFO convention pinned by
+    ``tests/test_properties.py::fifo_replay`` since r01.
+
+    Scale shape: the FIFO is one global sequential chain (inherent,
+    the same funnel as :func:`length_window_emissions_indexed`) with
+    BOUNDED state (N buffered refs); only (key, ts, tiebreak) ride
+    the single-partition exchange and the result joins back to full
+    rows distributively."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from siddhi_execution_unique_spark.operators.replay import (
+        _TS_MS,
+        _sorted_stream_replay,
+    )
+
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, tiebreak, "tiebreak")
+    n = require_pos_int(window_length, "window.length")
+
+    out_schema = StructType(
+        [
+            StructField(tiebreak, df.schema[tiebreak].dataType),
+            StructField("__mx_to", LongType()),
+        ]
+    )
+
+    def scan(batches):
+        fifo: dict = {}  # insertion-ordered: key -> tiebreak value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arr = pdf[key].to_numpy()
+            tb_arr = pdf[tiebreak].to_numpy()
+            ms_arr = pdf[_TS_MS].to_numpy()
+            out_tb: list = []
+            out_ms: list = []
+            for i in range(len(pdf)):
+                k = key_arr[i]
+                if k in fifo:
+                    out_tb.append(fifo.pop(k))
+                    out_ms.append(ms_arr[i])
+                elif len(fifo) == n:
+                    oldest = next(iter(fifo))
+                    out_tb.append(fifo.pop(oldest))
+                    out_ms.append(ms_arr[i])
+                fifo[k] = tb_arr[i]
+            if out_tb:
+                yield pd.DataFrame(
+                    {
+                        tiebreak: pd.Series(out_tb),
+                        "__mx_to": np.array(out_ms, dtype=np.int64),
+                    }
+                )
+        if fifo:  # still buffered at end of stream: exit = NULL
+            yield pd.DataFrame(
+                {
+                    tiebreak: pd.Series(list(fifo.values())),
+                    "__mx_to": pd.array([None] * len(fifo), dtype="Int64"),
+                }
+            )
+
+    return _sorted_stream_replay(
+        df.select(key, ts, tiebreak), ts, tiebreak, out_schema, scan
+    )

@@ -596,6 +596,9 @@ _TIME_BATCH_WINDOWS = frozenset({"timeBatch", "firstTimeBatch"})
 # mixed-pair channel lowering support (emission-log interval algebra)
 _MIXED_LENGTH = frozenset({"lengthBatch", "firstLengthBatch"})
 _MIXED_TIME = frozenset({"timeBatch", "firstTimeBatch"})
+# non-batch unique windows with a mixed-channel join lowering
+# (live-interval protocol; see _x_side_artifacts)
+_MIXED_X = frozenset({"ever", "first", "time", "length"})
 
 
 def _floor_slot(v: str, anchor: int, t: int) -> str:
@@ -700,12 +703,22 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
             # test_ll_ / test_lb_etb_ / test_etb_etb_..._matches_
             # simulation) — lowered in _run_join
             mixed_channels = True
+        elif (
+            (lw in _MIXED_X and rw in _MIXED_TIME)
+            or (rw in _MIXED_X and lw in _MIXED_TIME)
+        ):
+            # NON-BATCH window ⋈ timeBatch family (VERDICT r12 item
+            # 2): live-interval emission-log algebra, simulation-
+            # certified (test_x_tb_join_channels_algebra_matches_
+            # simulation) — lowered in _run_join_mixed_x_tb
+            mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
-                f"unique:{rw} is wired for batch-window pairs only "
-                "(lengthBatch/timeBatch/externalTimeBatch families); "
-                "use the function API"
+                f"unique:{rw} is wired for batch-window pairs "
+                "(lengthBatch/timeBatch/externalTimeBatch families) and "
+                "for ever/first/time/length against the timeBatch "
+                "family; use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
@@ -1260,6 +1273,274 @@ def _run_join_mixed_ll(
     return out
 
 
+def _tb_side_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
+    """timeBatch-family side of a mixed-channel join: the findable
+    log (batch at slot m keyed by flush slot m+1; the LAST batch
+    findable forever via the probe-side clamp), the slot-extent
+    scalar (__mx_mfirst/__mx_mlast — both can be negative for
+    pre-anchor events), and the tick-driven probe chunks (CURRENT at
+    the flush, EXPIRED one slot later, every batch but the last).
+    ``batch_start_ms``/``batch_end_ms`` are grid multiples of the
+    side's OWN anchor, so plain ``div`` is exact here."""
+    ta, tc = _tail_consts(side)
+    if len(ta) != 1 or not 1 <= len(tc) <= 2:
+        raise SiddhiQLError(
+            f"unique:{side['window']} needs (key, window.time [, start.time])"
+        )
+    key_b = ta[0]
+    t_b = parse_time_ms(tc[0], "window.time")
+    anchor = (int(tc[1]) % t_b) if len(tc) > 1 else 0
+    keep_b = "first" if side["window"] == "firstTimeBatch" else "last"
+    batched_b = ops.time_batch(
+        df, key_b, t_b, ts=ts, tiebreak=tiebreak,
+        start_time_ms=anchor, keep=keep_b,
+    )
+    slot_of_end = f"cast((batch_end_ms - {anchor}) div {t_b} as long)"
+    b_find = batched_b.withColumn("__mx_fslot", F.expr(slot_of_end))
+    m_agg = batched_b.agg(
+        F.max(F.expr(f"cast((batch_start_ms - {anchor}) div {t_b} as long)"))
+        .alias("__mx_mlast"),
+        F.min(F.expr(f"cast((batch_start_ms - {anchor}) div {t_b} as long)"))
+        .alias("__mx_mfirst"),
+    )
+    b_cur = batched_b.withColumn("__mx_pt", F.col("batch_end_ms")).withColumn(
+        CHANNEL, F.lit("current"))
+    b_exp = (
+        ops.expired_channel(batched_b, t_b)
+        .withColumn("__mx_pt", F.col("expired_at_ms"))
+        .drop("expired_at_ms")
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    b_probes = b_cur.unionByName(b_exp) if channel == "all" else b_exp
+    b_probes = b_probes.withColumn(
+        "__mx_bslot", F.expr(f"cast((__mx_pt - {anchor}) div {t_b} as long)")
+    )
+    return b_find, m_agg, b_probes, t_b, anchor
+
+
+def _x_side_artifacts(side, df, ts, tiebreak, channel):
+    """NON-BATCH unique window side of a mixed-channel join
+    (VERDICT r12 item 2): per-event live intervals + the
+    current/expired probe chunks, from the reference processors —
+
+    - ``ever``   (UniqueEverWindowProcessor.java:157-165): enter at
+      arrival, exit at the next same-key arrival (displaced event
+      emits EXPIRED there, stamped to that instant); supports the
+      reference's multi-attribute key.
+    - ``first``  (UniqueFirstWindowProcessor.java:129-132): only the
+      FIRST arrival per key enters — duplicates drop from the chunk
+      entirely (no current, no interval); never exits.
+    - ``time``   (UniqueTimeWindowProcessor.java:177-215): exit at
+      min(next same-key arrival, enter + T); the T path is a TIMER
+      (kind ``'t'``) whose probes happen BEFORE a same-instant flush
+      tick per the certified scheduler convention, displacement is
+      an arrival (kind ``'a'``). find() = the live chunk, NOT the
+      never-pruned map.
+    - ``length`` (UniqueLengthWindowProcessor.java:141-166): exit at
+      min(next same-key arrival, FIFO eviction) — the idealized-FIFO
+      convention pinned since r01 (tests/test_properties.py::
+      fifo_replay); a bounded-state serial scan
+      (ops.length_exit_instants) supplies eviction instants.
+
+    Certified against the event-at-a-time simulation in
+    tests/test_properties.py::test_x_tb_join_channels_algebra_
+    matches_simulation (400 hypothesis cases + a 6,000-trial
+    randomized sweep). Returns ``(a_probes, a_iv)``: probes carry
+    ``__mx_pt`` (emission instant), ``__mx_pf`` (the find()-probe
+    instant — pt-1 for timer exits, which probe PRE-flush state) and
+    the channel tag; intervals carry ``__mx_from``/``__mx_to``/
+    ``__mx_tokind``."""
+    tb = _need_tiebreak(side["window"], tiebreak)
+    win = side["window"]
+    args = list(side["args"])
+    ms = event_ms(df, ts)
+    base = df.withColumn("__mx_from", ms)
+    if win in ("ever", "first"):
+        if not args:
+            raise SiddhiQLError(f"unique:{win} needs a unique key attribute")
+        w = SqlWindow.partitionBy(*args).orderBy("__mx_from", tb)
+        if win == "ever":
+            a_iv = base.withColumn("__mx_to", F.lead("__mx_from").over(w))
+        else:
+            a_iv = (
+                base.withColumn("__mx_rn", F.row_number().over(w))
+                .filter(F.col("__mx_rn") == 1).drop("__mx_rn")
+                .withColumn("__mx_to", F.lit(None).cast("long"))
+            )
+        a_iv = a_iv.withColumn(
+            "__mx_tokind",
+            F.when(F.col("__mx_to").isNotNull(), F.lit("a")),
+        )
+    elif win == "time":
+        if len(args) != 2 or not _is_const(args[1]):
+            raise SiddhiQLError(
+                "unique:time needs (key, window.time) with a constant time"
+            )
+        t_x = parse_time_ms(_const(args[1]), "window.time")
+        w = SqlWindow.partitionBy(args[0]).orderBy("__mx_from", tb)
+        a_iv = (
+            base.withColumn("__mx_nxt", F.lead("__mx_from").over(w))
+            .withColumn(
+                "__mx_timer",
+                F.col("__mx_nxt").isNull()
+                | (F.col("__mx_from") + F.lit(t_x) <= F.col("__mx_nxt")),
+            )
+            .withColumn(
+                "__mx_to",
+                F.when(F.col("__mx_timer"), F.col("__mx_from") + F.lit(t_x))
+                .otherwise(F.col("__mx_nxt")),
+            )
+            .withColumn(
+                "__mx_tokind",
+                F.when(F.col("__mx_timer"), F.lit("t")).otherwise(F.lit("a")),
+            )
+            .drop("__mx_nxt", "__mx_timer")
+        )
+    elif win == "length":
+        if len(args) != 2 or not _is_const(args[1]):
+            raise SiddhiQLError(
+                "unique:length needs (key, window.length) with a constant "
+                "length"
+            )
+        exits = ops.length_exit_instants(
+            df, args[0], int(_const(args[1])), ts=ts, tiebreak=tb)
+        a_iv = base.join(exits, tb).withColumn(
+            "__mx_tokind",
+            F.when(F.col("__mx_to").isNotNull(), F.lit("a")),
+        )
+    else:  # pragma: no cover - guarded by the dispatch
+        raise SiddhiQLError(f"unique:{win} has no mixed-channel lowering")
+    a_cur = (
+        a_iv.withColumn("__mx_pt", F.col("__mx_from"))
+        .withColumn("__mx_pf", F.col("__mx_from"))
+        .withColumn(CHANNEL, F.lit("current"))
+    )
+    a_exp = (
+        a_iv.filter(F.col("__mx_to").isNotNull())
+        .withColumn("__mx_pt", F.col("__mx_to"))
+        .withColumn(
+            "__mx_pf",
+            F.when(F.col("__mx_tokind") == "t", F.col("__mx_to") - 1)
+            .otherwise(F.col("__mx_to")),
+        )
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    a_probes = (a_cur.unionByName(a_exp) if channel == "all" else a_exp
+                ).drop("__mx_from", "__mx_to", "__mx_tokind")
+    return a_probes, a_iv
+
+
+def _run_join_mixed_x_tb(
+    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
+    cond: str, _tail_consts,
+) -> DataFrame:
+    """Expired/all channels for a NON-BATCH unique window
+    (ever/first/time/length) ⋈ ``timeBatch``-family join — the last
+    join-channel family (VERDICT r12 item 2), as the emission-log
+    interval algebra certified in tests/test_properties.py::
+    test_x_tb_join_channels_algebra_matches_simulation:
+
+    - the X side's current chunk (at enter) and expired chunk (at
+      exit) probe the batch window's find() state — the batch in slot
+      ``least(floor((f-anchor)/T), m_last+1) - 1`` with ``f`` the
+      probe instant, minus one ms for TIMER exits (scheduler exits
+      probe PRE-flush state at shared instants) — ONE clamped-slot
+      equi-join;
+    - the batch window's tick chunks probe X's live intervals: the
+      flushed chunk at ``tau`` sees ``enter < tau`` and ``exit >
+      tau`` (arrival exits AT tau still live — ticks precede
+      arrivals; timer exits AT tau already applied), the expiring
+      chunk probes PRE-transition (``exit >= tau`` both kinds) — ONE
+      T-banded interval join, fan-out bound by slots crossed, never
+      O(n²).
+
+    Plan shape matches _run_join_mixed: two joins, one union; the
+    ``length`` X side adds the bounded-state serial FIFO scan for
+    eviction instants (reference single-instance semantics, the same
+    funnel class as the lengthBatch chain walk)."""
+    channel = q["channel"]
+    sideX = (q["left"] if q["left"]["window"] in _MIXED_X else q["right"])
+    sideT = q["right"] if sideX is q["left"] else q["left"]
+    if sideT["window"] not in _MIXED_TIME:
+        raise SiddhiQLError(
+            f"the expired/all-events channel of a unique:{sideX['window']} "
+            f"join is wired against the unique:timeBatch family only "
+            f"(got unique:{sideT['window']}); use the function API"
+        )
+    aname, bname = sideX["stream"], sideT["stream"]
+    dfA = _bind_stream({**sideX, "channel": "current"}, streams)
+    dfB = _bind_stream({**sideT, "channel": "current"}, streams)
+
+    b_find, m_agg, b_probes, t_b, anchor = _tb_side_artifacts(
+        sideT, dfB, ts, tiebreak, channel, _tail_consts)
+    a_probes, a_iv = _x_side_artifacts(sideX, dfA, ts, tiebreak, channel)
+
+    # e1/e2: X chunks probe the batch find() state (clamped slot)
+    a_probes = (
+        a_probes.crossJoin(F.broadcast(m_agg))
+        .withColumn(
+            "__mx_pslot",
+            F.least(
+                F.expr(_floor_slot("__mx_pf", anchor, t_b)),
+                F.col("__mx_mlast") + F.lit(1),
+            ),
+        )
+        .drop("__mx_mlast", "__mx_mfirst")
+    )
+    e12 = a_probes.alias(aname).join(
+        b_find.alias(bname),
+        F.expr(f"({cond}) AND {aname}.__mx_pslot = {bname}.__mx_fslot"),
+        "inner",
+    )
+
+    # e3/e4: tick chunks probe X's live intervals, banded over the
+    # grid slots each interval covers (floor slots; the lower clamp is
+    # the FIRST batch's probe slot — negative for pre-anchor events)
+    forming = (
+        a_iv.crossJoin(F.broadcast(m_agg))
+        .withColumn(
+            "__mx_lo",
+            F.greatest(
+                F.expr(_floor_slot("__mx_from", anchor, t_b)),
+                F.col("__mx_mfirst") + F.lit(1),
+            ),
+        )
+        .withColumn(
+            "__mx_hi",
+            F.when(
+                F.col("__mx_to").isNotNull(),
+                F.least(
+                    F.expr(_floor_slot("__mx_to", anchor, t_b)),
+                    F.col("__mx_mlast") + F.lit(1),
+                ),
+            ).otherwise(F.col("__mx_mlast") + F.lit(1)),
+        )
+        .filter(F.col("__mx_hi") >= F.col("__mx_lo"))
+        .withColumn(
+            "__mx_aslot",
+            F.explode(F.expr("sequence(__mx_lo, __mx_hi)")),
+        )
+        .drop("__mx_lo", "__mx_hi", "__mx_mlast", "__mx_mfirst")
+    )
+    e34 = forming.alias(aname).join(
+        b_probes.alias(bname),
+        F.expr(
+            f"({cond}) AND {aname}.__mx_aslot = {bname}.__mx_bslot"
+            f" AND {aname}.__mx_from < {bname}.__mx_pt"
+            f" AND ({aname}.__mx_to IS NULL OR"
+            f" {bname}.__mx_pt < {aname}.__mx_to OR"
+            f" ({bname}.__mx_pt = {aname}.__mx_to AND"
+            f" ({aname}.__mx_tokind = 'a' OR"
+            f" {bname}.{CHANNEL} = 'expired')))"
+        ),
+        "inner",
+    )
+    items = [F.expr(s) for s in q["select"]]
+    out = e12.select(*items).unionByName(e34.select(*items))
+    out._sq_select_applied = True
+    return out
+
+
 def _run_join_mixed_channels(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str,
@@ -1318,6 +1599,10 @@ def _run_join_mixed_channels(
             consts.insert(0, _const(args.pop()))
         return args, consts
 
+    if (q["left"]["window"] in _MIXED_X
+            or q["right"]["window"] in _MIXED_X):
+        return _run_join_mixed_x_tb(
+            q, streams, ts, tiebreak, cond, _tail_consts)
     if (q["left"]["window"] in _MIXED_TIME
             and q["right"]["window"] in _MIXED_TIME):
         return _run_join_mixed_tt(q, streams, ts, tiebreak, cond, _tail_consts)
@@ -1333,41 +1618,8 @@ def _run_join_mixed_channels(
     dfA = _bind_stream({**sideL, "channel": "current"}, streams)
     dfB = _bind_stream({**sideT, "channel": "current"}, streams)
 
-    ta, tc = _tail_consts(sideT)
-    if len(ta) != 1 or not 1 <= len(tc) <= 2:
-        raise SiddhiQLError(
-            f"unique:{sideT['window']} needs (key, window.time [, start.time])"
-        )
-    key_b = ta[0]
-    t_b = parse_time_ms(tc[0], "window.time")
-    anchor = (int(tc[1]) % t_b) if len(tc) > 1 else 0
-    keep_b = "first" if sideT["window"] == "firstTimeBatch" else "last"
-
-    # --- timeBatch side artifacts ---
-    batched_b = ops.time_batch(
-        dfB, key_b, t_b, ts=ts, tiebreak=tiebreak,
-        start_time_ms=anchor, keep=keep_b,
-    )
-    slot_of_end = f"cast((batch_end_ms - {anchor}) div {t_b} as long)"
-    b_find = batched_b.withColumn("__mx_fslot", F.expr(slot_of_end))
-    m_last = batched_b.agg(
-        F.max(F.expr(f"cast((batch_start_ms - {anchor}) div {t_b} as long)"))
-        .alias("__mx_mlast"),
-        F.min(F.expr(f"cast((batch_start_ms - {anchor}) div {t_b} as long)"))
-        .alias("__mx_mfirst"),
-    )
-    b_cur = batched_b.withColumn("__mx_pt", F.col("batch_end_ms")).withColumn(
-        CHANNEL, F.lit("current"))
-    b_exp = (
-        ops.expired_channel(batched_b, t_b)
-        .withColumn("__mx_pt", F.col("expired_at_ms"))
-        .drop("expired_at_ms")
-        .withColumn(CHANNEL, F.lit("expired"))
-    )
-    b_probes = b_cur.unionByName(b_exp) if channel == "all" else b_exp
-    b_probes = b_probes.withColumn(
-        "__mx_bslot", F.expr(f"cast((__mx_pt - {anchor}) div {t_b} as long)")
-    )
+    b_find, m_last, b_probes, t_b, anchor = _tb_side_artifacts(
+        sideT, dfB, ts, tiebreak, channel, _tail_consts)
 
     # --- arrival-driven side artifacts: (a_probes = rows + __mx_pt +
     #     channel tag, a_iv = findable rows + __mx_from/__mx_to) ---

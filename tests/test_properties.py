@@ -1724,6 +1724,272 @@ def test_mixed_join_channels_algebra_matches_simulation(n, t_ms, anchor, raw):
     assert sim == alg
 
 
+# --- NON-BATCH ⋈ timeBatch: ever/first/time/length join channels ---
+# (VERDICT r12 item 2: the last join-channel gap — derive each
+# non-batch window's live-interval protocol from the reference
+# processor, simulate event-at-a-time, then lower only what the
+# simulation pins)
+
+
+def _x_live_intervals(kind, xparam, x_events):
+    """Per-event live interval of a NON-BATCH unique window, from the
+    reference processors (value-equality convention pinned since r01):
+
+    - ever  (UniqueEverWindowProcessor.java:157-165): enter at
+      arrival, exit at the next same-key arrival (the displaced event
+      emits EXPIRED there); find() = map.values(), latest per key.
+    - first (UniqueFirstWindowProcessor.java:129-132): only the FIRST
+      arrival per key enters (duplicates are dropped from the chunk
+      entirely); never exits, never expires.
+    - time  (UniqueTimeWindowProcessor.java:177-215): enter at
+      arrival; exit at min(next same-key arrival, enter + T); the T
+      exit is a TIMER (kind 't' — scheduler instants precede arrivals
+      and flush ticks probe around it per the certified convention),
+      displacement is an arrival (kind 'a'); find() = the live
+      expiredEventChunk, NOT the never-pruned map.
+    - length(UniqueLengthWindowProcessor.java:141-166): enter at
+      arrival; exit at min(next same-key arrival, the arrival of the
+      N-th distinct other key first-occurring after it) — the
+      idealized FIFO pinned by fifo_replay above; both exits are
+      arrivals (kind 'a').
+
+    Returns [(key, eid, enter_ms, exit_ms|None, kind 'a'/'t'|None)],
+    and for 'first' only the entering arrivals appear at all."""
+    xs = sorted(x_events, key=lambda e: (e[0], e[1]))
+    out = []
+    if kind in ("ever", "time"):
+        nxt: dict = {}
+        for ts, eid, key in reversed(xs):
+            n_ts = nxt.get(key)
+            if kind == "ever":
+                out.append((key, eid, ts, n_ts, "a" if n_ts is not None else None))
+            else:
+                t_exit = ts + xparam
+                if n_ts is None or t_exit <= n_ts:
+                    out.append((key, eid, ts, t_exit, "t"))
+                else:
+                    out.append((key, eid, ts, n_ts, "a"))
+            nxt[key] = ts
+        out.reverse()
+    elif kind == "first":
+        seen: set = set()
+        for ts, eid, key in xs:
+            if key not in seen:
+                seen.add(key)
+                out.append((key, eid, ts, None, None))
+    elif kind == "length":
+        fifo: dict = {}  # insertion-ordered key -> (eid, enter_ms)
+        exits: dict = {}  # eid -> exit_ms
+        for ts, eid, key in xs:
+            if key in fifo:
+                exits[fifo.pop(key)[0]] = ts
+            elif len(fifo) == xparam:
+                oldest = next(iter(fifo))
+                exits[fifo.pop(oldest)[0]] = ts
+            fifo[key] = (eid, ts)
+        for ts, eid, key in xs:
+            x = exits.get(eid)
+            out.append((key, eid, ts, x, "a" if x is not None else None))
+    else:
+        raise ValueError(kind)
+    return out
+
+
+def _x_tb_join_simulate(kind, xparam, x_events, b_events, t_ms, anchor=0):
+    """Event-at-a-time simulation of ``X#window.unique:<kind>(...)
+    join B#window.unique:timeBatch(key, t_ms[, anchor])`` on key
+    equality, mechanically independent of the closed form (explicit
+    per-instant scheduler loop; the X side replays the reference
+    processor's map/FIFO/chunk, not the interval arithmetic).
+
+    Pinned instant convention (the certified tt/mixed one): at a
+    shared instant, scheduler EXITS probe the other side's
+    PRE-transition state (B's replaced batch probes X before timer
+    removals; X's timer-expired chunk probes B before the flush),
+    then ALL transitions apply, then scheduler ENTERS probe the
+    POST-transition state (B's flushed chunk probes X after timer
+    removals), then arrivals process in (ms, eid) order against the
+    post-tick state."""
+    out = []
+    ticks = []
+    if b_events:
+        b_ts = [ts for ts, _, _ in b_events]
+        k0 = (min(b_ts) - anchor) // t_ms
+        k1 = (max(b_ts) - anchor) // t_ms
+        ticks = [anchor + (k + 1) * t_ms for k in range(k0, k1 + 1)]
+    arrivals = sorted(
+        [(ts, eid, key, "X") for ts, eid, key in x_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    # timer candidates (kind == 'time'): enter + T per X arrival;
+    # displaced events cancel by leaving the live map first
+    timer_cands = sorted(
+        {ts + xparam for ts, _, _ in x_events}) if kind == "time" else []
+    sched = sorted({(t, "tick") for t in ticks}
+                   | {(t, "timer") for t in timer_cands})
+
+    live: dict = {}      # key -> (eid, enter_ms): the live/find() map
+    first_seen: set = set()
+    fifo_order: list = []  # keys, oldest first (kind == 'length')
+    forming_b: dict = {}
+    findable_b: dict = {}
+    si = ai = 0
+    while si < len(sched) or ai < len(arrivals):
+        s = sched[si] if si < len(sched) else None
+        arr = arrivals[ai] if ai < len(arrivals) else None
+        if s is not None and (arr is None or s[0] <= arr[0]):
+            tau = s[0]
+            group = []
+            while si < len(sched) and sched[si][0] == tau:
+                group.append(sched[si][1])
+                si += 1
+            is_tick = "tick" in group and tau in set(ticks)
+            ripe = ([(k, v) for k, v in live.items() if v[1] + xparam == tau]
+                    if kind == "time" and "timer" in group else [])
+            # 1. exits probe PRE-transition state of the other side
+            if is_tick:
+                for key, b_eid in findable_b.items():
+                    if key in live:
+                        out.append(("expired", live[key][0], b_eid, tau))
+            for key, (x_eid, _) in ripe:
+                if key in findable_b:
+                    out.append(("expired", x_eid, findable_b[key], tau))
+            # 2. transitions
+            for key, _ in ripe:
+                del live[key]
+            if is_tick:
+                findable_b = dict(forming_b)
+                forming_b = {}
+            # 3. enters probe POST-transition state
+            if is_tick:
+                for key, b_eid in findable_b.items():
+                    if key in live:
+                        out.append(("current", live[key][0], b_eid, tau))
+            continue
+        ts, eid, key, side = arr
+        ai += 1
+        if side == "B":
+            forming_b[key] = eid
+            continue
+        # X arrival against the post-tick findable batch
+        if kind == "first":
+            if key in first_seen:
+                continue
+            first_seen.add(key)
+            live[key] = (eid, ts)
+        elif kind == "length":
+            if key in live:
+                old = live.pop(key)
+                fifo_order.remove(key)
+                if key in findable_b:
+                    out.append(("expired", old[0], findable_b[key], ts))
+            elif len(live) == xparam:
+                oldest = fifo_order.pop(0)
+                old = live.pop(oldest)
+                if oldest in findable_b:
+                    out.append(("expired", old[0], findable_b[oldest], ts))
+            live[key] = (eid, ts)
+            fifo_order.append(key)
+        else:  # ever / time: same-key displacement
+            if key in live:
+                old = live.pop(key)
+                if key in findable_b:
+                    out.append(("expired", old[0], findable_b[key], ts))
+            live[key] = (eid, ts)
+        if key in findable_b:
+            out.append(("current", eid, findable_b[key], ts))
+    return sorted(out)
+
+
+def _x_tb_join_closed_form(kind, xparam, x_events, b_events, t_ms, anchor=0):
+    """Interval algebra (what the Spark lowering and DuckDB oracles
+    implement): X's live intervals from :func:`_x_live_intervals`;
+    timeBatch batch in slot m holds the per-key kept event of
+    [anchor+mT, anchor+(m+1)T), is findable from its flush
+    (the LAST batch forever), emits CURRENT at the flush and EXPIRED
+    one slot later (every batch but the last).
+
+    - e1/e2 (X chunks probe B's find()): the current chunk at enter a
+      and the expired chunk at exit x match the batch in slot
+      min(floor((f-anchor)/T), m_last+1) - 1 — with f = the probe
+      instant, minus one ms for TIMER exits (scheduler exits probe
+      B's PRE-flush state at shared instants).
+    - e3/e4 (B chunks probe X's live set): the flushed chunk at
+      tau = anchor+(m+1)T sees intervals with a < tau and exit > tau
+      (arrival exits AT tau still live — ticks precede arrivals;
+      timer exits AT tau already applied); the expiring chunk at
+      tau' = anchor+(m+2)T probes PRE-transition: a < tau',
+      exit >= tau' for both exit kinds."""
+    ivs = _x_live_intervals(kind, xparam, x_events)
+    out = []
+    if b_events:
+        by_slot: dict = {}
+        for ts, eid, key in sorted(b_events, key=lambda e: (e[0], e[1])):
+            by_slot.setdefault((ts - anchor) // t_ms, {})[key] = eid
+        k_last = max(by_slot)
+    else:
+        return []
+
+    def b_findable(f):
+        return by_slot.get(min((f - anchor) // t_ms, k_last + 1) - 1, {})
+
+    # e1/e2: X probes
+    for key, eid, a, x, xk in ivs:
+        fb = b_findable(a)
+        if key in fb:
+            out.append(("current", eid, fb[key], a))
+        if x is not None:
+            fb = b_findable(x - 1 if xk == "t" else x)
+            if key in fb:
+                out.append(("expired", eid, fb[key], x))
+    # e3/e4: B probes
+    for m, rows in by_slot.items():
+        for channel, tau in (("current", anchor + (m + 1) * t_ms),
+                             ("expired", anchor + (m + 2) * t_ms)):
+            if channel == "expired" and m == k_last:
+                continue
+            for key, b_eid in rows.items():
+                for ikey, x_eid, a, x, xk in ivs:
+                    if ikey != key or a >= tau:
+                        continue
+                    if channel == "current":
+                        ok = x is None or x > tau or (x == tau and xk == "a")
+                    else:
+                        ok = x is None or x >= tau
+                    if ok:
+                        out.append((channel, x_eid, b_eid, tau))
+    return sorted(out)
+
+
+@given(
+    st.sampled_from(["ever", "first", "time", "length"]),
+    st.sampled_from([7, 10, 25]),            # timeBatch T
+    st.sampled_from([0, 3, 5]),              # start.time anchor
+    st.sampled_from([15, 30, 3]),            # X param (time T / length N)
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),  # (ts, key, side)
+)
+@settings(max_examples=400, deadline=None)
+def test_x_tb_join_channels_algebra_matches_simulation(
+        kind, t_ms, anchor, xparam, raw):
+    """The live-interval algebra for every NON-BATCH window ⋈
+    timeBatch join (ever/first/time/length — VERDICT r12 item 2) must
+    equal the event-at-a-time reference simulation for arbitrary
+    interleavings — including timer exits colliding with flush ticks,
+    displacement at tick instants, FIFO evictions, duplicate-dropping
+    (first), anchored grids, and pre-anchor events."""
+    if kind == "length":
+        xparam = max(1, xparam % 5)
+    x_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _x_tb_join_simulate(kind, xparam, x_events, b_events, t_ms, anchor)
+    alg = _x_tb_join_closed_form(kind, xparam, x_events, b_events, t_ms,
+                                 anchor)
+    assert sim == alg
+
+
 # --- mixed timeBatch ⋈ timeBatch (different grids): co-residency ---
 
 

@@ -1984,6 +1984,88 @@ def test_join_mixed_preanchor_probe_emits_nothing(spark):
     assert out.count() == 0
 
 
+def test_join_x_tb_channels_match_certified_algebra(spark):
+    """The NON-BATCH window ⋈ timeBatch expired/all channel lowering
+    (VERDICT r12 item 2 — ever/first/time/length against the
+    timeBatch family) must reproduce the live-interval emission-log
+    algebra that tests/test_properties.py pins against the
+    event-at-a-time reference simulation — across all four X windows,
+    both side orders, both channels, anchored grids, and timer/tick
+    collisions."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import _x_tb_join_closed_form
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(777)
+    for trial, kind in enumerate(["ever", "first", "time", "length",
+                                  "time", "length"]):
+        t = random.choice([7, 10, 25])
+        anchor = random.choice([0, 3, 5])
+        xparam = (random.choice([5, 10, 15]) if kind == "time"
+                  else random.randint(1, 3))
+        raw = [
+            (random.randint(0, 150), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(10, 55))
+        ]
+        x = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        xwin = {
+            "ever": "unique:ever(user_id)",
+            "first": "unique:first(user_id)",
+            "time": f"unique:time(user_id, {xparam})",
+            "length": f"unique:length(user_id, {xparam})",
+        }[kind]
+        tb_args = f"user_id, {t}" + (f", {anchor}" if anchor else "")
+        flip = trial % 2 == 1
+        chan = "expired" if trial == 3 else "all"
+        left = (f"purchases#window.unique:timeBatch({tb_args})"
+                if flip else f"clicks#window.{xwin}")
+        right = (f"clicks#window.{xwin}"
+                 if flip else
+                 f"purchases#window.unique:timeBatch({tb_args})")
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from {left} join {right}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(x), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        alg = _x_tb_join_closed_form(kind, xparam, x, b, t, anchor)
+        if chan == "expired":
+            exp = sorted((ae, be) for ch, ae, be, _ in alg
+                         if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted((ch, ae, be) for ch, ae, be, _ in alg)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, kind, t, anchor, xparam,
+                            got[:6], exp[:6])
+
+
 def test_join_mixed_channels_validation(two_streams):
     """Mixed-channel joins reject star and aggregate select lists
     eagerly (the union lowering projects per branch), and pairs
