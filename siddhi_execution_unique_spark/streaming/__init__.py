@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -1956,4 +1957,215 @@ def session_window_native_stream(
             F.unix_millis("sw.end").alias("session_end_ms"),
             "n_events",
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# PROCESSING-TIME tier (opt-in, VERDICT r12 item 3): the reference's
+# default clock is the runtime wall clock
+# (siddhiAppContext.getTimestampGenerator().currentTime(), e.g.
+# UniqueTimeWindowProcessor.java:174) and its scheduler fires TIMER
+# events with no arrivals (:118-125, DeduplicateStreamProcessor.java:
+# 172). The event-time twins above reinterpret both over a `ts`
+# column (documented divergence); this tier is the wall-clock
+# alternative: arrival stamping at ingest + ProcessingTimeTimeout
+# idle flushes. Inherently non-deterministic (not oracle-checkable):
+# the per-key transition logic is factored into pure functions
+# (_time_proc_transition / _dedup_proc_transition) pinned by pytest
+# under a controlled replay clock, plus one live rate-source
+# integration test per twin.
+
+
+def with_processing_time(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """Opt-in PROCESSING-TIME ingest: stamp ``ts`` with the arrival
+    wall clock instead of requiring an event-time column — the
+    reference's default timestamp source. In Structured Streaming,
+    ``current_timestamp()`` is fixed per micro-batch (the trigger
+    instant), so stamping has micro-batch granularity rather than the
+    reference's per-event millisecond clock — a documented divergence
+    that vanishes as triggers shorten. Every event-time twin then
+    runs unchanged on the stamped column; the twins below also accept
+    ``ts=None`` as a shorthand for this call."""
+    return df.withColumn(ts, F.current_timestamp())
+
+
+def _proc_ts(df: DataFrame, ts: str | None) -> tuple[DataFrame, str]:
+    """``ts=None`` shorthand: stamp arrival time and use it."""
+    if ts is None:
+        return with_processing_time(df, "_arrival_ts"), "_arrival_ts"
+    return df, ts
+
+
+def _now_ms() -> int:
+    import time
+
+    return time.time_ns() // 1_000_000
+
+
+def _time_proc_transition(stored, arrivals, now_ms, interval_ms,
+                          timed_out):
+    """Pure per-key transition of the PROCESSING-TIME ``unique:time``
+    (UniqueTimeWindowProcessor.java:177-215 with the wall clock):
+
+    - timeout (idle, no arrivals): the retained event expires,
+      stamped at the fire instant — the reference's
+      ``scheduler.notifyAt(arrival + T)`` (:185);
+    - arrivals: each displaces the retained event (which expires
+      immediately, :199-205) and emits on ``current``; the timer
+      re-arms at ``now + T`` for the latest arrival.
+
+    Returns ``(emissions [(row, channel, at_ms)], new_stored,
+    timeout_at_ms | None)`` — pinned by pytest under a controlled
+    replay clock (test_processing_time_transitions)."""
+    if timed_out:
+        return [(stored, "expired", now_ms)], None, None
+    out = []
+    for row in arrivals:
+        if stored is not None:
+            out.append((stored, "expired", now_ms))
+        stored = row
+        out.append((row, "current", now_ms))
+    timeout = (now_ms + interval_ms) if stored is not None else None
+    return out, stored, timeout
+
+
+def _dedup_proc_transition(last_kept_ms, n_arrivals, now_ms, interval_ms,
+                           timed_out):
+    """Pure per-key transition of the PROCESSING-TIME
+    ``unique:deduplicate`` (DeduplicateStreamProcessor.java:158-172
+    with the wall clock): keep the first arrival iff no kept event
+    lives within ``interval`` (the anchor only advances on KEPT
+    events); the idle timer purges the map entry so the next arrival
+    re-admits (:172 — a state cleanup, the reference emits nothing at
+    the timer). Arrivals within one micro-batch share the trigger
+    instant, so at most the FIRST is kept per invocation.
+
+    Returns ``(n_kept 0|1, new_last_kept_ms | None,
+    timeout_at_ms | None)``."""
+    if timed_out:
+        return 0, None, None
+    if n_arrivals and (last_kept_ms is None
+                       or now_ms - last_kept_ms > interval_ms):
+        return 1, now_ms, now_ms + interval_ms
+    if last_kept_ms is None:
+        return 0, None, None
+    return 0, last_kept_ms, last_kept_ms + interval_ms
+
+
+def time_window_proc_stream(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+) -> DataFrame:
+    """PROCESSING-TIME streaming ``unique:time``: wall-clock arrival
+    stamping + a TIMER idle flush with NO arrivals required — the one
+    reference behavior the event-time twins cannot express (their
+    expiry needs the watermark to advance, i.e. new events). Dual
+    emission protocol on one stream via ``channel``; emissions carry
+    ``at_ms`` (the wall instant — non-deterministic, hence
+    pytest-pinned through :func:`_time_proc_transition` under a
+    replay clock rather than oracle-checked). Update-mode semantics
+    over ProcessingTimeTimeout; state is one JSON payload per key.
+    Timeout re-arming stores the target instant and re-registers the
+    REMAINING duration on every invocation, so the arm survives
+    Spark's invoke-clears-timeout contract. The retained row is
+    pickled (not JSON): pandas hands back numpy scalars /
+    ``pd.Timestamp`` values that round-trip type-faithfully through
+    pickle but are not JSON-serializable."""
+    import pickle
+
+    require_column(df, key, "unique.key")
+    interval_ms = parse_time_ms(window_time, "window.time")
+    columns = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("channel", StringType()), StructField("at_ms", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("timeout_at", LongType()),
+         StructField("payload", BinaryType())]
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        now = _now_ms()
+        if state.hasTimedOut:
+            _, payload = state.get
+            stored = pickle.loads(bytes(payload))
+            emits, _, _ = _time_proc_transition(
+                stored, [], now, interval_ms, True)
+            state.remove()
+            yield pd.DataFrame(
+                [tuple(r[c] for c in columns) + (ch, at)
+                 for r, ch, at in emits],
+                columns=columns + ["channel", "at_ms"],
+            )
+            return
+        stored = None
+        if state.exists:
+            _, payload = state.get
+            stored = pickle.loads(bytes(payload))
+        rows = []
+        for pdf in pdfs:  # arrival order within the micro-batch
+            rows.extend(pdf[columns].to_dict("records"))
+        emits, stored, timeout_at = _time_proc_transition(
+            stored, rows, now, interval_ms, False)
+        if stored is not None:
+            state.update((int(timeout_at), pickle.dumps(stored)))
+            state.setTimeoutDuration(max(1, int(timeout_at) - now))
+        if emits:
+            yield pd.DataFrame(
+                [tuple(r[c] for c in columns) + (ch, at)
+                 for r, ch, at in emits],
+                columns=columns + ["channel", "at_ms"],
+            )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def deduplicate_proc_stream(
+    df: DataFrame,
+    key: str,
+    time_interval: int | str,
+) -> DataFrame:
+    """PROCESSING-TIME streaming ``unique:deduplicate``: wall-clock
+    anchored suppression with the reference's idle-purge TIMER
+    (DeduplicateStreamProcessor.java:172) — state clears after
+    ``interval`` with no kept arrival, so the next arrival re-admits
+    even if the stream was silent meanwhile (the event-time twin's
+    watermark cannot advance without events). Append mode; one long
+    per key. Micro-batch granularity: arrivals within one trigger
+    share an instant, so at most one is kept per key per batch."""
+    require_column(df, key, "unique.key")
+    interval_ms = parse_time_ms(time_interval, "time.interval")
+    columns = [f.name for f in df.schema.fields]
+    state_schema = StructType([StructField("last_kept_ms", LongType())])
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        now = _now_ms()
+        if state.hasTimedOut:
+            _dedup_proc_transition(None, 0, now, interval_ms, True)
+            state.remove()
+            return
+            yield  # pragma: no cover - makes fn a generator
+        (last_kept,) = state.get if state.exists else (None,)
+        first = None
+        n = 0
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf[columns].head(1)
+            n += len(pdf)
+        kept, new_last, timeout_at = _dedup_proc_transition(
+            last_kept, n, now, interval_ms, False)
+        if new_last is not None:
+            state.update((int(new_last),))
+            state.setTimeoutDuration(max(1, int(timeout_at) - now))
+        if kept and first is not None:
+            yield first
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, df.schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -1,0 +1,219 @@
+"""PROCESSING-TIME tier (opt-in wall-clock mode, VERDICT r12 item 3).
+
+The reference's default clock is the runtime wall clock
+(``siddhiAppContext.getTimestampGenerator().currentTime()``,
+UniqueTimeWindowProcessor.java:174) and its scheduler injects TIMER
+events with no arrivals (:118-125, DeduplicateStreamProcessor.java:172).
+That behavior is inherently non-deterministic, so it is NOT
+oracle-checkable; instead the per-key transition logic is factored
+into pure functions pinned here under a controlled replay clock, and
+each twin gets one live wall-clock integration test (file source +
+ProcessingTimeTimeout idle flush with NO further arrivals — the one
+behavior the event-time twins cannot express, since their expiry
+needs the watermark, i.e. new events, to advance)."""
+
+import time
+
+import pytest
+
+from siddhi_execution_unique_spark.streaming import (
+    _dedup_proc_transition,
+    _time_proc_transition,
+    deduplicate_proc_stream,
+    time_window_proc_stream,
+    with_processing_time,
+)
+
+from test_streaming import SCHEMA, read_stream, workdir, write_batch  # noqa: F401
+
+
+# ---------------------------------------------------------------------
+# Pure transition cores under a replay clock (deterministic).
+# ---------------------------------------------------------------------
+
+
+class TestTimeProcTransition:
+    """unique:time with the wall clock
+    (UniqueTimeWindowProcessor.java:177-215)."""
+
+    def test_first_arrival_emits_current_and_arms_timer(self):
+        emits, stored, timeout = _time_proc_transition(
+            None, [{"k": "a", "v": 1}], now_ms=1000, interval_ms=5000,
+            timed_out=False)
+        assert emits == [({"k": "a", "v": 1}, "current", 1000)]
+        assert stored == {"k": "a", "v": 1}
+        assert timeout == 6000  # now + T (scheduler.notifyAt, :185)
+
+    def test_replacement_expires_previous_immediately(self):
+        # :199-205 — a same-key arrival displaces the retained event,
+        # which expires AT the arrival instant, not at its own deadline
+        emits, stored, timeout = _time_proc_transition(
+            {"k": "a", "v": 1}, [{"k": "a", "v": 2}], now_ms=3000,
+            interval_ms=5000, timed_out=False)
+        assert emits == [
+            ({"k": "a", "v": 1}, "expired", 3000),
+            ({"k": "a", "v": 2}, "current", 3000),
+        ]
+        assert stored == {"k": "a", "v": 2}
+        assert timeout == 8000  # re-armed for the latest arrival
+
+    def test_multiple_arrivals_in_one_batch_chain_in_order(self):
+        emits, stored, timeout = _time_proc_transition(
+            None, [{"v": 1}, {"v": 2}, {"v": 3}], now_ms=100,
+            interval_ms=1000, timed_out=False)
+        assert [(e[0]["v"], e[1]) for e in emits] == [
+            (1, "current"), (1, "expired"), (2, "current"),
+            (2, "expired"), (3, "current"),
+        ]
+        assert stored == {"v": 3}
+        assert timeout == 1100
+
+    def test_idle_timeout_expires_retained_event_at_fire_instant(self):
+        # the TIMER path: no arrivals required
+        emits, stored, timeout = _time_proc_transition(
+            {"k": "a", "v": 1}, [], now_ms=6000, interval_ms=5000,
+            timed_out=True)
+        assert emits == [({"k": "a", "v": 1}, "expired", 6000)]
+        assert stored is None and timeout is None
+
+    def test_replay_sequence_matches_reference_protocol(self):
+        # replay clock: arrivals at 0 and 2, idle fire at 2+T
+        T = 5000
+        stored, log = None, []
+        for now, rows, to in [(0, [{"v": 1}], False),
+                              (2000, [{"v": 2}], False),
+                              (7000, [], True)]:
+            emits, stored, _ = _time_proc_transition(
+                stored, rows, now, T, to)
+            log.extend((e[0]["v"], e[1], e[2]) for e in emits)
+        assert log == [
+            (1, "current", 0),
+            (1, "expired", 2000), (2, "current", 2000),
+            (2, "expired", 7000),
+        ]
+
+
+class TestDedupProcTransition:
+    """unique:deduplicate with the wall clock
+    (DeduplicateStreamProcessor.java:158-172)."""
+
+    def test_first_arrival_kept(self):
+        kept, last, timeout = _dedup_proc_transition(
+            None, 2, now_ms=1000, interval_ms=5000, timed_out=False)
+        assert (kept, last, timeout) == (1, 1000, 6000)
+
+    def test_arrival_within_interval_suppressed_anchor_fixed(self):
+        # the anchor only advances on KEPT events (:158-166)
+        kept, last, timeout = _dedup_proc_transition(
+            1000, 1, now_ms=4000, interval_ms=5000, timed_out=False)
+        assert (kept, last, timeout) == (0, 1000, 6000)
+
+    def test_arrival_after_interval_readmitted(self):
+        kept, last, timeout = _dedup_proc_transition(
+            1000, 1, now_ms=6001, interval_ms=5000, timed_out=False)
+        assert (kept, last, timeout) == (1, 6001, 11001)
+
+    def test_idle_timer_purges_state_emits_nothing(self):
+        # :172 — the TIMER is a state cleanup; the reference emits
+        # nothing at the timer, the next arrival simply re-admits
+        kept, last, timeout = _dedup_proc_transition(
+            1000, 0, now_ms=6000, interval_ms=5000, timed_out=True)
+        assert (kept, last, timeout) == (0, None, None)
+
+    def test_no_arrivals_no_state_noop(self):
+        assert _dedup_proc_transition(
+            None, 0, 1000, 5000, False) == (0, None, None)
+
+
+# ---------------------------------------------------------------------
+# Live wall-clock integration (one per twin; generous poll deadlines —
+# the assertions depend only on ORDER-insensitive sets, never on the
+# non-deterministic at_ms instants).
+# ---------------------------------------------------------------------
+
+
+def _poll(fetch, pred, deadline_s=90):
+    deadline = time.time() + deadline_s
+    rows = fetch()
+    while time.time() < deadline and not pred(rows):
+        time.sleep(1)
+        rows = fetch()
+    return rows
+
+
+def test_with_processing_time_stamps_arrival(spark, workdir):
+    # batch smoke: the stamp column is the session clock, not the data
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0)])
+    df = spark.read.schema(SCHEMA).parquet(str(workdir / "in"))
+    out = with_processing_time(df.drop("ts"), "ts").collect()
+    assert abs(out[0]["ts"].timestamp() - time.time()) < 600
+
+
+def test_time_window_proc_stream_idle_timer_flush(spark, workdir):
+    """One event arrives, then the source goes SILENT: only the
+    wall-clock TIMER can expire it (the event-time twin would hold it
+    forever — no events, no watermark advance)."""
+    write_batch(workdir / "in", "001.parquet",
+                [(1000, 1, "a", 1.0), (2000, 2, "b", 2.0)])
+    out = time_window_proc_stream(
+        read_stream(spark, workdir / "in"), "k", 2_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("proc_time_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        rows = _poll(
+            lambda: spark.sql("SELECT * FROM proc_time_sink").collect(),
+            lambda rs: sum(r["channel"] == "expired" for r in rs) >= 2,
+        )
+    finally:
+        q.stop()
+    got = {(r["k"], r["event_id"], r["channel"]) for r in rows}
+    assert got == {("a", 1, "current"), ("b", 2, "current"),
+                   ("a", 1, "expired"), ("b", 2, "expired")}
+    # the expiry instant is the wall clock ~interval after emit.
+    # Spark's setTimeoutDuration is anchored to the BATCH trigger
+    # timestamp, while at_ms is the worker clock mid-batch, so the
+    # fire can land up to one batch-latency EARLY relative to
+    # current+interval — the documented micro-batch-granularity
+    # divergence from the reference's per-event notifyAt clock.
+    by = {(r["k"], r["channel"]): r["at_ms"] for r in rows}
+    for k in ("a", "b"):
+        assert by[(k, "expired")] - by[(k, "current")] >= 1_000
+
+
+def test_deduplicate_proc_stream_suppress_then_timer_readmit(spark, workdir):
+    """First arrival kept; a duplicate inside the interval suppressed;
+    after the idle TIMER purges the key (DeduplicateStreamProcessor.
+    java:172), a late duplicate is re-admitted even though the stream
+    was silent meanwhile."""
+    interval_ms = 8_000
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0)])
+    write_batch(workdir / "in", "002.parquet", [(2000, 2, "a", 2.0)])
+    out = deduplicate_proc_stream(
+        read_stream(spark, workdir / "in"), "k", interval_ms)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("proc_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    fetch = lambda: spark.sql("SELECT * FROM proc_dedup_sink").collect()
+    try:
+        rows = _poll(fetch, lambda rs: len(rs) >= 1, deadline_s=60)
+        assert {r["event_id"] for r in rows} == {1}, (
+            "event 2 must be suppressed (same key within interval)")
+        kept_at = time.time()
+        # silence > interval: the TIMER purges the map entry
+        time.sleep(max(0.0, kept_at + interval_ms / 1000 + 2 - time.time()))
+        write_batch(workdir / "in", "003.parquet", [(3000, 3, "a", 3.0)])
+        rows = _poll(fetch, lambda rs: len(rs) >= 2, deadline_s=60)
+    finally:
+        q.stop()
+    assert {r["event_id"] for r in rows} == {1, 3}
