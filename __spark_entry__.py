@@ -541,6 +541,53 @@ def q_siddhiql_join_length_tb_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_ever_lb_all(spark, sf_dir):
+    """Expired/all channels for a NON-BATCH ⋈ ARRIVAL-DRIVEN batch
+    pair (the closing half of VERDICT r12 item 2):
+    unique:lengthBatch(50) ⋈ unique:ever. Both sides transition on
+    arrivals, so the lowering is the instant-space pair algebra
+    (siddhiql.py:_x_instant_artifacts via _run_join_mixed_ll): the
+    lB chain's fire chunks probe ever's live intervals [arrival,
+    next same-key arrival) and ever's per-arrival chunks probe the
+    lB forming map, all with strict lexicographic (ms, tiebreak)
+    bounds. Simulation-certified (tests/test_properties.py::
+    test_x_lb_join_channels_algebra_matches_simulation, 300
+    hypothesis cases + a 6,000-trial randomized sweep)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:lengthBatch(user_id, 50) join purchases#window.unique:ever(user_id)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
+def q_siddhiql_join_time_etb_all(spark, sf_dir):
+    """unique:time(30 min) ⋈ unique:externalTimeBatch(1 hour, 0)
+    expired/all channels — the hardest arrival-pair algebra: the
+    sliding window's TIMER exits (enter + T unless displaced first,
+    UniqueTimeWindowProcessor.java:177-215) are instants (t, -inf)
+    that precede every arrival at t, encoded as flag-guarded NULL
+    tiebreaks in the instant join (siddhiql.py:_x_instant_artifacts);
+    the external side's present slots flush at the next slot's first
+    event (UniqueExternalTimeBatchWindowProcessor.java:304-326).
+    Simulation-certified (test_x_etb_join_channels_algebra_matches_
+    simulation)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:time(user_id, 30 min) join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour, 0)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2768,6 +2815,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siddhiql_join_ever_tb_all": q_siddhiql_join_ever_tb_all,
         "siddhiql_join_time_tb_all": q_siddhiql_join_time_tb_all,
         "siddhiql_join_length_tb_all": q_siddhiql_join_length_tb_all,
+        # -- new in round 13 (second half of VERDICT r12 item 2):
+        #    NON-BATCH windows against the ARRIVAL-DRIVEN batch
+        #    families (lengthBatch / externalTimeBatch) — instant-
+        #    space pair algebra with timer flags; never
+        #    driver-checked => rotation tier 0
+        "siddhiql_join_ever_lb_all": q_siddhiql_join_ever_lb_all,
+        "siddhiql_join_time_etb_all": q_siddhiql_join_time_etb_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -5227,6 +5281,226 @@ def _oracle_sql_base() -> dict[str, str]:
                AND (iv.tto IS NULL OR bp.pt <= iv.tto)
             )
             SELECT * FROM e12 UNION ALL SELECT * FROM e34
+        """,
+        # NON-BATCH x arrival-driven batch (r13, second half of the
+        # r12-item-2 family): lengthBatch(50) chain (fires + forming
+        # intervals, as in siddhiql_join_mixed_lengths_all) x
+        # unique:ever live intervals [arrival, next same-key) on the
+        # purchase side — strict lexicographic (ms, event_id) bounds
+        # both directions (certified by
+        # test_x_lb_join_channels_algebra_matches_simulation)
+        "siddhiql_join_ever_lb_all": """
+            WITH RECURSIVE ca AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                     row_number() OVER (ORDER BY ts, event_id) AS pos
+              FROM events WHERE event_type = 'click'
+            ),
+            fa(seq, start_pos, fire_pos) AS (
+              SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT f.seq + 1, f.fire_pos,
+                     (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ca
+                        WHERE ca.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49)
+              FROM fa f
+              WHERE (SELECT pos FROM (
+                        SELECT min(pos) AS pos FROM ca
+                        WHERE ca.pos > f.fire_pos GROUP BY user_id
+                      ) t ORDER BY pos LIMIT 1 OFFSET 49) IS NOT NULL
+            ),
+            fa2 AS MATERIALIZED (
+              SELECT f.seq, f.start_pos, f.fire_pos,
+                     (SELECT ms FROM ca WHERE pos = f.fire_pos) AS pms,
+                     (SELECT event_id FROM ca
+                      WHERE pos = f.fire_pos) AS ptb
+              FROM fa f WHERE f.seq >= 0
+            ),
+            aret AS MATERIALIZED (
+              SELECT e.event_id, e.user_id, f.seq
+              FROM fa2 f JOIN ca e
+                ON e.pos > f.start_pos AND e.pos <= f.fire_pos
+               AND e.pos = (SELECT max(pos) FROM ca e2
+                            WHERE e2.user_id = e.user_id
+                              AND e2.pos > f.start_pos
+                              AND e2.pos <= f.fire_pos)
+            ),
+            aprobe AS (
+              SELECT r.event_id, r.user_id, 'current' AS channel,
+                     f.pms, f.ptb
+              FROM aret r JOIN fa2 f ON f.seq = r.seq
+              UNION ALL
+              SELECT r.event_id, r.user_id, 'expired', f.pms, f.ptb
+              FROM aret r JOIN fa2 f ON f.seq = r.seq + 1
+            ),
+            aiv AS MATERIALIZED (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN nms ELSE fms END AS lms,
+                     CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                               (nms, ntb) < (fms, ftb))
+                          THEN ntb ELSE ftb END AS ltb
+              FROM (
+                SELECT p.*,
+                       lead(ms) OVER (PARTITION BY pseq, user_id
+                                      ORDER BY pos) AS nms,
+                       lead(event_id) OVER (PARTITION BY pseq, user_id
+                                            ORDER BY pos) AS ntb,
+                       (SELECT pms FROM fa2 WHERE seq = p.pseq) AS fms,
+                       (SELECT ptb FROM fa2 WHERE seq = p.pseq) AS ftb
+                FROM (
+                  SELECT e.event_id, e.user_id, e.ms, e.pos,
+                         (SELECT count(*) FROM fa2
+                          WHERE fa2.fire_pos < e.pos) AS pseq
+                  FROM ca e) p)
+            ),
+            pu AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms
+              FROM events WHERE event_type = 'purchase'
+            ),
+            biv AS (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     lead(ms) OVER (PARTITION BY user_id
+                                    ORDER BY ms, event_id) AS lms,
+                     lead(event_id) OVER (PARTITION BY user_id
+                                          ORDER BY ms, event_id) AS ltb
+              FROM pu
+            ),
+            bprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb
+              FROM biv
+              UNION ALL
+              SELECT user_id, event_id, 'expired', lms, ltb
+              FROM biv WHERE lms IS NOT NULL
+            ),
+            e_ab AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap JOIN biv iv
+                ON ap.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (ap.pms, ap.ptb)
+               AND (iv.lms IS NULL OR
+                    (ap.pms, ap.ptb) < (iv.lms, iv.ltb))
+            ),
+            e_ba AS (
+              SELECT bp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN aiv iv
+                ON bp.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (bp.pms, bp.ptb)
+               AND (iv.lms IS NULL OR
+                    (bp.pms, bp.ptb) < (iv.lms, iv.ltb))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
+        """,
+        # NON-BATCH x arrival-driven batch (r13): unique:time(30 min)
+        # live intervals with TIMER exits — instants (t, -inf) that
+        # precede every arrival at t, expressed as flag-guarded NULL
+        # tiebreaks — x externalTimeBatch(1 hour) present-slot flush
+        # log (certified by
+        # test_x_etb_join_channels_algebra_matches_simulation)
+        "siddhiql_join_time_etb_all": """
+            WITH x AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms
+              FROM events WHERE event_type = 'click'
+            ),
+            aiv AS (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     CASE WHEN tmr THEN ms + 1800000 ELSE nms END AS lms,
+                     CASE WHEN tmr THEN NULL ELSE ntb END AS ltb,
+                     tmr AS ltimer
+              FROM (
+                SELECT user_id, event_id, ms, nms, ntb,
+                       (nms IS NULL OR ms + 1800000 <= nms) AS tmr
+                FROM (
+                  SELECT user_id, event_id, ms,
+                         lead(ms) OVER (PARTITION BY user_id
+                                        ORDER BY ms, event_id) AS nms,
+                         lead(event_id) OVER (PARTITION BY user_id
+                                              ORDER BY ms, event_id) AS ntb
+                  FROM x))
+            ),
+            aprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb, FALSE AS ptimer
+              FROM aiv
+              UNION ALL
+              SELECT user_id, event_id, 'expired', lms, ltb, ltimer
+              FROM aiv
+            ),
+            es AS (
+              SELECT event_id, user_id, s FROM (
+                SELECT e.event_id, e.user_id,
+                       epoch_ms(ts) // 3600000 AS s,
+                       row_number() OVER (
+                         PARTITION BY epoch_ms(ts) // 3600000, user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events e WHERE event_type = 'purchase') t
+              WHERE rn = 1
+            ),
+            el AS (
+              SELECT s,
+                     lead(fm, 1) OVER (ORDER BY s) AS flms,
+                     lead(ftb, 1) OVER (ORDER BY s) AS fltb,
+                     lead(fm, 2) OVER (ORDER BY s) AS exms,
+                     lead(ftb, 2) OVER (ORDER BY s) AS extb
+              FROM (
+                SELECT s, ms AS fm, event_id AS ftb FROM (
+                  SELECT epoch_ms(ts) // 3600000 AS s,
+                         epoch_ms(ts) AS ms, event_id,
+                         row_number() OVER (
+                           PARTITION BY epoch_ms(ts) // 3600000
+                           ORDER BY epoch_ms(ts), event_id) AS rn
+                  FROM events WHERE event_type = 'purchase') t
+                WHERE rn = 1)
+            ),
+            bprobe AS (
+              SELECT es.event_id, es.user_id, 'current' AS channel,
+                     el.flms AS pms, el.fltb AS ptb
+              FROM es JOIN el USING (s) WHERE el.flms IS NOT NULL
+              UNION ALL
+              SELECT es.event_id, es.user_id, 'expired',
+                     el.exms, el.extb
+              FROM es JOIN el USING (s) WHERE el.exms IS NOT NULL
+            ),
+            biv AS (
+              SELECT es.user_id, es.event_id,
+                     el.flms AS ems, el.fltb AS etb,
+                     el.exms AS lms, el.extb AS ltb
+              FROM es JOIN el USING (s) WHERE el.flms IS NOT NULL
+            ),
+            e_ab AS (
+              SELECT ap.user_id AS user_id,
+                     ap.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     ap.channel AS channel
+              FROM aprobe ap JOIN biv iv
+                ON ap.user_id = iv.user_id
+               AND (iv.ems < ap.pms OR (iv.ems = ap.pms AND
+                    NOT ap.ptimer AND iv.etb < ap.ptb))
+               AND (iv.lms IS NULL OR ap.pms < iv.lms OR
+                    (ap.pms = iv.lms AND
+                     (ap.ptimer OR ap.ptb < iv.ltb)))
+            ),
+            e_ba AS (
+              SELECT bp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     bp.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN aiv iv
+                ON bp.user_id = iv.user_id
+               AND (iv.ems, iv.etb) < (bp.pms, bp.ptb)
+               AND (bp.pms < iv.lms OR
+                    (bp.pms = iv.lms AND NOT iv.ltimer AND
+                     bp.ptb < iv.ltb))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
         """,
         # mixed pair: clicks lengthBatch(user_id, 50) forming map
         # (events after the LAST fire of the recursive fire chain,

