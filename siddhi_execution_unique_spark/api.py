@@ -66,6 +66,12 @@ _STREAMING = {
     "timeLengthBatch": stw.time_length_batch_stream,
     "externalTimeBatch": stw.external_time_batch_stream,
     "deduplicate": stw.deduplicate_exact_stream,
+    # opt-in PROCESSING-TIME tier (r13): wall-clock arrival stamping
+    # + true TIMER idle flushes (ProcessingTimeTimeout) — the
+    # reference's default clock; non-deterministic, replay-clock
+    # pytest-pinned rather than oracle-checked
+    "time:processing": stw.time_window_proc_stream,
+    "deduplicate:processing": stw.deduplicate_proc_stream,
 }
 
 

@@ -217,3 +217,18 @@ def test_deduplicate_proc_stream_suppress_then_timer_readmit(spark, workdir):
     finally:
         q.stop()
     assert {r["event_id"] for r in rows} == {1, 3}
+
+
+def test_api_dispatch_processing_time_twins(spark, workdir):
+    """`api.streaming_window` exposes the processing-time tier under
+    `unique:time:processing` / `unique:deduplicate:processing`
+    (construction only — the live TIMER behavior is pinned above)."""
+    from siddhi_execution_unique_spark import api
+
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0)])
+    src = read_stream(spark, workdir / "in")
+    out = api.streaming_window(src, "unique:time:processing", "k", 5_000)
+    assert out.isStreaming and "channel" in out.columns
+    out2 = api.streaming_window(
+        src, "unique:deduplicate:processing", "k", 5_000)
+    assert out2.isStreaming and out2.columns == src.columns

@@ -721,6 +721,90 @@ def _siddhiql_join_ever_lb_all(con):
     """)
 
 
+def _siddhiql_join_length_tb_all(con):
+    """Linear rewrite of the unique:length(20) ⋈ timeBatch oracle
+    (r13): the eviction positions come from the Fenwick walk over the
+    CLICK stream (the certified SQL's range join + row_number()=20
+    spills tens of GB at sf1); the live-interval tail and the
+    timeBatch side run verbatim SQL."""
+    ev = con.sql("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        ORDER BY ts, event_id
+    """).df()
+    qn = pd.DataFrame(_evict_walk(ev["user_id"].to_numpy(), 20),
+                      columns=["p_pos", "evict_pos"])
+    return _run(con, {"qn": qn}, """
+        WITH x AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                 row_number() OVER (ORDER BY ts, event_id) AS pos
+          FROM events WHERE event_type = 'click'
+        ),
+        linked AS (
+          SELECT *,
+                 lead(pos) OVER (PARTITION BY user_id
+                                 ORDER BY pos) AS next_pos
+          FROM x
+        ),
+        iv AS (
+          SELECT l.user_id, l.event_id, l.ms AS frm, x2.ms AS tto
+          FROM (
+            SELECT l.user_id, l.event_id, l.ms,
+                   least(coalesce(l.next_pos, 9223372036854775807),
+                         coalesce(q.evict_pos, 9223372036854775807))
+                     AS exp_pos
+            FROM linked l LEFT JOIN qn q ON q.p_pos = l.pos
+          ) l LEFT JOIN x x2 ON x2.pos = l.exp_pos
+        ),
+        pb AS (
+          SELECT event_id, user_id, m FROM (
+            SELECT e.event_id, e.user_id,
+                   epoch_ms(ts) // 3600000 AS m,
+                   row_number() OVER (
+                     PARTITION BY epoch_ms(ts) // 3600000, user_id
+                     ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM events e WHERE event_type = 'purchase') t
+          WHERE rn = 1
+        ),
+        ml AS (SELECT max(m) AS ml FROM pb),
+        aprobe AS (
+          SELECT user_id, event_id, 'current' AS channel, frm AS pf
+          FROM iv
+          UNION ALL
+          SELECT user_id, event_id, 'expired', tto
+          FROM iv WHERE tto IS NOT NULL
+        ),
+        e12 AS (
+          SELECT ap.user_id AS user_id,
+                 ap.event_id AS click_event_id,
+                 pb.event_id AS purchase_event_id,
+                 ap.channel AS channel
+          FROM aprobe ap CROSS JOIN ml
+          JOIN pb ON least(ap.pf // 3600000, ml.ml + 1) = pb.m + 1
+                 AND ap.user_id = pb.user_id
+        ),
+        bprobe AS (
+          SELECT event_id, user_id, 'current' AS channel,
+                 (m + 1) * 3600000 AS pt
+          FROM pb
+          UNION ALL
+          SELECT pb.event_id, pb.user_id, 'expired',
+                 (pb.m + 2) * 3600000
+          FROM pb CROSS JOIN ml WHERE pb.m < ml.ml
+        ),
+        e34 AS (
+          SELECT iv.user_id AS user_id,
+                 iv.event_id AS click_event_id,
+                 bp.event_id AS purchase_event_id,
+                 bp.channel AS channel
+          FROM bprobe bp JOIN iv
+            ON iv.user_id = bp.user_id
+           AND iv.frm < bp.pt
+           AND (iv.tto IS NULL OR bp.pt <= iv.tto)
+        )
+        SELECT * FROM e12 UNION ALL SELECT * FROM e34
+    """)
+
+
 def _unique_length_emissions_ordered(con):
     return _run(con, {"qn": _emissions_qn(con, 100)}, """
         WITH ev AS (
@@ -823,6 +907,7 @@ SCALE_ORACLES = {
     "siddhiql_join_mixed_lengths_all": _siddhiql_join_mixed_lengths_all,
     "siddhiql_join_mixed_lb_external_all": _siddhiql_join_mixed_lb_external_all,
     "siddhiql_join_ever_lb_all": _siddhiql_join_ever_lb_all,
+    "siddhiql_join_length_tb_all": _siddhiql_join_length_tb_all,
 }
 
 
