@@ -588,6 +588,34 @@ def q_siddhiql_join_time_etb_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_time_time_all(spark, sf_dir):
+    """NON-BATCH ⋈ NON-BATCH expired/all channels (r13, the final
+    join family — with this, every unique-window pair outside
+    timeLengthBatch's hybrid protocol is lowered on all channels):
+    two unique:time sliding windows, both sides carrying TIMER exits
+    with flag-guarded NULL tiebreaks in the instant join
+    (siddhiql.py:_x_instant_artifacts). The SHARED-timer-instant edge
+    (equal T + same-ms cross-stream arrivals: both windows expire
+    simultaneously, each ripe exit sees the other side's
+    PRE-transition state; probe timers sort (t,-2), leave timers
+    (t,-1)) cannot occur on the ms-granular driver corpus — it is
+    pinned by the collision-dense pytest layer instead
+    (tests/test_properties.py::test_x_x_join_channels_algebra_
+    matches_simulation, 400 hypothesis cases + an 8,000-trial
+    randomized sweep; Spark-vs-algebra in
+    test_join_x_x_channels_match_certified_algebra)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:time(user_id, 30 min) join purchases#window.unique:time(user_id, 30 min)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2822,6 +2850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    driver-checked => rotation tier 0
         "siddhiql_join_ever_lb_all": q_siddhiql_join_ever_lb_all,
         "siddhiql_join_time_etb_all": q_siddhiql_join_time_etb_all,
+        # -- new in round 13 (final join family): NON-BATCH x
+        #    NON-BATCH with shared timer instants; never
+        #    driver-checked => rotation tier 0
+        "siddhiql_join_time_time_all": q_siddhiql_join_time_time_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -5499,6 +5531,96 @@ def _oracle_sql_base() -> dict[str, str]:
                AND (bp.pms < iv.lms OR
                     (bp.pms = iv.lms AND NOT iv.ltimer AND
                      bp.ptb < iv.ltb))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
+        """,
+        # NON-BATCH x NON-BATCH (r13, final family): two
+        # unique:time(30 min) sliding windows with EQUAL T — shared
+        # timer instants, where each side's ripe exit probes the
+        # other's PRE-transition state: probe timers sort (t,-2),
+        # leave timers (t,-1), expressed as flag-guarded tie rules
+        # (certified by test_x_x_join_channels_algebra_matches_
+        # simulation)
+        "siddhiql_join_time_time_all": """
+            WITH civ AS (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     CASE WHEN tmr THEN ms + 1800000 ELSE nms END AS lms,
+                     CASE WHEN tmr THEN NULL ELSE ntb END AS ltb,
+                     tmr AS ltimer
+              FROM (
+                SELECT user_id, event_id, ms, nms, ntb,
+                       (nms IS NULL OR ms + 1800000 <= nms) AS tmr
+                FROM (
+                  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                         lead(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ms(ts), event_id) AS nms,
+                         lead(event_id) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ms(ts), event_id) AS ntb
+                  FROM events WHERE event_type = 'click'))
+            ),
+            piv AS (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     CASE WHEN tmr THEN ms + 1800000 ELSE nms END AS lms,
+                     CASE WHEN tmr THEN NULL ELSE ntb END AS ltb,
+                     tmr AS ltimer
+              FROM (
+                SELECT user_id, event_id, ms, nms, ntb,
+                       (nms IS NULL OR ms + 1800000 <= nms) AS tmr
+                FROM (
+                  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                         lead(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ms(ts), event_id) AS nms,
+                         lead(event_id) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ms(ts), event_id) AS ntb
+                  FROM events WHERE event_type = 'purchase'))
+            ),
+            cprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb, FALSE AS ptimer
+              FROM civ
+              UNION ALL
+              SELECT user_id, event_id, 'expired', lms, ltb, ltimer
+              FROM civ
+            ),
+            pprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb, FALSE AS ptimer
+              FROM piv
+              UNION ALL
+              SELECT user_id, event_id, 'expired', lms, ltb, ltimer
+              FROM piv
+            ),
+            e_ab AS (
+              SELECT cp.user_id AS user_id,
+                     cp.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     cp.channel AS channel
+              FROM cprobe cp JOIN piv iv
+                ON cp.user_id = iv.user_id
+               AND (iv.ems < cp.pms OR (iv.ems = cp.pms AND
+                    NOT cp.ptimer AND iv.etb < cp.ptb))
+               AND (cp.pms < iv.lms OR
+                    (cp.pms = iv.lms AND
+                     (cp.ptimer OR (NOT iv.ltimer AND
+                                    cp.ptb < iv.ltb))))
+            ),
+            e_ba AS (
+              SELECT pp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     pp.event_id AS purchase_event_id,
+                     pp.channel AS channel
+              FROM pprobe pp JOIN civ iv
+                ON pp.user_id = iv.user_id
+               AND (iv.ems < pp.pms OR (iv.ems = pp.pms AND
+                    NOT pp.ptimer AND iv.etb < pp.ptb))
+               AND (pp.pms < iv.lms OR
+                    (pp.pms = iv.lms AND
+                     (pp.ptimer OR (NOT iv.ltimer AND
+                                    pp.ptb < iv.ltb))))
             )
             SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
         """,

@@ -703,25 +703,24 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
             # test_ll_ / test_lb_etb_ / test_etb_etb_..._matches_
             # simulation) — lowered in _run_join
             mixed_channels = True
-        elif (
-            (lw in _MIXED_X and rw in _batch_wins)
-            or (rw in _MIXED_X and lw in _batch_wins)
-        ):
+        elif wins <= (_MIXED_X | _batch_wins):
             # NON-BATCH window ⋈ any batch window (VERDICT r12 item
-            # 2, both halves): live-interval emission-log algebra
-            # against the timeBatch grid (test_x_tb_join_channels_
-            # algebra_matches_simulation) or the arrival-pair instant
-            # algebra with timer flags (test_x_lb_ / test_x_etb_
-            # join_channels_algebra_matches_simulation) — lowered in
-            # _run_join_mixed_x_tb / _run_join_mixed_ll
+            # 2, both halves) and NON-BATCH ⋈ NON-BATCH (r13): the
+            # live-interval emission-log algebra against the
+            # timeBatch grid (test_x_tb_join_channels_algebra_
+            # matches_simulation) or the instant-pair algebra with
+            # timer flags on either side (test_x_lb_ / test_x_etb_ /
+            # test_x_x_join_channels_algebra_matches_simulation) —
+            # lowered in _run_join_mixed_x_tb / _run_join_mixed_ll
             mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
-                f"unique:{rw} is wired for batch-window pairs "
-                "(lengthBatch/timeBatch/externalTimeBatch families) and "
-                "for ever/first/time/length against those batch "
-                "families; use the function API"
+                f"unique:{rw} is lowered for every pair drawn from the "
+                "ever/first/time/length and lengthBatch/timeBatch/"
+                "externalTimeBatch families; only mixed pairs involving "
+                "unique:timeLengthBatch's hybrid fire protocol keep "
+                "this eager error — use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
@@ -1380,11 +1379,15 @@ def _run_join_mixed_ll(
             tie_enter = f"{vn}.__mx_etb < {pn}.__mx_ptb"
             tie_leave = f"{pn}.__mx_ptb < {vn}.__mx_ltb"
         else:
-            # timer instants: (t, -inf) — at equal ms, a timer probe
-            # is never after an arrival enter, and precedes an
-            # arrival leave; tiebreaks only compare arrival-vs-arrival
+            # timer instants: at equal ms a timer probe is never
+            # after an arrival enter, precedes an arrival leave, AND
+            # still sees a timer-closing interval — at a shared
+            # scheduler instant both sides' exits probe the other's
+            # PRE-transition state (the certified convention; probe
+            # timers sort (t,-2), leave timers (t,-1)); tiebreaks
+            # only compare arrival-vs-arrival
             tie_enter = f"NOT {pt} AND {vn}.__mx_etb < {pn}.__mx_ptb"
-            tie_leave = (f"(({pt} AND NOT {lt}) OR"
+            tie_leave = (f"({pt} OR"
                          f" (NOT {pt} AND NOT {lt} AND"
                          f" {pn}.__mx_ptb < {vn}.__mx_ltb))")
         return p2.alias(pn).join(
@@ -1740,10 +1743,11 @@ def _run_join_mixed_channels(
         sideX = (q["left"] if q["left"]["window"] in _MIXED_X
                  else q["right"])
         other = q["right"] if sideX is q["left"] else q["left"]
-        if other["window"] in _arrival:
-            # arrival-vs-arrival instant algebra (timer flags on the
-            # X side) — certified in test_x_lb_join_channels_ /
-            # test_x_etb_join_channels_algebra_matches_simulation
+        if other["window"] in _arrival or other["window"] in _MIXED_X:
+            # arrival-vs-arrival / sliding-vs-sliding instant algebra
+            # (timer flags on either side) — certified in
+            # test_x_lb_ / test_x_etb_ / test_x_x_join_channels_
+            # algebra_matches_simulation
             return _run_join_mixed_ll(
                 q, streams, ts, tiebreak, cond, _tail_consts)
         return _run_join_mixed_x_tb(

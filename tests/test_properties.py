@@ -2712,7 +2712,14 @@ def _x_instant_model(kind, xparam, x_events):
     for key, eid, enter, leave in ivs:
         probes.append(("current", enter, {key: eid}))
         if leave is not None:
-            probes.append(("expired", leave, {key: eid}))
+            # a TIMER probe at ms t is (t, -2): strictly before the
+            # (t, -1) timer-leave instants of the OTHER side, so at a
+            # shared scheduler instant both sides' exits see each
+            # other's PRE-transition state (the certified
+            # exits-probe-pre convention); against an arrival-only
+            # side, -2 and -1 are indistinguishable
+            p = (leave[0], -2) if leave[1] == -1 else leave
+            probes.append(("expired", p, {key: eid}))
     return probes, ivs
 
 
@@ -2918,4 +2925,137 @@ def test_x_etb_join_channels_algebra_matches_simulation(
     alg = _instant_pair_closed_form(
         _x_instant_model(kind, xparam, x_events),
         _etb_probe_model(b_events, te, anchor))
+    assert sim == alg
+
+
+def _x_x_join_simulate(ka, xa, a_events, kb, xb, b_events):
+    """Event-at-a-time: TWO non-batch unique windows joined on key
+    equality in global (ms, eid) arrival order, timers injected
+    BEFORE arrivals at their ms. Each side's per-event chunks
+    (current at enter, expired at exit) probe the OTHER side's live
+    find() state; at a SHARED timer instant both sides' ripe exits
+    probe the other side's PRE-transition state and then all removals
+    apply (the certified scheduler convention — the reference leaves
+    same-instant cross-processor timer order unspecified,
+    UniqueTimeWindowProcessor.java:118-125)."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "A") for ts, eid, key in a_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    timer_cands = sorted(
+        ({ts + xa for ts, _, _ in a_events} if ka == "time" else set())
+        | ({ts + xb for ts, _, _ in b_events} if kb == "time" else set()))
+
+    st = {
+        "A": {"kind": ka, "param": xa, "live": {}, "seen": set(),
+              "fifo": []},
+        "B": {"kind": kb, "param": xb, "live": {}, "seen": set(),
+              "fifo": []},
+    }
+
+    def pair(side, own_eid, other_eid):
+        return (own_eid, other_eid) if side == "A" else (other_eid,
+                                                         own_eid)
+
+    si = ai = 0
+    while si < len(timer_cands) or ai < len(arrivals):
+        tau = timer_cands[si] if si < len(timer_cands) else None
+        arr = arrivals[ai] if ai < len(arrivals) else None
+        if tau is not None and (arr is None or tau <= arr[0]):
+            si += 1
+            ripe = {}
+            for sn, s in st.items():
+                if s["kind"] == "time":
+                    ripe[sn] = [(k, v) for k, v in s["live"].items()
+                                if v[1] + s["param"] == tau]
+                else:
+                    ripe[sn] = []
+            # exits probe the other side PRE-transition (both ways)
+            for sn in ("A", "B"):
+                other = st["B" if sn == "A" else "A"]["live"]
+                for key, (x_eid, _) in ripe[sn]:
+                    if key in other:
+                        p = pair(sn, x_eid, other[key][0])
+                        out.append(("expired", p[0], p[1]))
+            for sn in ("A", "B"):
+                for key, _ in ripe[sn]:
+                    del st[sn]["live"][key]
+            continue
+        ts, eid, key, sn = arr
+        ai += 1
+        s = st[sn]
+        other = st["B" if sn == "A" else "A"]["live"]
+        kind = s["kind"]
+        if kind == "first":
+            if key in s["seen"]:
+                continue
+            s["seen"].add(key)
+        elif kind == "length":
+            if key in s["live"]:
+                old = s["live"].pop(key)
+                s["fifo"].remove(key)
+                if key in other:
+                    p = pair(sn, old[0], other[key][0])
+                    out.append(("expired", p[0], p[1]))
+            elif len(s["live"]) == s["param"]:
+                oldest = s["fifo"].pop(0)
+                old = s["live"].pop(oldest)
+                if oldest in other:
+                    p = pair(sn, old[0], other[oldest][0])
+                    out.append(("expired", p[0], p[1]))
+            s["fifo"].append(key)
+        else:  # ever / time: same-key displacement
+            if key in s["live"]:
+                old = s["live"].pop(key)
+                if key in other:
+                    p = pair(sn, old[0], other[key][0])
+                    out.append(("expired", p[0], p[1]))
+        s["live"][key] = (eid, ts)
+        if key in other:
+            p = pair(sn, eid, other[key][0])
+            out.append(("current", p[0], p[1]))
+    return sorted(out)
+
+
+def _instant_pair_x_closed_form(model_a, model_b):
+    """The X ⋈ X tail: like :func:`_instant_pair_closed_form` but a
+    timer PROBE (tb -2) at the same ms as a timer LEAVE (tb -1) is
+    still visible — both sides' scheduler exits probe PRE-transition
+    state. Plain tuple comparison gives exactly that with the
+    -2/-1 encoding."""
+    return _instant_pair_closed_form(model_a, model_b)
+
+
+@given(
+    st.sampled_from([("ever", "time"), ("time", "time"),
+                     ("time", "length"), ("first", "time"),
+                     ("ever", "ever"), ("length", "length"),
+                     ("ever", "length"), ("first", "length"),
+                     ("first", "ever")]),
+    st.sampled_from([(15, 30), (30, 30), (15, 3), (3, 2)]),
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=400, deadline=None)
+def test_x_x_join_channels_algebra_matches_simulation(kinds, params, raw):
+    """NON-BATCH ⋈ NON-BATCH expired/all channels (the final join
+    family): the instant-space algebra with the -2/-1 timer encoding
+    must equal the event-at-a-time simulation — including SHARED
+    timer instants where both sliding windows expire simultaneously
+    and must see each other's pre-transition state, displacement
+    chains on both sides, FIFO evictions, and duplicate dropping."""
+    ka, kb = kinds
+    xa, xb = params
+    if ka == "length":
+        xa = max(1, xa % 5)
+    if kb == "length":
+        xb = max(1, xb % 5)
+    a = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+         if not s]
+    sim = _x_x_join_simulate(ka, xa, a, kb, xb, b)
+    alg = _instant_pair_x_closed_form(
+        _x_instant_model(ka, xa, a), _x_instant_model(kb, xb, b))
     assert sim == alg

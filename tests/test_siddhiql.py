@@ -747,12 +747,12 @@ def test_join_external_time_batch_aligned_and_negatives(two_streams):
     )["x"]
     assert out3.columns == ["u", "channel"]
     out3.collect()
-    # BOTH sides non-batch: still eager (no batch channel protocol
-    # on either side)
-    with pytest.raises(sq.SiddhiQLError):
+    # the only remaining eager pairs involve timeLengthBatch's
+    # hybrid fire protocol (X x X is lowered as of r13)
+    with pytest.raises(sq.SiddhiQLError, match="timeLengthBatch"):
         sq.run_app(
             "from clicks#window.unique:ever(user_id) "
-            "join purchases#window.unique:first(user_id) "
+            "join purchases#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id insert all events into x;",
             two_streams, tiebreak="event_id",
@@ -979,15 +979,20 @@ def test_join_time_length_batch_probes_last_fired_batch(streams):
     assert len(rows(got)) > 0
 
 
-def test_join_non_batch_all_events_raises(two_streams):
-    with pytest.raises(sq.SiddhiQLError):
-        sq.run_app(
-            "from clicks#window.unique:ever(user_id) "
-            "join purchases#window.unique:ever(user_id) "
-            "on clicks.user_id == purchases.user_id "
-            "select clicks.user_id insert all events into x;",
-            two_streams, tiebreak="event_id",
-        )
+def test_join_non_batch_all_events_runs(two_streams):
+    """ever ⋈ ever on the all-events channel is lowered as of r13
+    (the final non-batch pair family) — the former eager error is
+    gone; the emission protocol itself is pinned in
+    test_join_x_x_channels_match_certified_algebra."""
+    out = sq.run_app(
+        "from clicks#window.unique:ever(user_id) "
+        "join purchases#window.unique:ever(user_id) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.user_id as u, channel insert all events into x;",
+        two_streams, tiebreak="event_id",
+    )["x"]
+    assert out.columns == ["u", "channel"]
+    out.collect()
 
 
 def test_streaming_declared_attribute_validation(spark, tmp_path):
@@ -2092,12 +2097,14 @@ def test_join_mixed_channels_validation(two_streams):
             base + "select count() as n insert all events into x;",
             two_streams, tiebreak="event_id",
         )
-    # BOTH sides non-batch: eager (no batch channel protocol on
-    # either side; X ⋈ batch-window pairs are all lowered as of r13)
-    with pytest.raises(sq.SiddhiQLError, match="batch-window pairs"):
+    # the ONLY remaining eager family: mixed pairs involving
+    # timeLengthBatch's hybrid time+count fire protocol (every
+    # ever/first/time/length x batch pair and X x X pair is lowered
+    # as of r13)
+    with pytest.raises(sq.SiddhiQLError, match="timeLengthBatch"):
         sq.run_app(
             "from clicks#window.unique:time(user_id, 1 hour) "
-            "join purchases#window.unique:ever(user_id) "
+            "join purchases#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id as u insert all events into x;",
             two_streams, tiebreak="event_id",
@@ -2588,3 +2595,90 @@ def test_join_time_lb_timer_probe_beyond_span(spark):
     # current at enter 100 (forming row visible since 90 < 100) and
     # expired at the 130 timer against the still-open interval
     assert got == [("current", 1, 2), ("expired", 1, 2)]
+
+
+def test_join_x_x_channels_match_certified_algebra(spark):
+    """NON-BATCH ⋈ NON-BATCH expired/all channels (the final join
+    family, r13): the Spark lowering must reproduce the instant-space
+    algebra with the -2/-1 timer encoding pinned against the
+    event-at-a-time simulation — including time ⋈ time with SHARED
+    timer instants where both sliding windows expire simultaneously
+    and must see each other's pre-transition state."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import (
+        _instant_pair_closed_form,
+        _x_instant_model,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    def win(kind, param):
+        return {
+            "ever": "unique:ever(user_id)",
+            "first": "unique:first(user_id)",
+            "time": f"unique:time(user_id, {param})",
+            "length": f"unique:length(user_id, {param})",
+        }[kind]
+
+    random.seed(424242)
+    ran = 0
+    pairs = [("time", "time"), ("ever", "time"), ("time", "length"),
+             ("first", "time"), ("ever", "ever"), ("length", "length"),
+             ("ever", "length"), ("time", "time")]
+    for trial, (ka, kb) in enumerate(pairs):
+        # equal T on trial 0/7 forces shared timer instants at
+        # same-ms cross-stream arrivals
+        xa = 10 if ka == "time" else random.randint(1, 3)
+        xb = (xa if (ka == kb == "time")
+              else 15 if kb == "time" else random.randint(1, 3))
+        raw = [
+            (random.randint(0, 40), i, f"k{random.randint(0, 3)}",
+             random.random() < 0.5)
+            for i in range(random.randint(15, 55))
+        ]
+        a = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        if not a or not b:
+            continue
+        model = _instant_pair_closed_form(
+            _x_instant_model(ka, xa, a), _x_instant_model(kb, xb, b))
+        chan = "expired" if trial in (2, 5) else "all"
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from clicks#window.{win(ka, xa)} "
+               f"join purchases#window.{win(kb, xb)}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(a), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        if chan == "expired":
+            exp = sorted((x, y) for ch, x, y in model if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted(model)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, ka, xa, kb, xb, got[:6], exp[:6])
+        ran += 1
+    assert ran >= 6
