@@ -616,6 +616,34 @@ def q_siddhiql_join_time_time_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_ever_tlb_all(spark, sf_dir):
+    """unique:timeLengthBatch(6 hours, 20) ⋈ unique:ever expired/all
+    channels — the LAST remaining mixed family (timeLengthBatch's
+    hybrid time+count fire protocol): the fixed boundary grid makes
+    intervals independent (the post-length-fire discard flag clears
+    exactly at the next boundary,
+    UniqueTimeLengthBatchWindowProcessor.java:261-271), so the chain
+    lowers to per-interval window functions with NO serial scan
+    (siddhiql.py:_tlb_instant_artifacts). Time fires are ENTER-probe
+    timers (flush ticks see post-transition state), drains at
+    boundaries are EXIT-probe timers (pre-transition) — the 3-strata
+    sub-ms instant encoding. At sf0.01 the 6h/20 config fires BOTH
+    kinds (19 length + 101 time fires). Simulation-certified
+    (tests/test_properties.py::test_x_tlb_join_channels_algebra_
+    matches_simulation, 400 hypothesis cases + an 8,000-trial
+    randomized sweep)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:timeLengthBatch(user_id, 6 hours, 20) join purchases#window.unique:ever(user_id)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2854,6 +2882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    NON-BATCH with shared timer instants; never
         #    driver-checked => rotation tier 0
         "siddhiql_join_time_time_all": q_siddhiql_join_time_time_all,
+        # -- new in round 13: timeLengthBatch's hybrid fire protocol
+        #    joins the instant machinery (3-strata encoding)
+        "siddhiql_join_ever_tlb_all": q_siddhiql_join_ever_tlb_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -5621,6 +5652,147 @@ def _oracle_sql_base() -> dict[str, str]:
                     (pp.pms = iv.lms AND
                      (pp.ptimer OR (NOT iv.ltimer AND
                                     pp.ptb < iv.ltb))))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
+        """,
+        # timeLengthBatch(6h, 20) x ever (r13, the last mixed
+        # family): per-interval-independent chain (no recursion —
+        # the skip flag clears exactly at the next boundary), fires
+        # at the Nth distinct key's arrival (length) or boundary k+1
+        # (time, a timer transition), findable until min(next fire,
+        # boundary k+2); 3-strata tie rules (exit probes see
+        # pre-transition state, enter probes post, arrivals last)
+        # flag-encoded exactly as in the Spark lowering (certified by
+        # test_x_tlb_join_channels_algebra_matches_simulation)
+        "siddhiql_join_ever_tlb_all": """
+            WITH pe AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms
+              FROM events WHERE event_type = 'click'
+            ),
+            anc AS (SELECT min(ms) AS a FROM pe),
+            iv0 AS (
+              SELECT pe.*, anc.a,
+                     CAST(floor((ms - anc.a) / 21600000) AS BIGINT) AS k
+              FROM pe, anc
+            ),
+            pos0 AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY k
+                                        ORDER BY ms, event_id) AS pos,
+                     (row_number() OVER (PARTITION BY k, user_id
+                                         ORDER BY ms, event_id) = 1)
+                       AS isf
+              FROM iv0
+            ),
+            run0 AS (
+              SELECT *, sum(CASE WHEN isf THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY k ORDER BY pos) AS nd
+              FROM pos0
+            ),
+            fp AS (
+              SELECT k, min(CASE WHEN nd = 20 AND isf THEN pos END) AS L
+              FROM run0 GROUP BY k
+            ),
+            inb AS (
+              SELECT r.*, f.L FROM run0 r JOIN fp f USING (k)
+              WHERE f.L IS NULL OR r.pos <= f.L
+            ),
+            kept AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY k, user_id
+                  ORDER BY ms DESC, event_id DESC) AS rnk
+                FROM inb) t
+              WHERE rnk = 1
+            ),
+            fl AS (
+              SELECT k, ms AS fm, event_id AS ftb FROM inb WHERE pos = L
+            ),
+            flog0 AS (
+              SELECT b.k, b.a,
+                     CASE WHEN b.L IS NOT NULL THEN fl.fm
+                          ELSE b.a + (b.k + 1) * 21600000 END AS ems,
+                     CASE WHEN b.L IS NOT NULL THEN fl.ftb END AS etb,
+                     (b.L IS NULL) AS etimer
+              FROM (SELECT DISTINCT k, a, L FROM inb) b
+              LEFT JOIN fl USING (k)
+            ),
+            flog AS (
+              SELECT *,
+                     lead(ems) OVER (ORDER BY k) AS fnms,
+                     lead(etb) OVER (ORDER BY k) AS fntb,
+                     lead(etimer) OVER (ORDER BY k) AS fntimer,
+                     a + (k + 2) * 21600000 AS bterm
+              FROM flog0
+            ),
+            flog2 AS (
+              SELECT k, ems, etb, etimer,
+                     CASE WHEN fnms IS NULL OR bterm <= fnms
+                          THEN bterm ELSE fnms END AS lms,
+                     CASE WHEN fnms IS NULL OR bterm <= fnms
+                          THEN NULL ELSE fntb END AS ltb,
+                     CASE WHEN fnms IS NULL OR bterm <= fnms
+                          THEN TRUE ELSE fntimer END AS ltimer
+              FROM flog
+            ),
+            biv AS (
+              SELECT kt.user_id, kt.event_id,
+                     f.ems, f.etb, f.etimer, f.lms, f.ltb, f.ltimer
+              FROM kept kt JOIN flog2 f USING (k)
+            ),
+            bprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb,
+                     FALSE AS ptimer, etimer AS ptick
+              FROM biv
+              UNION ALL
+              SELECT user_id, event_id, 'expired',
+                     lms, ltb, ltimer, FALSE
+              FROM biv
+            ),
+            civ AS (
+              SELECT user_id, event_id, ms AS ems, event_id AS etb,
+                     lead(ms) OVER (PARTITION BY user_id
+                                    ORDER BY ms, event_id) AS lms,
+                     lead(event_id) OVER (PARTITION BY user_id
+                                          ORDER BY ms, event_id) AS ltb
+              FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms
+                    FROM events WHERE event_type = 'purchase')
+            ),
+            cprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb
+              FROM civ
+              UNION ALL
+              SELECT user_id, event_id, 'expired', lms, ltb
+              FROM civ WHERE lms IS NOT NULL
+            ),
+            e_ab AS (
+              SELECT bp.user_id AS user_id,
+                     bp.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN civ iv
+                ON bp.user_id = iv.user_id
+               AND (iv.ems < bp.pms OR (iv.ems = bp.pms AND
+                    NOT bp.ptimer AND NOT bp.ptick AND
+                    iv.etb < bp.ptb))
+               AND (iv.lms IS NULL OR bp.pms < iv.lms OR
+                    (bp.pms = iv.lms AND
+                     (bp.ptimer OR bp.ptick OR bp.ptb < iv.ltb)))
+            ),
+            e_ba AS (
+              SELECT cp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     cp.event_id AS purchase_event_id,
+                     cp.channel AS channel
+              FROM cprobe cp JOIN biv iv
+                ON cp.user_id = iv.user_id
+               AND (iv.ems < cp.pms OR (iv.ems = cp.pms AND
+                    (iv.etimer OR iv.etb < cp.ptb)))
+               AND (cp.pms < iv.lms OR
+                    (cp.pms = iv.lms AND NOT iv.ltimer AND
+                     cp.ptb < iv.ltb))
             )
             SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
         """,

