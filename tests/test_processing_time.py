@@ -232,3 +232,48 @@ def test_api_dispatch_processing_time_twins(spark, workdir):
     out2 = api.streaming_window(
         src, "unique:deduplicate:processing", "k", 5_000)
     assert out2.isStreaming and out2.columns == src.columns
+
+
+def test_deduplicate_proc_stream_checkpoint_resume(spark, workdir):
+    """The processing-time dedup twin recovers its wall-clock anchors
+    from a checkpoint (the reference's persist()/restoreLastRevision()
+    story, DeduplicateTestCase.java:256-275): after a restart within
+    the interval, a duplicate stays suppressed. Append mode -> parquet
+    file sink (memory sinks cannot recover a stateful checkpoint)."""
+    interval_ms = 60_000  # long: restart happens well inside it
+    outdir = workdir / "out"
+
+    def run_once(files_then_stop):
+        out = deduplicate_proc_stream(
+            read_stream(spark, workdir / "in"), "k", interval_ms)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(workdir / "ckpt"))
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and not files_then_stop():
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    def kept_ids():
+        try:
+            return {r["event_id"] for r in
+                    spark.read.parquet(str(outdir)).collect()}
+        except Exception:
+            return set()
+
+    write_batch(workdir / "in", "001.parquet", [(1000, 1, "a", 1.0)])
+    run_once(lambda: kept_ids() == {1})
+    assert kept_ids() == {1}
+    # "down" time: a duplicate arrives, then restart from the same
+    # checkpoint — the recovered anchor must suppress it
+    write_batch(workdir / "in", "002.parquet", [(2000, 2, "a", 2.0)])
+    write_batch(workdir / "in", "003.parquet", [(3000, 3, "b", 3.0)])
+    run_once(lambda: 3 in kept_ids())
+    assert kept_ids() == {1, 3}, "duplicate 2 must stay suppressed"
