@@ -1276,6 +1276,12 @@ def _x_instant_artifacts(side, df, ts, tiebreak, channel):
         "__mx_ems", "__mx_etb", "__mx_lms", "__mx_ltb", "__mx_ltimer")
     # probe cadence for banding: every X event probes (<= 2 chunks)
     n_fires = df.agg(F.count("*").alias("__mx_nf"))
+    # the unique-key invariant: X find()-state intervals are per-key
+    # NON-OVERLAPPING (one live event per key), and ever/first
+    # intervals are long/open — an as-of lookup, not a banded join
+    # (the banded explode of a long-lived interval is O(keys x
+    # probe-cadence) intermediate rows at scale)
+    a_iv._mx_perkey_intervals = True
     return probes, a_iv, n_fires
 
 
@@ -1424,6 +1430,95 @@ def _tlb_instant_artifacts(side, df, ts, tiebreak, channel):
     return probes, a_iv, n_fires
 
 
+_EQ_COND_RE = re.compile(
+    r"^\s*\(?\s*(\w+)\.(\w+)\s*==?\s*(\w+)\.(\w+)\s*\)?\s*$")
+
+
+def _direction_asof(probes, ivs, pn, vn, pcol, vcol):
+    """Probe-vs-interval direction as a SORTED-MERGE AS-OF lookup
+    (used when the intervals are per-key NON-OVERLAPPING — the
+    unique-key invariant of the X windows — and the join condition is
+    one key equality): per key, the covering interval of a probe is
+    the LATEST interval entered strictly before the probe instant, so
+    a union of interval-enter events and probe events sorted by
+    (ms, sub-ms stratum, tiebreak) + one running ``last(ignorenulls)``
+    window finds it with ZERO fan-out — one shuffle + sort, no banded
+    explode (a long/open ever interval otherwise explodes across
+    O(probe-cadence) bands: measured 24x super-linear at the sf1→sf10
+    step before this path). The leave bound then applies the same
+    flag tie rules as the banded predicate. Emits ``(pn-struct,
+    vn-struct, channel)`` columns, so the user's ``stream.attr``
+    select items resolve as struct-field access."""
+    p_payload = [c for c in probes.columns
+                 if not c.startswith("__mx_") and c != CHANNEL]
+    v_payload = [c for c in ivs.columns if not c.startswith("__mx_")]
+
+    p_st = F.lit(0)
+    if "__mx_ptick" in probes.columns:
+        p_st = F.when(F.col("__mx_ptick"), F.lit(-1)).otherwise(p_st)
+    if "__mx_ptimer" in probes.columns:
+        p_st = F.when(F.col("__mx_ptimer"), F.lit(-3)).otherwise(p_st)
+    e_st = F.lit(0)
+    if "__mx_etimer" in ivs.columns:
+        e_st = F.when(F.col("__mx_etimer"), F.lit(-2)).otherwise(e_st)
+
+    pp = F.struct(*[F.col(c) for c in p_payload])
+    lv = (F.col("__mx_ltimer") if "__mx_ltimer" in ivs.columns
+          else F.lit(False))
+    vv = F.struct(
+        *[F.col(c) for c in v_payload],
+        F.col("__mx_lms").alias("__mx_lms"),
+        F.col("__mx_ltb").alias("__mx_ltb"),
+        lv.alias("__mx_ltimer"),
+    )
+    pp_type = probes.select(pp.alias("x")).schema["x"].dataType
+    vv_type = ivs.select(vv.alias("x")).schema["x"].dataType
+    pu = probes.filter(F.col(pcol).isNotNull()).select(
+        F.col(pcol).alias("__mx_key"),
+        F.col("__mx_pms").alias("__mx_ms"),
+        p_st.alias("__mx_st"),
+        F.col("__mx_ptb").alias("__mx_tb"),
+        pp.alias("__mx_pp"),
+        F.col(CHANNEL).alias("__mx_ch"),
+        F.lit(None).cast(vv_type).alias("__mx_iv"),
+    )
+    vu = ivs.filter(F.col(vcol).isNotNull()).select(
+        F.col(vcol).alias("__mx_key"),
+        F.col("__mx_ems").alias("__mx_ms"),
+        e_st.alias("__mx_st"),
+        F.col("__mx_etb").alias("__mx_tb"),
+        F.lit(None).cast(pp_type).alias("__mx_pp"),
+        F.lit(None).cast("string").alias("__mx_ch"),
+        vv.alias("__mx_iv"),
+    )
+    w = (
+        SqlWindow.partitionBy("__mx_key")
+        .orderBy(F.col("__mx_ms").asc(), F.col("__mx_st").asc(),
+                 F.col("__mx_tb").asc_nulls_first())
+        .rowsBetween(SqlWindow.unboundedPreceding, SqlWindow.currentRow)
+    )
+    u = pu.unionByName(vu).withColumn(
+        "__mx_cov", F.last("__mx_iv", ignorenulls=True).over(w))
+    lms = F.col("__mx_cov.__mx_lms")
+    ltb = F.col("__mx_cov.__mx_ltb")
+    lt = F.col("__mx_cov.__mx_ltimer")
+    in_leave = (
+        lms.isNull() | (F.col("__mx_ms") < lms)
+        | ((F.col("__mx_ms") == lms) & (
+            (F.col("__mx_st") == -3)
+            | ((F.col("__mx_st") == -1) & ~lt)
+            | ((F.col("__mx_st") == 0) & ~lt & (F.col("__mx_tb") < ltb))))
+    )
+    return (
+        u.filter(F.col("__mx_pp").isNotNull()
+                 & F.col("__mx_cov").isNotNull())
+        .filter(in_leave)
+        .select(F.col("__mx_pp").alias(pn),
+                F.col("__mx_cov").alias(vn),
+                F.col("__mx_ch").alias(CHANNEL))
+    )
+
+
 def _run_join_mixed_ll(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str, _tail_consts,
@@ -1562,8 +1657,24 @@ def _run_join_mixed_ll(
             "inner",
         )
 
-    d1 = direction(a_probes, b_iv, a_nf, aname, bname)
-    d2 = direction(b_probes, a_iv, b_nf, bname, aname)
+    eqm = _EQ_COND_RE.match(cond)
+
+    def run_direction(probes, ivs, nf, pn_, vn_):
+        """AS-OF shape when the interval side carries the per-key
+        non-overlap marker (X windows) and the condition is one key
+        equality; the banded interval join otherwise (batch-side
+        intervals are short-lived — forming periods / 1-2 grid
+        slots — so their band fan-out is output-law bound)."""
+        if eqm and getattr(ivs, "_mx_perkey_intervals", False):
+            g = eqm.groups()
+            if g[0] == pn_ and g[2] == vn_:
+                return _direction_asof(probes, ivs, pn_, vn_, g[1], g[3])
+            if g[2] == pn_ and g[0] == vn_:
+                return _direction_asof(probes, ivs, pn_, vn_, g[3], g[1])
+        return direction(probes, ivs, nf, pn_, vn_)
+
+    d1 = run_direction(a_probes, b_iv, a_nf, aname, bname)
+    d2 = run_direction(b_probes, a_iv, b_nf, bname, aname)
     items = [F.expr(s) for s in q["select"]]
     out = d1.select(*items).unionByName(d2.select(*items))
     out._sq_select_applied = True
