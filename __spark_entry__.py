@@ -479,9 +479,11 @@ def q_siddhiql_join_ever_tb_all(spark, sf_dir):
     at both ends while the batch window's tick chunks probe whichever
     interval covers the tick. Simulation-certified
     (tests/test_properties.py::test_x_tb_join_channels_algebra_
-    matches_simulation); lowered as ONE clamped-slot equi-join + ONE
-    T-banded interval join (siddhiql.py:_run_join_mixed_x_tb) — the
-    banded fan-out is (live keys x slots), never O(n^2)."""
+    matches_simulation); lowered through the shared instant-pair
+    machinery (siddhiql.py:_run_join_mixed_ll with
+    _tb_instant_artifacts — flush ticks as 3-strata timer instants),
+    where the batch chunks probe ever's long/open intervals via the
+    ZERO-fan-out as-of lookup rather than a banded explode."""
     from siddhi_execution_unique_spark import siddhiql as sq
 
     app = """

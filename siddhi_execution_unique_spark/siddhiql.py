@@ -597,7 +597,7 @@ _TIME_BATCH_WINDOWS = frozenset({"timeBatch", "firstTimeBatch"})
 _MIXED_LENGTH = frozenset({"lengthBatch", "firstLengthBatch"})
 _MIXED_TIME = frozenset({"timeBatch", "firstTimeBatch"})
 # non-batch unique windows with a mixed-channel join lowering
-# (live-interval protocol; see _x_side_artifacts)
+# (per-key non-overlapping live intervals; see _x_instant_artifacts)
 _MIXED_X = frozenset({"ever", "first", "time", "length"})
 
 
@@ -716,8 +716,8 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
             # (test_x_tb_join_channels_algebra_matches_simulation)
             # or the instant-pair algebra with timer flags on either
             # side (test_x_lb_ / test_x_etb_ / test_x_x_ /
-            # test_x_tlb_join_channels_algebra_matches_simulation) —
-            # lowered in _run_join_mixed_x_tb / _run_join_mixed_ll
+            # test_x_tb_ / test_x_tlb_join_channels_algebra_
+            # matches_simulation) — lowered in _run_join_mixed_ll
             mixed_channels = True
         else:
             raise SiddhiQLError(
@@ -1176,8 +1176,9 @@ def _x_instant_artifacts(side, df, ts, tiebreak, channel):
     arrival-vs-arrival mixed join, in LEXICOGRAPHIC (ms, tiebreak)
     instant space — the closing half of VERDICT r12 item 2
     (X ⋈ lengthBatch-family / externalTimeBatch). Per-kind semantics
-    are those of :func:`_x_side_artifacts` (reference citations
-    there); two instant-space additions:
+    are those of :func:`_x_live_intervals` in
+    tests/test_properties.py (same reference citations); two
+    instant-space additions:
 
     - exits carry the REMOVING arrival's tiebreak (displacement /
       FIFO eviction), so same-ms cross-stream ties resolve by the
@@ -1282,6 +1283,76 @@ def _x_instant_artifacts(side, df, ts, tiebreak, channel):
     # (the banded explode of a long-lived interval is O(keys x
     # probe-cadence) intermediate rows at scale)
     a_iv._mx_perkey_intervals = True
+    return probes, a_iv, n_fires
+
+
+def _tb_instant_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
+    """``unique:timeBatch`` / ``firstTimeBatch`` side of a mixed join
+    re-expressed in the 3-strata instant space — EXACTLY the
+    r12-certified slot algebra (test_x_tb_join_channels_algebra_
+    matches_simulation), rule for rule: batch m (grid slot, kept
+    first/last per key) enters find() at its flush
+    ``(anchor+(m+1)T, -2)`` and leaves at the next boundary
+    ``(anchor+(m+2)T, -2)`` — the LAST batch never leaves (findable
+    forever; an empty slot's tick still drains, so gaps need no
+    special case) — while its current chunk is an ENTER probe at the
+    flush (sees post-transition state: arrival exits at the tick
+    still live, timer exits applied) and its expired chunk (every
+    batch but the last) an EXIT probe at the next boundary (sees
+    pre-transition state). Routing this family through the instant
+    machinery replaces the old T-banded interval join whose
+    long-lived ever/first intervals exploded across O(slots) bands —
+    the as-of direction probes them with zero fan-out."""
+    ta, tc = _tail_consts(side)
+    if len(ta) != 1 or not 1 <= len(tc) <= 2:
+        raise SiddhiQLError(
+            f"unique:{side['window']} needs (key, window.time "
+            "[, start.time])"
+        )
+    t_b = parse_time_ms(tc[0], "window.time")
+    anchor = (int(tc[1]) % t_b) if len(tc) > 1 else 0
+    keep = "first" if side["window"] == "firstTimeBatch" else "last"
+    tb = _need_tiebreak(side["window"], tiebreak)
+    tb_type = df.schema[tb].dataType
+    batched = ops.time_batch(
+        df, ta[0], t_b, ts=ts, tiebreak=tiebreak,
+        start_time_ms=anchor, keep=keep,
+    )
+    last_end = batched.agg(F.max("batch_end_ms").alias("__mx_lastend"))
+    a_iv = (
+        batched.crossJoin(F.broadcast(last_end))
+        .withColumn("__mx_ems", F.col("batch_end_ms"))
+        .withColumn("__mx_etb", F.lit(None).cast(tb_type))
+        .withColumn("__mx_etimer", F.lit(True))
+        .withColumn(
+            "__mx_lms",
+            F.when(F.col("batch_end_ms") == F.col("__mx_lastend"),
+                   F.lit(None).cast("long"))
+            .otherwise(F.col("batch_end_ms") + F.lit(t_b)))
+        .withColumn("__mx_ltb", F.lit(None).cast(tb_type))
+        .withColumn("__mx_ltimer", F.col("__mx_lms").isNotNull())
+        .drop("__mx_lastend")
+    )
+    cur = (
+        a_iv.withColumn("__mx_pms", F.col("__mx_ems"))
+        .withColumn("__mx_ptb", F.lit(None).cast(tb_type))
+        .withColumn("__mx_ptimer", F.lit(False))
+        .withColumn("__mx_ptick", F.lit(True))
+        .withColumn(CHANNEL, F.lit("current"))
+    )
+    exp = (
+        a_iv.filter(F.col("__mx_lms").isNotNull())
+        .withColumn("__mx_pms", F.col("__mx_lms"))
+        .withColumn("__mx_ptb", F.lit(None).cast(tb_type))
+        .withColumn("__mx_ptimer", F.lit(True))
+        .withColumn("__mx_ptick", F.lit(False))
+        .withColumn(CHANNEL, F.lit("expired"))
+    )
+    probes = (cur.unionByName(exp) if channel == "all" else exp).drop(
+        "__mx_ems", "__mx_etb", "__mx_etimer",
+        "__mx_lms", "__mx_ltb", "__mx_ltimer")
+    n_fires = batched.select("batch_end_ms").distinct().agg(
+        F.count("*").alias("__mx_nf"))
     return probes, a_iv, n_fires
 
 
@@ -1557,6 +1628,9 @@ def _run_join_mixed_ll(
             return _x_instant_artifacts(side, df, ts, tiebreak, channel)
         if side["window"] == "timeLengthBatch":
             return _tlb_instant_artifacts(side, df, ts, tiebreak, channel)
+        if side["window"] in _MIXED_TIME:
+            return _tb_instant_artifacts(
+                side, df, ts, tiebreak, channel, _tail_consts)
         if side["window"] in _MIXED_LENGTH:
             return _ll_side_artifacts(
                 side, df, ts, tiebreak, channel, _tail_consts)
@@ -1726,229 +1800,6 @@ def _tb_side_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
     return b_find, m_agg, b_probes, t_b, anchor
 
 
-def _x_side_artifacts(side, df, ts, tiebreak, channel):
-    """NON-BATCH unique window side of a mixed-channel join
-    (VERDICT r12 item 2): per-event live intervals + the
-    current/expired probe chunks, from the reference processors —
-
-    - ``ever``   (UniqueEverWindowProcessor.java:157-165): enter at
-      arrival, exit at the next same-key arrival (displaced event
-      emits EXPIRED there, stamped to that instant); supports the
-      reference's multi-attribute key.
-    - ``first``  (UniqueFirstWindowProcessor.java:129-132): only the
-      FIRST arrival per key enters — duplicates drop from the chunk
-      entirely (no current, no interval); never exits.
-    - ``time``   (UniqueTimeWindowProcessor.java:177-215): exit at
-      min(next same-key arrival, enter + T); the T path is a TIMER
-      (kind ``'t'``) whose probes happen BEFORE a same-instant flush
-      tick per the certified scheduler convention, displacement is
-      an arrival (kind ``'a'``). find() = the live chunk, NOT the
-      never-pruned map.
-    - ``length`` (UniqueLengthWindowProcessor.java:141-166): exit at
-      min(next same-key arrival, FIFO eviction) — the idealized-FIFO
-      convention pinned since r01 (tests/test_properties.py::
-      fifo_replay); a bounded-state serial scan
-      (ops.length_exit_instants) supplies eviction instants.
-
-    Certified against the event-at-a-time simulation in
-    tests/test_properties.py::test_x_tb_join_channels_algebra_
-    matches_simulation (400 hypothesis cases + a 6,000-trial
-    randomized sweep). Returns ``(a_probes, a_iv)``: probes carry
-    ``__mx_pt`` (emission instant), ``__mx_pf`` (the find()-probe
-    instant — pt-1 for timer exits, which probe PRE-flush state) and
-    the channel tag; intervals carry ``__mx_from``/``__mx_to``/
-    ``__mx_tokind``."""
-    tb = _need_tiebreak(side["window"], tiebreak)
-    win = side["window"]
-    args = list(side["args"])
-    ms = event_ms(df, ts)
-    base = df.withColumn("__mx_from", ms)
-    if win in ("ever", "first"):
-        if not args:
-            raise SiddhiQLError(f"unique:{win} needs a unique key attribute")
-        w = SqlWindow.partitionBy(*args).orderBy("__mx_from", tb)
-        if win == "ever":
-            a_iv = base.withColumn("__mx_to", F.lead("__mx_from").over(w))
-        else:
-            a_iv = (
-                base.withColumn("__mx_rn", F.row_number().over(w))
-                .filter(F.col("__mx_rn") == 1).drop("__mx_rn")
-                .withColumn("__mx_to", F.lit(None).cast("long"))
-            )
-        a_iv = a_iv.withColumn(
-            "__mx_tokind",
-            F.when(F.col("__mx_to").isNotNull(), F.lit("a")),
-        )
-    elif win == "time":
-        if len(args) != 2 or not _is_const(args[1]):
-            raise SiddhiQLError(
-                "unique:time needs (key, window.time) with a constant time"
-            )
-        t_x = parse_time_ms(_const(args[1]), "window.time")
-        w = SqlWindow.partitionBy(args[0]).orderBy("__mx_from", tb)
-        a_iv = (
-            base.withColumn("__mx_nxt", F.lead("__mx_from").over(w))
-            .withColumn(
-                "__mx_timer",
-                F.col("__mx_nxt").isNull()
-                | (F.col("__mx_from") + F.lit(t_x) <= F.col("__mx_nxt")),
-            )
-            .withColumn(
-                "__mx_to",
-                F.when(F.col("__mx_timer"), F.col("__mx_from") + F.lit(t_x))
-                .otherwise(F.col("__mx_nxt")),
-            )
-            .withColumn(
-                "__mx_tokind",
-                F.when(F.col("__mx_timer"), F.lit("t")).otherwise(F.lit("a")),
-            )
-            .drop("__mx_nxt", "__mx_timer")
-        )
-    elif win == "length":
-        if len(args) != 2 or not _is_const(args[1]):
-            raise SiddhiQLError(
-                "unique:length needs (key, window.length) with a constant "
-                "length"
-            )
-        exits = ops.length_exit_instants(
-            df, args[0], int(_const(args[1])), ts=ts, tiebreak=tb)
-        a_iv = base.join(exits, tb).drop("__mx_totb").withColumn(
-            "__mx_tokind",
-            F.when(F.col("__mx_to").isNotNull(), F.lit("a")),
-        )
-    else:  # pragma: no cover - guarded by the dispatch
-        raise SiddhiQLError(f"unique:{win} has no mixed-channel lowering")
-    a_cur = (
-        a_iv.withColumn("__mx_pt", F.col("__mx_from"))
-        .withColumn("__mx_pf", F.col("__mx_from"))
-        .withColumn(CHANNEL, F.lit("current"))
-    )
-    a_exp = (
-        a_iv.filter(F.col("__mx_to").isNotNull())
-        .withColumn("__mx_pt", F.col("__mx_to"))
-        .withColumn(
-            "__mx_pf",
-            F.when(F.col("__mx_tokind") == "t", F.col("__mx_to") - 1)
-            .otherwise(F.col("__mx_to")),
-        )
-        .withColumn(CHANNEL, F.lit("expired"))
-    )
-    a_probes = (a_cur.unionByName(a_exp) if channel == "all" else a_exp
-                ).drop("__mx_from", "__mx_to", "__mx_tokind")
-    return a_probes, a_iv
-
-
-def _run_join_mixed_x_tb(
-    q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
-    cond: str, _tail_consts,
-) -> DataFrame:
-    """Expired/all channels for a NON-BATCH unique window
-    (ever/first/time/length) ⋈ ``timeBatch``-family join — the last
-    join-channel family (VERDICT r12 item 2), as the emission-log
-    interval algebra certified in tests/test_properties.py::
-    test_x_tb_join_channels_algebra_matches_simulation:
-
-    - the X side's current chunk (at enter) and expired chunk (at
-      exit) probe the batch window's find() state — the batch in slot
-      ``least(floor((f-anchor)/T), m_last+1) - 1`` with ``f`` the
-      probe instant, minus one ms for TIMER exits (scheduler exits
-      probe PRE-flush state at shared instants) — ONE clamped-slot
-      equi-join;
-    - the batch window's tick chunks probe X's live intervals: the
-      flushed chunk at ``tau`` sees ``enter < tau`` and ``exit >
-      tau`` (arrival exits AT tau still live — ticks precede
-      arrivals; timer exits AT tau already applied), the expiring
-      chunk probes PRE-transition (``exit >= tau`` both kinds) — ONE
-      T-banded interval join, fan-out bound by slots crossed, never
-      O(n²).
-
-    Plan shape matches _run_join_mixed: two joins, one union; the
-    ``length`` X side adds the bounded-state serial FIFO scan for
-    eviction instants (reference single-instance semantics, the same
-    funnel class as the lengthBatch chain walk)."""
-    channel = q["channel"]
-    sideX = (q["left"] if q["left"]["window"] in _MIXED_X else q["right"])
-    sideT = q["right"] if sideX is q["left"] else q["left"]
-    if sideT["window"] not in _MIXED_TIME:
-        raise SiddhiQLError(
-            f"the expired/all-events channel of a unique:{sideX['window']} "
-            f"join is wired against the unique:timeBatch family only "
-            f"(got unique:{sideT['window']}); use the function API"
-        )
-    aname, bname = sideX["stream"], sideT["stream"]
-    dfA = _bind_stream({**sideX, "channel": "current"}, streams)
-    dfB = _bind_stream({**sideT, "channel": "current"}, streams)
-
-    b_find, m_agg, b_probes, t_b, anchor = _tb_side_artifacts(
-        sideT, dfB, ts, tiebreak, channel, _tail_consts)
-    a_probes, a_iv = _x_side_artifacts(sideX, dfA, ts, tiebreak, channel)
-
-    # e1/e2: X chunks probe the batch find() state (clamped slot)
-    a_probes = (
-        a_probes.crossJoin(F.broadcast(m_agg))
-        .withColumn(
-            "__mx_pslot",
-            F.least(
-                F.expr(_floor_slot("__mx_pf", anchor, t_b)),
-                F.col("__mx_mlast") + F.lit(1),
-            ),
-        )
-        .drop("__mx_mlast", "__mx_mfirst")
-    )
-    e12 = a_probes.alias(aname).join(
-        b_find.alias(bname),
-        F.expr(f"({cond}) AND {aname}.__mx_pslot = {bname}.__mx_fslot"),
-        "inner",
-    )
-
-    # e3/e4: tick chunks probe X's live intervals, banded over the
-    # grid slots each interval covers (floor slots; the lower clamp is
-    # the FIRST batch's probe slot — negative for pre-anchor events)
-    forming = (
-        a_iv.crossJoin(F.broadcast(m_agg))
-        .withColumn(
-            "__mx_lo",
-            F.greatest(
-                F.expr(_floor_slot("__mx_from", anchor, t_b)),
-                F.col("__mx_mfirst") + F.lit(1),
-            ),
-        )
-        .withColumn(
-            "__mx_hi",
-            F.when(
-                F.col("__mx_to").isNotNull(),
-                F.least(
-                    F.expr(_floor_slot("__mx_to", anchor, t_b)),
-                    F.col("__mx_mlast") + F.lit(1),
-                ),
-            ).otherwise(F.col("__mx_mlast") + F.lit(1)),
-        )
-        .filter(F.col("__mx_hi") >= F.col("__mx_lo"))
-        .withColumn(
-            "__mx_aslot",
-            F.explode(F.expr("sequence(__mx_lo, __mx_hi)")),
-        )
-        .drop("__mx_lo", "__mx_hi", "__mx_mlast", "__mx_mfirst")
-    )
-    e34 = forming.alias(aname).join(
-        b_probes.alias(bname),
-        F.expr(
-            f"({cond}) AND {aname}.__mx_aslot = {bname}.__mx_bslot"
-            f" AND {aname}.__mx_from < {bname}.__mx_pt"
-            f" AND ({aname}.__mx_to IS NULL OR"
-            f" {bname}.__mx_pt < {aname}.__mx_to OR"
-            f" ({bname}.__mx_pt = {aname}.__mx_to AND"
-            f" ({aname}.__mx_tokind = 'a' OR"
-            f" {bname}.{CHANNEL} = 'expired')))"
-        ),
-        "inner",
-    )
-    items = [F.expr(s) for s in q["select"]]
-    out = e12.select(*items).unionByName(e34.select(*items))
-    out._sq_select_applied = True
-    return out
-
-
 def _run_join_mixed_channels(
     q: dict, streams: dict[str, DataFrame], ts: str, tiebreak: str | None,
     cond: str,
@@ -2010,18 +1861,13 @@ def _run_join_mixed_channels(
     _arrival = _MIXED_LENGTH | {"externalTimeBatch"}
     if (q["left"]["window"] in _MIXED_X
             or q["right"]["window"] in _MIXED_X):
-        sideX = (q["left"] if q["left"]["window"] in _MIXED_X
-                 else q["right"])
-        other = q["right"] if sideX is q["left"] else q["left"]
-        if (other["window"] in _arrival or other["window"] in _MIXED_X
-                or other["window"] == "timeLengthBatch"):
-            # instant-pair algebra (timer flags on either side, the
-            # 3-strata encoding for timeLengthBatch's flush ticks) —
-            # certified in test_x_lb_ / test_x_etb_ / test_x_x_ /
-            # test_x_tlb_join_channels_algebra_matches_simulation
-            return _run_join_mixed_ll(
-                q, streams, ts, tiebreak, cond, _tail_consts)
-        return _run_join_mixed_x_tb(
+        # every X ⋈ window pair routes through the instant-pair
+        # machinery (timer flags on either side; the 3-strata
+        # encoding for flush ticks) — certified in test_x_lb_ /
+        # test_x_etb_ / test_x_x_ / test_x_tlb_ / test_x_tb_join_
+        # channels_algebra_matches_simulation; the X side of every
+        # direction uses the zero-fan-out as-of lookup
+        return _run_join_mixed_ll(
             q, streams, ts, tiebreak, cond, _tail_consts)
     if (q["left"]["window"] in _MIXED_TIME
             and q["right"]["window"] in _MIXED_TIME):
