@@ -44,7 +44,10 @@ from siddhi_execution_unique_spark import operators as ops
 from siddhi_execution_unique_spark.operators.keyed import ever_expired
 from siddhi_execution_unique_spark.operators.time_batch import event_ms
 from siddhi_execution_unique_spark.operators.time_window import time_window_expired
-from siddhi_execution_unique_spark.operators.validation import parse_time_ms
+from siddhi_execution_unique_spark.operators.validation import (
+    parse_time_ms,
+    require_pos_int,
+)
 
 _TIME_RE = re.compile(r"^\d+\s+[a-zA-Z]+$")
 _INT_RE = re.compile(r"^-?\d+$")  # time.out accepts -1 = disabled
@@ -1277,12 +1280,21 @@ def _x_instant_artifacts(side, df, ts, tiebreak, channel):
         "__mx_ems", "__mx_etb", "__mx_lms", "__mx_ltb", "__mx_ltimer")
     # probe cadence for banding: every X event probes (<= 2 chunks)
     n_fires = df.agg(F.count("*").alias("__mx_nf"))
-    # the unique-key invariant: X find()-state intervals are per-key
-    # NON-OVERLAPPING (one live event per key), and ever/first
-    # intervals are long/open — an as-of lookup, not a banded join
-    # (the banded explode of a long-lived interval is O(keys x
-    # probe-cadence) intermediate rows at scale)
-    a_iv._mx_perkey_intervals = True
+    # the unique-key invariant: X find()-state intervals are
+    # NON-OVERLAPPING per the window's OWN unique key (one live event
+    # per key), and ever/first intervals are long/open — an as-of
+    # lookup, not a banded join (the banded explode of a long-lived
+    # interval is O(keys x probe-cadence) intermediate rows at
+    # scale). The marker records WHICH column carries the invariant:
+    # run_direction may only take the as-of path when the join
+    # equality is on exactly that plain column — joining on any OTHER
+    # attribute (or under a composite/expression key) leaves several
+    # simultaneously-live intervals per join value, and last-entered
+    # lookup would silently drop matches the banded direction emits.
+    key_cols = args if win in ("ever", "first") else args[:1]
+    if (len(key_cols) == 1 and isinstance(key_cols[0], str)
+            and _IDENT_RE.fullmatch(key_cols[0])):
+        a_iv._mx_perkey_intervals = (key_cols[0],)
     return probes, a_iv, n_fires
 
 
@@ -1393,7 +1405,7 @@ def _tlb_instant_artifacts(side, df, ts, tiebreak, channel):
         )
     key = args[0]
     t_b = parse_time_ms(consts[0], "window.time")
-    n = int(consts[1])
+    n = require_pos_int(consts[1], "window.length")
     tb_type = df.schema[tb].dataType
     ms = event_ms(df, ts)
     anchor = df.agg(F.min(ms).alias("__mx_anchor"))
@@ -1549,6 +1561,7 @@ def _direction_asof(probes, ivs, pn, vn, pcol, vcol):
         F.col("__mx_pms").alias("__mx_ms"),
         p_st.alias("__mx_st"),
         F.col("__mx_ptb").alias("__mx_tb"),
+        F.lit(0).alias("__mx_en"),
         pp.alias("__mx_pp"),
         F.col(CHANNEL).alias("__mx_ch"),
         F.lit(None).cast(vv_type).alias("__mx_iv"),
@@ -1558,14 +1571,19 @@ def _direction_asof(probes, ivs, pn, vn, pcol, vcol):
         F.col("__mx_ems").alias("__mx_ms"),
         e_st.alias("__mx_st"),
         F.col("__mx_etb").alias("__mx_tb"),
+        F.lit(1).alias("__mx_en"),
         F.lit(None).cast(pp_type).alias("__mx_pp"),
         F.lit(None).cast("string").alias("__mx_ch"),
         vv.alias("__mx_iv"),
     )
+    # final __mx_en key: on a FULL (ms, stratum, tiebreak) tie across
+    # the two streams, enter rows sort AFTER probe rows — the banded
+    # predicate's strict enter<probe inequality (no match on a dead
+    # tie), made deterministic even when tiebreaks collide cross-stream
     w = (
         SqlWindow.partitionBy("__mx_key")
         .orderBy(F.col("__mx_ms").asc(), F.col("__mx_st").asc(),
-                 F.col("__mx_tb").asc_nulls_first())
+                 F.col("__mx_tb").asc_nulls_first(), F.col("__mx_en").asc())
         .rowsBetween(SqlWindow.unboundedPreceding, SqlWindow.currentRow)
     )
     u = pu.unionByName(vu).withColumn(
@@ -1735,15 +1753,19 @@ def _run_join_mixed_ll(
 
     def run_direction(probes, ivs, nf, pn_, vn_):
         """AS-OF shape when the interval side carries the per-key
-        non-overlap marker (X windows) and the condition is one key
-        equality; the banded interval join otherwise (batch-side
-        intervals are short-lived — forming periods / 1-2 grid
-        slots — so their band fan-out is output-law bound)."""
-        if eqm and getattr(ivs, "_mx_perkey_intervals", False):
+        non-overlap marker (X windows) AND the join equality is on
+        exactly the marked unique-key column — only then is there at
+        most one live interval per join value, so last-entered lookup
+        is complete. Everything else (non-key join attribute,
+        composite/expression key, batch-side intervals) takes the
+        banded interval join, whose fan-out is output-law bound for
+        short-lived intervals and correct for overlapping ones."""
+        pkeys = getattr(ivs, "_mx_perkey_intervals", None)
+        if eqm and isinstance(pkeys, tuple) and len(pkeys) == 1:
             g = eqm.groups()
-            if g[0] == pn_ and g[2] == vn_:
+            if g[0] == pn_ and g[2] == vn_ and g[3] == pkeys[0]:
                 return _direction_asof(probes, ivs, pn_, vn_, g[1], g[3])
-            if g[2] == pn_ and g[0] == vn_:
+            if g[2] == pn_ and g[0] == vn_ and g[1] == pkeys[0]:
                 return _direction_asof(probes, ivs, pn_, vn_, g[3], g[1])
         return direction(probes, ivs, nf, pn_, vn_)
 

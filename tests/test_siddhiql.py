@@ -2773,3 +2773,93 @@ def test_join_x_tlb_channels_match_certified_algebra(spark):
                             sorted(set(exp) - set(map(tuple, got)))[:4])
         ran += 1
     assert ran >= 5
+
+
+def test_join_on_non_key_attribute_probes_all_live_intervals(spark):
+    """The as-of fast path is only complete when the join equality is
+    on the X window's OWN unique key. Here unique:ever(session_id) is
+    joined on user_id: two sessions of one user are simultaneously
+    live, so the probe must pair with BOTH live intervals — the
+    banded direction, not a last-entered lookup (which would silently
+    keep only session 102)."""
+    xs = spark.createDataFrame(
+        [(1, 101, 1, 10), (2, 102, 1, 20)],
+        "event_id long, session_id long, user_id long, ts long")
+    bs = spark.createDataFrame(
+        [(3, 1, 30), (4, 1, 40)],
+        "event_id long, user_id long, ts long")
+    app = """
+    from xs#window.unique:ever(session_id) join bs#window.unique:lengthBatch(user_id, 1)
+    on xs.user_id == bs.user_id
+    select xs.event_id as x_id, bs.event_id as b_id, channel
+    insert all events into j;
+    """
+    got = sq.run_app(app, {"xs": xs, "bs": bs}, tiebreak="event_id")["j"]
+    assert rows(got) == sorted([
+        (1, 3, "current"), (2, 3, "current"),
+        (1, 4, "current"), (2, 4, "current"),
+        (1, 3, "expired"), (2, 3, "expired"),
+    ])
+
+
+def test_join_composite_key_window_takes_banded_direction(spark):
+    """A composite unique key — ever(session_id, region) — leaves
+    several live intervals per session_id value, so a join on
+    session_id alone must also bypass the as-of path and see all of
+    them."""
+    xs = spark.createDataFrame(
+        [(1, 5, "eu", 10), (2, 5, "us", 20)],
+        "event_id long, session_id long, region string, ts long")
+    bs = spark.createDataFrame(
+        [(3, 5, 30), (4, 5, 40)],
+        "event_id long, session_id long, ts long")
+    app = """
+    from xs#window.unique:ever(session_id, region) join bs#window.unique:lengthBatch(session_id, 1)
+    on xs.session_id == bs.session_id
+    select xs.event_id as x_id, bs.event_id as b_id, channel
+    insert all events into j;
+    """
+    got = sq.run_app(app, {"xs": xs, "bs": bs}, tiebreak="event_id")["j"]
+    assert rows(got) == sorted([
+        (1, 3, "current"), (2, 3, "current"),
+        (1, 4, "current"), (2, 4, "current"),
+        (1, 3, "expired"), (2, 3, "expired"),
+    ])
+
+
+def test_asof_cross_stream_tiebreak_collision_is_strict(spark):
+    """Tiebreak values need not be unique ACROSS streams: on a full
+    (ms, stratum, tiebreak) tie between an interval-enter and a probe,
+    the banded predicate's strict enter<probe rule says NO match — the
+    as-of union's final is_enter sort key pins the same outcome
+    deterministically (ADVICE r14 low #1)."""
+    xs = spark.createDataFrame(
+        [(7, 1, 30)], "event_id long, user_id long, ts long")
+    bs = spark.createDataFrame(
+        [(7, 1, 30), (9, 1, 40)], "event_id long, user_id long, ts long")
+    app = """
+    from xs#window.unique:ever(user_id) join bs#window.unique:lengthBatch(user_id, 1)
+    on xs.user_id == bs.user_id
+    select xs.event_id as x_id, bs.event_id as b_id, channel
+    insert all events into j;
+    """
+    got = sq.run_app(app, {"xs": xs, "bs": bs}, tiebreak="event_id")["j"]
+    assert rows(got) == sorted([(7, 7, "expired"), (7, 9, "current")])
+
+
+def test_time_length_batch_join_rejects_non_positive_length(spark):
+    """timeLengthBatch join lowering validates window.length like the
+    single-stream path does (ADVICE r14 low #2): n <= 0 is the eager
+    SiddhiAppCreationException twin, not a silent always-time-fire."""
+    xs = spark.createDataFrame(
+        [(1, 1, 10)], "event_id long, user_id long, ts long")
+    bs = spark.createDataFrame(
+        [(2, 1, 20)], "event_id long, user_id long, ts long")
+    app = """
+    from xs#window.unique:ever(user_id) join bs#window.unique:timeLengthBatch(user_id, 1 sec, 0)
+    on xs.user_id == bs.user_id
+    select xs.event_id as x_id, bs.event_id as b_id, channel
+    insert all events into j;
+    """
+    with pytest.raises(sq.SiddhiQLError):
+        sq.run_app(app, {"xs": xs, "bs": bs}, tiebreak="event_id")
