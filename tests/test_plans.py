@@ -529,13 +529,19 @@ def test_semantic_dedup_join_is_cell_keyed(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     # the corpus-x-corpus duplicate scan must be keyed on the cell
-    assert "SortMergeJoin [cell" in plan or "ShuffledHashJoin [cell" in plan
-    # nested-loop joins may appear ONLY as the fixed-K (64-row)
-    # centroid broadcast passes — one per use of the assigned relation
-    assert plan.count("BroadcastNestedLoopJoin") <= 3
-    for ln in plan.splitlines():
-        if "BroadcastNestedLoopJoin" in ln:
-            assert "BuildRight" in ln
+    # (any equi-join strategy — AQE broadcasts the checkpointed
+    # relation at tiny SF; it's a sort-merge at scale) and must be a
+    # true EXISTS (LeftSemi), with no pair-row distinct/aggregate
+    # downstream of it (VERDICT r13 item 6)
+    assert ("SortMergeJoin [cell" in plan
+            or "ShuffledHashJoin [cell" in plan
+            or "BroadcastHashJoin [cell" in plan)
+    assert "LeftSemi" in plan
+    semi_tail = plan[: plan.index("LeftSemi")]
+    assert "HashAggregate" not in semi_tail  # no distinct above the semi
+    # the centroid model ships in the mapInPandas closure now — no
+    # corpus-side nested-loop joins at all
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_chunk_documents_is_shuffle_free(spark):
