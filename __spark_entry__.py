@@ -2613,6 +2613,16 @@ _CHANGED_THIS_ROUND: list = [
     "dedup_semantic",
     "sim_ivf_topk",
     "sim_cell_centroids",
+    # r14: the pair-tier verifiers moved to their 100 TB forms
+    # (VERDICT r13 item 2) — simhash pairs are now between
+    # distinct-hash group REPRESENTATIVES with hot-band suppression
+    # (BAND_OCCUPANCY_CAP), and char-ngram jaccard is over
+    # df-capped gram sets (GRAM_DF_CAP stop-grams). Both engines
+    # changed in lockstep; local sweeps green at sf0.01 and /tmp/sf1,
+    # sf10 ENGINE_BENCH cells now complete (26.1 s / 3.7 s where r13
+    # recorded ENOSPC/OOM capacity boundaries).
+    "dedup_simhash_near_pairs",
+    "dedup_char_ngram_jaccard",
 ]
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from siddhi_execution_unique_spark.functions.text import (  # noqa: F401
     materialized as _materialized,
@@ -351,6 +352,15 @@ HAMMING_MAX = 8
 # the rotated word, so the 4 bands tile every cyclic 16-bit window.
 SIMHASH_ROTATIONS = (0, 8, 16, 24)
 _ROT_MASK = (1 << SIMHASH_BITS) - 1
+# Hot-band suppression: a 16-bit window shared by more than this many
+# DISTINCT hash groups is non-discriminative (the banding analogue of a
+# stop-word) and is dropped from candidate generation; a pair remains
+# discoverable through its other rotations. Bounds candidate volume at
+# CAP x 4 x n_groups — linear in distinct hashes at any corpus size.
+# 128 binds on the sf1 certification corpus (max bucket 213), so the
+# suppression path itself is oracle-checked, while sf0.01 buckets stay
+# far below it.
+BAND_OCCUPANCY_CAP = 128
 
 
 def _simhash_band_sql(k: int, spark: bool) -> str:
@@ -367,23 +377,44 @@ def _simhash_band_sql(k: int, spark: bool) -> str:
 
 
 def simhash_near_pairs(docs: DataFrame) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance <= 8, blocked on
-    4 rotation bands (top 16 bits of the hash rotated by 0/8/16/24).
+    """SimHash near-dup edges within Hamming distance <= 8 between
+    DISTINCT-hash group representatives, blocked on 4 rotation bands
+    (top 16 bits of the hash rotated by 0/8/16/24).
 
-    Single-band blocking (the previous design) misses every pair whose
-    differing bits touch the banded half and funnels a popular prefix
-    into one quadratic block. Four rotated bands cover all cyclic
-    16-bit windows — recall for clustered corpora, and candidates
-    spread over 4× the keys so no single block goes hot. Candidate
+    Two-tier shape (the 100 TB form — VERDICT r13 item 2). Tier 0:
+    docs sharing an identical simhash collapse to one representative
+    (the group-min ``doc_id``) in a single hash-agg — exact-duplicate
+    mass, the dominant bulk of a templated corpus, never reaches the
+    pair join (the previous all-doc-pairs output was itself quadratic:
+    5.9k rows at sf0.01 → 57.6M at sf1; group membership IS the
+    distance-0 decision and is re-derivable as a group-by). Tier 1:
+    only distinct hash values enter the banded self-join, and band
+    buckets holding more than ``BAND_OCCUPANCY_CAP`` groups are
+    suppressed (non-discriminative windows; a pair stays discoverable
+    via its other 3 rotations). Candidate volume is therefore at most
+    CAP x 4 x n_groups — linear in distinct hashes — instead of
+    ~n²/band-space (single-box sf10 OOM before this change). Candidate
     pairs are deduplicated BEFORE the Hamming filter so a pair sharing
-    several bands is verified once."""
+    several live bands is verified once.
+
+    Output: (doc_id_1, doc_id_2, hamming) with both ids group
+    representatives and hamming in [1, 8]."""
     sh = simhash(docs)
+    reps = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     band_exprs = ", ".join(
         _simhash_band_sql(k, spark=True) for k in SIMHASH_ROTATIONS
     )
-    keys = sh.select(
+    keys = reps.select(
         "doc_id", "simhash",
         F.explode(F.expr(f"array({band_exprs})")).alias("band_key"),
+    )
+    # one shuffle on band_key; a bucket is at most n_groups rows, so
+    # the occupancy count is a spillable window, never a hot collect
+    occ_w = Window.partitionBy("band_key")
+    keys = (
+        keys.withColumn("occ", F.count("*").over(occ_w))
+        .filter(F.col("occ") <= BAND_OCCUPANCY_CAP)
+        .drop("occ")
     )
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
@@ -419,13 +450,20 @@ def simhash_near_pairs_oracle() -> str:
         sh AS (
           SELECT doc_id, {bit_terms} AS simhash FROM hashed
         ),
+        reps AS (
+          SELECT simhash, min(doc_id) AS doc_id FROM sh GROUP BY simhash
+        ),
         blocked AS (
-          SELECT doc_id, simhash, unnest([{band_exprs}]) AS band_key FROM sh
+          SELECT doc_id, simhash, unnest([{band_exprs}]) AS band_key FROM reps
+        ),
+        live AS (
+          SELECT doc_id, simhash, band_key FROM blocked
+          QUALIFY count(*) OVER (PARTITION BY band_key) <= {BAND_OCCUPANCY_CAP}
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                  a.simhash AS s1, b.simhash AS s2
-          FROM blocked a JOIN blocked b
+          FROM live a JOIN live b
             ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         )
         SELECT doc_id_1, doc_id_2, bit_count(xor(s1, s2)) AS hamming
@@ -436,12 +474,27 @@ def simhash_near_pairs_oracle() -> str:
 
 CHAR_NGRAM = 5
 NGRAM_JACCARD_THRESHOLD = 0.1
+# Stop-gram rule: a gram occurring in more than this many documents of
+# its (source, length-bucket) block is boilerplate and is dropped from
+# the gram SETS themselves (jaccard is computed over the capped sets,
+# both engines alike). This bounds the inverted-index join at
+# sum(min(df, CAP)²) <= CAP x postings — linear in the corpus — where
+# the uncapped form is sum(df²), measured 144B join rows at sf10
+# (single-box ENOSPC, VERDICT r13 item 2) vs 57M capped. It also
+# bounds the OUTPUT: a pair needs a shared df<=CAP gram, so mass
+# boilerplate cliques (every shared gram hot) stop emitting k² pairs —
+# exact/minhash tiers own mass duplication; this verifier owns the
+# sparse tail, which is the only part a pairwise output can represent
+# at scale anyway. The cap is absolute by design: it is what makes the
+# join volume linear, and "occurs in 64+ documents" is a scale-free
+# definition of boilerplate (cf. line_dedup's SEG_MIN_DOCS).
+GRAM_DF_CAP = 64
 
 
 def char_ngram_jaccard_pairs(docs: DataFrame, materialize: bool = True) -> DataFrame:
-    """Blocked exact character-5-gram Jaccard: pairs within the same
-    (source, length-bucket) block. Blocking bounds the pair count so
-    the set intersection never goes O(n²) over the corpus.
+    """Blocked character-5-gram Jaccard over df-capped gram sets:
+    pairs within the same (source, length-bucket) block, gram sets
+    restricted to non-boilerplate grams (block df <= ``GRAM_DF_CAP``).
 
     Intersection sizes come from an inverted index (explode grams,
     self-join on the gram within the block, count per pair) rather
@@ -449,8 +502,8 @@ def char_ngram_jaccard_pairs(docs: DataFrame, materialize: bool = True) -> DataF
     shuffle join keyed on the gram — fully parallel and skew-safe
     under AQE — instead of quadratic set intersections that Catalyst
     would additionally push into the join condition and re-evaluate
-    per candidate row. Pairs sharing zero grams drop out early, which
-    is exactly the jaccard=0 < threshold case."""
+    per candidate row. Pairs sharing zero (surviving) grams drop out
+    early, which is exactly the jaccard=0 < threshold case."""
     d = docs.select(
         "doc_id", "source",
         F.expr("cast(n_chars div 100 as bigint)").alias("len_bucket"),
@@ -471,6 +524,16 @@ def char_ngram_jaccard_pairs(docs: DataFrame, materialize: bool = True) -> DataF
             F.expr(_hash_expr(f"substring(norm, i, {CHAR_NGRAM})")).alias("gram"),
         )
         .dropDuplicates(["doc_id", "gram"])
+    )
+    # stop-gram filter: one shuffle on the (block, gram) key; a hot
+    # gram's window partition is at most the block population — a
+    # spillable count, and everything above the cap is discarded
+    # before the quadratic-in-df join below
+    df_w = Window.partitionBy("source", "len_bucket", "gram")
+    posts = (
+        posts.withColumn("df", F.count("*").over(df_w))
+        .filter(F.col("df") <= GRAM_DF_CAP)
+        .drop("df")
     )
     posts = _materialized(posts, materialize)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_g"))
@@ -514,17 +577,33 @@ def char_ngram_jaccard_pairs_oracle() -> str:
         WITH d AS (
           SELECT doc_id, source, n_chars // 100 AS len_bucket, {grams} AS g
           FROM documents WHERE length({NORM_DUCK}) >= {CHAR_NGRAM}
+        ),
+        posts AS (
+          SELECT doc_id, source, len_bucket, unnest(g) AS gram FROM d
+        ),
+        pf AS (
+          SELECT doc_id, source, len_bucket, gram FROM posts
+          QUALIFY count(*) OVER (PARTITION BY source, len_bucket, gram)
+                  <= {GRAM_DF_CAP}
+        ),
+        sizes AS (
+          SELECT doc_id, count(*) AS n_g FROM pf GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                 count(*) AS i
+          FROM pf a JOIN pf b
+            ON a.source = b.source AND a.len_bucket = b.len_bucket
+           AND a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
         )
-        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-               round(len(list_intersect(a.g, b.g)) /
-                     CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE),
-                     6) AS jaccard
-        FROM d a JOIN d b
-          ON a.source = b.source AND a.len_bucket = b.len_bucket
-         AND a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.g, b.g)) /
-                    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE),
-                    6) >= {NGRAM_JACCARD_THRESHOLD}
+        SELECT i.doc_id_1, i.doc_id_2,
+               round(i.i / CAST(s1.n_g + s2.n_g - i.i AS DOUBLE), 6) AS jaccard
+        FROM inter i
+        JOIN sizes s1 ON s1.doc_id = i.doc_id_1
+        JOIN sizes s2 ON s2.doc_id = i.doc_id_2
+        WHERE round(i.i / CAST(s1.n_g + s2.n_g - i.i AS DOUBLE), 6)
+              >= {NGRAM_JACCARD_THRESHOLD}
     """
 
 

@@ -74,17 +74,13 @@ def main() -> None:
     spark = fresh_session()
     queries = entry_mod.queries()
 
-    # Measured single-box capacity boundaries at sf10 (kept as
-    # recorded evidence, not retried): the candidate volume of the
-    # pair entries is pairs x shared-grams ~ 6-7e9 intermediate rows
-    # ~ 160 GB of shuffle at sf10 — ~160 MB/executor on a
-    # 1000-executor cluster, but past this box's disk. The first
-    # attempt is the measurement: char-ngram spilled to ENOSPC after
-    # 524 s; simhash exhausted the 8 GB local heap after 268 s.
-    BOUNDARY = {
-        "dedup_char_ngram_jaccard@sf10",
-        "dedup_simhash_near_pairs@sf10",
-    }
+    # r13 recorded single-box capacity boundaries here for the two
+    # pair entries at sf10 (uncapped candidate volume ~6-7e9 rows:
+    # char-ngram ENOSPC at 524 s, simhash OOM at 268 s). The r14
+    # redesign (GRAM_DF_CAP stop-grams; simhash rep-collapse +
+    # BAND_OCCUPANCY_CAP) bounds candidate volume linearly, so the
+    # cells are measured normally again.
+    BOUNDARY: set = set()
 
     def flush() -> None:
         tmp = out + ".tmp"
