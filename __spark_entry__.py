@@ -646,6 +646,34 @@ def q_siddhiql_join_ever_tlb_all(spark, sf_dir):
                       tiebreak="event_id")["joined"]
 
 
+def q_siddhiql_join_tlb_tb_all(spark, sf_dir):
+    """unique:timeLengthBatch(6 hours, 20) ⋈ unique:timeBatch(4 hours)
+    expired/all channels — the LAST join-channel square (VERDICT r13
+    item 4): timeLengthBatch against another batch window. Both sides
+    carry timer probes (tlb time fires / drains; every timeBatch
+    flush and drain), so the join exercises the full flag-guarded
+    3-strata tie rules in both directions — timer enters vs tick
+    probes, exit probes seeing pre-transition state at shared grid
+    instants (6h and 4h grids collide every 12h), and the timeBatch
+    last batch findable forever against tlb drains beyond its
+    horizon. Two-processor-replay-certified
+    (tests/test_properties.py::test_tlb_tb_join_channels_algebra_
+    matches_simulation, 400 hypothesis cases + an 8,000-trial
+    randomized sweep across all four tlb⋈batch pairs;
+    Spark-vs-algebra in tests/test_siddhiql.py::
+    test_join_tlb_batch_channels_match_certified_algebra)."""
+    from siddhi_execution_unique_spark import siddhiql as sq
+
+    app = """
+    from clicks#window.unique:timeLengthBatch(user_id, 6 hours, 20) join purchases#window.unique:timeBatch(user_id, 4 hours)
+    on clicks.user_id == purchases.user_id
+    select clicks.user_id as user_id, clicks.event_id as click_event_id, purchases.event_id as purchase_event_id, channel
+    insert all events into joined ;
+    """
+    return sq.run_app(app, _split_clicks_purchases(spark, sf_dir),
+                      tiebreak="event_id")["joined"]
+
+
 def q_siddhiql_partitioned_time(spark, sf_dir):
     """`partition with (attr of Stream)`: an independent window
     instance per partition value. unique:time's timer is driven by
@@ -2623,6 +2651,9 @@ _CHANGED_THIS_ROUND: list = [
     # recorded ENOSPC/OOM capacity boundaries).
     "dedup_simhash_near_pairs",
     "dedup_char_ngram_jaccard",
+    # r14: the last join-channel square (timeLengthBatch ⋈ batch
+    # windows) — new entry
+    "siddhiql_join_tlb_tb_all",
 ]
 
 
@@ -2899,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 13: timeLengthBatch's hybrid fire protocol
         #    joins the instant machinery (3-strata encoding)
         "siddhiql_join_ever_tlb_all": q_siddhiql_join_ever_tlb_all,
+        "siddhiql_join_tlb_tb_all": q_siddhiql_join_tlb_tb_all,
         "vocab_bpe_train": lambda s, d: fcur.bpe_train(_docs(s, d)),
         # -- new in round 12: apply the learned BPE merges back to the
         #    corpus (train -> encode completes the tokenizer story;
@@ -5807,6 +5839,174 @@ def _oracle_sql_base() -> dict[str, str]:
                AND (cp.pms < iv.lms OR
                     (cp.pms = iv.lms AND NOT iv.ltimer AND
                      cp.ptb < iv.ltb))
+            )
+            SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
+        """,
+        # the last join-channel square: clicks timeLengthBatch
+        # (6h, 20) x purchases timeBatch(4h) — both sides in the
+        # 3-strata instant space with the GENERAL flag-guarded tie
+        # rules (enter<probe: timer enters (t,-2) visible to tick
+        # (t,-1)/arrival probes but not exit timers (t,-3);
+        # probe<leave: only exit timers see a timer-leaving interval
+        # at its own ms). tlb chain identical to the
+        # siddhiql_join_ever_tlb_all oracle.
+        "siddhiql_join_tlb_tb_all": """
+            WITH pe AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms
+              FROM events WHERE event_type = 'click'
+            ),
+            anc AS (SELECT min(ms) AS a FROM pe),
+            iv0 AS (
+              SELECT pe.*, anc.a,
+                     CAST(floor((ms - anc.a) / 21600000) AS BIGINT) AS k
+              FROM pe, anc
+            ),
+            pos0 AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY k
+                                        ORDER BY ms, event_id) AS pos,
+                     (row_number() OVER (PARTITION BY k, user_id
+                                         ORDER BY ms, event_id) = 1)
+                       AS isf
+              FROM iv0
+            ),
+            run0 AS (
+              SELECT *, sum(CASE WHEN isf THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY k ORDER BY pos) AS nd
+              FROM pos0
+            ),
+            fp AS (
+              SELECT k, min(CASE WHEN nd = 20 AND isf THEN pos END) AS L
+              FROM run0 GROUP BY k
+            ),
+            inb AS (
+              SELECT r.*, f.L FROM run0 r JOIN fp f USING (k)
+              WHERE f.L IS NULL OR r.pos <= f.L
+            ),
+            kept AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY k, user_id
+                  ORDER BY ms DESC, event_id DESC) AS rnk
+                FROM inb) t
+              WHERE rnk = 1
+            ),
+            fl AS (
+              SELECT k, ms AS fm, event_id AS ftb FROM inb WHERE pos = L
+            ),
+            flog0 AS (
+              SELECT b.k, b.a,
+                     CASE WHEN b.L IS NOT NULL THEN fl.fm
+                          ELSE b.a + (b.k + 1) * 21600000 END AS ems,
+                     CASE WHEN b.L IS NOT NULL THEN fl.ftb END AS etb,
+                     (b.L IS NULL) AS etimer
+              FROM (SELECT DISTINCT k, a, L FROM inb) b
+              LEFT JOIN fl USING (k)
+            ),
+            flog AS (
+              SELECT *,
+                     lead(ems) OVER (ORDER BY k) AS fnms,
+                     lead(etb) OVER (ORDER BY k) AS fntb,
+                     lead(etimer) OVER (ORDER BY k) AS fntimer,
+                     a + (k + 2) * 21600000 AS bterm
+              FROM flog0
+            ),
+            flog2 AS (
+              SELECT k, ems, etb, etimer,
+                     CASE WHEN fnms IS NULL OR bterm <= fnms
+                          THEN bterm ELSE fnms END AS lms,
+                     CASE WHEN fnms IS NULL OR bterm <= fnms
+                          THEN NULL ELSE fntb END AS ltb,
+                     CASE WHEN fnms IS NULL OR bterm <= fnms
+                          THEN TRUE ELSE fntimer END AS ltimer
+              FROM flog
+            ),
+            biv AS (
+              SELECT kt.user_id, kt.event_id,
+                     f.ems, f.etb, f.etimer, f.lms, f.ltb, f.ltimer
+              FROM kept kt JOIN flog2 f USING (k)
+            ),
+            bprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb,
+                     FALSE AS ptimer, etimer AS ptick
+              FROM biv
+              UNION ALL
+              SELECT user_id, event_id, 'expired',
+                     lms, ltb, ltimer, FALSE
+              FROM biv
+            ),
+            pe2 AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms
+              FROM events WHERE event_type = 'purchase'
+            ),
+            slot AS (
+              SELECT *, CAST(floor(ms / 14400000) AS BIGINT) AS m
+              FROM pe2
+            ),
+            mlast AS (SELECT max(m) AS ml FROM slot),
+            tbk AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY m, user_id
+                  ORDER BY ms DESC, event_id DESC) AS rnk
+                FROM slot) t
+              WHERE rnk = 1
+            ),
+            tiv AS (
+              SELECT t.user_id, t.event_id,
+                     (t.m + 1) * 14400000 AS ems,
+                     CAST(NULL AS BIGINT) AS etb,
+                     TRUE AS etimer,
+                     CASE WHEN t.m = mlast.ml THEN NULL
+                          ELSE (t.m + 2) * 14400000 END AS lms,
+                     CAST(NULL AS BIGINT) AS ltb,
+                     (t.m <> mlast.ml) AS ltimer
+              FROM tbk t, mlast
+            ),
+            tprobe AS (
+              SELECT user_id, event_id, 'current' AS channel,
+                     ems AS pms, etb AS ptb,
+                     FALSE AS ptimer, TRUE AS ptick
+              FROM tiv
+              UNION ALL
+              SELECT user_id, event_id, 'expired',
+                     lms, ltb, TRUE, FALSE
+              FROM tiv WHERE lms IS NOT NULL
+            ),
+            e_ab AS (
+              SELECT bp.user_id AS user_id,
+                     bp.event_id AS click_event_id,
+                     iv.event_id AS purchase_event_id,
+                     bp.channel AS channel
+              FROM bprobe bp JOIN tiv iv
+                ON bp.user_id = iv.user_id
+               AND (iv.ems < bp.pms OR (iv.ems = bp.pms AND
+                    ((iv.etimer AND NOT bp.ptimer) OR
+                     (NOT iv.etimer AND NOT bp.ptimer AND
+                      NOT bp.ptick AND iv.etb < bp.ptb))))
+               AND (iv.lms IS NULL OR bp.pms < iv.lms OR
+                    (bp.pms = iv.lms AND
+                     ((iv.ltimer AND bp.ptimer) OR
+                      (NOT iv.ltimer AND (bp.ptimer OR bp.ptick OR
+                                          bp.ptb < iv.ltb)))))
+            ),
+            e_ba AS (
+              SELECT tp.user_id AS user_id,
+                     iv.event_id AS click_event_id,
+                     tp.event_id AS purchase_event_id,
+                     tp.channel AS channel
+              FROM tprobe tp JOIN biv iv
+                ON tp.user_id = iv.user_id
+               AND (iv.ems < tp.pms OR (iv.ems = tp.pms AND
+                    ((iv.etimer AND NOT tp.ptimer) OR
+                     (NOT iv.etimer AND NOT tp.ptimer AND
+                      NOT tp.ptick AND iv.etb < tp.ptb))))
+               AND (iv.lms IS NULL OR tp.pms < iv.lms OR
+                    (tp.pms = iv.lms AND
+                     ((iv.ltimer AND tp.ptimer) OR
+                      (NOT iv.ltimer AND (tp.ptimer OR tp.ptick OR
+                                          tp.ptb < iv.ltb)))))
             )
             SELECT * FROM e_ab UNION ALL SELECT * FROM e_ba
         """,

