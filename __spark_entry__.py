@@ -213,6 +213,38 @@ def q_unique_deduplicate(spark, sf_dir):
     )
 
 
+def q_proc_time_replay(spark, sf_dir):
+    """Driver certification of the PROCESSING-TIME tier's
+    deterministic core (VERDICT r13 item 5): the pinned-stamp replay
+    drives the ACTUAL `_time_proc_transition` function the wall-clock
+    twin runs (streaming.time_window_proc_stream), so the tier's
+    per-key state machine — displacement expiry, idle-timer fires,
+    timeout re-arming — is oracle-hash-checked instead of
+    pytest-only. Closed-form oracle: current at each stamp, expired
+    at least(next same-key stamp, stamp + T)."""
+    from siddhi_execution_unique_spark import streaming as stw
+
+    return stw.time_proc_replay(
+        _events(spark, sf_dir), "user_id", HOUR, ts="ts",
+        tiebreak="event_id")
+
+
+def q_proc_dedup_replay(spark, sf_dir):
+    """Driver certification of the processing-time
+    ``unique:deduplicate`` transition core (`_dedup_proc_transition`
+    behind streaming.deduplicate_proc_stream) under the pinned-stamp
+    replay: the idle-purge timer plus the now-vs-last-kept admission
+    rule must land on the strict anchored chain (first stamp per key,
+    then the first stamp > last kept + interval) — here with a 2h
+    interval, distinct from the event-time unique_deduplicate's 1h
+    chain."""
+    from siddhi_execution_unique_spark import streaming as stw
+
+    return stw.dedup_proc_replay(
+        _events(spark, sf_dir), "user_id", 2 * HOUR, ts="ts",
+        tiebreak="event_id")
+
+
 def q_siddhiql_ever_filtered(spark, sf_dir):
     """The reference's own query-text surface end-to-end: a SiddhiQL
     app string (filter + unique:ever window + projection) parsed by
@@ -2654,6 +2686,10 @@ _CHANGED_THIS_ROUND: list = [
     # r14: the last join-channel square (timeLengthBatch ⋈ batch
     # windows) — new entry
     "siddhiql_join_tlb_tb_all",
+    # r14: processing-time tier deterministic-core replays — new
+    # entries (VERDICT r13 item 5)
+    "proc_time_replay",
+    "proc_dedup_replay",
 ]
 
 
@@ -3057,6 +3093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_time_batch": q_unique_time_batch,
         "unique_external_time_batch": q_unique_external_time_batch,
         "unique_deduplicate": q_unique_deduplicate,
+        "proc_time_replay": q_proc_time_replay,
+        "proc_dedup_replay": q_proc_dedup_replay,
         "ever_count_by_type": q_ever_count_by_type,
         "ever_join_customer": q_ever_join_customer,
         "first_filtered": q_first_filtered,
@@ -3952,6 +3990,56 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE rn = 1
         """,
         "unique_deduplicate": _DEDUPLICATE_SQL,
+        # processing-time tier, deterministic core (VERDICT r13 item
+        # 5): the pinned-stamp replay through _time_proc_transition —
+        # current at each stamp; expired at the next same-key stamp or
+        # the idle timer at stamp + T, whichever is first (an arrival
+        # exactly at timeout_at displaces at the instant the timer
+        # would fire, so the emission log is identical either way)
+        "proc_time_replay": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                     lead(epoch_ms(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ms(ts), event_id) AS nxt
+              FROM events
+            )
+            SELECT user_id, event_id, 'current' AS channel,
+                   ms AS at_ms
+            FROM e
+            UNION ALL
+            SELECT user_id, event_id, 'expired',
+                   CASE WHEN nxt IS NULL OR nxt > ms + 3600000
+                        THEN ms + 3600000 ELSE nxt END
+            FROM e
+        """,
+        # _dedup_proc_transition's idle purge + admission rule land on
+        # the strict anchored chain (2h interval; lowest event_id at
+        # equal stamps)
+        "proc_dedup_replay": """
+            WITH RECURSIVE kept AS (
+              SELECT user_id, min(epoch_ms(ts)) AS ts_ms
+              FROM events GROUP BY user_id
+              UNION ALL
+              SELECT user_id, next_ms AS ts_ms FROM (
+                SELECT k.user_id,
+                       (SELECT min(epoch_ms(e.ts)) FROM events e
+                        WHERE e.user_id = k.user_id
+                          AND epoch_ms(e.ts) > k.ts_ms + 7200000)
+                         AS next_ms
+                FROM kept k) t
+              WHERE next_ms IS NOT NULL
+            )
+            SELECT t.user_id, t.event_id, t.ms AS kept_at_ms
+            FROM (SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS ms,
+                         row_number() OVER (
+                           PARTITION BY e.user_id, epoch_ms(e.ts)
+                           ORDER BY e.event_id) AS rn
+                  FROM events e
+                  JOIN kept k ON e.user_id = k.user_id
+                             AND epoch_ms(e.ts) = k.ts_ms) t
+            WHERE rn = 1
+        """,
         # the streaming twin must land on the SAME anchored chain
         "streaming_dedup_parity": _DEDUPLICATE_SQL,
         # streaming twins certified against their batch oracles

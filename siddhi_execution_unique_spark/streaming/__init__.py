@@ -2169,3 +2169,130 @@ def deduplicate_proc_stream(
         fn, df.schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def time_proc_replay(
+    df: DataFrame,
+    key: str,
+    window_time: int | str,
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Deterministic driver-certifiable replay of the PROCESSING-TIME
+    ``unique:time`` tier (VERDICT r13 item 5): the tier's transition
+    core :func:`_time_proc_transition` is pure given arrival stamps,
+    so replaying a PINNED stamp log through it — each event's own
+    event-time ms as its wall-clock arrival instant, one invocation
+    per arrival in (stamp, tiebreak) order, a timeout invocation at
+    ``timeout_at`` whenever the next stamp exceeds it (and once at end
+    of stream — the forever clock) — exercises exactly the code the
+    wall-clock twin :func:`time_window_proc_stream` runs, minus the
+    nondeterministic clock. Closed form (the DuckDB oracle): every
+    event emits ``current`` at its stamp and ``expired`` at
+    ``least(next same-key stamp, stamp + T)`` (end of stream:
+    ``stamp + T``) — an arrival landing exactly on ``timeout_at``
+    displaces at the same instant the timer would fire, so the
+    emission log is identical either way. Distributed shape: one
+    keyed shuffle, per-key sequential replay (the reference protocol
+    is inherently serial per key), all keys parallel."""
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, tiebreak, "tiebreak")
+    interval_ms = parse_time_ms(window_time, "window.time")
+    src = df.select(
+        F.col(key).alias("k"),
+        F.unix_millis(ts).alias("stamp_ms"),
+        F.col(tiebreak).alias("tb"),
+    )
+    out_schema = StructType([
+        StructField("k", src.schema["k"].dataType),
+        StructField("tb", src.schema["tb"].dataType),
+        StructField("channel", StringType()),
+        StructField("at_ms", LongType()),
+    ])
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["stamp_ms", "tb"])
+        rows_out = []
+
+        def emit(emits):
+            for row, ch, at in emits:
+                rows_out.append((row["k"], row["tb"], ch, int(at)))
+
+        stored, timeout_at = None, None
+        for row in pdf.to_dict("records"):
+            s = int(row["stamp_ms"])
+            if stored is not None and s > timeout_at:
+                emits, stored, timeout_at = _time_proc_transition(
+                    stored, [], timeout_at, interval_ms, True)
+                emit(emits)
+            emits, stored, timeout_at = _time_proc_transition(
+                stored, [row], s, interval_ms, False)
+            emit(emits)
+        if stored is not None:
+            emits, _, _ = _time_proc_transition(
+                stored, [], timeout_at, interval_ms, True)
+            emit(emits)
+        return pd.DataFrame(rows_out, columns=["k", "tb", "channel", "at_ms"])
+
+    return (
+        src.groupBy("k").applyInPandas(replay, out_schema)
+        .select(F.col("k").alias(key), F.col("tb").alias(tiebreak),
+                "channel", "at_ms")
+    )
+
+
+def dedup_proc_replay(
+    df: DataFrame,
+    key: str,
+    time_interval: int | str,
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Deterministic replay of the PROCESSING-TIME
+    ``unique:deduplicate`` tier through its pure transition core
+    :func:`_dedup_proc_transition` (VERDICT r13 item 5), under the
+    same pinned stamp protocol as :func:`time_proc_replay` (per-event
+    invocations; an idle-timer invocation purges state when a stamp
+    exceeds ``timeout_at``). The kept set lands on the strict
+    anchored chain — first arrival per key, then the first stamp
+    STRICTLY more than ``interval`` after the last kept one (the
+    timer purge and the ``now - last_kept > interval`` admission rule
+    produce the same chain; at equal stamps the lowest tiebreak is
+    the kept one) — which is the closed form the DuckDB oracle
+    computes."""
+    require_column(df, key, "unique.key")
+    require_column(df, ts, "ts")
+    require_column(df, tiebreak, "tiebreak")
+    interval_ms = parse_time_ms(time_interval, "time.interval")
+    src = df.select(
+        F.col(key).alias("k"),
+        F.unix_millis(ts).alias("stamp_ms"),
+        F.col(tiebreak).alias("tb"),
+    )
+    out_schema = StructType([
+        StructField("k", src.schema["k"].dataType),
+        StructField("tb", src.schema["tb"].dataType),
+        StructField("kept_at_ms", LongType()),
+    ])
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["stamp_ms", "tb"])
+        rows_out = []
+        last_kept, timeout_at = None, None
+        for row in pdf.to_dict("records"):
+            s = int(row["stamp_ms"])
+            if last_kept is not None and s > timeout_at:
+                _, last_kept, timeout_at = _dedup_proc_transition(
+                    last_kept, 0, timeout_at, interval_ms, True)
+            kept, last_kept, timeout_at = _dedup_proc_transition(
+                last_kept, 1, s, interval_ms, False)
+            if kept:
+                rows_out.append((row["k"], row["tb"], s))
+        return pd.DataFrame(rows_out, columns=["k", "tb", "kept_at_ms"])
+
+    return (
+        src.groupBy("k").applyInPandas(replay, out_schema)
+        .select(F.col("k").alias(key), F.col("tb").alias(tiebreak),
+                "kept_at_ms")
+    )

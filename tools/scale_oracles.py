@@ -107,11 +107,12 @@ def _ev_batched(con, *, part_col: str | None = None,
     return pd.concat(parts, ignore_index=True)
 
 
-def _kept_walk(con) -> pd.DataFrame:
+def _kept_walk(con, gap_ms: int = DEDUP_MS) -> pd.DataFrame:
     """deduplicate chain: per user, keep the first arrival ts, then
-    repeatedly the first ts strictly more than DEDUP_MS after the last
-    kept one. Matches the certified recursive `kept` CTE row-for-row
-    (it seeds min(ts) per user and steps to min(ts) > kept + 1h)."""
+    repeatedly the first ts strictly more than ``gap_ms`` after the
+    last kept one. Matches the certified recursive `kept` CTE
+    row-for-row (it seeds min(ts) per user and steps to
+    min(ts) > kept + gap)."""
     df = con.sql("""
         SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events
         ORDER BY user_id, ts_ms
@@ -126,7 +127,7 @@ def _kept_walk(con) -> pd.DataFrame:
             cur_user = users[i]
             last = ts[i]
             keep.append(i)
-        elif ts[i] > last + DEDUP_MS:
+        elif ts[i] > last + gap_ms:
             last = ts[i]
             keep.append(i)
     return df.iloc[keep].reset_index(drop=True)
@@ -247,6 +248,23 @@ def _run(con, helper_tables: dict[str, pd.DataFrame], sql: str):
 
 def _dedup_family(con):
     return _run(con, {"kept": _kept_walk(con)}, _DEDUP_TAIL)
+
+
+def _proc_dedup_replay(con):
+    """proc_dedup_replay: the same strict anchored chain with a 2h
+    interval and the replay entry's (user_id, event_id, kept_at_ms)
+    output shape."""
+    return _run(con, {"kept": _kept_walk(con, gap_ms=7_200_000)}, """
+        SELECT t.user_id, t.event_id, t.ms AS kept_at_ms
+        FROM (SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS ms,
+                     row_number() OVER (
+                       PARTITION BY e.user_id, epoch_ms(e.ts)
+                       ORDER BY e.event_id) AS rn
+              FROM events e
+              JOIN kept k ON e.user_id = k.user_id
+                         AND epoch_ms(e.ts) = k.ts_ms) t
+        WHERE rn = 1
+    """)
 
 
 def _unique_length_batch(con):
@@ -892,6 +910,7 @@ SCALE_ORACLES = {
     "unique_length_emissions_ordered": _unique_length_emissions_ordered,
     "unique_length_emissions_partitioned": _unique_length_emissions_partitioned,
     "unique_deduplicate": _dedup_family,
+    "proc_dedup_replay": _proc_dedup_replay,
     "streaming_dedup_parity": _dedup_family,
     "streaming_python_sink_parity": _dedup_family,
     "streaming_python_source_partitioned_parity": _dedup_family,
