@@ -1040,49 +1040,71 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     vec_id order). Output: (vec_id, cell, kept), one row per corpus
     vector.
 
-    Scale shape: cell assignment is one broadcast pass; K scales with
-    the corpus (:func:`n_centroids_for`) so E[cell_size] stays
-    constant and the CELL-KEYED duplicate scan — never all-pairs —
-    costs sum(cell²) ≈ n·TARGET_CELL_SIZE, LINEAR in the corpus (it
-    was measured 28x super-linear at the sf1→sf10 step with K pinned
-    at 64). The removal test is a true EXISTS: a LEFT SEMI join with
-    the cosine threshold inside the join condition, so at most one
-    output row per vector and no pair-row distinct/aggregate."""
+    Scale shape: cell assignment is one Arrow pass (see
+    :func:`_ivf_assign`); K scales with the corpus
+    (:func:`n_centroids_for`) so E[cell_size] stays constant, and the
+    duplicate scan is ONE ``groupBy(cell).applyInPandas`` — each cell
+    deduplicates locally with a blocked BLAS cosine matrix, so the
+    only shuffle is n corpus rows keyed by cell (the previous
+    pair-join form shuffled sum(cell²) ≈ n·256 pair rows carrying TWO
+    embedding arrays each — ~26 GB at sf10 — and evaluated the cosine
+    as an interpreted array-lambda per pair). Work per cell is
+    cell²·dim BLAS flops; blocks are capped so no cell materializes
+    more than a few-MB score matrix even under data-dependent cell
+    skew.
+
+    BIT-PARITY: the pair test uses the same QUANTIZED floor-1e6
+    integer cosine as the cell assignment (see ``_QDOT_SPARK``) — the
+    integer dot is exact and order-independent (every intermediate
+    < 2^53), so numpy's float64 matmul equals the oracle's SQL fold
+    bit-for-bit, and the final three IEEE ops (norm-product multiply,
+    sqrt, divide) are correctly rounded identically in both
+    engines."""
+    import numpy as np
+    import pandas as pd
+
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     base = _with_norm2(emb).select("vec_id", "embedding", "norm2")
-    # the assignment feeds THREE plan branches (semi-join probe side,
-    # dominator side, final kept-flag join); checkpoint it once so the
-    # scan + norm fold + assign pass run once, not per branch — the
-    # same materialize-the-reused-stage discipline as BPE training
-    assigned = _ivf_assign(base, _ivf_centroids(base)).localCheckpoint()
-    dominators = assigned.select(
-        F.col("vec_id").alias("u_id"),
-        F.col("embedding").alias("u_emb"),
-        F.col("norm2").alias("u_norm2"),
-        F.col("cell").alias("u_cell"),
-    )
-    dup = assigned.join(
-        dominators,
-        (F.col("cell") == F.col("u_cell"))
-        & (F.col("u_id") < F.col("vec_id"))
-        & (F.expr(_cos_expr("embedding", "u_emb", "norm2", "u_norm2"))
-           >= tau),
-        "left_semi",
-    ).select("vec_id", F.lit(True).alias("_dup"))
-    return (
-        assigned.join(dup, "vec_id", "left")
-        .select("vec_id", "cell", F.expr("_dup IS NULL").alias("kept"))
-    )
+    assigned = _ivf_assign(base, _ivf_centroids(base))
+
+    def scan(pdf):
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        Q = np.floor(
+            np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            * 1.0e6
+        )
+        qn = (Q * Q).sum(axis=1)
+        dup = np.zeros(n, dtype=bool)
+        lo = 1
+        while lo < n:
+            # block height capped so the score matrix stays ~64 MB
+            # even for a pathologically hot cell
+            hi = min(n, lo + max(64, 8_000_000 // max(lo + 1, 1)))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = (Q[lo:hi] @ Q[:hi].T) / np.sqrt(
+                    qn[lo:hi, None] * qn[None, :hi])
+            mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            with np.errstate(invalid="ignore"):
+                dup[lo:hi] = ((cos >= tau) & mask).any(axis=1)
+            lo = hi
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "cell": pdf["cell"].to_numpy(),
+            "kept": ~dup,
+        })
+
+    return assigned.groupBy("cell").applyInPandas(
+        scan, "vec_id long, cell long, kept boolean")
 
 
 def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
-    def cos(a, b):
-        return (
-            f"{_DOT_DUCK.format(a=a, b=b)} / "
-            f"sqrt(({_DOT_DUCK.format(a=a, b=a)}) * ({_DOT_DUCK.format(a=b, b=b)}))"
-        )
-
+    # the pair test uses the QUANTIZED cosine (the engine's per-cell
+    # BLAS scan computes exactly this — see the bit-parity note on
+    # semantic_dedup)
     return f"""
         WITH centroids AS (
           SELECT vec_id AS c_id, embedding AS c_emb
@@ -1099,7 +1121,7 @@ def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
           SELECT DISTINCT b.vec_id
           FROM assigned a JOIN assigned b
             ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE {cos('a.embedding', 'b.embedding')} >= {tau}
+          WHERE {_qcos_duck('a.embedding', 'b.embedding')} >= {tau}
         )
         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
         FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id

@@ -520,28 +520,22 @@ def test_line_dedup_is_hash_agg_and_equi_join(spark):
     assert "strategy=broadcast" not in optimized_of(df)
 
 
-def test_semantic_dedup_join_is_cell_keyed(spark):
-    """The duplicate scan must be a CELL-keyed equi-join (sum of
-    cell-size² work), never an all-pairs product; the only broadcast
-    is the fixed-K centroid set."""
+def test_semantic_dedup_scan_is_cell_local(spark):
+    """The duplicate scan is one groupBy(cell).applyInPandas — the
+    ONLY data movement is n corpus rows shuffled by cell (the old
+    pair-join form shuffled sum(cell²) pair rows carrying two
+    embedding arrays each); no join of any kind survives in the
+    plan, and the centroid model ships in the mapInPandas closure."""
     emb = load_table(spark, SF_DIR, "embeddings")
     df = fsim.semantic_dedup(emb)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    # the corpus-x-corpus duplicate scan must be keyed on the cell
-    # (any equi-join strategy — AQE broadcasts the checkpointed
-    # relation at tiny SF; it's a sort-merge at scale) and must be a
-    # true EXISTS (LeftSemi), with no pair-row distinct/aggregate
-    # downstream of it (VERDICT r13 item 6)
-    assert ("SortMergeJoin [cell" in plan
-            or "ShuffledHashJoin [cell" in plan
-            or "BroadcastHashJoin [cell" in plan)
-    assert "LeftSemi" in plan
-    semi_tail = plan[: plan.index("LeftSemi")]
-    assert "HashAggregate" not in semi_tail  # no distinct above the semi
-    # the centroid model ships in the mapInPandas closure now — no
-    # corpus-side nested-loop joins at all
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan  # no pair materialization at all
+    assert "FlatMapGroupsInPandas" in plan
+    # exactly the cell shuffle (plus AQE readers); no second exchange
+    # tier from a join or distinct
+    assert plan.count("Exchange hashpartitioning(cell") == 1
 
 
 def test_chunk_documents_is_shuffle_free(spark):

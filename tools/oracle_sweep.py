@@ -122,11 +122,12 @@ def main() -> None:
         with open(out) as f:
             results = json.load(f).get("entries", {})
 
-    # pair-dense entries return tens of millions of rows at sf1
-    # (dedup_simhash_near_pairs: 57.6M on the 100x-dup-density corpus);
-    # the comparison collect needs more than the 1g default
+    # pair-dense entries return millions of rows at sf1 (the
+    # streaming_join_parity interval join; dedup_char_ngram_jaccard
+    # at 288.6k since the r14 stop-gram redesign — it was 11.1M
+    # before); the comparison collect needs more than the 1g default
     # (heap stays at the factory's GC-tuned 8g — the serialized result
-    # buffer is ~1.1G and collects stream out through Arrow)
+    # buffer streams out through Arrow)
     spark = get_spark(app_name="oracle-sweep", shuffle_partitions=32,
                       extra_conf={"spark.driver.maxResultSize": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
