@@ -1071,6 +1071,9 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     def scan(pdf):
         pdf = pdf.sort_values("vec_id")
         n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "kept": []})
         Q = np.floor(
             np.stack(
                 [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]

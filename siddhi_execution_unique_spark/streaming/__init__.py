@@ -2220,12 +2220,19 @@ def time_proc_replay(
                 rows_out.append((row["k"], row["tb"], ch, int(at)))
 
         stored, timeout_at = None, None
-        for row in pdf.to_dict("records"):
-            s = int(row["stamp_ms"])
+        # minimal per-event row dicts from numpy columns — the same
+        # record shape the streaming twin's fn feeds the transition,
+        # without pandas' full to_dict("records") overhead per row
+        ks = pdf["k"].to_numpy()
+        tbs = pdf["tb"].to_numpy()
+        stamps = pdf["stamp_ms"].to_numpy()
+        for i in range(len(pdf)):
+            s = int(stamps[i])
             if stored is not None and s > timeout_at:
                 emits, stored, timeout_at = _time_proc_transition(
                     stored, [], timeout_at, interval_ms, True)
                 emit(emits)
+            row = {"k": ks[i], "tb": tbs[i]}
             emits, stored, timeout_at = _time_proc_transition(
                 stored, [row], s, interval_ms, False)
             emit(emits)
@@ -2280,15 +2287,18 @@ def dedup_proc_replay(
         pdf = pdf.sort_values(["stamp_ms", "tb"])
         rows_out = []
         last_kept, timeout_at = None, None
-        for row in pdf.to_dict("records"):
-            s = int(row["stamp_ms"])
+        ks = pdf["k"].to_numpy()
+        tbs = pdf["tb"].to_numpy()
+        stamps = pdf["stamp_ms"].to_numpy()
+        for i in range(len(pdf)):
+            s = int(stamps[i])
             if last_kept is not None and s > timeout_at:
                 _, last_kept, timeout_at = _dedup_proc_transition(
                     last_kept, 0, timeout_at, interval_ms, True)
             kept, last_kept, timeout_at = _dedup_proc_transition(
                 last_kept, 1, s, interval_ms, False)
             if kept:
-                rows_out.append((row["k"], row["tb"], s))
+                rows_out.append((ks[i], tbs[i], s))
         return pd.DataFrame(rows_out, columns=["k", "tb", "kept_at_ms"])
 
     return (
