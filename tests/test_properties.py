@@ -3640,3 +3640,155 @@ def test_tlb_tlb_join_channels_algebra_matches_simulation(tn_a, tn_b, raw):
     alg = _instant_pair_closed_form(
         _tlb_instant_model(a, ta, na), _tlb_instant_model(b, tb_, nb))
     assert sim == alg
+
+
+# --- r14 numeric/protocol cores: scaled-K arithmetic, blocked BLAS
+# scan, pinned-stamp replay closed forms ---
+
+
+@given(st.integers(0, 3_000_000))
+@settings(max_examples=300, deadline=None)
+def test_n_centroids_for_matches_duckdb_ceiling(n):
+    """The Spark-side corpus-scaled cell count (Python integer
+    ceiling) must equal the oracle's DuckDB expression
+    greatest(64, ceil(n / 256.0)) for any corpus size — 256 = 2^8
+    makes the float division exact in binary, which is what keeps the
+    two ceilings bit-agreed."""
+    import duckdb
+
+    from siddhi_execution_unique_spark.functions.similarity import (
+        N_CENTROIDS,
+        TARGET_CELL_SIZE,
+        n_centroids_for,
+    )
+
+    got = duckdb.sql(
+        f"SELECT greatest({N_CENTROIDS}, "
+        f"CAST(ceil({n} / {TARGET_CELL_SIZE}.0) AS BIGINT))"
+    ).fetchone()[0]
+    assert n_centroids_for(n) == got
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-0.5, 0.5, allow_nan=False, width=32),
+                 min_size=4, max_size=4),
+        min_size=1, max_size=40,
+    ),
+    st.integers(1, 7),
+)
+@settings(max_examples=200, deadline=None)
+def test_blocked_cell_scan_matches_naive_pairwise(vectors, block_elems):
+    """The blocked BLAS duplicate scan inside semantic_dedup (chunked
+    score matrix, triangular mask) must mark exactly the vectors that
+    a naive O(n²) loop marks under the quantized cosine rule —
+    including across block boundaries and at tiny block caps."""
+    import numpy as np
+
+    tau = 0.35
+    E = np.array(vectors, dtype=np.float32).astype(np.float64)
+    Q = np.floor(E * 1.0e6)
+    qn = (Q * Q).sum(axis=1)
+    n = len(Q)
+
+    def qcos(i, j):
+        d = float(np.dot(Q[i], Q[j]))
+        denom = np.sqrt(qn[i] * qn[j])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return d / denom if denom else float("nan")
+
+    naive = np.zeros(n, dtype=bool)
+    for i in range(n):
+        naive[i] = any(qcos(i, j) >= tau for j in range(i))
+
+    # the blocked loop, with an artificially tiny element budget so
+    # several boundaries occur even on small inputs
+    dup = np.zeros(n, dtype=bool)
+    lo = 1
+    while lo < n:
+        hi = min(n, lo + max(1, block_elems))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (Q[lo:hi] @ Q[:hi].T) / np.sqrt(
+                qn[lo:hi, None] * qn[None, :hi])
+        mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+        with np.errstate(invalid="ignore"):
+            dup[lo:hi] = ((cos >= tau) & mask).any(axis=1)
+        lo = hi
+    assert (dup == naive).all()
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 500), st.integers(0, 5000)),
+             max_size=30),
+    st.sampled_from([7, 50, 100]),
+)
+@settings(max_examples=400, deadline=None)
+def test_time_proc_replay_closed_form(raw, interval):
+    """The pinned-stamp replay protocol through the ACTUAL
+    `_time_proc_transition` (per-arrival invocations; a timeout
+    invocation whenever the next stamp strictly exceeds timeout_at; a
+    final timer at end of stream) must land on the oracle's closed
+    form: per key ordered by (stamp, tiebreak), CURRENT at each stamp
+    and EXPIRED at least(next same-key stamp, stamp + T) — including
+    same-stamp ties and an arrival landing exactly on timeout_at."""
+    from siddhi_execution_unique_spark.streaming import (
+        _time_proc_transition,
+    )
+
+    # one key; stamps may tie, tiebreak is the event index
+    events = sorted(((ts, i) for i, (ts, _) in enumerate(raw)))
+    out = []
+    stored, timeout_at = None, None
+    for ts, i in events:
+        if stored is not None and ts > timeout_at:
+            emits, stored, timeout_at = _time_proc_transition(
+                stored, [], timeout_at, interval, True)
+            out += [(r["i"], ch, at) for r, ch, at in emits]
+        emits, stored, timeout_at = _time_proc_transition(
+            stored, [{"i": i}], ts, interval, False)
+        out += [(r["i"], ch, at) for r, ch, at in emits]
+    if stored is not None:
+        emits, _, _ = _time_proc_transition(
+            stored, [], timeout_at, interval, True)
+        out += [(r["i"], ch, at) for r, ch, at in emits]
+
+    closed = []
+    for pos, (ts, i) in enumerate(events):
+        closed.append((i, "current", ts))
+        nxt = events[pos + 1][0] if pos + 1 < len(events) else None
+        exp = ts + interval if nxt is None or nxt > ts + interval else nxt
+        closed.append((i, "expired", exp))
+    assert sorted(out) == sorted(closed)
+
+
+@given(
+    st.lists(st.integers(0, 3000), max_size=30),
+    st.sampled_from([7, 50, 400]),
+)
+@settings(max_examples=400, deadline=None)
+def test_dedup_proc_replay_anchored_chain(stamps, interval):
+    """The pinned-stamp replay through `_dedup_proc_transition` (idle
+    purge + now-vs-last-kept admission) must keep exactly the strict
+    anchored chain: the first stamp, then repeatedly the first stamp
+    STRICTLY more than `interval` after the last kept one."""
+    from siddhi_execution_unique_spark.streaming import (
+        _dedup_proc_transition,
+    )
+
+    ss = sorted(stamps)
+    kept_replay = []
+    last_kept, timeout_at = None, None
+    for s in ss:
+        if last_kept is not None and s > timeout_at:
+            _, last_kept, timeout_at = _dedup_proc_transition(
+                last_kept, 0, timeout_at, interval, True)
+        k, last_kept, timeout_at = _dedup_proc_transition(
+            last_kept, 1, s, interval, False)
+        if k:
+            kept_replay.append(s)
+
+    chain = []
+    for s in ss:
+        if not chain or s > chain[-1] + interval:
+            chain.append(s)
+    assert kept_replay == chain
