@@ -341,6 +341,26 @@ def _tag(df: DataFrame, channel: str) -> DataFrame:
     return df.withColumn(CHANNEL, F.lit(channel))
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate a mixed-channel join side's shared artifact chain.
+
+    The instant-space lowerings reference each side's window-chain
+    artifacts from several places at once — the current∪expired probe
+    union, the other direction's interval side, and the fire-count
+    scalars — and Spark does NOT reuse exchanges across union
+    branches, so every reference re-executes the whole multi-window
+    sort chain from the source scan (measured: 64 parquet scans / 184
+    Exchange nodes for one tlb⋈tb all-channel query). An eager local
+    checkpoint materializes the chain exactly ONCE per ``run_app``
+    invocation and every consumer reads the stored rows; nothing
+    survives the invocation, so repeated runs recompute from the
+    source (no cross-run caching). At scale this trades one
+    data-sized block-store write for 2-3 re-executions of a
+    shuffle-heavy window cascade — the same discipline the iterative
+    operators (BPE, connected components) already apply."""
+    return df.localCheckpoint(eager=False)
+
+
 def _need_tiebreak(window: str, tiebreak: str | None) -> str:
     if tiebreak is None:
         raise SiddhiQLError(
@@ -1259,6 +1279,9 @@ def _x_instant_artifacts(side, df, ts, tiebreak, channel):
         )
     else:  # pragma: no cover - guarded by the dispatch
         raise SiddhiQLError(f"unique:{win} has no mixed-channel lowering")
+    # the interval log feeds the probe union AND the other join
+    # direction — materialize the window chain once (guide §3.3)
+    a_iv = _materialize(a_iv)
     cur = (
         a_iv.withColumn("__mx_pms", F.col("__mx_ems"))
         .withColumn("__mx_ptb", F.col("__mx_etb"))
@@ -1322,10 +1345,10 @@ def _tb_instant_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
     keep = "first" if side["window"] == "firstTimeBatch" else "last"
     tb = _need_tiebreak(side["window"], tiebreak)
     tb_type = df.schema[tb].dataType
-    batched = ops.time_batch(
+    batched = _materialize(ops.time_batch(
         df, ta[0], t_b, ts=ts, tiebreak=tiebreak,
         start_time_ms=anchor, keep=keep,
-    )
+    ))
     last_end = batched.agg(F.max("batch_end_ms").alias("__mx_lastend"))
     a_iv = (
         batched.crossJoin(F.broadcast(last_end))
@@ -1487,7 +1510,12 @@ def _tlb_instant_artifacts(side, df, ts, tiebreak, channel):
     )
     payload = [c for c in kept.columns
                if not c.startswith("__mx_")] + ["__mx_k"]
-    a_iv = kept.select(*payload).join(fire_log, "__mx_k").drop("__mx_k")
+    # the kept⋈fire_log chain (4 window cascades) feeds the probe
+    # union, the other direction, AND the fire count — materialize it
+    # once with the batch id still attached so n_fires is a cheap
+    # distinct over stored rows instead of a chain re-execution
+    a_iv_k = _materialize(kept.select(*payload).join(fire_log, "__mx_k"))
+    a_iv = a_iv_k.drop("__mx_k")
     cur = (
         a_iv.withColumn("__mx_pms", F.col("__mx_ems"))
         .withColumn("__mx_ptb", F.col("__mx_etb"))
@@ -1505,7 +1533,8 @@ def _tlb_instant_artifacts(side, df, ts, tiebreak, channel):
     probes = (cur.unionByName(exp) if channel == "all" else exp).drop(
         "__mx_ems", "__mx_etb", "__mx_etimer",
         "__mx_lms", "__mx_ltb", "__mx_ltimer")
-    n_fires = fire_log.agg(F.count("*").alias("__mx_nf"))
+    n_fires = a_iv_k.select("__mx_k").distinct().agg(
+        F.count("*").alias("__mx_nf"))
     return probes, a_iv, n_fires
 
 
@@ -1791,10 +1820,11 @@ def _tb_side_artifacts(side, df, ts, tiebreak, channel, _tail_consts):
     t_b = parse_time_ms(tc[0], "window.time")
     anchor = (int(tc[1]) % t_b) if len(tc) > 1 else 0
     keep_b = "first" if side["window"] == "firstTimeBatch" else "last"
-    batched_b = ops.time_batch(
+    # feeds find-state, the slot extents, and both probe branches
+    batched_b = _materialize(ops.time_batch(
         df, key_b, t_b, ts=ts, tiebreak=tiebreak,
         start_time_ms=anchor, keep=keep_b,
-    )
+    ))
     slot_of_end = f"cast((batch_end_ms - {anchor}) div {t_b} as long)"
     b_find = batched_b.withColumn("__mx_fslot", F.expr(slot_of_end))
     m_agg = batched_b.agg(
@@ -2033,10 +2063,10 @@ def _run_join_mixed_tt(
         anchor = (int(consts[1]) % t_ms) if len(consts) > 1 else 0
         keep = "first" if side["window"] == "firstTimeBatch" else "last"
         df = _bind_stream({**side, "channel": "current"}, streams)
-        batched = ops.time_batch(
+        batched = _materialize(ops.time_batch(
             df, args[0], t_ms, ts=ts, tiebreak=tiebreak,
             start_time_ms=anchor, keep=keep,
-        )
+        ))
         last = batched.agg(F.max("batch_end_ms").alias("__mx_lastend"))
         # exit = end + T for every batch but the last (NULL = forever)
         framed = (
