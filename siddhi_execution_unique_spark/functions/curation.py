@@ -853,87 +853,167 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     connected-components discipline: truncate lineage, never re-run
     the previous round's chain). Ties break
     (n desc, left asc, right asc) — deterministic, oracle-comparable.
-    """
-    _, bests = _bpe_fit(docs, n_merges)
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out
+
+    Round-14 pass accounting (guide §2.3/§2.4): the merge pass also
+    EMITS each partition's partial pair counts for the next round
+    (tagged rows in the same checkpoint), so a round is ONE corpus
+    pass instead of two — n+1 full passes total instead of 2n+1 —
+    and the next round's count aggregation shuffles per-partition
+    distinct pairs, not per-position rows. The winning pair is a
+    1-row constant collected to the driver (the bounded-model
+    discipline of the ANN codebooks) instead of a broadcast-exchange
+    crossJoin, and the merge table itself is rebuilt from those n
+    collected rows — the old output union re-aggregated every
+    round's pair counts a second time. ``bpe_train`` also skips the
+    final resegmentation pass entirely (only ``bpe_encode`` needs
+    the post-round-n token state)."""
+    rows, _ = _bpe_fit(docs, n_merges, final_state=False)
+    return docs.sparkSession.createDataFrame(
+        rows, "merge_round int, left string, right string, n_pairs long")
 
 
-def _bpe_fit(docs: DataFrame, n_merges: int):
-    """Shared BPE iteration: returns (final token state, per-round
-    best-merge DataFrames). :func:`bpe_train` reports the merge
-    table; :func:`bpe_encode` aggregates the final segmentation."""
+def _bpe_fit(docs: DataFrame, n_merges: int, final_state: bool = True):
+    """Shared BPE iteration: returns (per-round best-merge rows, final
+    token state). :func:`bpe_train` reports the merge table (and skips
+    the last resegmentation with ``final_state=False``);
+    :func:`bpe_encode` aggregates the final segmentation."""
     import numpy as np
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
     cur = docs.select(
         "doc_id", F.expr(SPARK_TOKS).alias("toks")
     ).localCheckpoint()
     out_schema = cur.schema
+    fused_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in out_schema.fields]
+        + [StructField("_cl", StringType(), True),
+           StructField("_cr", StringType(), True),
+           StructField("_cn", LongType(), True)]
+    )
 
-    def resegment(frames):
-        for pdf in frames:
-            if pdf.empty:
-                yield pdf[["doc_id", "toks"]]
-                continue
-            bl, br = pdf["_bl"].iloc[0], pdf["_br"].iloc[0]
-            merged_col = []
-            for toks in pdf["toks"]:
-                t = np.asarray(toks, dtype=object)
-                if t.size < 2:
-                    merged_col.append(toks)
-                    continue
-                idx = np.flatnonzero((t[:-1] == bl) & (t[1:] == br))
-                if idx.size == 0:
-                    merged_col.append(toks)
-                    continue
-                take, prev_end = [], -1
-                for i in idx:  # greedy left-to-right, matches only
-                    if i <= prev_end:
-                        continue
-                    take.append(i)
-                    prev_end = i + 1
-                take = np.asarray(take, dtype=np.int64)
-                t[take] = [t[i] + " " + t[i + 1] for i in take]
-                keep = np.ones(t.size, dtype=bool)
-                keep[take + 1] = False
-                merged_col.append(list(t[keep]))
-            res = pdf[["doc_id"]].copy()
-            res["toks"] = merged_col
-            yield res
+    def resegment(bl, br, emit_counts):
+        """One merge pass: greedy left-to-right non-overlapping merge
+        of the collected best pair (a plain closure constant — no join
+        attaches it), optionally emitting the partition's partial
+        adjacent-pair counts for the NEXT round as tagged rows
+        (doc_id NULL) in the same output."""
 
-    bests = []
+        def fn(frames):
+            import pandas as pd
+
+            left_parts, right_parts = [], []
+            for pdf in frames:
+                if pdf.empty:
+                    continue
+                merged_col = []
+                for toks in pdf["toks"]:
+                    t = np.asarray(toks, dtype=object)
+                    if t.size >= 2:
+                        idx = np.flatnonzero((t[:-1] == bl) & (t[1:] == br))
+                    else:
+                        idx = ()
+                    if len(idx) == 0:
+                        merged = toks
+                    else:
+                        take, prev_end = [], -1
+                        for i in idx:  # greedy left-to-right, matches only
+                            if i <= prev_end:
+                                continue
+                            take.append(i)
+                            prev_end = i + 1
+                        take = np.asarray(take, dtype=np.int64)
+                        t[take] = [t[i] + " " + t[i + 1] for i in take]
+                        keep = np.ones(t.size, dtype=bool)
+                        keep[take + 1] = False
+                        merged = list(t[keep])
+                    merged_col.append(merged)
+                    if emit_counts and len(merged) >= 2:
+                        m = (merged if isinstance(merged, np.ndarray)
+                             else np.asarray(merged, dtype=object))
+                        left_parts.append(m[:-1])
+                        right_parts.append(m[1:])
+                res = pdf[["doc_id"]].copy()
+                res["toks"] = merged_col
+                if emit_counts:
+                    res["_cl"] = None
+                    res["_cr"] = None
+                    res["_cn"] = None
+                yield res
+            if emit_counts and left_parts:
+                pc = (
+                    pd.DataFrame({
+                        "_cl": np.concatenate(left_parts),
+                        "_cr": np.concatenate(right_parts),
+                    })
+                    .groupby(["_cl", "_cr"], sort=False)
+                    .size()
+                    .reset_index(name="_cn")
+                )
+                pc.insert(0, "doc_id", None)
+                pc.insert(1, "toks", None)
+                yield pc
+
+        return fn
+
+    best_rows: list[tuple] = []
+    counts = None  # None -> derive round-1 counts from the token state
+    exhausted = False
     for rnd in range(1, n_merges + 1):
-        best = (
-            cur.filter(F.expr("size(toks) >= 2"))
-            .select(
-                "toks",
-                F.explode(F.expr("sequence(0, size(toks) - 2)")).alias("i"),
+        if exhausted:
+            continue
+        if counts is None:
+            cdf = (
+                cur.filter(F.expr("size(toks) >= 2"))
+                .select(
+                    "toks",
+                    F.explode(
+                        F.expr("sequence(0, size(toks) - 2)")).alias("i"),
+                )
+                .select(
+                    F.expr("toks[i]").alias("_cl"),
+                    F.expr("toks[i+1]").alias("_cr"),
+                )
+                .groupBy("_cl", "_cr")
+                .agg(F.count("*").alias("_cn"))
             )
-            .select(
-                F.expr("toks[i]").alias("_bl"),
-                F.expr("toks[i+1]").alias("_br"),
-            )
-            .groupBy("_bl", "_br")
-            .agg(F.count("*").alias("_bn"))
-            .orderBy(F.desc("_bn"), F.asc("_bl"), F.asc("_br"))
-            .limit(1)
+        else:
+            cdf = counts.groupBy("_cl", "_cr").agg(
+                F.sum("_cn").alias("_cn"))
+        top = (
+            cdf.orderBy(F.desc("_cn"), F.asc("_cl"), F.asc("_cr"))
+            .limit(1).collect()
         )
-        bests.append(best.select(
-            F.lit(rnd).alias("merge_round"),
-            F.col("_bl").alias("left"),
-            F.col("_br").alias("right"),
-            F.col("_bn").alias("n_pairs"),
-        ))
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .mapInPandas(resegment, out_schema)
-            .localCheckpoint()
-        )
-    return cur, bests
+        if not top:
+            # no adjacent pair left anywhere: the legacy crossJoin
+            # against an empty best emptied the token state — keep
+            # that contract (later rounds emit nothing)
+            exhausted = True
+            cur = spark.createDataFrame([], out_schema)
+            continue
+        bl, br, bn = top[0]["_cl"], top[0]["_cr"], top[0]["_cn"]
+        best_rows.append((rnd, bl, br, int(bn)))
+        last = rnd == n_merges
+        if last and not final_state:
+            break
+        # lazy checkpoint: the NEXT round's 1-row count collect is the
+        # first action and materializes the pass as a side effect —
+        # an eager checkpoint here would spend a whole extra job per
+        # round just to store the same rows
+        nxt = cur.mapInPandas(
+            resegment(bl, br, emit_counts=not last),
+            out_schema if last else fused_schema,
+        ).localCheckpoint(eager=False)
+        if last:
+            cur = nxt
+        else:
+            cur = nxt.filter(F.col("doc_id").isNotNull()).select(
+                "doc_id", "toks")
+            counts = nxt.filter(F.col("doc_id").isNull()).select(
+                "_cl", "_cr", "_cn")
+    return best_rows, cur
 
 
 def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
@@ -953,7 +1033,7 @@ def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
 
     Registered and certified as driver entry ``vocab_bpe_encode``
     (r12, hash-green against the DuckDB replay oracle)."""
-    cur, _ = _bpe_fit(docs, n_merges)
+    _, cur = _bpe_fit(docs, n_merges)
     raw = docs.select(
         "doc_id", F.expr(f"size({SPARK_TOKS})").alias("n_raw")
     ).filter("n_raw >= 1")
