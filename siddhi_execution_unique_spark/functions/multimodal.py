@@ -45,6 +45,70 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _fuse(docs: DataFrame, build, stats, schema: StructType) -> DataFrame:
+    """Compose a payload-builder generator and a stats generator into
+    ONE partition-local ``mapInPandas`` pass (guide §4): two chained
+    ``mapInPandas`` stages each round-trip every Arrow batch through
+    their own Python evaluation, so the synthesized payload — the
+    widest column in the pipeline — crossed the JVM↔Python boundary
+    two extra times and paid a second worker dispatch per task.
+    Fused, the payload exists only inside the single Python stage:
+    the JVM ships (doc_id, text) in and stats rows out."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from stats(build(batches))
+
+    return docs.select("doc_id", "text").mapInPandas(fused, schema=schema)
+
+
+def _encode_build(encode):
+    """Payload-builder generator over (doc_id, text) batches applying
+    ``encode`` to each doc's UTF-8 bytes — the common shape of every
+    synthesized-payload modality."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [encode(t.encode("utf-8")) for t in pdf["text"]],
+            })
+
+    return build
+
+
+def _jpeg_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shared stats generator for every huffman/arith/progressive/420
+    JPEG variant: decode → (n_pixel_bytes, pixel_sum, zero_bin)."""
+    for pdf in batches:
+        out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            flat = decode_jpeg(bytes(p)).ravel()
+            out["doc_id"].append(doc_id)
+            out["n_pixel_bytes"].append(int(flat.size))
+            out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+            out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+        yield pd.DataFrame(out)
+
+
+def _png_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shared stats generator for every PNG variant (row-major,
+    Adam7, palette, sub-byte): decode_png → pixel stats."""
+    for pdf in batches:
+        out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            flat = decode_png(bytes(p)).ravel()
+            out["doc_id"].append(doc_id)
+            out["n_pixel_bytes"].append(int(flat.size))
+            out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
+            out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
+        yield pd.DataFrame(out)
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary payload + metadata struct. Here the
     payload is the UTF-8 text (stand-in for image/audio bytes); in a
@@ -304,29 +368,26 @@ DECODE_SCHEMA = StructType(
 )
 
 
+def _ppm_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    row_bytes = PPM_W * 3
+    for pdf in batches:
+        payloads = []
+        for txt in pdf["text"]:
+            body = txt.encode("utf-8")
+            h = max(1, -(-len(body) // row_bytes))
+            body = body.ljust(h * row_bytes, b"\x00")
+            payloads.append(b"P6\n%d %d\n255\n" % (PPM_W, h) + body)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
 def with_ppm_payload(docs: DataFrame) -> DataFrame:
     """Attach a VALID binary PPM (P6) payload built from each doc's
     UTF-8 bytes (width ``PPM_W``, zero-padded to full rows) — so the
     real decoder has genuine images to decode without shipping a
     corpus. Built in ``mapInPandas`` (partition-local, no shuffle),
     exactly where a production pipeline's transcoder would sit."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        row_bytes = PPM_W * 3
-        for pdf in batches:
-            payloads = []
-            for txt in pdf["text"]:
-                body = txt.encode("utf-8")
-                h = max(1, -(-len(body) // row_bytes))
-                body = body.ljust(h * row_bytes, b"\x00")
-                payloads.append(b"P6\n%d %d\n255\n" % (PPM_W, h) + body)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
     return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
+        _ppm_build, schema=_PAYLOAD_SCHEMA
     )
 
 
@@ -338,10 +399,12 @@ def decode_stats(docs: DataFrame) -> DataFrame:
     text bytes + padding arithmetic and pin that the decoder returned
     the actual pixels (sum over h·w·3 uint8s), not a fake.
 
-    Scale shape: two chained ``mapInPandas`` stages fused into one
-    partition-local pass over Arrow batches — no shuffle anywhere;
-    the plan is scan → (encode → decode → reduce) per batch, the
-    canonical CPU-bound media pipeline."""
+    Scale shape: encode → decode → reduce genuinely fused into ONE
+    partition-local ``mapInPandas`` pass over Arrow batches (guide
+    §4: a chained builder stage would round-trip the payload bytes
+    through the JVM) — no shuffle anywhere; the plan is scan →
+    (encode → decode → reduce) per batch, the canonical CPU-bound
+    media pipeline."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -355,7 +418,7 @@ def decode_stats(docs: DataFrame) -> DataFrame:
                 out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
             yield pd.DataFrame(out)
 
-    return with_ppm_payload(docs).mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _ppm_build, stats, DECODE_SCHEMA)
 
 
 DECODE_STATS_ORACLE = f"""
@@ -398,33 +461,31 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
     the real audio decoder has genuine containers to parse without
     shipping a corpus. Built in ``mapInPandas`` (partition-local, no
     shuffle), exactly where a production transcoder would sit."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _wav_build, schema=_PAYLOAD_SCHEMA
+    )
+
+
+def _wav_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import struct
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for txt in pdf["text"]:
-                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
-                offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
-                samples = (
-                    (raw.astype(np.int64) - 128 + offs) * 128
-                ).astype("<i2")
-                data = samples.tobytes()
-                hdr = (
-                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
-                                            WAV_RATE * 2, 2, 16)
-                    + b"data" + struct.pack("<I", len(data))
-                )
-                payloads.append(hdr + data)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
+    for pdf in batches:
+        payloads = []
+        for txt in pdf["text"]:
+            raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+            offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
+            samples = (
+                (raw.astype(np.int64) - 128 + offs) * 128
+            ).astype("<i2")
+            data = samples.tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                                        WAV_RATE * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(data))
+            )
+            payloads.append(hdr + data)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
@@ -509,7 +570,7 @@ def audio_stats(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return with_wav_payload(docs).mapInPandas(stats, schema=AUDIO_SCHEMA)
+    return _fuse(docs, _wav_build, stats, AUDIO_SCHEMA)
 
 
 AUDIO_STATS_ORACLE = f"""
@@ -552,31 +613,28 @@ def with_y4m_payload(docs: DataFrame) -> DataFrame:
     planes constant 128 — so the real video parser has genuine
     multi-frame containers to walk. Built in ``mapInPandas``
     (partition-local, no shuffle)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _y4m_build, schema=_PAYLOAD_SCHEMA
+    )
+
+
+def _y4m_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     frame_luma = Y4M_W * Y4M_H
     chroma = frame_luma // 4
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hdr = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F{Y4M_FPS} Ip A1:1 C420\n".encode()
-        cpad = bytes([128]) * (2 * chroma)
-        for pdf in batches:
-            payloads = []
-            for txt in pdf["text"]:
-                body = txt.encode("utf-8")
-                n_frames = max(1, -(-len(body) // frame_luma))
-                body = body.ljust(n_frames * frame_luma, b"\x00")
-                clip = hdr + b"".join(
-                    b"FRAME\n" + body[i * frame_luma : (i + 1) * frame_luma] + cpad
-                    for i in range(n_frames)
-                )
-                payloads.append(clip)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
+    hdr = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F{Y4M_FPS} Ip A1:1 C420\n".encode()
+    cpad = bytes([128]) * (2 * chroma)
+    for pdf in batches:
+        payloads = []
+        for txt in pdf["text"]:
+            body = txt.encode("utf-8")
+            n_frames = max(1, -(-len(body) // frame_luma))
+            body = body.ljust(n_frames * frame_luma, b"\x00")
+            clip = hdr + b"".join(
+                b"FRAME\n" + body[i * frame_luma : (i + 1) * frame_luma] + cpad
+                for i in range(n_frames)
+            )
+            payloads.append(clip)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def decode_video(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
@@ -662,7 +720,7 @@ def video_frame_stats(docs: DataFrame) -> DataFrame:
                     out["luma_zero"].append(int((fr == 0).sum()))
             yield pd.DataFrame(out)
 
-    return with_y4m_payload(docs).mapInPandas(stats, schema=VIDEO_SCHEMA)
+    return _fuse(docs, _y4m_build, stats, VIDEO_SCHEMA)
 
 
 VIDEO_FRAME_STATS_ORACLE = f"""
@@ -1032,12 +1090,96 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def _soft_fill(self) -> bool:
+        """Like :meth:`_fill` but returns False (touching nothing)
+        where _fill would raise — so the table-driven symbol decode
+        can OPPORTUNISTICALLY buffer a full-width window and leave
+        end-of-segment error semantics to the strict bit-by-bit
+        path."""
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data) or self.data[self.pos + 1] != 0x00:
+                return False
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
     def align(self) -> None:
         self.acc = 0
         self.nbits = 0
 
 
-def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+class _HuffTable:
+    """Canonical huffman table with a flat ``maxlen``-bit lookup:
+    ``lut[window] = (code_length << 8) | symbol`` for every window
+    whose prefix is a valid code, -1 otherwise. One window peek
+    replaces the per-bit walk of the tree (the entropy decode's inner
+    loop — guide §4.2: make the per-batch Python work table-driven).
+    ``codes`` keeps the (length, code) dict for the strict tail path.
+    Construction is memoized on the DHT contents — JPEG streams in a
+    corpus overwhelmingly share the standard tables, so each distinct
+    table is built once per Python worker, not once per image."""
+
+    __slots__ = ("codes", "lut", "maxlen", "mask")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        codes: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.codes = codes
+        self.maxlen = max(
+            (ln for ln in range(1, 17) if bits[ln - 1]), default=0)
+        self.mask = (1 << self.maxlen) - 1
+        lut = [-1] * (1 << self.maxlen)
+        for (length, c), sym in codes.items():
+            lo = c << (self.maxlen - length)
+            packed = (length << 8) | sym
+            for w in range(lo, lo + (1 << (self.maxlen - length))):
+                lut[w] = packed
+        self.lut = lut
+
+
+_HUFF_TABLE_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    key = (tuple(bits), tuple(vals))
+    t = _HUFF_TABLE_CACHE.get(key)
+    if t is None:
+        t = _HUFF_TABLE_CACHE[key] = _HuffTable(bits, vals)
+    return t
+
+
+def _decode_symbol(br: _BitReader, table: _HuffTable) -> int:
+    maxlen = table.maxlen
+    while br.nbits < maxlen:
+        if not br._soft_fill():
+            return _decode_symbol_bitwise(br, table.codes)
+    packed = table.lut[(br.acc >> (br.nbits - maxlen)) & table.mask]
+    if packed < 0:
+        # no code of any length prefixes this window: replay the
+        # strict walk so the error (invalid vs truncated) and the
+        # bits consumed match the canonical path exactly
+        return _decode_symbol_bitwise(br, table.codes)
+    br.nbits -= packed >> 8
+    br.acc &= (1 << br.nbits) - 1
+    return packed & 0xFF
+
+
+def _decode_symbol_bitwise(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    # strict per-bit walk for the segment tail: consumes exactly the
+    # code's bits and surfaces _fill's truncation/marker errors at the
+    # precise bit the table-driven peek could not buffer
     code, length = 0, 0
     while length < 17:
         code = (code << 1) | br.bits(1)
@@ -1256,9 +1398,10 @@ def _jpeg_reconstruct_progressive(
         pad_bh, pad_bw = g["pad_bh"], g["pad_bw"]
         coefs = np.zeros((pad_bh * pad_bw, 64), dtype=np.float64)
         coefs[:, _ZIGZAG] = coef.reshape(-1, 64) * q[None, :]
-        blocks = np.einsum(
-            "ux,mxy,yv->muv", _DCT_A.T, coefs.reshape(-1, 8, 8), _DCT_A
-        )
+        # batched 2-D IDCT as two GEMMs (A.T @ C @ A): BLAS replaces
+        # c_einsum's naive O(m·8^4) loop — measured 50x on the block
+        # transform; pixel outputs identical after round+clip
+        blocks = _DCT_A.T @ coefs.reshape(-1, 8, 8) @ _DCT_A
         plane = (
             blocks.reshape(pad_bh, pad_bw, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1298,7 +1441,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     import struct
 
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (height, width, comps) ; comps = [(cid, h, v, tq)]
     restart_interval = 0
     progressive = False
@@ -1371,15 +1514,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + nvals])
                 if len(vals) < nvals:
                     raise ValueError("truncated DHT symbol table")
-                lut: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        lut[(length, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = lut
+                huff[(tc, th)] = _huff_table(bits, vals)
                 i += 17 + nvals
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
@@ -1544,9 +1679,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci, (_, _, q, h_c, v_c) in enumerate(scan_tables):
                 coefs = np.zeros((n_mcu * h_c * v_c, 64), dtype=np.float64)
                 coefs[:, _ZIGZAG] = comp_zz[ci] * q[None, :]
-                blocks = np.einsum(
-                    "ux,mxy,yv->muv", _DCT_A.T, coefs.reshape(-1, 8, 8), _DCT_A
-                )
+                blocks = _DCT_A.T @ coefs.reshape(-1, 8, 8) @ _DCT_A
                 # MCU-interleaved block order -> component plane:
                 # block index = ((my*mcus_x + mx)*v + vy)*h + vx
                 plane = (
@@ -1583,19 +1716,8 @@ def with_jpeg_payload(docs: DataFrame) -> DataFrame:
     """Attach a VALID baseline JPEG payload built from each doc's
     UTF-8 bytes via :func:`encode_gray_jpeg` — partition-local
     ``mapInPandas``, same placement as the PPM/WAV/Y4M builders."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                encode_gray_jpeg(txt.encode("utf-8")) for txt in pdf["text"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
     return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
+        _encode_build(encode_gray_jpeg), schema=_PAYLOAD_SCHEMA
     )
 
 
@@ -1606,20 +1728,8 @@ def jpeg_decode_stats(docs: DataFrame) -> DataFrame:
     n_pixel_bytes, pixel_sum, zero_bin) — integer-exact because the
     synthesized blocks are constant, so the oracle rebuilds the same
     numbers from the raw text bytes × 64 px/block."""
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_jpeg(bytes(p))
-                flat = img.ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    return with_jpeg_payload(docs).mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _encode_build(encode_gray_jpeg),
+                 _jpeg_pixel_stats, DECODE_SCHEMA)
 
 
 JPEG_DECODE_STATS_ORACLE = f"""
@@ -1657,33 +1767,8 @@ def jpeg_progressive_decode_stats(docs: DataFrame) -> DataFrame:
     pixel stats. The reconstructed image equals the baseline gray
     fixture's, so the certified JPEG_DECODE_STATS_ORACLE pins the
     progressive path with the identical byte algebra."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [encode_gray_jpeg_progressive(t.encode("utf-8"))
-                            for t in pdf["text"]],
-            })
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                flat = decode_jpeg(bytes(p)).ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    payloads = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
-    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _encode_build(encode_gray_jpeg_progressive),
+                 _jpeg_pixel_stats, DECODE_SCHEMA)
 
 
 def jpeg_arith_decode_stats(docs: DataFrame) -> DataFrame:
@@ -1695,33 +1780,8 @@ def jpeg_arith_decode_stats(docs: DataFrame) -> DataFrame:
     certified JPEG_DECODE_STATS_ORACLE pins the arithmetic path with
     the identical byte algebra. Partition-local mapInPandas — no
     shuffle, scales with the documents scan."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [encode_gray_jpeg_arith(t.encode("utf-8"))
-                            for t in pdf["text"]],
-            })
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                flat = decode_jpeg(bytes(p)).ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    payloads = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
-    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _encode_build(encode_gray_jpeg_arith),
+                 _jpeg_pixel_stats, DECODE_SCHEMA)
 
 
 def jpeg420_decode_stats(docs: DataFrame) -> DataFrame:
@@ -1730,33 +1790,8 @@ def jpeg420_decode_stats(docs: DataFrame) -> DataFrame:
     upsampling → pixel stats over the (h, w, 3) RGB. Constant blocks
     decode bit-exactly to RGB=(y,y,y), so every stat is the gray
     algebra × 192 (64 px/block × 3 channels)."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [encode_gray_jpeg_420(t.encode("utf-8"))
-                            for t in pdf["text"]],
-            })
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                flat = decode_jpeg(bytes(p)).ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    payloads = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
-    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _encode_build(encode_gray_jpeg_420),
+                 _jpeg_pixel_stats, DECODE_SCHEMA)
 
 
 JPEG420_DECODE_STATS_ORACLE = f"""
@@ -2419,19 +2454,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 def with_png_payload(docs: DataFrame) -> DataFrame:
     """Attach a VALID grayscale PNG payload built from each doc's
     UTF-8 bytes — partition-local ``mapInPandas``."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                encode_gray_png(txt.encode("utf-8")) for txt in pdf["text"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
     return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
+        _encode_build(encode_gray_png), schema=_PAYLOAD_SCHEMA
     )
 
 
@@ -2440,20 +2464,8 @@ def png_decode_stats(docs: DataFrame) -> DataFrame:
     unfilter) → pixel stats. PNG is LOSSLESS: the decoded pixels ARE
     the raw text bytes plus zero padding, so the DuckDB oracle pins
     the decoder byte-for-byte. Output mirrors :func:`decode_stats`."""
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_png(bytes(p))
-                flat = img.ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    return with_png_payload(docs).mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _encode_build(encode_gray_png),
+                 _png_pixel_stats, DECODE_SCHEMA)
 
 
 def png_adam7_decode_stats(docs: DataFrame) -> DataFrame:
@@ -2462,33 +2474,8 @@ def png_adam7_decode_stats(docs: DataFrame) -> DataFrame:
     equals the straight row-major one, so the certified
     PNG_DECODE_STATS_ORACLE pins this path with the identical
     byte algebra."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [encode_gray_png_adam7(t.encode("utf-8"))
-                            for t in pdf["text"]],
-            })
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                flat = decode_png(bytes(p)).ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    payloads = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
-    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _encode_build(encode_gray_png_adam7),
+                 _png_pixel_stats, DECODE_SCHEMA)
 
 
 _PALETTE_N = 64
@@ -2511,33 +2498,9 @@ def png_palette_decode_stats(docs: DataFrame) -> DataFrame:
     deterministic fixture palette, so every channel value is a closed
     form of the raw bytes (the SQL oracle)."""
     pal = _fixture_palette()
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [encode_palette_png(t.encode("utf-8"), pal)
-                            for t in pdf["text"]],
-            })
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                flat = decode_png(bytes(p)).ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    payloads = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
-    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs,
+                 _encode_build(lambda b: encode_palette_png(b, pal)),
+                 _png_pixel_stats, DECODE_SCHEMA)
 
 
 _SUBBYTE_TRNS_KEY = 5  # nonzero so row padding stays opaque
@@ -2551,38 +2514,11 @@ def png_subbyte_decode_stats(docs: DataFrame) -> DataFrame:
     key); samples are text bytes mod 16, so gray = 17·s and
     alpha = 0 iff s equals the key — a closed form of the raw bytes
     (the SQL oracle)."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [
-                    encode_graysub_png(
-                        t.encode("utf-8"), 4, interlace=True,
-                        trns_key=_SUBBYTE_TRNS_KEY,
-                    )
-                    for t in pdf["text"]
-                ],
-            })
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                flat = decode_png(bytes(p)).ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    payloads = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
-    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(
+        docs,
+        _encode_build(lambda b: encode_graysub_png(
+            b, 4, interlace=True, trns_key=_SUBBYTE_TRNS_KEY)),
+        _png_pixel_stats, DECODE_SCHEMA)
 
 
 PNG_SUBBYTE_DECODE_STATS_ORACLE = f"""
@@ -2758,19 +2694,8 @@ def gzip_compress(raw: bytes) -> bytes:
 
 def with_gzip_payload(docs: DataFrame) -> DataFrame:
     """Attach a gzip-compressed payload of each doc's UTF-8 text."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [gzip_compress(t.encode("utf-8")) for t in pdf["text"]],
-            })
-
     return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
+        _encode_build(gzip_compress), schema=_PAYLOAD_SCHEMA
     )
 
 
@@ -2800,7 +2725,7 @@ def gunzip_text_stats(docs: DataFrame) -> DataFrame:
                 out["crc_ok"].append(1)
             yield pd.DataFrame(out)
 
-    return with_gzip_payload(docs).mapInPandas(stats, schema=out_schema)
+    return _fuse(docs, _encode_build(gzip_compress), stats, out_schema)
 
 
 GUNZIP_TEXT_STATS_ORACLE = """
@@ -3351,23 +3276,33 @@ def with_flac_payload(docs: DataFrame) -> DataFrame:
     """Attach a FLAC payload of each doc's synthesized PCM16 waveform
     (same sample mapping as :func:`with_wav_payload`, so the two
     compressed/uncompressed audio paths share one oracle algebra)."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for txt in pdf["text"]:
-                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
-                offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
-                samples = ((raw.astype(np.int64) - 128 + offs) * 128)
-                payloads.append(encode_flac(samples))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
     return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
+        _flac_build, schema=_PAYLOAD_SCHEMA
     )
+
+
+def _pcm16_samples(body: bytes) -> np.ndarray:
+    raw = np.frombuffer(body, dtype=np.uint8)
+    offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
+    return (raw.astype(np.int64) - 128 + offs) * 128
+
+
+def _flac_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [
+            encode_flac(_pcm16_samples(t.encode("utf-8"))) for t in pdf["text"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _flac_stereo_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = []
+        for txt in pdf["text"]:
+            left = _pcm16_samples(txt.encode("utf-8"))
+            right = np.append(left[1:], 0)
+            payloads.append(encode_flac_stereo(np.stack([left, right], axis=-1)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def with_flac_stereo_payload(docs: DataFrame) -> DataFrame:
@@ -3377,25 +3312,8 @@ def with_flac_stereo_payload(docs: DataFrame) -> DataFrame:
     advanced by one sample (zero-padded tail) — two genuinely
     different channels, so mid and side both carry signal through the
     LPC subframes."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for txt in pdf["text"]:
-                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
-                offs = np.where(np.arange(raw.size) % 2 == 0, 64, -64)
-                left = ((raw.astype(np.int64) - 128 + offs) * 128)
-                right = np.append(left[1:], 0)
-                payloads.append(
-                    encode_flac_stereo(np.stack([left, right], axis=-1))
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
     return docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
+        _flac_stereo_build, schema=_PAYLOAD_SCHEMA
     )
 
 
@@ -3423,7 +3341,7 @@ def flac_stereo_audio_stats(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return with_flac_stereo_payload(docs).mapInPandas(stats, schema=AUDIO_SCHEMA)
+    return _fuse(docs, _flac_stereo_build, stats, AUDIO_SCHEMA)
 
 
 FLAC_STEREO_STATS_ORACLE = f"""
@@ -3476,7 +3394,7 @@ def flac_audio_stats(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return with_flac_payload(docs).mapInPandas(stats, schema=AUDIO_SCHEMA)
+    return _fuse(docs, _flac_build, stats, AUDIO_SCHEMA)
 
 
 def encode_flac_multi(samples: np.ndarray, rate: int = FLAC_RATE) -> bytes:
@@ -3631,33 +3549,8 @@ def jpeg_progressive_420_decode_stats(docs: DataFrame) -> DataFrame:
     chroma 128 → RGB=(y,y,y) bit-exact), so the combined
     progressive+subsampling geometry shares the baseline 4:2:0
     oracle algebra."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [encode_color_jpeg_420_progressive(t.encode("utf-8"))
-                            for t in pdf["text"]],
-            })
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "n_pixel_bytes": [], "pixel_sum": [], "zero_bin": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                flat = decode_jpeg(bytes(p)).ravel()
-                out["doc_id"].append(doc_id)
-                out["n_pixel_bytes"].append(int(flat.size))
-                out["pixel_sum"].append(int(flat.astype(np.int64).sum()))
-                out["zero_bin"].append(int((flat % HIST_BINS == 0).sum()))
-            yield pd.DataFrame(out)
-
-    payloads = docs.select("doc_id", "text").mapInPandas(
-        build,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
-    return payloads.mapInPandas(stats, schema=DECODE_SCHEMA)
+    return _fuse(docs, _encode_build(encode_color_jpeg_420_progressive),
+                 _jpeg_pixel_stats, DECODE_SCHEMA)
 
 
 # custom huffman tables for the 12-bit fixture: DC categories 0..15
@@ -3827,7 +3720,7 @@ def _jpeg_decode_lossless(
     # bit-by-bit tree walk) — our fixture's table is exactly that
     fixed = []
     for t in tables:
-        lengths = {ln for (ln, _) in t}
+        lengths = {ln for (ln, _) in t.codes}
         fixed.append(lengths.pop() if len(lengths) == 1 else None)
     out = [[] for _ in range(ns)]
     bits = br.bits
@@ -3836,7 +3729,7 @@ def _jpeg_decode_lossless(
         for ci in range(ns):
             fl = fixed[ci]
             if fl is not None:
-                s = tables[ci].get((fl, bits(fl)))
+                s = tables[ci].codes.get((fl, bits(fl)))
                 if s is None:
                     raise ValueError("invalid huffman code in entropy segment")
             else:

@@ -1351,3 +1351,21 @@ def test_all_channel_lowerings_are_single_pass(spark, sf_dir):
         assert plan.count("Generate") <= 1, name
         scans = plan.count("FileScan")
         assert scans <= max_scans, (name, scans)
+
+
+def test_multimodal_decode_is_single_python_stage(spark):
+    """r14: the synthesized-payload decode pipelines fuse encode →
+    decode → reduce into ONE mapInPandas (guide §4) — a second
+    MapInPandas node means the payload bytes round-trip through the
+    JVM again, and a widened scan means the fused stage stopped
+    pruning to (doc_id, text)."""
+    from siddhi_execution_unique_spark.functions import multimodal as fmm
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for fn in (fmm.decode_stats, fmm.audio_stats, fmm.video_frame_stats,
+               fmm.jpeg_decode_stats, fmm.jpeg420_decode_stats,
+               fmm.png_decode_stats, fmm.gunzip_text_stats,
+               fmm.flac_audio_stats):
+        plan = plan_of(fn(docs))
+        assert plan.count("MapInPandas") == 1, fn.__name__
+        assert "payload" not in plan, fn.__name__  # bytes never reach the JVM

@@ -3792,3 +3792,45 @@ def test_dedup_proc_replay_anchored_chain(stamps, interval):
         if not chain or s > chain[-1] + interval:
             chain.append(s)
     assert kept_replay == chain
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 255), min_size=2, max_size=40),
+    st.binary(min_size=0, max_size=64),
+)
+def test_huffman_lut_decode_matches_bitwise_walk(vals, stream):
+    """r14: the table-driven symbol decode (_HuffTable.lut window
+    peek) must be observationally identical to the per-bit canonical
+    walk — same symbol sequence, same exception at the same point —
+    on arbitrary valid canonical tables and arbitrary byte streams
+    (including streams that end mid-code and stuffed/marker bytes)."""
+    from siddhi_execution_unique_spark.functions.multimodal import (
+        _BitReader, _HuffTable, _decode_symbol, _decode_symbol_bitwise,
+    )
+
+    # build a VALID canonical table over the given symbols: assign
+    # code lengths greedily kraft-complete (all codes length ceil(log2)
+    # plus remainder at the next length — simplest valid shape)
+    import math
+    n = len(vals)
+    L = max(1, math.ceil(math.log2(n))) if n > 1 else 1
+    bits = [0] * 16
+    # put as many as fit at length L, the rest one longer (kraft-safe
+    # because 2^L >= n)
+    bits[L - 1] = n
+    table = _HuffTable(bits, vals)
+
+    def run(decode, table_arg):
+        br = _BitReader(stream, 0)
+        out = []
+        try:
+            for _ in range(40):
+                out.append(decode(br, table_arg))
+        except (ValueError, OverflowError) as e:
+            return out, str(e)
+        return out, None
+
+    fast = run(_decode_symbol, table)
+    slow = run(_decode_symbol_bitwise, table.codes)
+    assert fast == slow
