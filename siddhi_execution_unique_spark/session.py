@@ -56,6 +56,18 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # Changelog checkpointing: commit the per-batch delta instead
+        # of snapshotting every store's full SST set each micro-batch
+        # (snapshots become periodic background maintenance). The
+        # production-recommended RocksDB mode — checkpoint cost tracks
+        # the batch's CHANGES, not total state size — and measured
+        # ~10% off every streaming certification locally (r14 A/B,
+        # tools/exp_stream_conf2.py).
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         # Keep Python workers alive across JVM-only stretches: the
         # factory reaps idle workers after ~60s and respawns them
         # SERIALLY through the daemon (~0.2s each, 32 workers ≈ 7-25s

@@ -1715,3 +1715,22 @@ def test_streaming_soak_one_million_rows(spark, tmp_path):
     assert dd["total"] == 17 * n_keys
     assert dd["peak_state_rows"] == n_keys  # one 8-byte anchor per key
     assert dd["wall_s"] < 300
+
+
+def test_stream_work_dirs_reaped_lazily():
+    """r14: streaming certifications return LAZY sink reads; the temp
+    work dirs must survive the entry's own return (the result is
+    consumed after) and be reaped by later invocations, bounding the
+    leak to a handful of directories."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    created = [entry_mod._stream_work("sgraft_reap_test_") for _ in range(8)]
+    alive = [d for d in created if os.path.isdir(d)]
+    # the reaper keeps at most 4 prior dirs plus the one just created
+    assert len(alive) <= 5
+    assert created[-1] in alive  # the current invocation's dir survives
+    while entry_mod._STREAM_WORK_DIRS:
+        import shutil
+        shutil.rmtree(entry_mod._STREAM_WORK_DIRS.pop(), ignore_errors=True)
