@@ -50,6 +50,13 @@ def funnel(
     row per user on the build side), and hash-aggs the min qualifying
     timestamp. S steps = S aggregations + S-1 joins, all keyed on
     user_id; nothing materializes more than one row per user per step.
+    Each step's accumulated frame is lazily local-checkpointed (r14):
+    ``acc`` is referenced twice per iteration (the step join and the
+    outer left join), and without truncation Spark re-executes the
+    whole earlier chain per reference — 2^(S-1) copies of step 1's
+    aggregation in the worst case. The stored frame is at most one
+    row per converting user — the same size-bounded trade the join
+    lowerings' ``_materialize`` documents.
     """
     if len(steps) < 2:
         raise ValueError(f"funnel needs >= 2 steps, got {len(steps)}")
@@ -76,7 +83,7 @@ def funnel(
             .groupBy("user_id")
             .agg(F.min("ts_ms").alias(f"t{i}_ms"))
         )
-        acc = acc.join(nxt, "user_id", "left")
+        acc = acc.join(nxt, "user_id", "left").localCheckpoint(eager=False)
     reached = sum(
         F.when(F.col(f"t{i}_ms").isNotNull(), 1).otherwise(0)
         for i in range(2, len(steps) + 1)
@@ -573,21 +580,30 @@ def funnel_latency(
 
     Scale shape: composes :func:`funnel` (S keyed aggs + joins, one
     row per converting user) and adds one tiny hash agg on
-    (step_pair, bucket) — at most S-1 rows per user enter it."""
+    (step_pair, bucket) — at most S-1 rows per user enter it. The
+    step pairs MELT out of the funnel row via one explode (r14, guide
+    §2.4): the previous union-of-filtered-projections shape
+    re-executed the whole funnel chain once per branch — Spark does
+    not reuse exchanges across union branches — which showed as S-1
+    copies of every funnel scan and aggregation in the plan (10
+    parquet scans for 4 steps; now 4, funnel's own one-per-step)."""
     base = funnel(events, steps, step_window_ms)
-    pairs = []
-    for i in range(1, len(steps)):
-        t0, t1 = f"t{i}_ms", f"t{i + 1}_ms"
-        pairs.append(
-            base.filter((F.col(t0) >= 0) & (F.col(t1) >= 0))
-            .select(
-                F.lit(f"{steps[i - 1]}->{steps[i]}").alias("step_pair"),
-                (F.col(t1) - F.col(t0)).alias("lat_ms"),
-            )
+    pair_structs = F.array(*[
+        F.struct(
+            F.lit(f"{steps[i - 1]}->{steps[i]}").alias("step_pair"),
+            F.col(f"t{i}_ms").alias("t0"),
+            F.col(f"t{i + 1}_ms").alias("t1"),
         )
-    lat = pairs[0]
-    for p in pairs[1:]:
-        lat = lat.unionByName(p)
+        for i in range(1, len(steps))
+    ])
+    lat = (
+        base.select(F.explode(pair_structs).alias("p"))
+        .filter((F.col("p.t0") >= 0) & (F.col("p.t1") >= 0))
+        .select(
+            F.col("p.step_pair").alias("step_pair"),
+            (F.col("p.t1") - F.col("p.t0")).alias("lat_ms"),
+        )
+    )
     return (
         lat.select(
             "step_pair", "lat_ms",
