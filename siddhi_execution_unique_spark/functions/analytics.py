@@ -33,6 +33,7 @@ def funnel(
     events: DataFrame,
     steps: tuple[str, ...] = FUNNEL_STEPS,
     step_window_ms: int = DAY_MS,
+    _truncate: bool = True,
 ) -> DataFrame:
     """Ordered funnel: for each user, the earliest completion time of
     each step, where step *i+1* must occur strictly AFTER the user's
@@ -83,7 +84,11 @@ def funnel(
             .groupBy("user_id")
             .agg(F.min("ts_ms").alias(f"t{i}_ms"))
         )
-        acc = acc.join(nxt, "user_id", "left").localCheckpoint(eager=False)
+        acc = acc.join(nxt, "user_id", "left")
+        if _truncate:
+            # chain truncation; ``_truncate=False`` exists so the plan
+            # test can pin the un-truncated chain's shape
+            acc = acc.localCheckpoint(eager=False)
     reached = sum(
         F.when(F.col(f"t{i}_ms").isNotNull(), 1).otherwise(0)
         for i in range(2, len(steps) + 1)

@@ -615,13 +615,20 @@ def test_source_overlap_join_is_shingle_keyed(spark):
 def test_funnel_is_keyed_joins_no_window(spark):
     from siddhi_execution_unique_spark.functions import analytics as fana
     events = load_table(spark, SF_DIR, "events")
-    plan = plan_of(fana.funnel(events))
+    # the shipped form truncates the step chain per iteration (acc is
+    # referenced twice per step; without truncation the earlier chain
+    # re-executes per reference) — pin the chain's SHAPE un-truncated
+    plan = plan_of(fana.funnel(events, _truncate=False))
     # S steps = hash aggs + user-keyed equi-joins; no window sort, no
     # nested-loop fallback
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan  # map-side combine on each step agg
+    # and pin that the shipped form DOES truncate (r14): the final
+    # select reads the checkpointed chain, not a re-executed cascade
+    shipped = plan_of(fana.funnel(events))
+    assert "ExistingRDD" in shipped
 
 
 def test_retention_cohorts_two_keyed_shuffles(spark):
