@@ -1254,7 +1254,7 @@ def q_streaming_python_source_partitioned_parity(spark, sf_dir):
     )
 
     register_eventlog(spark)
-    work = tempfile.mkdtemp(prefix="sgraft_pysrcp_")
+    work = _stream_work(prefix="sgraft_pysrcp_")
     path = os.path.join(work, "in")
     flat = _events(spark, sf_dir).select(
         "event_id", F.unix_millis("ts").alias("ts_ms"),
@@ -1279,10 +1279,9 @@ def q_streaming_python_source_partitioned_parity(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    res = spark.read.parquet(outdir).select(*_EVENT_COLS).localCheckpoint(
-        eager=True
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    # lazy sink read-back (r14): _stream_work reaps the dir later, so
+    # no eager second copy of the result is needed
+    res = spark.read.parquet(outdir).select(*_EVENT_COLS)
     return res
 
 

@@ -29,10 +29,10 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     EqualTo,
     GreaterThan,
     InputPartition,
@@ -46,6 +46,32 @@ EVENTLOG_SCHEMA = (
     "event_type string, value double, props string"
 )
 _FIELDS = ("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+
+
+def _parse_file(path: str) -> list:
+    """Parse one evtlog file in a SINGLE C-level ``json.loads`` call:
+    the format is one JSON array per line, and JSON string values can
+    never contain a RAW newline (always escaped ``\\n``), so joining
+    the lines with commas inside one synthetic outer array is exact.
+    The old per-line ``json.loads`` loop re-entered the parser once
+    per row and dominated every evtlog read (guide §4.2: hand whole
+    batches to native code — the r14 Arrow-return reader measured
+    FLAT against the tuple path precisely because per-line parsing
+    swamped both)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    body = data.strip()
+    if not body:
+        return []
+    return json.loads(b"[" + body.replace(b"\n", b",") + b"]")
+
+
+def _dump_lines(fh, rows) -> None:
+    """Serialize rows (iterables in ``_FIELDS`` order) to JSON-array
+    lines — byte-identical to the old per-row ``json.dumps`` loop."""
+    out = "\n".join(map(json.dumps, rows))
+    if out:
+        fh.write(out + "\n")
 
 
 class _FilePartition(InputPartition):
@@ -68,15 +94,18 @@ class _EventLogReader(DataSourceReader):
 
     def read(self, partition):
         preds = self._preds
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                row = json.loads(line)
-                # SQL comparison semantics: NULL never matches
-                if all(
-                    row[i] is not None and op(row[i], v)
-                    for (i, op, v) in preds
-                ):
-                    yield tuple(row)
+        rows = _parse_file(partition.path)
+        if not preds:
+            return map(tuple, rows)
+        return (
+            tuple(row)
+            for row in rows
+            # SQL comparison semantics: NULL never matches
+            if all(
+                row[i] is not None and op(row[i], v)
+                for (i, op, v) in preds
+            )
+        )
 
 
 class _EventLogPushdownReader(_EventLogReader):
@@ -138,15 +167,15 @@ class _EventLogArrowReader(_EventLogReader):
                 pa.string(), pa.float64(), pa.string(),
             ]
         preds = self._preds
-        rows = []
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                r = json.loads(line)
+        rows = _parse_file(partition.path)
+        if preds:
+            rows = [
+                r for r in rows
                 if all(
                     r[i] is not None and op(r[i], v)
                     for (i, op, v) in preds
-                ):
-                    rows.append(r)
+                )
+            ]
         cols = list(zip(*rows)) if rows else [[] for _ in _FIELDS]
         yield pa.record_batch(
             [pa.array(list(c), t)
@@ -163,7 +192,7 @@ class _EventLogArrowPushdownReader(_EventLogArrowReader):
     pushFilters = _EventLogPushdownReader.pushFilters
 
 
-class _EventLogWriter(DataSourceWriter):
+class _EventLogWriter(DataSourceArrowWriter):
     """Batch evtlog sink with a staged, job-level atomic publish
     (ADVICE r09): each task writes to ``_staging/<uuid>.tmp`` and the
     final names carry that uuid, so (a) ``mode("append")`` can never
@@ -171,7 +200,15 @@ class _EventLogWriter(DataSourceWriter):
     (b) a failed job or abandoned speculative/retried task leaves
     only staging garbage invisible to readers (``*.evt`` filter),
     and (c) overwrite deletes the old generation only at COMMIT time,
-    after the new data is fully staged."""
+    after the new data is fully staged.
+
+    r14 (guide §4): ``DataSourceArrowWriter`` — the task receives
+    Arrow ``RecordBatch``es instead of pickled Rows, so the
+    JVM→Python hop is columnar and the per-row cost is one
+    ``json.dumps`` (C) per line instead of six ``Row.__getitem__``
+    calls plus row unpickling. ``to_pylist`` yields the same Python
+    values (int/float/str/None) the Row path produced, so the file
+    bytes are identical."""
 
     def __init__(self, options, overwrite: bool):
         self._dir = options.get("path")
@@ -179,7 +216,7 @@ class _EventLogWriter(DataSourceWriter):
         if not self._dir:
             raise ValueError("evtlog write requires option 'path'")
 
-    def write(self, rows) -> "_EvtCommit":
+    def write(self, batches) -> "_EvtCommit":
         import uuid
 
         from pyspark import TaskContext
@@ -190,8 +227,9 @@ class _EventLogWriter(DataSourceWriter):
         token = f"{pid:05d}-{uuid.uuid4().hex}"
         path = os.path.join(staging, f"{token}.tmp")
         with open(path, "w", encoding="utf-8") as fh:
-            for r in rows:
-                fh.write(json.dumps([r[f] for f in _FIELDS]) + "\n")
+            for batch in batches:
+                _dump_lines(
+                    fh, zip(*(c.to_pylist() for c in batch.columns)))
         return _EvtCommit(path)
 
     def commit(self, messages) -> None:
@@ -245,11 +283,22 @@ class _EventLogPartitionedStreamReader(DataSourceStreamReader):
         return [_FilePartition(os.path.join(self._dir, f)) for f in files]
 
     def read(self, partition):
-        # executor-side: a generator is fine here (consumed in the
-        # worker, never pickled — unlike the simple reader's batches)
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                yield tuple(json.loads(line))
+        # executor-side, Arrow return path (r14, guide §4): one
+        # RecordBatch per file — the whole file parses in a single
+        # json.loads and crosses to the JVM columnar, instead of one
+        # tuple pickle per row (same Spark-4 contract as the batch
+        # reader's arrow variant; never pickled, unlike the simple
+        # reader's driver-prefetched batches)
+        import pyarrow as pa
+
+        rows = _parse_file(partition.path)
+        cols = list(zip(*rows)) if rows else [[] for _ in _FIELDS]
+        types = (pa.int64(), pa.int64(), pa.int64(),
+                 pa.string(), pa.float64(), pa.string())
+        yield pa.record_batch(
+            [pa.array(list(c), t) for c, t in zip(cols, types)],
+            names=list(_FIELDS),
+        )
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to clean up
@@ -261,7 +310,7 @@ class _EvtCommit(WriterCommitMessage):
         self.pid = pid
 
 
-class _EventLogStreamWriter(DataSourceStreamWriter):
+class _EventLogStreamWriter(DataSourceStreamArrowWriter):
     """Streaming evtlog sink with per-micro-batch atomic publish:
     ``write`` stages each task's rows to a temp file and returns its
     path AND task partition id in the commit message; ``commit``
@@ -280,6 +329,10 @@ class _EventLogStreamWriter(DataSourceStreamWriter):
             raise ValueError("evtlog write requires option 'path'")
 
     def write(self, iterator) -> _EvtCommit:
+        # DataSourceStreamArrowWriter (r14, guide §4): per-micro-batch
+        # rows arrive as Arrow RecordBatches, not pickled Rows — same
+        # columnar hop + byte-identical serialization as the batch
+        # Arrow writer
         import uuid
 
         from pyspark import TaskContext
@@ -288,8 +341,9 @@ class _EventLogStreamWriter(DataSourceStreamWriter):
         os.makedirs(staging, exist_ok=True)
         path = os.path.join(staging, f"{uuid.uuid4().hex}.tmp")
         with open(path, "w", encoding="utf-8") as fh:
-            for r in iterator:
-                fh.write(json.dumps([r[f] for f in _FIELDS]) + "\n")
+            for batch in iterator:
+                _dump_lines(
+                    fh, zip(*(c.to_pylist() for c in batch.columns)))
         return _EvtCommit(path, TaskContext.get().partitionId())
 
     def commit(self, messages, batchId: int) -> None:
@@ -346,8 +400,7 @@ class _EventLogSimpleStreamReader(SimpleDataSourceStreamReader):
         # partition-planned DataSourceStreamReader as the scale path
         out = []
         for f in files:
-            with open(os.path.join(self._dir, f), encoding="utf-8") as fh:
-                out.extend(tuple(json.loads(line)) for line in fh)
+            out.extend(map(tuple, _parse_file(os.path.join(self._dir, f))))
         return iter(out)
 
     def read(self, start: dict):
