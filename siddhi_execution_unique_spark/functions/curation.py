@@ -883,9 +883,13 @@ def _bpe_fit(docs: DataFrame, n_merges: int, final_state: bool = True):
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = docs.sparkSession
+    # n_raw (the pre-merge token count) rides along from round 0 — one
+    # int64 per row — so bpe_encode's compression ratio needs neither a
+    # second full-corpus re-tokenize (SPARK_TOKS is a regexp pass) nor
+    # a doc_id shuffle join at the end (guide §2.4)
     cur = docs.select(
         "doc_id", F.expr(SPARK_TOKS).alias("toks")
-    ).localCheckpoint()
+    ).withColumn("n_raw", F.expr("size(toks)")).localCheckpoint()
     out_schema = cur.schema
     fused_schema = StructType(
         [StructField(f.name, f.dataType, True) for f in out_schema.fields]
@@ -937,6 +941,7 @@ def _bpe_fit(docs: DataFrame, n_merges: int, final_state: bool = True):
                         right_parts.append(m[1:])
                 res = pdf[["doc_id"]].copy()
                 res["toks"] = merged_col
+                res["n_raw"] = pdf["n_raw"]
                 if emit_counts:
                     res["_cl"] = None
                     res["_cr"] = None
@@ -954,6 +959,7 @@ def _bpe_fit(docs: DataFrame, n_merges: int, final_state: bool = True):
                 )
                 pc.insert(0, "doc_id", None)
                 pc.insert(1, "toks", None)
+                pc.insert(2, "n_raw", None)
                 yield pc
 
         return fn
@@ -1010,7 +1016,7 @@ def _bpe_fit(docs: DataFrame, n_merges: int, final_state: bool = True):
             cur = nxt
         else:
             cur = nxt.filter(F.col("doc_id").isNotNull()).select(
-                "doc_id", "toks")
+                "doc_id", "toks", "n_raw")
             counts = nxt.filter(F.col("doc_id").isNull()).select(
                 "_cl", "_cr", "_cn")
     return best_rows, cur
@@ -1034,11 +1040,11 @@ def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     Registered and certified as driver entry ``vocab_bpe_encode``
     (r12, hash-green against the DuckDB replay oracle)."""
     _, cur = _bpe_fit(docs, n_merges)
-    raw = docs.select(
-        "doc_id", F.expr(f"size({SPARK_TOKS})").alias("n_raw")
-    ).filter("n_raw >= 1")
+    # n_raw was carried through the merge rounds (one int64 per row):
+    # the old shape re-tokenized the whole corpus and shuffle-joined it
+    # back on doc_id just to divide by the raw token count
     return (
-        cur.join(raw, "doc_id")
+        cur.filter("n_raw >= 1")
         .select(
             "doc_id",
             F.expr("size(toks)").alias("n_tokens"),
