@@ -598,29 +598,36 @@ def bloom_prefilter_join(
         )
         .distinct()
     )
-    probe = lineitem.select(
-        "l_orderkey",
-        *[
-            F.expr(_bloom_hash_spark("l_orderkey", i, m)).alias(f"h{i}")
-            for i in range(k)
-        ],
-    )
-    passed = probe
+    # hash i+1 is PROJECTED AFTER semi-join i (not all k up front), so
+    # rows the filter kills at hash i never pay the md5 for the later
+    # hashes — the point of a short-circuiting prefilter chain
+    passed = lineitem.select("l_orderkey")
     for i in range(k):
-        passed = passed.join(
+        passed = passed.withColumn(
+            f"h{i}", F.expr(_bloom_hash_spark("l_orderkey", i, m))
+        ).join(
             F.broadcast(bits.select(F.col("bit").alias(f"h{i}"))),
             f"h{i}",
             "left_semi",
         )
-    n_probe = lineitem.agg(F.count("*").alias("n_probe"))
     n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
-    n_true = (
-        lineitem.join(F.broadcast(build),
-                      lineitem["l_orderkey"] == build["o_orderkey"], "left_semi")
-        .agg(F.count("*").alias("n_true_match"))
+    # n_probe and n_true_match share ONE lineitem scan (guide §2.4):
+    # o_orderkey is unique on the build side, so the broadcast left
+    # join preserves probe row count and count(_hit) counts matches
+    probe_true = (
+        lineitem.select("l_orderkey")
+        .join(
+            F.broadcast(build.withColumn("_hit", F.lit(1))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_probe"),
+            F.count("_hit").alias("n_true_match"),
+        )
     )
     return (
-        n_probe.crossJoin(n_pass).crossJoin(n_true)
+        probe_true.crossJoin(n_pass)
         .select(
             "n_probe", "n_bloom_pass", "n_true_match",
             (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
