@@ -922,6 +922,39 @@ def _stamp_arrival_order(indir: str, names: list) -> None:
         os.utime(os.path.join(indir, name), (t, t))
 
 
+def _write_sentinel_row(staged: str, dest: str) -> None:
+    """Write a one-row watermark-sentinel parquet next to a staged
+    replay file: row 0 of the staged file with ``event_id`` and
+    ``user_id`` forced to -1 and ``ts`` forced to (max ts + 365 days),
+    same column types. Pure pyarrow — no Spark jobs — and unit-safe
+    for every ts physical type the driver corpora have shipped
+    (TIMESTAMP ns/µs, NTZ): the shift is applied on the int64 view in
+    the column's own unit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(staged)
+    one = tbl.slice(0, 1)
+
+    def _replace(t, name, arr):
+        i = t.schema.get_field_index(name)
+        return t.set_column(i, t.schema.field(name), arr)
+
+    for col in ("event_id", "user_id"):
+        typ = tbl.schema.field(col).type
+        one = _replace(one, col, pa.array([-1]).cast(typ))
+    ts_type = tbl.schema.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    else:  # int64 nanos (legacy TIMESTAMP(NANOS) read as long)
+        mult = 10**9
+    far = pc.max(tbl.column("ts").cast(pa.int64())).as_py()
+    sent_ts = pa.array([far + 365 * 86400 * mult], type=pa.int64()).cast(ts_type)
+    one = _replace(one, "ts", sent_ts)
+    papq.write_table(one, dest)
+
+
 def _stream_events_replay(spark, sf_dir: str, work: str):
     """File-stream replay of the events table for the streaming-twin
     driver certifications: one parquet file -> one micro-batch."""
@@ -1620,34 +1653,23 @@ def q_streaming_sessionize_parity(spark, sf_dir):
     fires every open session's EventTimeTimeout, so the closed-session
     stream (sentinel excluded) must equal the batch sessionize
     row-for-row, session_seq included."""
-    import shutil
-    import tempfile
-
     from siddhi_execution_unique_spark import streaming as stw
     from siddhi_execution_unique_spark.streaming.sources import stream_table
 
     work = _stream_work(prefix="sgraft_sess_stream_")
     indir = os.path.join(work, "in")
     os.makedirs(indir)
-    _stage_replay_file(
+    schema = _stage_replay_file(
         spark, sf_dir, "events", os.path.join(indir, "0_events.parquet"))
-    batch = spark.read.parquet(os.path.join(indir, "0_events.parquet"))
-    schema = batch.schema
-    far = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    sentinel = (
-        batch.limit(1)
-        .withColumn("event_id", F.lit(-1).cast(schema["event_id"].dataType))
-        .withColumn("user_id", F.lit(-1).cast(schema["user_id"].dataType))
-        .withColumn(
-            "ts",
-            (F.lit(far).cast("timestamp") + F.expr("INTERVAL 365 DAYS"))
-            .cast(schema["ts"].dataType),
-        )
-    )
-    sent_dir = os.path.join(work, "sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
-    part = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
-    shutil.copy(os.path.join(sent_dir, part), os.path.join(indir, "1_sentinel.parquet"))
+    # the sentinel is one row with user_id/event_id = -1 and a ts a
+    # year past every event (its exact value is immaterial — the
+    # result filter drops it; it only advances the watermark), so
+    # build it driver-side with pyarrow instead of three Spark jobs
+    # (max-agg collect, one-row write, schema re-read) on the timed
+    # path — the staged file is single-row-group local parquet
+    _write_sentinel_row(
+        os.path.join(indir, "0_events.parquet"),
+        os.path.join(indir, "1_sentinel.parquet"))
     _stamp_arrival_order(indir, ["0_events.parquet", "1_sentinel.parquet"])
     sdf = stream_table(spark, indir, schema)
     out = stw.sessionize_stream(sdf, 2 * HOUR, ts="ts")

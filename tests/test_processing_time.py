@@ -277,3 +277,90 @@ def test_deduplicate_proc_stream_checkpoint_resume(spark, workdir):
     write_batch(workdir / "in", "003.parquet", [(3000, 3, "b", 3.0)])
     run_once(lambda: 3 in kept_ids())
     assert kept_ids() == {1, 3}, "duplicate 2 must stay suppressed"
+
+
+# ---------------------------------------------------------------------
+# r14 optimization: the replay entries' partition-level dispatch
+# (_keyed_replay: repartition + mapInPandas with key-run splitting and
+# a cross-batch carry) must emit exactly what the one-pandas-group-
+# per-key groupBy dispatch emitted — including keys whose runs span
+# Arrow batch boundaries and a NULL key group.
+# ---------------------------------------------------------------------
+
+
+def test_keyed_replay_dispatch_matches_per_key_reference(spark):
+    import random
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from siddhi_execution_unique_spark.streaming import (
+        dedup_proc_replay,
+        time_proc_replay,
+    )
+
+    rng = random.Random(42)
+    rows, eid = [], 0
+    for k in list(range(6)) + [None]:
+        for _ in range(rng.choice([1, 3, 25, 60])):
+            rows.append((eid, k, rng.randint(0, 10_000_000)))
+            eid += 1
+    df = (
+        spark.createDataFrame(rows, "event_id long, user_id long, ms long")
+        .withColumn("ts", F.timestamp_millis("ms"))
+    )
+    old_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got_time = sorted(
+            map(tuple, time_proc_replay(
+                df, "user_id", 3600_000, ts="ts", tiebreak="event_id"
+            ).collect()), key=repr)
+        got_dedup = sorted(
+            map(tuple, dedup_proc_replay(
+                df, "user_id", 7200_000, ts="ts", tiebreak="event_id"
+            ).collect()), key=repr)
+    finally:
+        if old_batch is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ms"])
+    ref_time, ref_dedup = [], []
+    for _, g in pdf.groupby("user_id", dropna=False):
+        g = g.sort_values(["ms", "event_id"])
+        stored, timeout_at = None, None
+        for _, r in g.iterrows():
+            s = int(r["ms"])
+            k = None if pd.isna(r["user_id"]) else int(r["user_id"])
+            if stored is not None and s > timeout_at:
+                emits, stored, timeout_at = _time_proc_transition(
+                    stored, [], timeout_at, 3600_000, True)
+                ref_time += [(row["k"], row["tb"], ch, int(at))
+                             for row, ch, at in emits]
+            emits, stored, timeout_at = _time_proc_transition(
+                stored, [{"k": k, "tb": int(r["event_id"])}], s,
+                3600_000, False)
+            ref_time += [(row["k"], row["tb"], ch, int(at))
+                         for row, ch, at in emits]
+        if stored is not None:
+            emits, _, _ = _time_proc_transition(
+                stored, [], timeout_at, 3600_000, True)
+            ref_time += [(row["k"], row["tb"], ch, int(at))
+                         for row, ch, at in emits]
+        last_kept, timeout_at = None, None
+        for _, r in g.iterrows():
+            s = int(r["ms"])
+            if last_kept is not None and s > timeout_at:
+                _, last_kept, timeout_at = _dedup_proc_transition(
+                    last_kept, 0, timeout_at, 7200_000, True)
+            kept, last_kept, timeout_at = _dedup_proc_transition(
+                last_kept, 1, s, 7200_000, False)
+            if kept:
+                k = None if pd.isna(r["user_id"]) else int(r["user_id"])
+                ref_dedup.append((k, int(r["event_id"]), s))
+    assert got_time == sorted(ref_time, key=repr)
+    assert got_dedup == sorted(ref_dedup, key=repr)
