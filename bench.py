@@ -26,20 +26,85 @@ def force(df) -> None:
 
 CALIBRATION_ITERS = 400_000
 
+# Pinned, round-stable anchor set (VERDICT r14 item 1): the driver keeps
+# only the tail of stdout and parses the final JSON line, so the reported
+# queries map is budget-trimmed. Trimming in registry order — which
+# rotates every round to steer the driver's correctness sample — meant
+# consecutive rounds' reported windows shared ~1 query and the driver's
+# round-over-round PERF comparison degenerated (PERF_r14: n_common=1,
+# 50 phantom "dropped"). These names are reported FIRST every round so
+# the driver always compares the same set; any remaining budget is then
+# filled from registry order as before (additions-only: nothing is
+# removed or renamed, and the full payload still lands in
+# BENCH_LOCAL.json / BENCH_LAST_RUN.json). The list is the r14
+# driver-reported window, frozen verbatim so PERF_r15 overlaps r14.
+ANCHOR_QUERIES = [
+    "dedup_semantic", "sim_ivf_topk", "sim_cell_centroids",
+    "dedup_simhash_near_pairs", "dedup_char_ngram_jaccard",
+    "siddhiql_join_tlb_tb_all", "proc_time_replay", "proc_dedup_replay",
+    "siddhiql_partitioned_expr_key_agg", "text_repetition_stats",
+    "vocab_top_tokens", "sample_stratified", "sample_domain_quota",
+    "contamination_check", "corpus_mixture_stats",
+    "corpus_quality_percentiles", "corpus_pack_shards", "pii_redact",
+    "events_asof_join", "events_range_join", "sketch_kmv_distinct",
+    "events_time_rollup", "events_sessionize", "dedup_lines",
+    "docs_chunk_tokens", "sample_temperature", "vocab_bpe_merges",
+    "source_overlap_matrix", "emb_pca_covariance", "dedup_span_removal",
+    "unique_external_time_batch_expired", "siddhiql_external_time_batch_all",
+    "siddhiql_partitioned_length", "siddhiql_partitioned_length_batch",
+    "siddhiql_partitioned_time_length_batch", "streaming_ever_parity",
+    "streaming_time_batch_parity", "streaming_length_batch_parity",
+    "multimodal_decode_flac_stereo", "siddhiql_streaming_agg_parity",
+    "streaming_external_time_batch_parity", "multimodal_decode_jpeg_420",
+    "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
+    "multimodal_decode_jpeg_progressive",
+]
+
+
+def _md5_chain(iters: int = CALIBRATION_ITERS) -> None:
+    import hashlib
+
+    h = b"calibration"
+    for _ in range(iters):
+        h = hashlib.md5(h).digest()
+
 
 def calibrate() -> float:
     """Fixed-work single-core microbenchmark (md5 chain): the same
     instruction stream every round, so cross-round query timings can
     be normalized for host-speed drift instead of arguing it from
     per-query ratios. Reported as the min of 3 runs."""
-    import hashlib
-
     best = float("inf")
     for _ in range(3):
-        h = b"calibration"
         t0 = time.perf_counter()
-        for _ in range(CALIBRATION_ITERS):
-            h = hashlib.md5(h).digest()
+        _md5_chain()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def calibrate_parallel(workers: int) -> float:
+    """All-core twin of :func:`calibrate` (VERDICT r14 item 2): the
+    single-core md5 chain under-corrects hosts whose *parallel*
+    throughput degraded more than their clock — the r14 session-4 host
+    calibrated 1.49x slower single-core but inflated barrier-heavy
+    queries 4x because its all-core ceiling collapsed. Runs the SAME
+    fixed chain on ``workers`` forked processes simultaneously and
+    reports the min-of-3 wall seconds for every chain to finish. On a
+    healthy solo host this tracks ``md5_chain_sec`` closely (the
+    chains are independent); a much larger value means the host cannot
+    actually deliver ``workers`` cores and parallel stage timings are
+    inflated beyond what the single-core ratio predicts."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    best = float("inf")
+    for _ in range(3):
+        procs = [ctx.Process(target=_md5_chain) for _ in range(workers)]
+        t0 = time.perf_counter()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
@@ -210,6 +275,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    load_end = _loadavg()
+    mid_run = sampler.stop()
+    # stop the session BEFORE calibrating: the JVM's background threads
+    # (C2 compiler drain, GC) were previously free to perturb the md5
+    # chain; calibration should measure the host, not our own leftovers
+    spark.stop()
+    workers = int(os.environ.get(
+        "SPARK_GRAFT_CPUS", str(os.cpu_count() or 1)))
     payload = {
         "metric": "total_bench_sec",
         "value": total,
@@ -219,14 +292,19 @@ def main() -> None:
         "calibration": {
             "md5_chain_sec": calibrate(),
             "iters": CALIBRATION_ITERS,
+            # all-core twin: wall seconds for `workers` simultaneous
+            # md5 chains (each the same work as md5_chain_sec); the
+            # ratio parallel/single ~1 on a healthy solo host
+            "md5_parallel_sec": calibrate_parallel(workers),
+            "parallel_workers": workers,
         },
         # co-tenant noise witnesses: load average sampled before the
         # session started and after the sweep (1/5/15-min), plus the
         # 10s-interval mid-run 1-min-load distribution — start/end can
         # both be quiet around a contended middle (BENCH_r11)
         "load_avg_start": load_start,
-        "load_avg_end": _loadavg(),
-        "load_mid_run": sampler.stop(),
+        "load_avg_end": load_end,
+        "load_mid_run": mid_run,
         # seconds spent waiting for a quiet host before the session
         # started (0 = started quiet); a nonzero value with a still-high
         # load_avg_start means the wait budget expired under load
@@ -240,10 +318,9 @@ def main() -> None:
     # FULL payload to a committed file the judge can always read, and
     # print a final line budgeted to fit the tail: totals +
     # calibration intact, per-query timings for as many entries as
-    # fit. Priority = the registry's dict order, i.e. the driver's
-    # 50-entry correctness window first — the same rotation the
-    # correctness sample uses, so over a ~4-round cycle every entry
-    # gets driver-recorded bench rows. The cut is explicit
+    # fit. Priority = ANCHOR_QUERIES (round-stable, so the driver's
+    # PERF comparison always sees the same set) followed by the
+    # registry's rotating dict order. The cut is explicit
     # (queries_reported/queries_total + the file pointer), never a
     # silent cap.
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -271,19 +348,22 @@ def main() -> None:
                 f.write("\n")
         except OSError:
             pass  # read-only checkout: the stdout subset below still reports
-    print(json.dumps(_tail_budgeted(payload, list(queries), full=full_file),
+    # anchors first (round-stable driver comparison set), then the
+    # rotating registry order fills whatever budget remains
+    priority = list(dict.fromkeys(ANCHOR_QUERIES + list(queries)))
+    print(json.dumps(_tail_budgeted(payload, priority, full=full_file),
                      separators=(",", ":")))
-    spark.stop()
 
 
 def _tail_budgeted(payload: dict, priority: list[str],
-                   budget: int = 1800,
+                   budget: int = 1850,
                    full: str = "BENCH_LOCAL.json") -> dict:
     """Trim ``payload['queries']`` to the entries that keep the
     compact-encoded line under ``budget`` chars, taking ``priority``
-    order (registry order = driver sample window first). ``full``
-    names the file holding the untruncated payload (BENCH_LOCAL.json
-    for clean solo runs, BENCH_LAST_RUN.json for contended ones)."""
+    order (pinned anchors first, then the rotating registry order).
+    ``full`` names the file holding the untruncated payload
+    (BENCH_LOCAL.json for clean solo runs, BENCH_LAST_RUN.json for
+    contended ones)."""
     timings = payload["queries"]
     ordered = [n for n in priority if n in timings] + [
         n for n in sorted(timings) if n not in set(priority)

@@ -1012,22 +1012,24 @@ def test_bench_tail_line_fits_driver_capture():
         "sf": 0.1,
         "calibration": {"md5_chain_sec": 0.2169, "iters": 400_000},
     }
-    out = bench._tail_budgeted(payload, names)
+    priority = list(dict.fromkeys(bench.ANCHOR_QUERIES + names))
+    out = bench._tail_budgeted(payload, priority)
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) <= 1800
+    # driver keeps the last 2000 chars; the budget leaves headroom
+    assert len(line) <= 1900
     assert json.loads(line)["value"] == 123.456
     reported = list(out["queries"])
-    # priority = registry order: the reported set IS a prefix of it
-    assert reported == names[: len(reported)]
+    # priority = pinned anchors first (round-stable PERF comparison,
+    # VERDICT r14 item 1), then the rotating registry order
+    assert reported == priority[: len(reported)]
     assert out["queries_total"] == len(names)
     assert out["queries_reported"] == len(reported) >= 40
     assert out["full"] == "BENCH_LOCAL.json"
-    # nearly the whole driver sample window makes the line — with
-    # the r12 join entries' long names at the head of the rotation,
-    # 50 x ~45-char records cannot fit a 1,800-char line, so the cut
-    # may shave the window's tail; it stays explicit
-    # (queries_reported + the full-file pointer), never silent
-    assert len(reported) >= 45
+    # every pinned anchor must exist in the registry (a renamed or
+    # dropped entry would silently shrink the driver's comparison set)
+    assert set(bench.ANCHOR_QUERIES) <= set(names)
+    # and the whole anchor set fits the budgeted line
+    assert set(bench.ANCHOR_QUERIES) <= set(reported)
 
 
 def test_bench_contention_detector():
