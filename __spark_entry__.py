@@ -935,6 +935,12 @@ def _write_sentinel_row(staged: str, dest: str) -> None:
     import pyarrow.parquet as papq
 
     tbl = papq.read_table(staged)
+    if tbl.num_rows == 0:
+        # pc.max of an empty column is null; set_column would then fail
+        # with an opaque length mismatch — name the real problem instead
+        raise ValueError(
+            f"_write_sentinel_row: staged replay file {staged!r} is "
+            "empty; cannot derive a watermark sentinel from zero rows")
     one = tbl.slice(0, 1)
 
     def _replace(t, name, arr):

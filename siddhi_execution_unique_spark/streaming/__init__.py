@@ -2201,15 +2201,37 @@ def _keyed_replay(src: DataFrame, replay_groups, out_schema) -> DataFrame:
     batches across the Python boundary; the replay semantics per key
     are untouched)."""
 
+    int_key = src.schema["k"].dataType.typeName() in (
+        "long", "integer", "short", "byte")
+
+    def _same_key(a, b) -> bool:
+        if pd.isna(a) or pd.isna(b):
+            return bool(pd.isna(a) and pd.isna(b))
+        return bool(a == b)
+
     def run(batches):
-        carry = None
+        # carry = list of chunks of the (single-key) trailing run of
+        # the previous batches, concatenated ONCE when the run closes
+        # — a hot key spanning many Arrow batches costs O(run), not
+        # the O(run^2) of re-concatenating the carry per batch
+        # (ADVICE r14).
+        carry: list = []
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             if not len(pdf):
                 continue
             kcol = pdf["k"]
+            if int_key and kcol.dtype.kind == "f":
+                # an integer key column arrives as float64 only when
+                # the batch holds null keys; beyond 2^53 distinct int64
+                # keys become equal floats and their replay state would
+                # merge (the old per-group dispatch grouped exactly) —
+                # refuse loudly rather than corrupt (ADVICE r14)
+                mx = kcol.abs().max()
+                if pd.notna(mx) and mx >= 2.0 ** 53:
+                    raise ValueError(
+                        "keyed replay: integer key column contains "
+                        "nulls and |key| >= 2^53; float64 conversion "
+                        "cannot represent these keys exactly")
             last = kcol.iloc[-1]
             tail = (
                 kcol.isna().to_numpy()
@@ -2218,20 +2240,48 @@ def _keyed_replay(src: DataFrame, replay_groups, out_schema) -> DataFrame:
             rev = tail[::-1]
             run_len = len(pdf) if rev.all() else int(rev.argmin())
             cut = len(pdf) - run_len
-            carry = pdf.iloc[cut:]
-            done = pdf.iloc[:cut].reset_index(drop=True)
+            if cut == 0:
+                # whole batch is one key run
+                if carry and not _same_key(carry[-1]["k"].iloc[-1],
+                                           kcol.iloc[0]):
+                    done = pd.concat(carry, ignore_index=True) \
+                        if len(carry) > 1 else carry[0].reset_index(drop=True)
+                    carry = [pdf]
+                    out = replay_groups(done)
+                    if len(out):
+                        yield out
+                else:
+                    carry.append(pdf)
+                continue
+            # batch closes at least one run: everything before the cut
+            # (plus any carried prefix — sorted order makes the concat
+            # contiguous) is complete
+            parts = carry + [pdf.iloc[:cut]]
+            done = pd.concat(parts, ignore_index=True) \
+                if len(parts) > 1 else parts[0].reset_index(drop=True)
+            carry = [pdf.iloc[cut:]]
+            out = replay_groups(done)
+            if len(out):
+                yield out
+        if carry:
+            done = pd.concat(carry, ignore_index=True) \
+                if len(carry) > 1 else carry[0].reset_index(drop=True)
             if len(done):
                 out = replay_groups(done)
                 if len(out):
                     yield out
-        if carry is not None and len(carry):
-            out = replay_groups(carry.reset_index(drop=True))
-            if len(out):
-                yield out
 
     return (
         src.repartition("k")
-        .sortWithinPartitions("k", "stamp_ms", "tb")
+        # nulls-LAST on the within-key ordering columns to match the
+        # pandas sort_values (NaN last) of the old per-group dispatch;
+        # Spark's default asc is nulls-first and would silently change
+        # replay order of null-stamp/null-tiebreak rows (ADVICE r14)
+        .sortWithinPartitions(
+            F.col("k").asc(),
+            F.col("stamp_ms").asc_nulls_last(),
+            F.col("tb").asc_nulls_last(),
+        )
         .mapInPandas(run, out_schema)
     )
 
