@@ -21,6 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from siddhi_execution_unique_spark.functions.text import (
+    checkpointed as _checkpointed,
+)
 from pyspark.sql.window import Window
 
 HOUR_MS = 3_600_000
@@ -88,7 +92,7 @@ def funnel(
         if _truncate:
             # chain truncation; ``_truncate=False`` exists so the plan
             # test can pin the un-truncated chain's shape
-            acc = acc.localCheckpoint(eager=False)
+            acc = _checkpointed(acc, eager=False)
     reached = sum(
         F.when(F.col(f"t{i}_ms").isNotNull(), 1).otherwise(0)
         for i in range(2, len(steps) + 1)

@@ -34,7 +34,11 @@ from siddhi_execution_unique_spark.functions.dedup import (
     _SHINGLE_DUCK,
     _distinct_shingles,
 )
-from siddhi_execution_unique_spark.functions.text import DUCK_TOKS, SPARK_TOKS
+from siddhi_execution_unique_spark.functions.text import (
+    DUCK_TOKS,
+    SPARK_TOKS,
+    checkpointed as _checkpointed,
+)
 
 
 # ------------------------------------------------------------ repetition
@@ -889,7 +893,8 @@ def _bpe_fit(docs: DataFrame, n_merges: int, final_state: bool = True):
     # a doc_id shuffle join at the end (guide §2.4)
     cur = docs.select(
         "doc_id", F.expr(SPARK_TOKS).alias("toks")
-    ).withColumn("n_raw", F.expr("size(toks)")).localCheckpoint()
+    ).withColumn("n_raw", F.expr("size(toks)"))
+    cur = _checkpointed(cur)
     out_schema = cur.schema
     fused_schema = StructType(
         [StructField(f.name, f.dataType, True) for f in out_schema.fields]
@@ -1011,7 +1016,8 @@ def _bpe_fit(docs: DataFrame, n_merges: int, final_state: bool = True):
         nxt = cur.mapInPandas(
             resegment(bl, br, emit_counts=not last),
             out_schema if last else fused_schema,
-        ).localCheckpoint(eager=False)
+        )
+        nxt = _checkpointed(nxt, eager=False)
         if last:
             cur = nxt
         else:

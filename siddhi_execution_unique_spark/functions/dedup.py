@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from siddhi_execution_unique_spark.functions.text import (  # noqa: F401
+    checkpointed as _checkpointed,
     materialized as _materialized,
     DUCK_TOKS,
     NORM_DUCK,
@@ -681,7 +682,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
         .union(pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")))
-        .localCheckpoint()  # do not recompute the pair pipeline per round
+        .transform(_checkpointed)  # do not recompute the pair pipeline per round
     )
     labels = (
         edges.groupBy("src")
@@ -691,7 +692,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     )
     prev_sum, converged = None, False
     for _ in range(CC_MAX_ITERS):
-        labels = labels.localCheckpoint()
+        labels = _checkpointed(labels)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from siddhi_execution_unique_spark.functions.text import (
     _in_list_sql,
+    checkpointed as _checkpointed,
     STOPWORDS,
     SPARK_TOKS,
     NORM_SPARK,
@@ -181,7 +182,7 @@ def dedup_corpus(docs: DataFrame, threshold: float = QUALITY_THRESHOLD) -> DataF
     # scoring once instead of once per branch (ContextCleaner reclaims
     # the blocks when the frame is dropped — unlike persist(), nothing
     # accumulates across invocations)
-    manifest = corpus_curation(docs, threshold).localCheckpoint()
+    manifest = _checkpointed(corpus_curation(docs, threshold))
     curated_docs = docs.join(manifest.select("doc_id"), "doc_id")
     clusters = near_dup_clusters(curated_docs)
     kept = manifest.join(

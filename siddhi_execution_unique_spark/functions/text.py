@@ -14,6 +14,8 @@ engines).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,19 +36,56 @@ STOPWORDS = {
 _LANG_ORDER = ("en", "es", "de", "fr")
 
 
+def checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a reused intermediate with the CONFIGURED strategy
+    (VERDICT r14 item 6): every compute-once/read-many site in the
+    engine routes through here, so the mechanism is one switch, not a
+    code audit.
+
+    ``SPARK_GRAFT_MATERIALIZE`` selects it:
+
+    - ``local`` (default): ``df.localCheckpoint(eager)``. Blocks live
+      on executor local storage — no DFS round-trip, the right local
+      default, but NOT fault-tolerant: an executor loss at 100 TB
+      kills the job instead of recomputing the truncated lineage.
+    - ``reliable``: ``df.checkpoint(eager)`` to the SparkContext
+      checkpoint dir (taken from ``SPARK_GRAFT_CHECKPOINT_DIR`` if the
+      context has none set — on a real cluster point it at DFS).
+      Survives executor loss at the cost of writing the intermediate
+      out; the production setting when a multi-hour job must not
+      restart from zero.
+    """
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT_DIR",
+                tempfile.mkdtemp(prefix="sgraft_ckpt_")))
+        return df.checkpoint(eager=eager)
+    if mode != "local":
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE={mode!r}: expected 'local' or "
+            "'reliable'")
+    return df.localCheckpoint(eager=eager)
+
+
 def materialized(df: DataFrame, enabled: bool = True) -> DataFrame:
     """Compute a shared corpus-sized intermediate ONCE and reuse it.
 
     Catalyst does not reuse exchanges across the different shuffle keys
     these pipelines fan out into (measured: the gram posting list is
     re-scanned 4x in the jaccard verifier without this), so recomputing
-    the projection dominates at scale. ``localCheckpoint`` is the
+    the projection dominates at scale. The checkpoint is the
     local-mode stand-in for what a 100 TB pipeline does explicitly:
     write the posting/signature/token table to parquet once, then let
     every consumer (join sides, size aggregates, verification) read
     the materialized form. ``enabled=False`` keeps the full logical
-    pipeline visible for plan assertions."""
-    return df.localCheckpoint(eager=True) if enabled else df
+    pipeline visible for plan assertions. Mechanism per
+    :func:`checkpointed` (fault-tolerance configurable)."""
+    return checkpointed(df, eager=True) if enabled else df
 
 
 def _in_list_sql(var: str, words: tuple[str, ...]) -> str:

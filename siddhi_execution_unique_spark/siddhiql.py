@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as SqlWindow
 
 from siddhi_execution_unique_spark import operators as ops
+from siddhi_execution_unique_spark.functions.text import (
+    checkpointed as _checkpointed,
+)
 from siddhi_execution_unique_spark.operators.keyed import ever_expired
 from siddhi_execution_unique_spark.operators.time_batch import event_ms
 from siddhi_execution_unique_spark.operators.time_window import time_window_expired
@@ -357,8 +360,10 @@ def _materialize(df: DataFrame) -> DataFrame:
     source (no cross-run caching). At scale this trades one
     data-sized block-store write for 2-3 re-executions of a
     shuffle-heavy window cascade — the same discipline the iterative
-    operators (BPE, connected components) already apply."""
-    return df.localCheckpoint(eager=False)
+    operators (BPE, connected components) already apply. Mechanism
+    (localCheckpoint vs fault-tolerant reliable checkpoint) per
+    :func:`..functions.text.checkpointed`."""
+    return _checkpointed(df, eager=False)
 
 
 def _need_tiebreak(window: str, tiebreak: str | None) -> str:
@@ -2864,7 +2869,8 @@ def run_app_streaming_aggregates(
             # materialize before the staging dir is removed
             final = _apply_select(
                 acc, q["select"], q.get("group_by"), q.get("having")
-            ).localCheckpoint(eager=True)
+            )
+            final = _checkpointed(final, eager=True)
             out[q["out"]] = final
         return out
     finally:
@@ -2983,8 +2989,8 @@ def _stage_stream_contents(side: dict, df: DataFrame, ts: str, work_dir: str | N
         # only _spark_metadata in outdir and schema inference raises
         # instead of yielding an empty join side
         return (
-            spark.read.schema(res.schema).parquet(outdir)
-            .localCheckpoint(eager=True)
+            _checkpointed(
+                spark.read.schema(res.schema).parquet(outdir), eager=True)
         )
     qs = (
         res.writeStream.format("memory")
@@ -2995,7 +3001,7 @@ def _stage_stream_contents(side: dict, df: DataFrame, ts: str, work_dir: str | N
         .start()
     )
     qs.awaitTermination()
-    return spark.table(name).localCheckpoint(eager=True)
+    return _checkpointed(spark.table(name), eager=True)
 
 
 def run_app_streaming_join(

@@ -1778,3 +1778,39 @@ def test_bpe_encode_matches_unrolled_oracle(spark, sf_dir):
         if {sk, dk} <= {"i", "u", "f"}:
             assert (sk in "iu") == (dk in "iu"), col
     assert _normalize(got) == _normalize(exp)
+
+
+def test_materialize_strategy_reliable(spark, tmp_path, monkeypatch):
+    """VERDICT r14 item 6: every compute-once/read-many intermediate
+    (siddhiql chain artifacts, funnel acc, BPE rounds, CC labels,
+    posting lists) routes through one ``checkpointed()`` helper whose
+    mechanism is a config: ``localCheckpoint`` (local default — fast,
+    NOT fault-tolerant) or a reliable ``checkpoint()`` into a real
+    checkpoint dir for clusters where an executor loss must not kill
+    the job. Rows are identical either way, reliable mode actually
+    writes the checkpoint dir, and an unknown mode fails loudly."""
+    import os as _os
+
+    from siddhi_execution_unique_spark.functions.text import checkpointed
+
+    df = spark.range(50).withColumn("v", F.col("id") % 7)
+    expect = sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
+    local = checkpointed(df)
+    assert sorted(tuple(r) for r in local.collect()) == expect
+
+    ckdir = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    reliable = checkpointed(df)
+    assert sorted(tuple(r) for r in reliable.collect()) == expect
+    got = spark.sparkContext.getCheckpointDir() or ckdir
+    # getCheckpointDir returns a URI (file:/...); walk the local path
+    walked = [f for _, _, fs in _os.walk(got.replace("file:", "", 1))
+              for f in fs]
+    assert walked, "reliable mode must write checkpoint files"
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "bogus")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MATERIALIZE"):
+        checkpointed(df)
