@@ -1,4 +1,5 @@
-"""Capture .explain('formatted') for named queries into plans/r14/.
+"""Capture .explain('formatted') for named queries into plans/<round>/
+(set SPARK_GRAFT_PLANS_ROUND, default r15).
 
 Usage: python tools/capture_plans.py before|after query [query...]
        python tools/capture_plans.py before|after @file-with-names
@@ -16,7 +17,8 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from siddhi_execution_unique_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "plans", "r14")
+OUT = os.path.join(REPO, "plans",
+                   os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
 
 
 def main() -> None:
