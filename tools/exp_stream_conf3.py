@@ -73,9 +73,12 @@ def main() -> None:
     from siddhi_execution_unique_spark.session import get_spark
 
     results: dict[str, dict[str, float]] = {n: {} for n in ENTRIES}
-    for vname, conf in VARIANTS.items():
-        if only and vname not in only:
-            continue
+    # CLI order is honored (and names may repeat, e.g. "base ... base"
+    # to witness same-process JVM-warmup drift); later duplicates
+    # overwrite earlier timings
+    order = list(sys.argv[2:]) if only else list(VARIANTS)
+    for vname in order:
+        conf = VARIANTS[vname]
         spark = get_spark(app_name=f"exp-stream-{vname}", extra_conf=conf)
         spark.sparkContext.setLogLevel("ERROR")
         queries = entry_mod.queries()

@@ -53,6 +53,13 @@ VARIANTS = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     },
     "p8": {"spark.sql.shuffle.partitions": "8"},
+    # parallelismFirst stays TRUE (CPU-heavy small-byte stages keep
+    # their parallelism headroom); only sub-minPartitionSize reduce
+    # partitions coalesce, so a 17 MB shuffle at 32 partitions
+    # (~0.5 MB each) folds to ~4-8 while anything with real bytes is
+    # untouched
+    "mps2": {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "2m"},
+    "mps4": {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "4m"},
 }
 
 
@@ -62,12 +69,14 @@ def force(df) -> None:
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    order = list(sys.argv[2:]) or list(VARIANTS)
     import __spark_entry__ as entry_mod
     from siddhi_execution_unique_spark.session import get_spark
 
     names = HOSTILE + CONTROLS
     results: dict[str, dict[str, float]] = {n: {} for n in names}
-    for vname, conf in VARIANTS.items():
+    for vname in order:
+        conf = VARIANTS[vname]
         spark = get_spark(app_name=f"exp-tiny-{vname}", extra_conf=conf)
         spark.sparkContext.setLogLevel("ERROR")
         queries = entry_mod.queries()
